@@ -1,0 +1,88 @@
+package graft.session
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization — the analytic twin of the reference's stateful
+  * streaming pipeline.
+  *
+  * The reference assigns session ids per event by joining each micro-batch
+  * against per-user state in Redis and opening a new session when the
+  * inactivity gap exceeds 30 minutes or `init_session` is set
+  * (StructuredStreaming.scala:159-189; the gap test at :186 is
+  * `(message_date - msg_date)/60 > 30` on string columns). Here the same
+  * semantics are expressed declaratively with window functions, which lets
+  * Catalyst plan it as a single pass: one shuffle on the user key, then
+  * sorted within partitions — exactly the layout a 1000-executor cluster
+  * wants (state never leaves the partition that owns the key).
+  *
+  * Determinism: the reference stamps wall-clock into session ids
+  * (StructuredStreaming.scala:283-296, `"<userId>-<epochMillis>"` or a
+  * random number). That is untestable; the new engine derives the id from
+  * the data itself: `"<userId>-<sessionSeq>"` where sessionSeq is the
+  * 1-based running count of session starts per user in event-time order.
+  */
+object Sessionize {
+
+  private val MicrosPerMinute = 60L * 1000000L
+
+  /** Assign a session id to every event.
+    *
+    * @param df       input with at least (userCol, tsCol, tieCol)
+    * @param gapMin   inactivity gap in minutes that opens a new session
+    *                 (reference uses 30, StructuredStreaming.scala:186)
+    * @param initCol  optional boolean column forcing a new session
+    *                 (reference `init_session`, StructuredStreaming.scala:163)
+    */
+  def withSessionIds(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      gapMin: Long = 30L,
+      initCol: Option[String] = None): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val gapExceeded =
+      unix_micros(col(tsCol)) - unix_micros(prevTs) > gapMin * MicrosPerMinute
+    val forced = initCol.map(c => col(c) === true).getOrElse(lit(false))
+    val isStart = when(prevTs.isNull || gapExceeded || forced, 1L).otherwise(0L)
+    df.withColumn("session_start", isStart)
+      .withColumn(
+        "session_seq",
+        sum(col("session_start"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(
+        "session_id",
+        concat(col(userCol).cast("string"), lit("-"), col("session_seq").cast("string")))
+  }
+
+  /** Per-session rollup: event count, bounds, duration, purchase revenue.
+    * This is the session *analytics* surface the reference only persists
+    * for (the pptx shows "Time series" + "Monitors" downstream of
+    * Cassandra) — a plain two-level aggregation, one shuffle on
+    * (user, session).
+    */
+  def sessionStats(
+      sessionized: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      purchaseType: String = "purchase",
+      typeCol: String = "event_type"): DataFrame =
+    sessionized
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start_ts"),
+        max(col(tsCol)).as("session_end_ts"),
+        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+          .as("duration_us"),
+        // Decimal, not double: decimal addition is exact and therefore
+        // independent of partial-aggregation order across partitions —
+        // required for bit-exact agreement with the (single-threaded)
+        // DuckDB oracle, and the right call for money at any scale.
+        sum(when(col(typeCol) === purchaseType, col(valueCol)).otherwise(lit(0.0))
+          .cast("decimal(18,2)")).cast("decimal(18,2)").as("purchase_value"))
+}
