@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.session.Sessionize
+import graft.ops.Enrich
+import graft.session.{Sessionize, StateOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,9 +31,47 @@ object SparkEntry {
     Sessionize
       .sessionStats(Sessionize.withSessionIds(Tables.events(s, dir)))
 
+  private val Cutoff = "2024-01-15 00:00:00"
+
+  private def qEnrich(s: SparkSession, dir: String): DataFrame =
+    Enrich.enrichEvents(Tables.events(s, dir))
+
+  private def qChangeDetect(s: SparkSession, dir: String): DataFrame =
+    StateOps
+      .changeDetect(Tables.events(s, dir), "event_type")
+      .select("event_id", "user_id", "ts", "event_type",
+        "prev_event_type", "event_type_changed")
+
+  private def qCarryForward(s: SparkSession, dir: String): DataFrame =
+    StateOps
+      .carryForwardLastPurchase(Tables.events(s, dir))
+      .select("event_id", "user_id", "ts", "event_type", "value",
+        "last_purchase_value", "last_purchase_ts")
+
+  private def qStateSnapshot(s: SparkSession, dir: String): DataFrame =
+    StateOps
+      .stateSnapshot(Tables.events(s, dir))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+
+  private def qNewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cutoff = lit(Cutoff).cast("timestamp")
+    val state = StateOps
+      .stateSnapshot(ev.filter(col("ts") < cutoff))
+      .select(col("user_id").as("u_id"), col("ts").as("state_ts"))
+    StateOps
+      .newVsReturning(ev.filter(col("ts") >= cutoff), state)
+      .select("event_id", "user_id", "ts", "state_ts", "is_new")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sess_assign" -> (qSessionize _),
-    "sess_stats" -> (qSessionStats _)
+    "sess_stats" -> (qSessionStats _),
+    "enrich" -> (qEnrich _),
+    "change_detect" -> (qChangeDetect _),
+    "carry_forward" -> (qCarryForward _),
+    "state_snapshot" -> (qStateSnapshot _),
+    "new_vs_returning" -> (qNewVsReturning _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -84,6 +123,70 @@ object SparkEntry {
         |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
         |         AS purchase_value
         |FROM sess
-        |GROUP BY user_id, session_id""".stripMargin
+        |GROUP BY user_id, session_id""".stripMargin,
+    "enrich" ->
+      """WITH ua AS (
+        |  SELECT *,
+        |         CASE WHEN user_id % 6 = 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64)'
+        |              WHEN user_id % 6 = 1 THEN 'Mozilla/5.0 (Linux; android 13; Pixel 7)'
+        |              WHEN user_id % 6 = 2 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 16_0)'
+        |              WHEN user_id % 6 = 3 THEN 'Mozilla/5.0 (iPad; CPU OS 16_0)'
+        |              WHEN user_id % 6 = 4 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 13_0)'
+        |              ELSE 'curl/8.0' END AS user_agent,
+        |         CASE WHEN event_type IN ('click','view') THEN 'MOBILE'
+        |              ELSE upper(event_type) END AS platform_raw
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, ts AS message_date, user_agent,
+        |       CASE WHEN user_agent LIKE '%Windows%' THEN 'Windows PC'
+        |            WHEN user_agent LIKE '%android%' THEN 'Android'
+        |            WHEN user_agent LIKE '%iPhone%' THEN 'iPhone'
+        |            WHEN user_agent LIKE '%iPad%' THEN 'iPad'
+        |            WHEN user_agent LIKE '%Mac%' THEN 'iMac'
+        |            ELSE 'Others' END AS device,
+        |       CASE WHEN platform_raw = 'MOBILE' THEN 'MOBILE' ELSE 'WEB' END AS platform,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       ts AS last_visited
+        |FROM ua""".stripMargin,
+    "change_detect" ->
+      """SELECT event_id, user_id, ts, event_type,
+        |       lag(event_type) OVER w AS prev_event_type,
+        |       CAST(CASE WHEN lag(event_type) OVER w IS NOT NULL
+        |                      AND event_type <> lag(event_type) OVER w
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS event_type_changed
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "carry_forward" ->
+      """SELECT event_id, user_id, ts, event_type, value,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |         OVER w AS last_purchase_value,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+        |         OVER w AS last_purchase_ts
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    "state_snapshot" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    "new_vs_returning" ->
+      """WITH state AS (
+        |  SELECT user_id AS u_id, ts AS state_ts FROM (
+        |    SELECT user_id, ts,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE ts < TIMESTAMP '2024-01-15 00:00:00') t
+        |  WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, s.state_ts,
+        |       CAST(CASE WHEN s.u_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        |FROM events e
+        |LEFT JOIN state s
+        |  ON trim(CAST(e.user_id AS VARCHAR)) = trim(CAST(s.u_id AS VARCHAR))
+        |WHERE e.ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin
   )
 }

@@ -1,0 +1,95 @@
+package graft.session
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch/analytic twins of the reference's per-user state updates
+  * (SURVEY.md §2e). The reference mutates a Redis hash row-by-row; here the
+  * same semantics are window functions over (user, time) — one shuffle on
+  * the user key, then everything is partition-local, which is the shape
+  * that scales: state for a key never crosses executor boundaries.
+  */
+object StateOps {
+
+  private def userWindow(userCol: String, tsCol: String, tieCol: String) =
+    Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+
+  /** ST3 — change detection: flag rows where a tracked field differs from
+    * its previous per-user value (reference compares incoming partner
+    * fields against Redis state, StructuredStreaming.scala:190-205,
+    * via the Spark-2 `!==` operator).
+    */
+  def changeDetect(
+      df: DataFrame,
+      trackedCol: String,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = userWindow(userCol, tsCol, tieCol)
+    val prev = lag(col(trackedCol), 1).over(w)
+    df.withColumn(s"prev_$trackedCol", prev)
+      .withColumn(
+        s"${trackedCol}_changed",
+        when(prev.isNotNull && col(trackedCol) =!= prev, 1L).otherwise(0L))
+  }
+
+  /** ST4 — conditional carry-forward: remember the last value/category seen
+    * on a qualifying row (reference: cart_amount/category stick only on
+    * `page_type = 'success'`, StructuredStreaming.scala:206-221). Expressed
+    * as `last(_, ignoreNulls = true)` over the running per-user window.
+    */
+  def carryForwardLastPurchase(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      qualifying: String = "purchase"): DataFrame = {
+    val w = userWindow(userCol, tsCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qualVal = when(col(typeCol) === qualifying, col(valueCol))
+    val qualTs = when(col(typeCol) === qualifying, col(tsCol))
+    df.withColumn("last_purchase_value", last(qualVal, ignoreNulls = true).over(w))
+      .withColumn("last_purchase_ts", last(qualTs, ignoreNulls = true).over(w))
+  }
+
+  /** ST5/ST6 — state snapshot: the latest event per user, i.e. what the
+    * Redis hash would hold after replaying the table (unconditional
+    * refresh fields, StructuredStreaming.scala:222-225; first-touch init
+    * :167-178). One row per key.
+    */
+  def stateSnapshot(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** F1/F2/J1 — new-vs-returning split: left-join incoming events against a
+    * prior-state snapshot on the trimmed user key (the reference trims both
+    * sides, StructuredStreaming.scala:153) and flag rows with no prior
+    * state (its `u_id.isNull` filter :158 ≡ left-anti). The snapshot side
+    * is one row per user — small relative to the event stream — so it is
+    * explicitly broadcast: at 100 TB the event side never shuffles.
+    */
+  def newVsReturning(
+      incoming: DataFrame,
+      state: DataFrame,
+      userCol: String = "user_id",
+      stateUserCol: String = "u_id"): DataFrame = {
+    val joined = incoming.join(
+      broadcast(state),
+      trim(incoming(userCol).cast("string")) === trim(state(stateUserCol).cast("string")),
+      "left")
+    joined.withColumn(
+      "is_new",
+      when(state(stateUserCol).isNull, 1L).otherwise(0L))
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Enrich
+import graft.session.{Sessionize, StateOps}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("classifyDevice covers all reference branches in order") {
+    val cases = Seq(
+      ("Mozilla/5.0 (Windows NT 10.0)", "Windows PC"),
+      ("Mozilla/5.0 (Linux; android 13)", "Android"),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS)", "iPhone"),
+      ("Mozilla/5.0 (iPad; CPU OS)", "iPad"),
+      ("Mozilla/5.0 (Macintosh; Intel Mac OS X)", "iMac"),
+      ("curl/8.0", "Others"),
+      // Windows wins over Mac when both appear (reference match order)
+      ("Windows on Mac", "Windows PC"))
+    val got = cases.toDF("ua", "expected")
+      .withColumn("device", Enrich.classifyDevice(col("ua")))
+      .collect()
+    got.foreach(r => assert(r.getString(2) === r.getString(1), r.getString(0)))
+  }
+
+  test("normalizePlatform: only exact MOBILE stays MOBILE") {
+    val got = Seq("MOBILE", "mobile", "WEB", "ANDROID", "")
+      .toDF("p").withColumn("n", Enrich.normalizePlatform(col("p")))
+      .as[(String, String)].collect().toMap
+    assert(got("MOBILE") === "MOBILE")
+    assert(got("mobile") === "WEB")
+    assert(got("ANDROID") === "WEB")
+  }
+
+  test("session gap: exactly 30 min does NOT open a session; 30min+1s does") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L),
+      (2L, ts("2024-01-01 00:30:00"), 7L), // exactly 30 min later
+      (3L, ts("2024-01-01 01:00:01"), 7L)  // 30 min + 1 s later
+    ).toDF("event_id", "ts", "user_id")
+    val seqs = Sessionize.withSessionIds(df)
+      .orderBy("event_id").select("session_seq").as[Long].collect()
+    assert(seqs.toSeq === Seq(1L, 1L, 2L))
+  }
+
+  test("sessionStats rolls up counts, bounds and decimal purchase revenue") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "purchase", 10.10),
+      (2L, ts("2024-01-01 00:10:00"), 7L, "click", 99.0),
+      (3L, ts("2024-01-01 02:00:00"), 7L, "purchase", 5.25)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val stats = Sessionize.sessionStats(Sessionize.withSessionIds(df))
+      .orderBy("session_id").collect()
+    assert(stats.length === 2)
+    assert(stats(0).getAs[Long]("n_events") === 2)
+    assert(stats(0).getAs[java.math.BigDecimal]("purchase_value")
+      .compareTo(new java.math.BigDecimal("10.10")) === 0)
+    assert(stats(0).getAs[Long]("duration_us") === 600000000L)
+  }
+
+  test("changeDetect flags only real transitions, never the first row") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "view"),
+      (2L, ts("2024-01-01 00:01:00"), 7L, "view"),
+      (3L, ts("2024-01-01 00:02:00"), 7L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val flags = StateOps.changeDetect(df, "event_type")
+      .orderBy("event_id").select("event_type_changed").as[Long].collect()
+    assert(flags.toSeq === Seq(0L, 0L, 1L))
+  }
+
+  test("carryForward remembers last purchase value across later events") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "purchase", 10.0),
+      (2L, ts("2024-01-01 00:01:00"), 7L, "click", 1.0),
+      (3L, ts("2024-01-01 00:02:00"), 7L, "purchase", 20.0),
+      (4L, ts("2024-01-01 00:03:00"), 7L, "view", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StateOps.carryForwardLastPurchase(df)
+      .orderBy("event_id").select("last_purchase_value").as[Option[Double]].collect()
+    assert(got.toSeq === Seq(Some(10.0), Some(10.0), Some(20.0), Some(20.0)))
+  }
+
+  test("newVsReturning: no prior state => is_new") {
+    val incoming = Seq((10L, ts("2024-01-02 00:00:00"), 1L), (11L, ts("2024-01-02 00:00:00"), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val state = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("u_id", "state_ts")
+    val got = StateOps.newVsReturning(incoming, state)
+      .orderBy("event_id").select("is_new").as[Long].collect()
+    assert(got.toSeq === Seq(0L, 1L))
+  }
+
+  test("stateSnapshot keeps exactly the latest row per user") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "a"),
+      (2L, ts("2024-01-01 00:05:00"), 7L, "b"),
+      (3L, ts("2024-01-01 00:05:00"), 8L, "c")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = StateOps.stateSnapshot(df)
+      .orderBy("user_id").select("event_type").as[String].collect()
+    assert(got.toSeq === Seq("b", "c"))
+  }
+}
