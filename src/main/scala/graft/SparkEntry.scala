@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Enrich
+import graft.ops.{Enrich, Relational}
 import graft.session.{Sessionize, StateOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -71,7 +71,18 @@ object SparkEntry {
     "change_detect" -> (qChangeDetect _),
     "carry_forward" -> (qCarryForward _),
     "state_snapshot" -> (qStateSnapshot _),
-    "new_vs_returning" -> (qNewVsReturning _)
+    "new_vs_returning" -> (qNewVsReturning _),
+    "q1_pricing" -> (Relational.pricingSummary _),
+    "q3_top_unshipped" -> (Relational.topUnshippedOrders(_, _)),
+    "q5_local_supplier" -> (Relational.localSupplierVolume _),
+    "topk_per_group" -> (Relational.topOrdersPerCustomer(_, _)),
+    "window_ranks" -> (Relational.orderRanks _),
+    "running_qty" -> (Relational.runningSupplierQty _),
+    "semi_anti" -> (Relational.customersByOrderExistence _),
+    "set_ops" -> (Relational.setOpsCustkeys _),
+    "agg_order_stats" -> (Relational.orderStatusStats _),
+    "distinct_pairs" -> (Relational.distinctStatusPriority _),
+    "sort_limit" -> (Relational.topLineitemsByPrice _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -187,6 +198,101 @@ object SparkEntry {
         |FROM events e
         |LEFT JOIN state s
         |  ON trim(CAST(e.user_id AS VARCHAR)) = trim(CAST(s.u_id AS VARCHAR))
-        |WHERE e.ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin
+        |WHERE e.ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |            AS DECIMAL(38,4)) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |                * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
+        |            AS DECIMAL(38,6)) AS sum_charge,
+        |       AVG(l_quantity) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_unshipped" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |            AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |            AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3""".stripMargin,
+    "window_ranks" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(rank() OVER w AS INTEGER) AS price_rank,
+        |       CAST(dense_rank() OVER w AS INTEGER) AS price_dense_rank,
+        |       lag(o_totalprice) OVER w AS next_higher_price,
+        |       lead(o_totalprice) OVER w AS next_lower_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "running_qty" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        |       SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                             ROWS UNBOUNDED PRECEDING) AS running_qty
+        |FROM lineitem""".stripMargin,
+    "semi_anti" ->
+      """SELECT c_custkey, CAST(1 AS BIGINT) AS has_orders FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, CAST(0 AS BIGINT) AS has_orders FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "set_ops" ->
+      """(SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+        | INTERSECT
+        | SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0)
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
+    "agg_order_stats" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n_orders,
+        |       COUNT(DISTINCT o_custkey) AS n_customers,
+        |       MIN(o_totalprice) AS min_price,
+        |       MAX(o_totalprice) AS max_price,
+        |       MIN(o_orderdate) AS first_order,
+        |       MAX(o_orderdate) AS last_order
+        |FROM orders
+        |GROUP BY o_orderstatus""".stripMargin,
+    "distinct_pairs" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin
   )
 }

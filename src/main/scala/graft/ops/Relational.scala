@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The generic relational surface (SURVEY.md §2f): the reference itself has
+  * no aggregations/windows/set-ops, but its architecture persists a
+  * time-series explicitly for downstream analytics ("Time series" +
+  * "Monitors" in the reference's architecture slide) — this module is that
+  * analytics surface, all built-ins, all Catalyst-planned.
+  *
+  * Scale notes baked into the shapes below:
+  *  - dimension sides of joins (region/nation/customer/supplier) are
+  *    `broadcast()`-hinted — at 100 TB the fact table never shuffles for
+  *    a dim join;
+  *  - money aggregates are decimal (exact, order-independent) — required
+  *    both for oracle parity and for reproducible results under AQE
+  *    re-partitioning;
+  *  - top-k is window row_number + filter, not sort-all + limit, so each
+  *    partition prunes before the final merge.
+  */
+object Relational {
+
+  /** Exact decimal view of a money double. DECIMAL(12,2) keeps every
+    * product chain below Spark's and DuckDB's 38-digit cap, so no
+    * intermediate ever rounds — results are exact and therefore identical
+    * across engines and across partition orders.
+    */
+  private def money(c: Column): Column = c.cast("decimal(12,2)")
+  private val one = lit(1).cast("decimal(12,2)")
+  /** disc-price term: ep * (1 - disc), exact at scale 4. */
+  private def discPrice: Column = money(col("l_extendedprice")) * (one - money(col("l_discount")))
+
+  /** TPC-H Q1-style pricing summary: one shuffle, partial aggregation
+    * map-side, 6 aggregates over ~4 groups.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+        sum(discPrice).cast("decimal(38,4)").as("sum_disc_price"),
+        sum(discPrice * (one + money(col("l_tax"))))
+          .cast("decimal(38,6)").as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: segment customers' unshipped orders, top 10 by
+    * revenue. Customer (filtered, small) is broadcast into orders; only
+    * the lineitem join shuffles — and AQE can convert it too once the
+    * order side is filtered down.
+    */
+  def topUnshippedOrders(s: SparkSession, dir: String): DataFrame = {
+    val d = lit("1998-01-01 00:00:00").cast("timestamp")
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < d)
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation for one region/year, customer and
+    * supplier in the same nation. Five joins; every dimension side
+    * broadcast, single shuffle for the final groupBy.
+    */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+    val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    Tables.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
+  }
+
+  /** Top-3 orders per customer — window row_number, partition-local prune
+    * before any global work.
+    */
+  def topOrdersPerCustomer(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Ranking/navigation window functions over orders per customer. */
+  def orderRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      rank().over(w).as("price_rank"),
+      dense_rank().over(w).as("price_dense_rank"),
+      lag(col("o_totalprice"), 1).over(w).as("next_higher_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_lower_price"))
+  }
+
+  /** Running per-supplier quantity — frame-bounded window aggregation. */
+  def runningSupplierQty(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir).select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+      col("l_quantity"), sum(col("l_quantity")).over(w).as("running_qty"))
+  }
+
+  /** Semi/anti join split: every customer tagged by order existence.
+    * Plans as BroadcastHashJoin(LeftSemi/LeftAnti) on the distinct key set.
+    */
+  def customersByOrderExistence(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir).select(col("o_custkey"))
+    val semi = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(1L).as("has_orders"))
+    val anti = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(0L).as("has_orders"))
+    semi.unionAll(anti)
+  }
+
+  /** Set operations: big spenders ∩ positive balance ∖ MACHINERY segment. */
+  def setOpsCustkeys(s: SparkSession, dir: String): DataFrame = {
+    val spenders = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey").as("custkey"))
+    val positive = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 0.0)
+      .select(col("c_custkey").as("custkey"))
+    val machinery = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey").as("custkey"))
+    spenders.intersect(positive).except(machinery)
+  }
+
+  /** Grouped multi-aggregate over orders (count / distinct / min / max). */
+  def orderStatusStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+
+  /** DISTINCT projection (dedup by all columns). */
+  def distinctStatusPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+
+  /** Global sort + limit (comparison-only on doubles — exact). */
+  def topLineitemsByPrice(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_shipdate"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+}
