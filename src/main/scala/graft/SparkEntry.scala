@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ext.{Dedup, Similarity, TextOps}
 import graft.ops.{Enrich, Relational}
 import graft.session.{Sessionize, StateOps}
 
@@ -82,8 +83,58 @@ object SparkEntry {
     "set_ops" -> (Relational.setOpsCustkeys _),
     "agg_order_stats" -> (Relational.orderStatusStats _),
     "distinct_pairs" -> (Relational.distinctStatusPriority _),
-    "sort_limit" -> (Relational.topLineitemsByPrice _)
+    "sort_limit" -> (Relational.topLineitemsByPrice _),
+    "text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
+    "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
+    "minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
+    "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
+    "embed_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
+    "lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
+    "ann_lsh_pairs" -> ((s, d) => Similarity.annPairsLsh(Tables.embeddings(s, d)))
   )
+
+  // ---- DuckDB oracle fragments (mirror the Spark expressions exactly) ----
+
+  /** DuckDB twin of TextOps.md5Long64. */
+  private def dH(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB twin of TextOps.shingleExpr (distinct word 3-grams). */
+  private val dSh =
+    """CASE WHEN len(toks) >= 3
+      | THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+      | ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+
+  private val dToksCte =
+    "WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents)"
+
+  /** DuckDB twin of Similarity.cosineExpr. */
+  private def dCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  private val dMh = (0 until 8).map { i =>
+    s"list_min(list_transform(sh, s2 -> ${dH(s"('$i:' || s2)")})) AS mh$i"
+  }.mkString(",\n       ")
+
+  private val dSimhashBits = (0 until 16).map { i =>
+    s"list_sum(list_transform(hs, x -> CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)) AS b$i"
+  }.mkString(",\n       ")
+
+  private val dSimhashPack = (0 until 16)
+    .map(i => s"CASE WHEN b$i > 0 THEN CAST(${1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
+
+  private val dLshBucket = (1 to 8)
+    .map(i => s"CASE WHEN CAST(embedding[$i] AS DOUBLE) > 0 THEN CAST(${1 << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "sess_assign" ->
@@ -289,6 +340,135 @@ object SparkEntry {
         |GROUP BY o_orderstatus""".stripMargin,
     "distinct_pairs" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "text_stats" ->
+      s"""$dToksCte
+         |SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+         |       CAST(len(list_filter(toks, tk -> tk IN ('the', 'a'))) AS DOUBLE)
+         |         / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |       CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+         |         / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+         |       0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |        + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |        + 0.25 * (CAST(len(list_filter(toks, tk -> tk IN ('the', 'a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |        AS quality_score
+         |FROM t""".stripMargin,
+    "lang_id" ->
+      s"""$dToksCte, sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS en_score,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('der', 'die', 'das', 'und', 'ist'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS de_score,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('el', 'la', 'de', 'y', 'es'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS es_score,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('le', 'la', 'de', 'et', 'les'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS fr_score
+         |  FROM t
+         |), p AS (
+         |  SELECT *, CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+         |                 WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+         |                 WHEN es_score >= fr_score THEN 'es'
+         |                 ELSE 'fr' END AS predicted_lang
+         |  FROM sc
+         |)
+         |SELECT doc_id, lang, en_score, de_score, es_score, fr_score, predicted_lang,
+         |       CAST(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+         |FROM p""".stripMargin,
+    "fingerprints" ->
+      s"""$dToksCte, s AS (
+         |  SELECT doc_id, text, $dSh AS sh FROM t
+         |)
+         |SELECT doc_id,
+         |       ${dH("text")} AS text_hash,
+         |       list_min(list_transform(sh, s2 -> ${dH("s2")})) AS min_shingle_hash,
+         |       CAST(len(sh) AS BIGINT) AS n_shingles
+         |FROM s""".stripMargin,
+    "dedup_exact" ->
+      s"""SELECT ${dH("text")} AS text_hash,
+         |       MIN(doc_id) AS keeper_doc_id,
+         |       COUNT(*) AS n_copies
+         |FROM documents
+         |GROUP BY 1""".stripMargin,
+    "minhash_sigs" ->
+      s"""$dToksCte, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), m AS (
+         |  SELECT doc_id,
+         |       $dMh
+         |  FROM s
+         |)
+         |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+         |       ${dH("concat_ws(',', mh0, mh1, mh2, mh3)")} AS band0,
+         |       ${dH("concat_ws(',', mh4, mh5, mh6, mh7)")} AS band1
+         |FROM m""".stripMargin,
+    "minhash_pairs" ->
+      s"""$dToksCte, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), m AS (
+         |  SELECT doc_id,
+         |       $dMh
+         |  FROM s
+         |), sig AS (
+         |  SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+         |         ${dH("concat_ws(',', mh0, mh1, mh2, mh3)")} AS band0,
+         |         ${dH("concat_ws(',', mh4, mh5, mh6, mh7)")} AS band1
+         |  FROM m
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(${(0 until 8).map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE) / 8.0 AS est_jaccard
+         |FROM sig a JOIN sig b
+         |  ON a.doc_id < b.doc_id AND (a.band0 = b.band0 OR a.band1 = b.band1)""".stripMargin,
+    "simhash" ->
+      s"""$dToksCte, h AS (
+         |  SELECT doc_id, list_transform(toks, tk -> ${dH("tk")}) AS hs FROM t
+         |), b AS (
+         |  SELECT doc_id,
+         |       $dSimhashBits
+         |  FROM h
+         |)
+         |SELECT doc_id, CAST($dSimhashPack AS BIGINT) AS simhash FROM b""".stripMargin,
+    "ngram_jaccard" ->
+      s"""$dToksCte, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), hs AS (
+         |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS shs FROM s
+         |), sizes AS (
+         |  SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh FROM hs
+         |), e AS (
+         |  SELECT doc_id, unnest(shs) AS shingle_hash FROM hs
+         |), common AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+         |  FROM e a JOIN e b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a_id, b_id, n_common,
+         |       CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jaccard
+         |FROM common
+         |JOIN sizes na ON na.doc_id = a_id
+         |JOIN sizes nb ON nb.doc_id = b_id
+         |ORDER BY jaccard DESC, a_id, b_id
+         |LIMIT 50""".stripMargin,
+    "cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |       round(${dCos("embedding", "q_emb")}, 6) AS cosine_sim
+         |FROM embeddings, q
+         |WHERE vec_id <> 0
+         |ORDER BY cosine_sim DESC, vec_id
+         |LIMIT 10""".stripMargin,
+    "embed_neardup" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       round(${dCos("a.embedding", "b.embedding")}, 6) AS cosine_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE round(${dCos("a.embedding", "b.embedding")}, 6) >= 0.4""".stripMargin,
+    "lsh_buckets" ->
+      s"""SELECT vec_id, label, $dLshBucket AS bucket FROM embeddings""".stripMargin,
+    "ann_lsh_pairs" ->
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding, $dLshBucket AS bucket FROM embeddings
+         |)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+         |       round(${dCos("a.embedding", "b.embedding")}, 6) AS cosine_sim
+         |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${dCos("a.embedding", "b.embedding")}, 6) >= 0.4""".stripMargin,
     "sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
         |FROM lineitem

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token stats / quality scoring, language-ID heuristic, and document
+  * fingerprinting. All are per-row projections built from codegen'd
+  * built-ins and higher-order array functions — zero shuffles, zero UDFs,
+  * so they stream through a 100 TB corpus at scan speed.
+  *
+  * Cross-engine determinism: every hash is a 60-bit integer derived from
+  * md5 (`Hashing.md5Long64`), which both Spark and the DuckDB oracle
+  * compute identically; every ratio is an exact int/int IEEE division.
+  */
+object TextOps {
+
+  /** 60-bit deterministic hash of a string SQL expression (md5-prefix).
+    * Same value in DuckDB via `CAST(('0x'||substr(md5(e),1,15)) AS BIGINT)`.
+    */
+  def md5Long64(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+
+  /** Word 3-gram shingles of a token array expression (distinct set). */
+  def shingleExpr(toks: String): String =
+    s"""case when size($toks) >= 3
+       | then array_distinct(transform(sequence(1, size($toks) - 2),
+       |   i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1), ' ', element_at($toks, i + 2))))
+       | else array() end""".stripMargin
+
+  /** Per-document token statistics and a deterministic quality score. */
+  def textStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .selectExpr(
+        "doc_id",
+        "cast(size(toks) as bigint) as n_tokens",
+        "cast(size(array_distinct(toks)) as bigint) as n_uniq_tokens",
+        "cast(size(filter(toks, t -> t in ('the', 'a'))) as double) / cast(size(toks) as double) as stopword_ratio",
+        "cast(length(text) - (size(toks) - 1) as double) / cast(size(toks) as double) as avg_token_len",
+        // weighted mix of length saturation, lexical diversity, stopword presence
+        """0.5 * least(cast(size(toks) as double) / 100.0, 1.0)
+          | + 0.25 * (cast(size(array_distinct(toks)) as double) / cast(size(toks) as double))
+          | + 0.25 * (cast(size(filter(toks, t -> t in ('the', 'a'))) as double) / cast(size(toks) as double))
+          | as quality_score""".stripMargin)
+
+  /** Stopword-profile language ID (n-gram heuristic). Profiles are tiny
+    * per-language marker sets; the prediction is the argmax with a fixed
+    * tie-break order — deterministic and SQL-expressible.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    def score(words: Seq[String]): String = {
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"cast(size(filter(toks, t -> t in ($set))) as double) / cast(size(toks) as double)"
+    }
+    val en = score(Seq("the", "a", "of", "and", "is"))
+    val de = score(Seq("der", "die", "das", "und", "ist"))
+    val es = score(Seq("el", "la", "de", "y", "es"))
+    val fr = score(Seq("le", "la", "de", "et", "les"))
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .selectExpr(
+        "doc_id", "lang",
+        s"$en as en_score", s"$de as de_score", s"$es as es_score", s"$fr as fr_score")
+      .selectExpr(
+        "doc_id", "lang", "en_score", "de_score", "es_score", "fr_score",
+        """case when en_score >= de_score and en_score >= es_score and en_score >= fr_score then 'en'
+          |     when de_score >= es_score and de_score >= fr_score then 'de'
+          |     when es_score >= fr_score then 'es'
+          |     else 'fr' end as predicted_lang""".stripMargin)
+      .selectExpr(
+        "doc_id", "lang", "en_score", "de_score", "es_score", "fr_score",
+        "predicted_lang",
+        "cast(case when predicted_lang = lang then 1 else 0 end as bigint) as is_correct")
+  }
+
+  /** Document fingerprints: whole-text hash plus the minimum shingle hash
+    * (the "winnowing" representative) — the primitives under both exact
+    * and MinHash dedup.
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(shingleExpr("toks")))
+      .selectExpr(
+        "doc_id",
+        s"${md5Long64("text")} as text_hash",
+        s"array_min(transform(sh, s -> ${md5Long64("s")})) as min_shingle_hash",
+        "cast(size(sh) as bigint) as n_shingles")
+}

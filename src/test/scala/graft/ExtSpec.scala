@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity, TextOps}
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("md5Long64 matches the DuckDB-computable value") {
+    // DuckDB: CAST(('0x'||substr(md5('abc'),1,15)) AS BIGINT) = 648541476951500027
+    val got = spark.range(1)
+      .selectExpr(s"${TextOps.md5Long64("'abc'")} as h")
+      .as[Long].head()
+    assert(got === 648541476951500027L)
+  }
+
+  test("shingleExpr produces distinct word 3-grams, empty below 3 tokens") {
+    val df = Seq("a b c d", "x y").toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(TextOps.shingleExpr("toks")))
+      .select("text", "sh").as[(String, Seq[String])].collect().toMap
+    assert(df("a b c d") === Seq("a b c", "b c d"))
+    assert(df("x y") === Seq())
+  }
+
+  test("exact dedup groups identical texts and keeps the min doc_id") {
+    val docs = Seq((1L, "same text here"), (5L, "same text here"), (9L, "different"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(docs).orderBy("keeper_doc_id")
+      .select("keeper_doc_id", "n_copies").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L), (9L, 1L)))
+  }
+
+  test("identical texts get identical minhash signatures and band hashes") {
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"), (3L, "z1 z2 z3 z4 z5"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(9), r.getLong(10))).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+  }
+
+  test("simhash: identical docs equal, disjoint docs differ") {
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "qq rr ss tt uu vv"))
+      .toDF("doc_id", "text")
+    val h = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+  }
+
+  test("ngramJaccardPairs ranks the duplicated pair first with jaccard 1.0") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c x y z w q")
+    ).toDF("doc_id", "text")
+    val top = Dedup.ngramJaccardPairs(docs, topK = 10).head()
+    assert((top.getLong(0), top.getLong(1)) === (1L, 2L))
+    assert(top.getDouble(3) === 1.0)
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f))
+    ).toDF("a", "b")
+    val got = df.selectExpr(s"round(${Similarity.cosineExpr("a", "b")}, 6) as c")
+      .as[Double].collect()
+    assert(got.toSeq === Seq(1.0, 0.0))
+  }
+
+  test("cosineTopK returns k rows, best first, excludes the query vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(-1.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.cosineTopK(vecs, 0L, 2)
+      .select("vec_id").as[Long].collect()
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("lshBuckets: same sign pattern lands in the same bucket") {
+    val mk = (s: Float) => Array.tabulate(8)(i => if (i % 2 == 0) s else -s)
+    val vecs = Seq((1L, mk(0.5f), 0), (2L, mk(2.0f), 0), (3L, mk(-1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val b = Similarity.lshBuckets(vecs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b(1L) === b(2L))
+    assert(b(1L) !== b(3L))
+  }
+
+  test("langId predicts the profile language on marker-heavy text") {
+    val docs = Seq((1L, "der hund und die katze und das haus", "de"))
+      .toDF("doc_id", "text", "lang")
+    val row = TextOps.langId(docs).head()
+    assert(row.getAs[String]("predicted_lang") === "de")
+    assert(row.getAs[Long]("is_correct") === 1L)
+  }
+
+  test("textStats: token counts and ratios on a known sentence") {
+    val docs = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
+    val r = TextOps.textStats(docs).head()
+    assert(r.getAs[Long]("n_tokens") === 6L)
+    assert(r.getAs[Long]("n_uniq_tokens") === 6L)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 6.0) < 1e-12)
+  }
+}
