@@ -1,0 +1,71 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.streaming.SessionizedEvent
+
+/** Sinks. The reference runs FIVE concurrent streaming queries off one
+  * topic — console debug, two per-row Redis writers, two per-row Cassandra
+  * writers (StructuredStreaming.scala:228-279) — five Kafka consumers with
+  * unsynchronized batches, one CQL INSERT / up-to-13 Redis round-trips per
+  * row. Here: ONE query, `foreachBatch`, fanning out to N sinks from the
+  * same consistent micro-batch with vectorized parquet/connector writes.
+  */
+object Sinks {
+
+  /** Fan-out: append the enriched history (the Cassandra
+    * `moneysmartprocessed` stand-in) and maintain a compacted per-user
+    * state snapshot (the Redis stand-in), both parquet, both batch-level.
+    */
+  def historyAndState(
+      sessionized: Dataset[SessionizedEvent],
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    sessionized.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[SessionizedEvent], batchId: Long) =>
+        val df = batch.toDF().persist()
+        try {
+          // history: pure append, partitioned by event date for pruning
+          df.withColumn("event_date", to_date(col("ts")))
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(s"$outDir/history")
+          // state snapshot: last record per user in this batch, merged by
+          // overwrite-latest (idempotent per batchId directory)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          df.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+            .write.mode("overwrite")
+            .parquet(s"$outDir/state/batch_$batchId")
+        } finally df.unpersist()
+        ()
+      }
+      .start()
+
+  /** Console sink (the reference's dev sink, StructuredStreaming:228-231). */
+  def console(sessionized: Dataset[SessionizedEvent]): StreamingQuery =
+    sessionized.writeStream.format("console").outputMode("append").start()
+
+  /** Kafka producer sink — the reference's producer app emits JSON lines
+    * (GetProducerAPI.scala:82-105); engine-side the same is one writeStream.
+    */
+  def kafka(
+      df: DataFrame,
+      bootstrapServers: String,
+      topic: String,
+      checkpointDir: String): StreamingQuery =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

@@ -1,0 +1,67 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Event
+
+/** Streaming sources. The engine is source-agnostic: anything that yields
+  * a Dataset[Event] feeds the sessionizer. Kafka mirrors the reference's
+  * `readStream.format("kafka")` (StructuredStreaming.scala:79-84); the
+  * file source backs tests and replay (the reference's producer replays a
+  * JSON-lines file into Kafka, App.scala:29-49 — a file stream expresses
+  * the same thing without the broker hop).
+  */
+object Sources {
+
+  /** JSON wire schema of an event message (explicit — the reference's
+    * startup `inferSchema` pass, StructuredStreaming.scala:71-76, is
+    * exactly what a production pipeline must not do).
+    */
+  val eventWireSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Kafka → Dataset[Event]: value bytes → JSON → typed columns, the
+    * reference's S3+P1+P2+P3 chain in one projection.
+    */
+  def kafkaEvents(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None): Dataset[Event] = {
+    import spark.implicits._
+    val reader = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+    val tuned = maxOffsetsPerTrigger
+      .fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
+    decode(tuned.load())
+  }
+
+  /** JSON-lines directory stream → Dataset[Event] (test/replay path). */
+  def fileEvents(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(eventWireSchema)
+      .json(dir)
+      .as[Event]
+  }
+
+  /** Kafka envelope → typed events (shared by batch backfill and stream). */
+  def decode(kafka: DataFrame): Dataset[Event] = {
+    import kafka.sparkSession.implicits._
+    kafka
+      .select(from_json(col("value").cast("string"), eventWireSchema).as("e"))
+      .select("e.*")
+      .as[Event]
+  }
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{Event, SessionState}
+
+/** Per-event output of the stateful pipeline: the event plus everything the
+  * reference derived from its Redis state — session identity (ST1/ST2),
+  * new-vs-returning (F1/F2), change detection (ST3), purchase
+  * carry-forward (ST4) — in one record.
+  */
+case class SessionizedEvent(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    session_seq: Long,
+    session_id: String,
+    session_start: Boolean,
+    is_new_user: Boolean,
+    event_type_changed: Boolean,
+    last_purchase_value: Option[Double],
+    events_in_session: Long)
+
+/** The streaming heart of the engine: the reference's whole consumer
+  * pipeline (StructuredStreaming.scala:79-279) as ONE
+  * `flatMapGroupsWithState` query.
+  *
+  * The reference holds per-user state in an external Redis hash, re-scans
+  * the whole keyspace every micro-batch for a stream-static join
+  * (StructuredStreaming.scala:144-155), and runs five concurrent streaming
+  * queries with independent Kafka reads and unsynchronized batches
+  * (:228-273) — a read/write race by construction. Here the state lives in
+  * Spark's own state store, keyed by user: one Kafka read, atomic per-key
+  * transitions, and at 1000 executors the state for a key never leaves the
+  * partition that owns it — no per-batch external scan, no race, no
+  * network round-trips per row.
+  *
+  * Semantics mirrored (with the reference's `sess_is`/`last_visit` typos
+  * fixed to the intended behavior, see SURVEY.md §2e):
+  *  - new session after a >30-min inactivity gap (:186) — ST2;
+  *  - session ids derived from data (`"<user>-<seq>"`), not wall-clock,
+  *    so batch and streaming agree bit-for-bit (replaces the
+  *    nondeterministic `createNewSessionId`, :283-296) — ST1/U1;
+  *  - first-touch state init (:167-178) — ST6;
+  *  - change detection against previous state (:190-205) — ST3;
+  *  - purchase carry-forward on the qualifying event type (:206-221) — ST4;
+  *  - unconditional refresh of the rest (:222-225) — ST5.
+  */
+object StreamingSessionizer {
+
+  val DefaultGapMinutes = 30L
+
+  private def micros(ts: Timestamp): Long =
+    ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+
+  /** State transition for one user and one micro-batch of its events.
+    * Events are sorted by (ts, event_id) within the batch; cross-batch
+    * order is the stream's responsibility (watermark + source order).
+    */
+  def updateUser(gapMinutes: Long)(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionizedEvent] = {
+    if (state.hasTimedOut) {
+      // Inactivity beyond the watermark horizon: the session can never be
+      // extended again, so the key's state is dropped — this is what keeps
+      // total state size O(active users), not O(all users ever seen).
+      state.remove()
+      Iterator.empty
+    } else {
+      val sorted = events.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.orNull
+      val hadState = st != null
+      val gapMicros = gapMinutes * 60L * 1000000L
+      val out = sorted.iterator.map { e =>
+        val t = micros(e.ts)
+        val isStart = st == null || t - st.lastTs > gapMicros
+        val seq = if (st == null) 1L else if (isStart) st.sessionSeq + 1 else st.sessionSeq
+        val isNewUser = st == null && !hadState
+        val changed = st != null && st.lastEventType != null && st.lastEventType != e.event_type
+        val lastPurchase =
+          if (e.event_type == "purchase") Some(e.value)
+          else if (st == null) None
+          else st.lastPurchaseValue
+        val inSession = if (isStart) 1L else st.eventsInSession + 1
+        st = SessionState(userId, seq, t, e.event_type, lastPurchase, inSession)
+        SessionizedEvent(
+          e.event_id, e.ts, e.user_id, e.event_type, e.value,
+          seq, s"$userId-$seq", isStart, isNewUser, changed, lastPurchase, inSession)
+      }.toArray
+      if (st != null) {
+        state.update(st)
+        if (state.getOption.isDefined && canSetTimeout(state)) {
+          // evict state once no event can arrive inside the gap anymore
+          state.setTimeoutTimestamp(st.lastTs / 1000L + gapMinutes * 60L * 1000L)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Event-time timeouts need a watermark; allow running without one in
+    * tests (NoTimeout mode) by probing the runtime capability.
+    */
+  private def canSetTimeout(state: GroupState[SessionState]): Boolean =
+    try { state.getCurrentWatermarkMs(); true }
+    catch { case _: UnsupportedOperationException => false }
+
+  implicit private val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  implicit private val outEnc: Encoder[SessionizedEvent] = Encoders.product[SessionizedEvent]
+
+  /** Sessionize a (streaming or batch) Dataset[Event]. For production use
+    * `withWatermark("ts", gap)` upstream and `eventTimeTimeout = true` so
+    * idle keys are evicted; tests run with NoTimeout.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Long = DefaultGapMinutes,
+      eventTimeTimeout: Boolean = false): Dataset[SessionizedEvent] = {
+    val timeout =
+      if (eventTimeTimeout) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(updateUser(gapMinutes))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Event
+import graft.session.Sessionize
+import graft.streaming.{SessionizedEvent, StreamingSessionizer}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private var n = 0
+  private def run(batches: Seq[Seq[Event]]): Seq[SessionizedEvent] = {
+    implicit val sqlCtx = spark.sqlContext
+    n += 1
+    val name = s"stream_out_$n"
+    val ms = MemoryStream[Event]
+    val q = StreamingSessionizer.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).as[SessionizedEvent].collect().sortBy(_.event_id).toSeq
+  }
+
+  private def ev(id: Long, t: String, user: Long, typ: String = "view", v: Double = 1.0) =
+    Event(id, ts(t), user, typ, v, "{}")
+
+  test("state carries across micro-batches: gap opens new session") {
+    val out = run(Seq(
+      Seq(ev(1, "2024-01-01 00:00:00", 7), ev(2, "2024-01-01 00:10:00", 7)),
+      Seq(ev(3, "2024-01-01 00:20:00", 7)),             // same session, later batch
+      Seq(ev(4, "2024-01-01 01:30:00", 7))              // >30 min gap -> new session
+    ))
+    assert(out.map(_.session_seq) === Seq(1L, 1L, 1L, 2L))
+    assert(out.map(_.session_id) === Seq("7-1", "7-1", "7-1", "7-2"))
+    assert(out.map(_.session_start) === Seq(true, false, false, true))
+    assert(out.map(_.is_new_user) === Seq(true, false, false, false))
+    assert(out.map(_.events_in_session) === Seq(1L, 2L, 3L, 1L))
+  }
+
+  test("purchase carry-forward and change detection survive batch boundaries") {
+    val out = run(Seq(
+      Seq(ev(1, "2024-01-01 00:00:00", 9, "purchase", 42.5)),
+      Seq(ev(2, "2024-01-01 00:05:00", 9, "click", 1.0)),
+      Seq(ev(3, "2024-01-01 00:06:00", 9, "click", 1.0))
+    ))
+    assert(out.map(_.last_purchase_value) === Seq(Some(42.5), Some(42.5), Some(42.5)))
+    assert(out.map(_.event_type_changed) === Seq(false, true, false))
+  }
+
+  test("independent users keep independent state") {
+    val out = run(Seq(
+      Seq(ev(1, "2024-01-01 00:00:00", 1), ev(2, "2024-01-01 00:00:00", 2)),
+      Seq(ev(3, "2024-01-01 02:00:00", 1))
+    ))
+    assert(out.filter(_.user_id == 1).map(_.session_seq) === Seq(1L, 2L))
+    assert(out.filter(_.user_id == 2).map(_.session_seq) === Seq(1L))
+  }
+
+  test("foreachBatch fan-out writes history partitions and a compacted state snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ms = MemoryStream[Event]
+    ms.addData(Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "purchase", 10.0),
+      ev(2, "2024-01-02 00:00:00", 1, "view", 1.0),
+      ev(3, "2024-01-01 00:00:00", 2, "click", 2.0)))
+    val q = graft.io.Sinks.historyAndState(
+      StreamingSessionizer.sessionize(ms.toDS()),
+      s"$dir/out", s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    val hist = spark.read.parquet(s"$dir/out/history")
+    assert(hist.count() === 3)
+    assert(hist.columns.contains("event_date")) // partition pruning column
+    val state = spark.read.parquet(s"$dir/out/state/batch_0")
+    assert(state.count() === 2) // one row per user
+    assert(state.filter($"user_id" === 1).select("event_id").as[Long].head() === 2L)
+  }
+
+  test("streaming sessionization equals the batch window formulation on real data") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // four micro-batches split on time order — same arrival order Kafka
+    // replay would produce
+    val batches = events.grouped(math.ceil(events.length / 4.0).toInt).map(_.toSeq).toSeq
+    val streamed = run(batches)
+      .map(e => e.event_id -> (e.session_seq, e.session_id)).toMap
+
+    val batch = Sessionize.withSessionIds(Tables.events(spark, "/root/testdata/sf0.001"))
+      .select("event_id", "session_seq", "session_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+    assert(streamed.size === batch.size)
+    val diffs = batch.collect { case (id, v) if streamed(id) != v => (id, v, streamed(id)) }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+}
