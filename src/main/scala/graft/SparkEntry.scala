@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
 import graft.ops.{Enrich, Relational}
 import graft.session.{Sessionize, StateOps}
 
@@ -95,7 +95,14 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "embed_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
-    "ann_lsh_pairs" -> ((s, d) => Similarity.annPairsLsh(Tables.embeddings(s, d)))
+    "ann_lsh_pairs" -> ((s, d) => Similarity.annPairsLsh(Tables.embeddings(s, d))),
+    "media_meta" -> ((s, d) =>
+      Multimodal.synthesizeMedia(Tables.documents(s, d))
+        .selectExpr("media_id", "doc_id", "modality",
+          "cast(octet_length(content) as bigint) as n_bytes",
+          "width", "height", "sample_rate", "n_frames")),
+    "frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.synthesizeMedia(Tables.documents(s, d))))
   )
 
   // ---- DuckDB oracle fragments (mirror the Spark expressions exactly) ----
@@ -461,6 +468,29 @@ object SparkEntry {
          |WHERE round(${dCos("a.embedding", "b.embedding")}, 6) >= 0.4""".stripMargin,
     "lsh_buckets" ->
       s"""SELECT vec_id, label, $dLshBucket AS bucket FROM embeddings""".stripMargin,
+    "media_meta" ->
+      """SELECT doc_id AS media_id, doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS modality,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(64 + doc_id % 192 AS INTEGER) AS width,
+        |       CAST(64 + doc_id % 128 AS INTEGER) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN 10 + doc_id % 90 ELSE 0 END AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+    "frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS modality,
+        |         CAST(CASE WHEN doc_id % 3 = 2 THEN 10 + doc_id % 90 ELSE 0 END AS INTEGER) AS n_frames
+        |  FROM documents
+        |)
+        |SELECT media_id, doc_id, n_frames, CAST(unnest(range(0, n_frames, 7)) AS BIGINT) AS frame_idx
+        |FROM m
+        |WHERE modality = 'video' AND n_frames > 0""".stripMargin,
     "ann_lsh_pairs" ->
       s"""WITH wb AS (
          |  SELECT vec_id, embedding, $dLshBucket AS bucket FROM embeddings

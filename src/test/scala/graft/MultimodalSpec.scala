@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "aaaa bbbb cccc"), // image (0 % 3)
+    (1L, "dddd eeee"),      // audio
+    (2L, "ffff gggg hhhh")  // video, n_frames = 10 + 2 = 12
+  ).toDF("doc_id", "text")
+
+  test("synthesizeMedia assigns modality, payload and typed metadata") {
+    val m = Multimodal.synthesizeMedia(docs).collect().map(r => r.media_id -> r).toMap
+    assert(m(0L).modality === "image")
+    assert(m(1L).modality === "audio")
+    assert(m(2L).modality === "video")
+    assert(new String(m(0L).content, "UTF-8") === "aaaa bbbb cccc")
+    assert(m(1L).sample_rate === 16000)
+    assert(m(2L).n_frames === 12)
+  }
+
+  test("extractFeatures computes deterministic byte statistics per partition") {
+    val feats = Multimodal.extractFeatures(Multimodal.synthesizeMedia(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(0L).n_bytes === 14L)
+    assert(feats(0L).max_byte === 'c'.toInt)
+    // mean over "aaaa bbbb cccc" = (4*97 + 4*98 + 4*99 + 2*32) / 14
+    assert(math.abs(feats(0L).mean_byte - (4 * 97 + 4 * 98 + 4 * 99 + 2 * 32) / 14.0) < 1e-12)
+    // determinism: same input -> same hash
+    val again = Multimodal.extractFeatures(Multimodal.synthesizeMedia(docs))
+      .collect().map(f => f.media_id -> f.byte_entropy_proxy).toMap
+    assert(feats.view.mapValues(_.byte_entropy_proxy).toMap === again)
+  }
+
+  test("resize truncates payload and halves dimensions only when oversized") {
+    val resized = Multimodal.resize(Multimodal.synthesizeMedia(docs), maxBytes = 10)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(resized(0L).content.length === 10)
+    assert(resized(0L).width === (64 + 0) / 2)
+    assert(resized(1L).content.length === 9) // under budget: untouched
+    assert(resized(1L).width === 64 + 1)
+  }
+
+  test("sampleFrames emits every 7th frame index for video rows only") {
+    val frames = Multimodal.sampleFrames(Multimodal.synthesizeMedia(docs))
+      .select("media_id", "frame_idx").as[(Long, Long)].collect().sorted
+    assert(frames.toSeq === Seq((2L, 0L), (2L, 7L))) // n_frames=12 -> 0, 7
+  }
+}
