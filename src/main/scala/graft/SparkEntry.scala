@@ -93,8 +93,8 @@ object SparkEntry {
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
-    "embed_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
+    "embed_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "ann_lsh_pairs" -> ((s, d) => Similarity.annPairsLsh(Tables.embeddings(s, d))),
     "media_meta" -> ((s, d) =>
       Multimodal.synthesizeMedia(Tables.documents(s, d))
@@ -121,14 +121,22 @@ object SparkEntry {
   private val dToksCte =
     "WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents)"
 
-  /** DuckDB twin of Similarity.cosineExpr. */
-  private def dCos(a: String, b: String): String =
-    s"""(list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-       | / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-       |    * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+  /** DuckDB twin of Similarity's normalize-once path: unit vectors as
+    * array<double> (left-to-right double accumulation, like VecDot).
+    */
+  private val dUnitCte =
+    """WITH u AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)
+      |           / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private def dUnitDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
 
   private val dMh = (0 until 8).map { i =>
-    s"list_min(list_transform(sh, s2 -> ${dH(s"('$i:' || s2)")})) AS mh$i"
+    s"list_min(list_transform(hs, x -> (${Dedup.minhashA(i)} * (x % 1073741824) + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS mh$i"
   }.mkString(",\n       ")
 
   private val dSimhashBits = (0 until 16).map { i =>
@@ -397,10 +405,12 @@ object SparkEntry {
     "minhash_sigs" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t
+         |), h2 AS (
+         |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS hs FROM s
          |), m AS (
          |  SELECT doc_id,
          |       $dMh
-         |  FROM s
+         |  FROM h2
          |)
          |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
          |       ${dH("concat_ws(',', mh0, mh1, mh2, mh3)")} AS band0,
@@ -409,10 +419,12 @@ object SparkEntry {
     "minhash_pairs" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t
+         |), h2 AS (
+         |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS hs FROM s
          |), m AS (
          |  SELECT doc_id,
          |       $dMh
-         |  FROM s
+         |  FROM h2
          |), sig AS (
          |  SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
          |         ${dH("concat_ws(',', mh0, mh1, mh2, mh3)")} AS band0,
@@ -454,18 +466,19 @@ object SparkEntry {
          |ORDER BY jaccard DESC, a_id, b_id
          |LIMIT 50""".stripMargin,
     "cosine_topk" ->
-      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      s"""$dUnitCte, q AS (SELECT unit AS q_unit FROM u WHERE vec_id = 0)
          |SELECT vec_id,
-         |       round(${dCos("embedding", "q_emb")}, 6) AS cosine_sim
-         |FROM embeddings, q
+         |       round(${dUnitDot("unit", "q_unit")}, 6) AS cosine_sim
+         |FROM u, q
          |WHERE vec_id <> 0
          |ORDER BY cosine_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
     "embed_neardup" ->
-      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |       round(${dCos("a.embedding", "b.embedding")}, 6) AS cosine_sim
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE round(${dCos("a.embedding", "b.embedding")}, 6) >= 0.4""".stripMargin,
+      s"""$dUnitCte
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       round(${dUnitDot("a.unit", "b.unit")}, 6) AS cosine_sim
+         |FROM u a JOIN u b ON a.vec_id < b.vec_id
+         |WHERE round(${dUnitDot("a.unit", "b.unit")}, 6) >= 0.4""".stripMargin,
     "lsh_buckets" ->
       s"""SELECT vec_id, label, $dLshBucket AS bucket FROM embeddings""".stripMargin,
     "media_meta" ->
@@ -492,13 +505,14 @@ object SparkEntry {
         |FROM m
         |WHERE modality = 'video' AND n_frames > 0""".stripMargin,
     "ann_lsh_pairs" ->
-      s"""WITH wb AS (
-         |  SELECT vec_id, embedding, $dLshBucket AS bucket FROM embeddings
+      s"""$dUnitCte, wb AS (
+         |  SELECT e.vec_id, u.unit, $dLshBucket AS bucket
+         |  FROM embeddings e JOIN u ON e.vec_id = u.vec_id
          |)
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
-         |       round(${dCos("a.embedding", "b.embedding")}, 6) AS cosine_sim
+         |       round(${dUnitDot("a.unit", "b.unit")}, 6) AS cosine_sim
          |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE round(${dCos("a.embedding", "b.embedding")}, 6) >= 0.4""".stripMargin,
+         |WHERE round(${dUnitDot("a.unit", "b.unit")}, 6) >= 0.4""".stripMargin,
     "sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
         |FROM lineitem

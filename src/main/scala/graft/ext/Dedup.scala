@@ -30,13 +30,23 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures (k independent 60-bit hash functions over the
-    * distinct 3-gram shingle set) plus LSH band hashes — two bands of
-    * k/2 rows each. Docs sharing a band hash are near-dup candidates.
+  /** Universal-hash coefficients for deriving the k MinHash functions
+    * from ONE base md5 per shingle: mh_i(x) = (A_i·(x mod 2³⁰) + B_i)
+    * mod p. One md5 instead of k per shingle — at corpus scale the md5
+    * is the dominant cost, so this is a ~k× saving on the hot path.
+    * All arithmetic stays below 2⁶³ and is identical in DuckDB.
+    */
+  val MinhashP = 1073741789L // largest prime < 2^30
+  def minhashA(i: Int): Long = 75437L + 2L * i // odd, < 2^17
+  def minhashB(i: Int): Long = 13007L * (i + 1)
+
+  /** MinHash signatures (k hash functions over the distinct 3-gram
+    * shingle set) plus LSH band hashes — two bands of k/2 rows each.
+    * Docs sharing a band hash are near-dup candidates.
     */
   def minhashSignatures(documents: DataFrame, k: Int = 8): DataFrame = {
-    val mhCols = (0 until k).map { seed =>
-      s"array_min(transform(sh, s -> ${md5Long64(s"concat('$seed:', s)")})) as mh$seed"
+    val mhCols = (0 until k).map { i =>
+      s"array_min(transform(hs, x -> (${minhashA(i)}L * (x % 1073741824L) + ${minhashB(i)}L) % ${MinhashP}L)) as mh$i"
     }
     val half = k / 2
     val band0 = (0 until half).map(i => s"mh$i").mkString("concat_ws(',', ", ", ", ")")
@@ -44,6 +54,7 @@ object Dedup {
     documents
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", expr(shingleExpr("toks")))
+      .withColumn("hs", expr(s"transform(sh, s -> ${md5Long64("s")})"))
       .selectExpr("doc_id" +: mhCols: _*)
       .selectExpr(
         (Seq("doc_id") ++ (0 until k).map(i => s"mh$i") ++ Seq(
@@ -53,20 +64,27 @@ object Dedup {
 
   /** LSH candidate pairs: documents sharing either band hash, with their
     * estimated Jaccard (fraction of matching MinHash components).
+    *
+    * Deliberately NOT an `OR` join — Catalyst cannot hash-join a
+    * disjunction and would fall back to a nested-loop over all n² pairs.
+    * Instead: one equi-join per band, unioned, deduped. Each band join
+    * shuffles on its band hash — the LSH contract (collisions only where
+    * candidates are) holds at any scale.
     */
   def minhashCandidatePairs(documents: DataFrame, k: Int = 8): DataFrame = {
-    val sig = minhashSignatures(documents, k)
-    val a = sig.alias("a")
-    val b = sig.alias("b")
-    val sameBand = col("a.band0") === col("b.band0") || col("a.band1") === col("b.band1")
+    val sig = minhashSignatures(documents, k).persist()
     val matches = (0 until k)
       .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
-    a.join(b, col("a.doc_id") < col("b.doc_id") && sameBand)
-      .select(
-        col("a.doc_id").as("a_id"),
-        col("b.doc_id").as("b_id"),
-        (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+    def bandJoin(band: String) =
+      sig.alias("a")
+        .join(sig.alias("b"),
+          col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("a_id"),
+          col("b.doc_id").as("b_id"),
+          (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+    bandJoin("band0").unionAll(bandJoin("band1")).distinct()
   }
 
   /** 16-bit SimHash over the token multiset: hash each token once, then
@@ -96,12 +114,24 @@ object Dedup {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", expr(shingleExpr("toks")))
       .selectExpr("doc_id", s"transform(sh, s -> ${md5Long64("s")}) as shs")
+      .persist()
     val sizes = sh.selectExpr("doc_id", "cast(size(shs) as bigint) as n_sh")
-    val ex = sh.selectExpr("doc_id", "explode(shs) as shingle_hash")
-    val common = ex.alias("a")
-      .join(ex.alias("b"),
-        col("a.shingle_hash") === col("b.shingle_hash") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // Pair generation without a self-join: group doc ids per shingle, emit
+    // ordered combinations per bucket. One shuffle on the shingle hash,
+    // each input row scanned once — at corpus scale this is the difference
+    // between 1× and 2× full-corpus hashing, and the bucket list makes
+    // shingle-frequency skew observable/cappable.
+    val common = sh
+      .selectExpr("doc_id", "explode(shs) as shingle_hash")
+      .groupBy(col("shingle_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .selectExpr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a_id, y as b_id))
+          |))) as p""".stripMargin)
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_n"), "a_id")

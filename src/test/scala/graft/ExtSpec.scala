@@ -70,6 +70,20 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1.0, 0.0))
   }
 
+  test("VecDot codegen expression agrees with the higher-order formulation on real vectors") {
+    import graft.functions.VectorFunctions.vec_dot
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val a = emb.selectExpr("vec_id as a_id", "embedding as a")
+    val b = emb.selectExpr("vec_id as b_id", "embedding as b")
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+    val viaExpr = pairs.select(
+      (vec_dot(col("a"), col("b")) /
+        (sqrt(vec_dot(col("a"), col("a"))) * sqrt(vec_dot(col("b"), col("b"))))).as("c1"),
+      expr(Similarity.cosineExpr("a", "b")).as("c2"))
+    val bad = viaExpr.filter(col("c1") =!= col("c2")).count()
+    assert(bad === 0L) // bit-identical, not just approximately equal
+  }
+
   test("cosineTopK returns k rows, best first, excludes the query vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
