@@ -84,6 +84,14 @@ object SparkEntry {
     "agg_order_stats" -> (Relational.orderStatusStats _),
     "distinct_pairs" -> (Relational.distinctStatusPriority _),
     "sort_limit" -> (Relational.topLineitemsByPrice _),
+    "tumbling_counts" -> ((s, d) => Sessionize.tumblingCounts(Tables.events(s, d))),
+    "session_window" -> ((s, d) => Sessionize.sessionWindowStats(Tables.events(s, d))),
+    "q4_late_priority" -> (Relational.latePriorityCounts _),
+    "rollup_status" -> (Relational.rollupStatusPriority _),
+    "cube_flags" -> (Relational.cubeFlags _),
+    "pivot_status" -> (Relational.pivotStatus _),
+    "above_avg_orders" -> (Relational.aboveAvgOrders _),
+    "big_order_customers" -> (Relational.bigOrderCustomers(_, _)),
     "text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
@@ -355,6 +363,66 @@ object SparkEntry {
         |GROUP BY o_orderstatus""".stripMargin,
     "distinct_pairs" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "tumbling_counts" ->
+      """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |                 THEN 1 ELSE 0 END AS st
+        |  FROM g
+        |), x AS (
+        |  SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM s
+        |)
+        |SELECT user_id, MIN(ts) AS s_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+        |       COUNT(*) AS n_events
+        |FROM x
+        |GROUP BY user_id, seq""".stripMargin,
+    "q4_late_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1""".stripMargin,
+    "rollup_status" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "cube_flags" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
+    "above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)""".stripMargin,
+    "big_order_customers" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150
+        |)
+        |SELECT o_custkey, COUNT(*) AS n_big_orders, SUM(total_qty) AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
     "text_stats" ->
       s"""$dToksCte
          |SELECT doc_id,

@@ -171,6 +171,66 @@ object Relational {
       .select(col("o_orderstatus"), col("o_orderpriority"))
       .distinct()
 
+  /** TPC-H Q4-style: order-priority counts for orders with at least one
+    * late lineitem — a left-semi join expressing EXISTS.
+    */
+  def latePriorityCounts(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** GROUP BY ROLLUP — hierarchical subtotals in one pass. */
+  def rollupStatusPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+
+  /** GROUP BY CUBE — all grouping-set combinations. */
+  def cubeFlags(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"))
+
+  /** PIVOT: order counts per priority with one column per status. `sum(1)`
+    * (not count) so absent combinations are NULL in both engines.
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(sum(lit(1L)))
+
+  /** Scalar-subquery shape: orders above the global average price. The
+    * single-row aggregate is broadcast — no shuffle of the fact side.
+    */
+  def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val avgPrice = ord.agg(avg(col("o_totalprice")).as("avg_price"))
+    ord.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  /** TPC-H Q18-style: customers with any big order (HAVING over a join,
+    * then a second aggregation per customer).
+    */
+  def bigOrderCustomers(s: SparkSession, dir: String, minQty: Double = 150.0): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big_orders"), sum(col("total_qty")).as("sum_qty"))
+  }
+
   /** Global sort + limit (comparison-only on doubles — exact). */
   def topLineitemsByPrice(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

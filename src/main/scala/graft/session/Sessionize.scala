@@ -58,6 +58,42 @@ object Sessionize {
         concat(col(userCol).cast("string"), lit("-"), col("session_seq").cast("string")))
   }
 
+  /** Tumbling-window counts — the `window()` streaming aggregation in its
+    * batch form (identical semantics; the streaming twin just adds a
+    * watermark). One shuffle on (bucket, type).
+    */
+  def tumblingCounts(
+      df: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame =
+    df.groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+      .select(
+        col("window.start").as("bucket_start"),
+        col(typeCol), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessions via Spark's NATIVE `session_window` — the built-in
+    * that supersedes the reference's manual 30-minute logic. Events whose
+    * gap-extended windows overlap merge into one session; window end =
+    * last event + gap. Cross-checked against the lag/cumsum formulation
+    * by the DuckDB oracle.
+    */
+  def sessionWindowStats(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      gap: String = "30 minutes"): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(userCol),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"))
+
   /** Per-session rollup: event count, bounds, duration, purchase revenue.
     * This is the session *analytics* surface the reference only persists
     * for (the pptx shows "Time series" + "Monitors" downstream of
