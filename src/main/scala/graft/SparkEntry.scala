@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
-import graft.ops.{Enrich, Relational}
-import graft.session.{Sessionize, StateOps}
+import graft.ops.{Enrich, Relational, Skew}
+import graft.session.{ClickstreamPipeline, Sessionize, StateOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -84,6 +84,9 @@ object SparkEntry {
     "agg_order_stats" -> (Relational.orderStatusStats _),
     "distinct_pairs" -> (Relational.distinctStatusPriority _),
     "sort_limit" -> (Relational.topLineitemsByPrice _),
+    "pipeline_full" -> ((s, d) => ClickstreamPipeline.run(Tables.events(s, d))),
+    "salted_agg" -> ((s, d) =>
+      Skew.saltedSumCount(Tables.events(s, d), "user_id", "value", "event_id")),
     "tumbling_counts" -> ((s, d) => Sessionize.tumblingCounts(Tables.events(s, d))),
     "session_window" -> ((s, d) => Sessionize.sessionWindowStats(Tables.events(s, d))),
     "q4_late_priority" -> (Relational.latePriorityCounts _),
@@ -363,6 +366,57 @@ object SparkEntry {
         |GROUP BY o_orderstatus""".stripMargin,
     "distinct_pairs" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "salted_agg" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events
+        |GROUP BY user_id""".stripMargin,
+    "pipeline_full" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts, event_type, value, props,
+        |         lag(ts) OVER w AS prev_ts,
+        |         lag(event_type) OVER w AS prev_type,
+        |         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |                 THEN 1 ELSE 0 END AS session_start
+        |  FROM g
+        |), x AS (
+        |  SELECT *, SUM(session_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM s
+        |), u AS (
+        |  SELECT *,
+        |         CASE WHEN user_id % 6 = 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64)'
+        |              WHEN user_id % 6 = 1 THEN 'Mozilla/5.0 (Linux; android 13; Pixel 7)'
+        |              WHEN user_id % 6 = 2 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 16_0)'
+        |              WHEN user_id % 6 = 3 THEN 'Mozilla/5.0 (iPad; CPU OS 16_0)'
+        |              WHEN user_id % 6 = 4 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 13_0)'
+        |              ELSE 'curl/8.0' END AS ua
+        |  FROM x
+        |)
+        |SELECT event_id, user_id, ts, event_type, value,
+        |       CASE WHEN ua LIKE '%Windows%' THEN 'Windows PC'
+        |            WHEN ua LIKE '%android%' THEN 'Android'
+        |            WHEN ua LIKE '%iPhone%' THEN 'iPhone'
+        |            WHEN ua LIKE '%iPad%' THEN 'iPad'
+        |            WHEN ua LIKE '%Mac%' THEN 'iMac'
+        |            ELSE 'Others' END AS device,
+        |       CASE WHEN (CASE WHEN event_type IN ('click','view') THEN 'MOBILE'
+        |                       ELSE upper(event_type) END) = 'MOBILE'
+        |            THEN 'MOBILE' ELSE 'WEB' END AS platform,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       CAST(user_id AS VARCHAR) || '-' || CAST(seq AS VARCHAR) AS session_id,
+        |       CAST(session_start AS BIGINT) AS session_start,
+        |       CAST(CASE WHEN prev_type IS NOT NULL AND event_type <> prev_type
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS event_type_changed,
+        |       last_purchase_value
+        |FROM u""".stripMargin,
     "tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
         |       COUNT(*) AS n_events,

@@ -46,6 +46,17 @@ object Enrich {
       .when(userId % 6 === 4, "Mozilla/5.0 (Macintosh; Intel Mac OS X 13_0)")
       .otherwise("curl/8.0")
 
+  /** Raw-platform derivation used for the driver test tables (events have
+    * no platform column; click/view traffic counts as MOBILE).
+    */
+  def platformFromEventType(eventType: Column): Column =
+    normalizePlatform(
+      when(eventType.isin("click", "view"), "MOBILE").otherwise(upper(eventType)))
+
+  /** `props.k` as bigint (P2 JSON parse in single-field form). */
+  def kFromProps(props: Column): Column =
+    get_json_object(props, "$.k").cast(LongType)
+
   /** Schema for the `props` JSON column of the events table. */
   val propsSchema: StructType = StructType(Seq(StructField("k", LongType)))
 
@@ -69,10 +80,8 @@ object Enrich {
       col("ts").as("message_date"),
       ua.as("user_agent"),
       classifyDevice(ua).as("device"),
-      normalizePlatform(
-        when(col("event_type").isin("click", "view"), "MOBILE")
-          .otherwise(upper(col("event_type")))).as("platform"),
-      get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+      platformFromEventType(col("event_type")).as("platform"),
+      kFromProps(col("props")).as("k"),
       col("ts").as("last_visited"))
   }
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation primitives. AQE's skew-join handling covers joins at
+  * runtime; for heavily-skewed AGGREGATION keys (one user producing a
+  * large share of a 100 TB stream) the classic fix is salting: shuffle on
+  * (key, salt) first so no single reducer owns a hot key, then combine the
+  * per-salt partials — two small shuffles instead of one stalled one.
+  *
+  * The salt must be deterministic for oracle checking: derived from a
+  * row-identity column, not `rand()`. Result is identical to the unsalted
+  * aggregation (verified by the `salted_agg` oracle, which is the PLAIN
+  * formulation).
+  */
+object Skew {
+
+  /** Two-phase salted sum/count aggregation.
+    *
+    * @param saltFrom row-identity column the salt is derived from
+    * @param buckets  salt fan-out (≈ number of reducers a hot key spreads
+    *                 over; 8–32 covers most real skew)
+    */
+  def saltedSumCount(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      saltFrom: String,
+      buckets: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(col(saltFrom), lit(buckets)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("_s"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("_n")).as("n_events"),
+        sum(col("_s")).cast("decimal(38,2)").as("sum_value"))
+}

@@ -95,21 +95,24 @@ object StreamingSessionizer {
       }.toArray
       if (st != null) {
         state.update(st)
-        if (state.getOption.isDefined && canSetTimeout(state)) {
-          // evict state once no event can arrive inside the gap anymore
-          state.setTimeoutTimestamp(st.lastTs / 1000L + gapMinutes * 60L * 1000L)
+        watermarkMs(state).foreach { wm =>
+          // evict state once no event can arrive inside the gap anymore;
+          // clamp above the current watermark (required by the API when a
+          // key's last event is already older than the watermark)
+          val timeoutAt = st.lastTs / 1000L + gapMinutes * 60L * 1000L
+          state.setTimeoutTimestamp(math.max(timeoutAt, wm + 1L))
         }
       }
       out.iterator
     }
   }
 
-  /** Event-time timeouts need a watermark; allow running without one in
-    * tests (NoTimeout mode) by probing the runtime capability.
+  /** Event-time timeouts need a watermark; None when running in NoTimeout
+    * mode (tests), where no eviction timer is set.
     */
-  private def canSetTimeout(state: GroupState[SessionState]): Boolean =
-    try { state.getCurrentWatermarkMs(); true }
-    catch { case _: UnsupportedOperationException => false }
+  private def watermarkMs(state: GroupState[SessionState]): Option[Long] =
+    try Some(state.getCurrentWatermarkMs())
+    catch { case _: UnsupportedOperationException => None }
 
   implicit private val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
   implicit private val outEnc: Encoder[SessionizedEvent] = Encoders.product[SessionizedEvent]

@@ -64,6 +64,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(_.user_id == 2).map(_.session_seq) === Seq(1L))
   }
 
+  test("event-time timeout evicts idle keys from the state store") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingSessionizer.sessionize(
+        ms.toDS().withWatermark("ts", "30 minutes").as[Event],
+        eventTimeTimeout = true)
+      .writeStream.format("memory").queryName("evict_out").outputMode("append").start()
+    try {
+      // 5 users at t0
+      ms.addData((1L to 5L).map(u => ev(u, "2024-01-01 00:00:00", u)))
+      q.processAllAvailable()
+      // one user 2h later: watermark jumps past everyone's timeout
+      ms.addData(Seq(ev(10, "2024-01-01 02:00:00", 99)))
+      q.processAllAvailable()
+      // next batch triggers the timed-out key cleanup
+      ms.addData(Seq(ev(11, "2024-01-01 04:00:00", 98)))
+      q.processAllAvailable()
+      val state = q.lastProgress.stateOperators
+      assert(state.length === 1)
+      // users 1-5 and 99 are behind the final watermark (03:30) and get
+      // evicted (Spark runs an extra no-data batch when the watermark
+      // advances, firing their timeouts); only 98 may remain
+      assert(state(0).numRowsTotal <= 2)
+      assert(state(0).numRowsTotal >= 1)
+    } finally q.stop()
+  }
+
   test("foreachBatch fan-out writes history partitions and a compacted state snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
