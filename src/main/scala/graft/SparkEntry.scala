@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
-import graft.ops.{Enrich, Relational, Skew}
+import graft.ops.{Enrich, Functions, Relational, Skew}
 import graft.session.{ClickstreamPipeline, Sessionize, StateOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -85,6 +85,16 @@ object SparkEntry {
     "distinct_pairs" -> (Relational.distinctStatusPriority _),
     "sort_limit" -> (Relational.topLineitemsByPrice _),
     "pipeline_full" -> ((s, d) => ClickstreamPipeline.run(Tables.events(s, d))),
+    "string_ops" -> (Functions.stringOps _),
+    "date_ops" -> (Functions.dateOps _),
+    "array_ops" -> (Functions.arrayOps _),
+    "price_percentiles" -> (Functions.pricePercentiles _),
+    "approx_distinct" -> (Functions.approxDistinct _), // no oracle: HLL sketch differs per engine
+    "sql_interface" -> ((s, d) => {
+      // the SQL front door: same engine, same tables, ANSI SQL in
+      Tables.names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
+      s.sql(q1PricingSql)
+    }),
     "salted_agg" -> ((s, d) =>
       Skew.saltedSumCount(Tables.events(s, d), "user_id", "value", "event_id")),
     "tumbling_counts" -> ((s, d) => Sessionize.tumblingCounts(Tables.events(s, d))),
@@ -161,6 +171,23 @@ object SparkEntry {
   private val dLshBucket = (1 to 8)
     .map(i => s"CASE WHEN CAST(embedding[$i] AS DOUBLE) > 0 THEN CAST(${1 << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString(" + ")
+
+  private val q1PricingSql: String =
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |            AS DECIMAL(38,4)) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |                * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
+        |            AS DECIMAL(38,6)) AS sum_charge,
+        |       AVG(l_quantity) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "sess_assign" ->
@@ -276,22 +303,8 @@ object SparkEntry {
         |LEFT JOIN state s
         |  ON trim(CAST(e.user_id AS VARCHAR)) = trim(CAST(s.u_id AS VARCHAR))
         |WHERE e.ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
-    "q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       SUM(l_quantity) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-        |            AS DECIMAL(38,4)) AS sum_disc_price,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-        |                * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
-        |            AS DECIMAL(38,6)) AS sum_charge,
-        |       AVG(l_quantity) AS avg_qty,
-        |       COUNT(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_pricing" -> q1PricingSql,
+    "sql_interface" -> q1PricingSql,
     "q3_top_unshipped" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -366,6 +379,45 @@ object SparkEntry {
         |GROUP BY o_orderstatus""".stripMargin,
     "distinct_pairs" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "string_ops" ->
+      """SELECT c_custkey, c_name,
+        |       upper(c_name) AS name_upper,
+        |       lower(c_name) AS name_lower,
+        |       substr(c_name, 1, 8) AS name_prefix,
+        |       CAST(length(c_name) AS INTEGER) AS name_len,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+        |       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |       concat_ws('/', c_mktsegment, c_name) AS seg_name,
+        |       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other
+        |FROM customer""".stripMargin,
+    "date_ops" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+        |       CAST(date_part('dow', o_orderdate) + 1 AS INTEGER) AS order_dow,
+        |       date_trunc('month', o_orderdate) AS month_start,
+        |       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch
+        |FROM orders""".stripMargin,
+    "array_ops" ->
+      """WITH l AS (
+        |  SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id,
+        |       array_to_string(event_types, ',') AS event_types_csv,
+        |       CAST(len(event_types) AS INTEGER) AS n_types,
+        |       list_contains(event_types, 'purchase') AS has_purchase,
+        |       event_types[1] AS first_type
+        |FROM l""".stripMargin,
+    "price_percentiles" ->
+      """SELECT o_orderstatus,
+        |       quantile_cont(o_totalprice, 0.5) AS median_price,
+        |       quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |       MIN(o_totalprice) AS min_price
+        |FROM orders
+        |GROUP BY o_orderstatus""".stripMargin,
     "salted_agg" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value

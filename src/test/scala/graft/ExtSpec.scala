@@ -106,6 +106,18 @@ class ExtSpec extends AnyFunSuite {
     assert(b(1L) !== b(3L))
   }
 
+  test("approx_count_distinct lands within 5% of the exact count") {
+    val approx = graft.ops.Functions.approxDistinct(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, n) =>
+      assert(math.abs(approx(flag) - n).toDouble / n < 0.05, s"$flag: ${approx(flag)} vs $n")
+    }
+  }
+
   test("langId predicts the profile language on marker-heavy text") {
     val docs = Seq((1L, "der hund und die katze und das haus", "de"))
       .toDF("doc_id", "text", "lang")

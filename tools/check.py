@@ -18,6 +18,9 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:  # arrays/objects aren't sortable -> stringify
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v.tolist()) if hasattr(v, "tolist") else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
