@@ -78,6 +78,6 @@ object Functions {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
 }

@@ -114,7 +114,8 @@ class ExtSpec extends AnyFunSuite {
       .agg(countDistinct(col("l_orderkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (flag, n) =>
-      assert(math.abs(approx(flag) - n).toDouble / n < 0.05, s"$flag: ${approx(flag)} vs $n")
+      // rsd = 0.02 -> 3-sigma bound of 6%
+      assert(math.abs(approx(flag) - n).toDouble / n < 0.06, s"$flag: ${approx(flag)} vs $n")
     }
   }
 
