@@ -91,4 +91,24 @@ object VectorFunctions {
   /** Column API: L2 norm. */
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
+
+  /** Make `vec_dot` available to SQL text in an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+}
+
+/** `spark.sql.extensions`-style registration for users who configure the
+  * session from the outside:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDot(exprs.head, exprs(1))))
 }

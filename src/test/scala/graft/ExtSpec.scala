@@ -84,6 +84,14 @@ class ExtSpec extends AnyFunSuite {
     assert(bad === 0L) // bit-identical, not just approximately equal
   }
 
+  test("vec_dot is callable from SQL text after registration") {
+    graft.functions.VectorFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT vec_dot(array(cast(1.0 as float), cast(2.0 as float)), array(cast(3.0 as float), cast(4.0 as float))) AS d")
+      .as[Double].head()
+    assert(got === 11.0)
+  }
+
   test("cosineTopK returns k rows, best first, excludes the query vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),

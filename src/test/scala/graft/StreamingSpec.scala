@@ -111,6 +111,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.filter($"user_id" === 1).select("event_id").as[Long].head() === 2L)
   }
 
+  test("Kafka envelope decode: value bytes -> typed events (batch form of S3 path)") {
+    val json = """{"event_id":7,"ts":"2024-01-01 00:00:00","user_id":3,"event_type":"view","value":1.5,"props":"{}"}"""
+    val kafkaShaped = Seq(json).toDF("str")
+      .selectExpr("cast(str as binary) as value", "cast(null as binary) as key",
+        "'topic' as topic", "0 as partition", "0L as offset")
+    val ev = graft.io.Sources.decode(kafkaShaped).collect()
+    assert(ev.length === 1)
+    assert(ev.head === Event(7L, ts("2024-01-01 00:00:00"), 3L, "view", 1.5, "{}"))
+  }
+
+  test("streaming tumbling-window aggregation with watermark (append after close)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val agg = ms.toDS().withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"))
+    val q = agg.writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, "2024-01-01 00:10:00", 1), ev(2, "2024-01-01 00:20:00", 2)))
+      q.processAllAvailable()
+      // watermark passes the first window's end -> it closes and appends
+      ms.addData(Seq(ev(3, "2024-01-01 02:00:00", 1)))
+      q.processAllAvailable()
+      val closed = spark.table("win_out").select("n").as[Long].collect()
+      assert(closed.toSeq === Seq(2L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals the batch window formulation on real data") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
