@@ -77,6 +77,20 @@ object SparkEntry {
     "q3_top_unshipped" -> (Relational.topUnshippedOrders(_, _)),
     "q5_local_supplier" -> (Relational.localSupplierVolume _),
     "topk_per_group" -> (Relational.topOrdersPerCustomer(_, _)),
+    "topk_agg" -> ((s, d) => {
+      import s.implicits._
+      // typed Aggregator path: partial top-k map-side, shuffles k rows per
+      // group instead of every row (see TopKAggregator scaladoc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(new graft.functions.TopKAggregator(3).toColumn.name("top_ids"))
+        .toDF("o_custkey", "top_ids")
+        .selectExpr("o_custkey",
+          "array_join(transform(top_ids, x -> cast(x as string)), ',') as top_orderkeys_csv")
+    }),
     "window_ranks" -> (Relational.orderRanks _),
     "running_qty" -> (Relational.runningSupplierQty _),
     "semi_anti" -> (Relational.customersByOrderExistence _),
@@ -334,6 +348,17 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "topk_agg" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders
+        |)
+        |SELECT o_custkey,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rk) AS top_orderkeys_csv
+        |FROM r WHERE rk <= 3
+        |GROUP BY o_custkey""".stripMargin,
     "topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
