@@ -111,6 +111,20 @@ object SparkEntry {
     }),
     "salted_agg" -> ((s, d) =>
       Skew.saltedSumCount(Tables.events(s, d), "user_id", "value", "event_id")),
+    "asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // right side: each user's last event per day (a daily state snapshot)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), date_trunc("day", col("ts")))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val snaps = ev
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("ts").as("snap_ts"), col("value").as("snap_value"))
+      graft.ops.AsOfJoin.asof(
+        ev.select("event_id", "user_id", "ts"),
+        snaps, "user_id", "ts", "snap_ts", Seq("snap_ts", "snap_value"))
+    }),
     "tumbling_counts" -> ((s, d) => Sessionize.tumblingCounts(Tables.events(s, d))),
     "session_window" -> ((s, d) => Sessionize.sessionWindowStats(Tables.events(s, d))),
     "q4_late_priority" -> (Relational.latePriorityCounts _),
@@ -448,6 +462,19 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
         |FROM events
         |GROUP BY user_id""".stripMargin,
+    "asof_join" ->
+      """WITH snaps AS (
+        |  SELECT user_id, ts AS snap_ts, value AS snap_value FROM (
+        |    SELECT user_id, ts, value,
+        |           row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t
+        |  WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       s.snap_ts AS asof_snap_ts, s.snap_value AS asof_snap_value
+        |FROM events e
+        |ASOF LEFT JOIN snaps s ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin,
     "pipeline_full" ->
       """WITH g AS (
         |  SELECT event_id, user_id, ts, event_type, value, props,

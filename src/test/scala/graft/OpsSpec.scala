@@ -111,6 +111,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(0L, 1L))
   }
 
+  test("asof join: latest prior right row, equality matches, no prior -> null") {
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L), // before any snapshot
+      (2L, ts("2024-01-02 00:00:00"), 7L), // equality tie with snap A
+      (3L, ts("2024-01-03 12:00:00"), 7L), // after snaps A and B -> B
+      (4L, ts("2024-01-01 00:00:00"), 8L)  // other key, no snaps at all
+    ).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (7L, ts("2024-01-02 00:00:00"), 10.0), // A
+      (7L, ts("2024-01-03 00:00:00"), 20.0)  // B
+    ).toDF("user_id", "snap_ts", "snap_value")
+    val got = graft.ops.AsOfJoin
+      .asof(left, right, "user_id", "ts", "snap_ts", Seq("snap_value"))
+      .orderBy("event_id")
+      .select("asof_snap_value").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    assert(got.toSeq === Seq(None, Some(10.0), Some(20.0), None))
+  }
+
   test("stateSnapshot keeps exactly the latest row per user") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), 7L, "a"),
