@@ -137,6 +137,9 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_keep_first" -> ((s, d) =>
+      Dedup.keepFirstByText(Tables.documents(s, d))
+        .select("doc_id", "lang", "source", "n_chars")),
     "minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
     "minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
@@ -628,6 +631,12 @@ object SparkEntry {
          |       COUNT(*) AS n_copies
          |FROM documents
          |GROUP BY 1""".stripMargin,
+    "dedup_keep_first" ->
+      s"""WITH k AS (
+         |  SELECT MIN(doc_id) AS keeper FROM documents GROUP BY ${dH("text")}
+         |)
+         |SELECT doc_id, lang, source, n_chars
+         |FROM documents WHERE doc_id IN (SELECT keeper FROM k)""".stripMargin,
     "minhash_sigs" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

@@ -30,6 +30,18 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Materialize the deduplicated corpus: keep exactly the lowest-doc_id
+    * copy of each distinct text. Two hash-shuffles on the 64-bit content
+    * hash (group + semi-join) — the documents themselves shuffle never.
+    * This is the `dropDuplicates`-with-deterministic-winner form (plain
+    * `dropDuplicates` keeps an arbitrary row, which can't be
+    * oracle-checked and isn't reproducible across runs).
+    */
+  def keepFirstByText(documents: DataFrame): DataFrame = {
+    val keepers = exact(documents).select(col("keeper_doc_id"))
+    documents.join(keepers, col("doc_id") === col("keeper_doc_id"), "left_semi")
+  }
+
   /** Universal-hash coefficients for deriving the k MinHash functions
     * from ONE base md5 per shingle: mh_i(x) = (A_i·(x mod 2³⁰) + B_i)
     * mod p. One md5 instead of k per shingle — at corpus scale the md5

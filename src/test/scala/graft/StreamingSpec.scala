@@ -139,6 +139,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark drops cross-batch repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val deduped = ms.toDS()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, "2024-01-01 00:00:00", 1), ev(2, "2024-01-01 00:01:00", 2)))
+      q.processAllAvailable()
+      // same event_id re-delivered in a later batch, still inside watermark
+      ms.addData(Seq(ev(1, "2024-01-01 00:00:00", 1), ev(3, "2024-01-01 00:02:00", 3)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals the batch window formulation on real data") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
