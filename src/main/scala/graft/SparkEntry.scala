@@ -148,6 +148,8 @@ object SparkEntry {
     "lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
     "embed_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "ann_lsh_pairs" -> ((s, d) => Similarity.annPairsLsh(Tables.embeddings(s, d))),
+    "ivf_cells" -> ((s, d) => Similarity.ivfAssign(Tables.embeddings(s, d))),
+    "ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "media_meta" -> ((s, d) =>
       Multimodal.synthesizeMedia(Tables.documents(s, d))
         .selectExpr("media_id", "doc_id", "modality",
@@ -716,6 +718,41 @@ object SparkEntry {
          |WHERE round(${dUnitDot("a.unit", "b.unit")}, 6) >= 0.4""".stripMargin,
     "lsh_buckets" ->
       s"""SELECT vec_id, label, $dLshBucket AS bucket FROM embeddings""".stripMargin,
+    "ivf_cells" ->
+      s"""$dUnitCte, c AS (
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |), s AS (
+         |  SELECT u.vec_id, c.cent_id,
+         |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
+         |  FROM u CROSS JOIN c
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cent_sim DESC, cent_id) AS rn
+         |  FROM s
+         |)
+         |SELECT vec_id, cent_id AS cell, cent_sim FROM r WHERE rn = 1""".stripMargin,
+    "ivf_topk" ->
+      s"""$dUnitCte, c AS (
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |), s AS (
+         |  SELECT u.vec_id, u.unit, c.cent_id,
+         |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
+         |  FROM u CROSS JOIN c
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cent_sim DESC, cent_id) AS rn
+         |  FROM s
+         |), assign AS (
+         |  SELECT vec_id, unit, cent_id AS cell FROM r WHERE rn = 1
+         |), q AS (
+         |  SELECT cell AS q_cell, unit AS q_unit FROM assign WHERE vec_id = 0
+         |)
+         |SELECT a.vec_id, a.cell,
+         |       round(${dUnitDot("a.unit", "q.q_unit")}, 6) AS cosine_sim
+         |FROM assign a CROSS JOIN q
+         |WHERE a.cell = q.q_cell AND a.vec_id <> 0
+         |ORDER BY cosine_sim DESC, a.vec_id
+         |LIMIT 5""".stripMargin,
     "media_meta" ->
       """SELECT doc_id AS media_id, doc_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'

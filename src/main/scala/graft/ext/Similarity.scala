@@ -35,7 +35,7 @@ object Similarity {
   /** Project (vec_id, unit): the L2-normalized embedding as array<double>.
     * One pass per vector; downstream cosines are then plain dots.
     */
-  private def normalized(embeddings: DataFrame): DataFrame =
+  private[ext] def normalized(embeddings: DataFrame): DataFrame =
     embeddings
       .withColumn("_norm", vec_norm(col("embedding")))
       .withColumn("unit", expr("transform(embedding, x -> cast(x as double) / _norm)"))
@@ -79,6 +79,47 @@ object Similarity {
       .map(i => s"case when cast(element_at(embedding, $i) as double) > 0 then cast(${1 << (i - 1)} as bigint) else 0L end")
       .mkString(" + ")
     embeddings.selectExpr("vec_id", "label", s"$bucket as bucket")
+  }
+
+  /** IVF cell assignment — the coarse-quantizer half of IVF-flat ANN.
+    * Centroids are the first k vectors (deterministic stand-in for a
+    * k-means codebook; swapping in trained centroids changes nothing
+    * structurally). Each vector gets its nearest centroid by cosine:
+    * a broadcast of k centroids against one scan — no shuffle of the
+    * vectors, and the cell id becomes the partition key for search.
+    * Argmax ties are broken on the ROUNDED similarity + centroid id so
+    * both engines pick the same cell.
+    */
+  def ivfAssign(embeddings: DataFrame, k: Int = 16): DataFrame = {
+    val n = normalized(embeddings)
+    val cents = n.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("unit").as("cent_unit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(vec_dot(col("unit"), col("cent_unit")), 6).as("cent_sim"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("cent_sim"))
+  }
+
+  /** IVF top-k: search ONLY the query vector's cell (nprobe = 1), exact
+    * cosine re-rank inside. At scale the scan touches 1/k of the corpus;
+    * recall is traded via nprobe exactly as in IVF-flat indexes.
+    */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 5): DataFrame = {
+    val assign = ivfAssign(embeddings)
+    val n = normalized(embeddings).join(assign, "vec_id")
+    val qCell = n.filter(col("vec_id") === queryVecId)
+      .select(col("cell").as("q_cell"), col("unit").as("q_unit"))
+    n.crossJoin(broadcast(qCell))
+      .filter(col("cell") === col("q_cell") && col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("cell"),
+        round(vec_dot(col("unit"), col("q_unit")), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** ANN via sign-LSH: candidate pairs restricted to equal buckets, then

@@ -104,6 +104,22 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L, 2L))
   }
 
+  test("IVF: every vector gets exactly one cell; cell search returns its own neighbors") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val assign = Similarity.ivfAssign(emb)
+    assert(assign.count() === emb.count())
+    assert(assign.select("vec_id").distinct().count() === emb.count())
+    // centroids are their own nearest centroid
+    val selfCells = assign.filter(col("vec_id") < 16)
+      .filter(col("vec_id") === col("cell")).count()
+    assert(selfCells === 16L)
+    val topk = Similarity.ivfTopK(emb).collect()
+    assert(topk.length === 5)
+    // results all come from the query vector's cell
+    val qCell = assign.filter(col("vec_id") === 0).select("cell").first().getLong(0)
+    assert(topk.forall(_.getLong(1) == qCell))
+  }
+
   test("lshBuckets: same sign pattern lands in the same bucket") {
     val mk = (s: Float) => Array.tabulate(8)(i => if (i % 2 == 0) s else -s)
     val vecs = Seq((1L, mk(0.5f), 0), (2L, mk(2.0f), 0), (3L, mk(-1.0f), 1))
