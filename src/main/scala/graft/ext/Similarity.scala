@@ -67,6 +67,11 @@ object Similarity {
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(vec_dot(col("a_unit"), col("b_unit")), 6).as("cosine_sim"))
+      // Catalyst pushes this into the join condition — good: the join
+      // filters pairs inline and the output projection re-computes the
+      // dot only for the few survivors (measured faster than blocking
+      // the pushdown, which forces every pair through a materialized
+      // projection).
       .filter(col("cosine_sim") >= threshold)
   }
 
