@@ -132,6 +132,9 @@ object SparkEntry {
     "cube_flags" -> (Relational.cubeFlags _),
     "pivot_status" -> (Relational.pivotStatus _),
     "above_avg_orders" -> (Relational.aboveAvgOrders _),
+    "grouping_sets" -> (Relational.groupingSets _),
+    "disjunctive_filter" -> (Relational.disjunctiveFilter _),
+    "set_ops_all" -> (Relational.setOpsAll _),
     "big_order_customers" -> (Relational.bigOrderCustomers(_, _)),
     "text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -574,6 +577,28 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
+    "grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "disjunctive_filter" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM lineitem
+        |WHERE (l_quantity >= 1 AND l_quantity <= 11 AND l_discount >= 0.05)
+        |   OR (l_quantity >= 30 AND l_quantity <= 50 AND l_discount <= 0.02)
+        |   OR (l_returnflag = 'R' AND l_tax = 0.0)
+        |GROUP BY l_returnflag""".stripMargin,
+    "set_ops_all" ->
+      """(SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        | INTERSECT ALL
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+        |EXCEPT ALL
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000""".stripMargin,
     "above_avg_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

@@ -231,6 +231,46 @@ object Relational {
       .agg(count(lit(1)).as("n_big_orders"), sum(col("total_qty")).as("sum_qty"))
   }
 
+  /** GROUPING SETS with grouping_id — the general form rollup/cube
+    * specialize. SQL text (the DSL has no grouping-sets builder).
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** TPC-H Q19-style disjunctive predicate — exercises OR-tree pushdown
+    * and CNF handling at the scan.
+    */
+  def disjunctiveFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        (col("l_quantity") >= 1.0 && col("l_quantity") <= 11.0 && col("l_discount") >= 0.05) ||
+        (col("l_quantity") >= 30.0 && col("l_quantity") <= 50.0 && col("l_discount") <= 0.02) ||
+        (col("l_returnflag") === "R" && col("l_tax") === 0.0))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(money(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_price"))
+
+  /** Multiset set-ops (INTERSECT ALL / EXCEPT ALL keep duplicates). */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val highPri = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_custkey").as("custkey"))
+    val open = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    highPri.intersectAll(open).exceptAll(
+      Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("custkey")))
+  }
+
   /** Global sort + limit (comparison-only on doubles — exact). */
   def topLineitemsByPrice(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

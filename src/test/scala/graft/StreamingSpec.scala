@@ -139,6 +139,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window aggregation emits closed sessions (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val agg = ms.toDS().withWatermark("ts", "30 minutes")
+      .groupBy(
+        org.apache.spark.sql.functions.session_window($"ts", "30 minutes"),
+        $"user_id")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"))
+    val q = agg.writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, "2024-01-01 00:00:00", 1), ev(2, "2024-01-01 00:10:00", 1)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(3, "2024-01-01 03:00:00", 1))) // far ahead -> session closes
+      q.processAllAvailable()
+      val rows = spark.table("sw_out").select("user_id", "n").as[(Long, Long)].collect()
+      assert(rows.toSeq === Seq((1L, 2L))) // the merged 2-event session was emitted
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark drops cross-batch repeats") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
