@@ -211,14 +211,14 @@ object SparkEntry {
   private val q1PricingSql: String =
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-        |            AS DECIMAL(38,4)) AS sum_disc_price,
+        |            AS DOUBLE) AS sum_disc_price,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
         |                * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
-        |            AS DECIMAL(38,6)) AS sum_charge,
+        |            AS DOUBLE) AS sum_charge,
         |       AVG(l_quantity) AS avg_qty,
         |       COUNT(*) AS count_order
         |FROM lineitem
@@ -240,8 +240,8 @@ object SparkEntry {
         |)
         |SELECT event_id, user_id, ts,
         |       CAST(session_start AS BIGINT) AS session_start,
-        |       SUM(session_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                ROWS UNBOUNDED PRECEDING) AS session_seq,
+        |       CAST(SUM(session_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq,
         |       CAST(user_id AS VARCHAR) || '-' ||
         |         CAST(SUM(session_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                                       ROWS UNBOUNDED PRECEDING) AS VARCHAR)
@@ -271,7 +271,7 @@ object SparkEntry {
         |       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
         |       CAST(SUM(CASE WHEN event_type = 'purchase'
         |                     THEN CAST(value AS DECIMAL(18,2))
-        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
         |         AS purchase_value
         |FROM sess
         |GROUP BY user_id, session_id""".stripMargin,
@@ -345,7 +345,7 @@ object SparkEntry {
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-        |            AS DECIMAL(38,4)) AS revenue
+        |            AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -359,7 +359,7 @@ object SparkEntry {
       """SELECT n_name,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-        |            AS DECIMAL(38,4)) AS revenue
+        |            AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -467,7 +467,7 @@ object SparkEntry {
         |GROUP BY o_orderstatus""".stripMargin,
     "salted_agg" ->
       """SELECT user_id, COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY user_id""".stripMargin,
     "asof_join" ->
@@ -532,7 +532,7 @@ object SparkEntry {
     "tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
         |       COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
     "session_window" ->
@@ -563,7 +563,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "rollup_status" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "cube_flags" ->
@@ -586,7 +586,7 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "disjunctive_filter" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE (l_quantity >= 1 AND l_quantity <= 11 AND l_discount >= 0.05)
         |   OR (l_quantity >= 30 AND l_quantity <= 50 AND l_discount <= 0.02)

@@ -43,10 +43,13 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(money(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
-        sum(discPrice).cast("decimal(38,4)").as("sum_disc_price"),
+        // sums stay decimal (exact, partial-agg-order-independent); the
+        // FINAL cast to double is deterministic and keeps the output type
+        // engine-portable (decimal formatting differs across readers).
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
         sum(discPrice * (one + money(col("l_tax"))))
-          .cast("decimal(38,6)").as("sum_charge"),
+          .cast("double").as("sum_charge"),
         avg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
@@ -63,7 +66,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -89,7 +92,7 @@ object Relational {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
   }
 
   /** Top-3 orders per customer — window row_number, partition-local prune
@@ -189,7 +192,7 @@ object Relational {
     Tables.orders(s, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(money(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+        sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
 
   /** GROUP BY CUBE — all grouping-set combinations. */
   def cubeFlags(s: SparkSession, dir: String): DataFrame =
@@ -256,7 +259,7 @@ object Relational {
         (col("l_returnflag") === "R" && col("l_tax") === 0.0))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
-        sum(money(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_price"))
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_price"))
 
   /** Multiset set-ops (INTERSECT ALL / EXCEPT ALL keep duplicates). */
   def setOpsAll(s: SparkSession, dir: String): DataFrame = {

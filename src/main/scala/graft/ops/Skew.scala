@@ -36,5 +36,5 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(
         sum(col("_n")).as("n_events"),
-        sum(col("_s")).cast("decimal(38,2)").as("sum_value"))
+        sum(col("_s")).cast("double").as("sum_value"))
 }

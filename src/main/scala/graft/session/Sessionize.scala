@@ -70,7 +70,7 @@ object Sessionize {
     df.groupBy(window(col(tsCol), "1 hour"), col(typeCol))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(
         col("window.start").as("bucket_start"),
         col(typeCol), col("n_events"), col("sum_value"))
@@ -115,10 +115,11 @@ object Sessionize {
         max(col(tsCol)).as("session_end_ts"),
         (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
           .as("duration_us"),
-        // Decimal, not double: decimal addition is exact and therefore
-        // independent of partial-aggregation order across partitions —
-        // required for bit-exact agreement with the (single-threaded)
-        // DuckDB oracle, and the right call for money at any scale.
+        // Decimal SUM internally: decimal addition is exact and therefore
+        // independent of partial-aggregation order across partitions. The
+        // FINAL cast to double is deterministic (same in every engine) and
+        // keeps the output type portable — parquet decimal stringifies with
+        // trailing zeros ('0.40') where float64 readers print '0.4'.
         sum(when(col(typeCol) === purchaseType, col(valueCol)).otherwise(lit(0.0))
-          .cast("decimal(18,2)")).cast("decimal(18,2)").as("purchase_value"))
+          .cast("decimal(18,2)")).cast("double").as("purchase_value"))
 }

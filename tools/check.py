@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate (dev tool only).
+"""Strict local replica of the driver's correctness gate (dev tool only).
 
-Runs each oracle SQL from oracle_sql.json in DuckDB against the sf tables,
-loads the corresponding Spark parquet dump, sorts columns by name and rows
-by all columns, and compares values exactly. Usage:
+The driver sorts columns by name, stringifies values, and hashes them — so
+this replica compares STRINGIFIED values exactly. Type-level drift that is
+numerically equal but prints differently (parquet DECIMAL '0.40' vs float64
+'0.4', DuckDB HUGEINT 3.0 vs bigint 3) FAILS here, as it does at the driver.
+The Spark side is read with pandas/pyarrow (like the driver), not DuckDB.
 
     python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
 """
+import glob
 import json
 import sys
 
@@ -16,13 +19,36 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:  # arrays/objects aren't sortable -> stringify
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v.tolist()) if hasattr(v, "tolist") else v)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+def strfy(v):
+    if v is None:
+        return "NULL"
+    if hasattr(v, "tolist"):  # numpy scalar or array
+        v = v.tolist()
+    if isinstance(v, float):
+        return "NULL" if v != v else repr(v)
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return str(v)
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(strfy(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    rows = sorted(
+        tuple(strfy(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    )
+    return cols, rows
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -38,38 +64,33 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
             continue
-        try:
-            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-        except Exception as e:
-            print(f"FAIL {name}: spark output missing/unreadable: {e}")
+        parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not parts:
+            print(f"FAIL {name}: no spark parquet output")
             failures += 1
             continue
-        exp, got = canon(exp), canon(got)
-        if list(exp.columns) != list(got.columns):
-            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+        got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
+        ecols, erows = canon(exp)
+        gcols, grows = canon(got)
+        if ecols != gcols:
+            print(f"FAIL {name}: columns exp={ecols} got={gcols}")
             failures += 1
             continue
-        if len(exp) != len(got):
-            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+        if len(erows) != len(grows):
+            print(f"FAIL {name}: rows exp={len(erows)} got={len(grows)}")
             failures += 1
             continue
-        mismatch = None
-        for c in exp.columns:
-            a, b = exp[c], got[c]
-            try:
-                eq = (a == b) | (a.isna() & b.isna())
-            except Exception:
-                eq = a.astype(str) == b.astype(str)
-            if not eq.all():
-                i = int((~eq).idxmax())
-                mismatch = (c, i, a.iloc[i], b.iloc[i], int((~eq).sum()))
-                break
-        if mismatch:
-            c, i, av, bv, n = mismatch
-            print(f"FAIL {name}: col {c} differs in {n} rows; first at row {i}: oracle={av!r} spark={bv!r}")
+        bad = next((i for i, (a, b) in enumerate(zip(erows, grows)) if a != b), None)
+        if bad is not None:
+            a, b = erows[bad], grows[bad]
+            cols = [c for c, x, y in zip(ecols, a, b) if x != y]
+            n = sum(1 for x, y in zip(erows, grows) if x != y)
+            print(f"FAIL {name}: {n} rows differ; first at sorted-row {bad} cols {cols}:")
+            print(f"  oracle={a}")
+            print(f"  spark ={b}")
             failures += 1
         else:
-            print(f"PASS {name}: {len(exp)} rows x {len(exp.columns)} cols")
+            print(f"PASS {name}: {len(erows)} rows x {len(ecols)} cols")
     return failures
 
 
