@@ -128,6 +128,22 @@ object SparkEntry {
     "tumbling_counts" -> ((s, d) => Sessionize.tumblingCounts(Tables.events(s, d))),
     "session_window" -> ((s, d) => Sessionize.sessionWindowStats(Tables.events(s, d))),
     "q4_late_priority" -> (Relational.latePriorityCounts _),
+    "q6_forecast" -> (Relational.forecastRevenue _),
+    "q7_nation_volume" -> (Relational.nationVolume _),
+    "q10_returned" -> (Relational.returnedItemReport _),
+    "q14_promo_share" -> (Relational.promoShare _),
+    "q19_bracket_join" -> (Relational.bracketJoin _),
+    "explode_tokens" -> (Functions.explodeTokens _),
+    "math_ops" -> (Functions.mathOps _),
+    "window_frames" -> (Functions.windowFrames _),
+    "unpivot_metrics" -> (Functions.unpivotMetrics _),
+    "histogram_prices" -> (Functions.histogramPrices _),
+    "map_ops" -> (Functions.mapOps _),
+    "sample_hash" -> ((s, d) =>
+      graft.ext.Sampling.hashSample(Tables.events(s, d), "event_id", 10)),
+    "sample_stratified" -> ((s, d) =>
+      graft.ext.Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 20)
+        .select("doc_id", "lang", "source")),
     "rollup_status" -> (Relational.rollupStatusPriority _),
     "cube_flags" -> (Relational.cubeFlags _),
     "pivot_status" -> (Relational.pivotStatus _),
@@ -561,6 +577,142 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY 1""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.05
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """WITH a AS (
+        |  SELECT CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+        |                       THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |                            * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |                  END) AS DOUBLE) AS promo_revenue,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                  * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |              AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |)
+        |SELECT promo_revenue, total_revenue,
+        |       promo_revenue * 100.0 / total_revenue AS promo_share
+        |FROM a""".stripMargin,
+    "q19_bracket_join" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |            AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+    "explode_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos,
+        |       toks[CAST(u.i AS INTEGER)] AS token
+        |FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)""".stripMargin,
+    "math_ops" ->
+      """SELECT o_orderkey,
+        |       abs(o_totalprice - 150000.0) AS abs_delta,
+        |       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |       CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+        |       CAST(sign(o_totalprice - 150000.0) AS INTEGER) AS delta_sign,
+        |       sqrt(o_totalprice) AS price_sqrt,
+        |       o_orderkey % 7 AS key_mod7,
+        |       o_orderkey // 1000 AS key_div1k,
+        |       least(o_totalprice, 100000.0) AS capped,
+        |       greatest(o_totalprice, 100000.0) AS floored
+        |FROM orders""".stripMargin,
+    "window_frames" ->
+      """WITH o AS (SELECT *, epoch_us(o_orderdate) AS t_us FROM orders)
+        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |              OVER (PARTITION BY o_custkey ORDER BY t_us
+        |                    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS trailing_30d_spend,
+        |       CAST(ntile(4) OVER wp AS INTEGER) AS price_quartile,
+        |       percent_rank() OVER wp AS price_pct_rank,
+        |       cume_dist() OVER wp AS price_cume_dist,
+        |       first_value(o_orderkey) OVER wp AS top_order
+        |FROM o
+        |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "unpivot_metrics" ->
+      """WITH s AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |  FROM lineitem
+        |)
+        |UNPIVOT s ON l_quantity, l_extendedprice, l_discount
+        |INTO NAME metric VALUE value""".stripMargin,
+    "histogram_prices" ->
+      """WITH b AS (
+        |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+        |)
+        |SELECT CAST(least(floor((o_totalprice - lo) / (hi - lo) * 10.0), 9.0) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n_orders
+        |FROM orders, b
+        |GROUP BY 1""".stripMargin,
+    "map_ops" ->
+      """SELECT user_id,
+        |       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+        |       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
+        |       CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
+        |FROM events
+        |GROUP BY user_id""".stripMargin,
+    "sample_hash" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props
+         |FROM events
+         |WHERE ${dH("CAST(event_id AS VARCHAR)")} % 100 < 10""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang, source,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY ${dH("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang, source FROM r WHERE rk <= 20""".stripMargin,
     "rollup_status" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price

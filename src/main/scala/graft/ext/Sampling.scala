@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for a training-data pipeline.
+  *
+  * `sample()`/`rand()` are nondeterministic across retries and partition
+  * re-splits — at 100 TB a task retry would silently change the sample. All
+  * sampling here is HASH-based: membership depends only on the row's key,
+  * so it is stable under re-execution, re-partitioning, and engine changes
+  * (the md5-prefix hash is reproduced bit-for-bit by the DuckDB oracle).
+  * Both operators are partition-local (zero shuffle) except the stratified
+  * top-k which shuffles once on the stratum key.
+  */
+object Sampling {
+
+  /** Keep ~`pct`% of rows by bucketing a 60-bit md5 of the key. */
+  def hashSample(df: DataFrame, keyExpr: String, pct: Int): DataFrame =
+    df.filter(
+      expr(s"pmod(${TextOps.md5Long64(s"cast($keyExpr as string)")}, 100) < $pct"))
+
+  /** Deterministic stratified sample: the `k` rows with the smallest key
+    * hash per stratum — every engine picks the same rows. One shuffle on
+    * the stratum key; the window prunes partition-locally first under
+    * AQE's rank pushdown.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyExpr: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = expr(TextOps.md5Long64(s"cast($keyExpr as string)"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h.asc, expr(keyExpr).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+}

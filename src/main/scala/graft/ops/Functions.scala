@@ -70,6 +70,109 @@ object Functions {
         expr("percentile(o_totalprice, 0.9)").as("p90_price"),
         min(col("o_totalprice")).as("min_price"))
 
+  /** Generator / lateral view: one row per token with its position
+    * (`posexplode`). The 100 TB shape: explode multiplies rows INSIDE a
+    * partition — no shuffle, and the narrow projection keeps row width
+    * tiny before the blowup.
+    */
+  def explodeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+
+  /** Math-function sweep restricted to operations with bit-exact IEEE
+    * results in every engine: abs/floor/ceil/sign, sqrt (correctly rounded
+    * per IEEE-754), integer mod/div. exp/ln/pow are deliberately absent —
+    * libm vs StrictMath differ in the last ulp.
+    */
+  def mathOps(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      abs(col("o_totalprice") - 150000.0).as("abs_delta"),
+      floor(col("o_totalprice")).as("price_floor"),
+      ceil(col("o_totalprice")).as("price_ceil"),
+      signum(col("o_totalprice") - 150000.0).cast("int").as("delta_sign"),
+      sqrt(col("o_totalprice")).as("price_sqrt"),
+      pmod(col("o_orderkey"), lit(7L)).as("key_mod7"),
+      (col("o_orderkey") / 1000L).cast("long").as("key_div1k"),
+      least(col("o_totalprice"), lit(100000.0)).as("capped"),
+      greatest(col("o_totalprice"), lit(100000.0)).as("floored"))
+
+  /** Window-frame sweep: RANGE frame over event-time micros (30-day
+    * trailing revenue), ntile / percent_rank / cume_dist, first_value.
+    * The range-frame sum is decimal (exact under any accumulation order —
+    * range frames are re-aggregated per row, so double would drift).
+    */
+  def windowFrames(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val micros30d = 30L * 24 * 3600 * 1000000
+    val byTime = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("t_us"))
+      .rangeBetween(-micros30d, 0)
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      // o_orderdate is TIMESTAMP_NTZ in the parquet; session tz is UTC so
+      // the cast to (LTZ) timestamp is the identity mapping to epoch micros
+      .withColumn("t_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).over(byTime)
+          .cast("double").as("trailing_30d_spend"),
+        ntile(4).over(byPrice).as("price_quartile"),
+        percent_rank().over(byPrice).as("price_pct_rank"),
+        cume_dist().over(byPrice).as("price_cume_dist"),
+        first_value(col("o_orderkey")).over(byPrice).as("top_order"))
+  }
+
+  /** Unpivot / melt: wide lineitem metrics to long (metric, value) rows.
+    * Like explode, a partition-local row multiplier — no shuffle.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+
+  /** Equi-width histogram of order prices: global min/max (one tiny agg,
+    * broadcast back) then a partition-local bucket assignment + count.
+    * The bucket arithmetic is the same IEEE expression in both engines.
+    */
+  def histogramPrices(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(s, dir)
+      .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    Tables.orders(s, dir)
+      .crossJoin(broadcast(b))
+      .select(least(
+        floor((col("o_totalprice") - col("lo")) / (col("hi") - col("lo")) * 10.0),
+        lit(9.0)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** MapType surface: per-user event-type→count map built with
+    * `map_from_entries`, queried with `element_at`/`size`. The map is
+    * internal; outputs are scalars (maps don't hash portably across
+    * engines). Two-level aggregation — the second stage shuffles only one
+    * row per (user, type).
+    */
+  def mapOps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+        .as("type_counts"))
+      .select(
+        col("user_id"),
+        coalesce(element_at(col("type_counts"), "purchase"), lit(0L)).as("n_purchase"),
+        coalesce(element_at(col("type_counts"), "click"), lit(0L)).as("n_click"),
+        size(col("type_counts")).as("n_types"))
+
   /** HLL++ approximate distinct — the sketch the exact `countDistinct`
     * path can't afford at 100 TB. No DuckDB oracle (different sketch);
     * accuracy is asserted against the exact count in unit tests.

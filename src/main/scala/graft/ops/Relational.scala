@@ -274,6 +274,107 @@ object Relational {
         .select(col("o_custkey").as("custkey")))
   }
 
+  /** TPC-H Q6-style forecast revenue: pure filter + global aggregate. The
+    * whole query is one parquet scan with every predicate pushed to the
+    * reader — the shape that must stream at 100 TB with zero shuffle
+    * (partial agg per partition, single-row final merge).
+    */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+        col("l_quantity") < 24.0)
+      .agg(
+        sum(money(col("l_extendedprice")) * money(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q7-style bilateral volume: supplier nation ↔ customer nation
+    * trade for one nation pair, by year. Both nation dims broadcast twice
+    * under different aliases; only the lineitem⋈orders join shuffles.
+    */
+  def nationVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q10-style returned-item report: top 20 customers by revenue
+    * lost to returns in one quarter. Orders is filtered BEFORE the join so
+    * AQE can shrink the shuffle; customer/nation broadcast.
+    */
+  def returnedItemReport(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-04-01 00:00:00").cast("timestamp")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14-style promo share: conditional aggregate over a
+    * lineitem⋈part month slice. Part is broadcast; the share is a ratio of
+    * two exact decimal sums, divided once as doubles (deterministic).
+    */
+  def promoShare(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-03-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-04-01 00:00:00").cast("timestamp")
+    // no otherwise: SUM skips nulls, same as SQL's CASE WHEN without ELSE
+    val promo = when(col("p_type") === "ECONOMY", discPrice)
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(promo).cast("double").as("promo_revenue"),
+        sum(discPrice).cast("double").as("total_revenue"))
+      .select(
+        col("promo_revenue"),
+        col("total_revenue"),
+        (col("promo_revenue") * lit(100.0) / col("total_revenue")).as("promo_share"))
+  }
+
+  /** TPC-H Q19-style bracket join: equi-key join with an OR-of-conjunctions
+    * residual. The shared `l_partkey = p_partkey` term keeps this a HASH
+    * join (the OR tree becomes the join's residual filter) — the
+    * OR-in-join-condition shape that degrades to a nested-loop join when
+    * no common equi term exists.
+    */
+  def bracketJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 1.0 && col("l_quantity") <= 11.0) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity") >= 10.0 && col("l_quantity") <= 20.0) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 25) &&
+            col("l_quantity") >= 20.0 && col("l_quantity") <= 30.0)))
+      .agg(
+        sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** Global sort + limit (comparison-only on doubles — exact). */
   def topLineitemsByPrice(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

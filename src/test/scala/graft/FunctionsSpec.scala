@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Sampling
+import graft.ops.Functions
+
+/** Unit tests for the round-2 function-surface and sampling operators. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hashSample is deterministic and invariant under repartitioning") {
+    val df = (1L to 2000L).toDF("k")
+    val a = Sampling.hashSample(df, "k", 10).as[Long].collect().sorted
+    val b = Sampling.hashSample(df.repartition(13), "k", 10).as[Long].collect().sorted
+    assert(a.sameElements(b))
+    // ~10% with md5 uniformity; generous tolerance for n=2000
+    assert(a.length > 120 && a.length < 280)
+  }
+
+  test("stratifiedSample keeps exactly k rows per stratum, stable choice") {
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("k", "stratum")
+    val out = Sampling.stratifiedSample(df, "stratum", "k", 5)
+    val counts = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("s0" -> 5L, "s1" -> 5L, "s2" -> 5L))
+    val again = Sampling.stratifiedSample(df.repartition(7), "stratum", "k", 5)
+    assert(out.select("k").as[Long].collect().sorted
+      .sameElements(again.select("k").as[Long].collect().sorted))
+  }
+
+  test("unpivot triples row count and round-trips values") {
+    val df = Seq((1L, 1, 2.0, 10.0, 0.05)).toDF(
+      "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+    val long = df.unpivot(
+      Array(col("l_orderkey"), col("l_linenumber")),
+      Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+      "metric", "value")
+    assert(long.count() === 3)
+    val m = long.select("metric", "value").as[(String, Double)].collect().toMap
+    assert(m === Map("l_quantity" -> 2.0, "l_extendedprice" -> 10.0, "l_discount" -> 0.05))
+  }
+
+  test("mapOps counts per type and total distinct types") {
+    val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq(
+      (1L, now, 7L, "purchase", 1.0, "{}"),
+      (2L, now, 7L, "purchase", 1.0, "{}"),
+      (3L, now, 7L, "view", 1.0, "{}"),
+      (4L, now, 8L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = df.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+      .select(col("user_id"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+        size(col("m")).as("n_types"))
+      .as[(Long, Long, Int)].collect().map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(out(7L) === ((2L, 2)))
+    assert(out(8L) === ((0L, 1)))
+  }
+
+  test("bracket join plans as a broadcast HASH join, not nested-loop") {
+    val plan = graft.ops.Relational
+      .bracketJoin(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("histogram buckets cover 0..9 and sum to row count") {
+    val out = Functions.histogramPrices(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet.subsetOf((0L to 9L).toSet))
+    assert(out.contains(0L) && out.contains(9L)) // min and max rows land in end buckets
+    val total = Tables.orders(spark, "/root/testdata/sf0.001").count()
+    assert(out.values.sum === total)
+  }
+}
