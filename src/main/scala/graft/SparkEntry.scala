@@ -163,6 +163,7 @@ object SparkEntry {
     "minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "ngram_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
     "embed_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
@@ -870,6 +871,30 @@ object SparkEntry {
          |), common AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
          |  FROM e a JOIN e b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a_id, b_id, n_common,
+         |       CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jaccard
+         |FROM common
+         |JOIN sizes na ON na.doc_id = a_id
+         |JOIN sizes nb ON nb.doc_id = b_id
+         |ORDER BY jaccard DESC, a_id, b_id
+         |LIMIT 50""".stripMargin,
+    "ngram_jaccard_capped" ->
+      s"""$dToksCte, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), e AS (
+         |  SELECT doc_id, unnest(list_transform(sh, s2 -> ${dH("s2")})) AS shingle_hash
+         |  FROM s
+         |), g AS (
+         |  SELECT shingle_hash FROM e GROUP BY 1 HAVING COUNT(*) <= 20
+         |), ec AS (
+         |  SELECT e.doc_id, e.shingle_hash FROM e JOIN g USING (shingle_hash)
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_sh FROM ec GROUP BY 1
+         |), common AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+         |  FROM ec a JOIN ec b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |)
          |SELECT a_id, b_id, n_common,

@@ -154,4 +154,49 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(topK)
   }
+
+  /** Frequency-capped n-gram Jaccard — the 100 TB form of
+    * [[ngramJaccardPairs]]. A "stop shingle" occurring in f documents
+    * contributes f² candidate pairs; at corpus scale one boilerplate
+    * header can dominate the whole job. Capping document frequency at
+    * `maxDf` bounds every bucket's pair blowup at maxDf² and drops
+    * exactly the shingles with no discriminative value. Jaccard is then
+    * computed over each document's SURVIVING shingle set (consistent
+    * numerator/denominator — still a true Jaccard, of the capped sets).
+    */
+  def ngramJaccardCapped(
+      documents: DataFrame,
+      maxDf: Int = 20,
+      topK: Int = 50): DataFrame = {
+    val e = documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(shingleExpr("toks")))
+      .selectExpr("doc_id", s"explode(transform(sh, s -> ${md5Long64("s")})) as shingle_hash")
+    val grouped = e
+      .groupBy(col("shingle_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+      .persist()
+    val sizes = grouped
+      .selectExpr("explode(ids) as doc_id")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val common = grouped
+      .filter(size(col("ids")) > 1)
+      .selectExpr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a_id, y as b_id))
+          |))) as p""".stripMargin)
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_n"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_n"), "b_id")
+      .selectExpr(
+        "a_id", "b_id", "n_common",
+        "cast(n_common as double) / cast(a_n + b_n - n_common as double) as jaccard")
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(topK)
+  }
 }

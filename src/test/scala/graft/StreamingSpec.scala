@@ -196,4 +196,34 @@ class StreamingSpec extends AnyFunSuite {
     val diffs = batch.collect { case (id, v) if streamed(id) != v => (id, v, streamed(id)) }
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
+
+  test("stream-stream interval join: purchase attributed to preceding click") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    // both sides watermarked; the time-range condition bounds the state
+    // each side must retain (Spark evicts rows older than watermark-range)
+    val c = clicks.toDS().withWatermark("ts", "1 hour")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("click_ts"))
+    val b = buys.toDS().withWatermark("ts", "1 hour")
+      .select($"event_id".as("buy_id"), $"user_id".as("b_user"), $"ts".as("buy_ts"))
+    val joined = c.join(b, expr(
+      "c_user = b_user AND buy_ts >= click_ts AND buy_ts <= click_ts + interval 30 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Seq(
+        ev(1, "2024-01-01 00:00:00", 7, "click"),
+        ev(2, "2024-01-01 00:00:00", 8, "click")))
+      q.processAllAvailable()
+      buys.addData(Seq(
+        ev(10, "2024-01-01 00:10:00", 7, "purchase", 99.0), // inside 30-min window
+        ev(11, "2024-01-01 02:00:00", 8, "purchase", 5.0))) // outside -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select("click_id", "buy_id").as[(Long, Long)].collect()
+      assert(rows.toSeq === Seq((1L, 10L)))
+    } finally q.stop()
+  }
 }
