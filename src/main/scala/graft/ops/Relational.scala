@@ -13,9 +13,11 @@ import graft.Tables
   * analytics surface, all built-ins, all Catalyst-planned.
   *
   * Scale notes baked into the shapes below:
-  *  - dimension sides of joins (region/nation/customer/supplier) are
-  *    `broadcast()`-hinted — at 100 TB the fact table never shuffles for
-  *    a dim join;
+  *  - joins hint `broadcast()` ONLY on dimensions that are bounded-small
+  *    by construction (nation, region, predicate-filtered part). Sides
+  *    that scale with the data (customer, supplier, unfiltered part) are
+  *    left to AQE's runtime sizing: broadcast when actually small,
+  *    shuffle when not — a pinned hint would OOM the build side at 100 TB;
   *  - money aggregates are decimal (exact, order-independent) — required
   *    both for oracle parity and for reproducible results under AQE
   *    re-partitioning;
@@ -54,9 +56,9 @@ object Relational {
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3-style: segment customers' unshipped orders, top 10 by
-    * revenue. Customer (filtered, small) is broadcast into orders; only
-    * the lineitem join shuffles — and AQE can convert it too once the
-    * order side is filtered down.
+    * revenue. All joins left to AQE: the filtered customer side is
+    * runtime-converted to broadcast when it fits, shuffled when the
+    * segment is large — it scales with SF, so no pinned hint.
     */
   def topUnshippedOrders(s: SparkSession, dir: String): DataFrame = {
     val d = lit("1998-01-01 00:00:00").cast("timestamp")
@@ -64,7 +66,7 @@ object Relational {
     val ord = Tables.orders(s, dir).filter(col("o_orderdate") < d)
     val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > d)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(discPrice).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -72,8 +74,9 @@ object Relational {
   }
 
   /** TPC-H Q5-style: revenue by nation for one region/year, customer and
-    * supplier in the same nation. Five joins; every dimension side
-    * broadcast, single shuffle for the final groupBy.
+    * supplier in the same nation. Five joins: nation/region (bounded
+    * tables) pinned broadcast; customer/supplier AQE-sized; one shuffle
+    * for the final groupBy.
     */
   def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
     val lo = lit("1996-01-01 00:00:00").cast("timestamp")
@@ -86,8 +89,8 @@ object Relational {
       .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
     Tables.lineitem(s, dir)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -302,8 +305,8 @@ object Relational {
       .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
       .filter(
@@ -326,7 +329,7 @@ object Relational {
     Tables.lineitem(s, dir)
       .filter(col("l_returnflag") === "R")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(sum(discPrice).cast("double").as("revenue"))
@@ -345,7 +348,7 @@ object Relational {
     val promo = when(col("p_type") === "ECONOMY", discPrice)
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .agg(
         sum(promo).cast("double").as("promo_revenue"),
         sum(discPrice).cast("double").as("total_revenue"))
@@ -359,11 +362,18 @@ object Relational {
     * residual. The shared `l_partkey = p_partkey` term keeps this a HASH
     * join (the OR tree becomes the join's residual filter) — the
     * OR-in-join-condition shape that degrades to a nested-loop join when
-    * no common equi term exists.
+    * no common equi term exists. The build side is pre-filtered with the
+    * part-only projection of the OR tree (a superset of the join-relevant
+    * parts), so broadcasting it is safe at any SF — three brands of the
+    * part table, not the whole table.
     */
-  def bracketJoin(s: SparkSession, dir: String): DataFrame =
+  def bracketJoin(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir).filter(
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 25)))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)),
+      .join(broadcast(parts),
         col("l_partkey") === col("p_partkey") && (
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
             col("l_quantity") >= 1.0 && col("l_quantity") <= 11.0) ||
@@ -374,6 +384,7 @@ object Relational {
       .agg(
         sum(discPrice).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
+  }
 
   /** Global sort + limit (comparison-only on doubles — exact). */
   def topLineitemsByPrice(s: SparkSession, dir: String): DataFrame =
