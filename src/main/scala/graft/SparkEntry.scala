@@ -144,6 +144,9 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) =>
       graft.ext.Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 20)
         .select("doc_id", "lang", "source")),
+    "argmax_order" -> (Relational.topOrderPerStatus _),
+    "outer_join_balance" -> (Relational.balanceVsBigOrders _),
+    "fuzzy_name_pairs" -> (Functions.fuzzyNamePairs _),
     "rollup_status" -> (Relational.rollupStatusPriority _),
     "cube_flags" -> (Relational.cubeFlags _),
     "pivot_status" -> (Relational.pivotStatus _),
@@ -714,6 +717,27 @@ object SparkEntry {
          |  FROM documents
          |)
          |SELECT doc_id, lang, source FROM r WHERE rk <= 20""".stripMargin,
+    "argmax_order" ->
+      """SELECT o_orderstatus, o_orderkey AS top_orderkey, o_totalprice AS top_price
+        |FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1""".stripMargin,
+    "outer_join_balance" ->
+      """WITH neg AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0
+        |), big AS (
+        |  SELECT o_custkey, COUNT(*) AS n_big_orders
+        |  FROM orders WHERE o_totalprice > 300000 GROUP BY 1
+        |)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_acctbal, n_big_orders
+        |FROM neg FULL OUTER JOIN big ON c_custkey = o_custkey""".stripMargin,
+    "fuzzy_name_pairs" ->
+      """SELECT a.c_custkey, a.c_name, b.c_name AS next_name,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin,
     "rollup_status" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price

@@ -173,6 +173,21 @@ object Functions {
         coalesce(element_at(col("type_counts"), "click"), lit(0L)).as("n_click"),
         size(col("type_counts")).as("n_types"))
 
+  /** Edit-distance between adjacent customer names — the fuzzy-match
+    * primitive (classic DP, exact integer result in every engine). The
+    * adjacency self-join is a 1-shift equi-join: hash join on the key,
+    * never a cross product.
+    */
+  def fuzzyNamePairs(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val b = Tables.customer(s, dir)
+      .select((col("c_custkey") - 1).as("prev_key"), col("c_name").as("next_name"))
+    a.join(b, col("c_custkey") === col("prev_key"))
+      .select(
+        col("c_custkey"), col("c_name"), col("next_name"),
+        levenshtein(col("c_name"), col("next_name")).as("edit_dist"))
+  }
+
   /** HLL++ approximate distinct — the sketch the exact `countDistinct`
     * path can't afford at 100 TB. No DuckDB oracle (different sketch);
     * accuracy is asserted against the exact count in unit tests.

@@ -386,6 +386,41 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Deterministic arg-max per group: the struct-max idiom. Plain
+    * `max_by` is nondeterministic on ties; `max(struct(price, key))`
+    * totally orders candidates (price, then key), so the winner is
+    * reproducible across partitionings and engines. One shuffle,
+    * map-side partial max.
+    */
+  def topOrderPerStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+      .select(
+        col("o_orderstatus"),
+        col("m.o_orderkey").as("top_orderkey"),
+        col("m.o_totalprice").as("top_price"))
+
+  /** Full outer join of two derived key sets (negative-balance customers
+    * vs big-order makers) — exercises null fill-in on BOTH sides. Plans
+    * as shuffle join at scale; no broadcast (outer joins can't broadcast
+    * the preserved side).
+    */
+  def balanceVsBigOrders(s: SparkSession, dir: String): DataFrame = {
+    val neg = Tables.customer(s, dir)
+      .filter(col("c_acctbal") < 0.0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val big = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 300000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big_orders"))
+    neg.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_acctbal"),
+        col("n_big_orders"))
+  }
+
   /** Global sort + limit (comparison-only on doubles — exact). */
   def topLineitemsByPrice(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
