@@ -147,6 +147,13 @@ object SparkEntry {
     "argmax_order" -> (Relational.topOrderPerStatus _),
     "outer_join_balance" -> (Relational.balanceVsBigOrders _),
     "fuzzy_name_pairs" -> (Functions.fuzzyNamePairs _),
+    "range_join_count" -> ((s, d) =>
+      graft.ops.RangeJoin.countWithinDays(
+        Tables.orders(s, d), col("o_orderkey"), col("o_orderdate"),
+        Tables.lineitem(s, d), col("l_shipdate"), 7)
+        .select(col("_k").as("o_orderkey"), col("n_in_range"))),
+    "token_count" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
+    "ivf_topk_probe4" -> ((s, d) => Similarity.ivfTopKProbe(Tables.embeddings(s, d))),
     "rollup_status" -> (Relational.rollupStatusPriority _),
     "cube_flags" -> (Relational.cubeFlags _),
     "pivot_status" -> (Relational.pivotStatus _),
@@ -738,6 +745,50 @@ object SparkEntry {
       """SELECT a.c_custkey, a.c_name, b.c_name AS next_name,
         |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
         |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin,
+    "range_join_count" ->
+      """SELECT o.o_orderkey, COUNT(l.l_shipdate) AS n_in_range
+        |FROM orders o LEFT JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY 1""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_sub_tokens,
+        |       CAST(length(text) AS DOUBLE)
+        |         / nullif(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE), 0)
+        |         AS chars_per_subtoken
+        |FROM documents""".stripMargin,
+    "ivf_topk_probe4" ->
+      s"""$dUnitCte, c AS (
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |), s AS (
+         |  SELECT u.vec_id, u.unit, c.cent_id,
+         |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
+         |  FROM u CROSS JOIN c
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cent_sim DESC, cent_id) AS rn
+         |  FROM s
+         |), assign AS (
+         |  SELECT vec_id, unit, cent_id AS cell FROM r WHERE rn = 1
+         |), q AS (
+         |  SELECT unit AS q_unit FROM u WHERE vec_id = 0
+         |), pc AS (
+         |  SELECT probe_cell FROM (
+         |    SELECT probe_cell, row_number() OVER (ORDER BY sim DESC, probe_cell) AS rn
+         |    FROM (
+         |      SELECT c.cent_id AS probe_cell,
+         |             round(${dUnitDot("c.cent_unit", "q.q_unit")}, 6) AS sim
+         |      FROM c CROSS JOIN q) z) t
+         |  WHERE rn <= 4
+         |)
+         |SELECT a.vec_id, a.cell,
+         |       round(${dUnitDot("a.unit", "q.q_unit")}, 6) AS cosine_sim
+         |FROM assign a JOIN pc ON a.cell = pc.probe_cell CROSS JOIN q
+         |WHERE a.vec_id <> 0
+         |ORDER BY cosine_sim DESC, a.vec_id
+         |LIMIT 5""".stripMargin,
     "rollup_status" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price

@@ -127,6 +127,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF top-k with nprobe > 1: search the query's `nprobe` nearest cells
+    * instead of one — the recall knob of IVF-flat. Probe-cell selection is
+    * a 16-row computation; the candidate scan touches nprobe/k of the
+    * corpus, still partition-pruned by cell id.
+    */
+  def ivfTopKProbe(
+      embeddings: DataFrame,
+      queryVecId: Long = 0L,
+      k: Int = 5,
+      nprobe: Int = 4): DataFrame = {
+    val assign = ivfAssign(embeddings)
+    val n = normalized(embeddings).join(assign, "vec_id")
+    val cents = normalized(embeddings).filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("unit").as("cent_unit"))
+    val q = normalized(embeddings).filter(col("vec_id") === queryVecId)
+      .select(col("unit").as("q_unit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("cent_id")) // 16 rows — global window is fine
+    val probeCells = cents.crossJoin(broadcast(q))
+      .select(col("cent_id"),
+        round(vec_dot(col("cent_unit"), col("q_unit")), 6).as("sim"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(col("cent_id").as("probe_cell"))
+    n.join(broadcast(probeCells), col("cell") === col("probe_cell"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("cell"),
+        round(vec_dot(col("unit"), col("q_unit")), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN via sign-LSH: candidate pairs restricted to equal buckets, then
     * exact cosine re-rank within the bucket — Σ(bucket²) work instead
     * of n².

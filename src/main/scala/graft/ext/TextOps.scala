@@ -44,6 +44,21 @@ object TextOps {
           | + 0.25 * (cast(size(filter(toks, t -> t in ('the', 'a'))) as double) / cast(size(toks) as double))
           | as quality_score""".stripMargin)
 
+  /** Token counting under two tokenizers: whitespace words and a BPE-ish
+    * subword regex (letter runs / digit runs / single punctuation — the
+    * class shape BPE vocabularies converge to). Pure projection; the
+    * regex class is engine-portable (no backtracking constructs).
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.selectExpr(
+      "doc_id",
+      "size(split(text, ' ')) as n_ws_tokens",
+      "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as n_sub_tokens",
+      // nullif guards empty docs; double/double division is exact IEEE
+      """cast(length(text) as double)
+        | / nullif(cast(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as double), 0D)
+        | as chars_per_subtoken""".stripMargin)
+
   /** Stopword-profile language ID (n-gram heuristic). Profiles are tiny
     * per-language marker sets; the prediction is the argmax with a fixed
     * tie-break order — deterministic and SQL-expressible.

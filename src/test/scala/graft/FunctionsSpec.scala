@@ -70,6 +70,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("banded range join equals the brute-force nested-loop formulation") {
+    val d = "/root/testdata/sf0.001"
+    val banded = graft.ops.RangeJoin.countWithinDays(
+      Tables.orders(spark, d), col("o_orderkey"), col("o_orderdate"),
+      Tables.lineitem(spark, d), col("l_shipdate"), 7)
+      .as[(Long, Long)].collect().toMap
+    val brute = Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderdate"))
+      .join(Tables.lineitem(spark, d).select(col("l_shipdate")),
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("interval 7 days"),
+        "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_shipdate")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(banded === brute)
+  }
+
+  test("ivf nprobe=4 results are at least as close as nprobe=1") {
+    val d = "/root/testdata/sf0.001"
+    val p1 = graft.ext.Similarity.ivfTopK(Tables.embeddings(spark, d))
+      .select("cosine_sim").as[Double].collect().min
+    val p4 = graft.ext.Similarity.ivfTopKProbe(Tables.embeddings(spark, d))
+      .select("cosine_sim").as[Double].collect().min
+    assert(p4 >= p1) // wider probe can only improve the k-th neighbor
+  }
+
   test("histogram buckets cover 0..9 and sum to row count") {
     val out = Functions.histogramPrices(spark, "/root/testdata/sf0.001")
       .as[(Long, Long)].collect().toMap
