@@ -154,6 +154,10 @@ object SparkEntry {
         .select(col("_k").as("o_orderkey"), col("n_in_range"))),
     "token_count" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "ivf_topk_probe4" -> ((s, d) => Similarity.ivfTopKProbe(Tables.embeddings(s, d))),
+    "stats_moments" -> (Functions.statsMoments _),
+    "bool_aggs" -> (Functions.boolAggs _),
+    "union_by_name" -> (Functions.unionByNameOps _),
+    "string_ops2" -> (Functions.stringOps2 _),
     "rollup_status" -> (Relational.rollupStatusPriority _),
     "cube_flags" -> (Relational.cubeFlags _),
     "pivot_status" -> (Relational.pivotStatus _),
@@ -745,6 +749,50 @@ object SparkEntry {
       """SELECT a.c_custkey, a.c_name, b.c_name AS next_name,
         |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
         |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin,
+    "stats_moments" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+        |         SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sqq,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS spp,
+        |         SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp
+        |  FROM lineitem GROUP BY 1
+        |), b AS (
+        |  SELECT l_returnflag, n,
+        |         CAST(sq AS DOUBLE) / n AS mean_qty,
+        |         (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1) AS var_qty,
+        |         (n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |           / (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |              * sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qty_price
+        |  FROM a
+        |)
+        |SELECT l_returnflag, n, mean_qty, var_qty,
+        |       sqrt(var_qty) AS stddev_qty, corr_qty_price
+        |FROM b""".stripMargin,
+    "bool_aggs" ->
+      """SELECT o_orderstatus,
+        |       bool_or(o_totalprice > 400000.0) AS any_big,
+        |       bool_and(o_totalprice > 0.0) AS all_positive,
+        |       CAST(COALESCE(SUM(CASE WHEN o_totalprice > 400000.0 THEN 1 END), 0) AS BIGINT) AS n_big
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+    "union_by_name" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_totalprice > 400000.0
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "string_ops2" ->
+      """SELECT c_custkey, c_name,
+        |       split_part(c_name, '#', 2) AS name_num,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |       rpad(c_mktsegment, 12, '.') AS seg_padded,
+        |       translate(c_name, '#', '-') AS name_dashed,
+        |       regexp_matches(c_name, '[02468]$') AS ends_even,
+        |       reverse(c_name) AS name_rev,
+        |       repeat('*', CAST(c_custkey % 5 AS INTEGER)) AS stars
+        |FROM customer""".stripMargin,
     "range_join_count" ->
       """SELECT o.o_orderkey, COUNT(l.l_shipdate) AS n_in_range
         |FROM orders o LEFT JOIN lineitem l

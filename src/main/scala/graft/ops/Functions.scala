@@ -188,6 +188,81 @@ object Functions {
         levenshtein(col("c_name"), col("next_name")).as("edit_dist"))
   }
 
+  /** Statistical moments from EXACT decimal accumulators: mean, variance,
+    * stddev, and corr(quantity, price) are derived with the textbook
+    * formulas from decimal sums (S, S², cross-product). Built-in
+    * `stddev`/`corr` stream Welford-style partials whose double merges are
+    * partition-order-dependent — fine for analytics, wrong for
+    * reproducible results. Decimal partials are order-independent; the
+    * closed-form double arithmetic at the end is deterministic. Same
+    * single-shuffle shape as any groupBy.
+    */
+  def statsMoments(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast("decimal(12,2)")
+    val p = col("l_extendedprice").cast("decimal(12,2)")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sq"), sum(p).as("sp"),
+        sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("sq").cast("double") / col("n")).as("mean_qty"),
+        ((col("sqq").cast("double")
+          - col("sq").cast("double") * col("sq").cast("double") / col("n"))
+          / (col("n") - 1)).as("var_qty"),
+        ((col("n") * col("sqp").cast("double")
+          - col("sq").cast("double") * col("sp").cast("double"))
+          / (sqrt(col("n") * col("sqq").cast("double")
+              - col("sq").cast("double") * col("sq").cast("double"))
+            * sqrt(col("n") * col("spp").cast("double")
+              - col("sp").cast("double") * col("sp").cast("double"))))
+          .as("corr_qty_price"))
+      .select(
+        col("l_returnflag"), col("n"), col("mean_qty"), col("var_qty"),
+        sqrt(col("var_qty")).as("stddev_qty"), col("corr_qty_price"))
+  }
+
+  /** Boolean aggregates: bool_or / bool_and / count_if per group. */
+  def boolAggs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("bool_or(o_totalprice > 400000.0)").as("any_big"),
+        expr("bool_and(o_totalprice > 0.0)").as("all_positive"),
+        expr("count_if(o_totalprice > 400000.0)").as("n_big"))
+
+  /** Schema-evolution union: two projections with different column sets
+    * merged by NAME with null fill-in (`unionByName(allowMissingColumns)`)
+    * — positional union would silently misalign columns.
+    */
+  def unionByNameOps(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    big.unionByName(urgent, allowMissingColumns = true)
+  }
+
+  /** Second string sweep: split_part, padding, translate, regex predicate,
+    * reverse, data-driven repeat. (initcap is absent from DuckDB, so it
+    * lives in unit tests only.)
+    */
+  def stringOps2(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      col("c_name"),
+      expr("split_part(c_name, '#', 2)").as("name_num"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+      rpad(col("c_mktsegment"), 12, ".").as("seg_padded"),
+      translate(col("c_name"), "#", "-").as("name_dashed"),
+      col("c_name").rlike("[02468]$").as("ends_even"),
+      reverse(col("c_name")).as("name_rev"),
+      expr("repeat('*', cast(c_custkey % 5 as int))").as("stars"))
+
   /** HLL++ approximate distinct — the sketch the exact `countDistinct`
     * path can't afford at 100 TB. No DuckDB oracle (different sketch);
     * accuracy is asserted against the exact count in unit tests.
