@@ -158,6 +158,9 @@ object SparkEntry {
     "bool_aggs" -> (Functions.boolAggs _),
     "union_by_name" -> (Functions.unionByNameOps _),
     "string_ops2" -> (Functions.stringOps2 _),
+    "hof_ops" -> (Functions.hofOps _),
+    "try_ops" -> (Functions.tryOps _),
+    "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "rollup_status" -> (Relational.rollupStatusPriority _),
     "cube_flags" -> (Relational.cubeFlags _),
     "pivot_status" -> (Relational.pivotStatus _),
@@ -793,6 +796,36 @@ object SparkEntry {
         |       reverse(c_name) AS name_rev,
         |       repeat('*', CAST(c_custkey % 5 AS INTEGER)) AS stars
         |FROM customer""".stripMargin,
+    "hof_ops" ->
+      """SELECT o_orderkey,
+        |       array_to_string(list_transform(generate_series(1, o_orderkey % 5 + 1),
+        |                                      x -> CAST(x * x AS VARCHAR)), ',') AS squares_csv,
+        |       CAST(list_sum(generate_series(1, o_orderkey % 5 + 1)) AS BIGINT) AS sum_arr,
+        |       CAST(len(list_filter(generate_series(1, o_orderkey % 5 + 1),
+        |                            x -> x % 2 = 0)) AS INTEGER) AS n_even,
+        |       list_contains(generate_series(1, o_orderkey % 5 + 1), 3) AS has_3
+        |FROM orders""".stripMargin,
+    "try_ops" ->
+      """SELECT o_orderkey,
+        |       TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+        |       TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS pri_num,
+        |       o_totalprice / CAST(o_custkey % 3 AS DOUBLE) AS per_bucket,
+        |       CASE WHEN o_orderkey = 0 THEN 9223372036854775807 ELSE CAST(NULL AS BIGINT) END AS overflow_add
+        |FROM orders""".stripMargin,
+    "simhash_pairs" ->
+      s"""$dToksCte, h AS (
+         |  SELECT doc_id, list_transform(toks, tk -> ${dH("tk")}) AS hs FROM t
+         |), bb AS (
+         |  SELECT doc_id,
+         |       $dSimhashBits
+         |  FROM h
+         |), sig AS (
+         |  SELECT doc_id, CAST($dSimhashPack AS BIGINT) AS simhash FROM bb
+         |)
+         |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
     "range_join_count" ->
       """SELECT o.o_orderkey, COUNT(l.l_shipdate) AS n_in_range
         |FROM orders o LEFT JOIN lineitem l

@@ -117,6 +117,29 @@ object Dedup {
       .selectExpr("doc_id", s"$packed as simhash")
   }
 
+  /** SimHash near-duplicate pairs within a Hamming radius, via the
+    * pigeonhole band trick: a 16-bit signature splits into 4 nibbles; two
+    * signatures within Hamming distance 3 must agree on ≥1 nibble, so the
+    * candidate space is 4 equi-joins on nibble value — never an n² scan.
+    * Exact `bit_count(xor)` re-check filters the candidates. The same
+    * decomposition scales to 64-bit signatures with radius-k bands.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(documents).persist()
+    val pairs = (0 until 4).map { i =>
+      val band = sig.selectExpr("doc_id", "simhash",
+        s"shiftright(simhash, ${4 * i}) % 16 as band")
+      val a = band.selectExpr("doc_id as a_id", "simhash as a_sh", "band")
+      val b = band.selectExpr("doc_id as b_id", "simhash as b_sh", "band as b_band")
+      a.join(b, col("band") === col("b_band") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+    }.reduce(_ unionAll _).distinct()
+    pairs
+      .selectExpr("a_id", "b_id",
+        "cast(bit_count(a_sh ^ b_sh) as int) as hamming")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Top-k most similar document pairs by distinct-3-gram Jaccard.
     * Exploded shingle-hash join: pairs only materialize where a shingle
     * is shared. Deterministic order (jaccard desc, ids asc).

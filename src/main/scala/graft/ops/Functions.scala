@@ -263,6 +263,30 @@ object Functions {
       reverse(col("c_name")).as("name_rev"),
       expr("repeat('*', cast(c_custkey % 5 as int))").as("stars"))
 
+  /** Higher-order array functions as a first-class surface: transform /
+    * filter / aggregate (fold) / contains over a data-driven `sequence`.
+    * All lambdas run inside codegen — no UDF, no shuffle.
+    */
+  def hofOps(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).selectExpr(
+      "o_orderkey",
+      "array_join(transform(sequence(1, o_orderkey % 5 + 1), x -> cast(x * x as string)), ',') as squares_csv",
+      "aggregate(sequence(1, o_orderkey % 5 + 1), 0L, (acc, x) -> acc + x) as sum_arr",
+      "cast(size(filter(sequence(1, o_orderkey % 5 + 1), x -> x % 2 = 0)) as int) as n_even",
+      "array_contains(sequence(1, o_orderkey % 5 + 1), 3) as has_3")
+
+  /** Error-safe `try_*` functions: malformed casts, divide-by-zero and
+    * overflow yield NULL instead of failing the job — at 100 TB a single
+    * poisoned row must not kill a 6-hour pipeline.
+    */
+  def tryOps(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).selectExpr(
+      "o_orderkey",
+      "try_cast(o_orderpriority as int) as pri_int", // never numeric -> NULL
+      "try_cast(split_part(o_orderpriority, '-', 1) as int) as pri_num",
+      "try_divide(o_totalprice, cast(o_custkey % 3 as double)) as per_bucket",
+      "try_add(9223372036854775807L, o_orderkey) as overflow_add")
+
   /** HLL++ approximate distinct — the sketch the exact `countDistinct`
     * path can't afford at 100 TB. No DuckDB oracle (different sketch);
     * accuracy is asserted against the exact count in unit tests.

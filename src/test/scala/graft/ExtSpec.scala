@@ -51,6 +51,15 @@ class ExtSpec extends AnyFunSuite {
     assert(h(1L) !== h(3L))
   }
 
+  test("simhashPairs: identical docs at hamming 0; banding finds them without n² scan") {
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "qq rr ss tt uu vv"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
   test("ngramJaccardPairs ranks the duplicated pair first with jaccard 1.0") {
     val docs = Seq(
       (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c x y z w q")
