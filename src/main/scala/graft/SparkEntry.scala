@@ -161,6 +161,12 @@ object SparkEntry {
     "hof_ops" -> (Functions.hofOps _),
     "try_ops" -> (Functions.tryOps _),
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+      Skew.saltedJoin(ev.select("event_id", "user_id"), dim, "user_id", "event_id")
+        .select("event_id", "user_id", "user_total")
+    }),
     "rollup_status" -> (Relational.rollupStatusPriority _),
     "cube_flags" -> (Relational.cubeFlags _),
     "pivot_status" -> (Relational.pivotStatus _),
@@ -796,6 +802,12 @@ object SparkEntry {
         |       reverse(c_name) AS name_rev,
         |       repeat('*', CAST(c_custkey % 5 AS INTEGER)) AS stars
         |FROM customer""".stripMargin,
+    "salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY 1
+        |)
+        |SELECT e.event_id, e.user_id, d.user_total
+        |FROM events e JOIN dim d ON e.user_id = d.user_id""".stripMargin,
     "hof_ops" ->
       """SELECT o_orderkey,
         |       array_to_string(list_transform(generate_series(1, o_orderkey % 5 + 1),

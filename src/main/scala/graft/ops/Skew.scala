@@ -37,4 +37,29 @@ object Skew {
       .agg(
         sum(col("_n")).as("n_events"),
         sum(col("_s")).cast("double").as("sum_value"))
+
+  /** Salted shuffle join for a skewed fact key: the fact side salts on a
+    * row-identity column, the (small-ish but not broadcastable) dim side
+    * is REPLICATED once per salt bucket, and the join key becomes
+    * (key, salt) — a hot key's rows spread over `buckets` reducers
+    * instead of stalling one. Result is identical to the plain join
+    * (verified by the oracle, which is the unsalted formulation).
+    * AQE's skew-join split covers sort-merge cases at runtime; explicit
+    * salting remains the deterministic form that also works for
+    * aggregations and under AQE-off.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltFrom: String,
+      buckets: Int = 16): DataFrame = {
+    val salted = fact.withColumn("_salt", pmod(col(saltFrom), lit(buckets)))
+    val replicated = dim
+      .withColumn("_dsalt", explode(sequence(lit(0), lit(buckets - 1))))
+      .withColumnRenamed(key, "_dk")
+    salted
+      .join(replicated, col(key) === col("_dk") && col("_salt") === col("_dsalt"))
+      .drop("_salt", "_dsalt", "_dk")
+  }
 }
