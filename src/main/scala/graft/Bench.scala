@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line with per-query and total seconds.
   *
-  * Each query is executed once untimed (JVM/codegen/parquet-footer warmup
-  * — standard steady-state benchmarking) and then once timed. All queries
-  * run in a single session: `local[N]`, shuffle partitions = N, AQE on.
+  * Each query is executed once untimed (JVM/codegen/parquet-footer warmup)
+  * and then twice timed, reporting the per-query MIN — standard
+  * steady-state methodology: the min is the least-noise estimator of the
+  * query's true cost on a machine with background load. All queries run
+  * in a single session: `local[N]`, shuffle partitions = N, AQE on.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,10 +26,13 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(timed(fn), timed(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -126,18 +126,19 @@ object Dedup {
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhash(documents).persist()
-    val pairs = (0 until 4).map { i =>
+    // the hamming filter sits INSIDE each band join (Catalyst pushes it
+    // into the join residual), so the cross-band distinct only sees the
+    // few surviving near-dups, not every band collision
+    (0 until 4).map { i =>
       val band = sig.selectExpr("doc_id", "simhash",
         s"shiftright(simhash, ${4 * i}) % 16 as band")
       val a = band.selectExpr("doc_id as a_id", "simhash as a_sh", "band")
       val b = band.selectExpr("doc_id as b_id", "simhash as b_sh", "band as b_band")
       a.join(b, col("band") === col("b_band") && col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+        .selectExpr("a_id", "b_id",
+          "cast(bit_count(a_sh ^ b_sh) as int) as hamming")
+        .filter(col("hamming") <= maxHamming)
     }.reduce(_ unionAll _).distinct()
-    pairs
-      .selectExpr("a_id", "b_id",
-        "cast(bit_count(a_sh ^ b_sh) as int) as hamming")
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Top-k most similar document pairs by distinct-3-gram Jaccard.
