@@ -56,11 +56,17 @@ object Sources {
       .as[Event]
   }
 
-  /** Kafka envelope → typed events (shared by batch backfill and stream). */
+  /** Kafka envelope → typed events (shared by batch backfill and stream).
+    * DROPMALFORMED semantics: `from_json` yields a null struct for corrupt
+    * payloads, and the filter drops them — one poisoned message must not
+    * kill a long-running stream (the typed encoder would otherwise fail on
+    * the null primitive key).
+    */
   def decode(kafka: DataFrame): Dataset[Event] = {
     import kafka.sparkSession.implicits._
     kafka
       .select(from_json(col("value").cast("string"), eventWireSchema).as("e"))
+      .filter(col("e.event_id").isNotNull)
       .select("e.*")
       .as[Event]
   }

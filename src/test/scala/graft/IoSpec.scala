@@ -25,4 +25,16 @@ class IoSpec extends AnyFunSuite {
   test("csv round-trips with explicit schema")(roundTrip("csv"))
   test("json round-trips with explicit schema")(roundTrip("json"))
   test("orc round-trips with explicit schema")(roundTrip("orc"))
+
+  test("parquet schema evolution: mergeSchema unions columns across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/b=0")
+    Seq((2L, 3.5)).toDF("id", "v2").write.parquet(s"$dir/b=1")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("b", "id", "v1", "v2"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getAs[String]("v1") === "a" && rows(0).isNullAt(rows(0).fieldIndex("v2")))
+    assert(rows(1).getAs[Double]("v2") === 3.5 && rows(1).isNullAt(rows(1).fieldIndex("v1")))
+  }
 }

@@ -197,6 +197,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
 
+  test("decode drops corrupt Kafka payloads instead of failing the stream") {
+    val good = """{"event_id":7,"ts":"2024-01-01 00:00:00","user_id":3,"event_type":"view","value":1.5,"props":"{}"}"""
+    val kafkaShaped = Seq(good, "{not json", "", """{"event_id":null}""")
+      .toDF("str")
+      .selectExpr("cast(str as binary) as value", "cast(null as binary) as key",
+        "'topic' as topic", "0 as partition", "0L as offset")
+    val out = graft.io.Sources.decode(kafkaShaped).collect()
+    assert(out.map(_.event_id).toSeq === Seq(7L))
+  }
+
   test("stream-stream interval join: purchase attributed to preceding click") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.expr
