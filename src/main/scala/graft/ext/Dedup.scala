@@ -100,22 +100,17 @@ object Dedup {
   }
 
   /** 16-bit SimHash over the token multiset: hash each token once, then
-    * per bit sum +1/-1 weights and keep the sign. Pure per-row
-    * higher-order aggregation — no shuffle, no UDF.
+    * per bit sum +1/-1 weights and keep the sign. Pure per-row projection
+    * — no shuffle, no UDF. The bit-packing runs in the codegen'd
+    * [[graft.functions.SimHashBits]] expression (one primitive loop
+    * instead of 16 interpreted higher-order `aggregate` passes).
     */
-  def simhash(documents: DataFrame): DataFrame = {
-    val bitSums = (0 until 16).map { i =>
-      s"aggregate(hs, 0L, (acc, x) -> acc + case when shiftright(x, $i) % 2 = 1 then 1 else -1 end) as b$i"
-    }
-    val packed = (0 until 16)
-      .map(i => s"case when b$i > 0 then cast(${1 << i} as bigint) else 0L end")
-      .mkString(" + ")
+  def simhash(documents: DataFrame): DataFrame =
     documents
       .withColumn("toks", split(col("text"), " "))
       .withColumn("hs", expr(s"transform(toks, t -> ${md5Long64("t")})"))
-      .selectExpr("doc_id" +: bitSums: _*)
-      .selectExpr("doc_id", s"$packed as simhash")
-  }
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions.simhash_bits(col("hs"), 16).as("simhash"))
 
   /** SimHash near-duplicate pairs within a Hamming radius, via the
     * pigeonhole band trick: a 16-bit signature splits into 4 nibbles; two

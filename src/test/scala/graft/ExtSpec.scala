@@ -51,6 +51,27 @@ class ExtSpec extends AnyFunSuite {
     assert(h(1L) !== h(3L))
   }
 
+  test("SimHashBits codegen expression equals the 16 HOF aggregate passes on real docs") {
+    import org.apache.spark.sql.functions.{col, expr, split}
+    val hofBitSums = (0 until 16).map { i =>
+      s"aggregate(hs, 0L, (acc, x) -> acc + case when shiftright(x, $i) % 2 = 1 then 1 else -1 end) as b$i"
+    }
+    val hofPacked = (0 until 16)
+      .map(i => s"case when b$i > 0 then cast(${1 << i} as bigint) else 0L end")
+      .mkString(" + ")
+    val withHashes = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hs", expr(s"transform(toks, t -> ${TextOps.md5Long64("t")})"))
+    val hof = withHashes.selectExpr("doc_id" +: hofBitSums: _*)
+      .selectExpr("doc_id", s"$hofPacked as simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = withHashes
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions.simhash_bits(col("hs"), 16).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === hof)
+  }
+
   test("simhashPairs: identical docs at hamming 0; banding finds them without n² scan") {
     val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "qq rr ss tt uu vv"))
       .toDF("doc_id", "text")
