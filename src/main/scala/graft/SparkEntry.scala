@@ -144,6 +144,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) =>
       graft.ext.Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 20)
         .select("doc_id", "lang", "source")),
+    "q13_custdist" -> (Relational.customerDistribution _),
     "argmax_order" -> (Relational.topOrderPerStatus _),
     "outer_join_balance" -> (Relational.balanceVsBigOrders _),
     "fuzzy_name_pairs" -> (Functions.fuzzyNamePairs _),
@@ -737,6 +738,13 @@ object SparkEntry {
          |  FROM documents
          |)
          |SELECT doc_id, lang, source FROM r WHERE rk <= 20""".stripMargin,
+    "q13_custdist" ->
+      """WITH c AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1
+        |)
+        |SELECT c_count, COUNT(*) AS custdist FROM c GROUP BY 1""".stripMargin,
     "argmax_order" ->
       """SELECT o_orderstatus, o_orderkey AS top_orderkey, o_totalprice AS top_price
         |FROM (

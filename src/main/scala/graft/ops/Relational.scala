@@ -386,6 +386,19 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q13-style order-count distribution: left join keeps
+    * zero-order customers, two cascaded aggregations (per-customer count,
+    * then histogram of counts). The second groupBy shuffles one row per
+    * customer; the first is the only fact-table shuffle.
+    */
+  def customerDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
   /** Deterministic arg-max per group: the struct-max idiom. Plain
     * `max_by` is nondeterministic on ties; `max(struct(price, key))`
     * totally orders candidates (price, then key), so the winner is

@@ -58,6 +58,39 @@ object StreamingSessionizer {
   private def micros(ts: Timestamp): Long =
     ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
 
+  /** The pure state transition for one user over one micro-batch, shared
+    * by the `flatMapGroupsWithState` and `transformWithState` fronts.
+    * Returns the per-event outputs and the final state (null iff no
+    * events).
+    */
+  private[streaming] def transition(
+      gapMinutes: Long,
+      userId: Long,
+      events: Iterator[Event],
+      initial: SessionState): (Array[SessionizedEvent], SessionState) = {
+    val sorted = events.toArray.sortBy(e => (micros(e.ts), e.event_id))
+    var st = initial
+    val hadState = st != null
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val out = sorted.map { e =>
+      val t = micros(e.ts)
+      val isStart = st == null || t - st.lastTs > gapMicros
+      val seq = if (st == null) 1L else if (isStart) st.sessionSeq + 1 else st.sessionSeq
+      val isNewUser = st == null && !hadState
+      val changed = st != null && st.lastEventType != null && st.lastEventType != e.event_type
+      val lastPurchase =
+        if (e.event_type == "purchase") Some(e.value)
+        else if (st == null) None
+        else st.lastPurchaseValue
+      val inSession = if (isStart) 1L else st.eventsInSession + 1
+      st = SessionState(userId, seq, t, e.event_type, lastPurchase, inSession)
+      SessionizedEvent(
+        e.event_id, e.ts, e.user_id, e.event_type, e.value,
+        seq, s"$userId-$seq", isStart, isNewUser, changed, lastPurchase, inSession)
+    }
+    (out, st)
+  }
+
   /** State transition for one user and one micro-batch of its events.
     * Events are sorted by (ts, event_id) within the batch; cross-batch
     * order is the stream's responsibility (watermark + source order).
@@ -73,26 +106,7 @@ object StreamingSessionizer {
       state.remove()
       Iterator.empty
     } else {
-      val sorted = events.toArray.sortBy(e => (micros(e.ts), e.event_id))
-      var st = state.getOption.orNull
-      val hadState = st != null
-      val gapMicros = gapMinutes * 60L * 1000000L
-      val out = sorted.iterator.map { e =>
-        val t = micros(e.ts)
-        val isStart = st == null || t - st.lastTs > gapMicros
-        val seq = if (st == null) 1L else if (isStart) st.sessionSeq + 1 else st.sessionSeq
-        val isNewUser = st == null && !hadState
-        val changed = st != null && st.lastEventType != null && st.lastEventType != e.event_type
-        val lastPurchase =
-          if (e.event_type == "purchase") Some(e.value)
-          else if (st == null) None
-          else st.lastPurchaseValue
-        val inSession = if (isStart) 1L else st.eventsInSession + 1
-        st = SessionState(userId, seq, t, e.event_type, lastPurchase, inSession)
-        SessionizedEvent(
-          e.event_id, e.ts, e.user_id, e.event_type, e.value,
-          seq, s"$userId-$seq", isStart, isNewUser, changed, lastPurchase, inSession)
-      }.toArray
+      val (out, st) = transition(gapMinutes, userId, events, state.getOption.orNull)
       if (st != null) {
         state.update(st)
         watermarkMs(state).foreach { wm =>
@@ -131,5 +145,50 @@ object StreamingSessionizer {
     events
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(updateUser(gapMinutes))
+  }
+
+  /** The same pipeline on Spark 4's arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor` + typed `ValueState`) —
+    * the successor to `flatMapGroupsWithState`, designed for the RocksDB
+    * state store (requires
+    * `spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`).
+    * Shares [[transition]] with the v1 front, so both produce identical
+    * output (asserted in `StreamingSpec`).
+    */
+  def sessionizeTws(
+      events: Dataset[Event],
+      gapMinutes: Long = DefaultGapMinutes): Dataset[SessionizedEvent] =
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(
+        new SessionProcessor(gapMinutes),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())(outEnc)
+}
+
+/** `StatefulProcessor` holding the per-user [[SessionState]] in a typed
+  * `ValueState` — the state-store-native representation (no whole-state
+  * re-serialization per key per batch; RocksDB holds it off-heap).
+  */
+class SessionProcessor(gapMinutes: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionizedEvent] {
+
+  @transient private var session: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+  override def init(
+      outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    session = getHandle.getValueState[SessionState](
+      "session", Encoders.product[SessionState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[Event],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionizedEvent] = {
+    val initial = if (session.exists()) session.get() else null
+    val (out, st) = StreamingSessionizer.transition(gapMinutes, userId, rows, initial)
+    if (st != null) session.update(st)
+    out.iterator
   }
 }

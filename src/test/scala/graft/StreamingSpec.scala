@@ -197,6 +197,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
 
+  test("transformWithState (arbitrary-state v2, RocksDB) matches flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      Seq(ev(1, "2024-01-01 00:00:00", 7, "purchase", 42.5), ev(2, "2024-01-01 00:10:00", 7)),
+      Seq(ev(3, "2024-01-01 00:20:00", 7, "click"), ev(4, "2024-01-01 00:00:00", 8)),
+      Seq(ev(5, "2024-01-01 01:30:00", 7)) // >30 min gap -> new session
+    )
+    val v1 = run(batches)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamingSessionizer.sessionizeTws(ms.toDS())
+        .writeStream.format("memory").queryName("tws_out").outputMode("append").start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val v2 = spark.table("tws_out").as[SessionizedEvent]
+        .collect().sortBy(_.event_id).toSeq
+      assert(v2 === v1)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("decode drops corrupt Kafka payloads instead of failing the stream") {
     val good = """{"event_id":7,"ts":"2024-01-01 00:00:00","user_id":3,"event_type":"view","value":1.5,"props":"{}"}"""
     val kafkaShaped = Seq(good, "{not json", "", """{"event_id":null}""")
