@@ -45,4 +45,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_orderkey")) // key columns not read
     assert(p.contains("LessThanOrEqual(l_shipdate,"))
   }
+
+  test("date-partitioned layout: a date filter prunes partitions at plan time") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_date") === "2024-01-05")
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the date predicate is a PartitionFilter (directory pruning),
+    // NOT a row-level PushedFilter — files outside the day are never opened
+    assert(p.contains("PartitionFilters: ["))
+    assert(p.contains("event_date"))
+    assert(!p.contains("PushedFilters: [IsNotNull(event_date)"))
+    val days = q.select("event_date").distinct().count()
+    assert(days === 1)
+  }
 }

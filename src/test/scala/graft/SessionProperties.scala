@@ -74,6 +74,20 @@ object SessionProperties extends Properties("sessionize") {
     batch == streamed
   }
 
+  property("saltedJoin equals the plain join on random histories") = Prop.forAll(genEvents) { evs =>
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import spark.implicits._
+    val fact = evs.toDF().select("event_id", "user_id")
+    val dim = evs.toDF().groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+    val plain = fact.join(dim, "user_id")
+      .select("event_id", "user_total")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val salted = graft.ops.Skew.saltedJoin(fact, dim, "user_id", "event_id", buckets = 4)
+      .select("event_id", "user_total")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    plain.sameElements(salted)
+  }
+
   property("last_purchase_value is the most recent purchase's value") = Prop.forAll(genEvents) { evs =>
     import spark.implicits._
     val got = graft.session.StateOps.carryForwardLastPurchase(evs.toDF())
