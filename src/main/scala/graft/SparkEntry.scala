@@ -200,7 +200,14 @@ object SparkEntry {
           "cast(octet_length(content) as bigint) as n_bytes",
           "width", "height", "sample_rate", "n_frames")),
     "frame_sample" -> ((s, d) =>
-      Multimodal.sampleFrames(Multimodal.synthesizeMedia(Tables.documents(s, d))))
+      Multimodal.sampleFrames(Multimodal.synthesizeMedia(Tables.documents(s, d)))),
+    "media_dedup" -> ((s, d) =>
+      Multimodal.mediaDedup(Multimodal.synthesizeMedia(Tables.documents(s, d)))),
+    // rows-only check by design: the feature extractor runs a stubbed
+    // codec over raw bytes (rolling hash) that SQL can't express portably;
+    // exactness is covered by MultimodalSpec
+    "media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.synthesizeMedia(Tables.documents(s, d))).toDF())
   )
 
   // ---- DuckDB oracle fragments (mirror the Spark expressions exactly) ----
@@ -1154,6 +1161,12 @@ object SparkEntry {
         |SELECT media_id, doc_id, n_frames, CAST(unnest(range(0, n_frames, 7)) AS BIGINT) AS frame_idx
         |FROM m
         |WHERE modality = 'video' AND n_frames > 0""".stripMargin,
+    "media_dedup" ->
+      """SELECT md5(text) AS content_hash,
+        |       MIN(doc_id) AS keeper_media_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
     "ann_lsh_pairs" ->
       s"""$dUnitCte, wb AS (
          |  SELECT e.vec_id, u.unit, $dLshBucket AS bucket

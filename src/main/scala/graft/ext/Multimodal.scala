@@ -110,6 +110,19 @@ object Multimodal {
       }
     }
 
+  /** Exact dedup of binary payloads by content digest: the media twin of
+    * [[Dedup.exact]]. Only the 32-char digest shuffles — a 100 TB media
+    * corpus dedups by moving hashes, never bytes.
+    */
+  def mediaDedup(media: Dataset[MediaRecord]): DataFrame =
+    media.toDF()
+      .select(md5(col("content")).as("content_hash"),
+        col("media_id"), col("modality"))
+      .groupBy(col("content_hash"))
+      .agg(
+        min(col("media_id")).as("keeper_media_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Frame sampling for video rows: every `stride`-th frame index becomes
     * a row — the explode is declarative, so Catalyst can pipeline it into
     * the scan; non-video rows produce nothing.
