@@ -153,6 +153,18 @@ object SparkEntry {
         Tables.orders(s, d), col("o_orderkey"), col("o_orderdate"),
         Tables.lineitem(s, d), col("l_shipdate"), 7)
         .select(col("_k").as("o_orderkey"), col("n_in_range"))),
+    "auto_range_join" -> ((s, d) => {
+      // written as the NAIVE non-equi join; the injected BandedRangeJoinRule
+      // rewrites it into a banded hash join (asserted in PlanSpec)
+      val ev = Tables.events(s, d)
+      val all = ev.select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+      all.join(pur,
+          col("t_us") >= col("p_us") && col("t_us") < col("p_us") + lit(3600000000L))
+        .groupBy(col("p_id"))
+        .agg(count(lit(1)).as("n_within_hour"))
+    }),
     "token_count" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "ivf_topk_probe4" -> ((s, d) => Similarity.ivfTopKProbe(Tables.embeddings(s, d))),
     "stats_moments" -> (Functions.statsMoments _),
@@ -853,6 +865,16 @@ object SparkEntry {
          |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
          |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+    "auto_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS t_us FROM events
+        |), p AS (
+        |  SELECT event_id AS p_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p_id, COUNT(*) AS n_within_hour
+        |FROM e JOIN p ON t_us >= p_us AND t_us < p_us + 3600000000
+        |GROUP BY 1""".stripMargin,
     "range_join_count" ->
       """SELECT o.o_orderkey, COUNT(l.l_shipdate) AS n_in_range
         |FROM orders o LEFT JOIN lineitem l

@@ -104,11 +104,14 @@ object VectorFunctions {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(exprs.head, exprs(1))))
+    // non-equi range joins -> banded hash joins (see BandedRangeJoinRule)
+    e.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
+  }
 }

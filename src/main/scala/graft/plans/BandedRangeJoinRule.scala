@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Optimizer rule: rewrite a purely non-equi range join into a banded
+  * HASH join.
+  *
+  * Spark OSS plans `a JOIN b ON x >= lo AND x < lo + C` (no equi term) as
+  * a nested loop over |a|·|b| pairs — unrunnable at scale. But the window
+  * width C is right there in the predicate, so the rule quantizes both
+  * sides into width-C bands and joins on the band id: a row with
+  * `x ∈ [lo, lo+C)` can only sit in `band(lo)` or `band(lo)+1`, so the
+  * build side is Expand-ed into those two band rows and the join becomes
+  * `p_band = b_band AND <original condition>` — an equi join with the
+  * original range predicate as residual. Candidates per band pair are a
+  * superset of the matches; the residual keeps the result EXACTLY equal
+  * to the naive join.
+  *
+  * Scope (soundness before generality):
+  *  - inner joins whose condition has NO equi conjunct between the sides
+  *    (if one exists, Catalyst already hash-joins on it);
+  *  - band key and bound of integral type (exact arithmetic — a double
+  *    band computed with rounded division could misplace boundary rows);
+  *  - `x >= lo AND x < lo + C` / `x <= lo + C` with positive literal C.
+  *    Timestamps band through `unix_micros` at the query layer.
+  *
+  * Integer truncating division is monotone and advances at most 1 per +C
+  * shift (for C > 0), so offsets {0, 1} cover every match for either
+  * rounding convention and any sign of x.
+  *
+  * This is the same decomposition Databricks' range-join optimization and
+  * DuckDB's IEJoin apply; here it is an `injectOptimizerRule` extension
+  * ([[graft.functions.GraftExtensions]]).
+  */
+object BandedRangeJoinRule extends Rule[LogicalPlan] {
+
+  private def isIntegral(e: Expression): Boolean = e.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  private def litLong(l: Literal): Option[Long] = l.value match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case i: java.lang.Long => Some(i)
+    case i: java.lang.Short => Some(i.longValue)
+    case i: java.lang.Byte => Some(i.longValue)
+    case _ => None
+  }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConj(a) ++ splitConj(b)
+    case x => Seq(x)
+  }
+
+  private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan): Option[Boolean] =
+    if (e.references.nonEmpty && e.references.subsetOf(l.outputSet)) Some(true)
+    else if (e.references.nonEmpty && e.references.subsetOf(r.outputSet)) Some(false)
+    else None
+
+  private def hasEquiBetween(cs: Seq[Expression], l: LogicalPlan, r: LogicalPlan): Boolean =
+    cs.exists {
+      case EqualTo(a, b) =>
+        (for (sa <- sideOf(a, l, r); sb <- sideOf(b, l, r)) yield sa != sb).getOrElse(false)
+      case EqualNullSafe(a, b) =>
+        (for (sa <- sideOf(a, l, r); sb <- sideOf(b, l, r)) yield sa != sb).getOrElse(false)
+      case _ => false
+    }
+
+  /** (x, lo, bandWidth, xOnLeft) for the first usable range pattern. */
+  private def findRange(
+      cs: Seq[Expression],
+      l: LogicalPlan,
+      r: LogicalPlan): Option[(Expression, Expression, Long, Boolean)] = {
+    val lowers = cs.collect {
+      case GreaterThanOrEqual(x, lo) => (x, lo)
+      case LessThanOrEqual(lo, x) => (x, lo)
+    }
+    val uppers = cs.collect {
+      case LessThan(x, Add(lo, lit: Literal, _)) => (x, lo, lit, 0L)
+      case LessThanOrEqual(x, Add(lo, lit: Literal, _)) => (x, lo, lit, 1L)
+      case GreaterThan(Add(lo, lit: Literal, _), x) => (x, lo, lit, 0L)
+      case GreaterThanOrEqual(Add(lo, lit: Literal, _), x) => (x, lo, lit, 1L)
+    }
+    (for {
+      (x1, lo1) <- lowers.iterator
+      (x2, lo2, lit, slack) <- uppers.iterator
+      if x1.semanticEquals(x2) && lo1.semanticEquals(lo2)
+      if isIntegral(x1) && isIntegral(lo1)
+      c <- litLong(lit)
+      width = c + slack
+      if width > 0
+      xSide <- sideOf(x1, l, r)
+      loSide <- sideOf(lo1, l, r)
+      if xSide != loSide
+    } yield (x1, lo1, width, xSide)).nextOption()
+  }
+
+  private def bandOf(e: Expression, width: Long): Expression =
+    Cast(IntegralDivide(Cast(e, LongType), Literal(width)), LongType)
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      val cs = splitConj(cond)
+      if (hasEquiBetween(cs, left, right)) j
+      else findRange(cs, left, right) match {
+        case None => j
+        case Some((x, lo, width, xOnLeft)) =>
+          val (probe, build) = if (xOnLeft) (left, right) else (right, left)
+          // probe side: one extra projected column, its band id
+          val pAlias = Alias(bandOf(x, width), "_graft_pband")()
+          val probe2 = Project(probe.output :+ pAlias, probe)
+          // build side: Expand replicates each row into band and band+1
+          val bAttr = AttributeReference("_graft_bband", LongType, nullable = true)()
+          val bandBase = bandOf(lo, width)
+          val build2 = Expand(
+            Seq(build.output :+ bandBase,
+              build.output :+ Add(bandBase, Literal(1L))),
+            build.output :+ bAttr,
+            build)
+          val newCond = And(cond, EqualTo(pAlias.toAttribute, bAttr))
+          val (nl, nr) = if (xOnLeft) (probe2, build2) else (build2, probe2)
+          Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+      }
+  }
+}

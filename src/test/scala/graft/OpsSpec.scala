@@ -12,6 +12,7 @@ import graft.session.{Sessionize, StateOps}
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

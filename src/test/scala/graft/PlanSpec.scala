@@ -46,6 +46,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LessThanOrEqual(l_shipdate,"))
   }
 
+  test("BandedRangeJoinRule: naive non-equi range join becomes a hash join, result exact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val xs = (1L to 500L).map(i => (i, i * 3 % 101))
+    val los = (1L to 300L).map(i => (i, i * 7 % 97))
+    val joined = xs.toDF("a_id", "x").join(los.toDF("b_id", "lo"),
+      col("x") >= col("lo") && col("x") < col("lo") + lit(5L))
+    val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("NestedLoop"), s"rule did not fire:\n$p")
+    assert(p.contains("Expand")) // build side replicated into band, band+1
+    val got = joined.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (ai, x) <- xs; (bi, lo) <- los
+      if x >= lo && x < lo + 5
+    } yield (ai, bi)).toSet
+    assert(got === expected)
+  }
+
+  test("BandedRangeJoinRule leaves joins WITH an equi term alone") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val a = (1L to 50L).map(i => (i, i % 7)).toDF("a_id", "k")
+    val b = (1L to 50L).map(i => (i, i % 7)).toDF("b_id", "k2")
+    val joined = a.join(b,
+      col("k") === col("k2") && col("a_id") >= col("b_id") && col("a_id") < col("b_id") + lit(10L))
+    val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("_graft_pband")) // equi term exists -> no rewrite
+  }
+
   test("date-partitioned layout: a date filter prunes partitions at plan time") {
     import org.apache.spark.sql.functions.{col, to_date}
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
