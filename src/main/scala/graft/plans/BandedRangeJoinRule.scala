@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DayTimeIntervalType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: rewrite a purely non-equi range join into a banded
   * HASH join.
@@ -23,10 +23,12 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * Scope (soundness before generality):
   *  - inner joins whose condition has NO equi conjunct between the sides
   *    (if one exists, Catalyst already hash-joins on it);
-  *  - band key and bound of integral type (exact arithmetic — a double
-  *    band computed with rounded division could misplace boundary rows);
-  *  - `x >= lo AND x < lo + C` / `x <= lo + C` with positive literal C.
-  *    Timestamps band through `unix_micros` at the query layer.
+  *  - band key and bound of integral or timestamp type (exact arithmetic
+  *    — a double band computed with rounded division could misplace
+  *    boundary rows). Timestamps band on their epoch micros; NTZ values
+  *    go through a UTC cast, a linear (DST-free) exact mapping;
+  *  - `x >= lo AND x < lo + C` / `x <= lo + C` with positive literal C —
+  *    integral C for numeric keys, a day-time INTERVAL for timestamps.
   *
   * Integer truncating division is monotone and advances at most 1 per +C
   * shift (for C > 0), so offsets {0, 1} cover every match for either
@@ -38,16 +40,18 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   */
 object BandedRangeJoinRule extends Rule[LogicalPlan] {
 
-  private def isIntegral(e: Expression): Boolean = e.dataType match {
+  private def isBandable(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType | ShortType | ByteType => true
+    case TimestampType | TimestampNTZType => true
     case _ => false
   }
 
-  private def litLong(l: Literal): Option[Long] = l.value match {
-    case i: java.lang.Integer => Some(i.longValue)
-    case i: java.lang.Long => Some(i)
-    case i: java.lang.Short => Some(i.longValue)
-    case i: java.lang.Byte => Some(i.longValue)
+  private def litLong(l: Literal): Option[Long] = (l.dataType, l.value) match {
+    case (_: DayTimeIntervalType, i: java.lang.Long) => Some(i) // micros
+    case (_, i: java.lang.Integer) => Some(i.longValue)
+    case (_, i: java.lang.Long) => Some(i)
+    case (_, i: java.lang.Short) => Some(i.longValue)
+    case (_, i: java.lang.Byte) => Some(i.longValue)
     case _ => None
   }
 
@@ -84,13 +88,17 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
       case LessThanOrEqual(x, Add(lo, lit: Literal, _)) => (x, lo, lit, 1L)
       case GreaterThan(Add(lo, lit: Literal, _), x) => (x, lo, lit, 0L)
       case GreaterThanOrEqual(Add(lo, lit: Literal, _), x) => (x, lo, lit, 1L)
+      case LessThan(x, TimestampAddInterval(lo, lit: Literal, _)) => (x, lo, lit, 0L)
+      case LessThanOrEqual(x, TimestampAddInterval(lo, lit: Literal, _)) => (x, lo, lit, 1L)
+      case GreaterThan(TimestampAddInterval(lo, lit: Literal, _), x) => (x, lo, lit, 0L)
+      case GreaterThanOrEqual(TimestampAddInterval(lo, lit: Literal, _), x) => (x, lo, lit, 1L)
     }
     (for {
       (x1, lo1) <- lowers.iterator
       (x2, lo2, lit, slack) <- uppers.iterator
       if x1.semanticEquals(x2) && lo1.semanticEquals(lo2)
-      if isIntegral(x1) && isIntegral(lo1)
-      c <- litLong(lit)
+      if isBandable(x1) && isBandable(lo1)
+      c <- litLong(lit) // for DayTimeIntervalType the literal value IS micros
       width = c + slack
       if width > 0
       xSide <- sideOf(x1, l, r)
@@ -99,8 +107,14 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
     } yield (x1, lo1, width, xSide)).nextOption()
   }
 
-  private def bandOf(e: Expression, width: Long): Expression =
-    Cast(IntegralDivide(Cast(e, LongType), Literal(width)), LongType)
+  private def bandOf(e: Expression, width: Long): Expression = {
+    val asLong = e.dataType match {
+      case TimestampType => UnixMicros(e)
+      case TimestampNTZType => UnixMicros(Cast(e, TimestampType, Some("UTC")))
+      case _ => Cast(e, LongType)
+    }
+    Cast(IntegralDivide(asLong, Literal(width)), LongType)
+  }
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>

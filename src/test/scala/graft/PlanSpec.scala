@@ -64,6 +64,25 @@ class PlanSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("BandedRangeJoinRule bands timestamp keys via epoch micros") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, sf).select(col("l_shipdate"))
+    val j = l.join(o, col("l_shipdate") >= col("o_orderdate") &&
+      col("l_shipdate") < col("o_orderdate") + expr("interval 7 days"))
+    val p = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("NestedLoop"), s"timestamp range join not rewritten:\n$p")
+    assert(p.contains("Expand"))
+    // exact equality against the manual banded composition (RangeJoin)
+    val viaRule = j.groupBy(col("o_orderkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val manual = graft.ops.RangeJoin.countWithinDays(
+        Tables.orders(spark, sf), col("o_orderkey"), col("o_orderdate"),
+        Tables.lineitem(spark, sf), col("l_shipdate"), 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaRule === manual.filter(_._2 > 0)) // inner join drops zero-match orders
+  }
+
   test("BandedRangeJoinRule leaves joins WITH an equi term alone") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
