@@ -104,6 +104,7 @@ object SparkEntry {
     "array_ops" -> (Functions.arrayOps _),
     "price_percentiles" -> (Functions.pricePercentiles _),
     "approx_distinct" -> (Functions.approxDistinct _), // no oracle: HLL sketch differs per engine
+    "hll_sketches" -> (Functions.hllSketches _), // no oracle: DataSketches binary is engine-specific
     "sql_interface" -> ((s, d) => {
       // the SQL front door: same engine, same tables, ANSI SQL in
       Tables.names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))

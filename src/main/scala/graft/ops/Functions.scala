@@ -287,6 +287,25 @@ object Functions {
       "try_divide(o_totalprice, cast(o_custkey % 3 as double)) as per_bucket",
       "try_add(9223372036854775807L, o_orderkey) as overflow_add")
 
+  /** MERGEABLE cardinality sketches (Apache DataSketches HLL): build one
+    * sketch per group, then union the binary sketches into a global
+    * estimate WITHOUT rescanning rows. This is the 100 TB architecture
+    * for distinct counts over arbitrary roll-ups — per-partition/per-day
+    * sketches persist once and merge into any coarser grain later.
+    * Engine-specific binary → rows-only driver check; accuracy vs the
+    * exact count is unit-tested.
+    */
+  def hllSketches(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    per.select(col("o_orderstatus"),
+        expr("hll_sketch_estimate(sk)").as("approx_customers"))
+      .unionAll(per.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_customers"))
+        .select(lit("ALL").as("o_orderstatus"), col("approx_customers")))
+  }
+
   /** HLL++ approximate distinct — the sketch the exact `countDistinct`
     * path can't afford at 100 TB. No DuckDB oracle (different sketch);
     * accuracy is asserted against the exact count in unit tests.

@@ -96,6 +96,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(p4 >= p1) // wider probe can only improve the k-th neighbor
   }
 
+  test("HLL sketch union estimates global distinct within 5% of exact") {
+    val d = "/root/testdata/sf0.001"
+    val out = Functions.hllSketches(spark, d)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.orders(spark, d)
+      .select("o_custkey").distinct().count()
+    val est = out("ALL")
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"merged estimate $est vs exact $exact")
+    // merging per-group sketches must cover every group's keys
+    assert(out.filterKeys(_ != "ALL").values.max <= est * 1.05)
+  }
+
   test("histogram buckets cover 0..9 and sum to row count") {
     val out = Functions.histogramPrices(spark, "/root/testdata/sf0.001")
       .as[(Long, Long)].collect().toMap
