@@ -105,6 +105,10 @@ object SparkEntry {
     "price_percentiles" -> (Functions.pricePercentiles _),
     "approx_distinct" -> (Functions.approxDistinct _), // no oracle: HLL sketch differs per engine
     "hll_sketches" -> (Functions.hllSketches _), // no oracle: DataSketches binary is engine-specific
+    "approx_quantiles" -> (Functions.approxQuantiles _), // no oracle: sketch-specific values
+    "resample_fill" -> (Functions.resampleFill _),
+    "explode_outer" -> (Functions.explodeOuter _),
+    "q8_market_share" -> (Relational.marketShare _),
     "sql_interface" -> ((s, d) => {
       // the SQL front door: same engine, same tables, ANSI SQL in
       Tables.names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
@@ -758,6 +762,53 @@ object SparkEntry {
          |  FROM documents
          |)
          |SELECT doc_id, lang, source FROM r WHERE rk <= 20""".stripMargin,
+    "resample_fill" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS b, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT event_type AS et, min(b) AS lo, max(b) AS hi FROM h GROUP BY 1
+        |), axis AS (
+        |  SELECT et, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM bounds
+        |)
+        |SELECT axis.et AS event_type, axis.bucket,
+        |       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
+        |FROM axis LEFT JOIN h ON h.event_type = axis.et AND h.b = axis.bucket""".stripMargin,
+    "explode_outer" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |         list_filter([1, 2, 3], x -> x <= o_orderkey % 3) AS arr
+        |  FROM orders
+        |)
+        |SELECT o_orderkey,
+        |       CAST(CASE WHEN len(arr) = 0 THEN NULL ELSE u.i - 1 END AS INTEGER) AS pos,
+        |       CAST(CASE WHEN len(arr) = 0 THEN NULL
+        |                 ELSE arr[CAST(u.i AS INTEGER)] END AS BIGINT) AS elem
+        |FROM t, UNNEST(generate_series(1, greatest(len(arr), 1))) AS u(i)""".stripMargin,
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |         CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS vol,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |), a AS (
+        |  SELECT o_year,
+        |         CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol END) AS DOUBLE) AS nation_volume,
+        |         CAST(SUM(vol) AS DOUBLE) AS total_volume
+        |  FROM v GROUP BY 1
+        |)
+        |SELECT o_year, COALESCE(nation_volume, 0.0) AS nation_volume, total_volume,
+        |       COALESCE(nation_volume, 0.0) / total_volume AS mkt_share
+        |FROM a""".stripMargin,
     "q13_custdist" ->
       """WITH c AS (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

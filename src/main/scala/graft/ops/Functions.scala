@@ -287,6 +287,51 @@ object Functions {
       "try_divide(o_totalprice, cast(o_custkey % 3 as double)) as per_bucket",
       "try_add(9223372036854775807L, o_orderkey) as overflow_add")
 
+  /** Time-series resample with gap fill: dense hourly buckets per event
+    * type (each type's own min..max span), missing hours as 0. The axis
+    * is generated from the AGGREGATED bounds (O(types) rows exploded to
+    * O(hours)) — never from the raw events — then left-joined to the
+    * hourly counts. The standard "no silent gaps in the chart" op.
+    */
+  def resampleFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("b"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val axis = hourly
+      .groupBy(col("event_type").as("et"))
+      .agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+      .select(col("et"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bucket"))
+    axis.join(hourly,
+        axis("et") === hourly("event_type") && axis("bucket") === hourly("b"), "left")
+      .select(col("et").as("event_type"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  /** Outer generator: `posexplode_outer` keeps rows whose array is empty
+    * (null pos/element) — the explode form that doesn't silently drop
+    * parents. The array here is data-driven-empty for every third key.
+    */
+  def explodeOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("arr", expr("filter(sequence(1, 3), x -> x <= o_orderkey % 3)"))
+      .select(col("o_orderkey"), posexplode_outer(col("arr")))
+      .select(col("o_orderkey"), col("pos"),
+        col("col").cast("long").as("elem"))
+
+  /** Approximate quantile sketch (`percentile_approx`) — the streaming/
+    * distributed quantile path when exact `percentile`'s full sort-merge
+    * is too expensive. Sketch-specific values → rows-only driver check;
+    * accuracy vs exact asserted in tests.
+    */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile_approx(o_totalprice, array(0.5D, 0.9D), 1000)").as("q"))
+      .select(col("o_orderstatus"),
+        element_at(col("q"), 1).as("approx_median"),
+        element_at(col("q"), 2).as("approx_p90"))
+
   /** MERGEABLE cardinality sketches (Apache DataSketches HLL): build one
     * sketch per group, then union the binary sketches into a global
     * estimate WITHOUT rescanning rows. This is the 100 TB architecture

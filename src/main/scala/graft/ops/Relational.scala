@@ -386,6 +386,35 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q8-style market share: the share of one supplier nation in a
+    * customer region's revenue, by year. Share = ratio of two exact
+    * decimal sums, divided once as doubles. Nation/region pinned
+    * broadcast; the scaling sides AQE-sized.
+    */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val natC = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val natS = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val vol = when(col("supp_nation") === "NATION_1", discPrice)
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(reg), col("cn_region") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(vol).cast("double").as("nation_volume"),
+        sum(discPrice).cast("double").as("total_volume"))
+      .select(col("o_year"),
+        coalesce(col("nation_volume"), lit(0.0)).as("nation_volume"),
+        col("total_volume"),
+        (coalesce(col("nation_volume"), lit(0.0)) / col("total_volume")).as("mkt_share"))
+  }
+
   /** TPC-H Q13-style order-count distribution: left join keeps
     * zero-order customers, two cascaded aggregations (per-customer count,
     * then histogram of counts). The second groupBy shuffles one row per

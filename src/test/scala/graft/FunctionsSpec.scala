@@ -109,6 +109,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.filterKeys(_ != "ALL").values.max <= est * 1.05)
   }
 
+  test("approx quantiles land within 2% of exact percentiles") {
+    val d = "/root/testdata/sf0.001"
+    val approx = Functions.approxQuantiles(spark, d)
+      .as[(String, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val exact = Tables.orders(spark, d)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("m"),
+        expr("percentile(o_totalprice, 0.9)").as("p"))
+      .as[(String, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    exact.foreach { case (k, (m, p)) =>
+      assert(math.abs(approx(k)._1 - m) / m < 0.02)
+      assert(math.abs(approx(k)._2 - p) / p < 0.02)
+    }
+  }
+
   test("histogram buckets cover 0..9 and sum to row count") {
     val out = Functions.histogramPrices(spark, "/root/testdata/sf0.001")
       .as[(Long, Long)].collect().toMap
