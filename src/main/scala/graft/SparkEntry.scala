@@ -841,22 +841,22 @@ object SparkEntry {
       """WITH a AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
         |         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
-        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+        |         SUM(CAST(l_discount AS DECIMAL(12,2))) AS sd,
         |         SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sqq,
-        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS spp,
-        |         SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp
+        |         SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS sdd,
+        |         SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS sqd
         |  FROM lineitem GROUP BY 1
         |), b AS (
         |  SELECT l_returnflag, n,
         |         CAST(sq AS DOUBLE) / n AS mean_qty,
         |         (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1) AS var_qty,
-        |         (n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |         (n * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
         |           / (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-        |              * sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qty_price
+        |              * sqrt(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) AS corr_qty_discount
         |  FROM a
         |)
         |SELECT l_returnflag, n, mean_qty, var_qty,
-        |       sqrt(var_qty) AS stddev_qty, corr_qty_price
+        |       sqrt(var_qty) AS stddev_qty, corr_qty_discount
         |FROM b""".stripMargin,
     "bool_aggs" ->
       """SELECT o_orderstatus,

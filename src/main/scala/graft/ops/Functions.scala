@@ -198,30 +198,35 @@ object Functions {
     * single-shuffle shape as any groupBy.
     */
   def statsMoments(s: SparkSession, dir: String): DataFrame = {
+    // quantity and discount, NOT price: every decimal sum here keeps its
+    // unscaled value below 2^53, so decimal→double conversion is exact in
+    // both engines. (Σprice² overflows that bound and DuckDB's int128→
+    // double→÷10⁴ then double-rounds while Java single-rounds — a 1-ulp
+    // cross-engine trap measured at sf0.001.)
     val q = col("l_quantity").cast("decimal(12,2)")
-    val p = col("l_extendedprice").cast("decimal(12,2)")
+    val d = col("l_discount").cast("decimal(12,2)")
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(q).as("sq"), sum(p).as("sp"),
-        sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+        sum(q).as("sq"), sum(d).as("sd"),
+        sum(q * q).as("sqq"), sum(d * d).as("sdd"), sum(q * d).as("sqd"))
       .select(
         col("l_returnflag"), col("n"),
         (col("sq").cast("double") / col("n")).as("mean_qty"),
         ((col("sqq").cast("double")
           - col("sq").cast("double") * col("sq").cast("double") / col("n"))
           / (col("n") - 1)).as("var_qty"),
-        ((col("n") * col("sqp").cast("double")
-          - col("sq").cast("double") * col("sp").cast("double"))
+        ((col("n") * col("sqd").cast("double")
+          - col("sq").cast("double") * col("sd").cast("double"))
           / (sqrt(col("n") * col("sqq").cast("double")
               - col("sq").cast("double") * col("sq").cast("double"))
-            * sqrt(col("n") * col("spp").cast("double")
-              - col("sp").cast("double") * col("sp").cast("double"))))
-          .as("corr_qty_price"))
+            * sqrt(col("n") * col("sdd").cast("double")
+              - col("sd").cast("double") * col("sd").cast("double"))))
+          .as("corr_qty_discount"))
       .select(
         col("l_returnflag"), col("n"), col("mean_qty"), col("var_qty"),
-        sqrt(col("var_qty")).as("stddev_qty"), col("corr_qty_price"))
+        sqrt(col("var_qty")).as("stddev_qty"), col("corr_qty_discount"))
   }
 
   /** Boolean aggregates: bool_or / bool_and / count_if per group. */
