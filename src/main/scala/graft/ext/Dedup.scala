@@ -52,27 +52,37 @@ object Dedup {
   def minhashA(i: Int): Long = 75437L + 2L * i // odd, < 2^17
   def minhashB(i: Int): Long = 13007L * (i + 1)
 
-  /** MinHash signatures (k hash functions over the distinct 3-gram
-    * shingle set) plus LSH band hashes — two bands of k/2 rows each.
-    * Docs sharing a band hash are near-dup candidates.
+  /** Append MinHash components and LSH band hashes to `df` (which must
+    * have a `text` column), KEEPING every original column — the streaming-
+    * friendly form (watermark columns survive). Works on batch and
+    * streaming DataFrames alike: pure per-row projection.
     */
-  def minhashSignatures(documents: DataFrame, k: Int = 8): DataFrame = {
+  def withMinhashBands(df: DataFrame, k: Int = 8): DataFrame = {
     val mhCols = (0 until k).map { i =>
-      s"array_min(transform(hs, x -> (${minhashA(i)}L * (x % 1073741824L) + ${minhashB(i)}L) % ${MinhashP}L)) as mh$i"
+      s"array_min(transform(_hs, x -> (${minhashA(i)}L * (x % 1073741824L) + ${minhashB(i)}L) % ${MinhashP}L)) as mh$i"
     }
     val half = k / 2
     val band0 = (0 until half).map(i => s"mh$i").mkString("concat_ws(',', ", ", ", ")")
     val band1 = (half until k).map(i => s"mh$i").mkString("concat_ws(',', ", ", ", ")")
-    documents
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(shingleExpr("toks")))
-      .withColumn("hs", expr(s"transform(sh, s -> ${md5Long64("s")})"))
-      .selectExpr("doc_id" +: mhCols: _*)
-      .selectExpr(
-        (Seq("doc_id") ++ (0 until k).map(i => s"mh$i") ++ Seq(
-          s"${md5Long64(band0)} as band0",
-          s"${md5Long64(band1)} as band1")): _*)
+    df
+      .withColumn("_toks", split(col("text"), " "))
+      .withColumn("_sh", expr(shingleExpr("_toks")))
+      .withColumn("_hs", expr(s"transform(_sh, s -> ${md5Long64("s")})"))
+      .selectExpr("*" +: mhCols: _*)
+      .selectExpr("*",
+        s"${md5Long64(band0)} as band0",
+        s"${md5Long64(band1)} as band1")
+      .drop("_toks", "_sh", "_hs")
   }
+
+  /** MinHash signatures (k hash functions over the distinct 3-gram
+    * shingle set) plus LSH band hashes — two bands of k/2 rows each.
+    * Docs sharing a band hash are near-dup candidates.
+    */
+  def minhashSignatures(documents: DataFrame, k: Int = 8): DataFrame =
+    withMinhashBands(documents, k)
+      .selectExpr(
+        (Seq("doc_id") ++ (0 until k).map(i => s"mh$i") ++ Seq("band0", "band1")): _*)
 
   /** LSH candidate pairs: documents sharing either band hash, with their
     * estimated Jaccard (fraction of matching MinHash components).

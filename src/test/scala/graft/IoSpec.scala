@@ -26,6 +26,18 @@ class IoSpec extends AnyFunSuite {
   test("json round-trips with explicit schema")(roundTrip("json"))
   test("orc round-trips with explicit schema")(roundTrip("orc"))
 
+  test("compaction: 32 small files collapse to 1, rows and values intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val src = Tables.events(spark, "/root/testdata/sf0.001")
+    src.repartition(32).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before > 16) // genuinely fragmented
+    val (rows, files) = graft.io.Maintenance.compactParquet(spark, dir, 1000000L)
+    assert(rows === src.count())
+    assert(files === 1)
+    assert(spark.read.parquet(dir).count() === rows)
+  }
+
   test("parquet schema evolution: mergeSchema unions columns across batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString

@@ -226,6 +226,29 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup dedup: LSH band key within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val deduped = graft.ext.Dedup.withMinhashBands(ms.toDS().toDF("doc_id", "ts", "text"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("band0")
+      .select("doc_id")
+    val q = deduped.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      ms.addData(Seq((1L, ts("2024-01-01 00:00:00"), base)))
+      q.processAllAvailable()
+      // same shingle set arriving in a LATER batch -> same band -> dropped
+      ms.addData(Seq(
+        (2L, ts("2024-01-01 00:01:00"), base),
+        (3L, ts("2024-01-01 00:02:00"), "completely different words entirely distinct tokens here now")))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_stream").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("decode drops corrupt Kafka payloads instead of failing the stream") {
     val good = """{"event_id":7,"ts":"2024-01-01 00:00:00","user_id":3,"event_type":"view","value":1.5,"props":"{}"}"""
     val kafkaShaped = Seq(good, "{not json", "", """{"event_id":null}""")
