@@ -74,46 +74,63 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** (x, lo, bandWidth, xOnLeft) for the first usable range pattern. */
+  /** (x, lo, bandWidth, startShift, xOnLeft) for the first usable range
+    * pattern. The window is `x ∈ [lo + s1, lo + s2 (+slack))`; bandWidth
+    * is its span, startShift = s1 (0 for the plain one-sided form,
+    * negative for symmetric ±C proximity windows).
+    */
   private def findRange(
       cs: Seq[Expression],
       l: LogicalPlan,
-      r: LogicalPlan): Option[(Expression, Expression, Long, Boolean)] = {
-    val lowers = cs.collect {
-      case GreaterThanOrEqual(x, lo) => (x, lo)
-      case LessThanOrEqual(lo, x) => (x, lo)
+      r: LogicalPlan): Option[(Expression, Expression, Long, Long, Boolean)] = {
+    // lower bound: x >= lo + s1  (s1 = 0 | +c | -c)
+    val lowers: Seq[(Expression, Expression, Option[Long])] = cs.collect {
+      case GreaterThanOrEqual(x, Add(lo, lit: Literal, _)) => (x, lo, litLong(lit))
+      case GreaterThanOrEqual(x, Subtract(lo, lit: Literal, _)) => (x, lo, litLong(lit).map(-_))
+      case GreaterThanOrEqual(x, TimestampAddInterval(lo, lit: Literal, _)) => (x, lo, litLong(lit))
+      case LessThanOrEqual(Add(lo, lit: Literal, _), x) => (x, lo, litLong(lit))
+      case LessThanOrEqual(Subtract(lo, lit: Literal, _), x) => (x, lo, litLong(lit).map(-_))
+      case LessThanOrEqual(TimestampAddInterval(lo, lit: Literal, _), x) => (x, lo, litLong(lit))
+      case GreaterThanOrEqual(x, lo) => (x, lo, Some(0L))
+      case LessThanOrEqual(lo, x) => (x, lo, Some(0L))
     }
-    val uppers = cs.collect {
-      case LessThan(x, Add(lo, lit: Literal, _)) => (x, lo, lit, 0L)
-      case LessThanOrEqual(x, Add(lo, lit: Literal, _)) => (x, lo, lit, 1L)
-      case GreaterThan(Add(lo, lit: Literal, _), x) => (x, lo, lit, 0L)
-      case GreaterThanOrEqual(Add(lo, lit: Literal, _), x) => (x, lo, lit, 1L)
-      case LessThan(x, TimestampAddInterval(lo, lit: Literal, _)) => (x, lo, lit, 0L)
-      case LessThanOrEqual(x, TimestampAddInterval(lo, lit: Literal, _)) => (x, lo, lit, 1L)
-      case GreaterThan(TimestampAddInterval(lo, lit: Literal, _), x) => (x, lo, lit, 0L)
-      case GreaterThanOrEqual(TimestampAddInterval(lo, lit: Literal, _), x) => (x, lo, lit, 1L)
+    // upper bound: x < lo + s2 (+slack for <=)
+    val uppers: Seq[(Expression, Expression, Option[Long], Long)] = cs.collect {
+      case LessThan(x, Add(lo, lit: Literal, _)) => (x, lo, litLong(lit), 0L)
+      case LessThanOrEqual(x, Add(lo, lit: Literal, _)) => (x, lo, litLong(lit), 1L)
+      case GreaterThan(Add(lo, lit: Literal, _), x) => (x, lo, litLong(lit), 0L)
+      case GreaterThanOrEqual(Add(lo, lit: Literal, _), x) => (x, lo, litLong(lit), 1L)
+      case LessThan(x, TimestampAddInterval(lo, lit: Literal, _)) => (x, lo, litLong(lit), 0L)
+      case LessThanOrEqual(x, TimestampAddInterval(lo, lit: Literal, _)) => (x, lo, litLong(lit), 1L)
+      case GreaterThan(TimestampAddInterval(lo, lit: Literal, _), x) => (x, lo, litLong(lit), 0L)
+      case GreaterThanOrEqual(TimestampAddInterval(lo, lit: Literal, _), x) => (x, lo, litLong(lit), 1L)
     }
     (for {
-      (x1, lo1) <- lowers.iterator
-      (x2, lo2, lit, slack) <- uppers.iterator
+      (x1, lo1, s1Opt) <- lowers.iterator
+      (x2, lo2, s2Opt, slack) <- uppers.iterator
       if x1.semanticEquals(x2) && lo1.semanticEquals(lo2)
       if isBandable(x1) && isBandable(lo1)
-      c <- litLong(lit) // for DayTimeIntervalType the literal value IS micros
-      width = c + slack
+      s1 <- s1Opt
+      s2 <- s2Opt // for DayTimeIntervalType the literal value IS micros
+      width = s2 + slack - s1
       if width > 0
       xSide <- sideOf(x1, l, r)
       loSide <- sideOf(lo1, l, r)
       if xSide != loSide
-    } yield (x1, lo1, width, xSide)).nextOption()
+    } yield (x1, lo1, width, s1, xSide)).nextOption()
   }
 
-  private def bandOf(e: Expression, width: Long): Expression = {
+  /** band(e + shift) = (long(e) + shift) div width — pure long arithmetic
+    * even for timestamps (epoch micros), so the band is exact.
+    */
+  private def bandOf(e: Expression, width: Long, shift: Long): Expression = {
     val asLong = e.dataType match {
       case TimestampType => UnixMicros(e)
       case TimestampNTZType => UnixMicros(Cast(e, TimestampType, Some("UTC")))
       case _ => Cast(e, LongType)
     }
-    Cast(IntegralDivide(asLong, Literal(width)), LongType)
+    val shifted = if (shift == 0L) asLong else Add(asLong, Literal(shift))
+    Cast(IntegralDivide(shifted, Literal(width)), LongType)
   }
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -122,14 +139,15 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
       if (hasEquiBetween(cs, left, right)) j
       else findRange(cs, left, right) match {
         case None => j
-        case Some((x, lo, width, xOnLeft)) =>
+        case Some((x, lo, width, startShift, xOnLeft)) =>
           val (probe, build) = if (xOnLeft) (left, right) else (right, left)
           // probe side: one extra projected column, its band id
-          val pAlias = Alias(bandOf(x, width), "_graft_pband")()
+          val pAlias = Alias(bandOf(x, width, 0L), "_graft_pband")()
           val probe2 = Project(probe.output :+ pAlias, probe)
-          // build side: Expand replicates each row into band and band+1
+          // build side: Expand replicates each row into band and band+1,
+          // banding from the window START (lo + startShift)
           val bAttr = AttributeReference("_graft_bband", LongType, nullable = true)()
-          val bandBase = bandOf(lo, width)
+          val bandBase = bandOf(lo, width, startShift)
           val build2 = Expand(
             Seq(build.output :+ bandBase,
               build.output :+ Add(bandBase, Literal(1L))),

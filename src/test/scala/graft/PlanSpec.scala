@@ -83,6 +83,23 @@ class PlanSpec extends AnyFunSuite {
     assert(viaRule === manual.filter(_._2 > 0)) // inner join drops zero-match orders
   }
 
+  test("BandedRangeJoinRule handles symmetric proximity windows (x in lo±C)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val xs = (1L to 400L).map(i => (i, i * 5 % 211))
+    val los = (1L to 250L).map(i => (i, i * 11 % 199))
+    val joined = xs.toDF("a_id", "x").join(los.toDF("b_id", "lo"),
+      col("x") >= col("lo") - lit(4L) && col("x") <= col("lo") + lit(4L))
+    val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("NestedLoop"), s"symmetric window not rewritten:\n$p")
+    val got = joined.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (ai, x) <- xs; (bi, lo) <- los
+      if x >= lo - 4 && x <= lo + 4
+    } yield (ai, bi)).toSet
+    assert(got === expected)
+  }
+
   test("BandedRangeJoinRule leaves joins WITH an equi term alone") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
