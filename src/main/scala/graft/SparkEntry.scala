@@ -109,6 +109,17 @@ object SparkEntry {
     "resample_fill" -> (Functions.resampleFill _),
     "explode_outer" -> (Functions.explodeOuter _),
     "q8_market_share" -> (Relational.marketShare _),
+    "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
+    "pipeline_curate" -> ((s, d) => {
+      // the end-to-end corpus curation pipeline: quality filter -> exact
+      // dedup (deterministic keeper) -> stratified sample per language
+      val docs = Tables.documents(s, d)
+      val scored = TextOps.textStats(docs).select("doc_id", "quality_score")
+      val good = docs.join(scored.filter(col("quality_score") >= 0.5), "doc_id")
+      graft.ext.Sampling
+        .stratifiedSample(Dedup.keepFirstByText(good), "lang", "doc_id", 10)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     "sql_interface" -> ((s, d) => {
       // the SQL front door: same engine, same tables, ANSI SQL in
       Tables.names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
@@ -809,6 +820,38 @@ object SparkEntry {
         |SELECT o_year, COALESCE(nation_volume, 0.0) AS nation_volume, total_volume,
         |       COALESCE(nation_volume, 0.0) / total_volume AS mkt_share
         |FROM a""".stripMargin,
+    "embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, mx AS scale_max,
+        |       array_to_string(list_transform(embedding,
+        |         x -> CAST(CAST(round(CAST(x AS DOUBLE) / mx * 127.0) AS INTEGER) AS VARCHAR)), ',') AS q8_csv,
+        |       CAST(round(CAST(embedding[1] AS DOUBLE) / mx * 127.0) AS INTEGER) AS q8_first
+        |FROM m""".stripMargin,
+    "pipeline_curate" ->
+      s"""$dToksCte, scored AS (
+         |  SELECT doc_id,
+         |         0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |          + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |          + 0.25 * (CAST(len(list_filter(toks, tk -> tk IN ('the', 'a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |          AS q
+         |  FROM t
+         |), good AS (
+         |  SELECT d.* FROM documents d JOIN scored USING (doc_id) WHERE q >= 0.5
+         |), k AS (
+         |  SELECT MIN(doc_id) AS keeper FROM good GROUP BY ${dH("text")}
+         |), uniq AS (
+         |  SELECT * FROM good WHERE doc_id IN (SELECT keeper FROM k)
+         |), r AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY ${dH("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM uniq
+         |)
+         |SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= 10""".stripMargin,
     "q13_custdist" ->
       """WITH c AS (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
