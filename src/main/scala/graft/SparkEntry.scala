@@ -109,6 +109,15 @@ object SparkEntry {
     "resample_fill" -> (Functions.resampleFill _),
     "explode_outer" -> (Functions.explodeOuter _),
     "q8_market_share" -> (Relational.marketShare _),
+    "q17_small_qty" -> (Relational.smallQtyRevenue _),
+    "sliding_window" -> (Relational.slidingAvgPrice _),
+    "nulls_order" -> ((s, d) =>
+      // explicit NULLS FIRST — Spark's asc default, DuckDB's is NULLS LAST,
+      // so portable code always states it
+      Relational.orderRanks(s, d)
+        .orderBy(col("next_higher_price").asc_nulls_first,
+          col("o_custkey"), col("o_orderkey"))
+        .limit(30)),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "pipeline_curate" -> ((s, d) => {
       // the end-to-end corpus curation pipeline: quality filter -> exact
@@ -820,6 +829,35 @@ object SparkEntry {
         |SELECT o_year, COALESCE(nation_volume, 0.0) AS nation_volume, total_volume,
         |       COALESCE(nation_volume, 0.0) / total_volume AS mkt_share
         |FROM a""".stripMargin,
+    "q17_small_qty" ->
+      """WITH t AS (
+        |  SELECT l_partkey AS t_partkey, AVG(l_quantity) * 0.2 AS qty_thresh
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN t ON l_partkey = t_partkey
+        |WHERE p_brand = 'Brand#1' AND l_quantity < qty_thresh""".stripMargin,
+    "sliding_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+        |         / COUNT(*) OVER w AS sliding_avg_price,
+        |       COUNT(*) OVER w AS n_in_frame
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin,
+    "nulls_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(rank() OVER wp AS INTEGER) AS price_rank,
+        |       CAST(dense_rank() OVER wp AS INTEGER) AS price_dense_rank,
+        |       lag(o_totalprice) OVER wp AS next_higher_price,
+        |       lead(o_totalprice) OVER wp AS next_lower_price
+        |FROM orders
+        |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY next_higher_price ASC NULLS FIRST, o_custkey, o_orderkey
+        |LIMIT 30""".stripMargin,
     "embed_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

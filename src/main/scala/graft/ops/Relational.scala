@@ -415,6 +415,40 @@ object Relational {
         (coalesce(col("nation_volume"), lit(0.0)) / col("total_volume")).as("mkt_share"))
   }
 
+  /** TPC-H Q17-style small-quantity revenue: the classic CORRELATED
+    * scalar subquery (`l_quantity < 0.2 * avg per part`), decorrelated the
+    * way Catalyst itself would — one per-part aggregate joined back to the
+    * fact. avg over integer-valued quantities is exact in both engines.
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val thresh = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("t_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#1")),
+        col("l_partkey") === col("p_partkey"))
+      .join(thresh, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg(
+        (sum(money(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Bounded sliding window: centered 5-row average price per customer
+    * (ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) — the moving-average frame
+    * shape, decimal-sum / count so the ratio is deterministic.
+    */
+  def slidingAvgPrice(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, 2)
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      (sum(col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double")
+        / count(lit(1)).over(w)).as("sliding_avg_price"),
+      count(lit(1)).over(w).as("n_in_frame"))
+  }
+
   /** TPC-H Q13-style order-count distribution: left join keeps
     * zero-order customers, two cascaded aggregations (per-customer count,
     * then histogram of counts). The second groupBy shuffles one row per
