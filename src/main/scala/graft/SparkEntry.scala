@@ -484,7 +484,7 @@ object SparkEntry {
     "running_qty" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
         |       SUM(l_quantity) OVER (PARTITION BY l_suppkey
-        |                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |                             ROWS UNBOUNDED PRECEDING) AS running_qty
         |FROM lineitem""".stripMargin,
     "semi_anti" ->

@@ -122,10 +122,16 @@ object Relational {
       lead(col("o_totalprice"), 1).over(w).as("next_lower_price"))
   }
 
-  /** Running per-supplier quantity — frame-bounded window aggregation. */
+  /** Running per-supplier quantity — frame-bounded window aggregation.
+    * (l_orderkey, l_linenumber) is NOT unique in the generated lineitem,
+    * so l_quantity joins the sort: any rows still tied are then identical
+    * in every sum-relevant column and the prefix is deterministic under
+    * every engine's (parallel, tie-arbitrary) window execution.
+    */
   def runningSupplierQty(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir).select(
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
