@@ -259,6 +259,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.event_id).toSeq === Seq(7L))
   }
 
+  test("chained stateful operators: dedup THEN windowed aggregation in one query") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{count => cnt, window}
+    val ms = MemoryStream[Event]
+    // two stateful operators back-to-back (Spark 4 multi-stateful support):
+    // exact dedup within the watermark, then a closed-window count
+    val agg = ms.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(cnt("*").as("n"))
+    val q = agg.writeStream.format("memory").queryName("chain_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        ev(1, "2024-01-01 00:10:00", 1),
+        ev(1, "2024-01-01 00:10:00", 1), // same-batch duplicate
+        ev(2, "2024-01-01 00:20:00", 2)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(1, "2024-01-01 00:10:00", 1))) // cross-batch duplicate
+      q.processAllAvailable()
+      ms.addData(Seq(ev(9, "2024-01-01 03:00:00", 1))) // watermark closes hour 0
+      q.processAllAvailable()
+      val closed = spark.table("chain_out").select("n").as[Long].collect()
+      assert(closed.toSeq === Seq(2L)) // duplicates counted once
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchase attributed to preceding click") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.expr
