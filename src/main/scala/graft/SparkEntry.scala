@@ -225,6 +225,9 @@ object SparkEntry {
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "ngram_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d))),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id"))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
     "embed_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
@@ -1218,6 +1221,34 @@ object SparkEntry {
          |JOIN sizes nb ON nb.doc_id = b_id
          |ORDER BY jaccard DESC, a_id, b_id
          |LIMIT 50""".stripMargin,
+    "dedup_clusters" ->
+      s"""${dToksCte.replace("WITH t AS", "WITH RECURSIVE t AS")}, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), h2 AS (
+         |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS hs FROM s
+         |), m AS (
+         |  SELECT doc_id,
+         |       $dMh
+         |  FROM h2
+         |), sig AS (
+         |  SELECT doc_id,
+         |         ${dH("concat_ws(',', mh0, mh1, mh2, mh3)")} AS band0,
+         |         ${dH("concat_ws(',', mh4, mh5, mh6, mh7)")} AS band1
+         |  FROM m
+         |), pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sig a JOIN sig b
+         |    ON a.doc_id < b.doc_id AND (a.band0 = b.band0 OR a.band1 = b.band1)
+         |), edges AS (
+         |  SELECT a_id AS u, b_id AS v FROM pairs
+         |  UNION
+         |  SELECT b_id, a_id FROM pairs
+         |), reach AS (
+         |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |)
+         |SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1""".stripMargin,
     "ngram_jaccard_capped" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

@@ -184,6 +184,45 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Connected components over near-dup candidate pairs — the dedup
+    * endgame: pairs only say "A≈B"; keeping one doc per TRANSITIVE
+    * cluster needs components. Pregel-style min-label propagation: each
+    * node adopts the smallest label among its neighbors until fixpoint —
+    * O(cluster diameter) iterations, each one equi-join + aggregate (near-
+    * dup clusters are shallow, so the loop is short at any corpus size;
+    * GraphFrames/GraphX run the same algorithm). The per-iteration
+    * convergence count is an aggregate, not a collect of data rows.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.selectExpr("a_id as u", "b_id as v")
+      .unionAll(pairs.selectExpr("b_id as u", "a_id as v"))
+      .distinct().persist()
+    var labels = edges.selectExpr("u as id").distinct()
+      .withColumn("comp", col("id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges
+        .join(labels.selectExpr("id as v2", "comp as ncomp"), col("v") === col("v2"))
+        .groupBy(col("u").as("id2"))
+        .agg(min(col("ncomp")).as("nc"))
+      val next = labels
+        .join(prop, col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+        .persist()
+      changed = next
+        .join(labels.selectExpr("id as id3", "comp as old"), col("id") === col("id3"))
+        .filter(col("comp") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
   /** Frequency-capped n-gram Jaccard — the 100 TB form of
     * [[ngramJaccardPairs]]. A "stop shingle" occurring in f documents
     * contributes f² candidate pairs; at corpus scale one boilerplate

@@ -72,6 +72,13 @@ class ExtSpec extends AnyFunSuite {
     assert(native === hof)
   }
 
+  test("connectedComponents: transitive chains collapse to the min label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simhashPairs: identical docs at hamming 0; banding finds them without n² scan") {
     val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "qq rr ss tt uu vv"))
       .toDF("doc_id", "text")
