@@ -259,6 +259,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.event_id).toSeq === Seq(7L))
   }
 
+  test("observe: per-batch pipeline metrics without a second scan (the Monitors feed)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{count => cnt, lit, sum}
+    val ms = MemoryStream[Event]
+    // the reference's architecture feeds "Monitors" from the pipeline;
+    // observe() attaches metrics to the SAME pass — no extra read
+    val observed = ms.toDS()
+      .observe("pipe", cnt(lit(1)).as("n_events"), sum($"value").as("total_value"))
+    val q = observed.writeStream.format("memory").queryName("obs_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        ev(1, "2024-01-01 00:00:00", 1, "view", 2.5),
+        ev(2, "2024-01-01 00:01:00", 2, "purchase", 7.5)))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("pipe")
+      assert(m.getAs[Long]("n_events") === 2L)
+      assert(m.getAs[Double]("total_value") === 10.0)
+    } finally q.stop()
+  }
+
   test("chained stateful operators: dedup THEN windowed aggregation in one query") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{count => cnt, window}
