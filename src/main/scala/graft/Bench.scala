@@ -38,7 +38,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also drop the line as a file: launcher prefixes (sbt's "[info] ")
+    // can defeat stdout JSON parsing (observed in round 1's bench record)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LATEST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
