@@ -107,6 +107,7 @@ object SparkEntry {
     "hll_sketches" -> (Functions.hllSketches _), // no oracle: DataSketches binary is engine-specific
     "approx_quantiles" -> (Functions.approxQuantiles _), // no oracle: sketch-specific values
     "resample_fill" -> (Functions.resampleFill _),
+    "date_format_ops" -> (Functions.dateFormatOps _),
     "explode_outer" -> (Functions.explodeOuter _),
     "q8_market_share" -> (Relational.marketShare _),
     "q17_small_qty" -> (Relational.smallQtyRevenue _),
@@ -785,6 +786,13 @@ object SparkEntry {
          |  FROM documents
          |)
          |SELECT doc_id, lang, source FROM r WHERE rk <= 20""".stripMargin,
+    "date_format_ops" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m') AS ym,
+        |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS full_ts,
+        |       strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS parsed_day,
+        |       CAST(strftime(o_orderdate, '%j') AS INTEGER) AS day_of_year
+        |FROM orders""".stripMargin,
     "resample_fill" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS b, event_type, COUNT(*) AS n

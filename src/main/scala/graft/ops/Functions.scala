@@ -292,6 +292,18 @@ object Functions {
       "try_divide(o_totalprice, cast(o_custkey % 3 as double)) as per_bucket",
       "try_add(9223372036854775807L, o_orderkey) as overflow_add")
 
+  /** Datetime formatting and parse round-trip (numeric patterns only —
+    * textual month/day names are locale-dependent and not portable).
+    */
+  def dateFormatOps(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("full_ts"),
+      to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
+        .as("parsed_day"),
+      date_format(col("o_orderdate"), "D").cast("int").as("day_of_year"))
+
   /** Time-series resample with gap fill: dense hourly buckets per event
     * type (each type's own min..max span), missing hours as 0. The axis
     * is generated from the AGGREGATED bounds (O(types) rows exploded to
