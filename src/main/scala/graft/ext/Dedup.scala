@@ -109,34 +109,41 @@ object Dedup {
     bandJoin("band0").unionAll(bandJoin("band1")).distinct()
   }
 
-  /** 16-bit SimHash over the token multiset: hash each token once, then
-    * per bit sum +1/-1 weights and keep the sign. Pure per-row projection
-    * — no shuffle, no UDF. The bit-packing runs in the codegen'd
+  /** SimHash over the token multiset: hash each token once, then per bit
+    * sum +1/-1 weights and keep the sign. Pure per-row projection — no
+    * shuffle, no UDF. The bit-packing runs in the codegen'd
     * [[graft.functions.SimHashBits]] expression (one primitive loop
-    * instead of 16 interpreted higher-order `aggregate` passes).
+    * instead of `bits` interpreted higher-order `aggregate` passes).
+    * Max useful width is 60 — the token hashes are 60-bit md5 prefixes,
+    * so signature bits above 59 would be constant.
     */
-  def simhash(documents: DataFrame): DataFrame =
+  def simhash(documents: DataFrame, bits: Int = 16): DataFrame =
     documents
       .withColumn("toks", split(col("text"), " "))
       .withColumn("hs", expr(s"transform(toks, t -> ${md5Long64("t")})"))
       .select(col("doc_id"),
-        graft.functions.SimHashFunctions.simhash_bits(col("hs"), 16).as("simhash"))
+        graft.functions.SimHashFunctions.simhash_bits(col("hs"), bits).as("simhash"))
 
   /** SimHash near-duplicate pairs within a Hamming radius, via the
-    * pigeonhole band trick: a 16-bit signature splits into 4 nibbles; two
-    * signatures within Hamming distance 3 must agree on ≥1 nibble, so the
-    * candidate space is 4 equi-joins on nibble value — never an n² scan.
-    * Exact `bit_count(xor)` re-check filters the candidates. The same
-    * decomposition scales to 64-bit signatures with radius-k bands.
+    * pigeonhole band trick over a 60-bit signature: 4 bands of 15 bits;
+    * two signatures within Hamming distance 3 must agree on ≥1 band, so
+    * the candidate space is 4 equi-joins on band value — 2¹⁵ = 32,768
+    * buckets per band, making each join Σ(bucket²) ≈ n²/32768 under a
+    * uniform signature spread, never an n² scan. (A nibble banding of a
+    * 16-bit signature would give only 16 buckets/band — quadratic with a
+    * constant.) Exact `bit_count(xor)` re-check filters the candidates.
+    * Width is 60, not 64, because the token hashes are 60-bit md5
+    * prefixes; the pigeonhole argument is width-agnostic as long as the
+    * band count exceeds maxHamming.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(documents).persist()
+    val sig = simhash(documents, bits = 60).persist()
     // the hamming filter sits INSIDE each band join (Catalyst pushes it
     // into the join residual), so the cross-band distinct only sees the
     // few surviving near-dups, not every band collision
     (0 until 4).map { i =>
       val band = sig.selectExpr("doc_id", "simhash",
-        s"shiftright(simhash, ${4 * i}) % 16 as band")
+        s"(shiftright(simhash, ${15 * i}) & 32767L) as band")
       val a = band.selectExpr("doc_id as a_id", "simhash as a_sh", "band")
       val b = band.selectExpr("doc_id as b_id", "simhash as b_sh", "band as b_band")
       a.join(b, col("band") === col("b_band") && col("a_id") < col("b_id"))
@@ -149,6 +156,12 @@ object Dedup {
   /** Top-k most similar document pairs by distinct-3-gram Jaccard.
     * Exploded shingle-hash join: pairs only materialize where a shingle
     * is shared. Deterministic order (jaccard desc, ids asc).
+    *
+    * TEST-ONLY baseline: the per-shingle `collect_list` is unbounded — a
+    * boilerplate shingle appearing in f documents materializes an
+    * f-element array on one task and f² pairs. The production form is
+    * [[ngramJaccardCapped]], which bounds every bucket at maxDf²; this
+    * uncapped variant exists to validate it at small scale.
     */
   def ngramJaccardPairs(documents: DataFrame, topK: Int = 50): DataFrame = {
     val sh = documents
@@ -206,11 +219,16 @@ object Dedup {
         .join(labels.selectExpr("id as v2", "comp as ncomp"), col("v") === col("v2"))
         .groupBy(col("u").as("id2"))
         .agg(min(col("ncomp")).as("nc"))
-      val next = labels
+      val step = labels
         .join(prop, col("id") === col("id2"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-        .persist()
+      // truncate the lineage every few iterations: the plan otherwise grows
+      // by two joins per iteration and deep clusters re-analyze an
+      // ever-larger tree (and risk stack overflow at scale)
+      val next =
+        (if ((iter + 1) % 5 == 0) step.localCheckpoint(eager = true) else step)
+          .persist()
       changed = next
         .join(labels.selectExpr("id as id3", "comp as old"), col("id") === col("id3"))
         .filter(col("comp") =!= col("old"))

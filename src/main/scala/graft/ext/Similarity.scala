@@ -56,9 +56,11 @@ object Similarity {
   }
 
   /** All near-duplicate pairs with cosine ≥ threshold (exact, brute
-    * force). Quadratic — the correctness baseline the LSH path is
-    * validated against at small scale. Normalization happens before the
-    * join, so the n² stage does one dot per pair and nothing else.
+    * force). Quadratic row-level join — TEST-ONLY correctness baseline
+    * that [[nearDupPairsBlocked]] and the LSH path are validated against
+    * at small scale; not exposed as a query/bench entry. Normalization
+    * happens before the join, so the n² stage does one dot per pair and
+    * nothing else.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     val n = normalized(embeddings)
@@ -72,6 +74,63 @@ object Similarity {
       // dot only for the few survivors (measured faster than blocking
       // the pushdown, which forces every pair through a materialized
       // projection).
+      .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** Exact near-duplicate pairs in BLOCKED (tiled) form — the shape that
+    * replaces the row-level brute force at scale. Exact all-pairs search
+    * below a low threshold is inherently n² dot products; what kills the
+    * row-level join at 100 TB is not the FLOPs but the SHAPE: a
+    * nested-loop join materializes every candidate row pair through the
+    * operator pipeline. Here vectors are grouped into fixed-size tiles,
+    * the B² tile-pair grid is the (tiny) join, and each task runs a
+    * primitive m×m dot-product loop over two deserialized tiles — the
+    * BLAS-3 decomposition every distributed exact-similarity system uses.
+    * Tiles partition evenly (no skew), each tile moves O(B) times, and
+    * only survivors are materialized: the in-loop pre-filter keeps
+    * `dot ≥ threshold − 1e-6`, and the engine's own `round(_, 6)` +
+    * threshold comparison then reproduces the oracle semantics exactly
+    * (borderline values within 1e-6 flow through to the engine rounding,
+    * so no cross-engine rounding drift is introduced).
+    *
+    * `mapPartitions`-style typed `flatMap` is justified here: a tiled
+    * primitive loop over array pairs has no Catalyst equivalent, and the
+    * dot accumulates left-to-right in double exactly like [[vec_dot]].
+    */
+  def nearDupPairsBlocked(
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      blockSize: Int = 256): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val n = normalized(embeddings).select(col("vec_id"), col("unit"))
+    val tiles = n
+      .groupBy(expr(s"vec_id div $blockSize").as("block"))
+      .agg(collect_list(struct(col("vec_id").as("_1"), col("unit").as("_2"))).as("items"))
+    val grid = tiles.selectExpr("block as ba", "items as ia")
+      .join(tiles.selectExpr("block as bb", "items as ib"), col("ba") <= col("bb"))
+      .select(col("ba"), col("bb"), col("ia"), col("ib"))
+      .as[(Long, Long, Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])])]
+    val cut = threshold - 1e-6
+    grid.flatMap { case (ba, bb, ia, ib) =>
+        val as = ia.iterator.map { case (id, u) => (id, u.toArray) }.toArray
+        val bs =
+          if (ba == bb) as
+          else ib.iterator.map { case (id, u) => (id, u.toArray) }.toArray
+        as.iterator.flatMap { case (aid, au) =>
+          bs.iterator.flatMap { case (bid, bu) =>
+            if (aid >= bid) Iterator.empty
+            else {
+              var s = 0.0
+              var i = 0
+              while (i < au.length) { s += au(i) * bu(i); i += 1 }
+              if (s >= cut) Iterator.single((aid, bid, s)) else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("a_id", "b_id", "dot")
+      .select(col("a_id"), col("b_id"), round(col("dot"), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 

@@ -74,17 +74,31 @@ object Relational {
   }
 
   /** TPC-H Q5-style: revenue by nation for one region/year, customer and
-    * supplier in the same nation. Five joins: nation/region (bounded
-    * tables) pinned broadcast; customer/supplier AQE-sized; one shuffle
-    * for the final groupBy.
+    * supplier in the same nation.
+    *
+    * Join ORDER is the scale lever here: the region restriction ("ASIA")
+    * selects ~1/5 of nations, so it must reach customer and supplier
+    * BEFORE they meet the fact table — without CBO stats Catalyst will
+    * not reorder a join chain on its own. So: derive the ASIA nationkeys
+    * first (nation⋈region, a ≤25-row broadcast), semi-join customer down
+    * to ~1/5 and restrict supplier likewise, and only then run the two
+    * fact joins. The dimension restriction is a broadcast (no shuffle);
+    * the expensive shuffles see pre-filtered inputs.
     */
   def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
     val lo = lit("1996-01-01 00:00:00").cast("timestamp")
     val hi = lit("1997-01-01 00:00:00").cast("timestamp")
-    val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
-    val nat = Tables.nation(s, dir)
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
     val sup = Tables.supplier(s, dir)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
     val cust = Tables.customer(s, dir)
+      .join(broadcast(asiaNations.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"), col("c_nationkey"))
     val ord = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
     Tables.lineitem(s, dir)
@@ -92,8 +106,6 @@ object Relational {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(sup,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(discPrice).cast("double").as("revenue"))
   }

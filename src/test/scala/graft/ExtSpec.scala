@@ -88,6 +88,30 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("simhash at 60 bits populates the high bits and matches the HOF formulation") {
+    import org.apache.spark.sql.functions.{col, expr, split}
+    val docs = Seq((1L, "aa bb cc dd ee"), (2L, "qq rr ss tt uu vv ww"), (3L, "m1 m2 m3 m4"))
+      .toDF("doc_id", "text")
+    val withHashes = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hs", expr(s"transform(toks, t -> ${TextOps.md5Long64("t")})"))
+    val hofBitSums = (0 until 60).map { i =>
+      s"aggregate(hs, 0L, (acc, x) -> acc + case when shiftright(x, $i) % 2 = 1 then 1 else -1 end) as b$i"
+    }
+    val hofPacked = (0 until 60)
+      .map(i => s"case when b$i > 0 then cast(${1L << i} as bigint) else 0L end")
+      .mkString(" + ")
+    val hof = withHashes.selectExpr("doc_id" +: hofBitSums: _*)
+      .selectExpr("doc_id", s"$hofPacked as simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhash(docs, bits = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === hof)
+    // 60-bit signatures actually use the high bits (the old 16-bit form
+    // left everything above bit 15 zero → only 16 buckets per band)
+    assert(native.values.exists(_ >= (1L << 16)))
+  }
+
   test("ngramJaccardPairs ranks the duplicated pair first with jaccard 1.0") {
     val docs = Seq(
       (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c x y z w q")
@@ -95,6 +119,25 @@ class ExtSpec extends AnyFunSuite {
     val top = Dedup.ngramJaccardPairs(docs, topK = 10).head()
     assert((top.getLong(0), top.getLong(1)) === (1L, 2L))
     assert(top.getDouble(3) === 1.0)
+  }
+
+  test("ngramJaccardCapped with a non-binding cap equals the uncapped baseline on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val capped = Dedup.ngramJaccardCapped(docs, maxDf = 1000000, topK = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val uncapped = Dedup.ngramJaccardPairs(docs, topK = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(capped === uncapped)
+  }
+
+  test("nearDupPairsBlocked equals the row-level brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val blocked = Similarity.nearDupPairsBlocked(emb, threshold = 0.4, blockSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.nearDupPairs(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked.nonEmpty)
+    assert(blocked === brute)
   }
 
   test("cosine: identical vectors 1.0, orthogonal 0.0") {

@@ -46,6 +46,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LessThanOrEqual(l_shipdate,"))
   }
 
+  test("q5: customer and supplier are nation-restricted BELOW the fact joins") {
+    val p = formatted("q5_local_supplier")
+    // the ASIA restriction must hit customer via a broadcast semi-join and
+    // supplier via a broadcast join BEFORE either meets lineitem/orders —
+    // the restriction joins are broadcasts (no shuffle), so exactly the
+    // fact-side exchanges remain
+    assert(p.contains("LeftSemi"), s"customer not semi-joined to ASIA nations:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllMatchIn(p).size
+    assert(bhj >= 2, s"expected broadcast nation restrictions on both dims, got $bhj:\n$p")
+    // region/nation never join the fact table directly
+    assert(!p.contains("SortMergeJoin [n_nationkey"))
+  }
+
   test("BandedRangeJoinRule: naive non-equi range join becomes a hash join, result exact") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
