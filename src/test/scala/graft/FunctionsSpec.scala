@@ -124,6 +124,37 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch error bounds hold at sf0.01 too: HLL distinct, merged sketches, KLL quantiles") {
+    val d = "/root/testdata/sf0.01"
+    // approx_count_distinct vs exact, rsd=0.02 -> 3-sigma 6%
+    val ad = graft.ops.Functions.approxDistinct(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val adExact = Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    adExact.foreach { case (flag, n) =>
+      assert(math.abs(ad(flag) - n).toDouble / n < 0.06, s"approx_distinct $flag: ${ad(flag)} vs $n")
+    }
+    // mergeable HLL sketch union vs exact global distinct
+    val hll = Functions.hllSketches(spark, d).as[(String, Long)].collect().toMap
+    val hllExact = Tables.orders(spark, d).select("o_custkey").distinct().count()
+    assert(math.abs(hll("ALL") - hllExact).toDouble / hllExact < 0.05,
+      s"hll union ${hll("ALL")} vs $hllExact")
+    // approx quantiles vs exact percentiles
+    val aq = Functions.approxQuantiles(spark, d)
+      .as[(String, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val aqExact = Tables.orders(spark, d)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("m"),
+        expr("percentile(o_totalprice, 0.9)").as("p"))
+      .as[(String, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    aqExact.foreach { case (k, (m, p)) =>
+      assert(math.abs(aq(k)._1 - m) / m < 0.02, s"median $k: ${aq(k)._1} vs $m")
+      assert(math.abs(aq(k)._2 - p) / p < 0.02, s"p90 $k: ${aq(k)._2} vs $p")
+    }
+  }
+
   test("histogram buckets cover 0..9 and sum to row count") {
     val out = Functions.histogramPrices(spark, "/root/testdata/sf0.001")
       .as[(Long, Long)].collect().toMap

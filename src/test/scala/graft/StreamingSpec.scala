@@ -111,6 +111,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.filter($"user_id" === 1).select("event_id").as[Long].head() === 2L)
   }
 
+  test("checkpoint recovery: restart resumes offsets AND state, no loss, no duplication") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val b1 = Seq(ev(1, "2024-01-01 00:00:00", 5), ev(2, "2024-01-01 00:10:00", 5))
+    val b2 = Seq(ev(3, "2024-01-01 00:20:00", 5))
+    // user 5's >30-min gap must open session 2 — provable only if the
+    // restarted query RESTORED session state from the checkpoint (the
+    // pre-restart events are never re-read)
+    val b3 = Seq(ev(4, "2024-01-01 01:30:00", 5), ev(5, "2024-01-01 01:31:00", 6))
+
+    val ref = run(Seq(b1, b2, b3)) // uninterrupted reference
+
+    val ms = MemoryStream[Event]
+    def start() = StreamingSessionizer.sessionize(ms.toDS())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    ms.addData(b1); q1.processAllAvailable()
+    ms.addData(b2); q1.processAllAvailable()
+    q1.stop()
+    // data arrives while the query is down; the restart must pick it up
+    // from the committed offset without reprocessing batches 1-2
+    ms.addData(b3)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(s"$dir/out").as[SessionizedEvent]
+      .collect().sortBy(_.event_id).toSeq
+    assert(got === ref) // exactly-once: identical to the never-stopped run
+    assert(got.map(_.session_id) === Seq("5-1", "5-1", "5-1", "5-2", "6-1"))
+    assert(got.map(_.is_new_user) === Seq(true, false, false, false, true))
+  }
+
   test("Kafka envelope decode: value bytes -> typed events (batch form of S3 path)") {
     val json = """{"event_id":7,"ts":"2024-01-01 00:00:00","user_id":3,"event_type":"view","value":1.5,"props":"{}"}"""
     val kafkaShaped = Seq(json).toDF("str")
