@@ -111,6 +111,11 @@ object SparkEntry {
     "explode_outer" -> (Functions.explodeOuter _),
     "q8_market_share" -> (Relational.marketShare _),
     "q17_small_qty" -> (Relational.smallQtyRevenue _),
+    "q15_top_supplier" -> (Relational.topSupplier _),
+    "q12_late_lines" -> (Relational.lateLinesByStatus _),
+    "q18_large_orders" -> ((s, d) => Relational.largeOrders(s, d)),
+    "q21_waiting_supplier" -> (Relational.waitingSupplier _),
+    "q22_global_sales" -> (Relational.globalSales _),
     "sliding_window" -> (Relational.slidingAvgPrice _),
     "nulls_order" -> ((s, d) =>
       // explicit NULLS FIRST — Spark's asc default, DuckDB's is NULLS LAST,
@@ -858,6 +863,76 @@ object SparkEntry {
         |JOIN part ON l_partkey = p_partkey
         |JOIN t ON l_partkey = t_partkey
         |WHERE p_brand = 'Brand#1' AND l_quantity < qty_thresh""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                  * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |              AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150.0
+        |)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q21_waiting_supplier" ->
+      // deliberately the textbook EXISTS / NOT-EXISTS formulation: the gate
+      // then proves the Spark side's one-pass decorrelation equivalent
+      """WITH f AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         (l_shipdate >= o_orderdate + INTERVAL 30 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM f WHERE late) l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM f l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM f l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+    "q22_global_sales" ->
+      """WITH cust AS (
+        |  SELECT right(c_name, 2) AS cntrycode, c_custkey, c_acctbal
+        |  FROM customer
+        |  WHERE right(c_name, 2) IN ('13', '31', '23', '29', '30', '18', '17')
+        |), bal AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal, COUNT(*) AS n_bal
+        |  FROM cust WHERE c_acctbal > 0.0
+        |)
+        |SELECT cntrycode, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM cust, bal
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_bal > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY cntrycode""".stripMargin,
     "sliding_window" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)

@@ -522,4 +522,118 @@ object Relational {
         col("l_shipdate"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(20)
+
+  /** TPC-H Q15-style top supplier: a derived revenue "view" (quarterly
+    * revenue per supplier), its global max, and the join back — the
+    * view + scalar-subquery shape. The revenue relation is ≤|supplier|
+    * rows however large lineitem is, so the max is a 1-row broadcast and
+    * the join-back never shuffles the fact table twice. Revenue is an
+    * exact decimal sum cast to double ONCE on each side, so the equality
+    * join on the max is bit-safe.
+    */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-04-01 00:00:00").cast("timestamp")
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q12-style shipping-priority split (adapted: the generated
+    * lineitem has no shipmode/commitdate/receiptdate, so "late" is
+    * shipped ≥60 days after the order date and the grouping dimension is
+    * l_linestatus). The conditional-count pair over a fact⋈fact join is
+    * the shape under test; both counts come out of ONE pass.
+    */
+  def lateLinesByStatus(s: SparkSession, dir: String): DataFrame = {
+    val highPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(highPri, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(highPri, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: HAVING over a fact aggregate,
+    * join back to orders and customer, top 100. The per-order aggregate
+    * is the only fact shuffle; orders/customer join a ≤|orders|-row
+    * filtered relation, and the final top-100 is TakeOrdered (per-partition
+    * prune, no global sort).
+    */
+  def largeOrders(s: SparkSession, dir: String, minQty: Double = 150.0): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q21-style suppliers-who-kept-orders-waiting (adapted: "late" is
+    * shipped ≥30 days after the order date). The textbook form is a
+    * correlated EXISTS + NOT-EXISTS pair — two extra scans of the fact
+    * table. Here both are decorrelated into ONE per-order aggregate:
+    * an order blames supplier k iff it has >1 distinct supplier and k is
+    * its only late one, which `countDistinct` + a conditional
+    * `min` answer in a single pass. The DuckDB oracle keeps the literal
+    * EXISTS/NOT EXISTS formulation, so the gate proves the decorrelation
+    * equivalent, not just self-consistent.
+    */
+  def waitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAYS")
+    val perOrder = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), late.as("late"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+        min(when(col("late"), col("l_suppkey"))).as("blame_supp"))
+    perOrder
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .groupBy(col("blame_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(s, dir), col("blame_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22-style global sales opportunity: country code from the
+    * customer name suffix, customers above the average positive balance
+    * with no orders. The average-balance comparison is cross-multiplied
+    * (`bal * n > sum`) so it stays in exact decimal arithmetic — a plain
+    * double `avg` differs by summation order across engines and would
+    * flip rows sitting on the boundary. The 1-row aggregate broadcasts;
+    * the anti join carries only the distinct o_custkey set.
+    */
+  def globalSales(s: SparkSession, dir: String): DataFrame = {
+    val codes = Seq("13", "31", "23", "29", "30", "18", "17")
+    val cust = Tables.customer(s, dir)
+      .select(expr("right(c_name, 2)").as("cntrycode"),
+        col("c_custkey"), col("c_acctbal"))
+      .filter(col("cntrycode").isin(codes: _*))
+    val bal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(money(col("c_acctbal"))).as("sum_bal"), count(lit(1)).as("n_bal"))
+    cust.crossJoin(broadcast(bal))
+      .filter(money(col("c_acctbal")) * col("n_bal") > col("sum_bal"))
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(money(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
 }
