@@ -25,25 +25,61 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args: a subset of query names to bench (dev loop); the
-    // driver invokes with no args → full suite
+    // driver invokes with no args → full suite. Unknown names are an
+    // error, not an empty run: a misspelled arg must not produce an
+    // empty-but-rc-0 results file.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown query name(s): ${unknown.mkString(", ")}; " +
+          s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else SparkEntry.queries
-    selected.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+
+    def jsonStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
+
+    // Between queries: drop every cached Dataset AND any RDD-level pin
+    // (localCheckpoint blocks live below the CacheManager), so one query's
+    // storage-hygiene bug cannot poison every number after it — the
+    // round-3 recorded bench degraded 16× on late queries exactly this way.
+    def resetStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
+
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val results = selected.map { case (name, fn) =>
-      name -> math.min(timed(fn), timed(fn))
+    // Each query: one untimed warmup, two timed runs, min reported. A query
+    // that throws is recorded as an ERROR — never as a wall time — and the
+    // process exits nonzero: a broken query must be distinguishable from a
+    // slow one in BENCH_*.json.
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    selected.foreach { case (name, fn) =>
+      try {
+        timed(fn) // warmup (JVM/codegen/parquet footers)
+        times(name) = math.min(timed(fn), timed(fn))
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      } finally resetStorage()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = times.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errJson = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
+    val total = if (times.nonEmpty) times.values.sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // also drop the line as a file: launcher prefixes (sbt's "[info] ")
     // can defeat stdout JSON parsing (observed in round 1's bench record)
@@ -52,5 +88,6 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import TextOps.{md5Long64, shingleExpr}
@@ -20,6 +20,24 @@ import TextOps.{md5Long64, shingleExpr}
   *    shingle buckets, not n² over documents.
   */
 object Dedup {
+
+  /** Library cache hygiene: run `result` to completion once (writing every
+    * shuffle above its final stage), then release the `pins` an operator
+    * persisted while building it. Callers get a frame whose re-execution
+    * replays only the final stage from the already-written shuffle files —
+    * and NO block-manager storage stays pinned past the operator's return.
+    * Without this, every call leaks storage for the session lifetime; in a
+    * long-running service the executors eventually evict or OOM, and even
+    * in a batch session one leaky operator degrades every query scheduled
+    * after it (measured: a 105-query run regressed 16× on late queries
+    * until the leak was fixed).
+    */
+  private def materializeAndRelease(
+      result: DataFrame, pins: Dataset[_]*): DataFrame = {
+    result.count()
+    pins.foreach(_.unpersist(blocking = false))
+    result
+  }
 
   /** Exact dedup: group documents by content hash; keep the smallest
     * doc_id as the canonical representative.
@@ -106,7 +124,8 @@ object Dedup {
           col("a.doc_id").as("a_id"),
           col("b.doc_id").as("b_id"),
           (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))
-    bandJoin("band0").unionAll(bandJoin("band1")).distinct()
+    materializeAndRelease(
+      bandJoin("band0").unionAll(bandJoin("band1")).distinct(), sig)
   }
 
   /** SimHash over the token multiset: hash each token once, then per bit
@@ -141,7 +160,7 @@ object Dedup {
     // the hamming filter sits INSIDE each band join (Catalyst pushes it
     // into the join residual), so the cross-band distinct only sees the
     // few surviving near-dups, not every band collision
-    (0 until 4).map { i =>
+    val pairs = (0 until 4).map { i =>
       val band = sig.selectExpr("doc_id", "simhash",
         s"(shiftright(simhash, ${15 * i}) & 32767L) as band")
       val a = band.selectExpr("doc_id as a_id", "simhash as a_sh", "band")
@@ -151,6 +170,7 @@ object Dedup {
           "cast(bit_count(a_sh ^ b_sh) as int) as hamming")
         .filter(col("hamming") <= maxHamming)
     }.reduce(_ unionAll _).distinct()
+    materializeAndRelease(pairs, sig)
   }
 
   /** Top-k most similar document pairs by distinct-3-gram Jaccard.
@@ -187,7 +207,7 @@ object Dedup {
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val ranked = common
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_n"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_n"), "b_id")
       .selectExpr(
@@ -195,6 +215,7 @@ object Dedup {
         "cast(n_common as double) / cast(a_n + b_n - n_common as double) as jaccard")
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(topK)
+    materializeAndRelease(ranked, sh)
   }
 
   /** Connected components over near-dup candidate pairs — the dedup
@@ -207,11 +228,16 @@ object Dedup {
     * convergence count is an aggregate, not a collect of data rows.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
     val edges = pairs.selectExpr("a_id as u", "b_id as v")
       .unionAll(pairs.selectExpr("b_id as u", "a_id as v"))
       .distinct().persist()
     var labels = edges.selectExpr("u as id").distinct()
       .withColumn("comp", col("id")).persist()
+    // localCheckpoint frames whose executor blocks we still hold — released
+    // together at the end, after the result's shuffle is on disk
+    var chkPins = List.empty[DataFrame]
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -225,10 +251,22 @@ object Dedup {
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
       // truncate the lineage every few iterations: the plan otherwise grows
       // by two joins per iteration and deep clusters re-analyze an
-      // ever-larger tree (and risk stack overflow at scale)
-      val next =
-        (if ((iter + 1) % 5 == 0) step.localCheckpoint(eager = true) else step)
-          .persist()
+      // ever-larger tree (and risk stack overflow at scale). Reliable
+      // checkpoint (files under the configured dir) when available — it
+      // survives executor loss; localCheckpoint otherwise, whose blocks are
+      // unreplicated executor storage: after truncation a lost executor
+      // fails the job instead of recomputing. Fine in local mode; set a
+      // checkpoint dir for cluster runs.
+      val next = {
+        if ((iter + 1) % 5 == 0) {
+          if (reliable) step.checkpoint(eager = true)
+          else {
+            val c = step.localCheckpoint(eager = true)
+            chkPins ::= c
+            c
+          }
+        } else step
+      }.persist()
       changed = next
         .join(labels.selectExpr("id as id3", "comp as old"), col("id") === col("id3"))
         .filter(col("comp") =!= col("old"))
@@ -238,8 +276,31 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+    // Materialize the result through its OWN exchange, then release every
+    // block this operator pinned: re-execution replays just the final stage
+    // from the shuffle files, and no storage outlives the call (the
+    // iterative labels/checkpoint blocks otherwise stay pinned for the
+    // whole session — the proven way one query degrades every later one).
+    val out = labels
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .repartition(col("doc_id"))
+    out.count()
+    labels.unpersist(blocking = false)
+    chkPins.foreach(releaseCheckpointBlocks)
+    out
   }
+
+  /** Unpersist the executor-local blocks backing a localCheckpoint frame.
+    * `Dataset.unpersist` only clears CacheManager entries; checkpoint
+    * blocks belong to the underlying RDD, reachable through the plan's
+    * `LogicalRDD` leaf.
+    */
+  private def releaseCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Frequency-capped n-gram Jaccard — the 100 TB form of
     * [[ngramJaccardPairs]]. A "stop shingle" occurring in f documents
@@ -276,7 +337,7 @@ object Dedup {
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val ranked = common
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_n"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_n"), "b_id")
       .selectExpr(
@@ -284,5 +345,6 @@ object Dedup {
         "cast(n_common as double) / cast(a_n + b_n - n_common as double) as jaccard")
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(topK)
+    materializeAndRelease(ranked, grouped)
   }
 }

@@ -26,6 +26,10 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), (Array[Double], Array[Long]), Seq[Long]] {
 
+  // k <= 0 would read ss(-1) in the full-buffer branch of insert — fail at
+  // construction, not mid-job on some executor
+  require(k >= 1, s"TopKAggregator requires k >= 1, got $k")
+
   /** True iff (s1, i1) ranks strictly before (s2, i2). */
   @inline private def before(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
     s1 > s2 || (s1 == s2 && i1 < i2)

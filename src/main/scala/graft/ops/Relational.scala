@@ -406,23 +406,39 @@ object Relational {
 
   /** TPC-H Q8-style market share: the share of one supplier nation in a
     * customer region's revenue, by year. Share = ratio of two exact
-    * decimal sums, divided once as doubles. Nation/region pinned
-    * broadcast; the scaling sides AQE-sized.
+    * decimal sums, divided once as doubles.
+    *
+    * Join order is the selective-dimension pattern of
+    * [[localSupplierVolume]]: ASIA keeps only ~1/5 of nations, and the
+    * restriction is a pure FILTER here (no ASIA column reaches the
+    * output), so it must shrink the fact side BEFORE the expensive joins —
+    * ASIA nationkeys (a ≤25-row broadcast) semi-join customer, the
+    * surviving custkeys semi-join orders, and only then does lineitem meet
+    * orders: both sides of the big shuffle are ~1/5 pre-filtered. Without
+    * CBO stats Catalyst will not reorder this on its own. The
+    * supplier-nation lookup stays a plain broadcast join — it feeds the
+    * volume split, not a filter.
     */
   def marketShare(s: SparkSession, dir: String): DataFrame = {
-    val natC = Tables.nation(s, dir)
-      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val asiaKeys = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(asiaKeys), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    val ordAsia = Tables.orders(s, dir)
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderdate"))
     val natS = Tables.nation(s, dir)
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-    val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
     val vol = when(col("supp_nation") === "NATION_1", discPrice)
     Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
-      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
-      .join(broadcast(reg), col("cn_region") === col("r_regionkey"))
+      .join(ordAsia, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         sum(vol).cast("double").as("nation_volume"),
@@ -437,14 +453,23 @@ object Relational {
     * scalar subquery (`l_quantity < 0.2 * avg per part`), decorrelated the
     * way Catalyst itself would — one per-part aggregate joined back to the
     * fact. avg over integer-valued quantities is exact in both engines.
+    *
+    * The per-part average only depends on that part's own lineitem rows,
+    * so restricting lineitem to the Brand#1 parts (a broadcast semi-join,
+    * ~1/25 of the part table) BEFORE the aggregate is semantics-preserving
+    * and shrinks the biggest shuffle in the query ~25×: the unrestricted
+    * form aggregates every part's rows and then discards 24/25 of the
+    * groups at the join.
     */
   def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
-    val thresh = Tables.lineitem(s, dir)
+    val brandParts = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(brandParts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val thresh = li
       .groupBy(col("l_partkey").as("t_partkey"))
       .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
-    Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#1")),
-        col("l_partkey") === col("p_partkey"))
+    li
       .join(thresh, col("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity") < col("qty_thresh"))
       .agg(

@@ -59,6 +59,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin [n_nationkey"))
   }
 
+  test("q8: ASIA restriction shrinks customer AND orders below the fact joins") {
+    val p = formatted("q8_market_share")
+    // customer semi-joins the broadcast ASIA nationkeys, orders semi-joins
+    // the surviving custkeys — BOTH sides of the lineitem⋈orders shuffle
+    // are ~1/5 pre-filtered before any fact-table work happens
+    val semis = "LeftSemi".r.findAllMatchIn(p).size
+    assert(semis >= 2, s"expected ASIA semi-join chain (customer + orders), got $semis:\n$p")
+    // the nation/region dimension never meets the fact table directly
+    assert(!p.contains("SortMergeJoin [n_nationkey"), p)
+    // supplier-nation lookup rides a broadcast (it feeds the volume split)
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2, p)
+  }
+
+  test("q17: per-part aggregate only sees Brand#1 parts' lineitem rows") {
+    val p = formatted("q17_small_qty")
+    // both lineitem subtrees (threshold aggregate + probe side) carry the
+    // broadcast Brand#1 semi-join below them — the pre-aggregate must not
+    // scan the other ~24/25 of the fact table
+    val semis = "LeftSemi".r.findAllMatchIn(p).size
+    assert(semis >= 2, s"expected Brand#1 semi-join under both lineitem subtrees, got $semis:\n$p")
+    // the brand predicate reaches the part scan
+    assert(p.contains("EqualTo(p_brand,Brand#1)"), p)
+  }
+
   test("BandedRangeJoinRule: naive non-equi range join becomes a hash join, result exact") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
