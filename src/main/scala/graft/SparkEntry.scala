@@ -116,6 +116,8 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => Relational.largeOrders(s, d)),
     "q21_waiting_supplier" -> (Relational.waitingSupplier _),
     "q22_global_sales" -> (Relational.globalSales _),
+    "q2_min_cost_supp" -> (Relational.minCostSupplier _),
+    "q20_excess_shippers" -> ((s, d) => Relational.excessShippers(s, d)),
     "sliding_window" -> (Relational.slidingAvgPrice _),
     "nulls_order" -> ((s, d) =>
       // explicit NULLS FIRST — Spark's asc default, DuckDB's is NULLS LAST,
@@ -308,6 +310,14 @@ object SparkEntry {
   private val dLshBucket = (1 to 8)
     .map(i => s"CASE WHEN CAST(embedding[$i] AS DOUBLE) > 0 THEN CAST(${1 << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString(" + ")
+
+  // DuckDB twin of Similarity.signBandExpr: 16 axis-pair hyperplane signs
+  // packed into one band value
+  private def dSignBand(lo: Int, bits: Int): String = (0 until bits).map { j =>
+    val d1 = lo + 2 * j + 1
+    val d2 = lo + 2 * j + 2
+    s"(CASE WHEN CAST(embedding[$d1] AS DOUBLE) - CAST(embedding[$d2] AS DOUBLE) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
 
   private val q1PricingSql: String =
       """SELECT l_returnflag, l_linestatus,
@@ -931,8 +941,47 @@ object SparkEntry {
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
         |FROM cust, bal
         |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_bal > sum_bal
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
         |GROUP BY cntrycode""".stripMargin,
+    // the oracle keeps the textbook CORRELATED scalar-min subquery; the
+    // Spark side is the decorrelated per-part aggregate — the gate proves
+    // the decorrelation equivalent, not just self-consistent
+    "q2_min_cost_supp" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), o AS (
+        |  SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+        |         l_extendedprice AS cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN eur ON l_suppkey = s_suppkey
+        |  WHERE p_type = 'SMALL'
+        |)
+        |SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal, n_name,
+        |       cost AS min_cost
+        |FROM o o1
+        |WHERE cost = (SELECT MIN(cost) FROM o o2 WHERE o2.p_partkey = o1.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q20_excess_shippers" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%bolt'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(l_quantity) > 40.0)
+        |ORDER BY s_name""".stripMargin,
     "sliding_window" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
@@ -1448,13 +1497,20 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "ann_lsh_pairs" ->
       s"""$dUnitCte, wb AS (
-         |  SELECT e.vec_id, u.unit, $dLshBucket AS bucket
+         |  SELECT e.vec_id, u.unit,
+         |         ${dSignBand(0, 12)} AS band0,
+         |         ${dSignBand(24, 12)} AS band1
          |  FROM embeddings e JOIN u ON e.vec_id = u.vec_id
+         |), p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         round(${dUnitDot("a.unit", "b.unit")}, 6) AS cosine_sim
+         |  FROM wb a JOIN wb b ON a.band0 = b.band0 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         round(${dUnitDot("a.unit", "b.unit")}, 6) AS cosine_sim
+         |  FROM wb a JOIN wb b ON a.band1 = b.band1 AND a.vec_id < b.vec_id
          |)
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
-         |       round(${dUnitDot("a.unit", "b.unit")}, 6) AS cosine_sim
-         |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE round(${dUnitDot("a.unit", "b.unit")}, 6) >= 0.4""".stripMargin,
+         |SELECT a_id, b_id, cosine_sim FROM p WHERE cosine_sim >= 0.4""".stripMargin,
     "sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
         |FROM lineitem

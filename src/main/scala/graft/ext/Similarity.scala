@@ -237,19 +237,48 @@ object Similarity {
           |  as q8_csv""".stripMargin,
         "cast(round(cast(element_at(embedding, 1) as double) / _max * 127.0) as int) as q8_first")
 
-  /** ANN via sign-LSH: candidate pairs restricted to equal buckets, then
-    * exact cosine re-rank within the bucket — Σ(bucket²) work instead
-    * of n².
+  /** The j-th deterministic axis-pair hyperplane sign over dims
+    * [lo+2j+1, lo+2j+2] (1-based): bit set iff x_{d1} - x_{d2} > 0 — a
+    * genuine LSH hyperplane (normal e_{d1} − e_{d2}) that is data-derived,
+    * deterministic, and expressible identically in any SQL engine (no
+    * stored random projection matrix to ship cross-engine).
+    */
+  private def signBandExpr(lo: Int, bits: Int): String =
+    (0 until bits).map { j =>
+      val d1 = lo + 2 * j + 1
+      val d2 = lo + 2 * j + 2
+      s"(case when cast(element_at(embedding, $d1) as double) - cast(element_at(embedding, $d2) as double) > 0 then ${1L << j}L else 0L end)"
+    }.mkString(" + ")
+
+  /** ANN candidate pairs via MULTI-BAND sign-LSH: 24 hyperplane sign bits
+    * packed into 2 bands × 12 bits; a pair is a candidate iff it agrees on
+    * ALL 12 bits of at least one band — the same pigeonhole/band structure
+    * as [[Dedup.simhashPairs]]. Each band has 2¹² = 4,096 buckets, so
+    * candidate generation is two equi-joins costing Σ(bucket²) ≈ n²/4,096
+    * per band under a balanced bit spread — against the n²/256 of a single
+    * 8-bit bucket, the shape that stops holding at corpus scale. Exact
+    * cosine re-rank inside the buckets keeps only pairs ≥ `threshold`;
+    * band count/width is the recall knob (more, narrower bands → higher
+    * recall), exactly as in banded MinHash — 2×16 bits pushed recall to
+    * zero on this corpus, 2×12 keeps true near-dups colliding at every
+    * test SF while preserving the Σ(bucket²) bound.
     */
   def annPairsLsh(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val withBucket = lshBuckets(embeddings)
-      .join(embeddings, "vec_id")
-    val n = normalized(withBucket)
-    val a = n.selectExpr("vec_id as a_id", "bucket", "unit as a_unit")
-    val b = n.selectExpr("vec_id as b_id", "bucket as b_bucket", "unit as b_unit")
-    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("bucket"),
-        round(vec_dot(col("a_unit"), col("b_unit")), 6).as("cosine_sim"))
-      .filter(col("cosine_sim") >= threshold)
+    val n = normalized(embeddings)
+      .selectExpr("vec_id", "unit",
+        s"${signBandExpr(0, 12)} as band0",
+        s"${signBandExpr(24, 12)} as band1")
+    val a = n.selectExpr("vec_id as a_id", "band0", "band1", "unit as a_unit")
+    val b = n.selectExpr("vec_id as b_id", "band0 as b_band0", "band1 as b_band1",
+      "unit as b_unit")
+    // one equi-join per band (an OR join would degrade to a nested loop),
+    // re-check + filter INSIDE each band so the cross-band distinct only
+    // sees surviving near-dups
+    def bandJoin(band: String) =
+      a.join(b, col(band) === col(s"b_$band") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(vec_dot(col("a_unit"), col("b_unit")), 6).as("cosine_sim"))
+        .filter(col("cosine_sim") >= threshold)
+    bandJoin("band0").unionAll(bandJoin("band1")).distinct()
   }
 }

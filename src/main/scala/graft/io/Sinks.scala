@@ -30,10 +30,20 @@ object Sinks {
       .foreachBatch { (batch: Dataset[SessionizedEvent], batchId: Long) =>
         val df = batch.toDF().persist()
         try {
-          // history: pure append, partitioned by event date for pruning
-          df.withColumn("event_date", to_date(col("ts")))
-            .write.mode("append")
-            .partitionBy("event_date")
+          // history: partitioned by (batch_id, event_date) and written with
+          // DYNAMIC partition overwrite — re-delivering a batch id (the
+          // post-crash foreachBatch contract: the last batch MAY repeat)
+          // rewrites exactly its own partitions instead of appending
+          // duplicates. This is the parquet analogue of the reference's
+          // Cassandra upsert keyed on (ts, user_id): replay converges to
+          // the same rows instead of accumulating them. A plain append
+          // would double history on every recovery replay. event_date
+          // stays in the spec so date filters prune at the second level.
+          df.withColumn("batch_id", lit(batchId))
+            .withColumn("event_date", to_date(col("ts")))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "event_date")
             .parquet(s"$outDir/history")
           // state snapshot: last record per user in this batch, merged by
           // overwrite-latest (idempotent per batchId directory)

@@ -637,13 +637,96 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q2-style minimum-cost supplier (lineitem plays the partsupp
+    * role — the dataset has no partsupp table): for each SMALL-type part,
+    * every EUROPE supplier whose offer price equals that part's minimum
+    * EUROPE offer price. The textbook form is a correlated scalar MIN
+    * subquery re-evaluated per outer row; here it is decorrelated into ONE
+    * per-part aggregate joined back on (partkey, price = min) — the same
+    * offers frame feeds both sides, so the region/type restrictions are
+    * applied once, before any per-part work. Join order: part-type filter
+    * broadcast-restricts lineitem first (~1/6 of parts), EUROPE suppliers
+    * restrict again (~1/5), so the per-part aggregate sees ~1/30 of the
+    * fact table. `min` over doubles is exact (no accumulation) — safe for
+    * the cross-engine hash. DISTINCT because a supplier can hit the same
+    * min price on several lineitems; the (s_acctbal, n_name, s_name,
+    * p_partkey) sort is total — (s_name, p_partkey) pairs are unique.
+    */
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val eurNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val smallParts = Tables.part(s, dir).filter(col("p_type") === "SMALL")
+      .select(col("p_partkey"), col("p_name"))
+    val offers = Tables.lineitem(s, dir)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("s_acctbal"), col("n_name"), col("l_extendedprice").as("cost"))
+    val minCost = offers
+      .groupBy(col("p_partkey").as("m_key"))
+      .agg(min(col("cost")).as("m_cost"))
+    offers
+      .join(minCost,
+        col("p_partkey") === col("m_key") && col("cost") === col("m_cost"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("s_acctbal"), col("n_name"), col("cost").as("min_cost"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q20-style excess shippers: EUROPE suppliers that moved more
+    * than `minQty` units of some bolt part in 1996 — the nested
+    * IN-over-a-per-(supplier,part)-aggregate shape (Q20's availqty
+    * comparison, with lineitem standing in for partsupp). The IN becomes a
+    * semi-join against the distinct qualifying suppkeys; the part-name
+    * restriction broadcast-semi-joins lineitem BEFORE the aggregate and
+    * the date filter pushes to the scan, so the per-(supplier,part)
+    * aggregate runs over ~1/8 of one year of the fact table. sum over
+    * integer-valued quantities is exact in both engines.
+    */
+  def excessShippers(s: SparkSession, dir: String, minQty: Double = 40.0): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+    val bolts = Tables.part(s, dir).filter(col("p_name").like("%bolt"))
+      .select(col("p_partkey"))
+    val heavy = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(bolts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("ship_qty"))
+      .filter(col("ship_qty") > minQty)
+      .select(col("l_suppkey")).distinct()
+    val eurKeys = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    Tables.supplier(s, dir)
+      .join(broadcast(eurKeys), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
   /** TPC-H Q22-style global sales opportunity: country code from the
     * customer name suffix, customers above the average positive balance
-    * with no orders. The average-balance comparison is cross-multiplied
-    * (`bal * n > sum`) so it stays in exact decimal arithmetic — a plain
-    * double `avg` differs by summation order across engines and would
-    * flip rows sitting on the boundary. The 1-row aggregate broadcasts;
-    * the anti join carries only the distinct o_custkey set.
+    * with no PREMIUM order (totalprice > 450k). The textbook "no orders at
+    * all" form is vacuous on this dataset — every generated customer has
+    * orders, so both engines would return 0 rows and the oracle gate would
+    * pass without testing the anti join or the balance comparison; the
+    * premium-order variant keeps every structural element (left-anti on a
+    * filtered order subset, cross-multiplied average, final aggregation)
+    * live with non-empty results at every test SF. The average-balance
+    * comparison is cross-multiplied (`bal * n > sum`) so it stays in exact
+    * decimal arithmetic — a plain double `avg` differs by summation order
+    * across engines and would flip rows sitting on the boundary. The 1-row
+    * aggregate broadcasts; the anti join carries only the filtered
+    * distinct o_custkey set (and the price filter pushes to the scan).
     */
   def globalSales(s: SparkSession, dir: String): DataFrame = {
     val codes = Seq("13", "31", "23", "29", "30", "18", "17")
@@ -655,7 +738,8 @@ object Relational {
       .agg(sum(money(col("c_acctbal"))).as("sum_bal"), count(lit(1)).as("n_bal"))
     cust.crossJoin(broadcast(bal))
       .filter(money(col("c_acctbal")) * col("n_bal") > col("sum_bal"))
-      .join(Tables.orders(s, dir).select(col("o_custkey")),
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0)
+          .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("cntrycode"))
       .agg(count(lit(1)).as("numcust"),

@@ -111,6 +111,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.filter($"user_id" === 1).select("event_id").as[Long].head() === 2L)
   }
 
+  test("sink replay with the SAME batch id is idempotent (upsert-key contract)") {
+    // the reference's Cassandra history sink upserts on (ts, user_id)
+    // (reference README:51), so a re-delivered micro-batch converges
+    // instead of duplicating. foreachBatch re-delivers the last batch id
+    // after a crash-before-commit — run the SAME input through a fresh
+    // query with a fresh checkpoint (same batch id 0) against the SAME
+    // output dir and assert history did not grow.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val events = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "purchase", 10.0),
+      ev(2, "2024-01-02 00:00:00", 1, "view", 1.0),
+      ev(3, "2024-01-01 00:00:00", 2, "click", 2.0))
+    def deliver(ckpt: String): Unit = {
+      val ms = MemoryStream[Event]
+      ms.addData(events)
+      val q = graft.io.Sinks.historyAndState(
+        StreamingSessionizer.sessionize(ms.toDS()),
+        s"$dir/out", s"$dir/$ckpt")
+      q.processAllAvailable(); q.stop()
+    }
+    deliver("ckpt1")
+    val first = spark.read.parquet(s"$dir/out/history")
+      .select("event_id", "user_id", "ts").collect().toSet
+    deliver("ckpt2") // replay: same rows, same batch id 0
+    val replayed = spark.read.parquet(s"$dir/out/history")
+      .select("event_id", "user_id", "ts").collect().toSet
+    val n = spark.read.parquet(s"$dir/out/history").count()
+    assert(n === 3L, s"replay duplicated history: $n rows")
+    assert(replayed === first)
+    // state snapshot replay overwrites its batch dir likewise
+    assert(spark.read.parquet(s"$dir/out/state/batch_0").count() === 2)
+  }
+
   test("checkpoint recovery: restart resumes offsets AND state, no loss, no duplication") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
