@@ -118,6 +118,9 @@ object SparkEntry {
     "q22_global_sales" -> (Relational.globalSales _),
     "q2_min_cost_supp" -> (Relational.minCostSupplier _),
     "q20_excess_shippers" -> ((s, d) => Relational.excessShippers(s, d)),
+    "q9_product_profit" -> (Relational.productProfit _),
+    "q11_important_parts" -> (Relational.importantParts _),
+    "q16_supplier_counts" -> (Relational.supplierPartCounts _),
     "sliding_window" -> (Relational.slidingAvgPrice _),
     "nulls_order" -> ((s, d) =>
       // explicit NULLS FIRST — Spark's asc default, DuckDB's is NULLS LAST,
@@ -982,6 +985,47 @@ object SparkEntry {
         |  GROUP BY l_suppkey, l_partkey
         |  HAVING SUM(l_quantity) > 40.0)
         |ORDER BY s_name""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                  * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |                - CAST(p_retailprice AS DECIMAL(12,2))
+        |                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE 'red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY 1
+        |), t AS (
+        |  SELECT SUM(val) AS total, COUNT(*) AS n FROM pv
+        |)
+        |SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+        |FROM pv, t
+        |WHERE val * n * 2 > total * 3
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 5, 9, 12, 15, 20, 25, 30)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "sliding_window" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import TextOps.{md5Long64, shingleExpr}
@@ -21,23 +21,29 @@ import TextOps.{md5Long64, shingleExpr}
   */
 object Dedup {
 
-  /** Library cache hygiene: run `result` to completion once (writing every
-    * shuffle above its final stage), then release the `pins` an operator
-    * persisted while building it. Callers get a frame whose re-execution
-    * replays only the final stage from the already-written shuffle files —
-    * and NO block-manager storage stays pinned past the operator's return.
-    * Without this, every call leaks storage for the session lifetime; in a
-    * long-running service the executors eventually evict or OOM, and even
-    * in a batch session one leaky operator degrades every query scheduled
-    * after it (measured: a 105-query run regressed 16× on late queries
-    * until the leak was fixed).
+  /** Library storage hygiene: operators here pin NO block-manager storage.
+    *
+    * The signature projections below (shingle → md5 → k minhash / simhash
+    * components) are higher-order-function expressions, which Catalyst
+    * evaluates INTERPRETED (no whole-stage codegen, hence no common-
+    * subexpression elimination): if the projection feeds a self-join
+    * directly, project collapsing inlines the whole shingle+hash pipeline
+    * into every derived column and every pushed `isnotnull(joinkey)`
+    * filter, on every join side — a measured ~30× per-row recompute blowup.
+    * Round 3 hid that behind `persist()`, which fixed the recompute but
+    * leaked the cache for the session lifetime (the round-3 bench degraded
+    * 16× on late queries from the accumulation).
+    *
+    * The Spark-first fix is [[computedOnce]]: force the projection through
+    * a shuffle. Everything below an Exchange is computed exactly once per
+    * row, the N identical subtrees on the join sides collapse to ONE via
+    * exchange reuse, and shuffle files are job-scoped temporary state the
+    * context cleaner removes — nothing outlives the query, no unpersist
+    * choreography, and re-executing the returned frame is self-sufficient
+    * at full speed.
     */
-  private def materializeAndRelease(
-      result: DataFrame, pins: Dataset[_]*): DataFrame = {
-    result.count()
-    pins.foreach(_.unpersist(blocking = false))
-    result
-  }
+  private def computedOnce(df: DataFrame, key: String): DataFrame =
+    df.repartition(col(key))
 
   /** Exact dedup: group documents by content hash; keep the smallest
     * doc_id as the canonical representative.
@@ -82,14 +88,21 @@ object Dedup {
     val half = k / 2
     val band0 = (0 until half).map(i => s"mh$i").mkString("concat_ws(',', ", ", ", ")")
     val band1 = (half until k).map(i => s"mh$i").mkString("concat_ws(',', ", ", ", ")")
+    // coalesce makes the band columns NON-NULLABLE: otherwise a downstream
+    // equi-join on them makes Catalyst infer `isnotnull(band)` and push it
+    // below these projections SUBSTITUTED — i.e. the whole interpreted
+    // shingle+md5 pipeline re-evaluated per row inside a Filter, on every
+    // join side (a measured ~10× blowup). The value never IS null here
+    // (concat_ws over non-null minhash components), so semantics are
+    // unchanged; the nullability bit alone kills the inferred filter.
     df
       .withColumn("_toks", split(col("text"), " "))
       .withColumn("_sh", expr(shingleExpr("_toks")))
       .withColumn("_hs", expr(s"transform(_sh, s -> ${md5Long64("s")})"))
       .selectExpr("*" +: mhCols: _*)
       .selectExpr("*",
-        s"${md5Long64(band0)} as band0",
-        s"${md5Long64(band1)} as band1")
+        s"coalesce(${md5Long64(band0)}, 0L) as band0",
+        s"coalesce(${md5Long64(band1)}, 0L) as band1")
       .drop("_toks", "_sh", "_hs")
   }
 
@@ -112,7 +125,7 @@ object Dedup {
     * candidates are) holds at any scale.
     */
   def minhashCandidatePairs(documents: DataFrame, k: Int = 8): DataFrame = {
-    val sig = minhashSignatures(documents, k).persist()
+    val sig = computedOnce(minhashSignatures(documents, k), "doc_id")
     val matches = (0 until k)
       .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -124,8 +137,7 @@ object Dedup {
           col("a.doc_id").as("a_id"),
           col("b.doc_id").as("b_id"),
           (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))
-    materializeAndRelease(
-      bandJoin("band0").unionAll(bandJoin("band1")).distinct(), sig)
+    bandJoin("band0").unionAll(bandJoin("band1")).distinct()
   }
 
   /** SimHash over the token multiset: hash each token once, then per bit
@@ -137,11 +149,14 @@ object Dedup {
     * so signature bits above 59 would be constant.
     */
   def simhash(documents: DataFrame, bits: Int = 16): DataFrame =
+    // coalesce: non-nullable output, so band equi-joins don't infer an
+    // isnotnull filter that re-evaluates the pipeline (see withMinhashBands)
     documents
       .withColumn("toks", split(col("text"), " "))
       .withColumn("hs", expr(s"transform(toks, t -> ${md5Long64("t")})"))
       .select(col("doc_id"),
-        graft.functions.SimHashFunctions.simhash_bits(col("hs"), bits).as("simhash"))
+        coalesce(graft.functions.SimHashFunctions.simhash_bits(col("hs"), bits),
+          lit(0L)).as("simhash"))
 
   /** SimHash near-duplicate pairs within a Hamming radius, via the
     * pigeonhole band trick over a 60-bit signature: 4 bands of 15 bits;
@@ -156,7 +171,7 @@ object Dedup {
     * band count exceeds maxHamming.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(documents, bits = 60).persist()
+    val sig = computedOnce(simhash(documents, bits = 60), "doc_id")
     // the hamming filter sits INSIDE each band join (Catalyst pushes it
     // into the join residual), so the cross-band distinct only sees the
     // few surviving near-dups, not every band collision
@@ -170,7 +185,7 @@ object Dedup {
           "cast(bit_count(a_sh ^ b_sh) as int) as hamming")
         .filter(col("hamming") <= maxHamming)
     }.reduce(_ unionAll _).distinct()
-    materializeAndRelease(pairs, sig)
+    pairs
   }
 
   /** Top-k most similar document pairs by distinct-3-gram Jaccard.
@@ -184,11 +199,11 @@ object Dedup {
     * uncapped variant exists to validate it at small scale.
     */
   def ngramJaccardPairs(documents: DataFrame, topK: Int = 50): DataFrame = {
-    val sh = documents
+    val sh = computedOnce(documents
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", expr(shingleExpr("toks")))
-      .selectExpr("doc_id", s"transform(sh, s -> ${md5Long64("s")}) as shs")
-      .persist()
+      .selectExpr("doc_id", s"transform(sh, s -> ${md5Long64("s")}) as shs"),
+      "doc_id")
     val sizes = sh.selectExpr("doc_id", "cast(size(shs) as bigint) as n_sh")
     // Pair generation without a self-join: group doc ids per shingle, emit
     // ordered combinations per bucket. One shuffle on the shingle hash,
@@ -215,7 +230,7 @@ object Dedup {
         "cast(n_common as double) / cast(a_n + b_n - n_common as double) as jaccard")
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(topK)
-    materializeAndRelease(ranked, sh)
+    ranked
   }
 
   /** Connected components over near-dup candidate pairs — the dedup
@@ -276,25 +291,33 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    // Materialize the result through its OWN exchange, then release every
-    // block this operator pinned: re-execution replays just the final stage
-    // from the shuffle files, and no storage outlives the call (the
-    // iterative labels/checkpoint blocks otherwise stay pinned for the
-    // whole session — the proven way one query degrades every later one).
-    val out = labels
-      .select(col("id").as("doc_id"), col("comp").as("component"))
-      .repartition(col("doc_id"))
-    out.count()
+    // The returned frame's lineage is the whole driver-side iteration —
+    // irreproducible once the loop state is released — so materialize the
+    // RESULT (doc_id, component) into its own checkpoint (result-sized:
+    // orders smaller than the signature/edge intermediates), then release
+    // every iteration pin. With a configured checkpoint dir the result
+    // lives in files (no block-manager footprint at all); otherwise it is
+    // the ONE residual set of blocks, released by [[release]] when the
+    // caller is done with the frame.
+    val projected = labels.select(col("id").as("doc_id"), col("comp").as("component"))
+    val out =
+      if (reliable) projected.checkpoint(eager = true)
+      else projected.localCheckpoint(eager = true)
     labels.unpersist(blocking = false)
     chkPins.foreach(releaseCheckpointBlocks)
     out
   }
 
-  /** Unpersist the executor-local blocks backing a localCheckpoint frame.
-    * `Dataset.unpersist` only clears CacheManager entries; checkpoint
-    * blocks belong to the underlying RDD, reachable through the plan's
-    * `LogicalRDD` leaf.
+  /** Release the materialized blocks behind a frame returned by
+    * [[connectedComponents]] (plus any cache entry on it). `unpersist`
+    * alone only clears CacheManager state; checkpoint blocks belong to the
+    * underlying RDD, reachable through the plan's `LogicalRDD` leaf.
     */
+  def release(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    releaseCheckpointBlocks(df)
+  }
+
   private def releaseCheckpointBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
@@ -319,11 +342,16 @@ object Dedup {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", expr(shingleExpr("toks")))
       .selectExpr("doc_id", s"explode(transform(sh, s -> ${md5Long64("s")})) as shingle_hash")
-    val grouped = e
+    // the bucket aggregate feeds both `sizes` and `common`: behind its own
+    // exchange (computedOnce) the collect_list aggregate runs ONCE and both
+    // consumers replay the (post-cap, small) shuffle output — without it,
+    // exchange reuse only dedupes the shuffle below the aggregate and the
+    // aggregation itself runs twice
+    val grouped = computedOnce(e
       .groupBy(col("shingle_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= maxDf)
-      .persist()
+      .filter(size(col("ids")) <= maxDf),
+      "shingle_hash")
     val sizes = grouped
       .selectExpr("explode(ids) as doc_id")
       .groupBy(col("doc_id"))
@@ -345,6 +373,6 @@ object Dedup {
         "cast(n_common as double) / cast(a_n + b_n - n_common as double) as jaccard")
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(topK)
-    materializeAndRelease(ranked, grouped)
+    ranked
   }
 }

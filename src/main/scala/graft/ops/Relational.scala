@@ -637,6 +637,85 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q9-style product-type profit (p_retailprice plays partsupp's
+    * ps_supplycost — the dataset has no partsupp): per supplier nation and
+    * order year, sum of `disc_price − retailprice·quantity` over parts
+    * named `red%`. The whole amount stays in exact decimal arithmetic
+    * until the final double cast — per-group unscaled magnitude is ~2e12,
+    * far under the 2⁵³ cross-engine boundary. Join order: the ~1/8 part
+    * restriction broadcast-shrinks lineitem BEFORE the orders join (the
+    * only fact-fact shuffle), supplier-nation rides a broadcast.
+    */
+  def productProfit(s: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(s, dir).filter(col("p_name").like("red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val natS = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(natS), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val amount =
+      discPrice - money(col("p_retailprice")) * money(col("l_quantity"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11-style important parts: EUROPE-supplied parts whose revenue
+    * exceeds 1.5× the mean per-part revenue — Q11's
+    * HAVING-against-a-global-scalar-aggregate shape with a SCALE-FREE
+    * threshold (Q11's literal `0.0001` fraction must shrink with SF to
+    * select anything; a mean-relative cut selects a stable tail at every
+    * size). The comparison is cross-multiplied into pure decimal×integer
+    * arithmetic (`val·n·2 > total·3`) — no double division to flip
+    * boundary rows across engines. The per-part aggregate subtree appears
+    * under both the rows and the 1-row total; Spark's exchange reuse
+    * evaluates the shuffle once.
+    */
+  def importantParts(s: SparkSession, dir: String): DataFrame = {
+    val eurKeys = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(eurKeys), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"))
+    val pv = Tables.lineitem(s, dir)
+      .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(discPrice).as("val"))
+    val tot = pv.agg(sum(col("val")).as("total"), count(lit(1)).as("n"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("val") * col("n") * lit(2) > col("total") * lit(3))
+      .select(col("l_partkey"), col("val").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16-style supplier-part-type counts: distinct suppliers per
+    * (brand, type, size) over a NOT-LIKE / IN-list part restriction, with
+    * Q16's NOT-IN-subquery supplier exclusion as a broadcast anti join.
+    * Counts only — no float arithmetic to drift.
+    */
+  def supplierPartCounts(s: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(s, dir).filter(col("s_name").like("%7"))
+      .select(col("s_suppkey"))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("MEDIUM%") &&
+        col("p_size").isin(1, 5, 9, 12, 15, 20, 25, 30))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
   /** TPC-H Q2-style minimum-cost supplier (lineitem plays the partsupp
     * role — the dataset has no partsupp table): for each SMALL-type part,
     * every EUROPE supplier whose offer price equals that part's minimum

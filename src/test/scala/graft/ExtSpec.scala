@@ -26,6 +26,39 @@ class ExtSpec extends AnyFunSuite {
     assert(df("x y") === Seq())
   }
 
+  test("pair operators leave no pinned storage behind (cache-hygiene contract)") {
+    // Every persist()/localCheckpoint an operator takes internally must be
+    // released before it returns: in a long-running service leaked blocks
+    // accumulate until eviction/OOM, and in a multi-query session they
+    // degrade every query scheduled later (the round-3 bench regressed 16×
+    // on late queries from exactly this). Snapshot-diff so caches held
+    // legitimately by OTHER tests in the shared session don't false-fail.
+    val sc = spark.sparkContext
+    def pinnedIds: Set[Int] =
+      sc.getRDDStorageInfo.filter(_.numCachedPartitions > 0).map(_.id).toSet
+    val before = pinnedIds
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"w${i % 7} common text body w$i w${i + 1} w${i + 2}"))
+      .toDF("doc_id", "text")
+    val embs = Seq.tabulate(20)(i =>
+      (i.toLong, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    Dedup.minhashCandidatePairs(docs).count()
+    Dedup.simhashPairs(docs).count()
+    Dedup.ngramJaccardCapped(docs).count()
+    Similarity.annPairsLsh(embs).count()
+    assert((pinnedIds -- before).isEmpty,
+      s"pair operators leaked pinned RDD blocks: ${pinnedIds -- before}")
+    // connectedComponents is the one documented exception: its result is
+    // irreproducible from lineage (driver-side iteration), so it returns a
+    // result-sized materialized frame — and release() must reclaim it fully
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashCandidatePairs(docs).select("a_id", "b_id"), maxIters = 12)
+    assert(cc.count() >= 0)
+    Dedup.release(cc)
+    val leaked = pinnedIds -- before
+    assert(leaked.isEmpty, s"operators leaked pinned RDD blocks: $leaked")
+  }
+
   test("exact dedup groups identical texts and keeps the min doc_id") {
     val docs = Seq((1L, "same text here"), (5L, "same text here"), (9L, "different"))
       .toDF("doc_id", "text")
