@@ -98,7 +98,7 @@ object Dedup {
     df
       .withColumn("_toks", split(col("text"), " "))
       .withColumn("_sh", expr(shingleExpr("_toks")))
-      .withColumn("_hs", expr(s"transform(_sh, s -> ${md5Long64("s")})"))
+      .withColumn("_hs", graft.functions.HashFunctions.md5_long64_array(col("_sh")))
       .selectExpr("*" +: mhCols: _*)
       .selectExpr("*",
         s"coalesce(${md5Long64(band0)}, 0L) as band0",
@@ -106,14 +106,53 @@ object Dedup {
       .drop("_toks", "_sh", "_hs")
   }
 
+  /** The corpus as flat (doc_id, shingle_hash) rows: explode the distinct
+    * 3-gram shingle set, THEN hash. Hashing a flat string column runs in
+    * whole-stage codegen; the same md5 inside a `transform` lambda is
+    * interpreted per element (lambda bodies never codegen) — measured ~3×
+    * on the signature pipelines. `outer` keeps shingle-less docs (<3
+    * tokens) as one null-hash row, matching the array form's null
+    * signature for them.
+    */
+  private def shingleHashes(documents: DataFrame, outer: Boolean): DataFrame = {
+    val toks = documents.withColumn("toks", split(col("text"), " "))
+    val sh = expr(shingleExpr("toks"))
+    val flat =
+      if (outer) toks.select(col("doc_id"), explode_outer(sh).as("shingle"))
+      else toks.select(col("doc_id"), explode(sh).as("shingle"))
+    flat.select(col("doc_id"), expr(md5Long64("shingle")).as("shingle_hash"))
+  }
+
   /** MinHash signatures (k hash functions over the distinct 3-gram
     * shingle set) plus LSH band hashes — two bands of k/2 rows each.
     * Docs sharing a band hash are near-dup candidates.
+    *
+    * Batch form: flat shingle hashes → `groupBy(doc_id)` with k `min`
+    * aggregates. Everything is codegen'd and the mins partial-aggregate
+    * map-side (k longs per doc per partition cross the wire, not shingle
+    * lists), and the one exchange below the aggregate is what every
+    * downstream self-join reuses. Values are bit-identical to the per-row
+    * array form [[withMinhashBands]] (min over the same distinct-shingle
+    * set; min is duplicate- and order-insensitive), which remains the
+    * shuffle-free variant streaming needs.
     */
-  def minhashSignatures(documents: DataFrame, k: Int = 8): DataFrame =
-    withMinhashBands(documents, k)
-      .selectExpr(
-        (Seq("doc_id") ++ (0 until k).map(i => s"mh$i") ++ Seq("band0", "band1")): _*)
+  def minhashSignatures(documents: DataFrame, k: Int = 8): DataFrame = {
+    val mins = (0 until k).map { i =>
+      min(expr(s"(${minhashA(i)}L * (shingle_hash % 1073741824L) + ${minhashB(i)}L) % ${MinhashP}L"))
+        .as(s"mh$i")
+    }
+    val half = k / 2
+    val band0 = (0 until half).map(i => s"mh$i").mkString("concat_ws(',', ", ", ", ")")
+    val band1 = (half until k).map(i => s"mh$i").mkString("concat_ws(',', ", ", ", ")")
+    shingleHashes(documents, outer = true)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      // coalesce: non-nullable band keys, so the self-joins below don't
+      // infer isnotnull filters (see withMinhashBands)
+      .selectExpr("*",
+        s"coalesce(${md5Long64(band0)}, 0L) as band0",
+        s"coalesce(${md5Long64(band1)}, 0L) as band1")
+  }
 
   /** LSH candidate pairs: documents sharing either band hash, with their
     * estimated Jaccard (fraction of matching MinHash components).
@@ -125,7 +164,9 @@ object Dedup {
     * candidates are) holds at any scale.
     */
   def minhashCandidatePairs(documents: DataFrame, k: Int = 8): DataFrame = {
-    val sig = computedOnce(minhashSignatures(documents, k), "doc_id")
+    // no explicit repartition: the signature aggregate ends in its own
+    // exchange, which ReuseExchange collapses across the four join sides
+    val sig = minhashSignatures(documents, k)
     val matches = (0 until k)
       .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -153,7 +194,7 @@ object Dedup {
     // isnotnull filter that re-evaluates the pipeline (see withMinhashBands)
     documents
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("hs", expr(s"transform(toks, t -> ${md5Long64("t")})"))
+      .withColumn("hs", graft.functions.HashFunctions.md5_long64_array(col("toks")))
       .select(col("doc_id"),
         coalesce(graft.functions.SimHashFunctions.simhash_bits(col("hs"), bits),
           lit(0L)).as("simhash"))
@@ -199,19 +240,16 @@ object Dedup {
     * uncapped variant exists to validate it at small scale.
     */
   def ngramJaccardPairs(documents: DataFrame, topK: Int = 50): DataFrame = {
-    val sh = computedOnce(documents
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(shingleExpr("toks")))
-      .selectExpr("doc_id", s"transform(sh, s -> ${md5Long64("s")}) as shs"),
-      "doc_id")
-    val sizes = sh.selectExpr("doc_id", "cast(size(shs) as bigint) as n_sh")
+    // one exchange below both consumers (sizes + buckets): the flat
+    // codegen'd shingle-hash projection runs exactly once per row
+    val sh = computedOnce(shingleHashes(documents, outer = false), "doc_id")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Pair generation without a self-join: group doc ids per shingle, emit
     // ordered combinations per bucket. One shuffle on the shingle hash,
     // each input row scanned once — at corpus scale this is the difference
     // between 1× and 2× full-corpus hashing, and the bucket list makes
     // shingle-frequency skew observable/cappable.
     val common = sh
-      .selectExpr("doc_id", "explode(shs) as shingle_hash")
       .groupBy(col("shingle_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -260,10 +298,14 @@ object Dedup {
         .join(labels.selectExpr("id as v2", "comp as ncomp"), col("v") === col("v2"))
         .groupBy(col("u").as("id2"))
         .agg(min(col("ncomp")).as("nc"))
+      // carry the did-it-change flag out of the SAME join, so convergence
+      // detection doesn't need a second per-iteration join against the old
+      // labels (it did before — 2 joins/iteration instead of 1)
       val step = labels
         .join(prop, col("id") === col("id2"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
+          (col("nc") < col("comp")).as("chg"))
       // truncate the lineage every few iterations: the plan otherwise grows
       // by two joins per iteration and deep clusters re-analyze an
       // ever-larger tree (and risk stack overflow at scale). Reliable
@@ -282,10 +324,7 @@ object Dedup {
           }
         } else step
       }.persist()
-      changed = next
-        .join(labels.selectExpr("id as id3", "comp as old"), col("id") === col("id3"))
-        .filter(col("comp") =!= col("old"))
-        .count()
+      changed = next.filter(col("chg")).count()
       labels.unpersist()
       labels = next
       iter += 1
@@ -338,31 +377,25 @@ object Dedup {
       documents: DataFrame,
       maxDf: Int = 20,
       topK: Int = 50): DataFrame = {
-    val e = documents
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(shingleExpr("toks")))
-      .selectExpr("doc_id", s"explode(transform(sh, s -> ${md5Long64("s")})) as shingle_hash")
-    // the bucket aggregate feeds both `sizes` and `common`: behind its own
-    // exchange (computedOnce) the collect_list aggregate runs ONCE and both
-    // consumers replay the (post-cap, small) shuffle output — without it,
-    // exchange reuse only dedupes the shuffle below the aggregate and the
-    // aggregation itself runs twice
-    val grouped = computedOnce(e
-      .groupBy(col("shingle_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= maxDf),
-      "shingle_hash")
-    val sizes = grouped
-      .selectExpr("explode(ids) as doc_id")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"))
-    val common = grouped
-      .filter(size(col("ids")) > 1)
-      .selectExpr(
-        """explode(flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a_id, y as b_id))
-          |))) as p""".stripMargin)
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    // Flat (doc_id, shingle_hash) rows, pre-shuffled on shingle_hash: the
+    // document-frequency aggregate, the cap semi-join, and BOTH sides of
+    // the pair join all sit above this ONE exchange (ReuseExchange) — the
+    // corpus is scanned and hashed exactly once. The pair join itself is a
+    // codegen'd equi-join whose output streams straight into partial
+    // aggregation: no per-bucket id arrays (a collect_list bucket is one
+    // task's memory at f=maxDf — fine — but building f²/2 pair structs in
+    // an interpreted lambda was the measured hot spot), and per-bucket
+    // output is still bounded at maxDf² rows by the cap.
+    val flat = computedOnce(shingleHashes(documents, outer = false), "shingle_hash")
+    val freq = flat.groupBy(col("shingle_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle_hash"))
+    val kept = flat.join(freq, "shingle_hash")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = kept.select(col("shingle_hash"), col("doc_id").as("a_id"))
+      .join(kept.select(col("shingle_hash"), col("doc_id").as("b_id")), "shingle_hash")
+      .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_common"))
     val ranked = common

@@ -97,9 +97,10 @@ object TextOps {
     documents
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", expr(shingleExpr("toks")))
+      .withColumn("shs", graft.functions.HashFunctions.md5_long64_array(col("sh")))
       .selectExpr(
         "doc_id",
         s"${md5Long64("text")} as text_hash",
-        s"array_min(transform(sh, s -> ${md5Long64("s")})) as min_shingle_hash",
+        "array_min(shs) as min_shingle_hash",
         "cast(size(sh) as bigint) as n_shingles")
 }

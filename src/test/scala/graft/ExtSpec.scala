@@ -17,6 +17,27 @@ class ExtSpec extends AnyFunSuite {
     assert(got === 648541476951500027L)
   }
 
+  test("md5_long64_array is bit-identical to the interpreted transform form") {
+    // the codegen'd expression must produce EXACTLY the hex-prefix value
+    // the DuckDB oracle computes — including unicode, empty strings, and
+    // null elements
+    val df = Seq(Seq("abc", "", "héllo wörld", "a b c"), Seq[String]())
+      .toDF("arr")
+    val both = df.select(
+      graft.functions.HashFunctions.md5_long64_array(col("arr")).as("fast"),
+      expr(s"transform(arr, s -> ${TextOps.md5Long64("s")})").as("ref"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (fast, ref) => assert(fast === ref) }
+    val withNull = spark.sql(
+      "select array('x', cast(null as string), 'y') as arr")
+    val r = withNull.select(
+      graft.functions.HashFunctions.md5_long64_array(col("arr")).as("fast"),
+      expr(s"transform(arr, s -> ${TextOps.md5Long64("s")})").as("ref"))
+      .as[(Seq[java.lang.Long], Seq[java.lang.Long])].head()
+    assert(r._1 === r._2)
+    assert(r._1(1) === null)
+  }
+
   test("shingleExpr produces distinct word 3-grams, empty below 3 tokens") {
     val df = Seq("a b c d", "x y").toDF("text")
       .withColumn("toks", split(col("text"), " "))
