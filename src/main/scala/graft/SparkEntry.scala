@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.ops.{Enrich, Functions, Relational, Skew}
 import graft.session.{ClickstreamPipeline, Sessionize, StateOps}
 
@@ -242,6 +242,9 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id"))),
+    "repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
+    "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
+    "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
     // blocked-tile exact form; the row-level n² join is a test-only baseline
@@ -1383,6 +1386,58 @@ object SparkEntry {
          |  FROM h
          |)
          |SELECT doc_id, CAST($dSimhashPack AS BIGINT) AS simhash FROM b""".stripMargin,
+    "repetition_stats" ->
+      s"""$dToksCte, b AS (
+         |  SELECT doc_id, toks,
+         |         CASE WHEN len(toks) >= 2
+         |          THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+         |          ELSE CAST([] AS VARCHAR[]) END AS bg
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(len(bg) AS BIGINT) AS n_bigrams,
+         |       CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+         |       CASE WHEN len(bg) > 0
+         |        THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+         |        ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac,
+         |       CAST(CASE WHEN len(bg) > 0 AND
+         |         1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) > 0.05
+         |         THEN 1 ELSE 0 END AS INT) AS repetitive
+         |FROM b""".stripMargin,
+    "contamination" ->
+      s"""$dToksCte, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), e AS (
+         |  SELECT doc_id, unnest(list_transform(sh, s2 -> ${dH("s2")})) AS h
+         |  FROM s
+         |), bench AS (
+         |  SELECT DISTINCT h FROM e WHERE doc_id % 50 = 0
+         |), shared AS (
+         |  SELECT e.doc_id, COUNT(*) AS n_shared
+         |  FROM e JOIN bench USING (h)
+         |  WHERE e.doc_id % 50 <> 0
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       COALESCE(n_shared, 0) AS n_shared_shingles,
+         |       CAST(CASE WHEN COALESCE(n_shared, 0) >= 3 THEN 1 ELSE 0 END AS INT) AS contaminated
+         |FROM documents d LEFT JOIN shared USING (doc_id)
+         |WHERE d.doc_id % 50 <> 0
+         |ORDER BY doc_id""".stripMargin,
+    "domain_mix" ->
+      s"""WITH r AS (
+         |  SELECT DISTINCT source,
+         |         10 + ((CAST(substring(source, 4, 8) AS INT) * 7) % 80) AS rate
+         |  FROM documents
+         |)
+         |SELECT d.source, r.rate,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN ${dH("CAST(doc_id AS VARCHAR)")} % 100 < r.rate
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d JOIN r USING (source)
+         |GROUP BY 1, 2
+         |ORDER BY d.source""".stripMargin,
     "ngram_jaccard" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

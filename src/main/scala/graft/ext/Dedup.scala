@@ -271,6 +271,39 @@ object Dedup {
     ranked
   }
 
+  /** Benchmark-contamination check: for every corpus document, count the
+    * distinct 3-gram shingles it shares with a held-out benchmark set
+    * (here: `doc_id % benchModulus == 0` stands in for the eval-set
+    * membership list). The decontamination step every training corpus
+    * needs — a doc overlapping an eval set inflates benchmark scores.
+    *
+    * Scale shape: the benchmark side is eval-set-sized (tiny next to a
+    * 100 TB corpus), so its distinct shingle hashes broadcast and the
+    * corpus side is ONE scan + one aggregation by doc_id — the corpus is
+    * never shuffled on the shingle key. Flat shingle hashing is the same
+    * codegen'd [[shingleHashes]] path the dedup operators use.
+    */
+  def contamination(
+      documents: DataFrame,
+      benchModulus: Int = 50,
+      flagAt: Int = 3): DataFrame = {
+    val flat = shingleHashes(documents, outer = false)
+    val benchShingles = flat.filter(col("doc_id") % benchModulus === 0)
+      .select(col("shingle_hash")).distinct()
+    val shared = flat.filter(col("doc_id") % benchModulus =!= 0)
+      .join(broadcast(benchShingles), "shingle_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    documents.filter(col("doc_id") % benchModulus =!= 0)
+      .select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_shingles"),
+        (coalesce(col("n_shared"), lit(0L)) >= flagAt).cast("int").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Connected components over near-dup candidate pairs — the dedup
     * endgame: pairs only say "A≈B"; keeping one doc per TRANSITIVE
     * cluster needs components. Pregel-style min-label propagation: each

@@ -20,6 +20,30 @@ object Sampling {
     df.filter(
       expr(s"pmod(${TextOps.md5Long64(s"cast($keyExpr as string)")}, 100) < $pct"))
 
+  /** Domain-mixing report: per-source keep rates applied as a
+    * deterministic hash sample, with the achieved counts per source — the
+    * "re-weight web vs curated sources" step of corpus assembly. The
+    * rates table is broadcast-joined (in practice it is a small config
+    * table; here it is derived deterministically from the source name so
+    * the oracle can reproduce it). Shapes: one broadcast join + one
+    * aggregate shuffle on the low-cardinality source key — membership is
+    * pure per-row hashing, stable under retries and repartitioning.
+    */
+  def weightedBySource(documents: DataFrame): DataFrame = {
+    val rates = documents.select(col("source")).distinct()
+      .withColumn("rate",
+        expr("10 + ((cast(substring(source, 4, 8) as int) * 7) % 80)"))
+    val h = expr(s"pmod(${TextOps.md5Long64("cast(doc_id as string)")}, 100)")
+    documents
+      .join(broadcast(rates), "source")
+      .withColumn("kept", (h < col("rate")).cast("int"))
+      .groupBy(col("source"), col("rate"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic stratified sample: the `k` rows with the smallest key
     * hash per stratum — every engine picks the same rows. One shuffle on
     * the stratum key; the window prunes partition-locally first under

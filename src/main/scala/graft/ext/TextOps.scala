@@ -28,6 +28,35 @@ object TextOps {
        |   i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1), ' ', element_at($toks, i + 2))))
        | else array() end""".stripMargin
 
+  /** Per-document n-gram repetition statistics — the "repeated template /
+    * degenerate generation" quality signal (Gopher-style repetition
+    * filters): a document whose bigrams are mostly duplicates of each
+    * other is boilerplate or looping text, not prose. Pure per-row
+    * projection (zero shuffle, scan speed at any corpus size); the
+    * duplicate fraction is `1 − distinct/total`, an int/int IEEE division
+    * identical across engines, and the `repetitive` flag compares that
+    * exact double in both engines.
+    */
+  def repetitionStats(documents: DataFrame, flagFrac: Double = 0.05): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("bg", expr(
+        """case when size(toks) >= 2
+          | then transform(sequence(1, size(toks) - 1),
+          |   i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          | else array() end""".stripMargin))
+      .selectExpr(
+        "doc_id",
+        "cast(size(toks) as bigint) as n_tokens",
+        "cast(size(bg) as bigint) as n_bigrams",
+        "cast(size(array_distinct(bg)) as bigint) as n_distinct_bigrams",
+        """case when size(bg) > 0
+          | then 1.0 - cast(size(array_distinct(bg)) as double) / cast(size(bg) as double)
+          | else cast(0.0 as double) end as dup_bigram_frac""".stripMargin,
+        s"""cast(case when size(bg) > 0 and
+           |  1.0 - cast(size(array_distinct(bg)) as double) / cast(size(bg) as double) > $flagFrac
+           |  then 1 else 0 end as int) as repetitive""".stripMargin)
+
   /** Per-document token statistics and a deterministic quality score. */
   def textStats(documents: DataFrame): DataFrame =
     documents

@@ -80,6 +80,51 @@ class ExtSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"operators leaked pinned RDD blocks: $leaked")
   }
 
+  test("repetitionStats: duplicate-bigram fraction and edge cases") {
+    val docs = Seq(
+      (1L, "a b a b a b"),        // bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+      (2L, "w x y z"),            // all distinct -> frac 0
+      (3L, "solo"),               // <2 tokens -> zero bigrams, frac 0, not flagged
+      (4L, "t t t t t t t t t t") // 9 bigrams all identical -> frac 8/9
+    ).toDF("doc_id", "text")
+    val r = graft.ext.TextOps.repetitionStats(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3), x.getDouble(4), x.getInt(5)))).toMap
+    assert(r(1L) === ((5L, 2L, 1.0 - 2.0 / 5.0, 1)))
+    assert(r(2L) === ((3L, 3L, 0.0, 0)))
+    assert(r(3L) === ((0L, 0L, 0.0, 0)))
+    assert(r(4L)._3 > 0.8 && r(4L)._4 === 1)
+  }
+
+  test("contamination counts shared shingles against the benchmark subset only") {
+    // doc 0 is the benchmark (0 % 50 == 0); doc 101 shares its full text
+    // (all shingles), doc 1 shares nothing, doc 2 shares one 3-gram window
+    val docs = Seq(
+      (0L, "p q r s t"),
+      (101L, "p q r s t"),
+      (1L, "u v w x y"),
+      (2L, "p q r different tail")
+    ).toDF("doc_id", "text")
+    val r = graft.ext.Dedup.contamination(docs, benchModulus = 50, flagAt = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2)))).toMap
+    assert(!r.contains(0L)) // benchmark rows are excluded from the report
+    assert(r(101L) === ((3L, 1))) // 3 shingles of "p q r s t", all shared
+    assert(r(1L) === ((0L, 0)))
+    assert(r(2L) === ((1L, 0))) // only "p q r"
+  }
+
+  test("weightedBySource: kept counts are the per-source hash sample") {
+    val docs = Seq.tabulate(200)(i => (i.toLong, s"text $i", "src2"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.Sampling.weightedBySource(docs).collect()
+    assert(out.length === 1)
+    val row = out.head
+    assert(row.getInt(1) === 10 + ((2 * 7) % 80)) // rate for src2
+    assert(row.getLong(2) === 200L)
+    // must equal the independent hashSample count at the same rate
+    val expect = graft.ext.Sampling.hashSample(docs, "doc_id", row.getInt(1)).count()
+    assert(row.getLong(3) === expect)
+  }
+
   test("exact dedup groups identical texts and keeps the min doc_id") {
     val docs = Seq((1L, "same text here"), (5L, "same text here"), (9L, "different"))
       .toDF("doc_id", "text")

@@ -148,6 +148,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("_graft_pband")) // equi term exists -> no rewrite
   }
 
+  test("q9: red-part restriction broadcasts below the lineitem-orders shuffle") {
+    val p = formatted("q9_product_profit")
+    // the ~1/8 p_name filter reaches the part scan and rides a broadcast
+    // into lineitem BEFORE the only fact-fact join — lineitem-orders must
+    // be the sole shuffle join in the plan
+    assert(p.contains("StringStartsWith(p_name,red)"), p)
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2, p)
+    assert("SortMergeJoin".r.findAllMatchIn(p).size <= 1, p)
+  }
+
+  test("q11: EUROPE restriction semi-joins supplier and lineitem below the aggregate") {
+    val p = formatted("q11_important_parts")
+    // supplier shrinks to EUROPE nations, lineitem shrinks to those
+    // suppliers — both BEFORE the per-part aggregate; the region predicate
+    // reaches the region scan
+    assert("LeftSemi".r.findAllMatchIn(p).size >= 2, p)
+    assert(p.contains("EqualTo(r_name,EUROPE)"), p)
+    // the scalar total rides a broadcast into the row side (no shuffle for
+    // the 1-row comparison); AQE stitches the shared pv subtree's exchange
+    // reuse at runtime, which a pre-execution plan string cannot show
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("contamination: benchmark shingle set broadcasts; corpus never shuffles on shingles") {
+    val p = graft.ext.Dedup.contamination(Tables.documents(spark, sf))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the eval-set side is tiny at any corpus scale: it must reach the
+    // corpus as a broadcast, and the only Exchanges are the benchmark
+    // side's aggregates + the final per-doc aggregate — never a corpus
+    // shuffle keyed on shingle_hash
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin [shingle_hash"), p)
+  }
+
   test("date-partitioned layout: a date filter prunes partitions at plan time") {
     import org.apache.spark.sql.functions.{col, to_date}
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
