@@ -96,14 +96,13 @@ object Dedup {
     // (concat_ws over non-null minhash components), so semantics are
     // unchanged; the nullability bit alone kills the inferred filter.
     df
-      .withColumn("_toks", split(col("text"), " "))
-      .withColumn("_sh", expr(shingleExpr("_toks")))
-      .withColumn("_hs", graft.functions.HashFunctions.md5_long64_array(col("_sh")))
+      .withColumn("_hs",
+        graft.functions.HashFunctions.shingles3_hashed(split(col("text"), " ")))
       .selectExpr("*" +: mhCols: _*)
       .selectExpr("*",
         s"coalesce(${md5Long64(band0)}, 0L) as band0",
         s"coalesce(${md5Long64(band1)}, 0L) as band1")
-      .drop("_toks", "_sh", "_hs")
+      .drop("_hs")
   }
 
   /** The corpus as flat (doc_id, shingle_hash) rows: explode the distinct
@@ -115,12 +114,10 @@ object Dedup {
     * signature for them.
     */
   private def shingleHashes(documents: DataFrame, outer: Boolean): DataFrame = {
-    val toks = documents.withColumn("toks", split(col("text"), " "))
-    val sh = expr(shingleExpr("toks"))
-    val flat =
-      if (outer) toks.select(col("doc_id"), explode_outer(sh).as("shingle"))
-      else toks.select(col("doc_id"), explode(sh).as("shingle"))
-    flat.select(col("doc_id"), expr(md5Long64("shingle")).as("shingle_hash"))
+    val hs = graft.functions.HashFunctions.shingles3_hashed(split(col("text"), " "))
+    val toks = documents.withColumn("hs", hs)
+    if (outer) toks.select(col("doc_id"), explode_outer(col("hs")).as("shingle_hash"))
+    else toks.select(col("doc_id"), explode(col("hs")).as("shingle_hash"))
   }
 
   /** MinHash signatures (k hash functions over the distinct 3-gram

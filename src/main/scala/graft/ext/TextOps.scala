@@ -124,12 +124,11 @@ object TextOps {
     */
   def fingerprints(documents: DataFrame): DataFrame =
     documents
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(shingleExpr("toks")))
-      .withColumn("shs", graft.functions.HashFunctions.md5_long64_array(col("sh")))
+      .withColumn("shs",
+        graft.functions.HashFunctions.shingles3_hashed(split(col("text"), " ")))
       .selectExpr(
         "doc_id",
         s"${md5Long64("text")} as text_hash",
         "array_min(shs) as min_shingle_hash",
-        "cast(size(sh) as bigint) as n_shingles")
+        "cast(size(shs) as bigint) as n_shingles")
 }

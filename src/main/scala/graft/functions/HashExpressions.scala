@@ -46,6 +46,40 @@ case class Md5Long64Array(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct word 3-gram shingles of a token array, each mapped to its
+  * 60-bit md5 prefix — the fused form of `shingleExpr` + md5-per-shingle.
+  *
+  * Semantics are exactly `transform(array_distinct(3-grams), md5Long64)`:
+  * 3-grams are `tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]`, distinctness
+  * is on the STRING (first occurrence kept, so a 60-bit hash collision
+  * between distinct shingles still yields two elements, as the oracle's
+  * string-level `list_distinct` does), fewer than 3 tokens yields an empty
+  * array, and a null token nulls its shingles (concat semantics). One
+  * compiled loop replaces four interpreted higher-order passes
+  * (sequence → transform/concat → array_distinct → transform/md5) plus
+  * their intermediate arrays.
+  */
+case class Shingles3Hashed(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingles3_hashed expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    HashUtil.shingles3Hashed(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashUtil.shingles3Hashed($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3Hashed =
+    copy(child = newChild)
+}
+
 object HashUtil {
   private val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -64,6 +98,35 @@ object HashUtil {
     (v << 4) | ((b(7) & 0xffL) >>> 4)
   }
 
+  private val space = UTF8String.fromString(" ")
+
+  def shingles3Hashed(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(new Array[Any](0))
+    // distinct on the shingle STRING, first occurrence first — exactly
+    // array_distinct's contract, so string-distinct survives even a
+    // (cosmically unlikely) 60-bit hash collision
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var hasNull = false
+    var i = 0
+    while (i <= n - 3) {
+      if (toks.isNullAt(i) || toks.isNullAt(i + 1) || toks.isNullAt(i + 2)) {
+        hasNull = true // concat(null, ...) is null; array_distinct keeps ONE null
+      } else {
+        seen.add(UTF8String.concat(
+          toks.getUTF8String(i), space,
+          toks.getUTF8String(i + 1), space,
+          toks.getUTF8String(i + 2)))
+      }
+      i += 1
+    }
+    val out = new Array[Any](seen.size() + (if (hasNull) 1 else 0))
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(j) = md5Long64(it.next()); j += 1 }
+    new GenericArrayData(out) // trailing slot stays null when hasNull
+  }
+
   def md5Long64Array(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Any](n)
@@ -80,4 +143,8 @@ object HashFunctions {
   /** Column API: 60-bit md5 prefix per element of an array<string>. */
   def md5_long64_array(a: Column): Column =
     GraftShim.column(Md5Long64Array(GraftShim.expression(a)))
+
+  /** Column API: hashed distinct word 3-gram shingles of a token array. */
+  def shingles3_hashed(toks: Column): Column =
+    GraftShim.column(Shingles3Hashed(GraftShim.expression(toks)))
 }

@@ -38,6 +38,20 @@ class ExtSpec extends AnyFunSuite {
     assert(r._1(1) === null)
   }
 
+  test("shingles3_hashed equals the interpreted shingle+md5 composition") {
+    val docs = Seq(
+      "a b c d e", "a b c a b c a b c", "x y", "", "one two three",
+      "w1 w2 w3 w4 w5 w6 w7 w1 w2 w3")
+      .toDF("text")
+    val both = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        graft.functions.HashFunctions.shingles3_hashed(col("toks")).as("fast"),
+        expr(s"transform(${TextOps.shingleExpr("toks")}, s -> ${TextOps.md5Long64("s")})").as("ref"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (fast, ref) => assert(fast === ref) }
+  }
+
   test("shingleExpr produces distinct word 3-grams, empty below 3 tokens") {
     val df = Seq("a b c d", "x y").toDF("text")
       .withColumn("toks", split(col("text"), " "))
