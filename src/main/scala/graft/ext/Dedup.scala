@@ -323,19 +323,27 @@ object Dedup {
     var chkPins = List.empty[DataFrame]
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    // one min-label propagation as a pure plan transform: join neighbor
+    // labels, keep the smaller of own/neighborhood-min, carry a did-it-
+    // change flag so convergence detection needs no second join
+    def hop(ls: DataFrame): DataFrame = {
       val prop = edges
-        .join(labels.selectExpr("id as v2", "comp as ncomp"), col("v") === col("v2"))
+        .join(ls.selectExpr("id as v2", "comp as ncomp"), col("v") === col("v2"))
         .groupBy(col("u").as("id2"))
         .agg(min(col("ncomp")).as("nc"))
-      // carry the did-it-change flag out of the SAME join, so convergence
-      // detection doesn't need a second per-iteration join against the old
-      // labels (it did before — 2 joins/iteration instead of 1)
-      val step = labels
-        .join(prop, col("id") === col("id2"), "left")
+      ls.join(prop, col("id") === col("id2"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
           (col("nc") < col("comp")).as("chg"))
+    }
+    while (changed > 0 && iter < maxIters) {
+      // TWO hops per materialization: labels are only persisted/counted at
+      // every second propagation, halving the job barriers the driver
+      // schedules (the fixpoint is unchanged — hops past convergence are
+      // no-ops). Checking only the SECOND hop's flag is sound: a hop with
+      // zero changes proves its input was already the fixpoint, and its
+      // output equals that input.
+      val step = hop(hop(labels))
       // truncate the lineage every few iterations: the plan otherwise grows
       // by two joins per iteration and deep clusters re-analyze an
       // ever-larger tree (and risk stack overflow at scale). Reliable
