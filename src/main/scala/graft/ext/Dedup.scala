@@ -301,6 +301,26 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming-friendly decontamination filter: drop every document that
+    * shares ANY 3-gram shingle with the benchmark set. The benchmark's
+    * distinct shingle hashes collapse to ONE broadcast array row (an eval
+    * set is tiny next to the corpus), and the stream side is a pure
+    * per-row `arrays_overlap` — STATELESS, so it runs identically on
+    * batch and structured-streaming frames with no watermark and no state
+    * store, at scan speed.
+    */
+  def decontaminateStream(stream: DataFrame, benchmark: DataFrame): DataFrame = {
+    val sh = graft.functions.HashFunctions.shingles3_hashed(split(col("text"), " "))
+    val benchArr = benchmark
+      .select(explode(sh).as("h")).distinct()
+      .agg(sort_array(collect_list(col("h"))).as("_bench_hashes"))
+    stream
+      .withColumn("_shs", sh)
+      .crossJoin(broadcast(benchArr))
+      .filter(!arrays_overlap(col("_shs"), col("_bench_hashes")))
+      .drop("_shs", "_bench_hashes")
+  }
+
   /** Connected components over near-dup candidate pairs — the dedup
     * endgame: pairs only say "A≈B"; keeping one doc per TRANSITIVE
     * cluster needs components. Pregel-style min-label propagation: each

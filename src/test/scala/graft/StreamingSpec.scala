@@ -318,6 +318,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination: benchmark-overlapping docs dropped statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val benchmark = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val clean = graft.ext.Dedup.decontaminateStream(
+      ms.toDS().toDF("doc_id", "ts", "text"), benchmark)
+      .select("doc_id")
+    val q = clean.writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        // shares the "beta gamma delta" window with the benchmark -> dropped
+        (1L, ts("2024-01-01 00:00:00"), "prefix beta gamma delta suffix words"),
+        (2L, ts("2024-01-01 00:00:30"), "totally unrelated clean document text here")))
+      q.processAllAvailable()
+      // later batch: same stateless filter, no state dependency on batch 1
+      ms.addData(Seq(
+        (3L, ts("2024-01-01 00:01:00"), "alpha beta gamma repeated verbatim"),
+        (4L, ts("2024-01-01 00:02:00"), "another clean one with fresh tokens")))
+      q.processAllAvailable()
+      val ids = spark.table("decontam_stream").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(2L, 4L))
+    } finally q.stop()
+  }
+
   test("decode drops corrupt Kafka payloads instead of failing the stream") {
     val good = """{"event_id":7,"ts":"2024-01-01 00:00:00","user_id":3,"event_type":"view","value":1.5,"props":"{}"}"""
     val kafkaShaped = Seq(good, "{not json", "", """{"event_id":null}""")
