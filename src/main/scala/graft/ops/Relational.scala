@@ -741,11 +741,17 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
     val smallParts = Tables.part(s, dir).filter(col("p_type") === "SMALL")
       .select(col("p_partkey"), col("p_name"))
+    // one exchange under BOTH consumers: the min aggregate and the probe
+    // side of the min-join read the same shuffle (exchange reuse), and the
+    // final join is co-partitioned on p_partkey — without this the whole
+    // lineitem join tree (all-broadcast, hence exchange-free) executes
+    // twice
     val offers = Tables.lineitem(s, dir)
       .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"),
         col("s_acctbal"), col("n_name"), col("l_extendedprice").as("cost"))
+      .repartition(col("p_partkey"))
     val minCost = offers
       .groupBy(col("p_partkey").as("m_key"))
       .agg(min(col("cost")).as("m_cost"))
