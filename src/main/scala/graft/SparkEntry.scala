@@ -246,6 +246,7 @@ object SparkEntry {
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
+    "embed_outliers" -> ((s, d) => Similarity.outliersByLabel(Tables.embeddings(s, d))),
     "lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
     // blocked-tile exact form; the row-level n² join is a test-only baseline
     "embed_neardup" -> ((s, d) => Similarity.nearDupPairsBlocked(Tables.embeddings(s, d))),
@@ -1522,6 +1523,23 @@ object SparkEntry {
          |WHERE vec_id <> 0
          |ORDER BY cosine_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
+    "embed_outliers" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)
+         |           / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit
+         |  FROM embeddings
+         |), r AS (
+         |  SELECT label AS rep_label, min(vec_id) AS rep_id FROM embeddings GROUP BY 1
+         |), rep AS (
+         |  SELECT r.rep_label, u2.unit AS rep_unit FROM r JOIN u u2 ON u2.vec_id = r.rep_id
+         |)
+         |SELECT u.vec_id, u.label,
+         |       round(${dUnitDot("unit", "rep_unit")}, 6) AS rep_sim,
+         |       CAST(CASE WHEN round(${dUnitDot("unit", "rep_unit")}, 6) < -0.2
+         |            THEN 1 ELSE 0 END AS INT) AS outlier
+         |FROM u JOIN rep ON u.label = rep.rep_label
+         |ORDER BY u.vec_id""".stripMargin,
     "embed_neardup" ->
       s"""$dUnitCte
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

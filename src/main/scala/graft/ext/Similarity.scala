@@ -55,6 +55,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-group embedding outlier screen: cosine of every vector against
+    * its label group's deterministic representative — the min-`vec_id`
+    * member, a medoid stand-in that needs NO float averaging (a mean
+    * centroid's per-dimension double sums would depend on partial-
+    * aggregation order, so the flag could flip between engines/runs; the
+    * representative's unit vector is a plain row, bit-stable everywhere).
+    * Representatives are one row per label, so they broadcast at any
+    * corpus size and the screen is a single scan + one codegen'd dot per
+    * vector.
+    */
+  def outliersByLabel(embeddings: DataFrame, flagBelow: Double = -0.2): DataFrame = {
+    val n = normalized(embeddings)
+    val repIds = embeddings.groupBy(col("label").as("rep_label"))
+      .agg(min(col("vec_id")).as("rep_id"))
+    val reps = n
+      .join(broadcast(repIds), col("vec_id") === col("rep_id"))
+      .select(col("rep_label"), col("unit").as("rep_unit"))
+    n.join(broadcast(reps), col("label") === col("rep_label"))
+      .select(col("vec_id"), col("label"),
+        round(vec_dot(col("unit"), col("rep_unit")), 6).as("rep_sim"))
+      .withColumn("outlier", (col("rep_sim") < flagBelow).cast("int"))
+      .orderBy(col("vec_id"))
+  }
+
   /** All near-duplicate pairs with cosine ≥ threshold (exact, brute
     * force). Quadratic row-level join — TEST-ONLY correctness baseline
     * that [[nearDupPairsBlocked]] and the LSH path are validated against
