@@ -450,20 +450,25 @@ object Dedup {
       .filter(col("df") <= maxDf)
       .select(col("shingle_hash"))
     val kept = flat.join(freq, "shingle_hash")
+    // attach each doc's surviving-shingle count BEFORE the pair join: the
+    // sizes aggregate and its probe share one doc_id exchange of the
+    // (small) flat rows, and the counts ride through the pair join as
+    // plain columns — joining sizes onto the (much larger) pair set
+    // afterwards would shuffle every candidate pair twice more
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = kept.select(col("shingle_hash"), col("doc_id").as("a_id"))
-      .join(kept.select(col("shingle_hash"), col("doc_id").as("b_id")), "shingle_hash")
+    val keptN = kept.join(sizes, "doc_id")
+    val common = keptN
+      .select(col("shingle_hash"), col("doc_id").as("a_id"), col("n_sh").as("a_n"))
+      .join(keptN.select(col("shingle_hash"), col("doc_id").as("b_id"), col("n_sh").as("b_n")),
+        "shingle_hash")
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
       .agg(count(lit(1)).as("n_common"))
-    val ranked = common
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_n"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_n"), "b_id")
+    common
       .selectExpr(
         "a_id", "b_id", "n_common",
         "cast(n_common as double) / cast(a_n + b_n - n_common as double) as jaccard")
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(topK)
-    ranked
   }
 }
