@@ -21,29 +21,39 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s  ($r)")
     }
-    import graft.ext.TextOps.{md5Long64, shingleExpr}
-    def docs = Tables.documents(spark, dir)
-    val flat = docs
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(shingleExpr("toks"))).as("shingle"))
-      .select(col("doc_id"), expr(md5Long64("shingle")).as("shingle_hash"))
-    t("warm")(docs.count())
-    t("flat shingle hashes")(flat.count())
-    val grouped = flat.groupBy(col("shingle_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= 100)
-    t("grouped buckets")(grouped.count())
-    val pairs = grouped
-      .filter(size(col("ids")) > 1)
-      .selectExpr(
-        """explode(flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a_id, y as b_id))
-          |))) as p""".stripMargin)
-    t("pair explosion rows")(pairs.count())
-    val counted = pairs.select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
-    t("pair counts")(counted.count())
-    t("full ngram_jaccard q")(graft.ext.Dedup.ngramJaccardCapped(docs, maxDf = 100).count())
+    import graft.ext.{Dedup, TextOps}
+    val all = Tables.documents(spark, dir)
+    val corpus = all.filter(col("doc_id") % 50 =!= 0)
+    t("warm")(all.count())
+    t("corpus")(corpus.count())
+    val nonRep = TextOps.repetitionStats(corpus)
+      .filter(col("repetitive") === 0).select("doc_id")
+    t("nonRep")(nonRep.count())
+    val cleanIds = Dedup.contaminationCounts(all)
+      .filter(col("contaminated") === 0).select("doc_id")
+    t("cleanIds")(cleanIds.count())
+    val survivors = corpus
+      .join(nonRep, Seq("doc_id"), "left_semi")
+      .join(cleanIds, Seq("doc_id"), "left_semi")
+    t("survivors")(survivors.count())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_th")).orderBy(col("doc_id"))
+    val deduped = survivors
+      .withColumn("_th", expr(s"${TextOps.md5Long64("text")}"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_th", "_rn")
+    t("deduped")(deduped.count())
+    val rate = expr("10 + ((cast(substring(source, 4, 8) as int) * 7) % 80)")
+    val sampled = deduped.filter(
+      expr(s"pmod(${TextOps.md5Long64("cast(doc_id as string)")}, 100)") < rate)
+    t("sampled")(sampled.count())
+    t("full agg run1")(sampled.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("bigint")).as("total_tokens")).count())
+    t("full agg run2")(sampled.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("bigint")).as("total_tokens")).count())
     spark.stop()
   }
 }

@@ -140,6 +140,51 @@ object SparkEntry {
         .stratifiedSample(Dedup.keepFirstByText(good), "lang", "doc_id", 10)
         .select("doc_id", "lang", "source", "n_chars")
     }),
+    "pipeline_curate2" -> ((s, d) => {
+      // the modern curation chain end-to-end: drop eval-set docs ->
+      // repetition filter -> decontaminate -> exact dedup (deterministic
+      // keeper) -> per-source weighted mix -> corpus stats. Every stage is
+      // a semi-join against a deterministic doc_id set, so the whole
+      // pipeline composes as filters over ONE documents scan.
+      val all = Tables.documents(s, d)
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      // aggregate-form repetition filter (see TextOps.repetitionCounts):
+      // the flag predicate sits ABOVE a groupBy, so it cannot be pushed
+      // into the interpreted bigram projection. The REPETITIVE ids feed an
+      // anti join, so docs with <2 tokens (no counts row) are kept —
+      // zero bigrams = not repetitive, matching the projection form.
+      val repetitiveIds = TextOps.repetitionCounts(corpus)
+        .filter(expr(
+          "1.0 - cast(n_distinct_bigrams as double) / cast(n_bigrams as double) > 0.05"))
+        .select("doc_id")
+      val cleanIds = Dedup.contaminationCounts(all)
+        .filter(col("contaminated") === 0).select("doc_id")
+      val survivors = corpus
+        .join(repetitiveIds, Seq("doc_id"), "left_anti")
+        .join(cleanIds, Seq("doc_id"), "left_semi")
+      // keep-first dedup as ONE window pass (same keeper as
+      // keepFirstByText: min doc_id per text hash). The semi-join form
+      // would put the whole filter chain under BOTH join sides, and
+      // column pruning pushes different projections below each side's
+      // exchange, so exchange reuse cannot collapse them — the window
+      // form has a single consumer by construction.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_th")).orderBy(col("doc_id"))
+      val deduped = survivors
+        .withColumn("_th", expr(s"${TextOps.md5Long64("text")}"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_th", "_rn")
+      val rate = expr("10 + ((cast(substring(source, 4, 8) as int) * 7) % 80)")
+      val sampled = deduped.filter(
+        expr(s"pmod(${TextOps.md5Long64("cast(doc_id as string)")}, 100)") < rate)
+      sampled
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("bigint")).as("total_tokens"))
+        .orderBy(col("source"), col("lang"))
+    }),
     "sql_interface" -> ((s, d) => {
       // the SQL front door: same engine, same tables, ANSI SQL in
       Tables.names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
@@ -1080,6 +1125,47 @@ object SparkEntry {
          |  FROM uniq
          |)
          |SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= 10""".stripMargin,
+    "pipeline_curate2" ->
+      s"""$dToksCte, b AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(toks) >= 2
+         |          THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+         |          ELSE CAST([] AS VARCHAR[]) END AS bg
+         |  FROM t
+         |), nonrep AS (
+         |  SELECT doc_id FROM b
+         |  WHERE NOT (len(bg) > 0 AND
+         |    1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) > 0.05)
+         |), s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), e AS (
+         |  SELECT doc_id, unnest(list_transform(sh, s2 -> ${dH("s2")})) AS h FROM s
+         |), bench AS (
+         |  SELECT DISTINCT h FROM e WHERE doc_id % 50 = 0
+         |), shared AS (
+         |  SELECT e.doc_id, COUNT(*) AS n_shared
+         |  FROM e JOIN bench USING (h)
+         |  WHERE e.doc_id % 50 <> 0
+         |  GROUP BY 1
+         |), clean AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN shared USING (doc_id)
+         |  WHERE d.doc_id % 50 <> 0 AND COALESCE(n_shared, 0) < 3
+         |), surv AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN nonrep USING (doc_id) JOIN clean USING (doc_id)
+         |  WHERE d.doc_id % 50 <> 0
+         |), k AS (
+         |  SELECT MIN(doc_id) AS keeper FROM surv GROUP BY ${dH("text")}
+         |), uniq AS (
+         |  SELECT * FROM surv WHERE doc_id IN (SELECT keeper FROM k)
+         |), samp AS (
+         |  SELECT * FROM uniq
+         |  WHERE ${dH("CAST(doc_id AS VARCHAR)")} % 100
+         |        < 10 + ((CAST(substring(source, 4, 8) AS INT) * 7) % 80)
+         |)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         |FROM samp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q13_custdist" ->
       """WITH c AS (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

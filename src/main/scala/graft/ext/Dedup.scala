@@ -283,6 +283,16 @@ object Dedup {
   def contamination(
       documents: DataFrame,
       benchModulus: Int = 50,
+      flagAt: Int = 3): DataFrame =
+    contaminationCounts(documents, benchModulus, flagAt).orderBy(col("doc_id"))
+
+  /** [[contamination]] without the presentation sort — the composition
+    * form: a pipeline that only semi-joins the clean doc_ids must not pay
+    * a global sort for ordering it immediately discards.
+    */
+  def contaminationCounts(
+      documents: DataFrame,
+      benchModulus: Int = 50,
       flagAt: Int = 3): DataFrame = {
     val flat = shingleHashes(documents, outer = false)
     val benchShingles = flat.filter(col("doc_id") % benchModulus === 0)
@@ -298,7 +308,6 @@ object Dedup {
         col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared_shingles"),
         (coalesce(col("n_shared"), lit(0L)) >= flagAt).cast("int").as("contaminated"))
-      .orderBy(col("doc_id"))
   }
 
   /** Streaming-friendly decontamination filter: drop every document that

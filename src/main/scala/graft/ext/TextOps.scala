@@ -57,6 +57,31 @@ object TextOps {
            |  1.0 - cast(size(array_distinct(bg)) as double) / cast(size(bg) as double) > $flagFrac
            |  then 1 else 0 end as int) as repetitive""".stripMargin)
 
+  /** Bigram totals per document in AGGREGATE form — the composition-safe
+    * twin of [[repetitionStats]]. A filter over the projection form pushes
+    * the flag predicate below the Project, where every alias reference
+    * re-expands the interpreted bigram lambdas (measured ~25× per-row
+    * blowup inside the Filter). Here the bigrams are exploded by index and
+    * hashed as FLAT columns (whole-stage codegen end to end), and the
+    * counts come out of a `groupBy` — an aggregation boundary no predicate
+    * can push through. Distinctness is on the 60-bit bigram hash (the
+    * string-collision probability over a corpus is ~pairs²/2⁶¹ —
+    * negligible even at 100 TB scale). Documents with fewer than 2 tokens
+    * produce no row: callers left-join and treat absent as zero bigrams.
+    */
+  def repetitionCounts(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          "case when size(toks) >= 2 then sequence(1, size(toks) - 1) else array() end")).as("i"))
+      .selectExpr("doc_id",
+        s"${md5Long64("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")} as bh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bh")).as("n_distinct_bigrams"))
+
   /** Per-document token statistics and a deterministic quality score. */
   def textStats(documents: DataFrame): DataFrame =
     documents
