@@ -13,10 +13,11 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm}
   *    by the codegen'd [[graft.functions.VecDot]] Catalyst expression (a
   *    tight primitive loop inside whole-stage codegen, ~100× the
   *    throughput of an interpreted higher-order `aggregate` lambda);
-  *  - sign-LSH bucketing (the scale path) — an 8-bit bucket from the sign
-  *    pattern of the first 8 dimensions turns the n² pair space into
-  *    Σ(bucket²); at 100 TB the bucket id is also the natural partition
-  *    key, so candidate generation is a co-partitioned self-join.
+  *  - sign-LSH bucketing (the scale path) — multi-band sign-pattern
+  *    buckets (2 bands × 12 bits, 4,096 buckets/band) turn the n² pair
+  *    space into Σ(bucket²) ≈ n²/4,096 per band; at 100 TB the bucket id
+  *    is also the natural partition key, so candidate generation is a
+  *    co-partitioned self-join.
   *
   * Determinism: normalization and dot accumulate left-to-right in double,
   * mirroring the DuckDB oracle's `list_sum(list_transform(...))`; outputs
