@@ -288,6 +288,7 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id"))),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
+    "vocab_topk" -> ((s, d) => TextOps.vocabTopK(Tables.documents(s, d))),
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
@@ -1492,6 +1493,13 @@ object SparkEntry {
          |         1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) > 0.05
          |         THEN 1 ELSE 0 END AS INT) AS repetitive
          |FROM b""".stripMargin,
+    "vocab_topk" ->
+      """SELECT token, COUNT(*) AS occurrences,
+        |       COUNT(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY 1
+        |ORDER BY occurrences DESC, token
+        |LIMIT 50""".stripMargin,
     "contamination" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

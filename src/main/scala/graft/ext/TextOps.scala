@@ -143,6 +143,22 @@ object TextOps {
         "cast(case when predicted_lang = lang then 1 else 0 end as bigint) as is_correct")
   }
 
+  /** Corpus vocabulary profile: the k most frequent tokens with document
+    * frequencies — the "what is this corpus made of" analysis under
+    * tokenizer/vocab decisions. One explode + one aggregate with map-side
+    * partials (per-partition token counts cross the wire, not token
+    * streams); deterministic tie-break on the token itself.
+    */
+  def vocabTopK(documents: DataFrame, k: Int = 50): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(k)
+
   /** Document fingerprints: whole-text hash plus the minimum shingle hash
     * (the "winnowing" representative) — the primitives under both exact
     * and MinHash dedup.

@@ -109,6 +109,24 @@ class ExtSpec extends AnyFunSuite {
     assert(r(4L)._3 > 0.8 && r(4L)._4 === 1)
   }
 
+  test("repetitionCounts agrees with repetitionStats on every document") {
+    // two independent formulations (per-row array lambdas vs explode +
+    // aggregate) must produce the same totals; docs with <2 tokens have
+    // no counts row and zero bigrams in the stats form
+    val docs = Seq(
+      (1L, "a b a b a b"), (2L, "w x y z"), (3L, "solo"), (4L, ""),
+      (5L, "t t t t t t"), (6L, "p q r p q r p q")
+    ).toDF("doc_id", "text")
+    val stats = graft.ext.TextOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val counts = graft.ext.TextOps.repetitionCounts(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    stats.foreach { case (id, (nb, nd)) =>
+      if (nb == 0L) assert(!counts.contains(id))
+      else assert(counts(id) === ((nb, nd)))
+    }
+  }
+
   test("contamination counts shared shingles against the benchmark subset only") {
     // doc 0 is the benchmark (0 % 50 == 0); doc 101 shares its full text
     // (all shingles), doc 1 shares nothing, doc 2 shares one 3-gram window
