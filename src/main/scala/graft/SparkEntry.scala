@@ -175,7 +175,7 @@ object SparkEntry {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .drop("_th", "_rn")
-      val rate = expr("10 + ((cast(substring(source, 4, 8) as int) * 7) % 80)")
+      val rate = expr(Sampling.sourceRateSql)
       val sampled = deduped.filter(
         expr(s"pmod(${TextOps.md5Long64("cast(doc_id as string)")}, 100)") < rate)
       sampled
@@ -1065,7 +1065,8 @@ object SparkEntry {
         |)
         |SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
         |FROM pv, t
-        |WHERE val * n * 2 > total * 3
+        |WHERE CAST(val AS DECIMAL(25,4)) * CAST(n * 2 AS DECIMAL(11,0))
+        |      > CAST(total AS DECIMAL(27,4)) * CAST(3 AS DECIMAL(1,0))
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
     "q16_supplier_counts" ->
       """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
@@ -1162,7 +1163,7 @@ object SparkEntry {
          |), samp AS (
          |  SELECT * FROM uniq
          |  WHERE ${dH("CAST(doc_id AS VARCHAR)")} % 100
-         |        < 10 + ((CAST(substring(source, 4, 8) AS INT) * 7) % 80)
+         |        < ${Sampling.sourceRateSql}
          |)
          |SELECT source, lang, COUNT(*) AS n_docs,
          |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
@@ -1473,7 +1474,7 @@ object SparkEntry {
          |       $dSimhashBits
          |  FROM h
          |)
-         |SELECT doc_id, CAST($dSimhashPack AS BIGINT) AS simhash FROM b""".stripMargin,
+         |SELECT doc_id, COALESCE(CAST($dSimhashPack AS BIGINT), 0) AS simhash FROM b""".stripMargin,
     "repetition_stats" ->
       s"""$dToksCte, b AS (
          |  SELECT doc_id, toks,
@@ -1523,7 +1524,7 @@ object SparkEntry {
     "domain_mix" ->
       s"""WITH r AS (
          |  SELECT DISTINCT source,
-         |         10 + ((CAST(substring(source, 4, 8) AS INT) * 7) % 80) AS rate
+         |         ${Sampling.sourceRateSql} AS rate
          |  FROM documents
          |)
          |SELECT d.source, r.rate,

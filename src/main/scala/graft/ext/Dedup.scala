@@ -347,11 +347,12 @@ object Dedup {
       .distinct().persist()
     var labels = edges.selectExpr("u as id").distinct()
       .withColumn("comp", col("id")).persist()
-    // localCheckpoint frames whose executor blocks we still hold — released
-    // together at the end, after the result's shuffle is on disk
+    // intermediate checkpoint frames whose storage (executor blocks for
+    // localCheckpoint, FILES for reliable checkpoint) we still hold --
+    // released together in the finally, so an exception anywhere in the
+    // loop cannot leak pinned storage past the call (the round-3 class of
+    // bug, re-entered via the error path)
     var chkPins = List.empty[DataFrame]
-    var changed = 1L
-    var iter = 0
     // one min-label propagation as a pure plan transform: join neighbor
     // labels, keep the smaller of own/neighborhood-min, carry a did-it-
     // change flag so convergence detection needs no second join
@@ -365,69 +366,88 @@ object Dedup {
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
           (col("nc") < col("comp")).as("chg"))
     }
-    while (changed > 0 && iter < maxIters) {
-      // TWO hops per materialization: labels are only persisted/counted at
-      // every second propagation, halving the job barriers the driver
-      // schedules (the fixpoint is unchanged — hops past convergence are
-      // no-ops). Checking only the SECOND hop's flag is sound: a hop with
-      // zero changes proves its input was already the fixpoint, and its
-      // output equals that input.
-      val step = hop(hop(labels))
-      // truncate the lineage every few iterations: the plan otherwise grows
-      // by two joins per iteration and deep clusters re-analyze an
-      // ever-larger tree (and risk stack overflow at scale). Reliable
-      // checkpoint (files under the configured dir) when available — it
-      // survives executor loss; localCheckpoint otherwise, whose blocks are
-      // unreplicated executor storage: after truncation a lost executor
-      // fails the job instead of recomputing. Fine in local mode; set a
-      // checkpoint dir for cluster runs.
-      val next = {
-        if ((iter + 1) % 5 == 0) {
-          if (reliable) step.checkpoint(eager = true)
-          else {
-            val c = step.localCheckpoint(eager = true)
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        // TWO hops per materialization: labels are only persisted/counted
+        // at every second propagation, halving the job barriers the driver
+        // schedules (the fixpoint is unchanged -- hops past convergence are
+        // no-ops). Checking only the SECOND hop's flag is sound: a hop
+        // with zero changes proves its input was already the fixpoint, and
+        // its output equals that input.
+        val step = hop(hop(labels))
+        // truncate the lineage every few iterations: the plan otherwise
+        // grows by two joins per iteration and deep clusters re-analyze an
+        // ever-larger tree (and risk stack overflow at scale). Reliable
+        // checkpoint (files under the configured dir) when available -- it
+        // survives executor loss; localCheckpoint otherwise, whose blocks
+        // are unreplicated executor storage: after lineage truncation a
+        // lost executor fails the job instead of recomputing. Fine in
+        // local mode; set a checkpoint dir for cluster runs.
+        val next = {
+          if ((iter + 1) % 5 == 0) {
+            val c =
+              if (reliable) step.checkpoint(eager = true)
+              else step.localCheckpoint(eager = true)
             chkPins ::= c
             c
-          }
-        } else step
-      }.persist()
-      changed = next.filter(col("chg")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
-    // The returned frame's lineage is the whole driver-side iteration —
-    // irreproducible once the loop state is released — so materialize the
-    // RESULT (doc_id, component) into its own checkpoint (result-sized:
-    // orders smaller than the signature/edge intermediates), then release
-    // every iteration pin. With a configured checkpoint dir the result
-    // lives in files (no block-manager footprint at all); otherwise it is
-    // the ONE residual set of blocks, released by [[release]] when the
-    // caller is done with the frame.
-    val projected = labels.select(col("id").as("doc_id"), col("comp").as("component"))
-    val out =
+          } else step
+        }.persist()
+        changed = next.filter(col("chg")).count()
+        val prev = labels
+        labels = next
+        prev.unpersist()
+        iter += 1
+      }
+      // The returned frame's lineage is the whole driver-side iteration --
+      // irreproducible once the loop state is released -- so materialize
+      // the RESULT (doc_id, component) into its own checkpoint
+      // (result-sized: orders smaller than the signature/edge
+      // intermediates). With a configured checkpoint dir the result lives
+      // in files (no block-manager footprint); either way [[release]]
+      // reclaims it -- blocks AND files -- when the caller is done.
+      val projected = labels.select(col("id").as("doc_id"), col("comp").as("component"))
       if (reliable) projected.checkpoint(eager = true)
       else projected.localCheckpoint(eager = true)
-    labels.unpersist(blocking = false)
-    chkPins.foreach(releaseCheckpointBlocks)
-    out
+    } finally {
+      edges.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      // safe only AFTER the result checkpoint is materialized (eager) or
+      // on the failure path -- later intermediates have already been
+      // re-rooted on their own storage, so superseded ones are unreachable
+      chkPins.foreach(releaseCheckpointStorage)
+    }
   }
 
-  /** Release the materialized blocks behind a frame returned by
+  /** Release the materialized storage behind a frame returned by
     * [[connectedComponents]] (plus any cache entry on it). `unpersist`
     * alone only clears CacheManager state; checkpoint blocks belong to the
     * underlying RDD, reachable through the plan's `LogicalRDD` leaf.
     */
   def release(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
-    releaseCheckpointBlocks(df)
+    releaseCheckpointStorage(df)
   }
 
-  private def releaseCheckpointBlocks(df: DataFrame): Unit =
+  /** Unpin a checkpoint-backed frame's executor blocks AND delete its
+    * reliable-checkpoint files, if any: `spark.cleaner.referenceTracking.
+    * cleanCheckpoints` defaults to false, so checkpoint FILES are never
+    * reclaimed automatically -- without this, every call on a cluster with
+    * a checkpoint dir would leak one directory per lineage truncation for
+    * the application's lifetime (the block-manager leak, reappearing on
+    * the filesystem).
+    */
+  private def releaseCheckpointStorage(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { f =>
+          val pth = new org.apache.hadoop.fs.Path(f)
+          val fs = pth.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(pth, true)
+        }
       case _ => ()
     }
 

@@ -29,10 +29,18 @@ object Sampling {
     * aggregate shuffle on the low-cardinality source key — membership is
     * pure per-row hashing, stable under retries and repartitioning.
     */
+  /** The per-source keep rate, as SQL shared verbatim by BOTH engines —
+    * `weightedBySource`, `pipeline_curate2`, and their DuckDB oracles all
+    * interpolate THIS string, so the membership predicate can never drift
+    * between the Spark side and the oracle (the dialect subset here —
+    * cast/substring/int arithmetic — parses identically in both).
+    */
+  val sourceRateSql: String =
+    "10 + ((cast(substring(source, 4, 8) as int) * 7) % 80)"
+
   def weightedBySource(documents: DataFrame): DataFrame = {
     val rates = documents.select(col("source")).distinct()
-      .withColumn("rate",
-        expr("10 + ((cast(substring(source, 4, 8) as int) * 7) % 80)"))
+      .withColumn("rate", expr(sourceRateSql))
     val h = expr(s"pmod(${TextOps.md5Long64("cast(doc_id as string)")}, 100)")
     documents
       .join(broadcast(rates), "source")

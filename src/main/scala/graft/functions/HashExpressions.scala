@@ -49,12 +49,16 @@ case class Md5Long64Array(child: Expression)
 /** Distinct word 3-gram shingles of a token array, each mapped to its
   * 60-bit md5 prefix — the fused form of `shingleExpr` + md5-per-shingle.
   *
-  * Semantics are exactly `transform(array_distinct(3-grams), md5Long64)`:
+  * Semantics are `transform(array_distinct(3-grams), md5Long64)`:
   * 3-grams are `tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]`, distinctness
   * is on the STRING (first occurrence kept, so a 60-bit hash collision
   * between distinct shingles still yields two elements, as the oracle's
   * string-level `list_distinct` does), fewer than 3 tokens yields an empty
-  * array, and a null token nulls its shingles (concat semantics). One
+  * array, and a null token nulls its shingles (concat semantics). The one
+  * deliberate deviation: a null shingle (only possible when the token
+  * array itself contains nulls, which `split` never produces) is emitted
+  * at the END of the array rather than at its first-occurrence position —
+  * every consumer here is order-insensitive (explode, min, count). One
   * compiled loop replaces four interpreted higher-order passes
   * (sequence → transform/concat → array_distinct → transform/md5) plus
   * their intermediate arrays.

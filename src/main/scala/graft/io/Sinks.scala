@@ -39,6 +39,14 @@ object Sinks {
           // the same rows instead of accumulating them. A plain append
           // would double history on every recovery replay. event_date
           // stays in the spec so date filters prune at the second level.
+          //
+          // LIFECYCLE CONTRACT: batch ids are scoped to ONE checkpoint, so
+          // checkpointDir and outDir form a unit — starting a FRESH
+          // checkpoint against an EXISTING outDir restarts ids at 0 and
+          // would overwrite the previous run's partitions (Spark's own
+          // file sinks have the same property via their _spark_metadata
+          // log). Point a new checkpoint at a new outDir; resume the same
+          // checkpoint to continue the same output.
           df.withColumn("batch_id", lit(batchId))
             .withColumn("event_date", to_date(col("ts")))
             .write.mode("overwrite")

@@ -420,10 +420,7 @@ object Relational {
     * volume split, not a filter.
     */
   def marketShare(s: SparkSession, dir: String): DataFrame = {
-    val asiaKeys = Tables.nation(s, dir)
-      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"))
+    val asiaKeys = regionNationKeys(s, dir, "ASIA")
     val cust = Tables.customer(s, dir)
       .join(broadcast(asiaKeys), col("c_nationkey") === col("n_nationkey"), "left_semi")
       .select(col("c_custkey"))
@@ -677,10 +674,7 @@ object Relational {
     * evaluates the shuffle once.
     */
   def importantParts(s: SparkSession, dir: String): DataFrame = {
-    val eurKeys = Tables.nation(s, dir)
-      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"))
+    val eurKeys = regionNationKeys(s, dir, "EUROPE")
     val sup = Tables.supplier(s, dir)
       .join(broadcast(eurKeys), col("s_nationkey") === col("n_nationkey"), "left_semi")
       .select(col("s_suppkey"))
@@ -690,7 +684,15 @@ object Relational {
       .agg(sum(discPrice).as("val"))
     val tot = pv.agg(sum(col("val")).as("total"), count(lit(1)).as("n"))
     pv.crossJoin(broadcast(tot))
-      .filter(col("val") * col("n") * lit(2) > col("total") * lit(3))
+      // widths chosen so BOTH engines multiply exactly: val(25,4)×2n(11,0)
+      // is 37 digits in Spark (p1+p2+1) and 36 in DuckDB (p1+p2), both
+      // under the 38 cap — without the casts Spark would round via
+      // precision-loss decimal while DuckDB converts to double, and a
+      // boundary part could flip between engines. The down-casts are safe
+      // to ~1e21 per-part revenue (far beyond 100 TB).
+      .filter(
+        col("val").cast("decimal(25,4)") * expr("cast(n * 2 as decimal(11,0))")
+          > col("total").cast("decimal(27,4)") * lit(3).cast("decimal(1,0)"))
       .select(col("l_partkey"), col("val").cast("double").as("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey"))
   }
@@ -732,10 +734,7 @@ object Relational {
     * p_partkey) sort is total — (s_name, p_partkey) pairs are unique.
     */
   def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
-    val eurNations = Tables.nation(s, dir)
-      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"), col("n_name"))
+    val eurNations = regionNations(s, dir, "EUROPE")
     val sup = Tables.supplier(s, dir)
       .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
@@ -765,6 +764,21 @@ object Relational {
       .limit(100)
   }
 
+  /** Nation rows of one region via the broadcast nation-region dimension
+    * join — the shared feeder for the broadcast (semi-)joins that restrict
+    * customer/supplier BEFORE they meet a fact table (the join-order
+    * policy q2/q5/q8/q11/q20 follow; one definition so a change to the
+    * pattern lands everywhere).
+    */
+  private def regionNations(s: SparkSession, dir: String, region: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+
+  private def regionNationKeys(s: SparkSession, dir: String, region: String): DataFrame =
+    regionNations(s, dir, region).select(col("n_nationkey"))
+
   /** TPC-H Q20-style excess shippers: EUROPE suppliers that moved more
     * than `minQty` units of some bolt part in 1996 — the nested
     * IN-over-a-per-(supplier,part)-aggregate shape (Q20's availqty
@@ -786,11 +800,9 @@ object Relational {
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(col("l_quantity")).as("ship_qty"))
       .filter(col("ship_qty") > minQty)
-      .select(col("l_suppkey")).distinct()
-    val eurKeys = Tables.nation(s, dir)
-      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"))
+      // no distinct: the left_semi consumer below already deduplicates
+      .select(col("l_suppkey"))
+    val eurKeys = regionNationKeys(s, dir, "EUROPE")
     Tables.supplier(s, dir)
       .join(broadcast(eurKeys), col("s_nationkey") === col("n_nationkey"), "left_semi")
       .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
