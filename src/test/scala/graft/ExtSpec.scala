@@ -94,6 +94,38 @@ class ExtSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"operators leaked pinned RDD blocks: $leaked")
   }
 
+  test("connectedComponents with a checkpoint dir leaves no files after release") {
+    // the reliable-checkpoint branch: iteration checkpoints must be
+    // deleted by the operator (Spark never reclaims checkpoint FILES on
+    // its own), and release() must delete the result's files too
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val prev = sc.getCheckpointDir
+    sc.setCheckpointDir(dir)
+    try {
+      // a 21-node chain needs ~10 two-hop rounds, so at least one
+      // intermediate checkpoint (every 5th round) happens
+      val chain = (0L until 20L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      val cc = Dedup.connectedComponents(chain, maxIters = 20)
+      val comps = cc.select("component").distinct().count()
+      assert(comps === 1L) // one chain, one component
+      Dedup.release(cc)
+      def filesUnder(p: java.io.File): Seq[java.io.File] = {
+        val kids = Option(p.listFiles()).map(_.toSeq).getOrElse(Seq())
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(filesUnder)
+      }
+      val residue = filesUnder(new java.io.File(dir))
+      assert(residue.isEmpty, s"checkpoint files leaked: ${residue.take(5)}")
+    } finally {
+      prev match {
+        case Some(p) => sc.setCheckpointDir(p)
+        case None =>
+          // SparkContext has no public unset; point it at a throwaway dir
+          sc.setCheckpointDir(java.nio.file.Files.createTempDirectory("graft_ckpt_unused").toString)
+      }
+    }
+  }
+
   test("repetitionStats: duplicate-bigram fraction and edge cases") {
     val docs = Seq(
       (1L, "a b a b a b"),        // bigrams: ab ba ab ba ab -> 5 total, 2 distinct
