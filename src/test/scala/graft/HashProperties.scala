@@ -47,6 +47,26 @@ object HashProperties extends Properties("hashexprs") {
       rows.forall { case (fast, ref) => fast == ref }
     }
 
+  property("batch minhash signatures == per-row streaming form") =
+    Prop.forAll(genDocs) { texts =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      // the aggregate (explode + groupBy-min) batch form and the per-row
+      // array form streaming uses must agree doc by doc — the DuckDB
+      // oracle mirrors the per-row formulation, so this equivalence is
+      // what keeps the batch operators oracle-honest
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def key(r: org.apache.spark.sql.Row) =
+        r.getLong(0) -> (1 to 10).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))
+      val batch = graft.ext.Dedup.minhashSignatures(docs).collect().map(key).toMap
+      val perRow = graft.ext.Dedup.withMinhashBands(docs)
+        .select(Seq(col("doc_id")) ++ (0 until 8).map(i => col(s"mh$i"))
+          ++ Seq(col("band0"), col("band1")): _*)
+        .collect().map(key).toMap
+      batch == perRow
+    }
+
   property("shingles3_hashed == transform(shingleExpr, md5Long64)") =
     Prop.forAll(genDocs) { texts =>
       import spark.implicits._
