@@ -94,6 +94,30 @@ class ExtSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"operators leaked pinned RDD blocks: $leaked")
   }
 
+  test("no library code pins storage outside the two audited sites (source audit)") {
+    // The storage-hygiene contract, machine-enforced at the source level:
+    // persist()/cache()/localCheckpoint() may appear ONLY in
+    // connectedComponents (released in its finally + via release()) and
+    // the sink's per-batch block (released in its finally). A new call
+    // site anywhere else is the round-3 leak class reappearing — fail the
+    // build, don't wait for a degraded bench.
+    val allowed = Set(
+      "src/main/scala/graft/ext/Dedup.scala",
+      "src/main/scala/graft/io/Sinks.scala")
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val bad = scala.collection.mutable.ListBuffer[String]()
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala") && !allowed(p.toString)) {
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // strip line comments so prose mentioning the APIs doesn't trip it
+        val code = src.replaceAll("//.*", "")
+        for (tok <- Seq(".persist(", ".cache(", ".localCheckpoint(", ".checkpoint("))
+          if (code.contains(tok)) bad += s"$p: $tok"
+      }
+    }
+    assert(bad.isEmpty, s"unaudited storage pinning:\n${bad.mkString("\n")}")
+  }
+
   test("connectedComponents with a checkpoint dir leaves no files after release") {
     // the reliable-checkpoint branch: iteration checkpoints must be
     // deleted by the operator (Spark never reclaims checkpoint FILES on
