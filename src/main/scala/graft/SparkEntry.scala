@@ -289,6 +289,9 @@ object SparkEntry {
         Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id"))),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(Tables.documents(s, d))),
+    "doc_chunks" -> ((s, d) => TextOps.chunkTokens(Tables.documents(s, d))),
+    "chunk_dedup" -> ((s, d) => TextOps.chunkDedup(Tables.documents(s, d))),
+    "tfidf_top" -> ((s, d) => TextOps.tfidfTop(Tables.documents(s, d))),
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
@@ -1501,6 +1504,42 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY occurrences DESC, token
         |LIMIT 50""".stripMargin,
+    "doc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |             unnest(generate_series(0, len(toks) - 1, 24)) AS start
+        |      FROM d)
+        |SELECT doc_id,
+        |       CAST(start // 24 AS BIGINT) AS chunk_idx,
+        |       CAST(least(32, len(toks) - start) AS BIGINT) AS n_chunk_tokens,
+        |       CAST(('0x' || substr(md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')), 1, 15)) AS BIGINT) AS chunk_hash
+        |FROM c""".stripMargin,
+    "chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |             CAST(('0x' || substr(md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')), 1, 15)) AS BIGINT) AS chunk_hash
+        |      FROM (SELECT doc_id, toks,
+        |                   unnest(generate_series(0, len(toks) - 1, 24)) AS start
+        |            FROM d))
+        |SELECT chunk_hash, COUNT(*) AS n_occurrences,
+        |       COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+    "tfidf_top" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        |), df AS (
+        |  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf, df, score, rk AS rank
+        |FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |         tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |                            ORDER BY tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.token) AS rk
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |) WHERE rk <= 3""".stripMargin,
     "contamination" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

@@ -159,6 +159,77 @@ object TextOps {
       .orderBy(col("occurrences").desc, col("token"))
       .limit(k)
 
+  /** Overlapping token-window chunking — the context-window packing
+    * primitive of a training pipeline: each document is split into
+    * windows of `window` tokens advancing by `stride` (window − stride
+    * tokens of overlap so no boundary context is lost). One row per
+    * chunk with its index, length, and 60-bit content hash.
+    *
+    * Scale: a pure per-row explode — no shuffle, streams through the
+    * corpus at scan speed; the start offsets and the slice/join/md5 are
+    * all flat codegen'd columns (the hash is NOT computed inside an array
+    * lambda — see repetitionCounts for why that matters).
+    */
+  def chunkTokens(documents: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          s"case when size(toks) > 0 then sequence(0, size(toks) - 1, $stride) else array() end")).as("start"))
+      .selectExpr(
+        "doc_id",
+        s"cast(start div $stride as bigint) as chunk_idx",
+        s"cast(least($window, size(toks) - start) as bigint) as n_chunk_tokens",
+        s"${md5Long64(s"array_join(slice(toks, start + 1, $window), ' ')")} as chunk_hash")
+
+  /** Cross-document chunk duplication: chunks (per [[chunkTokens]])
+    * whose content appears in two or more distinct documents — template
+    * reuse at sub-document granularity, which whole-document exact dedup
+    * cannot see. Groups the 60-bit chunk hashes, so only 8-byte keys
+    * cross the wire, never chunk text; partial aggregation collapses
+    * per-partition repeats before the shuffle.
+    */
+  def chunkDedup(documents: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
+    chunkTokens(documents, window, stride)
+      .groupBy(col("chunk_hash"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+
+  /** Top-k salient terms per document by tf·idf with a RATIONAL idf
+    * (idf ∝ N/df rather than ln(N/df)): `ln` is a libm call whose last
+    * bits differ across engines, while `tf × (double(N) / df)` is two
+    * IEEE-754 operations every engine computes bit-identically — and the
+    * monotone transform preserves the per-document ranking that top-k
+    * actually consumes.
+    *
+    * Plan shape: ONE corpus scan — explode → tf aggregate, then df as a
+    * window count over tf (tf rows are already distinct per (doc, token),
+    * so `count(*) over (partition by token)` IS the document frequency —
+    * no second explode, no countDistinct, no tf⋈df self-join whose
+    * column-pruned exchanges would defeat reuse and rescan the corpus);
+    * N is a 1-row broadcast. Shuffles: tf keys → token window → doc_id
+    * window, each carrying aggregated rows, never raw token streams.
+    */
+  def tfidfTop(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    tf.crossJoin(broadcast(n))
+      .selectExpr("doc_id", "token", "tf",
+        "count(1) over (partition by token) as df", "n_docs")
+      .selectExpr("doc_id", "token", "tf", "df",
+        "tf * (cast(n_docs as double) / df) as score")
+      .selectExpr("doc_id", "token", "tf", "df", "score",
+        "row_number() over (partition by doc_id order by score desc, token) as rk")
+      .where(col("rk") <= k)
+      .selectExpr("doc_id", "token", "tf", "df", "score", "cast(rk as bigint) as rank")
+  }
+
   /** Document fingerprints: whole-text hash plus the minimum shingle hash
     * (the "winnowing" representative) — the primitives under both exact
     * and MinHash dedup.

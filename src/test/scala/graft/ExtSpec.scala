@@ -165,6 +165,51 @@ class ExtSpec extends AnyFunSuite {
     assert(r(4L)._3 > 0.8 && r(4L)._4 === 1)
   }
 
+  test("chunkTokens: window/stride coverage, overlap, and tail chunk") {
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6,9; last chunk has 1 token
+    val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")), (2L, "only"))
+      .toDF("doc_id", "text")
+    val r = TextOps.chunkTokens(docs, window = 4, stride = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r === Map(
+      (1L, 0L) -> 4L, (1L, 1L) -> 4L, (1L, 2L) -> 4L, (1L, 3L) -> 1L,
+      (2L, 0L) -> 1L))
+    // adjacent chunks share window - stride tokens: verify via reconstruction
+    val hashes = TextOps.chunkTokens(docs, window = 4, stride = 3)
+      .where("doc_id = 1").select("chunk_hash").as[Long].collect().toSet
+    val manual = Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9")
+      .toDF("c").selectExpr(s"${TextOps.md5Long64("c")} as h").as[Long].collect().toSet
+    assert(hashes === manual)
+  }
+
+  test("chunkDedup finds a chunk shared by two documents and none within one") {
+    val shared = (0 until 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared), (2L, shared),                        // same 8-token chunk in both
+      (3L, (0 until 8).map(i => s"u$i").mkString(" "))   // unique chunk
+    ).toDF("doc_id", "text")
+    val r = TextOps.chunkDedup(docs, window = 8, stride = 8).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_occurrences") === 2L)
+    assert(r.head.getAs[Long]("n_docs") === 2L)
+    assert(r.head.getAs[Long]("first_doc") === 1L)
+  }
+
+  test("tfidfTop ranks rare-but-frequent-in-doc terms above corpus-wide ones") {
+    val docs = Seq(
+      (1L, "rare rare rare common"),
+      (2L, "common other other"),
+      (3L, "common plain text here")
+    ).toDF("doc_id", "text")
+    val r = TextOps.tfidfTop(docs, k = 1).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    // doc 1: tf(rare)=3, df(rare)=1 -> score 9.0 beats common (tf 1, df 3 -> 1.0)
+    assert(r(1L) === (("rare", 3L, 1L)))
+    assert(r(2L) === (("other", 2L, 1L)))
+    // doc 3: all tf=1; df=1 terms (here/plain/text) tie at 3.0, token asc -> "here"
+    assert(r(3L) === (("here", 1L, 1L)))
+  }
+
   test("repetitionCounts agrees with repetitionStats on every document") {
     // two independent formulations (per-row array lambdas vs explode +
     // aggregate) must produce the same totals; docs with <2 tokens have

@@ -182,6 +182,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin [shingle_hash"), p)
   }
 
+  test("doc_chunks: chunking is a pure scan-speed pipeline — zero exchanges") {
+    val p = formatted("doc_chunks")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("tfidf_top: one corpus scan; df comes from a window, not a re-explode") {
+    val p = formatted("tfidf_top")
+    // exactly one Generate (explode) — the df self-join formulation would
+    // re-scan and re-explode the whole corpus under a second subtree
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).size === 1, p)
+    // the N scalar reads zero columns (metadata count), never the text
+    assert(p.contains("ReadSchema: struct<>"), p)
+  }
+
   test("date-partitioned layout: a date filter prunes partitions at plan time") {
     import org.apache.spark.sql.functions.{col, to_date}
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
