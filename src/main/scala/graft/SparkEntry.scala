@@ -248,6 +248,7 @@ object SparkEntry {
     }),
     "token_count" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "ivf_topk_probe4" -> ((s, d) => Similarity.ivfTopKProbe(Tables.embeddings(s, d))),
+    "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
     "stats_moments" -> (Functions.statsMoments _),
     "bool_aggs" -> (Functions.boolAggs _),
     "union_by_name" -> (Functions.unionByNameOps _),
@@ -292,6 +293,8 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) => TextOps.chunkTokens(Tables.documents(s, d))),
     "chunk_dedup" -> ((s, d) => TextOps.chunkDedup(Tables.documents(s, d))),
     "tfidf_top" -> ((s, d) => TextOps.tfidfTop(Tables.documents(s, d))),
+    "block_dedup_rewrite" -> ((s, d) => TextOps.blockDedupRewrite(Tables.documents(s, d))),
+    "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.documents(s, d))),
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
@@ -1333,6 +1336,30 @@ object SparkEntry {
          |WHERE a.vec_id <> 0
          |ORDER BY cosine_sim DESC, a.vec_id
          |LIMIT 5""".stripMargin,
+    "semantic_dedup" ->
+      s"""$dUnitCte, c AS (
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |), s AS (
+         |  SELECT u.vec_id, u.unit, c.cent_id,
+         |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
+         |  FROM u CROSS JOIN c
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cent_sim DESC, cent_id) AS rn
+         |  FROM s
+         |), assign AS (
+         |  SELECT vec_id, unit, cent_id AS cell FROM r WHERE rn = 1
+         |), p AS (
+         |  SELECT lb.vec_id AS vec_id, la.vec_id AS a_id,
+         |         round(${dUnitDot("la.unit", "lb.unit")}, 6) AS sim
+         |  FROM assign la JOIN assign lb
+         |    ON la.cell = lb.cell AND la.vec_id < lb.vec_id
+         |), dups AS (
+         |  SELECT vec_id, MIN(a_id) AS dup_of FROM p WHERE sim >= 0.4 GROUP BY vec_id
+         |)
+         |SELECT a.vec_id, a.cell, d.dup_of,
+         |       CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+         |FROM assign a LEFT JOIN dups d USING (vec_id)""".stripMargin,
     "rollup_status" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
@@ -1540,6 +1567,29 @@ object SparkEntry {
         |                            ORDER BY tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.token) AS rk
         |  FROM tf JOIN df USING (token) CROSS JOIN n
         |) WHERE rk <= 3""".stripMargin,
+    "block_dedup_rewrite" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |b AS (SELECT doc_id, CAST(start // 16 AS BIGINT) AS idx,
+         |             array_to_string(list_slice(toks, start + 1, start + 16), ' ') AS btext
+         |      FROM (SELECT doc_id, toks,
+         |                   unnest(generate_series(0, len(toks) - 1, 16)) AS start
+         |            FROM d)),
+         |h AS (SELECT doc_id, idx, btext,
+         |             row_number() OVER (PARTITION BY ${dH("btext")}
+         |                                ORDER BY doc_id, idx) AS rn
+         |      FROM b)
+         |SELECT doc_id, COUNT(*) AS n_blocks,
+         |       COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+         |       string_agg(CASE WHEN rn = 1 THEN btext END, ' ' ORDER BY idx) AS new_text
+         |FROM h GROUP BY doc_id""".stripMargin,
+    "heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT COUNT(*) AS n_total FROM tok)
+        |SELECT token, COUNT(*) AS cnt
+        |FROM tok CROSS JOIN n
+        |GROUP BY token, n.n_total
+        |HAVING COUNT(*) * 40 > n.n_total
+        |ORDER BY cnt DESC, token""".stripMargin,
     "contamination" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

@@ -179,7 +179,15 @@ object Similarity {
     * Argmax ties are broken on the ROUNDED similarity + centroid id so
     * both engines pick the same cell.
     */
-  def ivfAssign(embeddings: DataFrame, k: Int = 16): DataFrame = {
+  def ivfAssign(embeddings: DataFrame, k: Int = 16): DataFrame =
+    ivfAssignWithUnit(embeddings, k)
+      .select(col("vec_id"), col("cell"), col("cent_sim"))
+
+  /** [[ivfAssign]] keeping the unit vector alongside the cell — the shared
+    * single-scan form for operators that need both the assignment and the
+    * vector (within-cell search, semantic dedup) without a join back.
+    */
+  private[ext] def ivfAssignWithUnit(embeddings: DataFrame, k: Int = 16): DataFrame = {
     val n = normalized(embeddings)
     val cents = n.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("unit").as("cent_unit"))
@@ -187,11 +195,46 @@ object Similarity {
       .partitionBy(col("vec_id"))
       .orderBy(col("cent_sim").desc, col("cent_id"))
     n.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
+      .select(col("vec_id"), col("unit"), col("cent_id"),
         round(vec_dot(col("unit"), col("cent_unit")), 6).as("cent_sim"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("cent_sim"))
+      .select(col("vec_id"), col("unit"), col("cent_id").as("cell"), col("cent_sim"))
+  }
+
+  /** SemDeDup-style semantic deduplication: flag embedding near-duplicates
+    * WITHIN each IVF cell. A vector is a duplicate iff some smaller-id
+    * vector in the SAME cell has cosine ≥ `threshold`; `dup_of` is the
+    * smallest such neighbor (the cluster's canonical representative), so
+    * the verdict is deterministic under any partitioning — no float
+    * averaging, no iteration.
+    *
+    * Scale shape: this is the pruning step of SemDeDup (Abbas et al.,
+    * 2023) — the cell restriction turns the n² global pair search into
+    * Σ|cell|² ≈ n²/k comparisons, and the equi-join on `cell` is an
+    * ordinary hash-partitioned join: each cell's vectors co-locate on one
+    * partition, nothing else cross-compares. With trained (balanced)
+    * centroids the per-cell work is bounded; skewed cells would be split
+    * by AQE or a finer codebook, not by changing this operator.
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      k: Int = 16): DataFrame = {
+    val a = ivfAssignWithUnit(embeddings, k)
+    val l = a.select(col("cell"), col("vec_id").as("a_id"), col("unit").as("a_unit"))
+    val r = a.select(col("cell"), col("vec_id").as("b_id"), col("unit").as("b_unit"))
+    val dups = l.join(r, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("b_id").as("vec_id"), col("a_id"),
+        round(vec_dot(col("a_unit"), col("b_unit")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("a_id")).as("dup_of"))
+    a.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.cast("int").as("is_dup"))
   }
 
   /** IVF top-k: search ONLY the query vector's cell (nprobe = 1), exact

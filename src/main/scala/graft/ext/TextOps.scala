@@ -243,4 +243,77 @@ object TextOps {
         s"${md5Long64("text")} as text_hash",
         "array_min(shs) as min_shingle_hash",
         "cast(size(shs) as bigint) as n_shingles")
+
+  /** C4-style duplicate-span removal WITH document reconstruction: split
+    * every document into disjoint `block`-token spans, keep only the
+    * corpus-global FIRST occurrence of each span's content (ordered by
+    * (doc_id, position) — deterministic under any partitioning), and
+    * rebuild each document's text from its surviving spans in order.
+    * This is the rewrite form of dedup — C4 dropped repeated lines, not
+    * whole pages — which `chunkDedup` (report form) cannot do.
+    *
+    * Scale shape: spans never shuffle as text for the dedup decision —
+    * the keep-first window partitions on the 60-bit span hash (8-byte
+    * keys); the reconstruction then groups by doc_id, an exchange whose
+    * payload is bounded by the surviving corpus itself (the same bytes
+    * any rewrite must move). Both window and group are hash-partitioned
+    * aggregations with no skew beyond the duplicate clusters themselves.
+    */
+  def blockDedupRewrite(documents: DataFrame, block: Int = 16): DataFrame = {
+    val blocks = documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          s"case when size(toks) > 0 then sequence(0, size(toks) - 1, $block) else array() end")).as("start"))
+      .selectExpr(
+        "doc_id",
+        s"cast(start div $block as bigint) as idx",
+        s"array_join(slice(toks, start + 1, $block), ' ') as btext")
+      .withColumn("bhash", expr(md5Long64("btext")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bhash"))
+      .orderBy(col("doc_id"), col("idx"))
+    blocks
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count(when(col("_rn") === 1, lit(1))).as("n_kept"),
+        collect_list(when(col("_rn") === 1, struct(col("idx"), col("btext")))).as("_kept"))
+      .selectExpr(
+        "doc_id", "n_blocks", "n_kept",
+        // collect_list drops the non-kept nulls; order by span position;
+        // empty survivors → NULL (string_agg semantics), not ''
+        "nullif(array_join(transform(array_sort(_kept), s -> s.btext), ' '), '') as new_text")
+  }
+
+  /** Exact corpus heavy hitters (tokens with frequency > N/k) via a
+    * bounded-memory two-pass plan: pass 1 is one [[graft.functions.MisraGriesAggregator]]
+    * scan yielding ≤ `capacity` candidates (a PROVEN superset of every
+    * token above N/(capacity+1) ≥ N/k, so nothing is missed) plus the
+    * exact total N; pass 2 re-counts ONLY the candidates — the corpus is
+    * filtered against the broadcast candidate array before the exchange,
+    * so the shuffle carries at most `capacity` distinct keys instead of
+    * the full vocabulary. The result is bit-identical to the exact
+    * `GROUP BY ... HAVING count(*)*k > N` (the oracle) at any data size,
+    * but the plan never materializes a vocabulary-sized aggregate.
+    */
+  def heavyHitters(documents: DataFrame, k: Int = 40, capacity: Int = 256): DataFrame = {
+    require(capacity + 1 >= k,
+      s"capacity+1 (${capacity + 1}) must be >= k ($k) for the superset guarantee")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents.select(explode(split(col("text"), " ")).as("token"))
+    val summary = toks
+      .as[String]
+      .select(new graft.functions.MisraGriesAggregator(capacity).toColumn.name("s"))
+      .select(col("candidates").as("cands"), col("n_total")) // typed select flattens Out
+    toks
+      .join(broadcast(summary), array_contains(col("cands"), col("token")))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"), first(col("n_total")).as("n_total"))
+      .where(col("cnt") * k > col("n_total"))
+      .select(col("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
 }

@@ -470,4 +470,84 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_uniq_tokens") === 6L)
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 6.0) < 1e-12)
   }
+
+  test("blockDedupRewrite drops repeated spans corpus-wide, keeps first, rebuilds in order") {
+    val span = (0 until 16).map(i => s"s$i").mkString(" ") // one full 16-token block
+    val tailA = (0 until 16).map(i => s"a$i").mkString(" ")
+    val tailB = (0 until 4).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span $tailA"), // first occurrence of span + own tail
+      (2L, s"$span $tailB"), // span is a duplicate here; short tail survives
+      (3L, span)             // everything duplicated -> empty rewrite
+    ).toDF("doc_id", "text")
+    val r = TextOps.blockDedupRewrite(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) === ((2L, 2L, s"$span $tailA")))
+    assert(r(2L) === ((2L, 1L, tailB)))
+    assert(r(3L)._1 === 1L && r(3L)._2 === 0L && r(3L)._3 == null)
+  }
+
+  test("blockDedupRewrite is invariant under repartitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = TextOps.blockDedupRewrite(docs).orderBy("doc_id").collect().toSeq
+    val b = TextOps.blockDedupRewrite(docs.repartition(13)).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // dedup must actually fire on the real corpus for the gate to mean anything
+    assert(a.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
+  test("heavyHitters equals the exact GROUP BY/HAVING form, any partitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def exact(k: Int): Seq[(String, Long)] = {
+      val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      val n = toks.count()
+      toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * k > n)
+        .orderBy(col("cnt").desc, col("token"))
+        .as[(String, Long)].collect().toSeq
+    }
+    val want = exact(40)
+    assert(want.nonEmpty) // non-vacuous: some tokens qualify...
+    val got = TextOps.heavyHitters(docs, k = 40).as[(String, Long)].collect().toSeq
+    assert(got === want)
+    // ...and some don't (the distinct-token count exceeds the heavy set)
+    val distinctToks = docs.select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count()
+    assert(distinctToks > want.size)
+    val gotRepart = TextOps.heavyHitters(docs.repartition(17), k = 40)
+      .as[(String, Long)].collect().toSeq
+    assert(gotRepart === want)
+  }
+
+  test("heavyHitters with a tight capacity still finds the dominant token exactly") {
+    // skewed stream: 'hot' is 60% of tokens; capacity 4 forces constant
+    // eviction in the sketch, but the superset guarantee + exact re-count
+    // must still return precisely the > N/3 set
+    val words = Seq.tabulate(500)(i => if (i % 5 < 3) "hot" else s"w${i % 97}")
+    val docs = words.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = TextOps.heavyHitters(docs, k = 3, capacity = 4)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("hot", 300L)))
+  }
+
+  test("semanticDedup flags the higher id of a same-cell near-identical pair") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // append an exact copy of vector 20 under a fresh high id: same cell,
+    // cosine 1.0 -> must be flagged with dup_of pointing at a smaller id
+    val clone = emb.filter(col("vec_id") === 20L)
+      .select(lit(100000L).as("vec_id"), col("embedding"), col("label"))
+    val r = Similarity.semanticDedup(emb.unionByName(clone))
+    val byId = r.collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), if (x.isNullAt(2)) -1L else x.getLong(2), x.getInt(3))))
+      .toMap
+    val (cellClone, dupOf, isDup) = byId(100000L)
+    assert(isDup === 1)
+    assert(dupOf >= 0L && dupOf < 100000L)
+    assert(cellClone === byId(20L)._1) // clone landed in vec 20's cell
+    // every row is present exactly once and un-flagged rows carry no dup_of
+    assert(byId.size === r.count().toInt)
+    assert(byId.values.forall { case (_, d, f) => (f == 1) == (d >= 0L) })
+  }
 }
