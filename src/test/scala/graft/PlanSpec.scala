@@ -197,6 +197,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<>"), p)
   }
 
+  test("block_dedup_rewrite: two exchanges only — span-hash window, then doc regroup") {
+    val p = formatted("block_dedup_rewrite")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 2, p)
+    assert(p.contains("hashpartitioning(bhash"), p)  // dedup decision keyed on 8-byte hashes
+    assert(p.contains("hashpartitioning(doc_id"), p) // reconstruction regroup
+    // reconstruction keeps map-side partials (partial collect of kept spans)
+    assert(p.contains("partial_collect_list"), p)
+  }
+
+  test("heavy_hitters: sketch summary broadcasts; the corpus never shuffle-joins") {
+    val p = formatted("heavy_hitters")
+    // candidate filter = broadcast nested-loop against the 1-row summary
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the re-count aggregate keeps its map-side partial, so the exchange
+    // after it carries ≤ capacity keys per partition, not raw tokens
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("semantic_dedup: centroids broadcast; cell pair-join is never a cartesian") {
+    val p = formatted("semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p) // 16-row centroid table
+    // the pair search is an equi-join on cell — hash/sort-merge, bounded
+    // per-cell, instead of an all-pairs comparison
+    assert(p.contains("hashpartitioning(cell"), p)
+  }
+
   test("date-partitioned layout: a date filter prunes partitions at plan time") {
     import org.apache.spark.sql.functions.{col, to_date}
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
