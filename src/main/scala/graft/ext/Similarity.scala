@@ -186,20 +186,30 @@ object Similarity {
   /** [[ivfAssign]] keeping the unit vector alongside the cell — the shared
     * single-scan form for operators that need both the assignment and the
     * vector (within-cell search, semantic dedup) without a join back.
+    *
+    * ZERO-shuffle formulation: the k centroids collapse to ONE broadcast
+    * row holding an array of (cent_id, unit) structs, and the nearest
+    * centroid is an `array_max` over a `transform` lambda — a pure
+    * projection at scan speed. The previous form exploded k rows per
+    * vector and ran a `row_number` window partitioned by vec_id, which
+    * SHUFFLED every vector in the corpus just to take a per-row argmax.
+    * Tie-break matches the oracle exactly: struct comparison orders by
+    * (rounded similarity DESC via max, then smallest cent_id via the
+    * negated id field).
     */
   private[ext] def ivfAssignWithUnit(embeddings: DataFrame, k: Int = 16): DataFrame = {
     val n = normalized(embeddings)
     val cents = n.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("unit").as("cent_unit"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cent_sim").desc, col("cent_id"))
+      .agg(collect_list(struct(col("vec_id").as("cent_id"), col("unit").as("cent_unit")))
+        .as("cents"))
     n.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("unit"), col("cent_id"),
-        round(vec_dot(col("unit"), col("cent_unit")), 6).as("cent_sim"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("vec_id"), col("unit"), col("cent_id").as("cell"), col("cent_sim"))
+      .withColumn("best", expr(
+        """array_max(transform(cents,
+          |  c -> struct(round(vec_dot(unit, c.cent_unit), 6) as cent_sim,
+          |              -c.cent_id as neg_cent_id)))""".stripMargin))
+      .select(col("vec_id"), col("unit"),
+        (-col("best.neg_cent_id")).as("cell"),
+        col("best.cent_sim").as("cent_sim"))
   }
 
   /** SemDeDup-style semantic deduplication: flag embedding near-duplicates
@@ -221,7 +231,12 @@ object Similarity {
       embeddings: DataFrame,
       threshold: Double = 0.4,
       k: Int = 16): DataFrame = {
-    val a = ivfAssignWithUnit(embeddings, k)
+    // one explicit cell exchange: the two pair-join sides AND the output
+    // projection all sit above it, so exchange reuse computes the
+    // assignment (scan + normalize + argmax window) exactly once — and the
+    // cell equi-join needs no further shuffle, both sides arrive
+    // cell-partitioned (same storage-hygiene idiom as Dedup.computedOnce)
+    val a = ivfAssignWithUnit(embeddings, k).repartition(col("cell"))
     val l = a.select(col("cell"), col("vec_id").as("a_id"), col("unit").as("a_unit"))
     val r = a.select(col("cell"), col("vec_id").as("b_id"), col("unit").as("b_unit"))
     val dups = l.join(r, Seq("cell"))
@@ -242,8 +257,7 @@ object Similarity {
     * recall is traded via nprobe exactly as in IVF-flat indexes.
     */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 5): DataFrame = {
-    val assign = ivfAssign(embeddings)
-    val n = normalized(embeddings).join(assign, "vec_id")
+    val n = ivfAssignWithUnit(embeddings) // assignment is a scan projection — no join back
     val qCell = n.filter(col("vec_id") === queryVecId)
       .select(col("cell").as("q_cell"), col("unit").as("q_unit"))
     n.crossJoin(broadcast(qCell))
@@ -264,8 +278,7 @@ object Similarity {
       queryVecId: Long = 0L,
       k: Int = 5,
       nprobe: Int = 4): DataFrame = {
-    val assign = ivfAssign(embeddings)
-    val n = normalized(embeddings).join(assign, "vec_id")
+    val n = ivfAssignWithUnit(embeddings) // assignment is a scan projection — no join back
     val cents = normalized(embeddings).filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("unit").as("cent_unit"))
     val q = normalized(embeddings).filter(col("vec_id") === queryVecId)
