@@ -431,4 +431,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSeq === Seq((1L, 10L)))
     } finally q.stop()
   }
+
+  test("Misra-Gries summary aggregates incrementally over a token stream") {
+    // The heavy-hitter sketch must work as a streaming aggregate — the
+    // state is one bounded summary, merged per micro-batch (complete
+    // mode), so trending-token detection never materializes a
+    // vocabulary-sized state store.
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val agg = new graft.functions.MisraGriesAggregator(8)
+    val q = ms.toDS()
+      .select(agg.toColumn.name("s"))
+      .writeStream.format("memory").queryName("mg_out").outputMode("complete").start()
+    val b1 = Seq.fill(30)("hot") ++ (1 to 10).map(i => s"t$i")
+    val b2 = Seq.fill(25)("hot2") ++ (11 to 20).map(i => s"t$i")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val out = spark.table("mg_out") // typed select flattens Out
+        .select("candidates", "n_total").as[(Seq[String], Long)].collect()
+      assert(out.length === 1)
+      val (cands, n) = out.head
+      assert(n === (b1.size + b2.size).toLong)
+      // both dominant tokens survive the bounded summary across batches
+      assert(cands.contains("hot") && cands.contains("hot2"))
+      assert(cands.size <= 8)
+    } finally q.stop()
+  }
 }
