@@ -186,8 +186,15 @@ object SparkEntry {
         .orderBy(col("source"), col("lang"))
     }),
     "sql_interface" -> ((s, d) => {
-      // the SQL front door: same engine, same tables, ANSI SQL in
-      Tables.names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
+      // the SQL front door: same engine, same tables, ANSI SQL in.
+      // events MUST go through Tables.events (nanos→micros ts): the raw
+      // load reads the TIMESTAMP(NANOS) footer and throws unless some
+      // earlier query happened to set the legacy conf — an
+      // order-dependence bug when this query runs first or alone
+      Tables.names.foreach { n =>
+        val df = if (n == "events") Tables.events(s, d) else Tables.load(s, d, n)
+        df.createOrReplaceTempView(n)
+      }
       s.sql(q1PricingSql)
     }),
     "salted_agg" -> ((s, d) =>

@@ -140,4 +140,14 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("user_id").select("event_type").as[String].collect()
     assert(got.toSeq === Seq("b", "c"))
   }
+
+  test("sql_interface is self-sufficient in a fresh session (no conf order-dependence)") {
+    // registering the raw events parquet reads a TIMESTAMP(NANOS) footer,
+    // which throws unless the legacy nanos conf is set — before the fix
+    // this query only worked if an earlier query had set it via
+    // Tables.events. Simulate a fresh session by unsetting the conf.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val n = SparkEntry.queries("sql_interface")(spark, "/root/testdata/sf0.001").count()
+    assert(n > 0)
+  }
 }
