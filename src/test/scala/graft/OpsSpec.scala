@@ -150,4 +150,19 @@ class OpsSpec extends AnyFunSuite {
     val n = SparkEntry.queries("sql_interface")(spark, "/root/testdata/sf0.001").count()
     assert(n > 0)
   }
+
+  test("every declared query constructs with the nanos conf unset (whole-class audit)") {
+    // construction reads parquet footers and runs analysis — exactly where
+    // a raw TIMESTAMP(NANOS) events read blows up. Unsetting the conf
+    // before EACH query proves none relies on state another query left
+    // behind (the driver may run any subset in any order).
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      try {
+        SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").queryExecution.analyzed
+        None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
