@@ -72,6 +72,16 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2, p)
   }
 
+  test("q7: two-nation restriction reaches both dimension scans below the fact joins") {
+    val p = formatted("q7_nation_volume")
+    // the 2-of-25-nation predicate is pushed into the nation parquet scans
+    // feeding the supplier/customer restriction joins — it must not sit
+    // only as the cross-pair disjunction above the fact joins
+    assert("In\\(n_name, \\[NATION_1,NATION_2\\]\\)".r.findAllIn(p).size >= 2, p)
+    // dimensions ride broadcasts; the fact table never shuffle-joins nation
+    assert(!p.contains("SortMergeJoin [n_nationkey"), p)
+  }
+
   test("q17: per-part aggregate only sees Brand#1 parts' lineitem rows") {
     val p = formatted("q17_small_qty")
     // both lineitem subtrees (threshold aggregate + probe side) carry the
