@@ -256,6 +256,7 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "ivf_topk_probe4" -> ((s, d) => Similarity.ivfTopKProbe(Tables.embeddings(s, d))),
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
+    "semantic_dedup_keep" -> ((s, d) => Similarity.semanticDedupKeep(Tables.embeddings(s, d))),
     "stats_moments" -> (Functions.statsMoments _),
     "bool_aggs" -> (Functions.boolAggs _),
     "union_by_name" -> (Functions.unionByNameOps _),
@@ -1367,6 +1368,30 @@ object SparkEntry {
          |SELECT a.vec_id, a.cell, d.dup_of,
          |       CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_dup
          |FROM assign a LEFT JOIN dups d USING (vec_id)""".stripMargin,
+    "semantic_dedup_keep" ->
+      s"""$dUnitCte, c AS (
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |), s AS (
+         |  SELECT u.vec_id, u.unit, c.cent_id,
+         |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
+         |  FROM u CROSS JOIN c
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cent_sim DESC, cent_id) AS rn
+         |  FROM s
+         |), assign AS (
+         |  SELECT vec_id, unit, cent_id AS cell FROM r WHERE rn = 1
+         |), p AS (
+         |  SELECT lb.vec_id AS vec_id,
+         |         round(${dUnitDot("la.unit", "lb.unit")}, 6) AS sim
+         |  FROM assign la JOIN assign lb
+         |    ON la.cell = lb.cell AND la.vec_id < lb.vec_id
+         |), dups AS (
+         |  SELECT DISTINCT vec_id FROM p WHERE sim >= 0.4
+         |)
+         |SELECT a.vec_id, a.cell
+         |FROM assign a LEFT JOIN dups d USING (vec_id)
+         |WHERE d.vec_id IS NULL""".stripMargin,
     "rollup_status" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price

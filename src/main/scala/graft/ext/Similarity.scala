@@ -252,6 +252,20 @@ object Similarity {
         col("dup_of").isNotNull.cast("int").as("is_dup"))
   }
 
+  /** Materialized form of [[semanticDedup]]: the surviving corpus — every
+    * vector with NO smaller-id near-duplicate in its cell (what a
+    * training pipeline actually feeds downstream). Same pair search; the
+    * survivors drop out via the `is_dup` flag, keeping one deterministic
+    * representative per near-duplicate neighborhood.
+    */
+  def semanticDedupKeep(
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      k: Int = 16): DataFrame =
+    semanticDedup(embeddings, threshold, k)
+      .filter(col("is_dup") === 0)
+      .select(col("vec_id"), col("cell"))
+
   /** IVF top-k: search ONLY the query vector's cell (nprobe = 1), exact
     * cosine re-rank inside. At scale the scan touches 1/k of the corpus;
     * recall is traded via nprobe exactly as in IVF-flat indexes.
