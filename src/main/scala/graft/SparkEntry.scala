@@ -303,6 +303,7 @@ object SparkEntry {
     "tfidf_top" -> ((s, d) => TextOps.tfidfTop(Tables.documents(s, d))),
     "block_dedup_rewrite" -> ((s, d) => TextOps.blockDedupRewrite(Tables.documents(s, d))),
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.documents(s, d))),
+    "heavy_hitters_by_lang" -> ((s, d) => TextOps.heavyHittersByGroup(Tables.documents(s, d))),
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
@@ -1622,6 +1623,14 @@ object SparkEntry {
         |GROUP BY token, n.n_total
         |HAVING COUNT(*) * 40 > n.n_total
         |ORDER BY cnt DESC, token""".stripMargin,
+    "heavy_hitters_by_lang" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT lang, COUNT(*) AS n_total FROM tok GROUP BY lang)
+        |SELECT tok.lang, token, COUNT(*) AS cnt
+        |FROM tok JOIN n USING (lang)
+        |GROUP BY tok.lang, token, n.n_total
+        |HAVING COUNT(*) * 40 > n.n_total
+        |ORDER BY lang, cnt DESC, token""".stripMargin,
     "contamination" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

@@ -306,7 +306,7 @@ object TextOps {
     val toks = documents.select(explode(split(col("text"), " ")).as("token"))
     val summary = toks
       .as[String]
-      .select(new graft.functions.MisraGriesAggregator(capacity).toColumn.name("s"))
+      .select(graft.functions.MisraGriesAggregator(capacity).toColumn.name("s"))
       .select(col("candidates").as("cands"), col("n_total")) // typed select flattens Out
     toks
       .join(broadcast(summary), array_contains(col("cands"), col("token")))
@@ -315,5 +315,42 @@ object TextOps {
       .where(col("cnt") * k > col("n_total"))
       .select(col("token"), col("cnt"))
       .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** Per-group heavy hitters — frequent tokens per language/source/domain,
+    * the realistic per-domain profile of a mixed corpus. One Misra–Gries
+    * summary PER KEY (`groupByKey.agg`, each group's sketch bounded at
+    * `capacity` entries, superset guarantee per group), then the exact
+    * re-count joins the broadcast per-group candidate sets and keeps
+    * tokens above that group's N/k. The summary side is |groups| rows at
+    * any corpus size; the re-count exchange carries at most
+    * |groups|·capacity keys.
+    */
+  def heavyHittersByGroup(
+      documents: DataFrame,
+      groupCol: String = "lang",
+      k: Int = 40,
+      capacity: Int = 256): DataFrame = {
+    require(capacity + 1 >= k,
+      s"capacity+1 (${capacity + 1}) must be >= k ($k) for the superset guarantee")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents.select(col(groupCol).as("grp"),
+      explode(split(col("text"), " ")).as("token"))
+    val summary = toks
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.MisraGriesAggregator[(String, String)](capacity, _._2)
+        .toColumn.name("s"))
+      .toDF("grp2", "s")
+      .select(col("grp2"), col("s.candidates").as("cands"), col("s.n_total").as("n_total"))
+    toks
+      .join(broadcast(summary),
+        col("grp") === col("grp2") && array_contains(col("cands"), col("token")))
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("cnt"), first(col("n_total")).as("n_total"))
+      .where(col("cnt") * k > col("n_total"))
+      .select(col("grp").as(groupCol), col("token"), col("cnt"))
+      .orderBy(col(groupCol), col("cnt").desc, col("token"))
   }
 }

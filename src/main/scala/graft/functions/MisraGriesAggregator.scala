@@ -32,8 +32,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * decrement sweep are O(capacity) and amortized by the increments that
   * precede them.
   */
-class MisraGriesAggregator(capacity: Int)
-    extends Aggregator[String, (Array[String], Array[Long], Long), MisraGriesAggregator.Out] {
+class MisraGriesAggregator[I](capacity: Int, extract: I => String)
+    extends Aggregator[I, (Array[String], Array[Long], Long), MisraGriesAggregator.Out] {
   import MisraGriesAggregator.Out
 
   require(capacity >= 1, s"MisraGriesAggregator requires capacity >= 1, got $capacity")
@@ -45,7 +45,8 @@ class MisraGriesAggregator(capacity: Int)
   @inline private def search(keys: Array[String], item: String): Int =
     java.util.Arrays.binarySearch(keys.asInstanceOf[Array[AnyRef]], item)
 
-  override def reduce(buf: Buf, item: String): Buf = {
+  override def reduce(buf: Buf, in: I): Buf = {
+    val item = extract(in)
     val (keys, counts, n) = buf
     val pos = search(keys, item)
     if (pos >= 0) {
@@ -138,4 +139,8 @@ object MisraGriesAggregator {
     * > n_total/(capacity+1) — and the total item count.
     */
   case class Out(candidates: Array[String], n_total: Long)
+
+  /** The plain string-stream form. */
+  def apply(capacity: Int): MisraGriesAggregator[String] =
+    new MisraGriesAggregator[String](capacity, identity)
 }

@@ -532,6 +532,20 @@ class ExtSpec extends AnyFunSuite {
     assert(got === Seq(("hot", 300L)))
   }
 
+  test("heavyHittersByGroup finds each group's own heavy set under tight capacity") {
+    // two groups with DIFFERENT dominant tokens; capacity 4 forces
+    // eviction inside each group's sketch independently
+    val mk = (grp: String, hot: String) =>
+      Seq.tabulate(200)(i => if (i % 5 < 3) hot else s"w${i % 83}")
+        .grouped(20).zipWithIndex
+        .map { case (ws, i) => (s"$grp-$i", grp, ws.mkString(" ")) }.toSeq
+    val docs = (mk("en", "hotEN") ++ mk("de", "hotDE"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.heavyHittersByGroup(docs, "lang", k = 3, capacity = 4)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("de", "hotDE", 120L), ("en", "hotEN", 120L)))
+  }
+
   test("semanticDedup flags the higher id of a same-cell near-identical pair") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // append an exact copy of vector 20 under a fresh high id: same cell,

@@ -59,7 +59,7 @@ object MisraGriesProperties extends Properties("misragries") {
   } yield Case(s, cs, cap)
 
   private def run(c: Case): (Map[String, Long], Long) = {
-    val agg = new MisraGriesAggregator(c.capacity)
+    val agg = MisraGriesAggregator(c.capacity)
     val partials = c.chunks.map(_.foldLeft(agg.zero)(agg.reduce))
     // merge right-to-left (a deliberately non-trivial order)
     val merged = partials.foldRight(agg.zero)((a, b) => agg.merge(b, a))
@@ -90,7 +90,7 @@ object MisraGriesProperties extends Properties("misragries") {
 
   property("single-chunk equals Spark's no-partial path (reduce only)") =
     Prop.forAll(genStream, genCapacity) { (s, cap) =>
-      val agg = new MisraGriesAggregator(cap)
+      val agg = MisraGriesAggregator(cap)
       val buf = s.foldLeft(agg.zero)(agg.reduce)
       val out = agg.finish(buf)
       out.n_total == s.size.toLong && out.candidates.sameElements(buf._1.sorted)

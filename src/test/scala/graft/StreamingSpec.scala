@@ -439,7 +439,7 @@ class StreamingSpec extends AnyFunSuite {
     // vocabulary-sized state store.
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[String]
-    val agg = new graft.functions.MisraGriesAggregator(8)
+    val agg = graft.functions.MisraGriesAggregator(8)
     val q = ms.toDS()
       .select(agg.toColumn.name("s"))
       .writeStream.format("memory").queryName("mg_out").outputMode("complete").start()
