@@ -432,6 +432,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trending tokens: per-window Misra-Gries sketches track shifting hot terms") {
+    // one bounded sketch per event-time hour (groupByKey on the window
+    // start): the "what's trending now" query with state = windows x
+    // capacity entries, never windows x vocabulary
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val byHour = ms.toDS()
+      .groupByKey { case (t, _) => t.getTime / 3600000L }
+      .agg(new graft.functions.MisraGriesAggregator[(Timestamp, String)](4, _._2)
+        .toColumn.name("s"))
+    val q = byHour.writeStream.format("memory").queryName("trend_out")
+      .outputMode("complete").start()
+    try {
+      // hour 0 trends 'alpha'; hour 1 trends 'beta' — each against tail noise
+      ms.addData(Seq.tabulate(40)(i =>
+        (ts("2024-01-01 00:05:00"), if (i % 4 < 3) "alpha" else s"n$i")))
+      ms.addData(Seq.tabulate(40)(i =>
+        (ts("2024-01-01 01:05:00"), if (i % 4 < 3) "beta" else s"m$i")))
+      q.processAllAvailable()
+      val byWin = spark.table("trend_out") // KV agg keeps Out as a struct column
+        .selectExpr("key", "s.candidates", "s.n_total")
+        .as[(Long, Seq[String], Long)].collect()
+        .map { case (k, c, n) => k -> ((c, n)) }.toMap
+      assert(byWin.size === 2)
+      val hours = byWin.keys.toSeq.sorted
+      assert(byWin(hours(0))._1.contains("alpha") && !byWin(hours(0))._1.contains("beta"))
+      assert(byWin(hours(1))._1.contains("beta") && !byWin(hours(1))._1.contains("alpha"))
+      assert(byWin.values.forall { case (c, n) => c.size <= 4 && n == 40L })
+    } finally q.stop()
+  }
+
   test("Misra-Gries summary aggregates incrementally over a token stream") {
     // The heavy-hitter sketch must work as a streaming aggregate — the
     // state is one bounded summary, merged per micro-batch (complete
