@@ -140,6 +140,28 @@ object SparkEntry {
         .stratifiedSample(Dedup.keepFirstByText(good), "lang", "doc_id", 10)
         .select("doc_id", "lang", "source", "n_chars")
     }),
+    "pipeline_curate3" -> ((s, d) => {
+      // CROSS-MODAL curation: a document survives iff its TEXT is the
+      // exact-dedup keeper AND its EMBEDDING survives semantic dedup
+      // (vec_id aligns with doc_id) AND it clears the quality floor.
+      // Each signal is a deterministic id set; the embedding side's pair
+      // search is cell-bounded (Similarity.semanticDedupKeep), and the
+      // final report is one aggregate over the surviving corpus.
+      val docs = Tables.documents(s, d)
+      val keepText = Dedup.keepFirstByText(docs).select("doc_id")
+      val keepVec = Similarity.semanticDedupKeep(Tables.embeddings(s, d))
+        .select(col("vec_id").as("doc_id"))
+      val quality = TextOps.textStats(docs)
+        .filter(col("quality_score") >= 0.5).select("doc_id")
+      docs
+        .join(keepText, Seq("doc_id"), "left_semi")
+        .join(keepVec, Seq("doc_id"), "left_semi")
+        .join(quality, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("bigint")).as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
     "pipeline_curate2" -> ((s, d) => {
       // the modern curation chain end-to-end: drop eval-set docs ->
       // repetition filter -> decontaminate -> exact dedup (deterministic
@@ -1183,6 +1205,46 @@ object SparkEntry {
          |SELECT source, lang, COUNT(*) AS n_docs,
          |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
          |FROM samp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipeline_curate3" ->
+      s"""$dUnitCte, c AS (
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |), s0 AS (
+         |  SELECT u.vec_id, u.unit, c.cent_id,
+         |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
+         |  FROM u CROSS JOIN c
+         |), r0 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cent_sim DESC, cent_id) AS rn
+         |  FROM s0
+         |), assign AS (
+         |  SELECT vec_id, unit, cent_id AS cell FROM r0 WHERE rn = 1
+         |), p AS (
+         |  SELECT lb.vec_id AS vec_id,
+         |         round(${dUnitDot("la.unit", "lb.unit")}, 6) AS sim
+         |  FROM assign la JOIN assign lb
+         |    ON la.cell = lb.cell AND la.vec_id < lb.vec_id
+         |), vkeep AS (
+         |  SELECT a.vec_id AS doc_id FROM assign a
+         |  LEFT JOIN (SELECT DISTINCT vec_id FROM p WHERE sim >= 0.4) dd USING (vec_id)
+         |  WHERE dd.vec_id IS NULL
+         |), t AS (
+         |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+         |), qual AS (
+         |  SELECT doc_id FROM t
+         |  WHERE 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |      + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |      + 0.25 * (CAST(len(list_filter(toks, tk -> tk IN ('the', 'a'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |      >= 0.5
+         |), k AS (
+         |  SELECT MIN(doc_id) AS keeper FROM documents GROUP BY ${dH("text")}
+         |), surv AS (
+         |  SELECT d2.* FROM documents d2
+         |  JOIN vkeep USING (doc_id) JOIN qual USING (doc_id)
+         |  WHERE d2.doc_id IN (SELECT keeper FROM k)
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_custdist" ->
       """WITH c AS (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
