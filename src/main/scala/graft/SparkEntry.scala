@@ -326,6 +326,8 @@ object SparkEntry {
     "block_dedup_rewrite" -> ((s, d) => TextOps.blockDedupRewrite(Tables.documents(s, d))),
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.documents(s, d))),
     "heavy_hitters_by_lang" -> ((s, d) => TextOps.heavyHittersByGroup(Tables.documents(s, d))),
+    "inverted_index" -> ((s, d) => TextOps.invertedIndex(Tables.documents(s, d))),
+    "token_pmi" -> ((s, d) => TextOps.tokenPmi(Tables.documents(s, d))),
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
@@ -1693,6 +1695,34 @@ object SparkEntry {
         |GROUP BY tok.lang, token, n.n_total
         |HAVING COUNT(*) * 40 > n.n_total
         |ORDER BY lang, cnt DESC, token""".stripMargin,
+    "inverted_index" ->
+      """SELECT token, CAST(len(postings) AS BIGINT) AS doc_freq, postings
+        |FROM (
+        |  SELECT token, list_sort(list(DISTINCT doc_id)) AS postings
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token)
+        |ORDER BY token""".stripMargin,
+    "token_pmi" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |         unnest(range(1, len(toks) + 1)) AS pos
+        |  FROM t
+        |), pr AS (
+        |  SELECT x.token AS a, y.token AS b, COUNT(*) AS pair_n
+        |  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), uni AS (SELECT token, COUNT(*) AS t_n FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_tok FROM tok)
+        |SELECT a, b, pair_n,
+        |       round(ln(CAST(pair_n AS DOUBLE) * n.n_tok
+        |                / (CAST(ua.t_n AS DOUBLE) * ub.t_n)), 6) AS pmi
+        |FROM pr
+        |JOIN uni ua ON ua.token = pr.a
+        |JOIN uni ub ON ub.token = pr.b
+        |CROSS JOIN n
+        |ORDER BY pmi DESC, a, b
+        |LIMIT 100""".stripMargin,
     "contamination" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

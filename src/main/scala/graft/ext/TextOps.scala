@@ -317,6 +317,66 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Inverted index: token → sorted posting list of containing documents
+    * (+ document frequency) — the search primitive over a corpus. One
+    * explode and ONE shuffle of (token, doc_id) pairs; `collect_set`
+    * deduplicates map-side partials, and the posting list is sorted so
+    * the output is bit-stable under any partitioning. At 100 TB the
+    * posting lists of stop-word-frequency tokens get large — real
+    * deployments shard them (posting-list chunking is `doc_chunks` over
+    * this output); the index build itself stays one exchange.
+    */
+  def invertedIndex(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("token"), col("doc_id"))
+      .groupBy(col("token"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("postings"))
+      .select(col("token"),
+        size(col("postings")).cast("bigint").as("doc_freq"),
+        col("postings"))
+      .orderBy(col("token"))
+
+  /** Pointwise mutual information of adjacent token pairs — the
+    * co-occurrence statistic under embedding/phrase induction (PMI > 0 ⇒
+    * the pair co-occurs more than independence predicts). One corpus
+    * scan: bigrams explode to (a, b) pairs, unigram counts come from the
+    * same tokens; both aggregates carry map-side partials and the join of
+    * pair counts to the two unigram tables broadcasts the (vocabulary-
+    * sized) unigram side only when it fits. The ratio
+    * n·c(a,b)/(c(a)·c(b)) is computed in DOUBLE products (counts at
+    * corpus scale overflow int64 products) with the identical
+    * left-to-right expression in the oracle, then one log + round(6).
+    */
+  def tokenPmi(documents: DataFrame, minCount: Int = 5): DataFrame = {
+    val toks = documents
+      .withColumn("toks", split(col("text"), " "))
+    val pairs = toks
+      .select(explode(expr(
+        """case when size(toks) >= 2
+          | then transform(sequence(1, size(toks) - 1),
+          |   i -> struct(element_at(toks, i) as a, element_at(toks, i + 1) as b))
+          | else array() end""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    val uni = toks
+      .select(explode(col("toks")).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("t_n"))
+    val total = toks.select(explode(col("toks")).as("t"))
+      .agg(count(lit(1)).as("n_tok"))
+    pairs
+      .join(uni.select(col("t").as("a"), col("t_n").as("a_n")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("t_n").as("b_n")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("pair_n"),
+        round(log(col("pair_n").cast("double") * col("n_tok")
+          / (col("a_n").cast("double") * col("b_n"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
   /** Per-group heavy hitters — frequent tokens per language/source/domain,
     * the realistic per-domain profile of a mixed corpus. One Misra–Gries
     * summary PER KEY (`groupByKey.agg`, each group's sketch bounded at
