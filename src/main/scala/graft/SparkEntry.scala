@@ -328,6 +328,7 @@ object SparkEntry {
     "heavy_hitters_by_lang" -> ((s, d) => TextOps.heavyHittersByGroup(Tables.documents(s, d))),
     "inverted_index" -> ((s, d) => TextOps.invertedIndex(Tables.documents(s, d))),
     "token_pmi" -> ((s, d) => TextOps.tokenPmi(Tables.documents(s, d))),
+    "bm25_top" -> ((s, d) => TextOps.bm25Top(Tables.documents(s, d))),
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
@@ -1702,6 +1703,40 @@ object SparkEntry {
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |  GROUP BY token)
         |ORDER BY token""".stripMargin,
+    "bm25_top" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), f AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf2
+        |  FROM d
+        |), st AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        |         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM f
+        |)
+        |SELECT doc_id, dl, score, tf0, tf1, tf2
+        |FROM (
+        |  SELECT f.doc_id, f.dl, f.tf0, f.tf1, f.tf2,
+        |         round(
+        |           (ln((CAST(n_docs AS DOUBLE) - df0 + 0.5) / (df0 + 0.5) + 1.0)
+        |            * (CAST(tf0 AS DOUBLE) * 2.2)
+        |            / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+        |           + (ln((CAST(n_docs AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        |            * (CAST(tf1 AS DOUBLE) * 2.2)
+        |            / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+        |           + (ln((CAST(n_docs AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        |            * (CAST(tf2 AS DOUBLE) * 2.2)
+        |            / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+        |         , 6) AS score
+        |  FROM f CROSS JOIN st)
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
     "token_pmi" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |tok AS (

@@ -377,6 +377,51 @@ object TextOps {
       .limit(100)
   }
 
+  /** BM25 document ranking for a fixed term set — the standard retrieval
+    * scorer (Robertson/Okapi) over the corpus, used to mine
+    * domain-relevant training documents. Shape: per-document term
+    * frequencies are array `filter` projections (the query terms are a
+    * constant — no explode, no join against an index); the corpus
+    * statistics (N, Σdl, per-term document frequencies) are ONE aggregate
+    * row broadcast back; scoring is a pure projection and the top-N a
+    * TakeOrdered. Zero wide shuffles at any corpus size.
+    *
+    * Cross-engine parity: per-term scores are summed in FIXED expression
+    * order (s₀ + s₁ + …, not an aggregate whose order floats), every
+    * intermediate is double with the identical left-to-right formula in
+    * the oracle, rounded once at the end.
+    */
+  def bm25Top(
+      documents: DataFrame,
+      terms: Seq[String] = Seq("spark", "query", "join"),
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.forall(t => t.matches("[A-Za-z0-9_]+")))
+    val withTf = documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("dl", size(col("toks")).cast("bigint"))
+      .select(Seq(col("doc_id"), col("dl")) ++ terms.zipWithIndex.map { case (t, i) =>
+        expr(s"cast(size(filter(toks, x -> x = '$t')) as bigint)").as(s"tf$i")
+      }: _*)
+    val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.indices.map(i => sum((col(s"tf$i") > 0).cast("bigint")).as(s"df$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val perTerm = terms.indices.map { i =>
+      s"""(ln((cast(n_docs as double) - df$i + 0.5) / (df$i + 0.5) + 1.0)
+         | * (cast(tf$i as double) * ${k1 + 1.0})
+         | / (cast(tf$i as double) + $k1 * (${1.0 - b} + $b * (cast(dl as double) / (cast(sum_dl as double) / n_docs)))))""".stripMargin
+    }
+    withTf
+      .crossJoin(broadcast(stats))
+      .withColumn("score", expr(s"round(${perTerm.mkString(" + ")}, 6)"))
+      .filter(col("score") > 0)
+      .select(Seq(col("doc_id"), col("dl"), col("score")) ++
+        terms.indices.map(i => col(s"tf$i")): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   /** Per-group heavy hitters — frequent tokens per language/source/domain,
     * the realistic per-domain profile of a mixed corpus. One Misra–Gries
     * summary PER KEY (`groupByKey.agg`, each group's sketch bounded at
