@@ -203,12 +203,13 @@ object Similarity {
       .agg(collect_list(struct(col("vec_id").as("cent_id"), col("unit").as("cent_unit")))
         .as("cents"))
     n.crossJoin(broadcast(cents))
-      .withColumn("best", expr(
-        """array_max(transform(cents,
-          |  c -> struct(round(vec_dot(unit, c.cent_unit), 6) as cent_sim,
-          |              -c.cent_id as neg_cent_id)))""".stripMargin))
+      // fused codegen argmax (k·dim primitive loop; see VecArgmaxCell —
+      // bit-identical to the array_max(transform(...)) HOF form, which
+      // would run k interpreted lambda dots per row)
+      .withColumn("best",
+        graft.functions.VecArgmaxCell.vec_argmax_cell(col("unit"), col("cents")))
       .select(col("vec_id"), col("unit"),
-        (-col("best.neg_cent_id")).as("cell"),
+        col("best.cell").as("cell"),
         col("best.cent_sim").as("cent_sim"))
   }
 

@@ -532,6 +532,37 @@ class ExtSpec extends AnyFunSuite {
     assert(got === Seq(("hot", 300L)))
   }
 
+  test("VecArgmaxCell equals the array_max(transform(...)) HOF form on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb
+      .withColumn("_norm", expr(s"sqrt(${Similarity.cosineExpr("embedding", "embedding")})"))
+      .withColumn("unit", expr("transform(embedding, x -> cast(x as double) / _norm)"))
+      .select(col("vec_id"), col("unit"))
+    val cents = n.filter(col("vec_id") < 16)
+      .agg(collect_list(struct(col("vec_id").as("cent_id"), col("unit").as("cent_unit")))
+        .as("cents"))
+    graft.functions.VectorFunctions.register(spark)
+    val both = n.crossJoin(broadcast(cents))
+      .withColumn("fused",
+        graft.functions.VecArgmaxCell.vec_argmax_cell(col("unit"), col("cents")))
+      .withColumn("hof", expr(
+        """array_max(transform(cents,
+          |  c -> struct(round(vec_dot(unit, c.cent_unit), 6) as cent_sim,
+          |              -c.cent_id as neg_cent_id)))""".stripMargin))
+      .select(
+        col("fused.cell"), col("fused.cent_sim"),
+        (-col("hof.neg_cent_id")).as("hof_cell"), col("hof.cent_sim").as("hof_sim"))
+    val bad = both.filter(
+      col("cell") =!= col("hof_cell") || col("cent_sim") =!= col("hof_sim")).count()
+    assert(bad === 0L) // bit-identical, including rounding and tie-breaks
+    // empty centroid table -> null, like array_max over empty
+    val empty = n.limit(1)
+      .withColumn("cents", expr(
+        "cast(array() as array<struct<cent_id:bigint,cent_unit:array<double>>>)"))
+      .select(graft.functions.VecArgmaxCell.vec_argmax_cell(col("unit"), col("cents")).as("b"))
+    assert(empty.filter(col("b").isNull).count() === 1L)
+  }
+
   test("heavyHittersByGroup finds each group's own heavy set under tight capacity") {
     // two groups with DIFFERENT dominant tokens; capacity 4 forces
     // eviction inside each group's sketch independently
