@@ -72,6 +72,8 @@ object SparkEntry {
     "change_detect" -> (qChangeDetect _),
     "carry_forward" -> (qCarryForward _),
     "state_snapshot" -> (qStateSnapshot _),
+    "funnel_steps" -> ((s, d) =>
+      graft.session.StateOps.funnelSteps(Tables.events(s, d))),
     "new_vs_returning" -> (qNewVsReturning _),
     "q1_pricing" -> (Relational.pricingSummary _),
     "q3_top_unshipped" -> (Relational.topUnshippedOrders(_, _)),
@@ -527,6 +529,25 @@ object SparkEntry {
         |                            ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1""".stripMargin,
+    "funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS click_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+        |    AND e.ts <= v.view_ts + INTERVAL 24 HOUR GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+        |    AND e.ts <= c.click_ts + INTERVAL 24 HOUR GROUP BY 1
+        |)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        |       CAST(1 + CASE WHEN c.click_ts IS NULL THEN 0 ELSE 1 END
+        |              + CASE WHEN p.purchase_ts IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     "new_vs_returning" ->
       """WITH state AS (
         |  SELECT user_id AS u_id, ts AS state_ts FROM (

@@ -92,4 +92,40 @@ object StateOps {
       "is_new",
       when(state(stateUserCol).isNull, 1L).otherwise(0L))
   }
+
+  /** Ordered funnel analysis: for each user, the FIRST time of each step
+    * subject to the ordering constraint (step i+1 must occur at or after
+    * the user's step-i time AND within the conversion window), plus the
+    * completed stage depth — the standard product-analytics conversion
+    * funnel. The window is what makes the funnel a funnel: without it,
+    * any user who ever performs every event type trivially completes.
+    *
+    * Shape: one filtered aggregate per step (the `event_type` predicate
+    * pushes to the scan, so each pass reads only that step's rows), each
+    * joined on user_id — every aggregate and join shares the same key, so
+    * the exchanges chain without re-partitioning, and the per-step frames
+    * are one row per qualifying user (bounded by |users| at any event
+    * volume). The sequential constraint is what makes this irreducible to
+    * one conditional aggregate: "first click AFTER the first view" needs
+    * the view time before clicks can be filtered.
+    */
+  def funnelSteps(
+      events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      windowHours: Int = 24): DataFrame = {
+    require(steps.nonEmpty)
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as(s"${steps.head}_ts"))
+    val all = steps.drop(1).foldLeft((first, s"${steps.head}_ts")) {
+      case ((acc, prevCol), step) =>
+        val nxt = events
+          .join(acc.select(col("user_id"), col(prevCol)), "user_id")
+          .filter(col("event_type") === step && col("ts") >= col(prevCol) &&
+            col("ts") <= col(prevCol) + expr(s"INTERVAL $windowHours HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"${step}_ts"))
+        (acc.join(nxt, Seq("user_id"), "left"), s"${step}_ts")
+    }._1
+    val stage = steps.map(st => col(s"${st}_ts").isNotNull.cast("int")).reduce(_ + _)
+    all.select(col("user_id") +: steps.map(st => col(s"${st}_ts")) :+ stage.as("stage"): _*)
+  }
 }
