@@ -74,6 +74,10 @@ object SparkEntry {
     "state_snapshot" -> (qStateSnapshot _),
     "funnel_steps" -> ((s, d) =>
       graft.session.StateOps.funnelSteps(Tables.events(s, d))),
+    "cohort_retention" -> ((s, d) =>
+      graft.session.StateOps.cohortRetention(Tables.events(s, d))),
+    "rfm_segments" -> ((s, d) =>
+      graft.session.StateOps.rfmSegments(Tables.events(s, d))),
     "new_vs_returning" -> (qNewVsReturning _),
     "q1_pricing" -> (Relational.pricingSummary _),
     "q3_top_unshipped" -> (Relational.topUnshippedOrders(_, _)),
@@ -548,6 +552,47 @@ object SparkEntry {
         |       CAST(1 + CASE WHEN c.click_ts IS NULL THEN 0 ELSE 1 END
         |              + CASE WHEN p.purchase_ts IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+    "cohort_retention" ->
+      """WITH w AS (
+        |  SELECT user_id, CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS week
+        |  FROM events
+        |), fs AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, week FROM w)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |       COUNT(*) AS n_active_users
+        |FROM a JOIN fs USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rfm_segments" ->
+      """WITH pu AS (
+        |  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS monetary
+        |  FROM events GROUP BY 1
+        |), ref AS (SELECT MAX(ts) AS ref_ts FROM events),
+        |rec AS (
+        |  SELECT user_id,
+        |         CAST(floor((epoch_us(ref_ts) - epoch_us(last_ts)) / 86400000000) AS BIGINT) AS recency_days,
+        |         frequency, CAST(monetary AS DOUBLE) AS monetary
+        |  FROM pu CROSS JOIN ref
+        |), b AS (
+        |  SELECT quantile_cont(recency_days, 0.25) AS r1, quantile_cont(recency_days, 0.5) AS r2,
+        |         quantile_cont(recency_days, 0.75) AS r3,
+        |         quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2,
+        |         quantile_cont(frequency, 0.75) AS f3,
+        |         quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2,
+        |         quantile_cont(monetary, 0.75) AS m3
+        |  FROM rec
+        |)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |       CAST(1 + CASE WHEN recency_days > r1 THEN 1 ELSE 0 END
+        |              + CASE WHEN recency_days > r2 THEN 1 ELSE 0 END
+        |              + CASE WHEN recency_days > r3 THEN 1 ELSE 0 END AS INTEGER) AS r_seg,
+        |       CAST(5 - (1 + CASE WHEN frequency > f1 THEN 1 ELSE 0 END
+        |                   + CASE WHEN frequency > f2 THEN 1 ELSE 0 END
+        |                   + CASE WHEN frequency > f3 THEN 1 ELSE 0 END) AS INTEGER) AS f_seg,
+        |       CAST(5 - (1 + CASE WHEN monetary > m1 THEN 1 ELSE 0 END
+        |                   + CASE WHEN monetary > m2 THEN 1 ELSE 0 END
+        |                   + CASE WHEN monetary > m3 THEN 1 ELSE 0 END) AS INTEGER) AS m_seg
+        |FROM rec CROSS JOIN b ORDER BY user_id""".stripMargin,
     "new_vs_returning" ->
       """WITH state AS (
         |  SELECT user_id AS u_id, ts AS state_ts FROM (

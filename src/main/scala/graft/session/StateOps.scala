@@ -128,4 +128,66 @@ object StateOps {
     val stage = steps.map(st => col(s"${st}_ts").isNotNull.cast("int")).reduce(_ + _)
     all.select(col("user_id") +: steps.map(st => col(s"${st}_ts")) :+ stage.as("stage"): _*)
   }
+
+  /** Cohort retention grid: users grouped by first-seen week, counted as
+    * retained in each subsequent week they were active — the standard
+    * "do users come back" analysis. Two aggregates on the same user key
+    * (first-seen, then activity weeks) and one distinct count per
+    * (cohort, offset) cell; the grid is |cohorts|·|weeks| rows no matter
+    * the event volume. Week arithmetic is integer epoch-day division —
+    * identical in both engines, no timezone/DST edge.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weekOf = (c: org.apache.spark.sql.Column) =>
+      floor(unix_micros(c) / lit(7L * 24 * 3600 * 1000000)).cast("bigint")
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(min(weekOf(col("ts"))).as("cohort_week"))
+    events.select(col("user_id"), weekOf(col("ts")).as("week"))
+      .distinct()
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** RFM segmentation: per-user Recency (days since last event, against
+    * the corpus max — data-derived so the result is reproducible),
+    * Frequency (event count) and Monetary (summed value, exact decimal),
+    * each bucketed into quartile segments by the corpus-wide exact
+    * interpolated percentile boundaries (Spark `percentile` ==
+    * DuckDB `quantile_cont`, the parity `price_percentiles` proves).
+    *
+    * Scale shape: an `ntile` window would sort ALL users on one
+    * partition; instead the three boundary triples are ONE 1-row
+    * aggregate broadcast back, and segment assignment is a pure
+    * projection — nothing global but a 9-number row.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id")).agg(
+      max(col("ts")).as("last_ts"),
+      count(lit(1)).as("frequency"),
+      sum(col("value").cast("decimal(18,2)")).as("monetary"))
+    val withRef = perUser.crossJoin(
+      broadcast(events.agg(max(col("ts")).as("ref_ts"))))
+    val rec = withRef
+      .withColumn("recency_days",
+        floor((unix_micros(col("ref_ts")) - unix_micros(col("last_ts")))
+          / lit(24L * 3600 * 1000000)).cast("bigint"))
+      .withColumn("monetary", col("monetary").cast("double"))
+    val bounds = rec.agg(
+      expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("r_q"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("f_q"),
+      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("m_q"))
+    def tileExpr(metric: String, q: String) =
+      s"cast(1 + if($metric > $q[0], 1, 0) + if($metric > $q[1], 1, 0) + if($metric > $q[2], 1, 0) as int)"
+    rec.crossJoin(broadcast(bounds))
+      .selectExpr(
+        "user_id", "recency_days", "frequency", "monetary",
+        // recency: lower = better = segment 1; frequency/monetary flipped
+        // below so segment 1 is always "best"
+        s"${tileExpr("recency_days", "r_q")} as r_seg",
+        s"cast(5 - ${tileExpr("frequency", "f_q")} as int) as f_seg",
+        s"cast(5 - ${tileExpr("monetary", "m_q")} as int) as m_seg")
+      .orderBy(col("user_id"))
+  }
 }
