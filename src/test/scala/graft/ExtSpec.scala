@@ -532,6 +532,38 @@ class ExtSpec extends AnyFunSuite {
     assert(got === Seq(("hot", 300L)))
   }
 
+  test("tokenPmi ranks a perfectly-bound pair above independent co-occurrence") {
+    // 'aa bb' always adjacent (PMI high); 'xx' pairs with everything (PMI ~0)
+    val docs = (1 to 30).map { i =>
+      (i.toLong, s"aa bb xx w$i xx aa bb")
+    }.toDF("doc_id", "text")
+    val r = TextOps.tokenPmi(docs, minCount = 5)
+      .as[(String, String, Long, Double)].collect()
+    val byPair = r.map(x => (x._1, x._2) -> x._4).toMap
+    assert(byPair(("aa", "bb")) > byPair(("bb", "xx")))
+    assert(byPair(("aa", "bb")) > 0.0)
+  }
+
+  test("bm25Top prefers documents dense in rare query terms, zero-score docs dropped") {
+    val docs = Seq(
+      (1L, "spark spark spark join"),             // dense in two query terms
+      (2L, "spark alpha beta gamma delta eps"),   // one hit, long doc
+      (3L, "alpha beta gamma delta")              // no query terms -> dropped
+    ).toDF("doc_id", "text")
+    val r = TextOps.bm25Top(docs).select("doc_id").as[Long].collect().toSeq
+    assert(r.head === 1L)
+    assert(r.contains(2L) && !r.contains(3L))
+  }
+
+  test("invertedIndex postings are sorted, distinct, and complete") {
+    val docs = Seq((3L, "z a a"), (1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val r = TextOps.invertedIndex(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getSeq[Long](2)))).toMap
+    assert(r("a") === ((3L, Seq(1L, 2L, 3L))))
+    assert(r("b") === ((2L, Seq(1L, 2L))))
+    assert(r("z") === ((1L, Seq(3L))))
+  }
+
   test("VecArgmaxCell equals the array_max(transform(...)) HOF form on real embeddings") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb

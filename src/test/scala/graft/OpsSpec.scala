@@ -151,6 +151,42 @@ class OpsSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("funnelSteps: ordering and window constraints gate each stage") {
+    val now = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val df = Seq(
+      // user 1: full ordered funnel inside the window
+      (1L, now(0), 1L, "view", 1.0, "{}"),
+      (2L, now(5), 1L, "click", 1.0, "{}"),
+      (3L, now(9), 1L, "purchase", 5.0, "{}"),
+      // user 2: click BEFORE the first view -> stage stops at 1
+      (4L, now(5), 2L, "click", 1.0, "{}"),
+      (5L, now(9), 2L, "view", 1.0, "{}"),
+      // user 3: click arrives outside the conversion window -> stage 1
+      (6L, now(0), 3L, "view", 1.0, "{}"),
+      (7L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 3L, "click", 1.0, "{}"),
+      // user 4: never viewed -> absent from the funnel entirely
+      (8L, now(0), 4L, "purchase", 9.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.session.StateOps.funnelSteps(df).collect()
+      .map(x => x.getLong(0) -> x.getInt(4)).toMap
+    assert(r === Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
+  test("rfmSegments: boundary bucketing puts best metrics in segment 1") {
+    val t = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 00:00:00")
+    // 4 users with strictly increasing recency and decreasing value
+    val df = (1 to 4).flatMap { u =>
+      Seq.fill(5 - u)((u * 100L, t(u * 5), u.toLong, "purchase", (5 - u) * 10.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.session.StateOps.rfmSegments(df).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(4), x.getInt(5), x.getInt(6)))).toMap
+    // user 4 is most recent (r_seg 1) but lowest frequency/monetary (f/m 4);
+    // user 1 the reverse
+    assert(r(4L)._1 === 1 && r(1L)._1 === 4)
+    assert(r(1L)._2 === 1 && r(4L)._2 === 4)
+    assert(r(1L)._3 === 1 && r(4L)._3 === 4)
+  }
+
   test("every declared query constructs with the nanos conf unset (whole-class audit)") {
     // construction reads parquet footers and runs analysis — exactly where
     // a raw TIMESTAMP(NANOS) events read blows up. Unsetting the conf
