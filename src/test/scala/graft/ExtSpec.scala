@@ -532,6 +532,22 @@ class ExtSpec extends AnyFunSuite {
     assert(got === Seq(("hot", 300L)))
   }
 
+  test("text/embedding operators return empty results on an empty corpus, no crash") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emb = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(TextOps.heavyHitters(docs).count() === 0)
+    assert(TextOps.blockDedupRewrite(docs).count() === 0)
+    assert(TextOps.invertedIndex(docs).count() === 0)
+    assert(TextOps.tokenPmi(docs).count() === 0)
+    assert(TextOps.bm25Top(docs).count() === 0)
+    assert(Similarity.semanticDedup(emb).count() === 0)
+    val ev = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(graft.session.StateOps.funnelSteps(ev).count() === 0)
+    assert(graft.session.StateOps.cohortRetention(ev).count() === 0)
+    assert(graft.session.StateOps.rfmSegments(ev).count() === 0)
+  }
+
   test("tokenPmi ranks a perfectly-bound pair above independent co-occurrence") {
     // 'aa bb' always adjacent (PMI high); 'xx' pairs with everything (PMI ~0)
     val docs = (1 to 30).map { i =>
