@@ -109,9 +109,13 @@ object SparkEntry {
     "date_ops" -> (Functions.dateOps _),
     "array_ops" -> (Functions.arrayOps _),
     "price_percentiles" -> (Functions.pricePercentiles _),
-    "approx_distinct" -> (Functions.approxDistinct _), // no oracle: HLL sketch differs per engine
-    "hll_sketches" -> (Functions.hllSketches _), // no oracle: DataSketches binary is engine-specific
-    "approx_quantiles" -> (Functions.approxQuantiles _), // no oracle: sketch-specific values
+    // sketch queries are gated via Spark-side accuracy booleans against
+    // the exact value (the sketch itself is engine-specific): the oracle
+    // computes the exact columns and literal `true`, so a sketch accuracy
+    // failure flips a hash mismatch instead of hiding in a unit test
+    "approx_distinct" -> (Functions.approxDistinct _),
+    "hll_sketches" -> (Functions.hllSketches _),
+    "approx_quantiles" -> (Functions.approxQuantiles _),
     "resample_fill" -> (Functions.resampleFill _),
     "date_format_ops" -> (Functions.dateFormatOps _),
     "explode_outer" -> (Functions.explodeOuter _),
@@ -215,14 +219,15 @@ object SparkEntry {
     }),
     "sql_interface" -> ((s, d) => {
       // the SQL front door: same engine, same tables, ANSI SQL in.
-      // events MUST go through Tables.events (nanos→micros ts): the raw
-      // load reads the TIMESTAMP(NANOS) footer and throws unless some
-      // earlier query happened to set the legacy conf — an
-      // order-dependence bug when this query runs first or alone
-      Tables.names.foreach { n =>
-        val df = if (n == "events") Tables.events(s, d) else Tables.load(s, d, n)
-        df.createOrReplaceTempView(n)
-      }
+      // Register only the views the statement references — q1PricingSql
+      // reads lineitem alone, and registering all ten tables re-read
+      // every parquet footer per run (this was the #2 slowest bench query
+      // purely on bookkeeping). The self-sufficiency contract holds: the
+      // query depends on no conf another query set (OpsSpec's
+      // fresh-session test guards it). A real multi-table statement would
+      // register exactly its own tables the same way — events via
+      // Tables.events (nanos→micros ts), never the raw footer.
+      Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(q1PricingSql)
     }),
     "salted_agg" -> ((s, d) =>
@@ -332,7 +337,14 @@ object SparkEntry {
     "block_dedup_rewrite" -> ((s, d) => TextOps.blockDedupRewrite(Tables.documents(s, d))),
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.documents(s, d))),
     "heavy_hitters_by_lang" -> ((s, d) => TextOps.heavyHittersByGroup(Tables.documents(s, d))),
-    "inverted_index" -> ((s, d) => TextOps.invertedIndex(Tables.documents(s, d))),
+    // postings serialized to CSV for the gate: the driver's pandas harness
+    // cannot hash-sort an array column (r4: the one ungated query); the
+    // CSV of the sorted list is an equivalent bit-stable encoding
+    // (precedent: embed_quantize's q8_csv)
+    "inverted_index" -> ((s, d) =>
+      TextOps.invertedIndex(Tables.documents(s, d))
+        .select(col("token"), col("doc_freq"),
+          array_join(col("postings").cast("array<string>"), ",").as("postings_csv"))),
     "token_pmi" -> ((s, d) => TextOps.tokenPmi(Tables.documents(s, d))),
     "bm25_top" -> ((s, d) => TextOps.bm25Top(Tables.documents(s, d))),
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
@@ -354,11 +366,18 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.synthesizeMedia(Tables.documents(s, d)))),
     "media_dedup" -> ((s, d) =>
       Multimodal.mediaDedup(Multimodal.synthesizeMedia(Tables.documents(s, d)))),
-    // rows-only check by design: the feature extractor runs a stubbed
-    // codec over raw bytes (rolling hash) that SQL can't express portably;
-    // exactness is covered by MultimodalSpec
+    // the stubbed codec's byte stats aren't SQL-expressible (exactness is
+    // covered by MultimodalSpec), but the PLUMBING is gateable: ids,
+    // modality and payload length compare exactly, and the stub outputs
+    // gate on a Spark-side range-consistency boolean vs the oracle's
+    // literal `true`
     "media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.synthesizeMedia(Tables.documents(s, d))).toDF())
+      Multimodal.extractFeatures(Multimodal.synthesizeMedia(Tables.documents(s, d))).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          (col("mean_byte") >= 0D && col("mean_byte") <= 255D &&
+            col("max_byte") >= 0 && col("max_byte") <= 255 &&
+            (col("n_bytes") === 0L ||
+              col("mean_byte") <= col("max_byte").cast("double"))).as("features_in_range")))
   )
 
   // ---- DuckDB oracle fragments (mirror the Spark expressions exactly) ----
@@ -735,6 +754,30 @@ object SparkEntry {
         |       MIN(o_totalprice) AS min_price
         |FROM orders
         |GROUP BY o_orderstatus""".stripMargin,
+    // sketch gates: exact columns compare exactly; the Spark side computes
+    // the accuracy boolean against its own exact aggregate, the oracle
+    // emits literal true — a sketch accuracy failure = hash mismatch
+    "approx_distinct" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |       COUNT(DISTINCT l_partkey) AS exact_parts,
+        |       true AS orders_within_5pct,
+        |       true AS parts_within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
+    "approx_quantiles" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |       true AS median_in_bounds,
+        |       true AS p90_in_bounds
+        |FROM orders
+        |GROUP BY o_orderstatus""".stripMargin,
+    "hll_sketches" ->
+      """SELECT o_orderstatus,
+        |       COUNT(DISTINCT o_custkey) AS exact_customers,
+        |       true AS within_5pct
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'ALL', COUNT(DISTINCT o_custkey), true FROM orders""".stripMargin,
     "salted_agg" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -1763,7 +1806,8 @@ object SparkEntry {
         |HAVING COUNT(*) * 40 > n.n_total
         |ORDER BY lang, cnt DESC, token""".stripMargin,
     "inverted_index" ->
-      """SELECT token, CAST(len(postings) AS BIGINT) AS doc_freq, postings
+      """SELECT token, CAST(len(postings) AS BIGINT) AS doc_freq,
+        |       array_to_string(postings, ',') AS postings_csv
         |FROM (
         |  SELECT token, list_sort(list(DISTINCT doc_id)) AS postings
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
@@ -2030,6 +2074,14 @@ object SparkEntry {
         |       COUNT(*) AS n_copies
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    "media_features" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS modality,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       true AS features_in_range
+        |FROM documents""".stripMargin,
     "ann_lsh_pairs" ->
       s"""$dUnitCte, wb AS (
          |  SELECT e.vec_id, u.unit,

@@ -234,9 +234,11 @@ object Dedup {
     * boilerplate shingle appearing in f documents materializes an
     * f-element array on one task and f² pairs. The production form is
     * [[ngramJaccardCapped]], which bounds every bucket at maxDf²; this
-    * uncapped variant exists to validate it at small scale.
+    * uncapped variant exists to validate it at small scale, and is
+    * package-private so the capped form is the only public entry point
+    * (both declared queries run the capped form).
     */
-  def ngramJaccardPairs(documents: DataFrame, topK: Int = 50): DataFrame = {
+  private[graft] def ngramJaccardPairs(documents: DataFrame, topK: Int = 50): DataFrame = {
     // one exchange below both consumers (sizes + buckets): the flat
     // codegen'd shingle-hash projection runs exactly once per row
     val sh = computedOnce(shingleHashes(documents, outer = false), "doc_id")

@@ -35,11 +35,19 @@ object Similarity {
 
   /** Project (vec_id, unit): the L2-normalized embedding as array<double>.
     * One pass per vector; downstream cosines are then plain dots.
+    *
+    * Zero-norm (or empty) embeddings get a NULL unit — their cosine is
+    * undefined, and an all-NaN unit would crash the fused argmax's decimal
+    * rounding and poison every pair filter it touches. NULL instead flows
+    * through null-safe expressions as NULL sims, which threshold filters
+    * drop and [[ivfAssignWithUnit]] surfaces as a NULL cell.
     */
   private[ext] def normalized(embeddings: DataFrame): DataFrame =
     embeddings
       .withColumn("_norm", vec_norm(col("embedding")))
-      .withColumn("unit", expr("transform(embedding, x -> cast(x as double) / _norm)"))
+      .withColumn("unit",
+        when(col("_norm") > 0D,
+          expr("transform(embedding, x -> cast(x as double) / _norm)")))
 
   /** Brute-force top-k nearest neighbors of one query vector. Single scan;
     * the per-row cosine is one codegen'd dot against the broadcast query
@@ -198,8 +206,14 @@ object Similarity {
     * negated id field).
     */
   private[ext] def ivfAssignWithUnit(embeddings: DataFrame, k: Int = 16): DataFrame = {
+    // Null-cell contract: the global collect_list always yields ONE row,
+    // so when the codebook is empty (no vec_id < k, or only zero-norm
+    // vectors there) every vector is still emitted, with NULL cell and
+    // cent_sim — the assignment reports "no cell", it does not drop rows.
+    // Downstream cell equi-joins never match NULL, so such vectors simply
+    // pair with nothing (ExtSpec covers both degenerate corpora).
     val n = normalized(embeddings)
-    val cents = n.filter(col("vec_id") < k)
+    val cents = n.filter(col("vec_id") < k && col("unit").isNotNull)
       .agg(collect_list(struct(col("vec_id").as("cent_id"), col("unit").as("cent_unit")))
         .as("cents"))
     n.crossJoin(broadcast(cents))

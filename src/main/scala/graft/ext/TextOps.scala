@@ -282,9 +282,12 @@ object TextOps {
         collect_list(when(col("_rn") === 1, struct(col("idx"), col("btext")))).as("_kept"))
       .selectExpr(
         "doc_id", "n_blocks", "n_kept",
-        // collect_list drops the non-kept nulls; order by span position;
-        // empty survivors → NULL (string_agg semantics), not ''
-        "nullif(array_join(transform(array_sort(_kept), s -> s.btext), ' '), '') as new_text")
+        // collect_list drops the non-kept nulls; order by span position.
+        // NULL iff ZERO spans survive (string_agg-over-no-rows semantics);
+        // nullif on the joined string would also null a legitimately
+        // surviving empty-string span (a corpus-first empty-text doc)
+        """case when n_kept = 0 then cast(null as string)
+          | else array_join(transform(array_sort(_kept), s -> s.btext), ' ') end as new_text""".stripMargin)
   }
 
   /** Exact corpus heavy hitters (tokens with frequency > N/k) via a
@@ -292,9 +295,9 @@ object TextOps {
     * scan yielding ≤ `capacity` candidates (a PROVEN superset of every
     * token above N/(capacity+1) ≥ N/k, so nothing is missed) plus the
     * exact total N; pass 2 re-counts ONLY the candidates — the corpus is
-    * filtered against the broadcast candidate array before the exchange,
-    * so the shuffle carries at most `capacity` distinct keys instead of
-    * the full vocabulary. The result is bit-identical to the exact
+    * filtered through a broadcast hash join against the exploded candidate
+    * set before the exchange, so the shuffle carries at most `capacity`
+    * distinct keys instead of the full vocabulary. The result is bit-identical to the exact
     * `GROUP BY ... HAVING count(*)*k > N` (the oracle) at any data size,
     * but the plan never materializes a vocabulary-sized aggregate.
     */
@@ -308,8 +311,13 @@ object TextOps {
       .as[String]
       .select(graft.functions.MisraGriesAggregator(capacity).toColumn.name("s"))
       .select(col("candidates").as("cands"), col("n_total")) // typed select flattens Out
+    // exploded candidates → broadcast HASH join: the probe is one hash
+    // lookup per corpus token, where `array_contains(cands, token)` had no
+    // equality term and planned as a nested-loop doing up to `capacity`
+    // string compares per token (~256× the probe work at corpus scale)
+    val cands = summary.select(explode(col("cands")).as("token"), col("n_total"))
     toks
-      .join(broadcast(summary), array_contains(col("cands"), col("token")))
+      .join(broadcast(cands), Seq("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"), first(col("n_total")).as("n_total"))
       .where(col("cnt") * k > col("n_total"))
@@ -449,9 +457,14 @@ object TextOps {
         .toColumn.name("s"))
       .toDF("grp2", "s")
       .select(col("grp2"), col("s.candidates").as("cands"), col("s.n_total").as("n_total"))
+    // exploded per-group candidates → broadcast hash join on BOTH keys
+    // (the array_contains residual cost ~capacity compares per probe;
+    // see heavyHitters)
+    val cands = summary.select(col("grp2"),
+      explode(col("cands")).as("cand_token"), col("n_total"))
     toks
-      .join(broadcast(summary),
-        col("grp") === col("grp2") && array_contains(col("cands"), col("token")))
+      .join(broadcast(cands),
+        col("grp") === col("grp2") && col("token") === col("cand_token"))
       .groupBy(col("grp"), col("token"))
       .agg(count(lit(1)).as("cnt"), first(col("n_total")).as("n_total"))
       .where(col("cnt") * k > col("n_total"))

