@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: derive scaled-up `documents`/`embeddings` tables from an
+  * existing SF directory, for measuring the pair/ANN operators' scaling
+  * curve (the Σ(bucket²) arguments measured, not argued).
+  *
+  * Construction — deterministic, content-disjoint replicas:
+  *  - documents: replica r > 0 suffixes every token with the replica id,
+  *    so each replica reproduces the source corpus's JACCARD structure
+  *    exactly (shingle sets are renamed bijectively: set sizes,
+  *    intersections and document frequencies are invariant, so every true
+  *    near-dup cluster replicates) while never colliding with another
+  *    replica. LSH *candidate* sets vary slightly per replica — band
+  *    hashes are not renaming-invariant — but stay bounded by the same
+  *    Σ(bucket²) shape, so true-pair counts scale exactly linearly and a
+  *    super-linear *time* curve can only come from the engine, not from a
+  *    quadratic blow-up of the answer itself. (This mirrors how real
+  *    corpora grow: vocabulary grows with size, so per-shingle document
+  *    frequency — the bucket size the pair joins square over — stays
+  *    bounded.)
+  *  - embeddings: replica r applies a deterministic per-dimension ±1 sign
+  *    mask (a diagonal orthogonal transform): within-replica cosines are
+  *    preserved BIT-EXACTLY (|x_i| is unchanged per dimension, so dot
+  *    products are), cross-replica cosines are pseudo-random and fall
+  *    below any near-dup threshold. vec_id/doc_id offsets keep ids unique;
+  *    ids < 16 exist only in replica 0, so the IVF codebook stays fixed —
+  *    cell populations grow 10×, which is exactly the fixed-codebook
+  *    Σ|cell|² ≈ n²/k regime semanticDedup documents (a production
+  *    deployment scales k with n; the artifact reports both).
+  *
+  * Usage: tools/run.sh graft.GenScale [srcSfDir] [outBase] [reps,...]
+  * writes `<outBase>/x<rep>/{documents,embeddings}.parquet`.
+  */
+object GenScale {
+
+  /** `rep` content-disjoint replicas of a documents frame (see class doc). */
+  def scaleDocuments(docs: DataFrame, rep: Int, nDocs: Long): DataFrame =
+    (0 until rep).map { r =>
+      if (r == 0) docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      else docs.select(
+        (col("doc_id") + lit(r * nDocs)).as("doc_id"),
+        // per-replica vocabulary: token w -> w·r, preserving the replica's
+        // internal shingle/jaccard structure up to a bijective renaming
+        expr(s"array_join(transform(split(text, ' '), t -> concat(t, '$r')), ' ')").as("text"),
+        col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+
+  /** `rep` sign-flipped replicas of an embeddings frame (see class doc). */
+  def scaleEmbeddings(emb: DataFrame, rep: Int, nEmb: Long): DataFrame =
+    (0 until rep).map { r =>
+      if (r == 0) emb.select(col("vec_id"), col("embedding"), col("label"))
+      else emb.select(
+        (col("vec_id") + lit(r * nEmb)).as("vec_id"),
+        // deterministic diagonal ±1 orthogonal transform per replica:
+        // murmur3 of (dimension index, replica) picks the sign
+        expr(
+          s"""transform(embedding, (x, i) ->
+             |  case when pmod(hash(i, $r), 2) = 0 then x else -x end)""".stripMargin)
+          .cast("array<float>").as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outBase = if (args.length > 1) args(1) else "/root/repo/testdata_scale"
+    val reps = if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq else Seq(3, 10)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nDocs = docs.count()
+    val nEmb = emb.count()
+
+    reps.foreach { rep =>
+      val out = s"$outBase/x$rep"
+      scaleDocuments(docs, rep, nDocs)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      scaleEmbeddings(emb, rep, nEmb)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"[genscale] wrote $out: ${nDocs * rep} docs, ${nEmb * rep} embeddings")
+    }
+    spark.stop()
+  }
+}

@@ -611,6 +611,41 @@ class ExtSpec extends AnyFunSuite {
     assert(cmpSim(1.0, 2.0) < 0)
   }
 
+  test("GenScale replicas: replica 0 unchanged, replicas never pair, structure replicates") {
+    // the scaling-bench construction must not change the ANSWER shape:
+    // each replica reproduces the source's near-dup structure (up to LSH
+    // banding noise) and replicas never pair with each other
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val nDocs = docs.count()
+    val x2 = GenScale.scaleDocuments(docs, 2, nDocs)
+    assert(x2.count() === 2 * nDocs)
+    val basePairs = Dedup.minhashCandidatePairs(docs)
+    val base = basePairs.count()
+    val scaled = Dedup.minhashCandidatePairs(x2)
+    // replica 0 is byte-identical, so its candidate set is unchanged
+    assert(scaled.filter(col("a_id") < nDocs && col("b_id") < nDocs).count() === base)
+    // no pair crosses the replica boundary (content-disjoint vocabularies)
+    assert(scaled.filter(col("a_id") < nDocs && col("b_id") >= nDocs).count() === 0)
+    // the renamed replica reproduces the source's near-dup structure up to
+    // LSH banding noise (band hashes are not renaming-invariant, so a
+    // borderline candidate can appear/disappear) — its pair count must
+    // stay in the same band as the source's, never collapse or blow up
+    val rep1 = scaled.filter(col("a_id") >= nDocs).count()
+    assert(rep1 >= base / 2 && rep1 <= base * 2, s"replica pairs $rep1 vs base $base")
+    // embeddings: the sign-flip transform preserves within-replica cosines
+    // bit-exactly, so semantic-dedup verdicts replicate 1:1
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nEmb = emb.count()
+    val e2 = GenScale.scaleEmbeddings(emb, 2, nEmb)
+    assert(e2.count() === 2 * nEmb)
+    val baseDups = Similarity.semanticDedup(emb).filter(col("is_dup") === 1)
+      .select("vec_id").as[Long].collect().toSet
+    val scaledDups = Similarity.semanticDedup(e2).filter(col("is_dup") === 1)
+      .filter(col("vec_id") < nEmb) // replica 0 slice: same codebook, same cells
+      .select("vec_id").as[Long].collect().toSet
+    assert(scaledDups === baseDups)
+  }
+
   test("tokenPmi ranks a perfectly-bound pair above independent co-occurrence") {
     // 'aa bb' always adjacent (PMI high); 'xx' pairs with everything (PMI ~0)
     val docs = (1 to 30).map { i =>
