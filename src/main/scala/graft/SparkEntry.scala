@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ext.{Dedup, Graph, Multimodal, Sampling, Similarity, TextOps}
 import graft.ops.{Enrich, Functions, Relational, Skew}
 import graft.session.{ClickstreamPipeline, Sessionize, StateOps}
 
@@ -326,6 +326,12 @@ object SparkEntry {
     // shingle in f docs would put f² pairs on a single task at corpus scale
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d), maxDf = 100)),
     "ngram_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d))),
+    "containment_pairs" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
+    "gopher_quality" -> ((s, d) => TextOps.gopherQuality(Tables.documents(s, d))),
+    "shingle_novelty" -> ((s, d) => TextOps.shingleNovelty(Tables.documents(s, d))),
+    "pagerank_top" -> ((s, d) =>
+      Graph.pageRank(Graph.lineitemGraph(Tables.lineitem(s, d)))
+        .orderBy(col("rank").desc, col("id")).limit(20)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id"))),
@@ -395,6 +401,44 @@ object SparkEntry {
 
   private val dToksCte =
     "WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents)"
+
+  /** DuckDB twin of Graph.pageRank over Graph.lineitemGraph: the fixed
+    * iteration loop UNROLLED into one CTE per step (genuinely independent
+    * of the Spark formulation — no recursion, no shared code). Literal
+    * arithmetic (`(1.0 - 0.85)`, `r * weight / out_w`) is written in the
+    * exact order the Spark expressions evaluate, so the only cross-engine
+    * difference is double-sum associativity, absorbed by the final
+    * `round(_, 6)`.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val head =
+      """WITH edges AS (
+        |  SELECT l_suppkey % 100 AS src, l_partkey % 100 AS dst, COUNT(*) AS weight
+        |  FROM lineitem WHERE l_suppkey % 100 <> l_partkey % 100
+        |  GROUP BY 1, 2
+        |), nodes AS (
+        |  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+        |), ow AS (
+        |  SELECT src, SUM(weight) AS out_w FROM edges GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes
+        |), r0 AS (
+        |  SELECT id, 1.0 / n.n_nodes AS r FROM nodes CROSS JOIN n
+        |)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""", r$k AS (
+         |  SELECT nodes.id, (1.0 - 0.85) / n.n_nodes + 0.85 * COALESCE(c.c, 0.0) AS r
+         |  FROM nodes CROSS JOIN n
+         |  LEFT JOIN (
+         |    SELECT e.dst, SUM(p.r * e.weight / ow.out_w) AS c
+         |    FROM r${k - 1} p JOIN edges e ON p.id = e.src JOIN ow ON ow.src = e.src
+         |    GROUP BY e.dst
+         |  ) c ON c.dst = nodes.id
+         |)""".stripMargin
+    }.mkString
+    head + steps +
+      s"\nSELECT id, round(r, 6) AS rank FROM r$iters ORDER BY rank DESC, id LIMIT 20"
+  }
 
   /** DuckDB twin of Similarity's normalize-once path: unit vectors as
     * array<double> (left-to-right double accumulation, like VecDot).
@@ -1977,6 +2021,69 @@ object SparkEntry {
          |JOIN sizes nb ON nb.doc_id = b_id
          |ORDER BY jaccard DESC, a_id, b_id
          |LIMIT 50""".stripMargin,
+    "containment_pairs" ->
+      s"""$dToksCte, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), e AS (
+         |  SELECT doc_id, unnest(list_transform(sh, s2 -> ${dH("s2")})) AS shingle_hash
+         |  FROM s
+         |), g AS (
+         |  SELECT shingle_hash FROM e GROUP BY 1 HAVING COUNT(*) <= 20
+         |), ec AS (
+         |  SELECT e.doc_id, e.shingle_hash FROM e JOIN g USING (shingle_hash)
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_sh FROM ec GROUP BY 1
+         |), common AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+         |  FROM ec a JOIN ec b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a_id, b_id, na.n_sh AS a_n, nb.n_sh AS b_n, n_common,
+         |       CAST(n_common AS DOUBLE) / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE) AS containment,
+         |       CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jaccard
+         |FROM common
+         |JOIN sizes na ON na.doc_id = a_id
+         |JOIN sizes nb ON nb.doc_id = b_id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE) >= 0.8
+         |ORDER BY containment DESC, a_id, b_id""".stripMargin,
+    "gopher_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_words,
+        |         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+        |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+        |         CAST(len(list_intersect(list_distinct(toks),
+        |           ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS n_req_stopwords
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_req_stopwords,
+        |       n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+        |       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len,
+        |       alpha_frac >= 0.8 AS ok_alpha,
+        |       n_req_stopwords >= 2 AS ok_stopwords,
+        |       (n_words >= 50 AND n_words <= 100000)
+        |         AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |         AND alpha_frac >= 0.8 AND n_req_stopwords >= 2 AS gopher_pass
+        |FROM v""".stripMargin,
+    "shingle_novelty" ->
+      s"""$dToksCte, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), f AS (
+         |  SELECT doc_id, unnest(list_transform(sh, s2 -> ${dH("s2")})) AS shingle_hash
+         |  FROM s
+         |), fo AS (
+         |  SELECT shingle_hash, MIN(doc_id) AS first_doc FROM f GROUP BY 1
+         |)
+         |SELECT f.doc_id,
+         |       COUNT(*) AS n_shingles,
+         |       CAST(SUM(CASE WHEN fo.first_doc = f.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST(CAST(SUM(CASE WHEN fo.first_doc = f.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS novelty
+         |FROM f JOIN fo USING (shingle_hash)
+         |GROUP BY f.doc_id""".stripMargin,
+    "pagerank_top" -> pagerankSql(8),
     "cosine_topk" ->
       s"""$dUnitCte, q AS (SELECT unit AS q_unit FROM u WHERE vec_id = 0)
          |SELECT vec_id,

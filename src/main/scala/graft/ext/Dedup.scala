@@ -502,4 +502,39 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(topK)
   }
+
+  /** Shingle-set CONTAINMENT pairs — the subset-duplicate detector Jaccard
+    * misses: a short document quoted wholesale inside a long one has
+    * containment |A∩B|/min(|A|,|B|) ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 (the
+    * news-dedup / quote-extraction case, Broder's containment measure).
+    * Same df-capped single-exchange plan as [[ngramJaccardCapped]] — one
+    * corpus scan, every bucket bounded at maxDf² pairs — with containment
+    * of the capped sets as the score and Jaccard carried for contrast.
+    */
+  def containmentPairs(
+      documents: DataFrame,
+      maxDf: Int = 20,
+      minContainment: Double = 0.8): DataFrame = {
+    val flat = computedOnce(shingleHashes(documents, outer = false), "shingle_hash")
+    val freq = flat.groupBy(col("shingle_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle_hash"))
+    val kept = flat.join(freq, "shingle_hash")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val keptN = kept.join(sizes, "doc_id")
+    keptN
+      .select(col("shingle_hash"), col("doc_id").as("a_id"), col("n_sh").as("a_n"))
+      .join(keptN.select(col("shingle_hash"), col("doc_id").as("b_id"), col("n_sh").as("b_n")),
+        "shingle_hash")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(count(lit(1)).as("n_common"))
+      .selectExpr(
+        "a_id", "b_id", "a_n", "b_n", "n_common",
+        "cast(n_common as double) / cast(least(a_n, b_n) as double) as containment",
+        "cast(n_common as double) / cast(a_n + b_n - n_common as double) as jaccard")
+      .filter(col("containment") >= minContainment)
+      .orderBy(col("containment").desc, col("a_id"), col("b_id"))
+  }
 }

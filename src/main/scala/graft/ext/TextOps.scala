@@ -143,6 +143,68 @@ object TextOps {
         "cast(case when predicted_lang = lang then 1 else 0 end as bigint) as is_correct")
   }
 
+  /** Gopher-style composite quality rules (Rae et al. 2021, §A1.1 — the
+    * public rule set every corpus-curation pipeline starts from): word
+    * count bounds, mean word length bounds, minimum alphabetic-word
+    * fraction, and a required-stopword count. Emits each rule's value AND
+    * boolean so a downstream filter can tune thresholds without
+    * re-scanning; pure per-row projection — scan speed at any corpus
+    * size, every predicate an exact int/int or IEEE comparison identical
+    * across engines.
+    */
+  def gopherQuality(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .selectExpr(
+        "doc_id",
+        "cast(size(toks) as bigint) as n_words",
+        // total token chars / token count (no per-token length pass)
+        "cast(length(text) - (size(toks) - 1) as double) / cast(size(toks) as double) as mean_word_len",
+        "cast(size(filter(toks, t -> t rlike '[a-z]')) as double) / cast(size(toks) as double) as alpha_frac",
+        """cast(size(array_intersect(array_distinct(toks),
+          |  array('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) as bigint)
+          |  as n_req_stopwords""".stripMargin)
+      .selectExpr(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "n_req_stopwords",
+        "n_words >= 50 and n_words <= 100000 as ok_word_count",
+        "mean_word_len >= 3.0 and mean_word_len <= 10.0 as ok_word_len",
+        "alpha_frac >= 0.8 as ok_alpha",
+        "n_req_stopwords >= 2 as ok_stopwords")
+      .selectExpr(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "n_req_stopwords",
+        "ok_word_count", "ok_word_len", "ok_alpha", "ok_stopwords",
+        "ok_word_count and ok_word_len and ok_alpha and ok_stopwords as gopher_pass")
+
+  /** Per-document shingle NOVELTY: the fraction of a document's distinct
+    * 3-gram shingles whose corpus-FIRST occurrence (smallest doc_id) is
+    * this document — the "how much of this doc is new text" signal used
+    * for curriculum ordering and incremental-crawl dedup (a doc of
+    * recycled shingles scores ~0, original prose ~1).
+    *
+    * Plan: ONE exchange — the flat hashed shingle rows are pre-shuffled on
+    * shingle_hash, the first-occurrence aggregate and its probe both sit
+    * above it (exchange reuse), and the per-doc roll-up shuffles only
+    * (doc_id, flags). Docs with no shingles (<3 tokens) have undefined
+    * novelty and are absent by contract.
+    */
+  def shingleNovelty(documents: DataFrame): DataFrame = {
+    val flat = documents
+      .withColumn("hs",
+        graft.functions.HashFunctions.shingles3_hashed(split(col("text"), " ")))
+      .select(col("doc_id"), explode(col("hs")).as("shingle_hash"))
+      .repartition(col("shingle_hash")) // computed once; both consumers reuse
+    val first = flat.groupBy(col("shingle_hash"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    flat.join(first, "shingle_hash")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .selectExpr(
+        "doc_id", "n_shingles", "n_novel",
+        "cast(n_novel as double) / cast(n_shingles as double) as novelty")
+  }
+
   /** Corpus vocabulary profile: the k most frequent tokens with document
     * frequencies — the "what is this corpus made of" analysis under
     * tokenizer/vocab decisions. One explode + one aggregate with map-side

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Dedup, Similarity, TextOps}
+import graft.ext.{Dedup, Graph, Similarity, TextOps}
 
 class ExtSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -644,6 +644,68 @@ class ExtSpec extends AnyFunSuite {
       .filter(col("vec_id") < nEmb) // replica 0 slice: same codebook, same cells
       .select("vec_id").as[Long].collect().toSet
     assert(scaledDups === baseDups)
+  }
+
+  test("containmentPairs flags a quoted subset that Jaccard would miss") {
+    val long = (0 until 40).map(i => s"w$i").mkString(" ")
+    val short = (0 until 10).map(i => s"w$i").mkString(" ") // fully quoted prefix
+    val other = (100 until 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === 1L && row.getLong(1) === 2L)
+    assert(row.getDouble(5) === 1.0) // containment: short's 8 shingles all in long
+    assert(row.getDouble(6) < 0.25)  // jaccard stays low — the missed case
+  }
+
+  test("gopherQuality: each rule fires independently and the pass flag conjoins them") {
+    val good = ((0 until 60).map(i => s"word$i") ++ Seq("the", "of")).mkString(" ")
+    val tooShort = "the of words here"
+    val longWords = ((0 until 60).map(i => "a" * 15 + i) ++ Seq("the", "of")).mkString(" ")
+    val nonAlpha = ((0 until 60).map(i => s"$i$i$i") ++ Seq("the", "of")).mkString(" ")
+    val noStop = (0 until 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, good), (2L, tooShort), (3L, longWords), (4L, nonAlpha), (5L, noStop))
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherQuality(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(9), r(1L).toString) // gopher_pass
+    assert(!r(2L).getBoolean(5) && !r(2L).getBoolean(9)) // word count
+    assert(!r(3L).getBoolean(6) && !r(3L).getBoolean(9)) // mean word length
+    assert(!r(4L).getBoolean(7) && !r(4L).getBoolean(9)) // alpha fraction
+    assert(!r(5L).getBoolean(8) && !r(5L).getBoolean(9)) // required stopwords
+  }
+
+  test("shingleNovelty: original text scores 1.0, a verbatim later copy scores 0.0") {
+    val a = (0 until 20).map(i => s"w$i").mkString(" ")
+    val b = (100 until 120).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, a),            // all shingles first seen here
+      (2L, b),            // all novel too
+      (3L, a),            // verbatim copy of doc 1 -> nothing novel
+      (4L, s"$a $b")      // concatenation: only the 2 seam shingles... plus none
+    ).toDF("doc_id", "text")
+    val r = TextOps.shingleNovelty(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(3)))).toMap
+    assert(r(1L)._2 === 1.0)
+    assert(r(2L)._2 === 1.0)
+    assert(r(3L)._2 === 0.0)
+    // doc 4 recycles both texts; only the boundary-spanning shingles are new
+    assert(r(4L)._2 > 0.0 && r(4L)._2 < 0.2, r(4L).toString)
+  }
+
+  test("pageRank: sink-heavy star concentrates rank on the hub; ranks sum to ~1") {
+    // spokes 1..4 each point to hub 0; hub points back to node 1
+    val edges = (Seq((0L, 1L)) ++ (1L to 4L).map(s => (s, 0L)))
+      .map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "weight")
+    val r = Graph.pageRank(edges, iters = 20).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size === 5)
+    assert(r(0L) === r.values.max) // everything flows into the hub
+    assert(r(1L) > r(2L))          // node 1 also receives the hub's mass
+    assert(math.abs(r.values.sum - 1.0) < 1e-3) // no dangling nodes -> mass conserved
+    assert(r(2L) === r(3L) && r(3L) === r(4L)) // symmetric spokes tie exactly
   }
 
   test("tokenPmi ranks a perfectly-bound pair above independent co-occurrence") {

@@ -56,22 +56,36 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:  # written by graft.Verify: queries whose SPARK side threw
+        spark_errors = json.load(open(f"{out_dir}/spark_errors.json"))
+    except FileNotFoundError:
+        spark_errors = {}
     failures = 0
     for name, sql in sorted(oracle.items()):
+        # err_side attribution (r4: an oracle-HARNESS crash on an array
+        # column silently un-gated a query for a whole round): a failure
+        # must say which side broke — spark, oracle SQL, or this harness.
         try:
             exp = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
+            print(f"FAIL {name}: [err_side=oracle] oracle SQL error: {e}")
             failures += 1
             continue
         parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not parts:
-            print(f"FAIL {name}: no spark parquet output")
+            why = spark_errors.get(name, "output dir missing with no recorded error")
+            print(f"FAIL {name}: [err_side=spark] no parquet output: {why}")
             failures += 1
             continue
         got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
-        ecols, erows = canon(exp)
-        gcols, grows = canon(got)
+        try:
+            ecols, erows = canon(exp)
+            gcols, grows = canon(got)
+        except Exception as e:
+            print(f"FAIL {name}: [err_side=harness] canonicalization crashed: {e!r} "
+                  f"(reshape the query output; this is NOT a wrong answer)")
+            failures += 1
+            continue
         if ecols != gcols:
             print(f"FAIL {name}: columns exp={ecols} got={gcols}")
             failures += 1
