@@ -327,6 +327,7 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d), maxDf = 100)),
     "ngram_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d))),
     "containment_pairs" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
+    "tfidf_cosine_pairs" -> ((s, d) => TextOps.tfidfCosinePairs(Tables.documents(s, d))),
     "gopher_quality" -> ((s, d) => TextOps.gopherQuality(Tables.documents(s, d))),
     "shingle_novelty" -> ((s, d) => TextOps.shingleNovelty(Tables.documents(s, d))),
     "pagerank_top" -> ((s, d) =>
@@ -2046,6 +2047,25 @@ object SparkEntry {
          |JOIN sizes nb ON nb.doc_id = b_id
          |WHERE CAST(n_common AS DOUBLE) / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE) >= 0.8
          |ORDER BY containment DESC, a_id, b_id""".stripMargin,
+    "tfidf_cosine_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |d AS (SELECT doc_id, token, tf, COUNT(*) OVER (PARTITION BY token) AS df FROM tf),
+        |w AS (SELECT doc_id, token, tf * (n.n_docs / df) AS w
+        |      FROM d CROSS JOIN n WHERE df <= 100),
+        |nm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+        |wn AS (SELECT w.doc_id, token, w.w, nm.nrm FROM w JOIN nm USING (doc_id)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         round(SUM(a.w * b.w) / (a.nrm * b.nrm), 6) AS cosine
+        |  FROM wn a JOIN wn b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.nrm, b.nrm
+        |)
+        |SELECT a_id, b_id, cosine FROM p
+        |WHERE cosine >= 0.5
+        |ORDER BY cosine DESC, a_id, b_id
+        |LIMIT 50""".stripMargin,
     "gopher_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |v AS (

@@ -292,6 +292,58 @@ object TextOps {
       .selectExpr("doc_id", "token", "tf", "df", "score", "cast(rk as bigint) as rank")
   }
 
+  /** Sparse tf·idf cosine pair similarity — the WEIGHTED near-dup measure:
+    * two documents sharing rare terms score high even when their shingle
+    * overlap is low (paraphrase/topic duplication, which exact-set Jaccard
+    * under-scores and MinHash can't see at all). This is sparse-vector ANN
+    * by inverted-index join: a pair only materializes where a term is
+    * shared, so the cost is Σ(df²) over the SURVIVING terms — and terms
+    * with df > maxDf are dropped, which both bounds every bucket at maxDf²
+    * and removes exactly the stopword mass whose idf weight is ~0 anyway.
+    *
+    * Plan: one corpus scan → tf aggregate; df via a window count over the
+    * tf rows (no second explode — the [[tfidfTop]] trick); per-doc norms
+    * aggregate the SAME weighted rows and ride through the pair join as
+    * plain columns (joining norms onto the pair set afterwards would
+    * shuffle every candidate pair again). Rational idf (N/df, not
+    * ln(N/df)) keeps every weight a pure IEEE expression both engines
+    * compute bit-identically; the final cosine is rounded once and the
+    * threshold compares the ROUNDED value so the boundary is
+    * engine-stable.
+    */
+  def tfidfCosinePairs(
+      documents: DataFrame,
+      maxDf: Int = 100,
+      threshold: Double = 0.5,
+      topK: Int = 50): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val n = documents.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = tf.crossJoin(broadcast(n))
+      .selectExpr("doc_id", "token", "tf",
+        "count(1) over (partition by token) as df", "n_docs")
+      .filter(col("df") <= maxDf)
+      .selectExpr("doc_id", "token", "tf * (n_docs / df) as w")
+      // one exchange under the norm aggregate AND both pair-join sides
+      .repartition(col("doc_id"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val wn = w.join(norms, "doc_id")
+    wn.select(col("token"), col("doc_id").as("a_id"), col("w").as("a_w"), col("nrm").as("a_nrm"))
+      .join(wn.select(col("token"), col("doc_id").as("b_id"), col("w").as("b_w"),
+        col("nrm").as("b_nrm")), "token")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_nrm"), col("b_nrm"))
+      .agg(sum(col("a_w") * col("b_w")).as("dot"))
+      .select(col("a_id"), col("b_id"),
+        round(col("dot") / (col("a_nrm") * col("b_nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
+      .limit(topK)
+  }
+
   /** Document fingerprints: whole-text hash plus the minimum shingle hash
     * (the "winnowing" representative) — the primitives under both exact
     * and MinHash dedup.

@@ -708,6 +708,31 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2L) === r(3L) && r(3L) === r(4L)) // symmetric spokes tie exactly
   }
 
+  test("tfidfCosinePairs: rare-term overlap outranks common-term overlap") {
+    // docs 1,2 share the RARE term; docs 3,4 share only terms that appear
+    // everywhere (high df -> near-zero idf weight after the cap)
+    val filler = (0 until 30).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"rareterm alpha $filler"),
+      (2L, s"rareterm beta $filler"),
+      (3L, s"$filler gamma"),
+      (4L, s"$filler delta")
+    ).toDF("doc_id", "text")
+    val r = TextOps.tfidfCosinePairs(docs, maxDf = 3, threshold = 0.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    // with maxDf=3 the 4-doc filler terms are dropped entirely: only the
+    // rare-term pair survives with weight
+    assert(r.contains((1L, 2L)), r.toString)
+    // weights: rareterm df=2 -> w=2, alpha/beta df=1 -> w=4;
+    // cos = 2·2 / (√20·√20) = 0.2 exactly
+    assert(r((1L, 2L)) === 0.2, r.toString)
+    assert(!r.contains((3L, 4L)), r.toString) // no surviving shared terms
+    // identical docs -> cosine exactly 1.0
+    val dup = Seq((1L, "x y z unique1"), (2L, "x y z unique1")).toDF("doc_id", "text")
+    val one = TextOps.tfidfCosinePairs(dup, maxDf = 10, threshold = 0.0).head()
+    assert(one.getDouble(2) === 1.0)
+  }
+
   test("tokenPmi ranks a perfectly-bound pair above independent co-occurrence") {
     // 'aa bb' always adjacent (PMI high); 'xx' pairs with everything (PMI ~0)
     val docs = (1 to 30).map { i =>

@@ -267,6 +267,18 @@ class PlanSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllMatchIn(p).size >= 1, p)
   }
 
+  test("pagerank_top: iterations reuse the edge exchanges — lineitem scans stay O(1), not O(iters)") {
+    val p = executedFinal("pagerank_top")
+    assert(p.contains("isFinalPlan=true"), p)
+    // the 8-iteration loop references the edge/node subtrees 20+ times;
+    // runtime stage reuse must collapse them so the fact table is read a
+    // constant number of times (one per distinct pruned schema), never
+    // once per iteration
+    val scans = "FileScan parquet".r.findAllMatchIn(p).size
+    assert(scans <= 3, s"$scans lineitem scans in the final plan:\n$p")
+    assert("ReusedExchange".r.findAllMatchIn(p).size >= 8, p)
+  }
+
   test("semantic_dedup: centroids broadcast; cell pair-join is never a cartesian") {
     val p = formatted("semantic_dedup")
     assert(!p.contains("CartesianProduct"), p)
