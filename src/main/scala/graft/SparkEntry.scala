@@ -328,6 +328,7 @@ object SparkEntry {
     "ngram_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d))),
     "containment_pairs" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => TextOps.tfidfCosinePairs(Tables.documents(s, d))),
+    "pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "gopher_quality" -> ((s, d) => TextOps.gopherQuality(Tables.documents(s, d))),
     "shingle_novelty" -> ((s, d) => TextOps.shingleNovelty(Tables.documents(s, d))),
     "pagerank_top" -> ((s, d) =>
@@ -2066,6 +2067,24 @@ object SparkEntry {
         |WHERE cosine >= 0.5
         |ORDER BY cosine DESC, a_id, b_id
         |LIMIT 50""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         ${dH("CAST(doc_id AS VARCHAR)")} % 32 AS grp,
+         |         ${dH("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |), placed AS (
+         |  SELECT grp, doc_id, n_tokens,
+         |         CAST((SUM(n_tokens) OVER (PARTITION BY grp ORDER BY h, doc_id
+         |            ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin
+         |  FROM sized
+         |)
+         |SELECT grp, bin, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         |       CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) / 512.0 AS fill_ratio
+         |FROM placed
+         |GROUP BY grp, bin""".stripMargin,
     "gopher_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |v AS (

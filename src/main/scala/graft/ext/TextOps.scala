@@ -544,6 +544,43 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Deterministic sequence PACKING — the training-batch assembly step:
+    * documents are laid out into fixed `budget`-token context windows, and
+    * the operator reports each window's occupancy (the padding/waste
+    * metric every training pipeline tracks). Docs are placed by contiguous
+    * offset fill: within a group, each doc starts where the previous one
+    * ended, and its bin is the window containing its start offset — a doc
+    * straddling a boundary is accounted to its start bin (`fill_ratio`
+    * can exceed 1 there; real packers split the straddler across windows,
+    * which is the same token accounting).
+    *
+    * Scale shape: a greedy global packer is inherently sequential, so the
+    * corpus is first split into `groups` deterministic hash buckets and
+    * packed independently per bucket — `groups`-way parallel running-sum
+    * windows (each a single partition of corpus/groups rows), the
+    * standard shard-then-pack layout. Order within a group is (doc hash,
+    * doc_id): fully deterministic under any partitioning, no RNG.
+    */
+  def packSequences(documents: DataFrame, budget: Int = 512, groups: Int = 32): DataFrame = {
+    val sized = documents.selectExpr(
+      "doc_id",
+      "cast(size(split(text, ' ')) as bigint) as n_tokens",
+      s"pmod(${md5Long64("cast(doc_id as string)")}, $groups) as grp",
+      s"${md5Long64("cast(doc_id as string)")} as h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"), col("doc_id"))
+    sized
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .selectExpr("grp", "doc_id", "n_tokens",
+        s"cast((cum - n_tokens) div $budget as bigint) as bin")
+      .groupBy(col("grp"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"))
+      .selectExpr("grp", "bin", "n_docs", "bin_tokens",
+        s"cast(bin_tokens as double) / $budget.0 as fill_ratio")
+  }
+
   /** Per-group heavy hitters — frequent tokens per language/source/domain,
     * the realistic per-domain profile of a mixed corpus. One Misra–Gries
     * summary PER KEY (`groupByKey.agg`, each group's sketch bounded at

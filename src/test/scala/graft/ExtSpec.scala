@@ -733,6 +733,25 @@ class ExtSpec extends AnyFunSuite {
     assert(one.getDouble(2) === 1.0)
   }
 
+  test("packSequences: contiguous fill bins by start offset; token mass conserved") {
+    // 10 docs of exactly 100 tokens, one group, budget 250: start offsets
+    // 0..900 -> bins 0:(0,100,200) 1:(300,400) 2:(500,600,700) 3:(800,900)
+    // — equal sizes make the layout order-independent
+    val docs = Seq.tabulate(10)(i => (i.toLong, Seq.fill(100)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextOps.packSequences(docs, budget = 250, groups = 1).collect()
+      .map(x => x.getLong(1) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r === Map(
+      0L -> ((3L, 300L)), 1L -> ((2L, 200L)),
+      2L -> ((3L, 300L)), 3L -> ((2L, 200L))))
+    // real corpus: every token lands in exactly one bin
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = TextOps.packSequences(corpus)
+    val binTotal = packed.agg(sum(col("bin_tokens"))).as[Long].head()
+    val docTotal = corpus.selectExpr("sum(size(split(text, ' ')))").as[Long].head()
+    assert(binTotal === docTotal)
+  }
+
   test("tokenPmi ranks a perfectly-bound pair above independent co-occurrence") {
     // 'aa bb' always adjacent (PMI high); 'xx' pairs with everything (PMI ~0)
     val docs = (1 to 30).map { i =>
