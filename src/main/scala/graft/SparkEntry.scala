@@ -329,6 +329,7 @@ object SparkEntry {
     "containment_pairs" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => TextOps.tfidfCosinePairs(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
+    "attribution" -> ((s, d) => StateOps.attribution(Tables.events(s, d))),
     "gopher_quality" -> ((s, d) => TextOps.gopherQuality(Tables.documents(s, d))),
     "shingle_novelty" -> ((s, d) => TextOps.shingleNovelty(Tables.documents(s, d))),
     "pagerank_top" -> ((s, d) =>
@@ -2067,6 +2068,36 @@ object SparkEntry {
         |WHERE cosine >= 0.5
         |ORDER BY cosine DESC, a_id, b_id
         |LIMIT 50""".stripMargin,
+    "attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, tus AS p_tus
+        |  FROM ev WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, event_id AS touch_id, event_type AS touch_type, tus AS t_tus
+        |  FROM ev WHERE event_type IN ('click', 'view')
+        |), cand AS (
+        |  SELECT p.purchase_id, p.p_tus, t.touch_id, t.touch_type, t.t_tus,
+        |         row_number() OVER (PARTITION BY p.purchase_id
+        |                            ORDER BY t.t_tus DESC, t.touch_id DESC) AS rn_last,
+        |         row_number() OVER (PARTITION BY p.purchase_id
+        |                            ORDER BY t.t_tus ASC, t.touch_id ASC) AS rn_first
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |   AND t.t_tus < p.p_tus AND t.t_tus >= p.p_tus - 3600000000
+        |), attr AS (
+        |  SELECT purchase_id,
+        |         MAX(CASE WHEN rn_first = 1 THEN touch_id END) AS first_touch_id,
+        |         MAX(CASE WHEN rn_last = 1 THEN touch_id END) AS last_touch_id,
+        |         MAX(CASE WHEN rn_last = 1 THEN touch_type END) AS last_touch_type,
+        |         MAX(CASE WHEN rn_last = 1
+        |             THEN CAST(p_tus - t_tus AS DOUBLE) / 1000000.0 END) AS secs_since_last
+        |  FROM cand GROUP BY purchase_id
+        |)
+        |SELECT p.purchase_id, p.user_id,
+        |       attr.first_touch_id, attr.last_touch_id,
+        |       attr.last_touch_type, attr.secs_since_last
+        |FROM p LEFT JOIN attr USING (purchase_id)""".stripMargin,
     "pack_sequences" ->
       s"""WITH sized AS (
          |  SELECT doc_id,

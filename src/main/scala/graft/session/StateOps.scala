@@ -190,4 +190,49 @@ object StateOps {
         s"cast(5 - ${tileExpr("monetary", "m_q")} as int) as m_seg")
       .orderBy(col("user_id"))
   }
+
+  /** Marketing attribution — FIRST- and LAST-touch: for every purchase,
+    * the user's earliest and latest preceding click/view inside a bounded
+    * lookback window (unattributed purchases survive with NULLs, never
+    * drop). Completes the product-analytics set (funnel → cohort → RFM →
+    * attribution).
+    *
+    * Scale shape: the purchase⋈touch join is an equi-join on user_id with
+    * the time bounds as residual, and the LOOKBACK BOUND is what makes it
+    * scale — candidates per purchase are capped by one user-hour of
+    * touches, not the user's whole history (an unbounded "any prior
+    * touch" join grows quadratically in user lifetime). The two
+    * row_number ranks share one purchase-keyed exchange, and ties break
+    * on event_id so the pick is deterministic under any partitioning.
+    */
+  def attribution(events: DataFrame, lookbackSecs: Long = 3600): DataFrame = {
+    val ev = events.withColumn("tus", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("tus").as("p_tus"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("tus").as("t_tus"))
+    val cand = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_tus") < col("p_tus") &&
+        col("t_tus") >= col("p_tus") - lit(lookbackSecs * 1000000L))
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id")).orderBy(col("t_tus").desc, col("touch_id").desc)
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id")).orderBy(col("t_tus").asc, col("touch_id").asc)
+    val attr = cand
+      .withColumn("rn_last", row_number().over(wLast))
+      .withColumn("rn_first", row_number().over(wFirst))
+      .groupBy(col("purchase_id"))
+      .agg(
+        max(when(col("rn_first") === 1, col("touch_id"))).as("first_touch_id"),
+        max(when(col("rn_last") === 1, col("touch_id"))).as("last_touch_id"),
+        max(when(col("rn_last") === 1, col("touch_type"))).as("last_touch_type"),
+        max(when(col("rn_last") === 1,
+          (col("p_tus") - col("t_tus")).cast("double") / 1000000.0)).as("secs_since_last"))
+    purchases
+      .join(attr, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"),
+        col("first_touch_id"), col("last_touch_id"),
+        col("last_touch_type"), col("secs_since_last"))
+  }
 }

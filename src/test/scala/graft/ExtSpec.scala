@@ -556,12 +556,20 @@ class ExtSpec extends AnyFunSuite {
     assert(TextOps.invertedIndex(docs).count() === 0)
     assert(TextOps.tokenPmi(docs).count() === 0)
     assert(TextOps.bm25Top(docs).count() === 0)
+    assert(TextOps.gopherQuality(docs).count() === 0)
+    assert(TextOps.shingleNovelty(docs).count() === 0)
+    assert(TextOps.tfidfCosinePairs(docs).count() === 0)
+    assert(TextOps.packSequences(docs).count() === 0)
+    assert(Dedup.containmentPairs(docs).count() === 0)
     assert(Similarity.semanticDedup(emb).count() === 0)
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight")
+    assert(Graph.pageRank(noEdges).count() === 0)
     val ev = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     assert(graft.session.StateOps.funnelSteps(ev).count() === 0)
     assert(graft.session.StateOps.cohortRetention(ev).count() === 0)
     assert(graft.session.StateOps.rfmSegments(ev).count() === 0)
+    assert(graft.session.StateOps.attribution(ev).count() === 0)
   }
 
   test("IVF null-cell contract: corpus with no centroid candidates keeps all rows, NULL cell") {

@@ -172,6 +172,30 @@ class OpsSpec extends AnyFunSuite {
     assert(r === Map(1L -> 3, 2L -> 1, 3L -> 1))
   }
 
+  test("attribution: first/last touch inside the lookback; unattributed purchases keep NULLs") {
+    val at = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val df = Seq(
+      // user 1: click then view precede the purchase inside the hour
+      (1L, at(0), 1L, "click", 1.0, "{}"),
+      (2L, at(30), 1L, "view", 1.0, "{}"),
+      (3L, at(45), 1L, "purchase", 5.0, "{}"),
+      // user 1: second purchase 2h later — both touches outside the lookback
+      (4L, at(165), 1L, "purchase", 5.0, "{}"),
+      // user 2: the only touch comes AFTER the purchase -> unattributed
+      (5L, at(0), 2L, "purchase", 5.0, "{}"),
+      (6L, at(5), 2L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.session.StateOps.attribution(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(3L, 4L, 5L))
+    assert(r(3L).getLong(2) === 1L)   // first touch = the click
+    assert(r(3L).getLong(3) === 2L)   // last touch = the view
+    assert(r(3L).getString(4) === "view")
+    assert(r(3L).getDouble(5) === 900.0) // 15 minutes
+    assert(r(4L).isNullAt(2) && r(4L).isNullAt(3)) // lookback expired
+    assert(r(5L).isNullAt(2) && r(5L).isNullAt(3)) // touch after purchase
+  }
+
   test("rfmSegments: boundary bucketing puts best metrics in segment 1") {
     val t = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 00:00:00")
     // 4 users with strictly increasing recency and decreasing value
