@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   *  - embeddings: replica r applies a deterministic per-dimension ±1 sign
   *    mask (a diagonal orthogonal transform): within-replica cosines are
   *    preserved BIT-EXACTLY (|x_i| is unchanged per dimension, so dot
-  *    products are), cross-replica cosines are pseudo-random and fall
-  *    below any near-dup threshold. vec_id/doc_id offsets keep ids unique;
-  *    ids < 16 exist only in replica 0, so the IVF codebook stays fixed —
-  *    cell populations grow 10×, which is exactly the fixed-codebook
+  *    products are). Cross-replica cosines are pseudo-random with
+  *    std ≈ 1/√d (≈0.125 at d=64), so a ~7·10⁻⁴ tail sits above a 0.4
+  *    near-dup threshold — scaled corpora therefore contain the random
+  *    near-threshold cross-replica pairs a REAL larger corpus would, and
+  *    only the replica-0 slice's dedup verdicts replicate exactly (the
+  *    ExtSpec invariant; smaller replica-0 ids mean later replicas can
+  *    never change them). Ids offset by max(id)+1 per replica; ids < 16
+  *    exist only in replica 0, so the IVF codebook stays fixed — cell
+  *    populations grow 10×, which is exactly the fixed-codebook
   *    Σ|cell|² ≈ n²/k regime semanticDedup documents (a production
   *    deployment scales k with n; the artifact reports both).
   *
@@ -36,25 +41,34 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
 
-  /** `rep` content-disjoint replicas of a documents frame (see class doc). */
-  def scaleDocuments(docs: DataFrame, rep: Int, nDocs: Long): DataFrame =
+  /** `rep` content-disjoint replicas of a documents frame (see class doc).
+    * `idOffset` must exceed every existing doc_id (max+1, NOT the row
+    * count — sparse ids would collide); the suffix separator is \u0001, a
+    * byte no space-split token can contain, so replica vocabularies are
+    * disjoint STRUCTURALLY (a bare decimal suffix would let replica 1's
+    * "foo"+"1" collide with a natural token "foo1").
+    */
+  def scaleDocuments(docs: DataFrame, rep: Int, idOffset: Long): DataFrame =
     (0 until rep).map { r =>
       if (r == 0) docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
       else docs.select(
-        (col("doc_id") + lit(r * nDocs)).as("doc_id"),
-        // per-replica vocabulary: token w -> w·r, preserving the replica's
-        // internal shingle/jaccard structure up to a bijective renaming
-        expr(s"array_join(transform(split(text, ' '), t -> concat(t, '$r')), ' ')").as("text"),
+        (col("doc_id") + lit(r * idOffset)).as("doc_id"),
+        // per-replica vocabulary: token w -> w·SEP·r, preserving the
+        // replica's internal shingle/jaccard structure up to a bijective
+        // renaming
+        expr(s"array_join(transform(split(text, ' '), t -> concat(t, chr(1), '$r')), ' ')").as("text"),
         col("lang"), col("source"))
     }.reduce(_ unionByName _)
       .withColumn("n_chars", length(col("text")).cast("bigint"))
 
-  /** `rep` sign-flipped replicas of an embeddings frame (see class doc). */
-  def scaleEmbeddings(emb: DataFrame, rep: Int, nEmb: Long): DataFrame =
+  /** `rep` sign-flipped replicas of an embeddings frame (see class doc).
+    * `idOffset` must exceed every existing vec_id (max+1).
+    */
+  def scaleEmbeddings(emb: DataFrame, rep: Int, idOffset: Long): DataFrame =
     (0 until rep).map { r =>
       if (r == 0) emb.select(col("vec_id"), col("embedding"), col("label"))
       else emb.select(
-        (col("vec_id") + lit(r * nEmb)).as("vec_id"),
+        (col("vec_id") + lit(r * idOffset)).as("vec_id"),
         // deterministic diagonal ±1 orthogonal transform per replica:
         // murmur3 of (dimension index, replica) picks the sign
         expr(
@@ -78,18 +92,19 @@ object GenScale {
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val nDocs = docs.count()
-    val nEmb = emb.count()
+    // offsets from max(id)+1, not row counts: sparse ids must not collide
+    val docOffset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val embOffset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
 
     reps.foreach { rep =>
       val out = s"$outBase/x$rep"
-      scaleDocuments(docs, rep, nDocs)
+      scaleDocuments(docs, rep, docOffset)
         .repartition(16)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      scaleEmbeddings(emb, rep, nEmb)
+      scaleEmbeddings(emb, rep, embOffset)
         .repartition(16)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      println(s"[genscale] wrote $out: ${nDocs * rep} docs, ${nEmb * rep} embeddings")
+      println(s"[genscale] wrote $out: ${docs.count() * rep} docs, ${emb.count() * rep} embeddings")
     }
     spark.stop()
   }

@@ -445,12 +445,18 @@ object SparkEntry {
 
   /** DuckDB twin of Similarity's normalize-once path: unit vectors as
     * array<double> (left-to-right double accumulation, like VecDot).
+    * Zero-norm embeddings get a NULL unit, mirroring `normalized()`'s
+    * guard — without it the engines diverge on that edge (Spark NULL vs
+    * DuckDB Inf/NaN units from x/0.0).
     */
   private val dUnitCte =
     """WITH u AS (
       |  SELECT vec_id,
-      |         list_transform(embedding, x -> CAST(x AS DOUBLE)
-      |           / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit
+      |         CASE WHEN sqrt(list_sum(list_transform(embedding,
+      |                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) > 0
+      |           THEN list_transform(embedding, x -> CAST(x AS DOUBLE)
+      |             / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+      |         END AS unit
       |  FROM embeddings
       |)""".stripMargin
 
@@ -2165,8 +2171,11 @@ object SparkEntry {
     "embed_outliers" ->
       s"""WITH u AS (
          |  SELECT vec_id, label,
-         |         list_transform(embedding, x -> CAST(x AS DOUBLE)
-         |           / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit
+         |         CASE WHEN sqrt(list_sum(list_transform(embedding,
+         |                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) > 0
+         |           THEN list_transform(embedding, x -> CAST(x AS DOUBLE)
+         |             / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+         |         END AS unit
          |  FROM embeddings
          |), r AS (
          |  SELECT label AS rep_label, min(vec_id) AS rep_id FROM embeddings GROUP BY 1

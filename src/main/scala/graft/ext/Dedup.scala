@@ -462,59 +462,27 @@ object Dedup {
     * computed over each document's SURVIVING shingle set (consistent
     * numerator/denominator — still a true Jaccard, of the capped sets).
     */
-  def ngramJaccardCapped(
-      documents: DataFrame,
-      maxDf: Int = 20,
-      topK: Int = 50): DataFrame = {
-    // Flat (doc_id, shingle_hash) rows, pre-shuffled on shingle_hash: the
-    // document-frequency aggregate, the cap semi-join, and BOTH sides of
-    // the pair join all sit above this ONE exchange (ReuseExchange) — the
-    // corpus is scanned and hashed exactly once. The pair join itself is a
-    // codegen'd equi-join whose output streams straight into partial
-    // aggregation: no per-bucket id arrays (a collect_list bucket is one
-    // task's memory at f=maxDf — fine — but building f²/2 pair structs in
-    // an interpreted lambda was the measured hot spot), and per-bucket
-    // output is still bounded at maxDf² rows by the cap.
-    val flat = computedOnce(shingleHashes(documents, outer = false), "shingle_hash")
-    val freq = flat.groupBy(col("shingle_hash"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("shingle_hash"))
-    val kept = flat.join(freq, "shingle_hash")
-    // attach each doc's surviving-shingle count BEFORE the pair join: the
-    // sizes aggregate and its probe share one doc_id exchange of the
-    // (small) flat rows, and the counts ride through the pair join as
-    // plain columns — joining sizes onto the (much larger) pair set
-    // afterwards would shuffle every candidate pair twice more
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val keptN = kept.join(sizes, "doc_id")
-    val common = keptN
-      .select(col("shingle_hash"), col("doc_id").as("a_id"), col("n_sh").as("a_n"))
-      .join(keptN.select(col("shingle_hash"), col("doc_id").as("b_id"), col("n_sh").as("b_n")),
-        "shingle_hash")
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .selectExpr(
-        "a_id", "b_id", "n_common",
-        "cast(n_common as double) / cast(a_n + b_n - n_common as double) as jaccard")
-      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-      .limit(topK)
-  }
-
-  /** Shingle-set CONTAINMENT pairs — the subset-duplicate detector Jaccard
-    * misses: a short document quoted wholesale inside a long one has
-    * containment |A∩B|/min(|A|,|B|) ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 (the
-    * news-dedup / quote-extraction case, Broder's containment measure).
-    * Same df-capped single-exchange plan as [[ngramJaccardCapped]] — one
-    * corpus scan, every bucket bounded at maxDf² pairs — with containment
-    * of the capped sets as the score and Jaccard carried for contrast.
+  /** Shared df-capped candidate-pair counts: (a_id, b_id, a_n, b_n,
+    * n_common) over each document's SURVIVING (df ≤ maxDf) shingle set —
+    * the plan both [[ngramJaccardCapped]] and [[containmentPairs]]
+    * project their scores from.
+    *
+    * Flat (doc_id, shingle_hash) rows, pre-shuffled on shingle_hash: the
+    * document-frequency aggregate, the cap semi-join, and BOTH sides of
+    * the pair join all sit above this ONE exchange (ReuseExchange) — the
+    * corpus is scanned and hashed exactly once. The pair join itself is a
+    * codegen'd equi-join whose output streams straight into partial
+    * aggregation: no per-bucket id arrays (a collect_list bucket is one
+    * task's memory at f=maxDf — fine — but building f²/2 pair structs in
+    * an interpreted lambda was the measured hot spot), and per-bucket
+    * output is still bounded at maxDf² rows by the cap. Each doc's
+    * surviving-shingle count attaches BEFORE the pair join: the sizes
+    * aggregate and its probe share one doc_id exchange of the (small)
+    * flat rows, and the counts ride through the pair join as plain
+    * columns — joining sizes onto the (much larger) pair set afterwards
+    * would shuffle every candidate pair twice more.
     */
-  def containmentPairs(
-      documents: DataFrame,
-      maxDf: Int = 20,
-      minContainment: Double = 0.8): DataFrame = {
+  private def cappedPairCounts(documents: DataFrame, maxDf: Int): DataFrame = {
     val flat = computedOnce(shingleHashes(documents, outer = false), "shingle_hash")
     val freq = flat.groupBy(col("shingle_hash"))
       .agg(count(lit(1)).as("df"))
@@ -530,11 +498,36 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
       .agg(count(lit(1)).as("n_common"))
+  }
+
+  def ngramJaccardCapped(
+      documents: DataFrame,
+      maxDf: Int = 20,
+      topK: Int = 50): DataFrame =
+    cappedPairCounts(documents, maxDf)
+      .selectExpr(
+        "a_id", "b_id", "n_common",
+        "cast(n_common as double) / cast(a_n + b_n - n_common as double) as jaccard")
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(topK)
+
+  /** Shingle-set CONTAINMENT pairs — the subset-duplicate detector Jaccard
+    * misses: a short document quoted wholesale inside a long one has
+    * containment |A∩B|/min(|A|,|B|) ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 (the
+    * news-dedup / quote-extraction case, Broder's containment measure).
+    * Same df-capped single-exchange plan as [[ngramJaccardCapped]] — one
+    * corpus scan, every bucket bounded at maxDf² pairs — with containment
+    * of the capped sets as the score and Jaccard carried for contrast.
+    */
+  def containmentPairs(
+      documents: DataFrame,
+      maxDf: Int = 20,
+      minContainment: Double = 0.8): DataFrame =
+    cappedPairCounts(documents, maxDf)
       .selectExpr(
         "a_id", "b_id", "a_n", "b_n", "n_common",
         "cast(n_common as double) / cast(least(a_n, b_n) as double) as containment",
         "cast(n_common as double) / cast(a_n + b_n - n_common as double) as jaccard")
       .filter(col("containment") >= minContainment)
       .orderBy(col("containment").desc, col("a_id"), col("b_id"))
-  }
 }

@@ -345,6 +345,13 @@ object Functions {
     * sketch passes with 49 ranks of slack and a broken one flips the
     * boolean into a hash mismatch. The oracle emits the exact row count
     * and literal `true`s.
+    *
+    * Tiny groups are exempted (`n_rows < 20`): the sketch returns an
+    * actual data ELEMENT while `percentile` INTERPOLATES, and below
+    * ~11 rows a perfect sketch's element can legitimately fall outside
+    * the interpolated ±5-percentile band (e.g. 2 rows {10, 20}: approx
+    * median 10 vs interpolated p45 = 14.5) — the rank-slack argument
+    * needs 0.5·n−1 ≥ 0.45·(n−1).
     */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -354,10 +361,12 @@ object Functions {
         expr("percentile(o_totalprice, array(0.45D, 0.55D, 0.85D, 0.95D))").as("ex"),
         count(lit(1)).as("n_rows"))
       .select(col("o_orderstatus"), col("n_rows"),
-        (element_at(col("q"), 1) >= element_at(col("ex"), 1) &&
-          element_at(col("q"), 1) <= element_at(col("ex"), 2)).as("median_in_bounds"),
-        (element_at(col("q"), 2) >= element_at(col("ex"), 3) &&
-          element_at(col("q"), 2) <= element_at(col("ex"), 4)).as("p90_in_bounds"))
+        (col("n_rows") < 20 ||
+          (element_at(col("q"), 1) >= element_at(col("ex"), 1) &&
+            element_at(col("q"), 1) <= element_at(col("ex"), 2))).as("median_in_bounds"),
+        (col("n_rows") < 20 ||
+          (element_at(col("q"), 2) >= element_at(col("ex"), 3) &&
+            element_at(col("q"), 2) <= element_at(col("ex"), 4))).as("p90_in_bounds"))
 
   /** MERGEABLE cardinality sketches (Apache DataSketches HLL): build one
     * sketch per group, then union the binary sketches into a global

@@ -625,7 +625,10 @@ class ExtSpec extends AnyFunSuite {
     // banding noise) and replicas never pair with each other
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val nDocs = docs.count()
-    val x2 = GenScale.scaleDocuments(docs, 2, nDocs)
+    // offsets are max(id)+1 (the generator's contract for sparse ids);
+    // testdata ids are dense 0..n-1 so this equals the row count
+    val docOffset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val x2 = GenScale.scaleDocuments(docs, 2, docOffset)
     assert(x2.count() === 2 * nDocs)
     val basePairs = Dedup.minhashCandidatePairs(docs)
     val base = basePairs.count()
@@ -644,7 +647,8 @@ class ExtSpec extends AnyFunSuite {
     // bit-exactly, so semantic-dedup verdicts replicate 1:1
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val nEmb = emb.count()
-    val e2 = GenScale.scaleEmbeddings(emb, 2, nEmb)
+    val embOffset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val e2 = GenScale.scaleEmbeddings(emb, 2, embOffset)
     assert(e2.count() === 2 * nEmb)
     val baseDups = Similarity.semanticDedup(emb).filter(col("is_dup") === 1)
       .select("vec_id").as[Long].collect().toSet
