@@ -91,8 +91,11 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (mean, max, hash) = decodeStub(r.content)
-        MediaFeatures(r.media_id, r.modality, r.content.length.toLong, mean, max, hash)
+        // null payload (missing media) decodes as empty — a real codec
+        // path must be total, not NPE on the first absent object
+        val bytes = if (r.content == null) Array.empty[Byte] else r.content
+        val (mean, max, hash) = decodeStub(bytes)
+        MediaFeatures(r.media_id, r.modality, bytes.length.toLong, mean, max, hash)
       }
     }
 
@@ -102,7 +105,7 @@ object Multimodal {
   def resize(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] =
     media.mapPartitions { rows =>
       rows.map { r =>
-        if (r.content.length <= maxBytes) r
+        if (r.content == null || r.content.length <= maxBytes) r
         else r.copy(
           content = java.util.Arrays.copyOf(r.content, maxBytes),
           width = math.max(1, r.width / 2),

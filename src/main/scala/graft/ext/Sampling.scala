@@ -33,10 +33,14 @@ object Sampling {
     * `weightedBySource`, `pipeline_curate2`, and their DuckDB oracles all
     * interpolate THIS string, so the membership predicate can never drift
     * between the Spark side and the oracle (the dialect subset here —
-    * cast/substring/int arithmetic — parses identically in both).
+    * try_cast/substring/int arithmetic — parses identically in both).
+    * `try_cast` + coalesce: a source name outside the `srcN` convention
+    * gets the base rate 10 instead of a CAST_INVALID_INPUT crash (the
+    * EdgeCorpusSpec class of failure — config tables meet unexpected
+    * source names in real pipelines).
     */
   val sourceRateSql: String =
-    "10 + ((cast(substring(source, 4, 8) as int) * 7) % 80)"
+    "10 + ((coalesce(try_cast(substring(source, 4, 8) as int), 0) * 7) % 80)"
 
   def weightedBySource(documents: DataFrame): DataFrame = {
     val rates = documents.select(col("source")).distinct()

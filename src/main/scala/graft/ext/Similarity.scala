@@ -136,7 +136,11 @@ object Similarity {
       blockSize: Int = 256): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // zero-norm/null embeddings have NULL units (no defined cosine) and
+    // must not reach the typed tile kernel, whose primitive arrays can't
+    // hold nulls
     val n = normalized(embeddings).select(col("vec_id"), col("unit"))
+      .filter(col("unit").isNotNull)
     val tiles = n
       .groupBy(expr(s"vec_id div $blockSize").as("block"))
       .agg(collect_list(struct(col("vec_id").as("_1"), col("unit").as("_2"))).as("items"))
