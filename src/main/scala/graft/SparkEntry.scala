@@ -320,6 +320,7 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")),
     "minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
     "minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
+    "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(Tables.documents(s, d))),
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     // capped at maxDf=100: the uncapped pair generation (unbounded
     // collect_list per shingle) is a test-only baseline — one boilerplate
@@ -1756,6 +1757,31 @@ object SparkEntry {
          |       CAST(${(0 until 8).map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE) / 8.0 AS est_jaccard
          |FROM sig a JOIN sig b
          |  ON a.doc_id < b.doc_id AND (a.band0 = b.band0 OR a.band1 = b.band1)""".stripMargin,
+    "incremental_dedup" ->
+      s"""$dToksCte, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), h2 AS (
+         |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS hs FROM s
+         |), m AS (
+         |  SELECT doc_id,
+         |       $dMh
+         |  FROM h2
+         |), sig AS (
+         |  SELECT doc_id,
+         |         ${dH("concat_ws(',', mh0, mh1, mh2, mh3)")} AS band0,
+         |         ${dH("concat_ws(',', mh4, mh5, mh6, mh7)")} AS band1
+         |  FROM m
+         |), matches AS (
+         |  SELECT n.doc_id, MIN(e.doc_id) AS dup_of
+         |  FROM sig n JOIN sig e
+         |    ON n.doc_id % 5 = 4 AND NOT (e.doc_id % 5 = 4)
+         |   AND (n.band0 = e.band0 OR n.band1 = e.band1)
+         |  GROUP BY n.doc_id
+         |)
+         |SELECT f.doc_id, matches.dup_of,
+         |       CAST(matches.dup_of IS NOT NULL AS INT) AS is_known_dup
+         |FROM (SELECT doc_id FROM sig WHERE doc_id % 5 = 4) f
+         |LEFT JOIN matches USING (doc_id)""".stripMargin,
     "simhash" ->
       s"""$dToksCte, h AS (
          |  SELECT doc_id, list_transform(toks, tk -> ${dH("tk")}) AS hs FROM t

@@ -178,6 +178,42 @@ object Dedup {
     bandJoin("band0").unionAll(bandJoin("band1")).distinct()
   }
 
+  /** INCREMENTAL near-dup screening — the crawl-update shape: flag each
+    * NEW-batch document that is an LSH candidate of the EXISTING corpus
+    * (shares a MinHash band with any existing doc), with the smallest
+    * matching existing id as the verdict's witness. This is the one-sided
+    * form every production dedup runs day to day: the existing corpus is
+    * the INDEX side (band-partitioned once, at rest), the new batch is
+    * small, and new×new / existing×existing pairs are never generated —
+    * the join cost is |batch| × bucket, not Σ(bucket²) over the corpus.
+    *
+    * Plan: both sides are filters of ONE signature frame, so the corpus
+    * is scanned and min-hashed once (the signature aggregate's exchange
+    * is reused by all four band-join sides, same as
+    * [[minhashCandidatePairs]]); per band the match is an equi-join.
+    * `isNew` marks the batch membership (here a deterministic predicate;
+    * in production the new shard's partition).
+    */
+  def incrementalDedup(
+      documents: DataFrame,
+      isNewExpr: String = "doc_id % 5 = 4",
+      k: Int = 8): DataFrame = {
+    val sig = minhashSignatures(documents, k)
+    val existing = sig.filter(!expr(isNewExpr))
+    val fresh = sig.filter(expr(isNewExpr))
+    def bandJoin(band: String) =
+      fresh.alias("n")
+        .join(existing.alias("e"), col(s"n.$band") === col(s"e.$band"))
+        .select(col("n.doc_id").as("doc_id"), col("e.doc_id").as("match_id"))
+    val matches = bandJoin("band0").unionAll(bandJoin("band1"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("match_id")).as("dup_of"))
+    fresh.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNotNull.cast("int").as("is_known_dup"))
+  }
+
   /** SimHash over the token multiset: hash each token once, then per bit
     * sum +1/-1 weights and keep the sign. Pure per-row projection — no
     * shuffle, no UDF. The bit-packing runs in the codegen'd

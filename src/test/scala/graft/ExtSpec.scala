@@ -658,6 +658,26 @@ class ExtSpec extends AnyFunSuite {
     assert(scaledDups === baseDups)
   }
 
+  test("incrementalDedup: new-batch docs match only the existing corpus, never each other") {
+    val textA = (0 until 20).map(i => s"a$i").mkString(" ")
+    val textB = (100 until 120).map(i => s"b$i").mkString(" ")
+    val textC = (200 until 220).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (0L, textA),  // existing
+      (1L, textB),  // existing
+      (4L, textA),  // new, exact dup of existing doc 0 -> flagged
+      (9L, textC),  // new, novel -> clean
+      (14L, textC)  // new, dup of ANOTHER NEW doc only -> must stay clean
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(docs).collect()
+      .map(x => x.getLong(0) -> ((if (x.isNullAt(1)) None else Some(x.getLong(1))), x.getInt(2)))
+      .toMap
+    assert(r.keySet === Set(4L, 9L, 14L)) // one row per NEW doc, always
+    assert(r(4L) === ((Some(0L), 1)))
+    assert(r(9L) === ((None, 0)))
+    assert(r(14L) === ((None, 0))) // new x new pairs are never generated
+  }
+
   test("containmentPairs flags a quoted subset that Jaccard would miss") {
     val long = (0 until 40).map(i => s"w$i").mkString(" ")
     val short = (0 until 10).map(i => s"w$i").mkString(" ") // fully quoted prefix
