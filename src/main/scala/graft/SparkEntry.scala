@@ -159,7 +159,7 @@ object SparkEntry {
       // final report is one aggregate over the surviving corpus.
       val docs = Tables.documents(s, d)
       val keepText = Dedup.keepFirstByText(docs).select("doc_id")
-      val keepVec = Similarity.semanticDedupKeep(Tables.embeddings(s, d))
+      val keepVec = Similarity.semanticDedupKeep(Tables.embeddings(s, d), k = 16)
         .select(col("vec_id").as("doc_id"))
       val quality = TextOps.textStats(docs)
         .filter(col("quality_score") >= 0.5).select("doc_id")
@@ -288,8 +288,10 @@ object SparkEntry {
     }),
     "token_count" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "ivf_topk_probe4" -> ((s, d) => Similarity.ivfTopKProbe(Tables.embeddings(s, d))),
-    "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
-    "semantic_dedup_keep" -> ((s, d) => Similarity.semanticDedupKeep(Tables.embeddings(s, d))),
+    // k pinned to 16: the DuckDB oracle hard-codes the first-16-vectors
+    // codebook (vec_id < 16); the library default is the adaptive k ≈ √n
+    "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), k = 16)),
+    "semantic_dedup_keep" -> ((s, d) => Similarity.semanticDedupKeep(Tables.embeddings(s, d), k = 16)),
     "stats_moments" -> (Functions.statsMoments _),
     "bool_aggs" -> (Functions.boolAggs _),
     "union_by_name" -> (Functions.unionByNameOps _),
@@ -1305,9 +1307,10 @@ object SparkEntry {
         |  FROM embeddings
         |)
         |SELECT vec_id, mx AS scale_max,
-        |       array_to_string(list_transform(embedding,
-        |         x -> CAST(CAST(round(CAST(x AS DOUBLE) / mx * 127.0) AS INTEGER) AS VARCHAR)), ',') AS q8_csv,
-        |       CAST(round(CAST(embedding[1] AS DOUBLE) / mx * 127.0) AS INTEGER) AS q8_first
+        |       CASE WHEN mx > 0 THEN array_to_string(list_transform(embedding,
+        |         x -> CAST(CAST(round(CAST(x AS DOUBLE) / mx * 127.0) AS INTEGER) AS VARCHAR)), ',') END AS q8_csv,
+        |       CASE WHEN mx > 0
+        |         THEN CAST(round(CAST(embedding[1] AS DOUBLE) / mx * 127.0) AS INTEGER) END AS q8_first
         |FROM m""".stripMargin,
     "pipeline_curate" ->
       s"""$dToksCte, scored AS (
@@ -2287,11 +2290,13 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1""".stripMargin,
     "media_features" ->
+      // COALESCE mirrors the decode stub's null-payload guard (a missing
+      // payload decodes as empty, so the Spark side reports n_bytes = 0).
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS modality,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       COALESCE(CAST(octet_length(encode(text)) AS BIGINT), 0) AS n_bytes,
         |       true AS features_in_range
         |FROM documents""".stripMargin,
     "ann_lsh_pairs" ->

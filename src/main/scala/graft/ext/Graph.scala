@@ -26,9 +26,11 @@ object Graph {
     * (not redistributed) — stated contract, mirrored in the oracle.
     *
     * Cross-engine parity: contributions sum in double (order-free up to
-    * ~1e-14 relative over ≤10⁴-degree nodes), a single `round(_, 6)` at
-    * the end absorbs associativity drift; `(1.0 - d)` is written the
-    * same way in the oracle so even the literal arithmetic matches.
+    * ~1e-14 relative over ≤10⁴-degree nodes) and a single `round(_, 6)`
+    * at the end absorbs the drift. Note the oracle's `1.0 - 0.85` parses
+    * as exact DECIMAL in DuckDB (0.15, one ulp off Spark's double
+    * subtraction), so the teleport constant differs by ~1 ulp per
+    * iteration — that drift is absorbed by the rounding, not absent.
     *
     * @param edges (src: bigint, dst: bigint, weight: bigint) — multi-edges
     *              pre-aggregated into weights

@@ -245,17 +245,38 @@ object Similarity {
     * partition, nothing else cross-compares. With trained (balanced)
     * centroids the per-cell work is bounded; skewed cells would be split
     * by AQE or a finer codebook, not by changing this operator.
+    *
+    * Codebook size: `k = AdaptiveK` (the default) derives k ≈ √n from the
+    * corpus row count — IVF's standard rule, and the regime the KProbe
+    * measurement picked out — so per-cell work stays ≈ n·(n/k)=n^1.5
+    * instead of silently reverting to n²/16 on a billion-row corpus. A
+    * caller who needs a reproducible codebook (the oracle-gated queries
+    * pin the first-16-vectors codebook) passes an explicit k. The count
+    * needed to size the codebook is parquet-metadata cheap.
     */
+  val AdaptiveK: Int = -1
+
+  /** k ≈ √n clamped to [16, 65536] — 16 keeps tiny test corpora on the
+    * fixed codebook; 2¹⁶ bounds the broadcast codebook row (~17 MB of
+    * float units at dim 64) and Σ|cell|² keeps shrinking past it anyway.
+    */
+  def adaptiveCodebookSize(n: Long): Int =
+    math.max(16, math.min(1 << 16, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  private def resolveK(embeddings: DataFrame, k: Int): Int =
+    if (k == AdaptiveK) adaptiveCodebookSize(embeddings.count()) else k
+
   def semanticDedup(
       embeddings: DataFrame,
       threshold: Double = 0.4,
-      k: Int = 16): DataFrame = {
+      k: Int = AdaptiveK): DataFrame = {
+    val kk = resolveK(embeddings, k)
     // one explicit cell exchange: the two pair-join sides AND the output
     // projection all sit above it, so exchange reuse computes the
     // assignment (scan + normalize + argmax window) exactly once — and the
     // cell equi-join needs no further shuffle, both sides arrive
     // cell-partitioned (same storage-hygiene idiom as Dedup.computedOnce)
-    val a = ivfAssignWithUnit(embeddings, k).repartition(col("cell"))
+    val a = ivfAssignWithUnit(embeddings, kk).repartition(col("cell"))
     val l = a.select(col("cell"), col("vec_id").as("a_id"), col("unit").as("a_unit"))
     val r = a.select(col("cell"), col("vec_id").as("b_id"), col("unit").as("b_unit"))
     val dups = l.join(r, Seq("cell"))
@@ -280,7 +301,7 @@ object Similarity {
   def semanticDedupKeep(
       embeddings: DataFrame,
       threshold: Double = 0.4,
-      k: Int = 16): DataFrame =
+      k: Int = AdaptiveK): DataFrame =
     semanticDedup(embeddings, threshold, k)
       .filter(col("is_dup") === 0)
       .select(col("vec_id"), col("cell"))
@@ -338,6 +359,10 @@ object Similarity {
     * smaller than float32 with recall preserved by re-ranking. Pure
     * projection; serialized as CSV for the cross-engine check (the real
     * sink would write `array<tinyint>`).
+    *
+    * Zero (or null) vectors have no defined scale — `_max = 0` would
+    * divide by zero under ANSI mode — so they quantize to NULL, the same
+    * contract as [[normalized]]'s NULL unit (mirrored in the oracle).
     */
   def quantizeInt8(embeddings: DataFrame): DataFrame =
     embeddings
@@ -346,10 +371,12 @@ object Similarity {
       .selectExpr(
         "vec_id",
         "_max as scale_max",
-        """array_join(transform(embedding,
+        """case when _max > 0D then array_join(transform(embedding,
           |  x -> cast(cast(round(cast(x as double) / _max * 127.0) as int) as string)), ',')
-          |  as q8_csv""".stripMargin,
-        "cast(round(cast(element_at(embedding, 1) as double) / _max * 127.0) as int) as q8_first")
+          |  end as q8_csv""".stripMargin,
+        """case when _max > 0D
+          |  then cast(round(cast(element_at(embedding, 1) as double) / _max * 127.0) as int)
+          |  end as q8_first""".stripMargin)
 
   /** The j-th deterministic axis-pair hyperplane sign over dims
     * [lo+2j+1, lo+2j+2] (1-based): bit set iff x_{d1} - x_{d2} > 0 — a

@@ -61,7 +61,11 @@ class EdgeCorpusSpec extends AnyFunSuite {
 
   test("every declared query survives the adversarial edge corpus (no-crash sweep)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try { fn(spark, edgeDir).count(); None }
+      // collect(), not count(): under a count aggregate Catalyst prunes every
+      // deterministic projection, so per-row expressions would never run on
+      // the edge rows and the sweep would be vacuous for exactly the crash
+      // class it exists to catch. The edge corpus is tiny, so collect is cheap.
+      try { fn(spark, edgeDir).collect(); None }
       catch { case e: Throwable =>
         Some(s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()}")
       }

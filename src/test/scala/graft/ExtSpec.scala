@@ -650,9 +650,11 @@ class ExtSpec extends AnyFunSuite {
     val embOffset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val e2 = GenScale.scaleEmbeddings(emb, 2, embOffset)
     assert(e2.count() === 2 * nEmb)
-    val baseDups = Similarity.semanticDedup(emb).filter(col("is_dup") === 1)
+    // k pinned: the "same codebook" premise below needs both corpora on
+    // the first-16-vectors codebook (the adaptive default would re-size)
+    val baseDups = Similarity.semanticDedup(emb, k = 16).filter(col("is_dup") === 1)
       .select("vec_id").as[Long].collect().toSet
-    val scaledDups = Similarity.semanticDedup(e2).filter(col("is_dup") === 1)
+    val scaledDups = Similarity.semanticDedup(e2, k = 16).filter(col("is_dup") === 1)
       .filter(col("vec_id") < nEmb) // replica 0 slice: same codebook, same cells
       .select("vec_id").as[Long].collect().toSet
     assert(scaledDups === baseDups)
