@@ -24,6 +24,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint dir (tmp, own the cleanup): the iterative
+    // operators checkpoint against files — benching the same path a
+    // cluster run would take, not the localCheckpoint fallback.
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_bench_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
     // optional args: a subset of query names to bench (dev loop); the
     // driver invokes with no args → full suite. Unknown names are an
     // error, not an empty run: a misspelled arg must not produce an
@@ -88,6 +93,14 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
+    // reclaim the bench's checkpoint dir (operators delete their own
+    // files; this removes the empty scaffolding + anything a crashed
+    // query left behind)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
     if (errors.nonEmpty) sys.exit(1)
   }
 }

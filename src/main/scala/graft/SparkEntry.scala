@@ -292,6 +292,7 @@ object SparkEntry {
     // codebook (vec_id < 16); the library default is the adaptive k ≈ √n
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), k = 16)),
     "semantic_dedup_keep" -> ((s, d) => Similarity.semanticDedupKeep(Tables.embeddings(s, d), k = 16)),
+    "knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d), kNbrs = 3, k = 16)),
     "stats_moments" -> (Functions.statsMoments _),
     "bool_aggs" -> (Functions.boolAggs _),
     "union_by_name" -> (Functions.unionByNameOps _),
@@ -1624,6 +1625,31 @@ object SparkEntry {
          |SELECT a.vec_id, a.cell
          |FROM assign a LEFT JOIN dups d USING (vec_id)
          |WHERE d.vec_id IS NULL""".stripMargin,
+    "knn_join" ->
+      s"""$dUnitCte, c AS (
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |), s AS (
+         |  SELECT u.vec_id, u.unit, c.cent_id,
+         |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
+         |  FROM u CROSS JOIN c
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cent_sim DESC, cent_id) AS rn
+         |  FROM s
+         |), assign AS (
+         |  SELECT vec_id, unit, cent_id AS cell FROM r WHERE rn = 1
+         |), p AS (
+         |  SELECT la.vec_id AS vec_id, la.cell AS cell, lb.vec_id AS nbr_id,
+         |         round(${dUnitDot("la.unit", "lb.unit")}, 6) AS cosine_sim
+         |  FROM assign la JOIN assign lb
+         |    ON la.cell = lb.cell AND la.vec_id <> lb.vec_id
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cosine_sim DESC, nbr_id) AS rnk
+         |  FROM p
+         |)
+         |SELECT vec_id, cell, nbr_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+         |FROM rk WHERE rnk <= 3""".stripMargin,
     "rollup_status" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price

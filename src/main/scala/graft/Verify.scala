@@ -15,6 +15,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint dir: the iterative operators (connected
+    // components) truncate lineage against FILES here — the path a
+    // cluster run needs (localCheckpoint dies with a lost executor).
+    // Scoped under outDir; the operator deletes its own files, release()
+    // the result's.
+    spark.sparkContext.setCheckpointDir(s"$outDir/_checkpoints")
     new java.io.File(outDir).mkdirs()
     // Spark-side failures are recorded in a manifest, not just stderr: a
     // missing output directory must be attributable to THIS side, so an

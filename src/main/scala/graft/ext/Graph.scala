@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge frames — the iterative-join family beyond
-  * [[Dedup.connectedComponents]]' min-label propagation.
+  * [[Dedup.connectedComponents]]' star-contraction.
   *
   * Scale shape: every iteration is (rank ⋈ edges on src → groupBy dst)
   * — a hash-partitioned equi-join plus an aggregate with map-side

@@ -306,6 +306,49 @@ object Similarity {
       .filter(col("is_dup") === 0)
       .select(col("vec_id"), col("cell"))
 
+  /** Bulk kNN join: top-`kNbrs` nearest neighbors for EVERY vector — the
+    * embedding-pipeline operator ([[cosineTopK]]/[[ivfTopK]] answer one
+    * query vector; semantic clustering, kNN-graph construction and
+    * retrieval-eval pipelines need all of them). IVF cell-restricted:
+    * neighbors are searched within each vector's coarse-quantizer cell,
+    * so the pair space is Σ|cell|² ≈ n²/k instead of n² — the same
+    * approximation contract as [[semanticDedup]], with recall traded via
+    * the codebook exactly as in IVF-flat indexes.
+    *
+    * Plan shape: ONE cell exchange computes the assignment; both pair-join
+    * sides reuse it (exchange reuse, the [[semanticDedup]] idiom). The
+    * per-vector top-k ranks over a window partitioned by (cell, vec_id):
+    * a vector has exactly one cell, so the ranking is per-vector — but
+    * because the join output is already hash-partitioned by cell, the
+    * window needs NO further exchange (HashPartitioning(cell) satisfies
+    * a clustered distribution on the superset {cell, vec_id}); candidate
+    * pairs are ranked where they are produced and only k·n rows survive.
+    * Ranking compares the ROUNDED similarity (then nbr_id) so the order
+    * is engine-stable.
+    *
+    * Zero-norm/null vectors have NULL cells: the equi-join drops them, so
+    * they emit no neighbor rows (their cosine is undefined) — same
+    * contract as [[semanticDedup]].
+    */
+  def knnJoin(
+      embeddings: DataFrame,
+      kNbrs: Int = 3,
+      k: Int = AdaptiveK): DataFrame = {
+    val kk = resolveK(embeddings, k)
+    val a = ivfAssignWithUnit(embeddings, kk).repartition(col("cell"))
+    val l = a.select(col("cell"), col("vec_id"), col("unit"))
+    val r = a.select(col("cell"), col("vec_id").as("nbr_id"), col("unit").as("nbr_unit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"), col("vec_id"))
+      .orderBy(col("cosine_sim").desc, col("nbr_id"))
+    l.join(r, Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("cell"), col("nbr_id"),
+        round(vec_dot(col("unit"), col("nbr_unit")), 6).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= kNbrs)
+  }
+
   /** IVF top-k: search ONLY the query vector's cell (nprobe = 1), exact
     * cosine re-rank inside. At scale the scan touches 1/k of the corpus;
     * recall is traded via nprobe exactly as in IVF-flat indexes.

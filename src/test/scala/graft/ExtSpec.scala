@@ -127,8 +127,9 @@ class ExtSpec extends AnyFunSuite {
     val prev = sc.getCheckpointDir
     sc.setCheckpointDir(dir)
     try {
-      // a 21-node chain needs ~10 two-hop rounds, so at least one
-      // intermediate checkpoint (every 5th round) happens
+      // a 21-node chain converges in a handful of star-contraction
+      // rounds, so at least one intermediate checkpoint (every 2nd
+      // round) happens
       val chain = (0L until 20L).map(i => (i, i + 1)).toDF("a_id", "b_id")
       val cc = Dedup.connectedComponents(chain, maxIters = 20)
       val comps = cc.select("component").distinct().count()
@@ -311,6 +312,40 @@ class ExtSpec extends AnyFunSuite {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents: a deep chain converges in O(log n) star rounds") {
+    // the scale property the star-contraction rewrite exists for: a
+    // 257-node chain (diameter 256) would need 128 two-hop min-label
+    // rounds; large-star/small-star contracts it in ~log n. The bound
+    // below is deliberately loose (2·log₂ + slack) — the assertion is
+    // "logarithmic, not linear", not an exact round count.
+    val n = 256L
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(chain, maxIters = 30)
+    val rows = cc.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length === (n + 1))
+    assert(rows.forall(_._2 == 0L), "every chain node must label to the min (0)")
+    Dedup.release(cc)
+    assert(Dedup.lastCcRounds <= 20,
+      s"star contraction took ${Dedup.lastCcRounds} rounds on a 257-node chain — not logarithmic")
+  }
+
+  test("connectedComponents: cross-linked clusters and a cycle resolve transitively") {
+    // shapes min-label propagation handled and star contraction must too:
+    // a cycle, a star joined to a chain via one bridge, and duplicates in
+    // both orientations
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L),           // cycle
+      (20L, 25L), (25L, 21L), (21L, 20L), (25L, 20L), // dup edges + both orientations
+      (30L, 31L), (31L, 32L), (32L, 33L), (5L, 30L), (33L, 40L) // bridge chain
+    ).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 25L -> 20L,
+      5L -> 5L, 30L -> 5L, 31L -> 5L, 32L -> 5L, 33L -> 5L, 40L -> 5L))
+  }
+
   test("simhashPairs: identical docs at hamming 0; banding finds them without n² scan") {
     val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "qq rr ss tt uu vv"))
       .toDF("doc_id", "text")
@@ -430,6 +465,39 @@ class ExtSpec extends AnyFunSuite {
     // results all come from the query vector's cell
     val qCell = assign.filter(col("vec_id") === 0).select("cell").first().getLong(0)
     assert(topk.forall(_.getLong(1) == qCell))
+  }
+
+  test("knnJoin: per-vector top-k matches the brute-force within-cell ranking") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.knnJoin(emb, kNbrs = 3, k = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // reference: cell-restricted pairs ranked driver-side
+    import graft.functions.VectorFunctions.vec_dot
+    val assign = Similarity.ivfAssign(emb, 16)
+      .join(emb, "vec_id")
+    val n = assign
+      .withColumn("_norm", sqrt(vec_dot(col("embedding"), col("embedding"))))
+      .filter(col("_norm") > 0)
+      .withColumn("unit", expr("transform(embedding, x -> cast(x as double) / _norm)"))
+      .select(col("vec_id"), col("cell"), col("unit"))
+    val ref = n.selectExpr("vec_id", "cell", "unit")
+      .join(n.selectExpr("vec_id as nbr_id", "cell as nc", "unit as nu"),
+        col("cell") === col("nc") && col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(vec_dot(col("unit"), col("nu")), 6).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (vid, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+          .map { case ((_, nbr, sim), i) => (vid, nbr, sim, (i + 1).toLong) }
+      }.toSet
+    assert(got.toSet === ref)
+    // every vector that shares a cell with ≥1 other vector appears
+    val vecsWithNbrs = n.groupBy("cell").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") > 1)
+      .join(n, "cell").select("vec_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet === vecsWithNbrs)
   }
 
   test("lshBuckets: same sign pattern lands in the same bucket") {

@@ -279,6 +279,18 @@ class PlanSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllMatchIn(p).size >= 8, p)
   }
 
+  test("knn_join: one assignment exchange; the per-vector window adds NO shuffle") {
+    val p = executedFinal("knn_join")
+    assert(p.contains("isFinalPlan=true"), p)
+    // both pair-join sides read the ONE materialized cell exchange
+    assert("\\+\\- Exchange hashpartitioning\\(cell".r.findAllMatchIn(p).size === 1, p)
+    assert("ReusedExchange".r.findAllMatchIn(p).size >= 1, p)
+    // the top-k window is partitioned by (cell, vec_id), which the
+    // cell-partitioned join output already satisfies — candidate pairs
+    // must be ranked in place, never re-shuffled on vec_id
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+  }
+
   test("semantic_dedup: centroids broadcast; cell pair-join is never a cartesian") {
     val p = formatted("semantic_dedup")
     assert(!p.contains("CartesianProduct"), p)
