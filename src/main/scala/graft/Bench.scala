@@ -5,9 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — one JSON line with per-query and total seconds.
   *
   * Each query is executed once untimed (JVM/codegen/parquet-footer warmup)
-  * and then twice timed, reporting the per-query MIN — standard
-  * steady-state methodology: the min is the least-noise estimator of the
-  * query's true cost on a machine with background load. All queries run
+  * and then three timed runs, reporting the per-query MEDIAN plus a
+  * dispersion figure (relative spread, (max−min)/median) — the round-5
+  * verdict found box-load variance (43→58 s run-to-run) bigger than any
+  * real regression, so a single-number bench made per-query comparisons
+  * noise-dominated. The median resists one-off stalls; the dispersion
+  * column says per query whether a round-over-round delta is signal
+  * (spread ≪ delta) or noise; the recorded 1-minute load average guards
+  * against comparing runs taken under different box load. All queries run
   * in a single session: `local[N]`, shuffle partitions = N, AQE on.
   */
 object Bench {
@@ -64,16 +69,23 @@ object Bench {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // Each query: one untimed warmup, two timed runs, min reported. A query
-    // that throws is recorded as an ERROR — never as a wall time — and the
-    // process exits nonzero: a broken query must be distinguishable from a
-    // slow one in BENCH_*.json.
+    // Each query: one untimed warmup, three timed runs, median reported
+    // with its relative spread. A query that throws is recorded as an
+    // ERROR — never as a wall time — and the process exits nonzero: a
+    // broken query must be distinguishable from a slow one in
+    // BENCH_*.json.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try {
         timed(fn) // warmup (JVM/codegen/parquet footers)
-        times(name) = math.min(timed(fn), timed(fn))
+        val runs = Seq(timed(fn), timed(fn), timed(fn)).sorted
+        times(name) = runs(1)
+        spreads(name) =
+          if (runs(1) > 0) (runs(2) - runs(0)) / runs(1) else 0.0
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
@@ -81,10 +93,12 @@ object Bench {
     }
     val qs = times.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val dj = spreads.map { case (k, v) => jsonStr(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = if (times.nonEmpty) times.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$dj,"load_avg_1m":$loadAvg,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // also drop the line as a file: launcher prefixes (sbt's "[info] ")
     // can defeat stdout JSON parsing (observed in round 1's bench record)

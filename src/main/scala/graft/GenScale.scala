@@ -78,6 +78,32 @@ object GenScale {
         col("label"))
     }.reduce(_ unionByName _)
 
+  /** `rep` key-offset replicas of the orders fact table: replica r shifts
+    * o_orderkey by r·idOffset and keeps every other column — the order's
+    * internal structure (status, dates, customer) is invariant, so every
+    * order-scoped join/filter result replicates exactly. Dimension keys
+    * are NOT remapped: dims stay fixed while facts grow, which is how a
+    * real fact table scales over time (per-customer/supplier fanout grows
+    * R×, per-orderkey join buckets stay bounded).
+    */
+  def scaleOrders(orders: DataFrame, rep: Int, idOffset: Long): DataFrame =
+    (0 until rep).map { r =>
+      if (r == 0) orders
+      else orders.withColumn("o_orderkey", col("o_orderkey") + lit(r * idOffset))
+    }.reduce(_ unionByName _)
+
+  /** `rep` key-offset replicas of lineitem, sharing [[scaleOrders]]'
+    * offset so replica r's lines attach to replica r's orders — orderkey-
+    * scoped self-joins (q21's wait-chain, q7/q8/q9's order join) see
+    * disjoint replicas and scale linearly by construction; any
+    * super-linear TIME curve is therefore the engine's, not the data's.
+    */
+  def scaleLineitem(lineitem: DataFrame, rep: Int, idOffset: Long): DataFrame =
+    (0 until rep).map { r =>
+      if (r == 0) lineitem
+      else lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(r * idOffset))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outBase = if (args.length > 1) args(1) else "/root/repo/testdata_scale"
@@ -92,9 +118,14 @@ object GenScale {
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
     // offsets from max(id)+1, not row counts: sparse ids must not collide
     val docOffset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val embOffset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val orderOffset = math.max(
+      orders.agg(max(col("o_orderkey"))).head().getLong(0),
+      lineitem.agg(max(col("l_orderkey"))).head().getLong(0)) + 1
 
     reps.foreach { rep =>
       val out = s"$outBase/x$rep"
@@ -104,7 +135,20 @@ object GenScale {
       scaleEmbeddings(emb, rep, embOffset)
         .repartition(16)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      println(s"[genscale] wrote $out: ${docs.count() * rep} docs, ${emb.count() * rep} embeddings")
+      scaleOrders(orders, rep, orderOffset)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      scaleLineitem(lineitem, rep, orderOffset)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      // dims ride along verbatim so Tables.* resolves against the scaled
+      // dir (facts grow, dims don't — the realistic growth mode)
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      println(s"[genscale] wrote $out: ${docs.count() * rep} docs, ${emb.count() * rep} embeddings, " +
+        s"${lineitem.count() * rep} lineitems")
     }
     spark.stop()
   }

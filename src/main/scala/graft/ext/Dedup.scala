@@ -374,6 +374,26 @@ object Dedup {
     */
   @volatile private[graft] var lastCcRounds: Int = 0
 
+  /** Eagerly materialize `df` with its lineage truncated — the shared
+    * primitive of the iterative operators ([[connectedComponents]],
+    * [[Graph.pageRank]]).
+    *
+    * Reliable path: a bare `checkpoint(eager = true)` EXECUTES THE PLAN
+    * TWICE — once for the eager action and once more inside the
+    * checkpoint-file write job (Spark recomputes unpersisted partitions
+    * when writing; measured as a ~2× tax per segment in `PrProbe`). The
+    * transient persist makes the write job read the just-computed blocks,
+    * then drops the cache entry — the returned frame is backed by the
+    * checkpoint FILES alone, releasable via [[release]].
+    */
+  private[ext] def truncated(df: DataFrame, reliable: Boolean): DataFrame =
+    if (!reliable) df.localCheckpoint(eager = true)
+    else {
+      df.persist()
+      try df.checkpoint(eager = true)
+      finally df.unpersist(blocking = false)
+    }
+
   /** Connected components over near-dup candidate pairs — the dedup
     * endgame: pairs only say "A≈B"; keeping one doc per TRANSITIVE
     * cluster needs components. Alternating large-star/small-star
@@ -384,18 +404,24 @@ object Dedup {
     * where plain min-label propagation needs k hops — the scale-killer
     * the round-5 verdict named). Each half-round is one equi-join + one
     * aggregate over the edge set, which only shrinks; the convergence
-    * probe is an order-free (count, hash-sum) aggregate, never a collect
-    * of data rows.
+    * probe is a star-forest semi-join on the materialized round, never a
+    * collect of data rows.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
-    val nodes = pairs.selectExpr("a_id as id").unionAll(pairs.selectExpr("b_id as id"))
-      .distinct().persist()
+    // materialize the caller's pair pipeline (often a full LSH candidate
+    // join) exactly ONCE — nodes and edges both derive from this cache,
+    // not from three re-executions of the upstream plan
+    val base = pairs.selectExpr("a_id", "b_id").persist()
+    // nodes has a single consumer (the final projection) — no persist;
+    // it recomputes once from the cached base
+    val nodes = base.selectExpr("a_id as id").unionAll(base.selectExpr("b_id as id"))
+      .distinct()
     // canonical orientation: every edge points large → small. Both star
     // operators emit only (larger, smaller) edges, so the invariant holds
     // through every round without re-canonicalizing.
-    var edges = pairs
+    var edges = base
       .selectExpr("greatest(a_id, b_id) as u", "least(a_id, b_id) as v")
       .filter(col("u") =!= col("v")).distinct().persist()
     // intermediate checkpoint frames whose storage (executor blocks for
@@ -407,6 +433,9 @@ object Dedup {
     // large-star: every strictly-larger neighbor v of u is rewired to
     // m = min(N(u) ∪ {u}); emitted edges (v, m) satisfy v > u ≥ m, so the
     // orientation survives and self-loops are impossible by construction.
+    // Raw output is ONE row per undirected edge (each edge survives the
+    // v > u filter in exactly one orientation) — rewiring collisions are
+    // contracted by small-star's closing distinct, so no distinct here.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy(col("u").as("mu")).agg(min(col("v")).as("mn"))
@@ -414,7 +443,6 @@ object Dedup {
       sym.join(mins, col("u") === col("mu"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     // small-star: u and each of its SMALLER neighbors are rewired to the
     // minimum of that set (edges arrive oriented, so groupBy(u) sees
@@ -433,38 +461,43 @@ object Dedup {
     try {
       var converged = false
       var iter = 0
-      // fixpoint signature of the edge set: (count, order-free hash-sum).
-      // Equal signatures across a round ⇒ the star operators mapped the
-      // edge set to itself ⇒ min-rooted stars (a 2⁻⁶⁴-scale hash-collision
-      // false positive is additionally bounded by the maxIters cap).
-      var prevSig: (Long, Option[String]) = (-1L, None)
       while (!converged && iter < maxIters) {
         val step = smallStar(largeStar(edges))
-        // truncate the lineage every second round: each round stacks two
-        // joins + two distincts, and without truncation deep corpora
-        // re-analyze an ever-larger tree (and risk stack overflow).
-        // Reliable checkpoint (files under the configured dir) when
-        // available -- it survives executor loss; localCheckpoint
-        // otherwise, whose blocks are unreplicated executor storage:
-        // after lineage truncation a lost executor fails the job instead
-        // of recomputing. Fine in local mode; Bench/Verify configure a
-        // checkpoint dir so the reliable path is what actually runs.
-        val next = {
-          if ((iter + 1) % 2 == 0) {
-            val c =
-              if (reliable) step.checkpoint(eager = true)
-              else step.localCheckpoint(eager = true)
-            chkPins ::= c
-            c
-          } else step
-        }.persist()
-        // hash-sum in decimal(38,0): a long sum overflows under ANSI mode
-        val sigRow = next.agg(count(lit(1)),
-          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-        val sig = (sigRow.getLong(0),
-          if (sigRow.isNullAt(1)) None else Some(sigRow.getDecimal(1).toString))
-        converged = sig == prevSig
-        prevSig = sig
+        // truncate the lineage EVERY round: the star operators reference
+        // their input 8× (sym twice × two consumers in large-star, twice
+        // more in small-star), so an untruncated logical tree grows 8^k
+        // and driver-side ANALYSIS explodes long before execution does
+        // (measured: round 3 over a 255-edge corpus spent 13 s in the
+        // driver; persist() caches data but not the plan). The eager
+        // checkpoint is the round's materialization job — one pass over
+        // the shrinking edge set. Reliable checkpoint (files under the
+        // configured dir) when available -- it survives executor loss;
+        // localCheckpoint otherwise, whose blocks are unreplicated
+        // executor storage: after lineage truncation a lost executor
+        // fails the job instead of recomputing. Fine in local mode;
+        // Bench/Verify configure a checkpoint dir so the reliable path
+        // is what actually runs.
+        val next = truncated(step, reliable)
+        // the superseded pin (last round's checkpoint) is unreachable
+        // once `next` is materialized — release it now, holding at most
+        // one round's storage at a time
+        chkPins.foreach(releaseCheckpointStorage)
+        chkPins = List(next)
+        // converged ⇔ the edge set is a star forest ⇔ no edge's target is
+        // itself some edge's source (a parent with its own parent means a
+        // chain-of-stars still contracting). Detecting this directly on
+        // the JUST-materialized round — a semi-join of the small
+        // checkpointed edge set against itself — converges one full round
+        // earlier than a did-anything-change signature comparison: the
+        // shallow graphs real near-dup corpora produce finish in ONE
+        // round. Star forest ⇒ both operators map the set to itself, and
+        // per-component stars are complete components (two stars of one
+        // component would still be bridged by some edge, contradicting
+        // star shape).
+        val nonStars = next.select(col("v"))
+          .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
+          .count()
+        converged = nonStars == 0L
         val prev = edges
         edges = next
         prev.unpersist()
@@ -487,11 +520,10 @@ object Dedup {
       val projected = nodes.join(parents, Seq("id"), "left")
         .select(col("id").as("doc_id"),
           coalesce(col("comp"), col("id")).as("component"))
-      if (reliable) projected.checkpoint(eager = true)
-      else projected.localCheckpoint(eager = true)
+      truncated(projected, reliable)
     } finally {
+      base.unpersist(blocking = false)
       edges.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
       // safe only AFTER the result checkpoint is materialized (eager) or
       // on the failure path -- later intermediates have already been
       // re-rooted on their own storage, so superseded ones are unreachable

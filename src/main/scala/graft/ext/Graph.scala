@@ -32,31 +32,88 @@ object Graph {
     * subtraction), so the teleport constant differs by ~1 ulp per
     * iteration — that drift is absorbed by the rounding, not absent.
     *
+    * Lineage: the loop unrolls into one plan — exchange reuse keeps
+    * EXECUTION at O(1) edge scans (PlanSpec-asserted post-AQE), but
+    * analysis/optimization cost grows with the unrolled tree, so every
+    * `checkpointEvery` iterations the rank table (node-sized — orders
+    * smaller than the edges) is materialized and the lineage truncated,
+    * the [[Dedup.connectedComponents]] idiom: reliable checkpoint when a
+    * checkpoint dir is configured (Bench/Verify set one), localCheckpoint
+    * otherwise; superseded pins are released as soon as their successor
+    * is materialized, and a truncated run returns a checkpoint-backed
+    * result that [[Dedup.release]] reclaims. The default 8-iteration /
+    * `checkpointEvery = 10` query never truncates, so the oracle-gated
+    * path is a single lazy plan, exactly as before.
+    *
     * @param edges (src: bigint, dst: bigint, weight: bigint) — multi-edges
     *              pre-aggregated into weights
     */
-  def pageRank(edges: DataFrame, iters: Int = 8, damping: Double = 0.85): DataFrame = {
+  def pageRank(
+      edges: DataFrame,
+      iters: Int = 8,
+      damping: Double = 0.85,
+      checkpointEvery: Int = 10): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
     val nodes = edges.select(col("src").as("id"))
       .unionAll(edges.select(col("dst").as("id")))
       .distinct()
     val outW = edges.groupBy(col("src"))
       .agg(sum(col("weight")).as("out_w"))
-    val e = edges.join(outW, "src")
-      .select(col("src"), col("dst"), col("weight"), col("out_w"))
+    // a truncated run executes one JOB per checkpoint segment; without a
+    // cache each segment would re-scan the fact table and rebuild the
+    // edge exchange (runtime exchange reuse only dedupes within one job
+    // — measured 4× slower at iters=64). Persisted only when truncation
+    // will actually happen; released in the finally (safe: a truncated
+    // result is checkpoint-materialized before return, an untruncated
+    // run never persists).
+    val truncating = iters > checkpointEvery
+    val e = {
+      val joined = edges.join(outW, "src")
+        .select(col("src"), col("dst"), col("weight"), col("out_w"))
+      if (truncating) joined.persist() else joined
+    }
     val nRow = broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes")))
     var r = nodes.crossJoin(nRow)
       .select(col("id"), (lit(1.0) / col("n_nodes")).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = r.join(e, col("id") === col("src"))
-        .groupBy(col("dst"))
-        .agg(sum(col("r") * col("weight") / col("out_w")).as("c"))
-      r = nodes.crossJoin(nRow)
-        .join(contrib, col("id") === col("dst"), "left")
-        .select(col("id"),
-          ((lit(1.0) - lit(damping)) / col("n_nodes")
-            + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
+    var pins = List.empty[DataFrame]
+    try {
+      for (i <- 1 to iters) {
+        val contrib = r.join(e, col("id") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("r") * col("weight") / col("out_w")).as("c"))
+        r = nodes.crossJoin(nRow)
+          .join(contrib, col("id") === col("dst"), "left")
+          .select(col("id"),
+            ((lit(1.0) - lit(damping)) / col("n_nodes")
+              + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
+        if (i % checkpointEvery == 0 && i < iters) {
+          val c = Dedup.truncated(r, reliable)
+          // the new pin is materialized, so the one it superseded is
+          // unreachable — release it now, holding at most one at a time
+          pins.foreach(Dedup.release)
+          pins = List(c)
+          r = c
+        }
+      }
+      val out = r.select(col("id"), round(col("r"), 6).as("rank"))
+      if (pins.isEmpty) out
+      else {
+        // same contract as connectedComponents: a truncated run's result
+        // must not depend on loop-internal pins, so materialize it and
+        // hand the caller one releasable frame
+        val res = Dedup.truncated(out, reliable)
+        pins.foreach(Dedup.release)
+        pins = Nil
+        res
+      }
+    } catch {
+      case t: Throwable =>
+        pins.foreach(Dedup.release)
+        throw t
+    } finally {
+      if (truncating) e.unpersist(blocking = false)
     }
-    r.select(col("id"), round(col("r"), 6).as("rank"))
   }
 
   /** Deterministic traffic graph derived from lineitem: supplier-bucket →

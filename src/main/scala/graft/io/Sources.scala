@@ -47,6 +47,22 @@ object Sources {
     decode(tuned.load())
   }
 
+  /** JSON-lines file → Dataset[Event] through the DataSourceV2
+    * micro-batch replay source ([[ReplaySourceProvider]]): the reference
+    * producer's batch-of-3 replay (App.scala:40–49) over the REAL
+    * `readStream.format(...)` offset/commit wiring, decoded by the same
+    * Kafka-envelope chain as [[kafkaEvents]].
+    */
+  def replayEvents(
+      spark: SparkSession,
+      path: String,
+      batchSize: Int = 3): Dataset[Event] =
+    decode(spark.readStream
+      .format(classOf[ReplaySourceProvider].getName)
+      .option("path", path)
+      .option("batchSize", batchSize.toString)
+      .load())
+
   /** JSON-lines directory stream → Dataset[Event] (test/replay path). */
   def fileEvents(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

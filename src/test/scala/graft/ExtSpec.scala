@@ -97,12 +97,15 @@ class ExtSpec extends AnyFunSuite {
   test("no library code pins storage outside the two audited sites (source audit)") {
     // The storage-hygiene contract, machine-enforced at the source level:
     // persist()/cache()/localCheckpoint() may appear ONLY in
-    // connectedComponents (released in its finally + via release()) and
+    // connectedComponents (released in its finally + via release()),
+    // pageRank's lineage truncation (superseded pins released as each
+    // successor materializes; result releasable via Dedup.release), and
     // the sink's per-batch block (released in its finally). A new call
     // site anywhere else is the round-3 leak class reappearing — fail the
     // build, don't wait for a degraded bench.
     val allowed = Set(
       "src/main/scala/graft/ext/Dedup.scala",
+      "src/main/scala/graft/ext/Graph.scala",
       "src/main/scala/graft/io/Sinks.scala")
     val root = java.nio.file.Paths.get("src/main/scala")
     val bad = scala.collection.mutable.ListBuffer[String]()
@@ -128,7 +131,7 @@ class ExtSpec extends AnyFunSuite {
     sc.setCheckpointDir(dir)
     try {
       // a 21-node chain converges in a handful of star-contraction
-      // rounds, so at least one intermediate checkpoint (every 2nd
+      // rounds, so at least one intermediate checkpoint (every 3rd
       // round) happens
       val chain = (0L until 20L).map(i => (i, i + 1)).toDF("a_id", "b_id")
       val cc = Dedup.connectedComponents(chain, maxIters = 20)
@@ -687,6 +690,32 @@ class ExtSpec extends AnyFunSuite {
     assert(cmpSim(1.0, 2.0) < 0)
   }
 
+  test("GenScale fact replicas: per-orderkey structure replicates bit-exactly; result sizes scale linearly") {
+    // the TPC-H scaling-bench construction: orderkey-offset replicas mean
+    // every order-scoped join (q21's wait chain, q7/8/9's order join)
+    // sees disjoint replicas — a super-linear TIME curve can then only be
+    // the engine's. Replica 1, shifted back, must equal the base facts
+    // bit-for-bit.
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val off = math.max(
+      ord.agg(max(col("o_orderkey"))).head().getLong(0),
+      li.agg(max(col("l_orderkey"))).head().getLong(0)) + 1
+    val li2 = GenScale.scaleLineitem(li, 2, off)
+    val ord2 = GenScale.scaleOrders(ord, 2, off)
+    assert(li2.count() === 2 * li.count())
+    assert(ord2.count() === 2 * ord.count())
+    val liShift = li2.filter(col("l_orderkey") >= off)
+      .withColumn("l_orderkey", col("l_orderkey") - off)
+    assert(liShift.exceptAll(li).count() === 0L)
+    assert(li.exceptAll(liShift).count() === 0L)
+    val ordShift = ord2.filter(col("o_orderkey") >= off)
+      .withColumn("o_orderkey", col("o_orderkey") - off)
+    assert(ordShift.exceptAll(ord).count() === 0L)
+    assert(ord.exceptAll(ordShift).count() === 0L)
+  }
+
   test("GenScale replicas: replica 0 unchanged, replicas never pair, structure replicates") {
     // the scaling-bench construction must not change the ANSWER shape:
     // each replica reproduces the source's near-dup structure (up to LSH
@@ -801,13 +830,21 @@ class ExtSpec extends AnyFunSuite {
     val edges = (Seq((0L, 1L)) ++ (1L to 4L).map(s => (s, 0L)))
       .map { case (s, d) => (s, d, 1L) }
       .toDF("src", "dst", "weight")
-    val r = Graph.pageRank(edges, iters = 20).collect()
+    val rdf = Graph.pageRank(edges, iters = 20)
+    val r = rdf.collect()
       .map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(r.size === 5)
     assert(r(0L) === r.values.max) // everything flows into the hub
     assert(r(1L) > r(2L))          // node 1 also receives the hub's mass
     assert(math.abs(r.values.sum - 1.0) < 1e-3) // no dangling nodes -> mass conserved
     assert(r(2L) === r(3L) && r(3L) === r(4L)) // symmetric spokes tie exactly
+    // iters=20 crosses the checkpointEvery=10 default, so the result is
+    // checkpoint-backed (truncated lineage) — and must be bit-identical
+    // to the fully-unrolled plan
+    val unrolled = Graph.pageRank(edges, iters = 20, checkpointEvery = Int.MaxValue)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(unrolled === r)
+    Dedup.release(rdf)
   }
 
   test("tfidfCosinePairs: rare-term overlap outranks common-term overlap") {

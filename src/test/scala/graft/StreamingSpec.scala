@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.io.Sources
 import graft.model.Event
 import graft.session.Sessionize
 import graft.streaming.{SessionizedEvent, StreamingSessionizer}
@@ -178,6 +179,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === ref) // exactly-once: identical to the never-stopped run
     assert(got.map(_.session_id) === Seq("5-1", "5-1", "5-1", "5-2", "6-1"))
     assert(got.map(_.is_new_user) === Seq(true, false, false, false, true))
+  }
+
+  test("DSv2 replay source: real readStream path, batch-of-3 drain, checkpoint recovery") {
+    // the wiring MemoryStream bypasses: format resolution from the class
+    // name, option parsing at analysis, initialOffset/deserializeOffset,
+    // per-trigger admission, planInputPartitions, commit — all through
+    // Spark's actual MicroBatchExecution against the custom DSv2 source
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toFile
+    val f = new java.io.File(dir, "events.jsonl")
+    val lines = (1 to 8).map(i =>
+      s"""{"event_id":$i,"ts":"2024-01-01 00:0$i:00","user_id":${i % 3},"event_type":"view","value":1.0,"props":"{}"}""")
+    java.nio.file.Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+
+    // leg 1: Trigger.Once = exactly one micro-batch = the first 3 lines
+    val q1 = Sources.replayEvents(spark, f.getAbsolutePath)
+      .writeStream.format("memory").queryName("replay_leg1")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once()).start()
+    q1.awaitTermination()
+    val leg1 = spark.table("replay_leg1").select("event_id").as[Long].collect().sorted
+    assert(leg1.toSeq === Seq(1L, 2L, 3L))
+
+    // leg 2: restart from the SAME checkpoint — must resume at offset 3
+    // (deserializeOffset + commit wiring), reprocessing nothing, and
+    // drain the remaining 5 lines in ceil(5/3) = 2 non-empty batches
+    val q2 = Sources.replayEvents(spark, f.getAbsolutePath)
+      .writeStream.format("memory").queryName("replay_leg2")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .start()
+    q2.processAllAvailable()
+    val batches = q2.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows)
+    q2.stop()
+    val leg2 = spark.table("replay_leg2").select("event_id").as[Long].collect().sorted
+    assert(leg2.toSeq === Seq(4L, 5L, 6L, 7L, 8L))
+    assert(batches.toSeq === Seq(3L, 2L), s"expected batch-of-3 drain, got ${batches.toSeq}")
+
+    // a missing path must fail at analysis, not mid-stream
+    val err = intercept[Exception] {
+      spark.readStream
+        .format(classOf[graft.io.ReplaySourceProvider].getName)
+        .load()
+        .writeStream.format("memory").queryName("replay_bad")
+        .outputMode("append").start()
+    }
+    assert(err.getMessage != null)
   }
 
   test("Kafka envelope decode: value bytes -> typed events (batch form of S3 path)") {
