@@ -74,8 +74,22 @@ object Bench {
     // ERROR — never as a wall time — and the process exits nonzero: a
     // broken query must be distinguishable from a slow one in
     // BENCH_*.json.
-    val loadAvg = java.lang.management.ManagementFactory
+    // Load guard: round 6's recorded bench ran at 1-minute load 3.28 and
+    // came out ~1.5× uniformly inflated (the judge's quiet-box rerun
+    // erased every apparent regression). Wait — bounded — for the box to
+    // quiet down before timing; if it never does, record anyway but set
+    // "load_contaminated": true so the artifact is self-disqualifying
+    // for round-over-round comparison.
+    def load1m(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "1.5").toDouble
+    val waitDeadline = System.nanoTime() + 5L * 60 * 1000000000L
+    while (load1m() >= loadThreshold && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] load_avg_1m ${load1m()}%.2f >= $loadThreshold; waiting...")
+      Thread.sleep(15000)
+    }
+    val loadAvg = load1m()
+    val contaminated = loadAvg >= loadThreshold
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -98,7 +112,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = if (times.nonEmpty) times.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$dj,"load_avg_1m":$loadAvg,"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$dj,"load_avg_1m":$loadAvg,"load_contaminated":$contaminated,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // also drop the line as a file: launcher prefixes (sbt's "[info] ")
     // can defeat stdout JSON parsing (observed in round 1's bench record)

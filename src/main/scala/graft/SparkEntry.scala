@@ -1377,11 +1377,12 @@ object SparkEntry {
          |FROM samp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pipeline_curate3" ->
       s"""$dUnitCte, c AS (
-         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u
+         |  WHERE unit IS NOT NULL ORDER BY vec_id LIMIT 16
          |), s0 AS (
          |  SELECT u.vec_id, u.unit, c.cent_id,
          |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
-         |  FROM u CROSS JOIN c
+         |  FROM u CROSS JOIN c WHERE u.unit IS NOT NULL
          |), r0 AS (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |                               ORDER BY cent_sim DESC, cent_id) AS rn
@@ -1394,7 +1395,7 @@ object SparkEntry {
          |  FROM assign la JOIN assign lb
          |    ON la.cell = lb.cell AND la.vec_id < lb.vec_id
          |), vkeep AS (
-         |  SELECT a.vec_id AS doc_id FROM assign a
+         |  SELECT u.vec_id AS doc_id FROM u
          |  LEFT JOIN (SELECT DISTINCT vec_id FROM p WHERE sim >= 0.4) dd USING (vec_id)
          |  WHERE dd.vec_id IS NULL
          |), t AS (
@@ -1549,11 +1550,12 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "ivf_topk_probe4" ->
       s"""$dUnitCte, c AS (
-         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u
+         |  WHERE unit IS NOT NULL ORDER BY vec_id LIMIT 16
          |), s AS (
          |  SELECT u.vec_id, u.unit, c.cent_id,
          |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
-         |  FROM u CROSS JOIN c
+         |  FROM u CROSS JOIN c WHERE u.unit IS NOT NULL
          |), r AS (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |                               ORDER BY cent_sim DESC, cent_id) AS rn
@@ -1579,11 +1581,12 @@ object SparkEntry {
          |LIMIT 5""".stripMargin,
     "semantic_dedup" ->
       s"""$dUnitCte, c AS (
-         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u
+         |  WHERE unit IS NOT NULL ORDER BY vec_id LIMIT 16
          |), s AS (
          |  SELECT u.vec_id, u.unit, c.cent_id,
          |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
-         |  FROM u CROSS JOIN c
+         |  FROM u CROSS JOIN c WHERE u.unit IS NOT NULL
          |), r AS (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |                               ORDER BY cent_sim DESC, cent_id) AS rn
@@ -1598,16 +1601,18 @@ object SparkEntry {
          |), dups AS (
          |  SELECT vec_id, MIN(a_id) AS dup_of FROM p WHERE sim >= 0.4 GROUP BY vec_id
          |)
-         |SELECT a.vec_id, a.cell, d.dup_of,
+         |SELECT u.vec_id, a.cell, d.dup_of,
          |       CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_dup
-         |FROM assign a LEFT JOIN dups d USING (vec_id)""".stripMargin,
+         |FROM u LEFT JOIN assign a USING (vec_id)
+         |       LEFT JOIN dups d USING (vec_id)""".stripMargin,
     "semantic_dedup_keep" ->
       s"""$dUnitCte, c AS (
-         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u
+         |  WHERE unit IS NOT NULL ORDER BY vec_id LIMIT 16
          |), s AS (
          |  SELECT u.vec_id, u.unit, c.cent_id,
          |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
-         |  FROM u CROSS JOIN c
+         |  FROM u CROSS JOIN c WHERE u.unit IS NOT NULL
          |), r AS (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |                               ORDER BY cent_sim DESC, cent_id) AS rn
@@ -1622,16 +1627,18 @@ object SparkEntry {
          |), dups AS (
          |  SELECT DISTINCT vec_id FROM p WHERE sim >= 0.4
          |)
-         |SELECT a.vec_id, a.cell
-         |FROM assign a LEFT JOIN dups d USING (vec_id)
+         |SELECT u.vec_id, a.cell
+         |FROM u LEFT JOIN assign a USING (vec_id)
+         |       LEFT JOIN dups d USING (vec_id)
          |WHERE d.vec_id IS NULL""".stripMargin,
     "knn_join" ->
       s"""$dUnitCte, c AS (
-         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u
+         |  WHERE unit IS NOT NULL ORDER BY vec_id LIMIT 16
          |), s AS (
          |  SELECT u.vec_id, u.unit, c.cent_id,
          |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
-         |  FROM u CROSS JOIN c
+         |  FROM u CROSS JOIN c WHERE u.unit IS NOT NULL
          |), r AS (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |                               ORDER BY cent_sim DESC, cent_id) AS rn
@@ -2253,24 +2260,28 @@ object SparkEntry {
       s"""SELECT vec_id, label, $dLshBucket AS bucket FROM embeddings""".stripMargin,
     "ivf_cells" ->
       s"""$dUnitCte, c AS (
-         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u
+         |  WHERE unit IS NOT NULL ORDER BY vec_id LIMIT 16
          |), s AS (
          |  SELECT u.vec_id, c.cent_id,
          |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
-         |  FROM u CROSS JOIN c
+         |  FROM u CROSS JOIN c WHERE u.unit IS NOT NULL
          |), r AS (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |                               ORDER BY cent_sim DESC, cent_id) AS rn
          |  FROM s
          |)
-         |SELECT vec_id, cent_id AS cell, cent_sim FROM r WHERE rn = 1""".stripMargin,
+         |SELECT u.vec_id, a.cent_id AS cell, a.cent_sim
+         |FROM u LEFT JOIN (SELECT vec_id, cent_id, cent_sim FROM r WHERE rn = 1) a
+         |       USING (vec_id)""".stripMargin,
     "ivf_topk" ->
       s"""$dUnitCte, c AS (
-         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u WHERE vec_id < 16
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u
+         |  WHERE unit IS NOT NULL ORDER BY vec_id LIMIT 16
          |), s AS (
          |  SELECT u.vec_id, u.unit, c.cent_id,
          |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
-         |  FROM u CROSS JOIN c
+         |  FROM u CROSS JOIN c WHERE u.unit IS NOT NULL
          |), r AS (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |                               ORDER BY cent_sim DESC, cent_id) AS rn

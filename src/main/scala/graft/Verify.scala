@@ -18,9 +18,12 @@ object Verify {
     // reliable-checkpoint dir: the iterative operators (connected
     // components) truncate lineage against FILES here — the path a
     // cluster run needs (localCheckpoint dies with a lost executor).
-    // Scoped under outDir; the operator deletes its own files, release()
-    // the result's.
-    spark.sparkContext.setCheckpointDir(s"$outDir/_checkpoints")
+    // A temp dir OUTSIDE outDir (the Bench idiom): anything inside
+    // outDir is read back by the driver as a query result, and round 6's
+    // in-outDir `_checkpoints` produced a bogus not-parquet row in the
+    // correctness artifact.
+    val ckptDir = Files.createTempDirectory("graft_verify_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
     new java.io.File(outDir).mkdirs()
     // Spark-side failures are recorded in a manifest, not just stderr: a
     // missing output directory must be attributable to THIS side, so an
@@ -55,5 +58,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/spark_errors.json"), errJson)
     spark.stop()
+    // reclaim the checkpoint scaffolding (operators delete their own
+    // files; this removes the dir + anything a crashed query left)
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(ckptDir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
   }
 }

@@ -53,6 +53,7 @@ object Graph {
       iters: Int = 8,
       damping: Double = 0.85,
       checkpointEvery: Int = 10): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val sc = edges.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
     val nodes = edges.select(col("src").as("id"))

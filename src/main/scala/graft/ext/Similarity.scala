@@ -84,7 +84,10 @@ object Similarity {
     n.join(broadcast(reps), col("label") === col("rep_label"))
       .select(col("vec_id"), col("label"),
         round(vec_dot(col("unit"), col("rep_unit")), 6).as("rep_sim"))
-      .withColumn("outlier", (col("rep_sim") < flagBelow).cast("int"))
+      // NULL-safe: an undefined similarity (zero-norm/null embedding →
+      // NULL rep_sim) is "not flagged", not NULL — the oracle's
+      // CASE ... ELSE 0 shape, so both engines agree on edge corpora
+      .withColumn("outlier", coalesce((col("rep_sim") < flagBelow).cast("int"), lit(0)))
       .orderBy(col("vec_id"))
   }
 
@@ -211,13 +214,19 @@ object Similarity {
     */
   private[ext] def ivfAssignWithUnit(embeddings: DataFrame, k: Int = 16): DataFrame = {
     // Null-cell contract: the global collect_list always yields ONE row,
-    // so when the codebook is empty (no vec_id < k, or only zero-norm
-    // vectors there) every vector is still emitted, with NULL cell and
+    // so when the codebook is empty (an empty corpus, or only zero-norm
+    // vectors) every vector is still emitted, with NULL cell and
     // cent_sim — the assignment reports "no cell", it does not drop rows.
     // Downstream cell equi-joins never match NULL, so such vectors simply
     // pair with nothing (ExtSpec covers both degenerate corpora).
+    //
+    // Codebook = the k SMALLEST vec_ids with a well-defined unit — not
+    // `vec_id < k`, which silently under-fills the codebook on sparse or
+    // offset id spaces. The sort+limit is a bounded TakeOrdered (k ≤ 2¹⁶
+    // rows survive per partition), not a global sort of the corpus.
     val n = normalized(embeddings)
-    val cents = n.filter(col("vec_id") < k && col("unit").isNotNull)
+    val cents = n.filter(col("unit").isNotNull)
+      .orderBy(col("vec_id")).limit(k)
       .agg(collect_list(struct(col("vec_id").as("cent_id"), col("unit").as("cent_unit")))
         .as("cents"))
     n.crossJoin(broadcast(cents))
@@ -251,8 +260,11 @@ object Similarity {
     * measurement picked out — so per-cell work stays ≈ n·(n/k)=n^1.5
     * instead of silently reverting to n²/16 on a billion-row corpus. A
     * caller who needs a reproducible codebook (the oracle-gated queries
-    * pin the first-16-vectors codebook) passes an explicit k. The count
-    * needed to size the codebook is parquet-metadata cheap.
+    * pin the first-16-vectors codebook) passes an explicit k. Sizing the
+    * codebook costs one `count()` — parquet-metadata cheap on a raw
+    * table scan, but a real aggregation job on a filtered/derived frame;
+    * a caller invoking these operators in a loop over the same corpus
+    * should resolve k once and pass it explicitly.
     */
   val AdaptiveK: Int = -1
 

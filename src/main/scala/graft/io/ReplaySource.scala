@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,20 +31,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * Options: `path` (required; JSON-lines file), `batchSize` (lines per
   * micro-batch, default 3 — the producer's cadence).
   *
-  * Offsets are line numbers; the admission control returns
-  * `min(total, start + batchSize)` per trigger, so a bounded file drains
-  * in ⌈n/batchSize⌉ batches and `Trigger.Once` consumes exactly one
-  * batch (what the recovery test leans on). The whole file is one
-  * InputPartition per batch — a replay/test source reads one producer's
-  * file; a production source would split on byte ranges.
+  * Offsets are line numbers. The default read limit is
+  * `maxRows(batchSize)`, so under a normal trigger a bounded file drains
+  * in ⌈n/batchSize⌉ batches; `Trigger.Once`/`AvailableNow` pass
+  * `ReadLimit.allAvailable`, which is honored by admitting the whole
+  * remaining file in one batch (the process-all contract those triggers
+  * promise). The whole file is one InputPartition per batch — a
+  * replay/test source reads one producer's file; a production source
+  * would split on byte ranges.
   *
   * Usage: `spark.readStream.format(classOf[ReplaySourceProvider].getName)
   * .option("path", f).load()` — class-name format resolution, no
   * META-INF/services registration needed.
   */
 class ReplaySourceProvider extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  // validate here too: inferSchema runs inside `readStream...load()`, so
+  // a missing/typo'd path throws SYNCHRONOUSLY at load, not on the
+  // stream thread after start() (where only awaitTermination sees it)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    ReplaySource.validated(k => Option(options.get(k)))
     ReplaySource.schema
+  }
 
   override def getTable(
       schema: StructType,
@@ -62,6 +69,19 @@ private[io] object ReplaySource {
     val src = scala.io.Source.fromFile(path, "UTF-8")
     try src.getLines().toIndexedSeq finally src.close()
   }
+
+  /** Option-key validation, shared by load-time (inferSchema) and
+    * analysis-time (newScanBuilder): returns (path, batchSize) or throws
+    * a clear error.
+    */
+  def validated(get: String => Option[String]): (String, Int) = {
+    val path = get("path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft-replay requires option 'path' (a JSON-lines file)"))
+    val batchSize = get("batchSize").map(_.toInt).getOrElse(3)
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    (path, batchSize)
+  }
 }
 
 private[io] class ReplayTable(properties: Map[String, String])
@@ -75,11 +95,7 @@ private[io] class ReplayTable(properties: Map[String, String])
     // option-key validation up front: a typo'd/missing path must fail at
     // query ANALYSIS, not an hour into a stream (the class of bug the
     // round-5 verdict said only a real run would catch for Kafka)
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft-replay requires option 'path' (a JSON-lines file)"))
-    val batchSize = Option(options.get("batchSize")).map(_.toInt).getOrElse(3)
-    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val (path, batchSize) = ReplaySource.validated(k => Option(options.get(k)))
     () => new ReplayScan(path, batchSize)
   }
 }
@@ -108,15 +124,21 @@ private[io] class ReplayMicroBatchStream(path: String, batchSize: Int)
   override def deserializeOffset(json: String): Offset =
     ReplayOffset(json.trim.toLong)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
 
-  /** Batch-of-`batchSize` admission: the next batch ends `batchSize`
-    * lines past wherever the previous one committed — deterministic
-    * multi-batch replay under any trigger.
+  /** Admission control honoring the limit Spark actually passes:
+    * `allAvailable` (Trigger.Once/AvailableNow) drains the whole
+    * remaining file in one batch; `maxRows` (the default-trigger path,
+    * seeded by [[getDefaultReadLimit]]) paces `batchSize` lines per
+    * micro-batch — deterministic multi-batch replay.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ReplayOffset].line
-    ReplayOffset(math.min(total, s + batchSize))
+    limit match {
+      case _: ReadAllAvailable => ReplayOffset(total)
+      case r: ReadMaxRows      => ReplayOffset(math.min(total, s + r.maxRows))
+      case _                   => ReplayOffset(math.min(total, s + batchSize))
+    }
   }
 
   override def latestOffset(): Offset =

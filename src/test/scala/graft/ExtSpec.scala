@@ -643,36 +643,49 @@ class ExtSpec extends AnyFunSuite {
     assert(graft.session.StateOps.attribution(ev).count() === 0)
   }
 
-  test("IVF null-cell contract: corpus with no centroid candidates keeps all rows, NULL cell") {
-    // every vec_id >= k: the codebook is empty but the assignment must not
-    // drop rows — each vector reports "no cell" and pairs with nothing
-    val emb = Seq(
+  test("IVF null-cell contract: no usable centroids keeps all rows, NULL cell; sparse ids fill the codebook") {
+    // all vectors zero-norm: the codebook is empty but the assignment must
+    // not drop rows — each vector reports "no cell" and pairs with nothing
+    val degenerate = Seq(
+      (20L, Array(0.0f, 0.0f), 0),
+      (21L, Array(0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val assign = Similarity.ivfAssign(degenerate, k = 16)
+    assert(assign.count() === 2)
+    assert(assign.filter(col("cell").isNull && col("cent_sim").isNull).count() === 2)
+    val sd = Similarity.semanticDedup(degenerate, k = 16)
+    assert(sd.count() === 2)
+    assert(sd.filter(col("is_dup") === 0).count() === 2) // NULL cells never pair
+
+    // sparse/offset id space: the codebook takes the k SMALLEST ids with a
+    // well-defined unit — ids >= k must still produce real centroids (the
+    // old `vec_id < k` rule silently yielded an empty codebook here)
+    val sparse = Seq(
       (20L, Array(1.0f, 0.0f), 0),
       (21L, Array(0.0f, 1.0f), 1)
     ).toDF("vec_id", "embedding", "label")
-    val assign = Similarity.ivfAssign(emb, k = 16)
-    assert(assign.count() === 2)
-    assert(assign.filter(col("cell").isNull && col("cent_sim").isNull).count() === 2)
-    val sd = Similarity.semanticDedup(emb, k = 16)
-    assert(sd.count() === 2)
-    assert(sd.filter(col("is_dup") === 0).count() === 2) // NULL cells never pair
+    val sparseAssign = Similarity.ivfAssign(sparse, k = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sparseAssign === Map(20L -> 20L, 21L -> 21L)) // own nearest centroid
   }
 
   test("zero-norm embeddings: NULL unit, no NaN crash, and they pair with nothing") {
     // r4 ADVICE: an all-zero embedding used to normalize to an all-NaN
-    // unit, which crashed the fused argmax's decimal rounding at runtime
-    // only vec 0 is a centroid (ids < 16); 20 assigns to its cell, 21 is zero-norm
+    // unit, which crashed the fused argmax's decimal rounding at runtime.
+    // k=1: vec 0 (smallest non-null id) is the only centroid, so 20
+    // shares its cell; 21 is zero-norm (excluded from the codebook AND
+    // cell-less)
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 0),
       (20L, Array(0.9f, 0.1f), 0),
       (21L, Array(0.0f, 0.0f), 1) // zero norm: cosine undefined
     ).toDF("vec_id", "embedding", "label")
-    val assign = Similarity.ivfAssign(emb, k = 16).collect()
+    val assign = Similarity.ivfAssign(emb, k = 1).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(assign.size === 3) // no crash, no dropped rows
     assert(assign(21L).isNullAt(1) && assign(21L).isNullAt(2)) // NULL cell + sim
     assert(assign(0L).getLong(1) === 0L && assign(20L).getLong(1) === 0L)
-    val sd = Similarity.semanticDedup(emb, threshold = 0.4, k = 16)
+    val sd = Similarity.semanticDedup(emb, threshold = 0.4, k = 1)
     assert(sd.count() === 3)
     // vec 20 dups vec 0 (cos ≈ 0.994); the zero-norm vector is never a dup
     assert(sd.filter(col("vec_id") === 20L && col("dup_of") === 0L).count() === 1)

@@ -185,47 +185,75 @@ class StreamingSpec extends AnyFunSuite {
     // the wiring MemoryStream bypasses: format resolution from the class
     // name, option parsing at analysis, initialOffset/deserializeOffset,
     // per-trigger admission, planInputPartitions, commit — all through
-    // Spark's actual MicroBatchExecution against the custom DSv2 source
+    // Spark's actual MicroBatchExecution against the custom DSv2 source.
+    // Recovery legs restart into a parquet sink: Spark's
+    // ResolveWriteToStream categorically refuses checkpoint recovery
+    // into memory/console sinks, so a file sink is the only way to
+    // exercise the restart path.
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft_replay").toFile
     val f = new java.io.File(dir, "events.jsonl")
-    val lines = (1 to 8).map(i =>
-      s"""{"event_id":$i,"ts":"2024-01-01 00:0$i:00","user_id":${i % 3},"event_type":"view","value":1.0,"props":"{}"}""")
-    java.nio.file.Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+    def line(i: Int) =
+      s"""{"event_id":$i,"ts":"2024-01-01 00:${"%02d".format(i)}:00","user_id":${i % 3},"event_type":"view","value":1.0,"props":"{}"}"""
+    def writeLines(r: Range): Unit = {
+      val payload = (r.map(line).mkString("\n") + "\n").getBytes("UTF-8")
+      java.nio.file.Files.write(f.toPath, payload,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
+    writeLines(1 to 3)
     val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
 
-    // leg 1: Trigger.Once = exactly one micro-batch = the first 3 lines
-    val q1 = Sources.replayEvents(spark, f.getAbsolutePath)
-      .writeStream.format("memory").queryName("replay_leg1")
-      .outputMode("append").option("checkpointLocation", ckpt)
-      .trigger(Trigger.Once()).start()
-    q1.awaitTermination()
-    val leg1 = spark.table("replay_leg1").select("event_id").as[Long].collect().sorted
-    assert(leg1.toSeq === Seq(1L, 2L, 3L))
+    def start() = Sources.replayEvents(spark, f.getAbsolutePath)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def ids: Seq[Long] =
+      spark.read.parquet(out).select("event_id").as[Long].collect().sorted.toSeq
 
-    // leg 2: restart from the SAME checkpoint — must resume at offset 3
-    // (deserializeOffset + commit wiring), reprocessing nothing, and
-    // drain the remaining 5 lines in ceil(5/3) = 2 non-empty batches
-    val q2 = Sources.replayEvents(spark, f.getAbsolutePath)
-      .writeStream.format("memory").queryName("replay_leg2")
-      .outputMode("append").option("checkpointLocation", ckpt)
-      .start()
+    // leg 1: the initial 3 lines drain in one batch-of-3
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(ids === (1L to 3L))
+
+    // 5 lines appended while the query is down; the restart must resume
+    // at committed offset 3 (deserializeOffset + commit wiring), re-count
+    // the file, and drain lines 4-8 in ceil(5/3) = 2 non-empty batches
+    writeLines(4 to 8)
+    val q2 = start()
     q2.processAllAvailable()
     val batches = q2.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows)
     q2.stop()
-    val leg2 = spark.table("replay_leg2").select("event_id").as[Long].collect().sorted
-    assert(leg2.toSeq === Seq(4L, 5L, 6L, 7L, 8L))
+    // 8 distinct rows total: leg-1 output intact, nothing reprocessed
+    assert(ids === (1L to 8L))
     assert(batches.toSeq === Seq(3L, 2L), s"expected batch-of-3 drain, got ${batches.toSeq}")
 
-    // a missing path must fail at analysis, not mid-stream
+    // a second append + restart replays exactly the appended tail
+    writeLines(9 to 10)
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(ids === (1L to 10L))
+
+    // Trigger.Once passes ReadLimit.allAvailable — the source must honor
+    // the process-all contract and drain the whole file in ONE batch
+    val q4 = Sources.replayEvents(spark, f.getAbsolutePath)
+      .writeStream.format("parquet").option("path", s"$dir/out_once")
+      .option("checkpointLocation", s"$dir/ckpt_once")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    q4.awaitTermination()
+    val onceBatches = q4.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows)
+    assert(onceBatches.toSeq === Seq(10L), s"allAvailable not honored: ${onceBatches.toSeq}")
+    assert(spark.read.parquet(s"$dir/out_once").count() === 10L)
+
+    // a missing path must fail synchronously at load(), not on the
+    // stream thread after start()
     val err = intercept[Exception] {
       spark.readStream
         .format(classOf[graft.io.ReplaySourceProvider].getName)
         .load()
-        .writeStream.format("memory").queryName("replay_bad")
-        .outputMode("append").start()
     }
-    assert(err.getMessage != null)
+    assert(err.getMessage.contains("path"))
   }
 
   test("Kafka envelope decode: value bytes -> typed events (batch form of S3 path)") {
