@@ -14,6 +14,11 @@ import graft.ext.{Dedup, Graph}
   * "iters≈50 planning bottleneck". With `checkpointEvery = 10` the
   * lineage is cut every 10 iterations, so sec/iter must stay ~flat from
   * iters=8 to iters=64, while the untruncated run's sec/iter climbs.
+  *
+  * Second arg `phases` switches to the round-7 level audit: splits one
+  * `pagerank_top` timed run into build / optimize / execute phases and
+  * compares AQE on/off at iters=8 — the evidence behind the BENCH_SF1
+  * "where the default-8 level comes from" paragraph.
   */
 object PrProbe {
   def main(args: Array[String]): Unit = {
@@ -21,6 +26,7 @@ object PrProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -31,6 +37,18 @@ object PrProbe {
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt")
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
 
+    if (args.length > 1 && args(1) == "phases") phaseAudit(spark, sfDir)
+    else truncationCurve(spark, sfDir)
+
+    spark.stop()
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+  }
+
+  private def truncationCurve(spark: SparkSession, sfDir: String): Unit = {
     val edges = Graph.lineitemGraph(Tables.lineitem(spark, sfDir))
 
     def run(iters: Int, every: Int): Double = {
@@ -59,11 +77,25 @@ object PrProbe {
       (iters, label, secs)
     }
     println(rows.map { case (i, m, s) => f"$i/$m=$s%.2fs" }.mkString("summary: ", ", ", ""))
-    spark.stop()
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: Throwable => () }
+  }
+
+  private def phaseAudit(spark: SparkSession, sfDir: String): Unit = {
+    def t[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    for (rep <- 1 to 4) {
+      val (tBuild, df) = t(SparkEntry.queries("pagerank_top")(spark, sfDir))
+      val (tOpt, _) = t(df.queryExecution.executedPlan) // analysis+optimization
+      val (tExec, n) = t(df.count()) // AQE re-plan + run
+      println(f"rep $rep: build=$tBuild%.3f opt=$tOpt%.3f exec=$tExec%.3f rows=$n")
+    }
+    for (aqe <- Seq("true", "false", "true", "false")) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      val edges = Graph.lineitemGraph(Tables.lineitem(spark, sfDir))
+      val (sec, _) = t(Graph.pageRank(edges, iters = 8).collect())
+      println(f"aqe=$aqe exec=$sec%.3f")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
