@@ -370,6 +370,11 @@ object SparkEntry {
     "ann_lsh_pairs" -> ((s, d) => Similarity.annPairsLsh(Tables.embeddings(s, d))),
     "ivf_cells" -> ((s, d) => Similarity.ivfAssign(Tables.embeddings(s, d))),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    // integer-quantized Lloyd's: the ENTIRE iterative training loop is
+    // cross-engine exact, so a trained-model operator sits under the hash
+    // gate (k=8 seeds, 2 rounds — see Similarity.kmeansAssign)
+    "kmeans_assign" -> ((s, d) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)),
     "media_meta" -> ((s, d) =>
       Multimodal.synthesizeMedia(Tables.documents(s, d))
         .selectExpr("media_id", "doc_id", "modality",
@@ -466,6 +471,29 @@ object SparkEntry {
 
   private def dUnitDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+
+  /** One Lloyd's assignment round in the integer domain (see
+    * Similarity.kmeansAssign): exact int64 dot per centroid, argmax with
+    * ties to the smallest centroid id. `q`/`c` are CTE names.
+    */
+  private def dKmAssign(q: String, c: String): String =
+    s"""SELECT vec_id, qvec, cell, dot FROM (
+       |  SELECT vec_id, qvec, cell, dot,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+       |  FROM (SELECT $q.vec_id, $q.qvec, kc.cidx AS cell,
+       |               CAST(list_sum(list_transform(range(1, len($q.qvec) + 1),
+       |                 i -> $q.qvec[i] * kc.qcent[i])) AS BIGINT) AS dot
+       |        FROM $q, $c kc WHERE $q.qvec IS NOT NULL) d) t WHERE rn = 1""".stripMargin
+
+  /** One Lloyd's centroid update: per-component integer mean
+    * (round-half-up via exact double division), empty cells drop out.
+    * `sum(qv)` is HUGEINT in DuckDB — the DOUBLE cast normalizes it.
+    */
+  private def dKmUpdate(a: String): String =
+    s"""SELECT cell AS cidx, list(m ORDER BY pos) AS qcent FROM (
+       |  SELECT cell, pos, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
+       |  FROM (SELECT cell, unnest(qvec) AS qv, unnest(range(1, len(qvec) + 1)) AS pos FROM $a) e
+       |  GROUP BY cell, pos) f GROUP BY cell""".stripMargin
 
   private val dMh = (0 until 8).map { i =>
     s"list_min(list_transform(hs, x -> (${Dedup.minhashA(i)} * (x % 1073741824) + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS mh$i"
@@ -2274,6 +2302,19 @@ object SparkEntry {
          |SELECT u.vec_id, a.cent_id AS cell, a.cent_sim
          |FROM u LEFT JOIN (SELECT vec_id, cent_id, cent_sim FROM r WHERE rn = 1) a
          |       USING (vec_id)""".stripMargin,
+    "kmeans_assign" ->
+      s"""$dUnitCte,
+         |q AS (SELECT vec_id, CASE WHEN unit IS NOT NULL THEN list_transform(unit,
+         |        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) END AS qvec FROM u),
+         |c0 AS (SELECT vec_id AS cidx, qvec AS qcent FROM q WHERE qvec IS NOT NULL
+         |       ORDER BY vec_id LIMIT 8),
+         |a0 AS (${dKmAssign("q", "c0")}),
+         |c1 AS (${dKmUpdate("a0")}),
+         |a1 AS (${dKmAssign("q", "c1")}),
+         |c2 AS (${dKmUpdate("a1")}),
+         |a2 AS (${dKmAssign("q", "c2")})
+         |SELECT e.vec_id, a.cell, CAST(a.dot AS BIGINT) AS qdot
+         |FROM embeddings e LEFT JOIN a2 a USING (vec_id)""".stripMargin,
     "ivf_topk" ->
       s"""$dUnitCte, c AS (
          |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u

@@ -212,6 +212,25 @@ object Similarity {
     * (rounded similarity DESC via max, then smallest cent_id via the
     * negated id field).
     */
+  /** The k-entry coarse-quantizer codebook of a corpus, as ONE row holding
+    * an array of (cent_id, cent_unit) structs — the broadcastable form
+    * every assignment path consumes. Centroids are the k SMALLEST vec_ids
+    * with a well-defined unit — not `vec_id < k`, which silently
+    * under-fills the codebook on sparse or offset id spaces (a trained
+    * k-means codebook drops in here without structural change). The
+    * sort+limit is a bounded TakeOrdered (k ≤ 2¹⁶ rows survive per
+    * partition), not a global sort of the corpus.
+    *
+    * Exposed so a STREAMING query can quantize against a codebook built
+    * once from the static corpus ([[semanticDedupStream]]): the frame is
+    * static, one row, and joins into a stream as an ordinary broadcast.
+    */
+  def codebook(embeddings: DataFrame, k: Int = 16): DataFrame =
+    normalized(embeddings).filter(col("unit").isNotNull)
+      .orderBy(col("vec_id")).limit(k)
+      .agg(collect_list(struct(col("vec_id").as("cent_id"), col("unit").as("cent_unit")))
+        .as("cents"))
+
   private[ext] def ivfAssignWithUnit(embeddings: DataFrame, k: Int = 16): DataFrame = {
     // Null-cell contract: the global collect_list always yields ONE row,
     // so when the codebook is empty (an empty corpus, or only zero-norm
@@ -220,16 +239,8 @@ object Similarity {
     // Downstream cell equi-joins never match NULL, so such vectors simply
     // pair with nothing (ExtSpec covers both degenerate corpora).
     //
-    // Codebook = the k SMALLEST vec_ids with a well-defined unit — not
-    // `vec_id < k`, which silently under-fills the codebook on sparse or
-    // offset id spaces. The sort+limit is a bounded TakeOrdered (k ≤ 2¹⁶
-    // rows survive per partition), not a global sort of the corpus.
     val n = normalized(embeddings)
-    val cents = n.filter(col("unit").isNotNull)
-      .orderBy(col("vec_id")).limit(k)
-      .agg(collect_list(struct(col("vec_id").as("cent_id"), col("unit").as("cent_unit")))
-        .as("cents"))
-    n.crossJoin(broadcast(cents))
+    n.crossJoin(broadcast(codebook(embeddings, k)))
       // fused codegen argmax (k·dim primitive loop; see VecArgmaxCell —
       // bit-identical to the array_max(transform(...)) HOF form, which
       // would run k interpreted lambda dots per row)
@@ -317,6 +328,163 @@ object Similarity {
     semanticDedup(embeddings, threshold, k)
       .filter(col("is_dup") === 0)
       .select(col("vec_id"), col("cell"))
+
+  /** Semantic-dedup key as a PURE projection — usable on batch and
+    * streaming frames alike (the streaming-twin idiom of
+    * [[Dedup.withMinhashBands]]). Each vector gets its IVF `cell` from the
+    * broadcast `codebook` (one static row; in a stream this is an ordinary
+    * stream-static broadcast join) and a `qsig` of `sigBits` hyperplane
+    * sign bits (difference-of-adjacent-dims, scale-invariant — the
+    * [[annPairsLsh]] projection family). Two vectors agree on
+    * (cell, qsig) with probability (1 − θ/π)^sigBits for angle θ: exact
+    * and near-exact duplicates always collide; unrelated vectors collide
+    * with vanishing probability as sigBits grows.
+    */
+  def withSemanticKey(
+      df: DataFrame,
+      codebook: DataFrame,
+      sigBits: Int = 16): DataFrame = {
+    require(sigBits >= 1 && sigBits <= 60,
+      s"sigBits must be in [1, 60], got $sigBits")
+    normalized(df).withColumn("__one", lit(1))
+      .join(broadcast(codebook.withColumn("__one", lit(1))), Seq("__one"))
+      .withColumn("__best",
+        graft.functions.VecArgmaxCell.vec_argmax_cell(col("unit"), col("cents")))
+      .withColumn("cell", col("__best.cell"))
+      .withColumn("qsig", expr(signBandExpr(0, sigBits)))
+      .drop("__one", "cents", "__best", "_norm", "unit")
+  }
+
+  /** Streaming twin of [[semanticDedupKeep]] — the incremental-crawl
+    * shape: quantize each arriving vector against a codebook built ONCE
+    * from the existing static corpus ([[codebook]]), then keep the first
+    * arrival per (cell, qsig) within the watermark via
+    * `dropDuplicatesWithinWatermark` — exactly how exact/minhash dedup
+    * and decontamination already stream.
+    *
+    * Approximation contract (vs the batch pair search): a vector is
+    * dropped iff an earlier in-watermark arrival landed in the SAME cell
+    * with the SAME sign signature — a stricter, collision-based verdict
+    * than the batch cosine threshold, so streaming drops are (with high
+    * probability) a SUBSET of batch `is_dup` flags; recall is tuned by
+    * narrowing `sigBits`. Scale shape: state is one row per distinct
+    * (cell, qsig) inside the watermark window — bounded by arrival rate ×
+    * window, never by corpus size — and the only join in the plan is the
+    * one-row codebook broadcast; nothing shuffles on vector content.
+    */
+  def semanticDedupStream(
+      stream: DataFrame,
+      corpusCodebook: DataFrame,
+      eventTimeCol: String = "ts",
+      delay: String = "10 minutes",
+      sigBits: Int = 16): DataFrame =
+    withSemanticKey(stream, corpusCodebook, sigBits)
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("cell", "qsig")
+
+  /** Unit vectors quantized to the INTEGER lattice (×10⁶, round-half-up):
+    * the domain where k-means becomes cross-engine exact. Float centroid
+    * means are order-dependent (a parallel sum of doubles depends on
+    * partition order), so a float Lloyd's loop can diverge from a serial
+    * oracle on argmax ties; int64 sums are associative and exact, so every
+    * assignment, mean and tie-break below is bit-identical in any engine
+    * and under any partitioning. Quantization error (≤5e-7 per component)
+    * is far below any meaningful cluster geometry. NULL for zero-norm
+    * vectors — same "no cell" contract as [[ivfAssignWithUnit]].
+    */
+  private def quantizedUnits(embeddings: DataFrame): DataFrame =
+    normalized(embeddings)
+      .withColumn("qvec",
+        expr("transform(unit, x -> cast(floor(x * 1000000.0 + 0.5) as bigint))"))
+      .select(col("vec_id"), col("qvec"))
+
+  /** Nearest-centroid assignment in the integer domain: one broadcast row
+    * of (cidx, qcent) structs against one scan; the argmax is an exact
+    * int64 dot per centroid (spherical k-means: on unit vectors, max
+    * cosine ≡ min L2), ties to the smallest centroid id. Rows with NULL
+    * qvec are excluded — callers re-attach them with a left join.
+    */
+  private def assignQCells(q: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents
+      .agg(collect_list(struct(col("cidx"), col("qcent"))).as("cents"))
+    q.filter(col("qvec").isNotNull)
+      .crossJoin(broadcast(centsRow))
+      .withColumn("__best", expr(
+        """array_max(transform(cents, c -> named_struct(
+          |  'dot', aggregate(zip_with(qvec, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x),
+          |  'negidx', -c.cidx)))""".stripMargin))
+      .select(col("vec_id"), col("qvec"),
+        (-col("__best.negidx")).as("cell"), col("__best.dot").as("qdot"))
+  }
+
+  /** `iters` rounds of Lloyd's over the quantized units. Init is the k
+    * smallest vec_ids (the [[codebook]] convention — centroid identity =
+    * seed vec_id, so ties resolve to the smallest seed, matching
+    * `ivfAssign`). Update = per-component integer mean (round-half-up via
+    * exact double division of exact int64s — identical in any IEEE
+    * engine); cells that lose all members drop out, shrinking k. Each
+    * round is one explode-aggregate shuffle of n·dim (cell, pos, value)
+    * rows — the standard distributed k-means cost; at corpus scale the
+    * codebook trains on a SAMPLE, which changes the input, not this loop.
+    * Plan lineage doubles per round (assignment feeds update), so `iters`
+    * is capped small; a long-running trainer would checkpoint per round
+    * exactly as [[Graph.pageRank]] does.
+    */
+  private def kmeansCentroids(q: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = q.filter(col("qvec").isNotNull)
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cidx"), col("qvec").as("qcent"))
+    for (_ <- 1 to iters) {
+      cents = assignQCells(q, cents)
+        .filter(col("cell").isNotNull)
+        .select(col("cell"), posexplode(col("qvec")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m",
+          expr("cast(floor(cast(s as double) / cast(n as double) + 0.5) as bigint)"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("qcent"))
+        .select(col("cell").as("cidx"), col("qcent"))
+    }
+    cents
+  }
+
+  /** Trained k-means cell assignment — Lloyd's for `iters` rounds, then
+    * the final assignment of EVERY vector (zero-norm/null vectors surface
+    * with NULL cell). The trained sibling of [[ivfAssign]]'s first-k
+    * codebook: same argmax contract, centroids that have actually moved
+    * to their clusters' means. Deliberately EXACT cross-engine (see
+    * [[quantizedUnits]]) so the whole iterative loop sits under the
+    * DuckDB hash gate — the first trained-model operator to do so.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0 && iters <= 8,
+      s"iters must be in [0, 8] (lineage doubles per round; checkpoint a longer trainer), got $iters")
+    val q = quantizedUnits(embeddings)
+    val cents = kmeansCentroids(q, k, iters)
+    embeddings.select(col("vec_id"))
+      .join(assignQCells(q, cents).select(col("vec_id"), col("cell"), col("qdot")),
+        Seq("vec_id"), "left")
+  }
+
+  /** The trained codebook in [[codebook]]'s broadcastable one-row format
+    * (centroids back to unit doubles), so IVF search, semantic dedup and
+    * the STREAMING dedup twin can run against trained centroids instead
+    * of the first-k stand-in: `withSemanticKey(stream, trainedCodebook(corpus))`.
+    */
+  def trainedCodebook(
+      embeddings: DataFrame,
+      k: Int = 16,
+      iters: Int = 2): DataFrame =
+    kmeansCentroids(quantizedUnits(embeddings), k, iters)
+      .withColumn("dvec", expr("transform(qcent, x -> cast(x as double) / 1000000.0)"))
+      .withColumn("_n", expr("sqrt(aggregate(dvec, 0D, (a, x) -> a + x * x))"))
+      .filter(col("_n") > 0D)
+      .withColumn("cent_unit", expr("transform(dvec, x -> x / _n)"))
+      .agg(collect_list(struct(col("cidx").as("cent_id"), col("cent_unit")))
+        .as("cents"))
 
   /** Bulk kNN join: top-`kNbrs` nearest neighbors for EVERY vector — the
     * embedding-pipeline operator ([[cosineTopK]]/[[ivfTopK]] answer one

@@ -999,4 +999,64 @@ class ExtSpec extends AnyFunSuite {
     assert(byId.size === r.count().toInt)
     assert(byId.values.forall { case (_, d, f) => (f == 1) == (d >= 0L) })
   }
+
+  test("kmeansAssign: Lloyd's converges toward balance; exact copies co-assign; nulls surface") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.kmeansAssign(emb, k = 8, iters = 2).collect()
+    assert(out.length === emb.count().toInt) // every vector surfaces
+    val cells = out.filterNot(_.isNullAt(1)).map(_.getLong(1))
+    // cells are labeled by seed vec_id, and at most k survive
+    assert(cells.distinct.length <= 8)
+    // an exact copy of a vector MUST land in the same cell (same qvec ->
+    // same integer dots -> same argmax)
+    val clone = emb.filter(col("vec_id") === 20L)
+      .select(lit(100000L).as("vec_id"), col("embedding"), col("label"))
+    val withClone = Similarity.kmeansAssign(emb.unionByName(clone), k = 8, iters = 2)
+      .filter(col("vec_id").isin(20L, 100000L))
+      .select("cell").collect().map(_.getLong(0))
+    assert(withClone.length === 2 && withClone.distinct.length === 1)
+    // iters=0 degenerates to first-k assignment on quantized units:
+    // the same cells as ivfAssign's k=8 codebook (argmax over the seeds)
+    val i0 = Similarity.kmeansAssign(emb, k = 8, iters = 0)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val ivf = Similarity.ivfAssign(emb, k = 8)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val diff = i0.count { case (id, c) => ivf(id) != c }
+    // quantization can flip near-exact argmax ties, nothing else
+    assert(diff <= i0.size / 100, s"$diff of ${i0.size} assignments differ from ivfAssign")
+    // training must not WORSEN imbalance: sum of squared cell sizes (the
+    // pair-search cost driver) after 2 rounds <= the seed assignment's
+    def ssq(m: Map[Long, Long]): Long = {
+      val sizes = m.values.filter(_ >= 0).groupBy(identity).map(_._2.size.toLong)
+      sizes.map(s => s * s).sum
+    }
+    val trained = Similarity.kmeansAssign(emb, k = 8, iters = 2)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(ssq(trained) <= ssq(i0),
+      s"trained ssq ${ssq(trained)} > seed ssq ${ssq(i0)}")
+  }
+
+  test("trainedCodebook feeds withSemanticKey/ivf machinery; degenerate corpora stay sane") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Similarity.trainedCodebook(emb, k = 8, iters = 2)
+    val keyed = Similarity.withSemanticKey(emb, cb, sigBits = 16)
+    val rows = keyed.select("vec_id", "cell", "qsig").collect()
+    assert(rows.length === emb.count().toInt)
+    // trained centroids are unit-length, so cells are well-defined for
+    // every non-degenerate vector
+    assert(rows.count(_.isNullAt(1)) === 0)
+    // empty corpus: codebook row exists with an empty cents array, and
+    // assignment against it yields NULL cells rather than dropped rows
+    val empty = emb.filter(col("vec_id") < 0)
+    val cbEmpty = Similarity.trainedCodebook(empty, k = 8, iters = 2)
+    assert(cbEmpty.count() === 1L)
+    val keyedEmpty = Similarity.withSemanticKey(emb.limit(5), cbEmpty)
+    assert(keyedEmpty.count() === 5L)
+    assert(keyedEmpty.filter(col("cell").isNull).count() === 5L)
+    // kmeansAssign on an empty corpus: no rows, no crash
+    assert(Similarity.kmeansAssign(empty, k = 8, iters = 2).count() === 0L)
+  }
 }

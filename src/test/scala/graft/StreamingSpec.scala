@@ -419,6 +419,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup: broadcast-codebook cell + sign-sig within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = graft.ext.Similarity.codebook(corpus, 16)
+    // two REAL corpus vectors (replica-0 data), plus derived arrivals: an
+    // exact copy and a positive-scaled copy of v0 — both MUST collide with
+    // v0 on (cell, qsig): the cell argmax and the hyperplane sign bits are
+    // scale-invariant, so the collision is deterministic, not
+    // probabilistic.
+    val vecs = corpus.select("vec_id", "embedding").orderBy("vec_id").limit(2)
+      .collect().map(_.getSeq[Float](1))
+    val v0 = vecs(0)
+    val v1 = vecs(1)
+    val scaled = v0.map(x => x * 2.0f)
+    val arrivals = Seq(
+      (10L, ts("2024-01-01 00:00:00"), v0),
+      (11L, ts("2024-01-01 00:01:00"), v0), // exact copy   -> dropped
+      (12L, ts("2024-01-01 00:02:00"), scaled), // scaled copy -> dropped
+      (13L, ts("2024-01-01 00:03:00"), v1)) // distinct key  -> kept
+    val ms = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val out = graft.ext.Similarity
+      .semanticDedupStream(ms.toDS().toDF("vec_id", "ts", "embedding"), cb)
+      .select("vec_id")
+    val q = out.writeStream.format("memory").queryName("semdedup_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(arrivals.take(1))
+      q.processAllAvailable()
+      ms.addData(arrivals.drop(1)) // copies arrive in a LATER batch
+      q.processAllAvailable()
+      val kept = spark.table("semdedup_stream").as[Long].collect().sorted.toSeq
+      assert(kept.contains(10L) && !kept.contains(11L) && !kept.contains(12L))
+      // parity leg: the streaming survivors are exactly the batch
+      // first-arrival dedup on the SAME (cell, qsig) key — computed, not
+      // hard-coded, so the expectation holds for any corpus content
+      val batchKeys = graft.ext.Similarity
+        .withSemanticKey(arrivals.toDF("vec_id", "ts", "embedding"), cb)
+        .select("vec_id", "cell", "qsig")
+        .collect()
+        .map(r => (r.getLong(0), (if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))))
+      val expected = batchKeys.groupBy(_._2).values.map(_.map(_._1).min).toSeq.sorted
+      assert(kept === expected)
+    } finally q.stop()
+  }
+
   test("decode drops corrupt Kafka payloads instead of failing the stream") {
     val good = """{"event_id":7,"ts":"2024-01-01 00:00:00","user_id":3,"event_type":"view","value":1.5,"props":"{}"}"""
     val kafkaShaped = Seq(good, "{not json", "", """{"event_id":null}""")
