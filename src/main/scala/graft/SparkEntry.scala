@@ -335,6 +335,19 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "attribution" -> ((s, d) => StateOps.attribution(Tables.events(s, d))),
     "gopher_quality" -> ((s, d) => TextOps.gopherQuality(Tables.documents(s, d))),
+    // the synthetic corpus carries no real PII, so the query DECORATES
+    // each doc with deterministic doc_id-derived email/IP/phone strings
+    // before scrubbing — the gate then proves count and redaction
+    // semantics exactly (including regex-dialect parity vs RE2)
+    "pii_scrub" -> ((s, d) => TextOps.piiScrub(
+      Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".7 tel +1555"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 7, "0"))
+          .as("text")))),
     "shingle_novelty" -> ((s, d) => TextOps.shingleNovelty(Tables.documents(s, d))),
     "pagerank_top" -> ((s, d) =>
       Graph.pageRank(Graph.lineitemGraph(Tables.lineitem(s, d)))
@@ -2212,6 +2225,25 @@ object SparkEntry {
          |       CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) / 512.0 AS fill_ratio
          |FROM placed
          |GROUP BY grp, bin""".stripMargin,
+    "pii_scrub" ->
+      s"""WITH dec AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |              || '.7 tel +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+         |           AS text2
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(text2, '${TextOps.EmailRe}')) AS n_emails,
+         |       len(regexp_extract_all(text2, '${TextOps.Ipv4Re}')) AS n_ipv4,
+         |       len(regexp_extract_all(text2, '${TextOps.PhoneRe}')) AS n_phones,
+         |       regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(text2, '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |           '${TextOps.Ipv4Re}', '<IP>', 'g'),
+         |         '${TextOps.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+         |FROM dec""".stripMargin,
     "gopher_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |v AS (

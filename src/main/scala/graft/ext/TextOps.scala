@@ -590,6 +590,38 @@ object TextOps {
     * any corpus size; the re-count exchange carries at most
     * |groups|·capacity keys.
     */
+  /** Email / IPv4 / phone patterns for [[piiScrub]]. Restricted to regex
+    * constructs whose semantics coincide between Java's backtracking
+    * engine (Spark) and RE2-style leftmost-longest engines (DuckDB, and
+    * most data-plane scrubbers): character classes, bounded/greedy
+    * repetition, `\b`, no alternation inside a quantifier, no lookaround.
+    * On these, greedy leftmost-first ≡ leftmost-longest, so the same
+    * pattern string is portable across engines — which is what lets the
+    * scrub sit under the cross-engine hash gate.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PhoneRe = "\\+\\d{7,15}"
+
+  /** PII scrubbing — the redaction pass every shared training corpus goes
+    * through: count and replace emails, bare IPv4 addresses and
+    * international-format phone numbers with typed placeholder tokens.
+    * Pure projection (codegen'd regexp expressions, one text scan, no
+    * shuffle); order is email → IP → phone so an address consumed by an
+    * earlier rule can't partially re-match a later one. NULL text flows
+    * through as NULL counts/text, matching SQL semantics.
+    */
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Re)).as("n_ipv4"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("scrubbed"))
+
   def heavyHittersByGroup(
       documents: DataFrame,
       groupCol: String = "lang",

@@ -464,6 +464,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming kNN: arriving query vectors get windowed top-k from the static IVF index") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // two corpus vectors replayed as queries: each one's nearest corpus
+    // neighbor is its own twin (cosine 1.0), deterministically first
+    val qs = corpus.select("vec_id", "embedding").orderBy("vec_id").limit(2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val out = graft.ext.Similarity.knnStream(
+      ms.toDS().toDF("vec_id", "ts", "embedding"), corpus,
+      kNbrs = 3, k = 16, delay = "0 seconds", windowLen = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("knn_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        (qs(0)._1, ts("2024-01-01 00:01:00"), qs(0)._2),
+        (qs(1)._1, ts("2024-01-01 00:02:00"), qs(1)._2)))
+      q.processAllAvailable()
+      // watermark must pass the window end before append emits: flush
+      ms.addData(Seq((qs(0)._1, ts("2024-01-02 00:00:00"), qs(0)._2)))
+      q.processAllAvailable()
+      val rows = spark.table("knn_stream")
+        .select("query_id", "nbr_ids").as[(Long, Seq[Long])].collect().toMap
+      assert(rows.keySet === qs.map(_._1).toSet)
+      qs.foreach { case (id, _) =>
+        val nbrs = rows(id)
+        assert(nbrs.nonEmpty && nbrs.head === id,
+          s"query $id: expected itself first, got $nbrs")
+        assert(nbrs.length <= 3 && nbrs.distinct.length === nbrs.length)
+      }
+      // parity: past the self-hit, the emitted neighbors equal the batch
+      // ivfTopK answer (which EXCLUDES the query id) — same cell
+      // restriction, same rounded sims, same (sim desc, id asc) tie-break
+      qs.foreach { case (id, _) =>
+        val batch = graft.ext.Similarity.ivfTopK(corpus, queryVecId = id, k = 2)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        assert(rows(id).tail === batch,
+          s"query $id: stream ${rows(id)} vs batch self+$batch")
+      }
+    } finally q.stop()
+  }
+
   test("decode drops corrupt Kafka payloads instead of failing the stream") {
     val good = """{"event_id":7,"ts":"2024-01-01 00:00:00","user_id":3,"event_type":"view","value":1.5,"props":"{}"}"""
     val kafkaShaped = Seq(good, "{not json", "", """{"event_id":null}""")
