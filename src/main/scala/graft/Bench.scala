@@ -64,6 +64,12 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
 
+    // count() is the sink: cheap, and for aggregate/join queries (the
+    // large majority) all the work sits below it. Boundary: for PURE
+    // PROJECTION queries Catalyst prunes the projection under a count, so
+    // their rows time the scan only — kept for round-over-round
+    // comparability; measure a projection operator's compute with
+    // graft.ForceProbe (xxhash64-over-all-columns sink) instead.
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()

@@ -335,6 +335,7 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "attribution" -> ((s, d) => StateOps.attribution(Tables.events(s, d))),
     "gopher_quality" -> ((s, d) => TextOps.gopherQuality(Tables.documents(s, d))),
+    "classifier_score" -> ((s, d) => TextOps.classifierScore(Tables.documents(s, d))),
     // the synthetic corpus carries no real PII, so the query DECORATES
     // each doc with deterministic doc_id-derived email/IP/phone strings
     // before scrubbing — the gate then proves count and redaction
@@ -2225,6 +2226,21 @@ object SparkEntry {
          |       CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) / 512.0 AS fill_ratio
          |FROM placed
          |GROUP BY grp, bin""".stripMargin,
+    "classifier_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |         CASE WHEN toks IS NULL THEN NULL
+         |              ELSE COALESCE(CAST(list_sum(list_transform(toks,
+         |                x -> ((${dH("x")} % 1024) * 2654435761) % 2001 - 1000))
+         |                AS BIGINT), 0) END AS score_milli
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, score_milli,
+         |       CAST(score_milli >= 0 AS INT) AS keep
+         |FROM s""".stripMargin,
     "pii_scrub" ->
       s"""WITH dec AS (
          |  SELECT doc_id,

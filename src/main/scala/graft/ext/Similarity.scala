@@ -400,8 +400,8 @@ object Similarity {
     * queries-per-window · kNbrs, independent of corpus size.
     *
     * The static side re-executes per micro-batch by Spark's stream-static
-    * join contract; a long-running server caches it
-    * (`corpusIndex.persist()`) or maintains it as its own table.
+    * join contract; a long-running server caches the index (storage-level
+    * pin, caller-owned) or maintains it as its own table.
     */
   def knnStream(
       queries: DataFrame,
@@ -452,18 +452,22 @@ object Similarity {
   /** Nearest-centroid assignment in the integer domain: one broadcast row
     * of (cidx, qcent) structs against one scan; the argmax is an exact
     * int64 dot per centroid (spherical k-means: on unit vectors, max
-    * cosine ≡ min L2), ties to the smallest centroid id. Rows with NULL
-    * qvec are excluded — callers re-attach them with a left join.
+    * cosine ≡ min L2), ties to the smallest centroid id. EVERY row
+    * surfaces — a NULL qvec (zero-norm vector) or an empty codebook gets
+    * NULL cell/qdot via the when-guard, so no caller needs a join back to
+    * recover degenerate rows (the guard replaced a re-attach LEFT JOIN,
+    * which was a whole vec_id shuffle spent on rows the projection can
+    * classify for free).
     */
   private def assignQCells(q: DataFrame, cents: DataFrame): DataFrame = {
     val centsRow = cents
       .agg(collect_list(struct(col("cidx"), col("qcent"))).as("cents"))
-    q.filter(col("qvec").isNotNull)
-      .crossJoin(broadcast(centsRow))
-      .withColumn("__best", expr(
-        """array_max(transform(cents, c -> named_struct(
-          |  'dot', aggregate(zip_with(qvec, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x),
-          |  'negidx', -c.cidx)))""".stripMargin))
+    q.crossJoin(broadcast(centsRow))
+      .withColumn("__best",
+        when(col("qvec").isNotNull && size(col("cents")) > 0, expr(
+          """array_max(transform(cents, c -> named_struct(
+            |  'dot', aggregate(zip_with(qvec, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x),
+            |  'negidx', -c.cidx)))""".stripMargin)))
       .select(col("vec_id"), col("qvec"),
         (-col("__best.negidx")).as("cell"), col("__best.dot").as("qdot"))
   }
@@ -525,9 +529,7 @@ object Similarity {
       s"iters must be in [0, 8] (lineage doubles per round; checkpoint a longer trainer), got $iters")
     val q = quantizedUnits(embeddings)
     val cents = kmeansCentroids(q, k, iters)
-    embeddings.select(col("vec_id"))
-      .join(assignQCells(q, cents).select(col("vec_id"), col("cell"), col("qdot")),
-        Seq("vec_id"), "left")
+    assignQCells(q, cents).select(col("vec_id"), col("cell"), col("qdot"))
   }
 
   /** The trained codebook in [[codebook]]'s broadcastable one-row format

@@ -622,6 +622,33 @@ object TextOps {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("scrubbed"))
 
+  /** Quality-classifier filtering — the hashed bag-of-words linear model
+    * shape modern corpus curation runs at scan speed (a fasttext-style
+    * classifier scoring every document, keep/drop on the sign): each
+    * token hashes to one of `dim` feature buckets, each bucket carries a
+    * weight, the document score is the weight sum. Pure projection, one
+    * text scan, no shuffle; a REAL trained model drops in by replacing
+    * the weight formula with a broadcast weight array — the plan shape is
+    * identical.
+    *
+    * Weights here are deterministic pseudo-weights derived from the
+    * bucket index (Knuth multiplicative hash into [-1000, 1000]) and the
+    * whole score stays in int64 — token hash (md5-prefix), bucket, weight
+    * and sum are all integer-exact, so the operator sits under the
+    * cross-engine hash gate like `kmeans_assign`. Empty token lists score
+    * 0; NULL text scores NULL (and `keep` is NULL, not false — unscorable
+    * is not the same as rejected).
+    */
+  def classifierScore(documents: DataFrame, dim: Int = 1024): DataFrame = {
+    val w = s"((${md5Long64("x")} % $dim) * 2654435761L) % 2001L - 1000L"
+    documents
+      .selectExpr("doc_id", "filter(split(text, ' '), x -> x != '') as toks")
+      .selectExpr("doc_id", "size(toks) as n_tokens",
+        s"aggregate(toks, 0L, (a, x) -> a + ($w)) as score_milli")
+      .selectExpr("doc_id", "n_tokens", "score_milli",
+        "cast(score_milli >= 0 as int) as keep")
+  }
+
   def heavyHittersByGroup(
       documents: DataFrame,
       groupCol: String = "lang",
