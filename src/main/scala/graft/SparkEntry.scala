@@ -376,6 +376,7 @@ object SparkEntry {
     "bm25_top" -> ((s, d) => TextOps.bm25Top(Tables.documents(s, d))),
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
+    "domain_cap" -> ((s, d) => Sampling.capPerSource(Tables.documents(s, d), cap = 8)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "embed_outliers" -> ((s, d) => Similarity.outliersByLabel(Tables.embeddings(s, d))),
     "lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
@@ -2058,6 +2059,13 @@ object SparkEntry {
          |FROM documents d JOIN r USING (source)
          |GROUP BY 1, 2
          |ORDER BY d.source""".stripMargin,
+    "domain_cap" ->
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY ${dH("CAST(doc_id AS VARCHAR)")} % 4503599627370496, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 8""".stripMargin,
     "ngram_jaccard" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

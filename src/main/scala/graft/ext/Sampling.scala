@@ -61,6 +61,36 @@ object Sampling {
     * the stratum key; the window prunes partition-locally first under
     * AQE's rank pushdown.
     */
+  /** Per-source document cap — the anti-domination step of crawl curation
+    * (no single domain may contribute more than `cap` documents). Keeps
+    * each source's `cap` smallest (hash, doc_id) pairs: hash order makes
+    * the kept set a uniform within-source sample that is stable under
+    * retries/repartitioning (doc order never matters), and the id
+    * tie-break keeps it total.
+    *
+    * Scale shape: the obvious `row_number() OVER (PARTITION BY source)`
+    * shuffles and sorts the WHOLE corpus on a (likely skewed) domain key.
+    * This instead runs [[graft.functions.TopKAggregator]] per source —
+    * partial top-cap buffers combine map-side, so the exchange carries
+    * ≤ cap rows per (source, partition) and the dominant domain's
+    * millions of rows never travel. The 52-bit hash fits a double
+    * exactly, so the aggregator's (score, id) ordering is bit-identical
+    * to the oracle's `ORDER BY hash, doc_id` window.
+    */
+  def capPerSource(documents: DataFrame, cap: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .selectExpr("source", "doc_id",
+        s"${TextOps.md5Long64("cast(doc_id as string)")} % 4503599627370496L as h52")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (-t._3.toDouble, t._2)) // TopK keeps LARGEST score = smallest hash
+      .agg(new graft.functions.TopKAggregator(cap).toColumn.name("ids"))
+      .toDF("source", "ids")
+      .select(col("source"), explode(col("ids")).as("doc_id"))
+  }
+
   def stratifiedSample(
       df: DataFrame,
       stratumCol: String,

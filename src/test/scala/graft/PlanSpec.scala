@@ -300,6 +300,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(cell"), p)
   }
 
+  test("pii_scrub / classifier_score: pure scan-speed projections — ZERO exchanges") {
+    Seq("pii_scrub", "classifier_score").foreach { n =>
+      val p = formatted(n)
+      // regex scrubbing and classifier scoring must never shuffle: one
+      // scan, one projection, nothing else (the HOF weight sum is an
+      // expression, not an aggregate node)
+      assert(!p.contains("Exchange"), s"$n shuffles:\n$p")
+      assert(!p.contains("Sort "), s"$n sorts:\n$p")
+    }
+  }
+
+  test("kmeans_assign: codebook rounds broadcast; update shuffles only; no vec_id re-shuffle") {
+    val p = executedFinal("kmeans_assign")
+    assert(p.contains("isFinalPlan=true"), p)
+    // every centroid set reaches the corpus as a one-row broadcast — the
+    // pair of training rounds plus the final assignment must never plan a
+    // CartesianProduct or shuffle the corpus on a join key
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY hash exchanges are the two centroid-update aggregations
+    // (iters=2), whose partial (map-side) halves bound them at <=k rows
+    // per partition; the when-guard null handling adds no join, so
+    // nothing repartitions on vec_id
+    assert("Exchange hashpartitioning\\(".r.findAllMatchIn(p).size === 2, p)
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+  }
+
   test("date-partitioned layout: a date filter prunes partitions at plan time") {
     import org.apache.spark.sql.functions.{col, to_date}
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
