@@ -464,6 +464,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup survives a checkpoint restart: recovered state still drops the dup") {
+    // end-to-end through the DSv2 replay source and a parquet sink: the
+    // (cell, qsig) dedup state must come back from the checkpoint, so a
+    // near-duplicate arriving AFTER the restart is dropped against a
+    // key recorded BEFORE it. A state loss would re-emit it.
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = graft.ext.Similarity.codebook(corpus, 16)
+    val vecs = corpus.select("vec_id", "embedding").orderBy("vec_id").limit(2)
+      .collect().map(_.getSeq[Float](1))
+    def line(id: Long, t: String, v: Seq[Float]) =
+      s"""{"vec_id":$id,"ts":"$t","embedding":[${v.mkString(",")}]}"""
+    val dir = java.nio.file.Files.createTempDirectory("graft_semrec").toFile
+    val f = new java.io.File(dir, "vecs.jsonl")
+    def append(ls: Seq[String]): Unit =
+      java.nio.file.Files.write(f.toPath, (ls.mkString("\n") + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    def start() = {
+      val decoded = spark.readStream
+        .format(classOf[graft.io.ReplaySourceProvider].getName)
+        .option("path", f.getAbsolutePath).load()
+        .selectExpr(
+          "from_json(value, 'vec_id BIGINT, ts TIMESTAMP, embedding ARRAY<FLOAT>') AS e")
+        .selectExpr("e.vec_id AS vec_id", "e.ts AS ts", "e.embedding AS embedding")
+      graft.ext.Similarity.semanticDedupStream(decoded, cb)
+        .select("vec_id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+    append(Seq(line(10L, "2024-01-01 00:00:00", vecs(0))))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // while the query is DOWN: an exact copy of vec 10's key and a novel
+    // vector arrive
+    append(Seq(
+      line(11L, "2024-01-01 00:01:00", vecs(0)),
+      line(13L, "2024-01-01 00:02:00", vecs(1))))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val ids = spark.read.parquet(out).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(10L, 13L), s"recovered-state dedup verdicts: $ids")
+  }
+
   test("streaming kNN: arriving query vectors get windowed top-k from the static IVF index") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
