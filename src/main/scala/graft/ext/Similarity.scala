@@ -231,16 +231,23 @@ object Similarity {
       .agg(collect_list(struct(col("vec_id").as("cent_id"), col("unit").as("cent_unit")))
         .as("cents"))
 
-  private[ext] def ivfAssignWithUnit(embeddings: DataFrame, k: Int = 16): DataFrame = {
-    // Null-cell contract: the global collect_list always yields ONE row,
-    // so when the codebook is empty (an empty corpus, or only zero-norm
-    // vectors) every vector is still emitted, with NULL cell and
-    // cent_sim — the assignment reports "no cell", it does not drop rows.
-    // Downstream cell equi-joins never match NULL, so such vectors simply
-    // pair with nothing (ExtSpec covers both degenerate corpora).
-    //
-    val n = normalized(embeddings)
-    n.crossJoin(broadcast(codebook(embeddings, k)))
+  private[ext] def ivfAssignWithUnit(embeddings: DataFrame, k: Int = 16): DataFrame =
+    assignWithUnit(embeddings, codebook(embeddings, k))
+
+  /** [[ivfAssignWithUnit]] against an ARBITRARY one-row codebook frame
+    * (first-k, [[trainedCodebook]], or externally trained centroids in
+    * the same format) — the seam that lets every cell-restricted
+    * operator run on trained centroids.
+    *
+    * Null-cell contract: the codebook is always ONE row (a global
+    * collect_list), so when it is empty (empty corpus, or only zero-norm
+    * vectors) every vector is still emitted, with NULL cell and
+    * cent_sim — the assignment reports "no cell", it does not drop rows.
+    * Downstream cell equi-joins never match NULL, so such vectors simply
+    * pair with nothing (ExtSpec covers both degenerate corpora).
+    */
+  private[ext] def assignWithUnit(embeddings: DataFrame, cb: DataFrame): DataFrame =
+    normalized(embeddings).crossJoin(broadcast(cb))
       // fused codegen argmax (k·dim primitive loop; see VecArgmaxCell —
       // bit-identical to the array_max(transform(...)) HOF form, which
       // would run k interpreted lambda dots per row)
@@ -249,7 +256,6 @@ object Similarity {
       .select(col("vec_id"), col("unit"),
         col("best.cell").as("cell"),
         col("best.cent_sim").as("cent_sim"))
-  }
 
   /** SemDeDup-style semantic deduplication: flag embedding near-duplicates
     * WITHIN each IVF cell. A vector is a duplicate iff some smaller-id
@@ -292,14 +298,30 @@ object Similarity {
   def semanticDedup(
       embeddings: DataFrame,
       threshold: Double = 0.4,
-      k: Int = AdaptiveK): DataFrame = {
-    val kk = resolveK(embeddings, k)
+      k: Int = AdaptiveK): DataFrame =
+    semanticDedupFromAssign(
+      ivfAssignWithUnit(embeddings, resolveK(embeddings, k)), threshold)
+
+  /** [[semanticDedup]] against TRAINED (or any custom) centroids in the
+    * one-row codebook format — `semanticDedupWith(corpus,
+    * trainedCodebook(corpus))` is the full trained pipeline. Same pair
+    * search, same verdicts contract; only the cell geometry changes.
+    */
+  def semanticDedupWith(
+      embeddings: DataFrame,
+      codebook: DataFrame,
+      threshold: Double = 0.4): DataFrame =
+    semanticDedupFromAssign(assignWithUnit(embeddings, codebook), threshold)
+
+  private def semanticDedupFromAssign(
+      assign: DataFrame,
+      threshold: Double): DataFrame = {
     // one explicit cell exchange: the two pair-join sides AND the output
     // projection all sit above it, so exchange reuse computes the
     // assignment (scan + normalize + argmax window) exactly once — and the
     // cell equi-join needs no further shuffle, both sides arrive
     // cell-partitioned (same storage-hygiene idiom as Dedup.computedOnce)
-    val a = ivfAssignWithUnit(embeddings, kk).repartition(col("cell"))
+    val a = assign.repartition(col("cell"))
     val l = a.select(col("cell"), col("vec_id").as("a_id"), col("unit").as("a_unit"))
     val r = a.select(col("cell"), col("vec_id").as("b_id"), col("unit").as("b_unit"))
     val dups = l.join(r, Seq("cell"))
@@ -387,6 +409,9 @@ object Similarity {
     * the retrieval-serving twin of the batch [[knnJoin]]. Emits one row
     * per (event-time window, query): `window_start, query_id, nbr_ids`
     * (best-first), finalized when the watermark passes the window.
+    * Requests are idempotent: a query id re-arriving inside the
+    * watermark is deduplicated before scoring (a re-ask is the same
+    * request, not a new candidate set).
     *
     * Plan shape, stream-side stateless until the last step: (1) the
     * arriving vector gets its IVF cell from the broadcast one-row
@@ -422,12 +447,19 @@ object Similarity {
       .withColumn("cell", col("__best.cell"))
       .filter(col("cell").isNotNull)
       .select(col("vec_id").as("query_id"), col(eventTimeCol), col("unit"), col("cell"))
-    val scored = assigned.join(idx, Seq("cell"))
+    // idempotent serving: a query id re-arriving inside the watermark is
+    // the same request — without this dedup its candidates would be
+    // scored twice and duplicate (sim, nbr_id) pairs could occupy top-k
+    // slots. Chained stateful ops (dedup → windowed agg) are the
+    // supported multi-stateful append shape.
+    val once = assigned
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("query_id")
+    val scored = once.join(idx, Seq("cell"))
       .withColumn("sim", round(vec_dot(col("unit"), col("nbr_unit")), 6))
     val topk = udaf(new graft.functions.TopKAggregator(kNbrs),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     scored
-      .withWatermark(eventTimeCol, delay)
       .groupBy(window(col(eventTimeCol), windowLen).as("win"), col("query_id"))
       .agg(topk(col("sim"), col("nbr_id")).as("nbr_ids"))
       .select(col("win.start").as("window_start"), col("query_id"), col("nbr_ids"))

@@ -1039,6 +1039,31 @@ class ExtSpec extends AnyFunSuite {
       s"trained ssq ${ssq(trained)} > seed ssq ${ssq(i0)}")
   }
 
+  test("kmeansAssign / capPerSource are bit-invariant under repartitioning and row order") {
+    // the round-7 exactness claim: integer sums are associative, so the
+    // trained assignment must not depend on HOW the data is distributed.
+    // Same for the per-source cap (TopKAggregator merge order).
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def kmSorted(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansAssign(df, k = 8, iters = 2).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) Long.MinValue else r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val base = kmSorted(emb)
+    val scrambled = kmSorted(
+      emb.repartition(7, col("label")).sortWithinPartitions(col("vec_id").desc))
+    assert(base === scrambled)
+    def capSorted(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sampling.capPerSource(df, cap = 5).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+    val capBase = capSorted(docs)
+    val capScrambled = capSorted(
+      docs.repartition(11).sortWithinPartitions(col("doc_id").desc))
+    assert(capBase === capScrambled)
+  }
+
   test("trainedCodebook feeds withSemanticKey/ivf machinery; degenerate corpora stay sane") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cb = Similarity.trainedCodebook(emb, k = 8, iters = 2)
@@ -1058,5 +1083,14 @@ class ExtSpec extends AnyFunSuite {
     assert(keyedEmpty.filter(col("cell").isNull).count() === 5L)
     // kmeansAssign on an empty corpus: no rows, no crash
     assert(Similarity.kmeansAssign(empty, k = 8, iters = 2).count() === 0L)
+    // the full trained pipeline: semantic dedup against trained centroids
+    // still flags an exact clone (cosine 1.0 shares any cell geometry)
+    val clone = emb.filter(col("vec_id") === 20L)
+      .select(lit(100000L).as("vec_id"), col("embedding"), col("label"))
+    val flagged = Similarity
+      .semanticDedupWith(emb.unionByName(clone), Similarity.trainedCodebook(emb, 8, 2))
+      .filter(col("vec_id") === 100000L).select("is_dup")
+      .collect().map(_.getInt(0)).toSeq
+    assert(flagged === Seq(1))
   }
 }

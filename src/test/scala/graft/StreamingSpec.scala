@@ -552,6 +552,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming kNN survives a checkpoint restart: pre-restart window state still emits") {
+    // windowed-agg recovery: a query arrives BEFORE the restart, its
+    // window closes AFTER — the emitted row proves the agg + dedup state
+    // came back from the checkpoint (lost state would drop the query).
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = corpus.select("vec_id", "embedding").orderBy("vec_id").limit(2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def line(id: Long, t: String, v: Seq[Float]) =
+      s"""{"vec_id":$id,"ts":"$t","embedding":[${v.mkString(",")}]}"""
+    val dir = java.nio.file.Files.createTempDirectory("graft_knnrec").toFile
+    val f = new java.io.File(dir, "queries.jsonl")
+    def append(ls: Seq[String]): Unit =
+      java.nio.file.Files.write(f.toPath, (ls.mkString("\n") + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    def start() = {
+      val decoded = spark.readStream
+        .format(classOf[graft.io.ReplaySourceProvider].getName)
+        .option("path", f.getAbsolutePath).load()
+        .selectExpr(
+          "from_json(value, 'vec_id BIGINT, ts TIMESTAMP, embedding ARRAY<FLOAT>') AS e")
+        .selectExpr("e.vec_id AS vec_id", "e.ts AS ts", "e.embedding AS embedding")
+      graft.ext.Similarity.knnStream(decoded, corpus,
+        kNbrs = 3, k = 16, delay = "0 seconds", windowLen = "10 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+    append(Seq(line(qs(0)._1, "2024-01-01 00:01:00", qs(0)._2)))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // restart: a second query in the SAME window, then a flush that
+    // advances the watermark past the window end
+    append(Seq(
+      line(qs(1)._1, "2024-01-01 00:02:00", qs(1)._2),
+      line(99999L, "2024-01-02 00:00:00", qs(0)._2)))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out)
+      .select("query_id", "nbr_ids").as[(Long, Seq[Long])].collect().toMap
+    assert(rows.keySet === qs.map(_._1).toSet, s"recovered windows: ${rows.keySet}")
+    qs.foreach { case (id, _) =>
+      assert(rows(id).nonEmpty && rows(id).head === id && rows(id).distinct.length === rows(id).length)
+    }
+  }
+
   test("decode drops corrupt Kafka payloads instead of failing the stream") {
     val good = """{"event_id":7,"ts":"2024-01-01 00:00:00","user_id":3,"event_type":"view","value":1.5,"props":"{}"}"""
     val kafkaShaped = Seq(good, "{not json", "", """{"event_id":null}""")
