@@ -377,6 +377,8 @@ object SparkEntry {
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
     "domain_cap" -> ((s, d) => Sampling.capPerSource(Tables.documents(s, d), cap = 8)),
+    "dataset_split" -> ((s, d) => Sampling.datasetSplit(Tables.documents(s, d))),
+    "epoch_order" -> ((s, d) => Sampling.epochOrder(Tables.documents(s, d), epoch = 1, shards = 8)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "embed_outliers" -> ((s, d) => Similarity.outliersByLabel(Tables.embeddings(s, d))),
     "lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
@@ -2066,6 +2068,20 @@ object SparkEntry {
          |           ORDER BY ${dH("CAST(doc_id AS VARCHAR)")} % 4503599627370496, doc_id) AS rn
          |  FROM documents) t
          |WHERE rn <= 8""".stripMargin,
+    "dataset_split" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN b < 10 THEN 'test'
+         |            WHEN b < 20 THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM (SELECT doc_id, ${dH("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |      FROM documents) t""".stripMargin,
+    "epoch_order" ->
+      s"""SELECT doc_id, shard,
+         |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS shard_rank
+         |FROM (SELECT doc_id,
+         |             ${dH("('1:' || CAST(doc_id AS VARCHAR))")} % 8 AS shard,
+         |             ${dH("('1:' || CAST(doc_id AS VARCHAR))")} AS h
+         |      FROM documents) t""".stripMargin,
     "ngram_jaccard" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

@@ -91,6 +91,48 @@ object Sampling {
       .select(col("source"), explode(col("ids")).as("doc_id"))
   }
 
+  /** Deterministic train/val/test assignment — the split every training
+    * corpus needs, as a pure hash projection: membership depends only on
+    * the doc id, so it is stable across runs, retries, engines and
+    * corpus growth (adding documents never moves an existing one between
+    * splits — the property random splitting silently lacks).
+    */
+  def datasetSplit(
+      documents: DataFrame,
+      valPct: Int = 10,
+      testPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"invalid split percentages: val=$valPct test=$testPct")
+    documents.selectExpr("doc_id",
+      s"${TextOps.md5Long64("cast(doc_id as string)")} % 100 as bucket")
+      .selectExpr("doc_id",
+        s"""case when bucket < $testPct then 'test'
+           |     when bucket < ${testPct + valPct} then 'val'
+           |     else 'train' end as split""".stripMargin)
+  }
+
+  /** Per-epoch data-loader order: a fresh deterministic permutation per
+    * epoch, laid out the way distributed readers actually consume data —
+    * `shards` parallel streams, each internally ordered by an
+    * epoch-seeded hash. A global `ORDER BY hash` would be one total sort
+    * (single-partition bottleneck at corpus scale); per-shard ranking is
+    * `shards`-way parallel and each reader's order is still a uniform
+    * epoch-dependent shuffle (same shard-then-order shape as
+    * `pack_sequences`). Epoch 0 and epoch 1 orders are unrelated;
+    * re-running either reproduces it bit-for-bit.
+    */
+  def epochOrder(
+      documents: DataFrame,
+      epoch: Int = 0,
+      shards: Int = 32): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val h = TextOps.md5Long64(s"concat('$epoch:', cast(doc_id as string))")
+    documents
+      .selectExpr("doc_id", s"$h % $shards as shard", s"$h as h")
+      .selectExpr("doc_id", "shard",
+        "row_number() over (partition by shard order by h, doc_id) as shard_rank")
+  }
+
   def stratifiedSample(
       df: DataFrame,
       stratumCol: String,
