@@ -608,9 +608,23 @@ object Similarity {
   def knnJoin(
       embeddings: DataFrame,
       kNbrs: Int = 3,
-      k: Int = AdaptiveK): DataFrame = {
-    val kk = resolveK(embeddings, k)
-    val a = ivfAssignWithUnit(embeddings, kk).repartition(col("cell"))
+      k: Int = AdaptiveK): DataFrame =
+    knnJoinFromAssign(
+      ivfAssignWithUnit(embeddings, resolveK(embeddings, k)), kNbrs)
+
+  /** [[knnJoin]] against TRAINED (or any custom) centroids in the one-row
+    * codebook format — `knnJoinWith(corpus, trainedCodebook(corpus))`
+    * builds the kNN graph on trained cell geometry. Same ranking
+    * contract; only the candidate restriction changes.
+    */
+  def knnJoinWith(
+      embeddings: DataFrame,
+      codebook: DataFrame,
+      kNbrs: Int = 3): DataFrame =
+    knnJoinFromAssign(assignWithUnit(embeddings, codebook), kNbrs)
+
+  private def knnJoinFromAssign(assign: DataFrame, kNbrs: Int): DataFrame = {
+    val a = assign.repartition(col("cell"))
     val l = a.select(col("cell"), col("vec_id"), col("unit"))
     val r = a.select(col("cell"), col("vec_id").as("nbr_id"), col("unit").as("nbr_unit"))
     val w = org.apache.spark.sql.expressions.Window

@@ -1092,5 +1092,12 @@ class ExtSpec extends AnyFunSuite {
       .filter(col("vec_id") === 100000L).select("is_dup")
       .collect().map(_.getInt(0)).toSeq
     assert(flagged === Seq(1))
+    // trained bulk kNN: the clone's nearest neighbor is its original
+    // (cosine 1.0, same cell under ANY codebook)
+    val top = Similarity
+      .knnJoinWith(emb.unionByName(clone), Similarity.trainedCodebook(emb, 8, 2))
+      .filter(col("vec_id") === 100000L && col("rank") === 1L)
+      .select("nbr_id").collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(20L))
   }
 }
