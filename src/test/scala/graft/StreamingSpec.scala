@@ -600,6 +600,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("piiScrub / classifierScore run unchanged on a stream and match batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // pure projections: the same library call compiles to the same
+    // expressions on a streaming frame — the streaming-twin contract the
+    // minhash/decontamination ops already follow
+    val docs = Seq(
+      (1L, "contact me at alice@example.com or 10.0.0.7 please"),
+      (2L, "plain words only, nothing sensitive here at all"),
+      (3L, "")) // empty text: 0 tokens, score 0
+    val ms = MemoryStream[(Long, String)]
+    val streamed = graft.ext.TextOps.classifierScore(
+      graft.ext.TextOps.piiScrub(ms.toDS().toDF("doc_id", "text"))
+        .selectExpr("doc_id", "scrubbed as text", "n_emails", "n_ipv4"))
+    val q = streamed.writeStream.format("memory").queryName("proj_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs)
+      q.processAllAvailable()
+      val stream = spark.table("proj_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap // doc_id -> score_milli
+      val batch = graft.ext.TextOps.classifierScore(
+        graft.ext.TextOps.piiScrub(docs.toDF("doc_id", "text"))
+          .selectExpr("doc_id", "scrubbed as text"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(stream === batch)
+      // and the scrub itself fired: doc 1's email/IP were redacted before
+      // scoring (the scrubbed tokens <EMAIL>/<IP> are what got scored)
+      val scrubbed = graft.ext.TextOps.piiScrub(docs.toDF("doc_id", "text"))
+        .filter("doc_id = 1").select("scrubbed").collect()(0).getString(0)
+      assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<IP>"))
+    } finally q.stop()
+  }
+
   test("decode drops corrupt Kafka payloads instead of failing the stream") {
     val good = """{"event_id":7,"ts":"2024-01-01 00:00:00","user_id":3,"event_type":"view","value":1.5,"props":"{}"}"""
     val kafkaShaped = Seq(good, "{not json", "", """{"event_id":null}""")
