@@ -393,6 +393,15 @@ object Similarity {
     * (cell, qsig) inside the watermark window — bounded by arrival rate ×
     * window, never by corpus size — and the only join in the plan is the
     * one-row codebook broadcast; nothing shuffles on vector content.
+    *
+    * Degenerate vectors: a zero-norm embedding has NULL cell and an
+    * all-zero signature, so ALL such arrivals share one key and collapse
+    * to a single survivor per watermark window — unlike the batch
+    * operator, which keeps every degenerate row (no defined cosine, no
+    * pairs). Deliberate: a directionless vector has no semantic identity
+    * to deduplicate BY; screen zero vectors upstream
+    * ([[outliersByLabel]]/[[quantizeInt8]] both surface them) if they
+    * must be preserved.
     */
   def semanticDedupStream(
       stream: DataFrame,
