@@ -336,6 +336,7 @@ object SparkEntry {
     "attribution" -> ((s, d) => StateOps.attribution(Tables.events(s, d))),
     "gopher_quality" -> ((s, d) => TextOps.gopherQuality(Tables.documents(s, d))),
     "classifier_score" -> ((s, d) => TextOps.classifierScore(Tables.documents(s, d))),
+    "freq_score" -> ((s, d) => TextOps.freqScore(Tables.documents(s, d))),
     // the synthetic corpus carries no real PII, so the query DECORATES
     // each doc with deterministic doc_id-derived email/IP/phone strings
     // before scrubbing — the gate then proves count and redaction
@@ -2250,6 +2251,21 @@ object SparkEntry {
          |       CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) / 512.0 AS fill_ratio
          |FROM placed
          |GROUP BY grp, bin""".stripMargin,
+    "freq_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, length(bin(COUNT(*) OVER (PARTITION BY token))) - 1 AS mag
+        |  FROM tok
+        |), p AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |         CAST(SUM(mag) AS BIGINT) AS logfreq_sum,
+        |         CAST(MIN(mag) AS BIGINT) AS rarest_mag
+        |  FROM m GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, p.n_tokens, p.logfreq_sum, p.rarest_mag
+        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
     "classifier_score" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

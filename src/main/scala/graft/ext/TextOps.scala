@@ -649,6 +649,32 @@ object TextOps {
         "cast(score_milli >= 0 as int) as keep")
   }
 
+  /** Corpus-frequency quality scoring — the rarity signal LM-based
+    * filters approximate: every token's corpus occurrence count is
+    * reduced to its integer log₂ magnitude (`length(bin(c)) - 1`, exact
+    * in any engine — `floor(log2(c))` in doubles flips at power-of-two
+    * boundaries), and each document reports the sum and the minimum of
+    * its token magnitudes. A low `rarest_mag` flags out-of-vocabulary /
+    * gibberish tokens; a low magnitude sum per token marks documents of
+    * rare material overall. Plan shape: corpus counts come from ONE
+    * window over the exploded tokens (the tf→df idiom of [[tfidfTop]] —
+    * no vocabulary join), then one per-doc aggregate; documents with no
+    * tokens surface with NULL score via the final left join.
+    */
+  def freqScore(documents: DataFrame): DataFrame = {
+    val tok = documents.selectExpr("doc_id",
+      "explode(filter(split(text, ' '), x -> x != '')) as token")
+    val mag = tok
+      .withColumn("c",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
+      .selectExpr("doc_id", "length(bin(c)) - 1 as mag")
+    val per = mag.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("mag")).as("logfreq_sum"),
+        min(col("mag")).as("rarest_mag"))
+    documents.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+  }
+
   def heavyHittersByGroup(
       documents: DataFrame,
       groupCol: String = "lang",
