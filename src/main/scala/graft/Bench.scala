@@ -65,11 +65,14 @@ object Bench {
     }
 
     // count() is the sink: cheap, and for aggregate/join queries (the
-    // large majority) all the work sits below it. Boundary: for PURE
-    // PROJECTION queries Catalyst prunes the projection under a count, so
-    // their rows time the scan only — kept for round-over-round
-    // comparability; measure a projection operator's compute with
-    // graft.ForceProbe (xxhash64-over-all-columns sink) instead.
+    // large majority) all the work sits below it. TWO pruning classes are
+    // under-measured and kept only for round-over-round comparability:
+    // (1) pure projections (the projection folds away under a count);
+    // (2) terminal LEFT JOINs with unique right keys (count = left count,
+    // the whole right branch is eliminated) — graft.CountPruneAudit flags
+    // this class mechanically from the optimized plans (8 of 147
+    // queries). Absolute per-query cost for either class: graft.ForceProbe
+    // (xxhash64-over-all-columns sink).
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
