@@ -17,11 +17,17 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for. Read nanos as raw Long (legacy conf) and
-    * truncate to microseconds — the same truncation DuckDB applies when it
-    * casts TIMESTAMP_NS to its microsecond TIMESTAMP, so the two engines
-    * see identical values.
+  /** `events.parquet` has carried two physical `ts` encodings across data
+    * generations: TIMESTAMP(NANOS) (no native Spark type — read nanos as raw
+    * Long via the legacy conf and truncate to micros, the same truncation
+    * DuckDB applies casting TIMESTAMP_NS to its microsecond TIMESTAMP) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers as
+    * TIMESTAMP_NTZ. Every downstream operator does epoch arithmetic with
+    * `unix_micros`, which requires the LTZ TimestampType, so normalize both
+    * to TimestampType here. The NTZ→LTZ cast interprets the wall-clock value
+    * in the session time zone; all graft sessions pin UTC, so the stored
+    * micros pass through unchanged — exactly the value DuckDB's epoch_us()
+    * sees on the naive timestamp.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -29,6 +35,8 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
