@@ -293,6 +293,11 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), k = 16)),
     "semantic_dedup_keep" -> ((s, d) => Similarity.semanticDedupKeep(Tables.embeddings(s, d), k = 16)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d), kNbrs = 3, k = 16)),
+    // The PRODUCTION regime: k ≈ √n adaptive codebook (the default the docs
+    // recommend at scale), hash-gated against an oracle that derives the
+    // same k from COUNT(*) — not just the pinned k=16 oracle regime.
+    "semantic_dedup_adaptive" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
+    "knn_join_adaptive" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d))),
     "stats_moments" -> (Functions.statsMoments _),
     "bool_aggs" -> (Functions.boolAggs _),
     "union_by_name" -> (Functions.unionByNameOps _),
@@ -1681,6 +1686,75 @@ object SparkEntry {
       s"""$dUnitCte, c AS (
          |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u
          |  WHERE unit IS NOT NULL ORDER BY vec_id LIMIT 16
+         |), s AS (
+         |  SELECT u.vec_id, u.unit, c.cent_id,
+         |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
+         |  FROM u CROSS JOIN c WHERE u.unit IS NOT NULL
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cent_sim DESC, cent_id) AS rn
+         |  FROM s
+         |), assign AS (
+         |  SELECT vec_id, unit, cent_id AS cell FROM r WHERE rn = 1
+         |), p AS (
+         |  SELECT la.vec_id AS vec_id, la.cell AS cell, lb.vec_id AS nbr_id,
+         |         round(${dUnitDot("la.unit", "lb.unit")}, 6) AS cosine_sim
+         |  FROM assign la JOIN assign lb
+         |    ON la.cell = lb.cell AND la.vec_id <> lb.vec_id
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cosine_sim DESC, nbr_id) AS rnk
+         |  FROM p
+         |)
+         |SELECT vec_id, cell, nbr_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+         |FROM rk WHERE rnk <= 3""".stripMargin,
+    // Adaptive-codebook twins: k = max(16, min(2^16, ceil(sqrt(n)))) derived
+    // from COUNT(*) exactly as Similarity.adaptiveCodebookSize does (n is
+    // exact; sqrt/ceil are the same IEEE-double ops both engines run), and
+    // the codebook takes the k smallest non-null-unit vec_ids via a
+    // row_number qualify — the engine-side ORDER BY vec_id LIMIT k.
+    "semantic_dedup_adaptive" ->
+      s"""$dUnitCte, kk AS (
+         |  SELECT GREATEST(16, LEAST(65536,
+         |           CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS INTEGER))) AS k
+         |  FROM embeddings
+         |), c AS (
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM (
+         |    SELECT vec_id, unit, row_number() OVER (ORDER BY vec_id) AS rn
+         |    FROM u WHERE unit IS NOT NULL) z
+         |  WHERE rn <= (SELECT k FROM kk)
+         |), s AS (
+         |  SELECT u.vec_id, u.unit, c.cent_id,
+         |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
+         |  FROM u CROSS JOIN c WHERE u.unit IS NOT NULL
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cent_sim DESC, cent_id) AS rn
+         |  FROM s
+         |), assign AS (
+         |  SELECT vec_id, unit, cent_id AS cell FROM r WHERE rn = 1
+         |), p AS (
+         |  SELECT lb.vec_id AS vec_id, la.vec_id AS a_id,
+         |         round(${dUnitDot("la.unit", "lb.unit")}, 6) AS sim
+         |  FROM assign la JOIN assign lb
+         |    ON la.cell = lb.cell AND la.vec_id < lb.vec_id
+         |), dups AS (
+         |  SELECT vec_id, MIN(a_id) AS dup_of FROM p WHERE sim >= 0.4 GROUP BY vec_id
+         |)
+         |SELECT u.vec_id, a.cell, d.dup_of,
+         |       CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+         |FROM u LEFT JOIN assign a USING (vec_id)
+         |       LEFT JOIN dups d USING (vec_id)""".stripMargin,
+    "knn_join_adaptive" ->
+      s"""$dUnitCte, kk AS (
+         |  SELECT GREATEST(16, LEAST(65536,
+         |           CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS INTEGER))) AS k
+         |  FROM embeddings
+         |), c AS (
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM (
+         |    SELECT vec_id, unit, row_number() OVER (ORDER BY vec_id) AS rn
+         |    FROM u WHERE unit IS NOT NULL) z
+         |  WHERE rn <= (SELECT k FROM kk)
          |), s AS (
          |  SELECT u.vec_id, u.unit, c.cent_id,
          |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
