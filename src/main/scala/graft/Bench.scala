@@ -66,16 +66,42 @@ object Bench {
 
     // count() is the sink: cheap, and for aggregate/join queries (the
     // large majority) all the work sits below it. TWO pruning classes are
-    // under-measured and kept only for round-over-round comparability:
-    // (1) pure projections (the projection folds away under a count);
-    // (2) terminal LEFT JOINs with unique right keys (count = left count,
-    // the whole right branch is eliminated) — graft.CountPruneAudit flags
-    // this class mechanically from the optimized plans (8 of 147
-    // queries). Absolute per-query cost for either class: graft.ForceProbe
-    // (xxhash64-over-all-columns sink).
+    // under-measured by it: (1) pure projections (the projection folds
+    // away under a count); (2) terminal LEFT JOINs with unique right keys
+    // (count = left count, the whole right branch is eliminated). The
+    // count() numbers stay the headline total for r1-comparability, but
+    // the same JSON line ALSO carries a "forced" map + "forced_total":
+    // every query the plan-diff below flags is re-timed under a
+    // xxhash64(struct(all cols)) → bit_xor sink (the ForceProbe
+    // instrument) that computes every output expression without
+    // collecting rows, so the artifact is interpretable on its own — no
+    // side document needed for 10% of the rows.
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Mechanical under-measurement flag (plan-only, nothing executes):
+    // the query loses Joins under a count() sink (CountPruneAudit's
+    // definitive class), or its optimized plan has no Join and no
+    // Aggregate at all — a scan-speed projection/explode/window pipeline
+    // whose output expressions a count prunes wholesale.
+    def countPruned(df: org.apache.spark.sql.DataFrame): Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+      def joins(p: LogicalPlan): Int = p.collect { case j: Join => j }.size
+      val full = df.queryExecution.optimizedPlan
+      val under = df.groupBy().count().queryExecution.optimizedPlan
+      val hasBarrier = full.collectFirst {
+        case _: Join => (); case _: Aggregate => ()
+      }.isDefined
+      joins(under) < joins(full) || !hasBarrier
+    }
+    def timedForced(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
       (System.nanoTime() - t0) / 1e9
     }
     // Each query: one untimed warmup, three timed runs, median reported
@@ -101,6 +127,7 @@ object Bench {
     val contaminated = loadAvg >= loadThreshold
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val forced = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try {
@@ -109,6 +136,10 @@ object Bench {
         times(name) = runs(1)
         spreads(name) =
           if (runs(1) > 0) (runs(2) - runs(0)) / runs(1) else 0.0
+        if (countPruned(fn(spark, sfDir))) {
+          timedForced(fn) // the forced sink JIT/codegens separately
+          forced(name) = Seq(timedForced(fn), timedForced(fn), timedForced(fn)).sorted.apply(1)
+        }
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
@@ -118,10 +149,15 @@ object Bench {
       .mkString("{", ",", "}")
     val dj = spreads.map { case (k, v) => jsonStr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val fj = forced.map { case (k, v) => jsonStr(k) + ":" + v }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = if (times.nonEmpty) times.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$dj,"load_avg_1m":$loadAvg,"load_contaminated":$contaminated,"errors":$errJson,"sf":"$sfDir"}"""
+    // The honest suite total: forced time where the count() sink is
+    // flagged as vacuous, the count() time everywhere else.
+    val forcedTotal = times.map { case (k, v) => forced.getOrElse(k, v) }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$dj,"forced":$fj,"forced_total":$forcedTotal,"load_avg_1m":$loadAvg,"load_contaminated":$contaminated,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // also drop the line as a file: launcher prefixes (sbt's "[info] ")
     // can defeat stdout JSON parsing (observed in round 1's bench record)

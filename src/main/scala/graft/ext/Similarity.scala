@@ -413,6 +413,90 @@ object Similarity {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("cell", "qsig")
 
+  // ------------------------------------------------------------------
+  // Codebook refresh for long-running streams
+  // ------------------------------------------------------------------
+
+  /** Versioned codebook store — the refresh mechanism for the streaming
+    * twins on a drifting crawl. Spark PINS a file source's listing for the
+    * life of a streaming query: overwriting the codebook's files mid-query
+    * fails the next micro-batch with FAILED_READ_FILE.FILE_NOT_EXIST, and
+    * `spark.catalog.refreshTable` does not reach into a running query's
+    * analyzed plan (both probed on Spark 4.1 — there is no in-place
+    * broadcast swap for a file-backed static side). So refresh is
+    * publish-then-restart:
+    *
+    *  - [[publishCodebook]] writes an IMMUTABLE `v=N+1` subdirectory of
+    *    `dir`. A publish never touches files a running query pinned, so
+    *    retraining can run while queries are up (e.g. from a
+    *    [[refreshingDedupSink]] foreachBatch).
+    *  - [[latestCodebook]] resolves the newest version at DATAFRAME
+    *    CREATION — i.e. at query (re)start. Stop the query, restart from
+    *    the SAME checkpoint: dedup state survives, the new codebook takes
+    *    effect. (A rolling restart is how a real cluster rotates any
+    *    broadcast-shaped model artifact.)
+    *
+    * Cross-swap dedup contract: `qsig` derives from the vector alone and
+    * survives any swap; `cell` derives from the codebook. A duplicate
+    * whose first arrival was keyed under the OLD codebook is re-admitted
+    * after a swap iff the two codebooks disagree on its cell — at most one
+    * extra survivor per (cell, qsig) neighborhood per swap — while
+    * arrivals keyed AFTER the swap keep deduplicating exactly.
+    */
+  def publishCodebook(cb: DataFrame, dir: String): Int = {
+    val next = codebookVersions(cb.sparkSession, dir).lastOption.getOrElse(0) + 1
+    // one row — coalesce(1) writes one file, errorIfExists keeps versions immutable
+    cb.coalesce(1).write.mode("errorifexists").parquet(s"$dir/v=$next")
+    next
+  }
+
+  /** Published versions under `dir`, ascending (Hadoop FS — works on any
+    * cluster filesystem, not just local disk).
+    */
+  def codebookVersions(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") && s.drop(2).nonEmpty
+        && s.drop(2).forall(_.isDigit) => s.drop(2).toInt }
+      .sorted
+  }
+
+  /** The newest published codebook (one row, [[codebook]] format). Resolved
+    * at creation time — call at query (re)start, not once per process.
+    */
+  def latestCodebook(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val vs = codebookVersions(spark, dir)
+    require(vs.nonEmpty, s"no codebook versions published under $dir")
+    spark.read.parquet(s"$dir/v=${vs.last}")
+  }
+
+  /** foreachBatch sink for [[semanticDedupStream]] that drives PERIODIC
+    * retraining: append each micro-batch's survivors to `outPath`, and
+    * every `refreshEvery` batches retrain a [[trainedCodebook]] from ALL
+    * survivors so far and publish a new version to `cbDir`. The publish is
+    * additive (see [[publishCodebook]]) — the running query keeps its
+    * pinned codebook; the next restart picks the retrained one up via
+    * [[latestCodebook]].
+    */
+  def refreshingDedupSink(
+      outPath: String,
+      cbDir: String,
+      k: Int = 16,
+      iters: Int = 2,
+      refreshEvery: Int = 10): (DataFrame, Long) => Unit = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    (batch, batchId) => {
+      batch.write.mode("append").parquet(outPath)
+      if ((batchId + 1) % refreshEvery == 0) {
+        val spark = batch.sparkSession
+        publishCodebook(
+          trainedCodebook(spark.read.parquet(outPath), k, iters), cbDir)
+      }
+    }
+  }
+
   /** Streaming kNN: top-`kNbrs` corpus neighbors for every QUERY vector
     * arriving on a stream (schema: `vec_id`, event-time, `embedding`) —
     * the retrieval-serving twin of the batch [[knnJoin]]. Emits one row

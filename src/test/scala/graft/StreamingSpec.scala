@@ -510,6 +510,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids === Seq(10L, 13L), s"recovered-state dedup verdicts: $ids")
   }
 
+  test("codebook refresh: foreachBatch retrains + publishes; restart swaps it in with state intact") {
+    // The refresh contract (Similarity.publishCodebook scaladoc): a running
+    // query pins its codebook files, so the sink's retrained publish is
+    // ADDITIVE (new v=N dir) and the swap lands at the next restart from
+    // the same checkpoint. Post-swap verdicts must equal first-arrival
+    // dedup where pre-swap state keys were recorded under the OLD codebook
+    // and post-swap arrivals key under the NEW one — computed here from
+    // batch runs of withSemanticKey under each codebook, not hard-coded.
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vecs = corpus.select("vec_id", "embedding").orderBy("vec_id").limit(9)
+      .collect().map(_.getSeq[Float](1))
+    def line(id: Long, t: String, v: Seq[Float]) =
+      s"""{"vec_id":$id,"ts":"$t","embedding":[${v.mkString(",")}]}"""
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbswap").toFile
+    val f = new java.io.File(dir, "vecs.jsonl")
+    def append(ls: Seq[String]): Unit =
+      java.nio.file.Files.write(f.toPath, (ls.mkString("\n") + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val cbDir = new java.io.File(dir, "cb").getAbsolutePath
+
+    assert(graft.ext.Similarity.publishCodebook(
+      graft.ext.Similarity.codebook(corpus, 4), cbDir) === 1)
+    def start() = {
+      val decoded = spark.readStream
+        .format(classOf[graft.io.ReplaySourceProvider].getName)
+        .option("path", f.getAbsolutePath).load()
+        .selectExpr(
+          "from_json(value, 'vec_id BIGINT, ts TIMESTAMP, embedding ARRAY<FLOAT>') AS e")
+        .selectExpr("e.vec_id AS vec_id", "e.ts AS ts", "e.embedding AS embedding")
+      graft.ext.Similarity
+        .semanticDedupStream(decoded,
+          graft.ext.Similarity.latestCodebook(spark, cbDir))
+        .writeStream
+        .foreachBatch(graft.ext.Similarity.refreshingDedupSink(
+          out, cbDir, k = 4, iters = 1, refreshEvery = 1))
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+    // batch 1 under codebook v1: 8 distinct corpus vectors
+    val pre = (0 until 8).map(i => (10L + i, vecs(i)))
+    append(pre.zipWithIndex.map { case ((id, v), i) =>
+      line(id, f"2024-01-01 00:$i%02d:00", v) })
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // the sink retrained from the survivors and published v2 while q1 ran
+    val versionsAfterQ1 = graft.ext.Similarity.codebookVersions(spark, cbDir)
+    assert(versionsAfterQ1.contains(2), s"expected a published retrain, got $versionsAfterQ1")
+
+    // batch 2 after restart, under the RETRAINED codebook: an exact copy
+    // of vec 10's vector, a novel vector, and a re-ask of the copy
+    val post = Seq((20L, vecs(0)), (21L, vecs(8)), (22L, vecs(0)))
+    append(Seq(
+      line(20L, "2024-01-01 01:00:00", vecs(0)),
+      line(21L, "2024-01-01 01:01:00", vecs(8)),
+      line(22L, "2024-01-01 01:02:00", vecs(0))))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    // expected verdicts: simulate the state machine with keys computed by
+    // the SAME projection the stream ran — old codebook for batch 1, new
+    // for batch 2
+    import org.apache.spark.sql.functions.col
+    def keys(rows: Seq[(Long, Seq[Float])], cb: org.apache.spark.sql.DataFrame) =
+      graft.ext.Similarity.withSemanticKey(
+        rows.toDF("vec_id", "embedding").withColumn("ts", org.apache.spark.sql.functions.lit(ts("2024-01-01 00:00:00"))),
+        cb)
+        .select("vec_id", "cell", "qsig").collect()
+        .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))).toMap
+    val cbOld = spark.read.parquet(s"$cbDir/v=1")
+    val cbNew = spark.read.parquet(s"$cbDir/v=${versionsAfterQ1.last}")
+    val preKeys = keys(pre, cbOld)
+    val postKeys = keys(post, cbNew)
+    val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+    val expectedKept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    pre.map(_._1).foreach { id => if (seen.add(preKeys(id))) expectedKept += id }
+    post.map(_._1).foreach { id => if (seen.add(postKeys(id))) expectedKept += id }
+    val kept = spark.read.parquet(out).select(col("vec_id"))
+      .as[Long].collect().sorted.toSeq
+    assert(kept === expectedKept.sorted.toSeq,
+      s"post-swap verdicts must match batch semantics under the new codebook: got $kept")
+    // the re-ask of an already-admitted post-swap key is always dropped:
+    // post-swap dedup operates under the new codebook
+    assert(!kept.contains(22L))
+    // the novel vector always survives
+    assert(kept.contains(21L))
+  }
+
   test("streaming kNN: arriving query vectors get windowed top-k from the static IVF index") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
