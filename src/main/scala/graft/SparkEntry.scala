@@ -355,6 +355,28 @@ object SparkEntry {
           lit(".7 tel +1555"),
           lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 7, "0"))
           .as("text")))),
+    // structured-PII twin: decorate each doc with a known-Luhn-VALID test
+    // card (dashed on even doc_ids — separator handling under the gate),
+    // a provably-broken twin (+5 mod 10 on the check digit always breaks
+    // Luhn), and an SSN-shaped token; the gate then proves candidate
+    // counting, the integer-exact Luhn filter, and redaction order
+    "pii_scrub2" -> ((s, d) => TextOps.piiScrub2(
+      Tables.documents(s, d).select(col("doc_id"), {
+        def pick(cards: Seq[String]) = element_at(
+          array(cards.map(lit): _*), (pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
+        val plain = Seq("4111111111111111", "4012888888881881",
+          "5500005555555559", "2223003122003222")
+        val dashed = plain.map(_.grouped(4).mkString("-"))
+        val broken = plain.map(c =>
+          c.take(15) + (((c.last - '0') + 5) % 10).toString)
+        concat(col("text"), lit(" card "),
+          when(pmod(col("doc_id"), lit(2L)) === 0, pick(dashed))
+            .otherwise(pick(plain)),
+          lit(" junk "), pick(broken),
+          lit(" ssn 123-45-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+          .as("text")
+      }))),
     "shingle_novelty" -> ((s, d) => TextOps.shingleNovelty(Tables.documents(s, d))),
     "pagerank_top" -> ((s, d) =>
       Graph.pageRank(Graph.lineitemGraph(Tables.lineitem(s, d)))
@@ -2374,6 +2396,44 @@ object SparkEntry {
          |           '${TextOps.Ipv4Re}', '<IP>', 'g'),
          |         '${TextOps.PhoneRe}', '<PHONE>', 'g') AS scrubbed
          |FROM dec""".stripMargin,
+    "pii_scrub2" -> {
+      val digit = "CAST(substring(c, length(c) - i + 1, 1) AS BIGINT)"
+      val luhnOk =
+        s"""list_sum(list_transform(range(1, length(c) + 1), i ->
+           |  CASE WHEN i % 2 = 0
+           |       THEN CASE WHEN 2 * $digit > 9
+           |                 THEN 2 * $digit - 9 ELSE 2 * $digit END
+           |       ELSE $digit END)) % 10 = 0""".stripMargin
+      val plain = Seq("4111111111111111", "4012888888881881",
+        "5500005555555559", "2223003122003222")
+      val plainL = plain.map(c => s"'$c'").mkString("[", ", ", "]")
+      val dashedL = plain.map(_.grouped(4).mkString("-"))
+        .map(c => s"'$c'").mkString("[", ", ", "]")
+      val brokenL = plain.map(c => c.take(15) + (((c.last - '0') + 5) % 10).toString)
+        .map(c => s"'$c'").mkString("[", ", ", "]")
+      s"""WITH dec AS (
+         |  SELECT doc_id,
+         |         text || ' card '
+         |              || CASE WHEN doc_id % 2 = 0
+         |                      THEN ($dashedL)[CAST(doc_id % 4 AS INT) + 1]
+         |                      ELSE ($plainL)[CAST(doc_id % 4 AS INT) + 1] END
+         |              || ' junk ' || ($brokenL)[CAST(doc_id % 4 AS INT) + 1]
+         |              || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |           AS text2
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text2, '${TextOps.CardRe}')) AS INTEGER) AS n_card_candidates,
+         |       CAST(len(list_filter(
+         |         list_transform(regexp_extract_all(text2, '${TextOps.CardRe}'),
+         |                        s -> regexp_replace(s, '[- ]', '', 'g')),
+         |         c -> $luhnOk)) AS INTEGER) AS n_cards_valid,
+         |       CAST(len(regexp_extract_all(text2, '${TextOps.SsnRe}')) AS INTEGER) AS n_ssn,
+         |       regexp_replace(
+         |         regexp_replace(text2, '${TextOps.CardRe}', '<CARD>', 'g'),
+         |         '${TextOps.SsnRe}', '<SSN>', 'g') AS scrubbed
+         |FROM dec""".stripMargin
+    },
     "gopher_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |v AS (

@@ -622,6 +622,62 @@ object TextOps {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("scrubbed"))
 
+  /** Structured-PII patterns for [[piiScrub2]], same portable-regex
+    * discipline as [[EmailRe]] (no alternation under a quantifier, no
+    * lookaround — Java-backtracking ≡ RE2 leftmost-longest on these).
+    * CardRe covers the dominant 16-digit 4×4 format with optional
+    * single space/dash separators; the trailing `\b` rejects longer
+    * digit runs (a 17-digit run is NOT a card — the fixed-width groups
+    * cannot backtrack into it). Other lengths (Amex 15, etc.) are
+    * additional patterns of the same family, not a semantic change.
+    */
+  val CardRe = "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Structured-PII scrubbing — credit-card and SSN-shaped redaction with
+    * a LUHN validity count, the pass [[piiScrub]]'s pattern family does
+    * not cover (composes with it: run both projections in either order).
+    *
+    * `n_card_candidates` counts card-SHAPED matches; `n_cards_valid`
+    * counts those passing the Luhn mod-10 check — computed entirely in
+    * int64 higher-order expressions (separator strip → per-position
+    * doubled-digit sum over `sequence(1, len)` → `% 10 = 0`), so the
+    * check is integer-exact and sits under the cross-engine hash gate
+    * like `kmeans_assign`. Redaction is CONSERVATIVE: every candidate is
+    * replaced with `<CARD>` whether or not Luhn passes (a scrubber must
+    * not leak a number because a check digit was mistyped); the valid
+    * count is the signal a curation pipeline keys retention decisions on.
+    * Cards are redacted before SSNs so an SSN-shaped infix of a separated
+    * card number cannot double-fire. Pure projection: codegen'd regexp +
+    * HOF expressions, one text scan, zero exchange.
+    */
+  def piiScrub2(documents: DataFrame): DataFrame = {
+    // regexes travel through SQL string literals here (selectExpr), whose
+    // default escape processing would eat single backslashes
+    val cardRe = CardRe.replace("\\", "\\\\")
+    val ssnRe = SsnRe.replace("\\", "\\\\")
+    // Luhn sum of the cleaned digit string `c`: position i counted from
+    // the RIGHT (1-based); even positions double, subtracting 9 above 9.
+    val digit = s"cast(substring(c, length(c) - i + 1, 1) as bigint)"
+    val luhnOk =
+      s"""aggregate(sequence(1, length(c)), 0L, (a, i) -> a +
+         |  CASE WHEN i % 2 = 0
+         |       THEN CASE WHEN 2 * $digit > 9
+         |                 THEN 2 * $digit - 9 ELSE 2 * $digit END
+         |       ELSE $digit END) % 10 = 0""".stripMargin
+    documents.selectExpr(
+      "doc_id",
+      s"size(regexp_extract_all(text, '$cardRe', 0)) as n_card_candidates",
+      s"""size(filter(
+         |  transform(regexp_extract_all(text, '$cardRe', 0),
+         |            s -> regexp_replace(s, '[- ]', '')),
+         |  c -> $luhnOk)) as n_cards_valid""".stripMargin,
+      s"size(regexp_extract_all(text, '$ssnRe', 0)) as n_ssn",
+      s"""regexp_replace(
+         |  regexp_replace(text, '$cardRe', '<CARD>'),
+         |  '$ssnRe', '<SSN>') as scrubbed""".stripMargin)
+  }
+
   /** Quality-classifier filtering — the hashed bag-of-words linear model
     * shape modern corpus curation runs at scan speed (a fasttext-style
     * classifier scoring every document, keep/drop on the sign): each

@@ -1100,4 +1100,30 @@ class ExtSpec extends AnyFunSuite {
       .select("nbr_id").collect().map(_.getLong(0)).toSeq
     assert(top === Seq(20L))
   }
+
+  test("piiScrub2: Luhn separates valid from broken cards; dashed forms redact; SSN infix of a card does not double-fire") {
+    val docs = Seq(
+      // valid Visa test number, plain
+      (1L, "pay 4111111111111111 now"),
+      // same number with check digit broken (+5 mod 10) -> candidate, not valid
+      (2L, "pay 4111111111111116 now"),
+      // valid, dash-separated -> candidate + valid + redacted as one token
+      (3L, "pay 4111-1111-1111-1111 now"),
+      // 17-digit run: fixed-width groups cannot backtrack into it -> no match
+      (4L, "id 41111111111111119 is not a card"),
+      // SSN only
+      (5L, "ssn 123-45-6789 here"),
+      // SSN-shaped infix of a dashed card must not fire after redaction
+      (6L, "both 4111-1111-1111-1111 and 987-65-4321")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.piiScrub2(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L) === ((1, 1, 0, "pay <CARD> now")))
+    assert(out(2L) === ((1, 0, 0, "pay <CARD> now"))) // conservative redaction
+    assert(out(3L) === ((1, 1, 0, "pay <CARD> now")))
+    assert(out(4L) === ((0, 0, 0, "id 41111111111111119 is not a card")))
+    assert(out(5L) === ((0, 0, 1, "ssn <SSN> here")))
+    assert(out(6L) === ((1, 1, 1, "both <CARD> and <SSN>")))
+  }
 }
