@@ -47,6 +47,22 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  /** Measurement hygiene, OPT-IN: the driver's documents table is ONE
+    * parquet file (single row group ⇒ a single input split no
+    * maxPartitionBytes setting can subdivide), so cheap projections run
+    * single-task at 1× and scaling sweeps read "1× slower than 3×"
+    * artifacts (BENCH_SF1's non-monotone 1× columns). With
+    * `SPARK_GRAFT_DOC_SPLITS=N` the scan is followed by one round-robin
+    * exchange to N partitions, putting the EXPRESSION work (what the
+    * sweeps time) on the same footing as the multi-file replicas. Unset —
+    * every production and gate path — the layout is untouched.
+    */
+  def documents(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = load(spark, sfDir, "documents")
+    sys.env.get("SPARK_GRAFT_DOC_SPLITS") match {
+      case Some(n) => df.repartition(n.toInt)
+      case None => df
+    }
+  }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }
