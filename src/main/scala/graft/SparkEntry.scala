@@ -329,6 +329,10 @@ object SparkEntry {
     "minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
     "minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
     "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(Tables.documents(s, d))),
+    // ~8 bits/item at the test corpus scale (fpp ≈ 2%); output is exact
+    // regardless — the confirm join erases the fpp tail
+    "bloom_screen_dedup" -> ((s, d) => Dedup.bloomScreenDedup(
+      Tables.documents(s, d), expectedItems = 4096L, numBits = 32768L)),
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     // capped at maxDf=100: the uncapped pair generation (unbounded
     // collect_list per shingle) is a test-only baseline — one boilerplate
@@ -1960,6 +1964,22 @@ object SparkEntry {
          |       CAST(matches.dup_of IS NOT NULL AS INT) AS is_known_dup
          |FROM (SELECT doc_id FROM sig WHERE doc_id % 5 = 4) f
          |LEFT JOIN matches USING (doc_id)""".stripMargin,
+    // the Bloom screen is engine machinery, not semantics: no false
+    // negatives + exact confirm join ⇒ the answer IS content-hash
+    // incremental dedup, which is what the oracle states directly
+    "bloom_screen_dedup" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, ${dH("text")} AS h, (doc_id % 5 = 4) AS is_new
+         |  FROM documents
+         |), m AS (
+         |  SELECT n.doc_id, MIN(e.doc_id) AS dup_of
+         |  FROM sig n JOIN sig e ON n.h = e.h AND n.is_new AND NOT e.is_new
+         |  GROUP BY n.doc_id
+         |)
+         |SELECT s.doc_id, m.dup_of,
+         |       CAST(m.dup_of IS NOT NULL AS INT) AS is_known_dup
+         |FROM sig s LEFT JOIN m USING (doc_id)
+         |WHERE s.is_new""".stripMargin,
     "simhash" ->
       s"""$dToksCte, h AS (
          |  SELECT doc_id, list_transform(toks, tk -> ${dH("tk")}) AS hs FROM t

@@ -214,6 +214,61 @@ object Dedup {
         col("dup_of").isNotNull.cast("int").as("is_known_dup"))
   }
 
+  /** Bloom-screened EXACT incremental dedup — the screen-then-verify
+    * pattern for deduplicating an arriving batch against a corpus too big
+    * to join outright. The existing corpus's content hashes aggregate
+    * into ONE Bloom filter (Spark's native `BloomFilterAggregate`, built
+    * MAP-SIDE by partial aggregation — the corpus never shuffles); the
+    * new batch keeps only rows the filter might contain (true dups plus
+    * the fpp tail); and the surviving sliver is BROADCAST back into the
+    * corpus for the exact confirm join. Bloom filters have no false
+    * negatives and the confirm join removes the false positives, so the
+    * output is EXACTLY the content-hash incremental dedup — which is what
+    * lets a probabilistic structure sit under the DuckDB hash gate.
+    *
+    * Scale shape: ZERO corpus exchanges (one-row bloom aggregate + a
+    * broadcast-probe join), versus the hash-index build's full corpus
+    * shuffle. The batch side shuffles nothing bigger than itself. The
+    * blob is `numBits/8` bytes on the driver and in the subquery
+    * broadcast — size it ~8–10 bits per existing item (fpp ≈ 1–2%); at
+    * corpus scales past broadcastable blobs, shard the screen by hash
+    * prefix (same contract per shard).
+    *
+    * The Bloom expressions are Catalyst-internal (Spark exposes them only
+    * to its own runtime-filter rewrite); [[graft.functions]]' shim
+    * constructs them the same way it builds the custom expressions, and
+    * the blob reaches `might_contain` as a scalar subquery — the form the
+    * expression requires.
+    */
+  def bloomScreenDedup(
+      documents: DataFrame,
+      isNewExpr: String = "doc_id % 5 = 4",
+      expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.graftshim.GraftShim
+    val sig = documents.selectExpr(
+      "doc_id", s"${md5Long64("text")} as h", s"cast(($isNewExpr) as boolean) as is_new")
+    val existing = sig.filter(!col("is_new"))
+    val fresh = sig.filter(col("is_new"))
+    val bloom = existing.agg(GraftShim.column(
+      new BloomFilterAggregate(GraftShim.expression(col("h")),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()).as("bf"))
+    val screened = fresh.filter(GraftShim.column(BloomFilterMightContain(
+      ScalarSubquery(bloom.queryExecution.analyzed),
+      GraftShim.expression(col("h")))))
+    val matches = existing
+      .join(broadcast(screened.select(col("h"), col("doc_id").as("n_id"))), Seq("h"))
+      .groupBy(col("n_id"))
+      .agg(min(col("doc_id")).as("dup_of"))
+      .select(col("n_id").as("doc_id"), col("dup_of"))
+    fresh.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNotNull.cast("int").as("is_known_dup"))
+  }
+
   /** SimHash over the token multiset: hash each token once, then per bit
     * sum +1/-1 weights and keep the sign. Pure per-row projection — no
     * shuffle, no UDF. The bit-packing runs in the codegen'd

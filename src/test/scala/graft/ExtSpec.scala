@@ -1101,6 +1101,36 @@ class ExtSpec extends AnyFunSuite {
     assert(top === Seq(20L))
   }
 
+  test("bloomScreenDedup: exact verdicts through the probabilistic screen; batch-internal dups unflagged; empty corpus safe") {
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "gamma delta"), (2L, "epsilon zeta"),
+      (3L, "unique three"),
+      (4L, "gamma delta"), // fresh (4 % 5 == 4), dup of existing 1
+      (9L, "nowhere else"), // fresh, no existing match
+      (14L, "twin text"), (19L, "twin text") // fresh pair: batch-internal dup only
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.bloomScreenDedup(docs,
+        expectedItems = 64L, numBits = 512L)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getInt(2))).toMap
+    assert(out === Map(
+      4L -> ((1L, 1)), // confirmed against the corpus
+      9L -> ((-1L, 0)),
+      14L -> ((-1L, 0)), 19L -> ((-1L, 0)))) // internal dups are not "known"
+    // the screen is real: the analyzed plan carries the bloom membership
+    // expression, not just the confirm join
+    val plan = graft.ext.Dedup.bloomScreenDedup(docs)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"),
+      s"expected a bloom screen in the plan:\n$plan")
+    // empty existing corpus: the bloom aggregate is NULL, the screen drops
+    // everything, and every fresh row still surfaces as not-known
+    val allNew = Seq((4L, "a"), (9L, "a")).toDF("doc_id", "text")
+    val empty = graft.ext.Dedup.bloomScreenDedup(allNew)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq.sorted
+    assert(empty === Seq((4L, 0), (9L, 0)))
+  }
+
   test("piiScrub2: Luhn separates valid from broken cards; dashed forms redact; SSN infix of a card does not double-fire") {
     val docs = Seq(
       // valid Visa test number, plain
