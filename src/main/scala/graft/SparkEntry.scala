@@ -346,6 +346,8 @@ object SparkEntry {
     "gopher_quality" -> ((s, d) => TextOps.gopherQuality(Tables.documents(s, d))),
     "classifier_score" -> ((s, d) => TextOps.classifierScore(Tables.documents(s, d))),
     "freq_score" -> ((s, d) => TextOps.freqScore(Tables.documents(s, d))),
+    "corpus_stats" -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
+    "dsir_weights" -> ((s, d) => TextOps.dsirWeights(Tables.documents(s, d))),
     // the synthetic corpus carries no real PII, so the query DECORATES
     // each doc with deterministic doc_id-derived email/IP/phone strings
     // before scrubbing — the gate then proves count and redaction
@@ -2382,6 +2384,44 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, p.n_tokens, p.logfreq_sum, p.rarest_mag
         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+    "corpus_stats" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents
+        |), pt AS (
+        |  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+        |)
+        |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       COUNT(*) AS n_types,
+        |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       MAX(c) AS max_token_freq,
+        |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio,
+        |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS hapax_frac
+        |FROM pt""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, (lang = 'en') AS is_tgt,
+         |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents
+         |), bg AS (
+         |  SELECT doc_id, is_tgt,
+         |         ${dH("toks[i] || ' ' || toks[i + 1]")} % 4096 AS b
+         |  FROM (SELECT doc_id, is_tgt, toks,
+         |               unnest(range(1, len(toks))) AS i
+         |        FROM t WHERE len(toks) >= 2)
+         |), m AS (
+         |  SELECT doc_id,
+         |         (length(bin(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) OVER (PARTITION BY b))) - 1)
+         |           - (length(bin(COUNT(*) OVER (PARTITION BY b))) - 1) AS wgt
+         |  FROM bg
+         |), p AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(wgt) AS BIGINT) AS dsir_score
+         |  FROM m GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.lang, p.n_bigrams, p.dsir_score
+         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
     "classifier_score" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

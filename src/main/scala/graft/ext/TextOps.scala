@@ -622,6 +622,76 @@ object TextOps {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("scrubbed"))
 
+  /** One-row corpus report card — the numbers every curation run logs
+    * before and after each stage: document/token/type counts, hapax count
+    * (vocabulary items seen exactly once — the OOV-tail size), the
+    * heaviest token frequency, and the derived type–token / hapax ratios.
+    * Plan shape: one token exchange (map-side-combined groupBy on the
+    * token) feeding a single-row aggregate, plus a 1-row broadcast of the
+    * document count — two scans, one real shuffle, output size O(1) at
+    * any corpus scale. Ratios are exact-int IEEE divisions on one row, so
+    * the whole card is cross-engine exact.
+    */
+  def corpusStats(documents: DataFrame): DataFrame = {
+    val tok = documents.selectExpr(
+      "explode(filter(split(text, ' '), x -> x != '')) as token")
+    val perTok = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    perTok.agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+      max(col("c")).as("max_token_freq"))
+      .crossJoin(broadcast(nDocs))
+      .selectExpr("n_docs", "n_tokens", "n_types", "n_hapax", "max_token_freq",
+        "cast(n_types as double) / cast(n_tokens as double) as type_token_ratio",
+        "cast(n_hapax as double) / cast(n_types as double) as hapax_frac")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each document by
+    * how much its hashed-bigram distribution looks like a TARGET slice of
+    * the corpus versus the corpus overall — the importance signal used to
+    * resample a raw crawl toward a quality/domain target. Each bigram
+    * hashes into `dim` buckets; a bucket's weight is the integer log₂
+    * magnitude gap `mag(count_target) − mag(count_all)` (the exact
+    * `length(bin(c)) − 1` idiom of [[freqScore]], so the whole score is
+    * int64 under the cross-engine hash gate — a float log-likelihood
+    * drops in by replacing the magnitude formula); a document's score
+    * sums its bigram-OCCURRENCE weights. `mag(0) = mag(1) = 0` by the
+    * bin() identity — absent-from-target buckets floor at the most
+    * negative observable gap, they do not blow up to −∞.
+    *
+    * Plan shape: one bigram-bucket window exchange (the tf→df idiom — no
+    * vocabulary join) + one per-doc aggregate; docs with fewer than two
+    * tokens surface with NULL score via the final left join. The target
+    * membership is any boolean expression over the document row; both
+    * distributions come from the SAME single pass.
+    */
+  def dsirWeights(
+      documents: DataFrame,
+      targetExpr: String = "lang = 'en'",
+      dim: Int = 4096): DataFrame = {
+    val bg = documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("is_tgt", expr(s"cast(($targetExpr) as boolean)"))
+      .select(col("doc_id"), col("is_tgt"), col("toks"),
+        explode(expr(
+          "case when size(toks) >= 2 then sequence(1, size(toks) - 1) else array() end")).as("i"))
+      .selectExpr("doc_id", "is_tgt",
+        s"pmod(${md5Long64("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")}, $dim) as b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+    val per = bg
+      .withColumn("c_all", count(lit(1)).over(w))
+      .withColumn("c_tgt", sum(when(col("is_tgt"), 1L).otherwise(0L)).over(w))
+      .selectExpr("doc_id",
+        "(length(bin(c_tgt)) - 1) - (length(bin(c_all)) - 1) as wgt")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("wgt")).as("dsir_score"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(per, Seq("doc_id"), "left")
+  }
+
   /** Structured-PII patterns for [[piiScrub2]], same portable-regex
     * discipline as [[EmailRe]] (no alternation under a quantifier, no
     * lookaround — Java-backtracking ≡ RE2 leftmost-longest on these).
