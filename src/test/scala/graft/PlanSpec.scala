@@ -342,4 +342,34 @@ class PlanSpec extends AnyFunSuite {
     val days = q.select("event_date").distinct().count()
     assert(days === 1)
   }
+
+  test("bloom_screen_dedup: corpus side never exchanges — bloom agg + broadcast-probe confirm only") {
+    // STATIC plan, not post-AQE: the synthetic corpora carry zero
+    // cross-boundary exact dups, so at runtime AQE's empty-relation
+    // propagation elides the (correct) joins outright — the intended
+    // shape is only visible before execution. Verdict semantics on
+    // corpora WITH dups are ExtSpec's bloomScreenDedup test.
+    val p = formatted("bloom_screen_dedup")
+    // the bloom screen is in the plan (scalar-subquery membership filter)
+    assert(p.contains("might_contain"), p)
+    // the confirm join probes a BROADCAST of the screened batch — the
+    // corpus is never the shuffled side of that join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // nothing may hash-partition on the content hash h, the corpus-wide
+    // key: the corpus appears only under the one-row bloom aggregate and
+    // the broadcast probe. (The exchanges that do exist are the match
+    // sliver's groupBy and the batch-sized final left join, keyed on
+    // n_id/doc_id.)
+    assert(!"hashpartitioning\\(h#".r.findAllMatchIn(p).hasNext, p)
+  }
+
+  test("dsir_weights: one bigram-bucket window exchange; no vocabulary join") {
+    val p = formatted("dsir_weights")
+    // counts come from a window over the exploded bigrams — a join-based
+    // formulation would re-explode the corpus per distribution
+    assert(p.contains("Window"), p)
+    // exactly one Generate (bigram explode): both distributions and the
+    // per-doc sum ride the same exploded pass
+    assert("\\(\\d+\\) Generate".r.findAllMatchIn(p).size === 1, p)
+  }
 }
