@@ -269,6 +269,45 @@ object Dedup {
         col("dup_of").isNotNull.cast("int").as("is_known_dup"))
   }
 
+  /** STREAMING twin of the Bloom screen — the stateless reference-set
+    * filter for an ingest stream: drop every arrival whose content hash
+    * the reference Bloom filter might contain (already-ingested corpus,
+    * eval benchmarks, known-bad documents), keep the rest. This is
+    * [[decontaminateStream]]'s scale path: the broadcast-array form is
+    * eval-set-sized, the blob is `numBits/8` bytes for ANY reference
+    * cardinality.
+    *
+    * Direction of error is the safe one for decontamination: Bloom
+    * filters have no false negatives, so nothing in the reference ever
+    * survives; the fpp tail means a small fraction of CLEAN arrivals is
+    * conservatively dropped (size `numBits` ~8–10 bits per reference item
+    * for fpp ≈ 1–2%). NULL text cannot be a member — it is kept.
+    *
+    * The blob reaches the stream as a scalar subquery over the static
+    * reference (probed: IncrementalExecution plans it per micro-batch);
+    * `reference.persist()` before building the stream makes those
+    * per-batch re-plans read the cached aggregate instead of re-scanning.
+    */
+  def bloomScreenStream(
+      stream: DataFrame,
+      reference: DataFrame,
+      expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.graftshim.GraftShim
+    val bloom = reference.selectExpr(s"${md5Long64("text")} as h")
+      .agg(GraftShim.column(
+        new BloomFilterAggregate(GraftShim.expression(col("h")),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression()).as("bf"))
+    val member = GraftShim.column(BloomFilterMightContain(
+      ScalarSubquery(bloom.queryExecution.analyzed),
+      GraftShim.expression(expr(md5Long64("text")))))
+    // coalesce: an empty reference (NULL blob) or NULL text yields a NULL
+    // membership verdict — both mean "cannot be a member", so KEEP
+    stream.filter(coalesce(!member, lit(true)))
+  }
+
   /** SimHash over the token multiset: hash each token once, then per bit
     * sum +1/-1 weights and keep the sign. Pure per-row projection — no
     * shuffle, no UDF. The bit-packing runs in the codegen'd

@@ -510,6 +510,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids === Seq(10L, 13L), s"recovered-state dedup verdicts: $ids")
   }
 
+  test("bloomScreenStream: reference members never survive; clean and empty-reference arrivals pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq((100L, "known bad document"), (101L, "already ingested text"))
+      .toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.ext.Dedup.bloomScreenStream(
+        ms.toDS().toDF("doc_id", "text"), reference,
+        expectedItems = 64L, numBits = 512L)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("bloomscreen_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        (1L, "known bad document"), // member -> dropped, guaranteed
+        (2L, "fresh clean arrival")))
+      q.processAllAvailable()
+      ms.addData(Seq( // the screen is stateless: later batches same verdicts
+        (3L, "already ingested text"),
+        (4L, "another clean one")))
+      q.processAllAvailable()
+      val kept = spark.table("bloomscreen_stream").as[Long].collect().sorted.toSeq
+      assert(kept === Seq(2L, 4L))
+    } finally q.stop()
+    // empty reference: NULL blob means no arrival can be a member — all kept
+    val empty = reference.filter(org.apache.spark.sql.functions.lit(false))
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = graft.ext.Dedup.bloomScreenStream(
+        ms2.toDS().toDF("doc_id", "text"), empty)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("bloomscreen_stream2")
+      .outputMode("append").start()
+    try {
+      ms2.addData(Seq((7L, "anything"), (8L, "at all")))
+      q2.processAllAvailable()
+      assert(spark.table("bloomscreen_stream2").as[Long].collect().sorted.toSeq === Seq(7L, 8L))
+    } finally q2.stop()
+  }
+
   test("codebook refresh: foreachBatch retrains + publishes; restart swaps it in with state intact") {
     // The refresh contract (Similarity.publishCodebook scaladoc): a running
     // query pins its codebook files, so the sink's retrained publish is
