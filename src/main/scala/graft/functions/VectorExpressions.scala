@@ -111,6 +111,34 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(exprs.head, exprs(1))))
+    // Spark's Bloom expressions exist but are registered only in the
+    // internal runtime-filter registry — surface them to SQL text so the
+    // screen-then-verify dedup pattern (ext/Dedup.bloomScreenDedup) is
+    // writable as plain SQL: build with graft_bloom_agg(hash[, items,
+    // bits]), probe with graft_might_contain((select blob...), hash).
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => exprs match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          s"graft_bloom_agg expects 1-3 arguments, got ${exprs.size}")
+      }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))))
     // non-equi range joins -> banded hash joins (see BandedRangeJoinRule)
     e.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }

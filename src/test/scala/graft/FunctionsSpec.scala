@@ -154,4 +154,25 @@ class FunctionsSpec extends AnyFunSuite {
     val total = Tables.orders(spark, "/root/testdata/sf0.001").count()
     assert(out.values.sum === total)
   }
+
+  test("graft_bloom_agg / graft_might_contain: the screen-then-verify pattern in plain SQL") {
+    Seq(10L, 20L, 30L).toDF("x").createOrReplaceTempView("bloom_ref")
+    Seq(10L, 11L, 20L, 999L).toDF("x").createOrReplaceTempView("bloom_batch")
+    // members always hit (no false negatives); at 800 bits for 3 items
+    // the non-members of this fixture must miss
+    val kept = spark.sql(
+      """SELECT x FROM bloom_batch
+        |WHERE NOT graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(x), 100L, 800L) FROM bloom_ref),
+        |  xxhash64(x))""".stripMargin)
+      .as[Long].collect().sorted.toSeq
+    assert(kept === Seq(11L, 999L))
+    // 1-arg default-sized builder resolves too
+    val hits = spark.sql(
+      """SELECT x FROM bloom_batch
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(x)) FROM bloom_ref), xxhash64(x))""".stripMargin)
+      .as[Long].collect().sorted.toSeq
+    assert(hits.contains(10L) && hits.contains(20L))
+  }
 }
