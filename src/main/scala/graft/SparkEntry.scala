@@ -390,6 +390,23 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id"))),
+    // the END-TO-END fuzzy dedup a production corpus runs: LSH candidates
+    // → signature-estimate verify (≥4 of 8 minhash components ⇒ est
+    // Jaccard ≥ 0.5, the standard LSH accept rule) → connected components
+    // over the verified pairs → keep each cluster's min-id canonical plus
+    // every untouched doc. Every stage is the already-gated machinery;
+    // this query gates their COMPOSITION.
+    "fuzzy_dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val verified = Dedup.minhashCandidatePairs(docs)
+        .filter(col("est_jaccard") >= 0.5)
+        .select("a_id", "b_id")
+      val losers = Dedup.connectedComponents(verified)
+        .filter(col("doc_id") =!= col("component"))
+        .select(col("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => TextOps.chunkTokens(Tables.documents(s, d))),
@@ -2253,6 +2270,40 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
          |)
          |SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1""".stripMargin,
+    "fuzzy_dedup_survivors" ->
+      s"""${dToksCte.replace("WITH t AS", "WITH RECURSIVE t AS")}, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), h2 AS (
+         |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS hs FROM s
+         |), m AS (
+         |  SELECT doc_id,
+         |       $dMh
+         |  FROM h2
+         |), sig AS (
+         |  SELECT doc_id,
+         |         ${dH("concat_ws(',', mh0, mh1, mh2, mh3)")} AS band0,
+         |         ${dH("concat_ws(',', mh4, mh5, mh6, mh7)")} AS band1,
+         |         mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+         |  FROM m
+         |), pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sig a JOIN sig b
+         |    ON a.doc_id < b.doc_id AND (a.band0 = b.band0 OR a.band1 = b.band1)
+         |   AND (${(0 until 8).map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) >= 4
+         |), edges AS (
+         |  SELECT a_id AS u, b_id AS v FROM pairs
+         |  UNION
+         |  SELECT b_id, a_id FROM pairs
+         |), reach AS (
+         |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), comp AS (
+         |  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1
+         |)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)""".stripMargin,
     "ngram_jaccard_capped" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t
