@@ -44,8 +44,14 @@ object ForceProbe {
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
     names.foreach { n =>
       def once(): Double = {
-        val df = SparkEntry.queries(n)(spark, sfDir)
+        // the clock covers CONSTRUCTION too, matching Bench.timed:
+        // iterative operators (connectedComponents, pageRank past the
+        // truncation point) execute real cluster rounds eagerly while the
+        // frame is being built — a post-construction clock silently
+        // excludes them (observed: fuzzy_dedup_survivors "0.6 s" at x100
+        // when the contraction rounds actually dominate)
         val t0 = System.nanoTime()
+        val df = SparkEntry.queries(n)(spark, sfDir)
         // bit_xor: order-independent reduction with no ANSI overflow
         df.select(xxhash64(struct(df.columns.map(org.apache.spark.sql.functions.col): _*)).as("h"))
           .agg(expr("bit_xor(h)")).collect()
