@@ -407,6 +407,28 @@ object SparkEntry {
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
     }),
+    // quality-aware variant: a real pipeline keeps each near-dup
+    // cluster's BEST member, not an arbitrary id — keeper = argmax by
+    // (classifier score, then smallest doc_id), int64-exact so the whole
+    // choice is gateable; untouched docs ride through
+    "fuzzy_dedup_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val verified = Dedup.minhashCandidatePairs(docs)
+        .filter(col("est_jaccard") >= 0.5)
+        .select("a_id", "b_id")
+      val cc = Dedup.connectedComponents(verified)
+      val scored = cc.join(
+        TextOps.classifierScore(docs).select(col("doc_id"), col("score_milli")),
+        Seq("doc_id"))
+      val keepers = scored.groupBy(col("component"))
+        .agg(max(struct(col("score_milli"), (-col("doc_id")).as("neg_id"))).as("best"))
+        .select((-col("best.neg_id")).as("doc_id"))
+      docs.join(cc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .unionByName(keepers)
+        .join(docs, Seq("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => TextOps.chunkTokens(Tables.documents(s, d))),
@@ -2304,6 +2326,55 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.source, d.n_chars
          |FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)""".stripMargin,
+    "fuzzy_dedup_best" ->
+      s"""${dToksCte.replace("WITH t AS", "WITH RECURSIVE t AS")}, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), h2 AS (
+         |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS hs FROM s
+         |), m AS (
+         |  SELECT doc_id,
+         |       $dMh
+         |  FROM h2
+         |), sig AS (
+         |  SELECT doc_id,
+         |         ${dH("concat_ws(',', mh0, mh1, mh2, mh3)")} AS band0,
+         |         ${dH("concat_ws(',', mh4, mh5, mh6, mh7)")} AS band1,
+         |         mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+         |  FROM m
+         |), pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sig a JOIN sig b
+         |    ON a.doc_id < b.doc_id AND (a.band0 = b.band0 OR a.band1 = b.band1)
+         |   AND (${(0 until 8).map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) >= 4
+         |), edges AS (
+         |  SELECT a_id AS u, b_id AS v FROM pairs
+         |  UNION
+         |  SELECT b_id, a_id FROM pairs
+         |), reach AS (
+         |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), comp AS (
+         |  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1
+         |), score AS (
+         |  SELECT doc_id,
+         |         CASE WHEN toks IS NULL THEN NULL
+         |              ELSE COALESCE(CAST(list_sum(list_transform(toks,
+         |                x -> ((${dH("x")} % 1024) * 2654435761) % 2001 - 1000))
+         |                AS BIGINT), 0) END AS score_milli
+         |  FROM t
+         |), keepers AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |           row_number() OVER (PARTITION BY c.component
+         |                              ORDER BY sc.score_milli DESC, c.doc_id) AS rn
+         |    FROM comp c JOIN score sc USING (doc_id)) z
+         |  WHERE rn = 1
+         |)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+         |   OR d.doc_id IN (SELECT doc_id FROM keepers)""".stripMargin,
     "ngram_jaccard_capped" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t
