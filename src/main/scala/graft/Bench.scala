@@ -130,13 +130,15 @@ object Bench {
     // stage-scheduling-bound queries feel that residue); record the
     // whole triple so the artifact is self-interpreting
     val loadTriple: String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => f"$loadAvg%.2f" }
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val forced = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val forcedErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try {
         timed(fn) // warmup (JVM/codegen/parquet footers)
@@ -144,9 +146,19 @@ object Bench {
         times(name) = runs(1)
         spreads(name) =
           if (runs(1) > 0) (runs(2) - runs(0)) / runs(1) else 0.0
-        if (countPruned(fn(spark, sfDir))) {
-          timedForced(fn) // the forced sink JIT/codegens separately
-          forced(name) = Seq(timedForced(fn), timedForced(fn), timedForced(fn)).sorted.apply(1)
+        // The forced re-time is an INSTRUMENT on top of an already-valid
+        // count() measurement: a throw in it (an unhashable output type,
+        // OOM on the extra executions) must not turn the primary number
+        // into an ERROR — record it separately and keep rc clean.
+        try {
+          if (countPruned(fn(spark, sfDir))) {
+            timedForced(fn) // the forced sink JIT/codegens separately
+            forced(name) = Seq(timedForced(fn), timedForced(fn), timedForced(fn)).sorted.apply(1)
+          }
+        } catch {
+          case e: Throwable =>
+            forcedErrors(name) =
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         }
       } catch {
         case e: Throwable =>
@@ -161,11 +173,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
+    val fErrJson = forcedErrors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
     val total = if (times.nonEmpty) times.values.sum else 0.0
     // The honest suite total: forced time where the count() sink is
     // flagged as vacuous, the count() time everywhere else.
     val forcedTotal = times.map { case (k, v) => forced.getOrElse(k, v) }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$dj,"forced":$fj,"forced_total":$forcedTotal,"load_avg_1m":$loadAvg,"load_avg_1_5_15":${jsonStr(loadTriple)},"load_contaminated":$contaminated,"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$dj,"forced":$fj,"forced_total":$forcedTotal,"forced_errors":$fErrJson,"load_avg_1m":$loadAvg,"load_avg_1_5_15":${jsonStr(loadTriple)},"load_contaminated":$contaminated,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // also drop the line as a file: launcher prefixes (sbt's "[info] ")
     // can defeat stdout JSON parsing (observed in round 1's bench record)

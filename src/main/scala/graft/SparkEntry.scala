@@ -2357,9 +2357,14 @@ object SparkEntry {
          |), comp AS (
          |  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1
          |), score AS (
+         |  -- the score must read FILTERED tokens (classifier_score's
+         |  -- tokenizer): an empty token from consecutive spaces would
+         |  -- contribute a nonzero pseudo-weight here but not on the
+         |  -- Spark side, flipping cluster-keeper choices
          |  SELECT doc_id,
          |         CASE WHEN toks IS NULL THEN NULL
-         |              ELSE COALESCE(CAST(list_sum(list_transform(toks,
+         |              ELSE COALESCE(CAST(list_sum(list_transform(
+         |                list_filter(toks, x -> x <> ''),
          |                x -> ((${dH("x")} % 1024) * 2654435761) % 2001 - 1000))
          |                AS BIGINT), 0) END AS score_milli
          |  FROM t

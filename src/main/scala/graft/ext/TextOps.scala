@@ -267,13 +267,17 @@ object TextOps {
     * monotone transform preserves the per-document ranking that top-k
     * actually consumes.
     *
-    * Plan shape: ONE corpus scan — explode → tf aggregate, then df as a
-    * window count over tf (tf rows are already distinct per (doc, token),
-    * so `count(*) over (partition by token)` IS the document frequency —
-    * no second explode, no countDistinct, no tf⋈df self-join whose
-    * column-pruned exchanges would defeat reuse and rescan the corpus);
-    * N is a 1-row broadcast. Shuffles: tf keys → token window → doc_id
-    * window, each carrying aggregated rows, never raw token streams.
+    * Plan shape: explode → tf aggregate (near-unique (doc, token) keys —
+    * partial aggregation is skew-immune), then df as a second map-side-
+    * combined aggregate OVER the tf rows (tf rows are already distinct
+    * per (doc, token), so `count(*)` per token IS the document
+    * frequency — no second explode, no countDistinct) joined back. The
+    * join-back replaces the previous `count() over (partition by token)`
+    * window: a window partition cannot be split by AQE, so the stopword
+    * token would buffer df ≤ n_docs rows in ONE task at corpus scale,
+    * while the join form AQE either broadcasts (vocabulary-sized df
+    * side) or skew-splits. N is a 1-row broadcast. Shuffles carry
+    * aggregated rows, never raw token streams.
     */
   def tfidfTop(documents: DataFrame, k: Int = 3): DataFrame = {
     val tf = documents
@@ -281,9 +285,15 @@ object TextOps {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
-    tf.crossJoin(broadcast(n))
-      .selectExpr("doc_id", "token", "tf",
-        "count(1) over (partition by token) as df", "n_docs")
+    // the tf > 0 filter is a tautology (count ≥ 1) whose only job is to
+    // CONSUME tf in the df branch: without it column pruning rewrites the
+    // branch's inner aggregate to keys-only, its (doc, token) exchange no
+    // longer canonicalizes equal to the probe side's, and AQE stage reuse
+    // can't fire — with it the corpus scan→explode→tf pipeline runs ONCE
+    val df = tf.where(col("tf") > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
       .selectExpr("doc_id", "token", "tf", "df",
         "tf * (cast(n_docs as double) / df) as score")
       .selectExpr("doc_id", "token", "tf", "df", "score",
@@ -301,11 +311,14 @@ object TextOps {
     * with df > maxDf are dropped, which both bounds every bucket at maxDf²
     * and removes exactly the stopword mass whose idf weight is ~0 anyway.
     *
-    * Plan: one corpus scan → tf aggregate; df via a window count over the
-    * tf rows (no second explode — the [[tfidfTop]] trick); per-doc norms
-    * aggregate the SAME weighted rows and ride through the pair join as
-    * plain columns (joining norms onto the pair set afterwards would
-    * shuffle every candidate pair again). Rational idf (N/df, not
+    * Plan: one corpus scan → tf aggregate; df via a map-side-combined
+    * count over the tf rows joined back, with the `df <= maxDf` filter
+    * applied to the df side BEFORE the join so the join doubles as the
+    * stopword drop (no second explode, and no token-partitioned window —
+    * the unsplittable-stopword-task shape; see [[tfidfTop]]); per-doc
+    * norms aggregate the SAME weighted rows and ride through the pair
+    * join as plain columns (joining norms onto the pair set afterwards
+    * would shuffle every candidate pair again). Rational idf (N/df, not
     * ln(N/df)) keeps every weight a pure IEEE expression both engines
     * compute bit-identically; the final cosine is rounded once and the
     * threshold compares the ROUNDED value so the boundary is
@@ -321,10 +334,14 @@ object TextOps {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val n = documents.agg(count(lit(1)).cast("double").as("n_docs"))
-    val w = tf.crossJoin(broadcast(n))
-      .selectExpr("doc_id", "token", "tf",
-        "count(1) over (partition by token) as df", "n_docs")
+    // tautological tf > 0 keeps tf alive in this branch so the (doc,
+    // token) exchange canonicalizes equal to the probe side's and AQE
+    // stage reuse scans the corpus once (see tfidfTop)
+    val df = tf.where(col("tf") > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    val w = tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
       .selectExpr("doc_id", "token", "tf * (n_docs / df) as w")
       // one exchange under the norm aggregate AND both pair-join sides
       .repartition(col("doc_id"))
@@ -662,28 +679,37 @@ object TextOps {
     * bin() identity — absent-from-target buckets floor at the most
     * negative observable gap, they do not blow up to −∞.
     *
-    * Plan shape: one bigram-bucket window exchange (the tf→df idiom — no
-    * vocabulary join) + one per-doc aggregate; docs with fewer than two
-    * tokens surface with NULL score via the final left join. The target
-    * membership is any boolean expression over the document row; both
-    * distributions come from the SAME single pass.
+    * Plan shape — deliberately NOT a window over the bucket key: a
+    * window partition is unsplittable, so each 1/`dim` bucket of the
+    * full occurrence stream would buffer in one task at corpus scale.
+    * Instead the bucket histogram is a map-side-combined aggregate whose
+    * output is AT MOST `dim` rows BY CONSTRUCTION — always
+    * broadcast-sized — so the join back is an explicit broadcast and the
+    * occurrence stream itself never shuffles on the bucket key at all
+    * (the only real exchanges carry ≤`dim`-row partials and the per-doc
+    * aggregate). Docs with fewer than two tokens surface with NULL score
+    * via the final left join; the target membership is any boolean
+    * expression over the document row; both distributions come from the
+    * same bigram stream. Empty tokens (consecutive/leading/trailing
+    * spaces) are filtered before pairing, matching [[classifierScore]]'s
+    * tokenizer exactly.
     */
   def dsirWeights(
       documents: DataFrame,
       targetExpr: String = "lang = 'en'",
       dim: Int = 4096): DataFrame = {
     val bg = documents
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .withColumn("is_tgt", expr(s"cast(($targetExpr) as boolean)"))
       .select(col("doc_id"), col("is_tgt"), col("toks"),
         explode(expr(
           "case when size(toks) >= 2 then sequence(1, size(toks) - 1) else array() end")).as("i"))
       .selectExpr("doc_id", "is_tgt",
         s"pmod(${md5Long64("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")}, $dim) as b")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
-    val per = bg
-      .withColumn("c_all", count(lit(1)).over(w))
-      .withColumn("c_tgt", sum(when(col("is_tgt"), 1L).otherwise(0L)).over(w))
+    val counts = bg.groupBy(col("b")).agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val per = bg.join(broadcast(counts), Seq("b"))
       .selectExpr("doc_id",
         "(length(bin(c_tgt)) - 1) - (length(bin(c_all)) - 1) as wgt")
       .groupBy(col("doc_id"))
@@ -782,21 +808,36 @@ object TextOps {
     * boundaries), and each document reports the sum and the minimum of
     * its token magnitudes. A low `rarest_mag` flags out-of-vocabulary /
     * gibberish tokens; a low magnitude sum per token marks documents of
-    * rare material overall. Plan shape: corpus counts come from ONE
-    * window over the exploded tokens (the tf→df idiom of [[tfidfTop]] —
-    * no vocabulary join), then one per-doc aggregate; documents with no
-    * tokens surface with NULL score via the final left join.
+    * rare material overall.
+    *
+    * Plan shape — deliberately NOT a `count() over (partition by token)`
+    * window: a window partition cannot be split by AQE, so at corpus
+    * scale the stopword token becomes one unsplittable buffered task.
+    * Instead: (1) per-(doc, token) tf — near-unique keys, so the partial
+    * aggregation is skew-immune by construction; (2) corpus counts
+    * derived FROM the tf rows by a second map-side-combined aggregate
+    * (partial sums collapse the stopword key inside every task before
+    * the exchange); (3) a JOIN back — which AQE turns into a broadcast
+    * when the vocabulary fits and skew-splits otherwise, both of which a
+    * window forbids. Values are identical: Σ_occurrences mag ≡
+    * Σ_(doc,token) tf·mag, and the join carries (doc, token) rows, never
+    * the raw occurrence stream.
     */
   def freqScore(documents: DataFrame): DataFrame = {
-    val tok = documents.selectExpr("doc_id",
+    // the explicit isnotnull mirrors the filter the outer left join
+    // infer-pushes into the tf branch only — with it on BOTH branches the
+    // two (doc, token) exchanges canonicalize identically and AQE stage
+    // reuse executes the scan→explode→partial-agg pipeline ONCE
+    val tok = documents.where(col("doc_id").isNotNull).selectExpr("doc_id",
       "explode(filter(split(text, ' '), x -> x != '')) as token")
-    val mag = tok
-      .withColumn("c",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
-      .selectExpr("doc_id", "length(bin(c)) - 1 as mag")
-    val per = mag.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("mag")).as("logfreq_sum"),
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val c = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
+    val per = tf.join(c, Seq("token"))
+      .selectExpr("doc_id", "tf", "length(bin(c)) - 1 as mag")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("mag")).as("logfreq_sum"),
         min(col("mag")).as("rarest_mag"))
     documents.select(col("doc_id")).join(per, Seq("doc_id"), "left")
   }

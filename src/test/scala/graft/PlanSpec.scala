@@ -198,11 +198,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
   }
 
-  test("tfidf_top: one corpus scan; df comes from a window, not a re-explode") {
-    val p = formatted("tfidf_top")
-    // exactly one Generate (explode) — the df self-join formulation would
-    // re-scan and re-explode the whole corpus under a second subtree
-    assert("\\(\\d+\\) Generate".r.findAllIn(p).size === 1, p)
+  test("tfidf_top: the df join-back reuses the tf exchange — corpus exploded once at runtime") {
+    // the df side is a join-back (de-skewed form: a token window partition
+    // is one unsplittable task on the stopword key), and the tautological
+    // tf > 0 in TextOps keeps both (doc, token) exchanges canonically
+    // equal so stage reuse executes the scan→explode→tf pipeline once
+    val p = executedFinal("tfidf_top")
+    assert(p.contains("isFinalPlan=true"), p)
+    // exactly one MATERIALIZED (doc, token) exchange — the df branch reads
+    // reused shuffle output (a second one = a full corpus re-explode)
+    assert("\\+\\- Exchange hashpartitioning\\(doc_id#\\d+L?, token".r.findAllMatchIn(p).size === 1, p)
+    assert("ReusedExchange".r.findAllMatchIn(p).size >= 1, p)
     // the N scalar reads zero columns (metadata count), never the text
     assert(p.contains("ReadSchema: struct<>"), p)
   }
@@ -363,13 +369,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!"hashpartitioning\\(h#".r.findAllMatchIn(p).hasNext, p)
   }
 
-  test("dsir_weights: one bigram-bucket window exchange; no vocabulary join") {
+  test("dsir_weights: no window over the bucket key; histogram broadcasts back") {
     val p = formatted("dsir_weights")
-    // counts come from a window over the exploded bigrams — a join-based
-    // formulation would re-explode the corpus per distribution
-    assert(p.contains("Window"), p)
-    // exactly one Generate (bigram explode): both distributions and the
-    // per-doc sum ride the same exploded pass
-    assert("\\(\\d+\\) Generate".r.findAllMatchIn(p).size === 1, p)
+    // a `count() over (partition by b)` window partition is unsplittable:
+    // each 1/dim bucket of the full occurrence stream would buffer in ONE
+    // task at corpus scale. The de-skewed shape has NO Window at all —
+    // the ≤dim-row bucket histogram is a map-side-combined aggregate...
+    assert(!p.contains("Window"), p)
+    // ...joined back by BROADCAST, so the occurrence stream itself never
+    // hash-partitions on the skewed bucket key: the only b-keyed exchange
+    // is the histogram aggregate's own, carrying map-side-combined
+    // partials (≤dim rows per task), never raw occurrences
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("hashpartitioning\\(b#".r.findAllMatchIn(p).size === 1, p)
+  }
+
+  test("freq_score: no window over the token key — the stopword task shape is gone") {
+    val p = formatted("freq_score")
+    // corpus counts were `count() over (partition by token)`: the stopword
+    // partition is one unsplittable buffered task AQE cannot rescue. The
+    // de-skewed form is groupBy + join-back (AQE broadcasts or skew-splits
+    // it) — no Window node may reappear anywhere in this plan
+    assert(!p.contains("Window"), p)
+  }
+
+  test("tfidf_top: df join-back replaces the token window; per-doc top-k window stays") {
+    val p = formatted("tfidf_top")
+    // the only Window is the per-document row_number (bounded by doc
+    // length); the token-partitioned df window must not come back
+    assert(!p.contains("windowspecdefinition(token"), p)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
   }
 }
