@@ -333,6 +333,11 @@ object SparkEntry {
     // regardless — the confirm join erases the fpp tail
     "bloom_screen_dedup" -> ((s, d) => Dedup.bloomScreenDedup(
       Tables.documents(s, d), expectedItems = 4096L, numBits = 32768L)),
+    // same deliberately tiny/saturating TOTAL sizing as the unsharded
+    // gate row, split across 4 hash-prefix blobs — the exact-output
+    // contract must hold at any fpp, including the worst case
+    "bloom_screen_dedup_sharded" -> ((s, d) => Dedup.bloomScreenDedupSharded(
+      Tables.documents(s, d), shards = 4, expectedItems = 4096L, numBits = 32768L)),
     "simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     // capped at maxDf=100: the uncapped pair generation (unbounded
     // collect_list per shingle) is a test-only baseline — one boilerplate
@@ -2009,6 +2014,22 @@ object SparkEntry {
     // negatives + exact confirm join ⇒ the answer IS content-hash
     // incremental dedup, which is what the oracle states directly
     "bloom_screen_dedup" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, ${dH("text")} AS h, (doc_id % 5 = 4) AS is_new
+         |  FROM documents
+         |), m AS (
+         |  SELECT n.doc_id, MIN(e.doc_id) AS dup_of
+         |  FROM sig n JOIN sig e ON n.h = e.h AND n.is_new AND NOT e.is_new
+         |  GROUP BY n.doc_id
+         |)
+         |SELECT s.doc_id, m.dup_of,
+         |       CAST(m.dup_of IS NOT NULL AS INT) AS is_known_dup
+         |FROM sig s LEFT JOIN m USING (doc_id)
+         |WHERE s.is_new""".stripMargin,
+    // sharding is pure implementation: the screen-then-verify output is
+    // the exact content-hash incremental dedup either way, so the oracle
+    // is the same join
+    "bloom_screen_dedup_sharded" ->
       s"""WITH sig AS (
          |  SELECT doc_id, ${dH("text")} AS h, (doc_id % 5 = 4) AS is_new
          |  FROM documents

@@ -269,6 +269,75 @@ object Dedup {
         col("dup_of").isNotNull.cast("int").as("is_known_dup"))
   }
 
+  /** SHARDED Bloom screen — [[bloomScreenDedup]] past the size where ONE
+    * blob is practical. A single Bloom filter is one contiguous object:
+    * past ~2 GB it physically cannot serialize into a broadcast/subquery
+    * result (JVM array + serialization limits), and long before that one
+    * huge allocation per executor is hostile. Sharding by hash prefix
+    * (`pmod(h, shards)`) splits the screen into `shards` independent
+    * blobs, each sized `numBits/shards` — same TOTAL memory, but every
+    * object stays under the per-blob walls, so the screen scales to
+    * corpus cardinalities one blob cannot reach. Output contract is
+    * IDENTICAL to [[bloomScreenDedup]] (exact under the hash gate: the
+    * per-shard filters have no false negatives, the confirm join removes
+    * false positives).
+    *
+    * Scale shape (same as unsharded): the corpus never shuffles and is
+    * scanned ONCE — all `shards` blobs build in one aggregate pass as
+    * conditional map-side aggregates (`CASE WHEN pmod(h,k)=s THEN h END`
+    * routes each hash to exactly one blob; the aggregate skips NULLs),
+    * reach the probe as ONE scalar subquery returning a struct of blobs
+    * (one subquery = one execution — k separate subqueries would re-run
+    * the corpus aggregate k times), and each probe row evaluates
+    * `might_contain` against ONLY its own shard's field (Spark's
+    * bloom-probe expression accepts a struct field over a scalar
+    * subquery for exactly this shape). No block-manager storage pinned,
+    * honoring the file-head contract.
+    */
+  def bloomScreenDedupSharded(
+      documents: DataFrame,
+      isNewExpr: String = "doc_id % 5 = 4",
+      shards: Int = 4,
+      expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    require(shards >= 1 && shards <= 1024, s"shards in [1,1024], got $shards")
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, GetStructField, Literal, ScalarSubquery}
+    import org.apache.spark.sql.graftshim.GraftShim
+    val sig = documents.selectExpr(
+      "doc_id", s"${md5Long64("text")} as h", s"cast(($isNewExpr) as boolean) as is_new")
+    val existing = sig.filter(!col("is_new"))
+    val fresh = sig.filter(col("is_new"))
+    val perShardItems = math.max(1L, expectedItems / shards)
+    val perShardBits = math.max(64L, numBits / shards)
+    val blobCols = (0 until shards).map { s =>
+      GraftShim.column(new BloomFilterAggregate(
+        GraftShim.expression(when(pmod(col("h"), lit(shards)) === s, col("h"))),
+        Literal(perShardItems), Literal(perShardBits)).toAggregateExpression()).as(s"bf$s")
+    }
+    val blooms = existing.agg(blobCols.head, blobCols.tail: _*)
+      .select(struct((0 until shards).map(s => col(s"bf$s")): _*).as("bfs"))
+    val sq = ScalarSubquery(blooms.queryExecution.analyzed)
+    // per-row dispatch: probe only this row's shard. NULL h selects no
+    // branch → false → not screened, matching the unsharded NULL path.
+    val member = (0 until shards).map { s =>
+      (pmod(col("h"), lit(shards)) === s,
+        GraftShim.column(BloomFilterMightContain(
+          GetStructField(sq, s, Some(s"bf$s")),
+          GraftShim.expression(col("h")))))
+    }.foldRight(lit(false)) { case ((cond, v), acc) => when(cond, v).otherwise(acc) }
+    val screened = fresh.filter(member)
+    val matches = existing
+      .join(broadcast(screened.select(col("h"), col("doc_id").as("n_id"))), Seq("h"))
+      .groupBy(col("n_id"))
+      .agg(min(col("doc_id")).as("dup_of"))
+      .select(col("n_id").as("doc_id"), col("dup_of"))
+    fresh.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNotNull.cast("int").as("is_known_dup"))
+  }
+
   /** STREAMING twin of the Bloom screen — the stateless reference-set
     * filter for an ingest stream: drop every arrival whose content hash
     * the reference Bloom filter might contain (already-ingested corpus,

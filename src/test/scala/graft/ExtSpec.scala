@@ -1131,6 +1131,45 @@ class ExtSpec extends AnyFunSuite {
     assert(empty === Seq((4L, 0), (9L, 0)))
   }
 
+  test("bloomScreenDedupSharded: identical verdicts to the unsharded screen at any sharding and any fpp") {
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "gamma delta"), (2L, "epsilon zeta"),
+      (3L, "unique three"),
+      (4L, "gamma delta"), // fresh, dup of existing 1
+      (9L, "nowhere else"),
+      (14L, "twin text"), (19L, "twin text") // batch-internal dup only
+    ).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getInt(2))).toMap
+    val reference = asMap(graft.ext.Dedup.bloomScreenDedup(docs,
+      expectedItems = 64L, numBits = 512L))
+    // shards=1 (degenerate), 4, and a saturated worst case (every probe
+    // survives the screen; the confirm join must still be exact)
+    for ((k, bits) <- Seq((1, 512L), (4, 512L), (4, 256L), (8, 64L))) {
+      val out = asMap(graft.ext.Dedup.bloomScreenDedupSharded(docs,
+        shards = k, expectedItems = 64L, numBits = bits))
+      assert(out === reference, s"shards=$k numBits=$bits diverged")
+    }
+    // NULL text: hash is NULL, no shard branch fires, row surfaces
+    // unflagged — same as the unsharded NULL path
+    val withNull = Seq((1L, "gamma"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nullOut = asMap(graft.ext.Dedup.bloomScreenDedupSharded(withNull, shards = 4))
+    assert(nullOut === Map(4L -> ((-1L, 0))))
+    // empty existing corpus stays safe per shard
+    val allNew = Seq((4L, "a"), (9L, "a")).toDF("doc_id", "text")
+    val empty = graft.ext.Dedup.bloomScreenDedupSharded(allNew, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq.sorted
+    assert(empty === Seq((4L, 0), (9L, 0)))
+    // the sharded screen is real: per-shard membership probes a struct
+    // FIELD of one scalar subquery (one corpus aggregate, k blobs)
+    val plan = graft.ext.Dedup.bloomScreenDedupSharded(docs, shards = 4)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), plan)
+    assert("scalar-subquery".r.findAllMatchIn(plan).size >= 1, plan)
+  }
+
   test("piiScrub2: Luhn separates valid from broken cards; dashed forms redact; SSN infix of a card does not double-fire") {
     val docs = Seq(
       // valid Visa test number, plain

@@ -369,6 +369,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!"hashpartitioning\\(h#".r.findAllMatchIn(p).hasNext, p)
   }
 
+  test("bloom_screen_dedup_sharded: one subquery, k blobs; corpus still never hash-partitions on h") {
+    // STATIC plan (same AQE empty-relation caveat as the unsharded test)
+    val p = formatted("bloom_screen_dedup_sharded")
+    // per-shard membership probes are in the plan...
+    assert("might_contain".r.findAllMatchIn(p).size >= 4, p)
+    // ...and every membership branch references the SAME k-blob struct
+    // subquery (one canonical plan → ReuseSubquery executes the corpus
+    // aggregate once; k distinct subqueries would re-scan k times)
+    val subs = SparkEntry.queries("bloom_screen_dedup_sharded")(spark, sf)
+      .queryExecution.optimizedPlan.subqueriesAll
+    assert(subs.nonEmpty)
+    assert(subs.map(_.canonicalized).distinct.size === 1, subs.mkString("\n---\n"))
+    // sharding must not cost the zero-corpus-exchange property
+    assert(!"hashpartitioning\\(h#".r.findAllMatchIn(p).hasNext, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("dsir_weights: no window over the bucket key; histogram broadcasts back") {
     val p = formatted("dsir_weights")
     // a `count() over (partition by b)` window partition is unsplittable:
