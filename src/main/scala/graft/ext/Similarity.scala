@@ -473,28 +473,69 @@ object Similarity {
   }
 
   /** foreachBatch sink for [[semanticDedupStream]] that drives PERIODIC
-    * retraining: append each micro-batch's survivors to `outPath`, and
-    * every `refreshEvery` batches retrain a [[trainedCodebook]] from ALL
-    * survivors so far and publish a new version to `cbDir`. The publish is
-    * additive (see [[publishCodebook]]) — the running query keeps its
-    * pinned codebook; the next restart picks the retrained one up via
-    * [[latestCodebook]].
+    * retraining: append each micro-batch's survivors to `outPath`
+    * (partitioned by `batch_id` so retraining can partition-prune), and
+    * every `refreshEvery` batches retrain a [[trainedCodebook]] from the
+    * TRAILING `trailingBatches` micro-batches of survivors and publish a
+    * new version to `cbDir`. The publish is additive (see
+    * [[publishCodebook]]) — the running query keeps its pinned codebook;
+    * the next restart picks the retrained one up via [[latestCodebook]].
+    *
+    * The trailing window is what makes refresh viable on an UNBOUNDED
+    * stream: retraining from all survivors so far costs O(corpus) per
+    * refresh and grows without limit, while the trailing read is bounded
+    * by `trailingBatches` × batch size regardless of stream age — and the
+    * bound is enforced by parquet PARTITION pruning on `batch_id`, so
+    * files outside the window are never opened (only the directory
+    * listing, cheap metadata, still sees them). Recency is also the
+    * semantically right training set for a drifting crawl: the refresh
+    * exists to track drift, and year-old survivors anchor the centroids
+    * to where the distribution used to be.
     */
   def refreshingDedupSink(
       outPath: String,
       cbDir: String,
       k: Int = 16,
       iters: Int = 2,
-      refreshEvery: Int = 10): (DataFrame, Long) => Unit = {
+      refreshEvery: Int = 10,
+      trailingBatches: Int = 100): (DataFrame, Long) => Unit = {
     require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    require(trailingBatches >= 1, s"trailingBatches must be >= 1, got $trailingBatches")
     (batch, batchId) => {
-      batch.write.mode("append").parquet(outPath)
-      if ((batchId + 1) % refreshEvery == 0) {
-        val spark = batch.sparkSession
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id").parquet(outPath)
+      if ((batchId + 1) % refreshEvery == 0)
         publishCodebook(
-          trainedCodebook(spark.read.parquet(outPath), k, iters), cbDir)
-      }
+          trainedCodebook(
+            trailingSurvivors(batch.sparkSession, outPath, batchId, trailingBatches,
+              Some(batch.schema)),
+            k, iters),
+          cbDir)
     }
+  }
+
+  /** The survivors written by [[refreshingDedupSink]] for the trailing
+    * `trailingBatches` micro-batches ending at `upToBatch`, with the
+    * `batch_id` bookkeeping column dropped. The `batch_id >= lo` filter
+    * lands on the parquet PARTITION column, so the scan opens only the
+    * trailing window's files — refresh cost is independent of how long
+    * the stream has been running. Pass `schema` (the survivor schema
+    * WITHOUT `batch_id`; the sink passes its micro-batch schema) to skip
+    * footer-sampling schema inference entirely — on a long-lived survivor
+    * directory even the inference read is a file open the refresh
+    * shouldn't pay.
+    */
+  def trailingSurvivors(
+      spark: org.apache.spark.sql.SparkSession,
+      outPath: String,
+      upToBatch: Long,
+      trailingBatches: Int,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = schema.fold(spark.read)(s =>
+      spark.read.schema(s.add("batch_id", org.apache.spark.sql.types.LongType)))
+    reader.parquet(outPath)
+      .where(col("batch_id") >= upToBatch - (trailingBatches - 1))
+      .drop("batch_id")
   }
 
   /** Streaming kNN: top-`kNbrs` corpus neighbors for every QUERY vector

@@ -634,6 +634,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.contains(21L))
   }
 
+  test("refreshingDedupSink: retrain reads ONLY the trailing window — cost independent of stream length") {
+    // The bound is enforced by parquet partition pruning on batch_id. We
+    // prove "files outside the window are never opened" black-box: after
+    // writing batches 0..3, the out-of-window batches' data files are
+    // OVERWRITTEN WITH GARBAGE — if the refresh (fired at batch 4, window
+    // = trailing 2) ever opened them, the parquet read would throw.
+    val dir = java.nio.file.Files.createTempDirectory("graft_trail").toFile
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val cbDir = new java.io.File(dir, "cb").getAbsolutePath
+    val sink = graft.ext.Similarity.refreshingDedupSink(
+      out, cbDir, k = 1, iters = 1, refreshEvery = 5, trailingBatches = 2)
+    // batches 0..2 point along axis 0; batches 3..4 along axis 1 — with
+    // k=1 the retrained centroid betrays exactly which rows trained it
+    def batchDf(id: Long, v: Seq[Float]) = Seq((id, v)).toDF("vec_id", "embedding")
+    (0L to 2L).foreach(i => sink(batchDf(i, Seq(1f, 0f)), i))
+    sink(batchDf(3L, Seq(0f, 1f)), 3L)
+
+    // sanity before corruption: the trailing view sees only batches 2..3
+    val trail23 = graft.ext.Similarity.trailingSurvivors(spark, out, 3L, 2)
+    assert(trail23.select("vec_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    val plan = trail23.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("batch_id"), plan)
+
+    for (i <- 0L to 2L; f <- new java.io.File(out, s"batch_id=$i").listFiles
+         if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.write(f.toPath, "not a parquet file".getBytes("UTF-8"))
+
+    sink(batchDf(4L, Seq(0f, 1f)), 4L) // fires the retrain over batches 3..4
+    val vs = graft.ext.Similarity.codebookVersions(spark, cbDir)
+    assert(vs === Seq(1), s"expected exactly the one retrain publish, got $vs")
+    // k=1 centroid = mean of the trailing units = (0, 1): out-of-window
+    // axis-0 rows contributed nothing
+    val cent = graft.ext.Similarity.latestCodebook(spark, cbDir)
+      .selectExpr("cents[0].cent_unit").as[Seq[Double]].head()
+    assert(math.abs(cent(0)) < 1e-9 && math.abs(cent(1) - 1.0) < 1e-9, cent)
+  }
+
   test("streaming kNN: arriving query vectors get windowed top-k from the static IVF index") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
