@@ -369,8 +369,11 @@ object SparkEntry {
     // structured-PII twin: decorate each doc with a known-Luhn-VALID test
     // card (dashed on even doc_ids — separator handling under the gate),
     // a provably-broken twin (+5 mod 10 on the check digit always breaks
-    // Luhn), and an SSN-shaped token; the gate then proves candidate
-    // counting, the integer-exact Luhn filter, and redaction order
+    // Luhn), an Amex (dashed 4-6-5 on even doc_ids), a bare 13/19-digit
+    // PAN rotating valid/valid/broken, a 20-digit run that must NEVER
+    // match, and an SSN-shaped token; the gate then proves per-family
+    // candidate counting, staged precedence, the integer-exact Luhn
+    // filter, and redaction order
     "pii_scrub2" -> ((s, d) => TextOps.piiScrub2(
       Tables.documents(s, d).select(col("doc_id"), {
         def pick(cards: Seq[String]) = element_at(
@@ -380,11 +383,18 @@ object SparkEntry {
         val dashed = plain.map(_.grouped(4).mkString("-"))
         val broken = plain.map(c =>
           c.take(15) + (((c.last - '0') + 5) % 10).toString)
+        def pick3(pans: Seq[String]) = element_at(
+          array(pans.map(lit): _*), (pmod(col("doc_id"), lit(3L)) + 1).cast("int"))
         concat(col("text"), lit(" card "),
           when(pmod(col("doc_id"), lit(2L)) === 0, pick(dashed))
             .otherwise(pick(plain)),
           lit(" junk "), pick(broken),
-          lit(" ssn 123-45-"),
+          lit(" amex "),
+          when(pmod(col("doc_id"), lit(2L)) === 0, lit("3782-822463-10005"))
+            .otherwise(lit("371449635398431")),
+          lit(" pan "),
+          pick3(Seq("4222222222222", "4111111111111111110", "4111111111111111115")),
+          lit(" long 12345678901234567890 ssn 123-45-"),
           lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
           .as("text")
       }))),
@@ -2626,21 +2636,42 @@ object SparkEntry {
          |                      THEN ($dashedL)[CAST(doc_id % 4 AS INT) + 1]
          |                      ELSE ($plainL)[CAST(doc_id % 4 AS INT) + 1] END
          |              || ' junk ' || ($brokenL)[CAST(doc_id % 4 AS INT) + 1]
-         |              || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |              || ' amex ' || CASE WHEN doc_id % 2 = 0
+         |                                  THEN '3782-822463-10005'
+         |                                  ELSE '371449635398431' END
+         |              || ' pan ' || (['4222222222222', '4111111111111111110',
+         |                             '4111111111111111115'])[CAST(doc_id % 3 AS INT) + 1]
+         |              || ' long 12345678901234567890 ssn 123-45-'
+         |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
          |           AS text2
          |  FROM documents
+         |), s1 AS (
+         |  SELECT doc_id,
+         |         regexp_extract_all(text2, '${TextOps.CardRe}') AS m16,
+         |         regexp_replace(text2, '${TextOps.CardRe}', '<CARD>', 'g') AS t1
+         |  FROM dec
+         |), s2 AS (
+         |  SELECT doc_id, m16,
+         |         regexp_extract_all(t1, '${TextOps.AmexRe}') AS m15,
+         |         regexp_replace(t1, '${TextOps.AmexRe}', '<CARD>', 'g') AS t2
+         |  FROM s1
+         |), s3 AS (
+         |  SELECT doc_id, m16, m15,
+         |         regexp_extract_all(t2, '${TextOps.PanRe}') AS mpan,
+         |         regexp_replace(t2, '${TextOps.PanRe}', '<CARD>', 'g') AS t3
+         |  FROM s2
          |)
          |SELECT doc_id,
-         |       CAST(len(regexp_extract_all(text2, '${TextOps.CardRe}')) AS INTEGER) AS n_card_candidates,
+         |       CAST(len(m16) + len(m15) + len(mpan) AS INTEGER) AS n_card_candidates,
          |       CAST(len(list_filter(
-         |         list_transform(regexp_extract_all(text2, '${TextOps.CardRe}'),
+         |         list_transform(m16 || m15 || mpan,
          |                        s -> regexp_replace(s, '[- ]', '', 'g')),
          |         c -> $luhnOk)) AS INTEGER) AS n_cards_valid,
-         |       CAST(len(regexp_extract_all(text2, '${TextOps.SsnRe}')) AS INTEGER) AS n_ssn,
-         |       regexp_replace(
-         |         regexp_replace(text2, '${TextOps.CardRe}', '<CARD>', 'g'),
-         |         '${TextOps.SsnRe}', '<SSN>', 'g') AS scrubbed
-         |FROM dec""".stripMargin
+         |       CAST(len(m15) AS INTEGER) AS n_amex,
+         |       CAST(len(mpan) AS INTEGER) AS n_pan,
+         |       CAST(len(regexp_extract_all(t3, '${TextOps.SsnRe}')) AS INTEGER) AS n_ssn,
+         |       regexp_replace(t3, '${TextOps.SsnRe}', '<SSN>', 'g') AS scrubbed
+         |FROM s3""".stripMargin
     },
     "gopher_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),

@@ -721,36 +721,60 @@ object TextOps {
   /** Structured-PII patterns for [[piiScrub2]], same portable-regex
     * discipline as [[EmailRe]] (no alternation under a quantifier, no
     * lookaround — Java-backtracking ≡ RE2 leftmost-longest on these).
-    * CardRe covers the dominant 16-digit 4×4 format with optional
-    * single space/dash separators; the trailing `\b` rejects longer
-    * digit runs (a 17-digit run is NOT a card — the fixed-width groups
-    * cannot backtrack into it). Other lengths (Amex 15, etc.) are
-    * additional patterns of the same family, not a semantic change.
+    * Three card families, applied most-specific-first by [[piiScrub2]]:
+    *
+    *  - [[CardRe]]: the dominant 16-digit 4×4 grouping with optional
+    *    single space/dash separators;
+    *  - [[AmexRe]]: the 15-digit 4-6-5 Amex grouping, same separators;
+    *  - [[PanRe]]: any bare 13–19-digit run — the full ISO/IEC 7812 PAN
+    *    length range for numbers written without separators. The `\b` on
+    *    both ends rejects longer runs entirely: a 20-digit run has no
+    *    in-run word boundary to restart from, so neither engine matches
+    *    any suffix of it (leftmost-first ≡ leftmost-longest here).
+    *
+    * The grouped patterns cannot cross-fire: `\d{6}` in AmexRe needs six
+    * CONSECUTIVE digits, which a 4×4-separated number never supplies,
+    * and the fixed-width 4×4 groups cannot backtrack into a 4-6-5
+    * grouping — so staged application assigns every candidate to exactly
+    * one family.
     */
   val CardRe = "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b"
+  val AmexRe = "\\b\\d{4}[- ]?\\d{6}[- ]?\\d{5}\\b"
+  val PanRe = "\\b\\d{13,19}\\b"
   val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 
   /** Structured-PII scrubbing — credit-card and SSN-shaped redaction with
     * a LUHN validity count, the pass [[piiScrub]]'s pattern family does
     * not cover (composes with it: run both projections in either order).
     *
-    * `n_card_candidates` counts card-SHAPED matches; `n_cards_valid`
-    * counts those passing the Luhn mod-10 check — computed entirely in
-    * int64 higher-order expressions (separator strip → per-position
-    * doubled-digit sum over `sequence(1, len)` → `% 10 = 0`), so the
-    * check is integer-exact and sits under the cross-engine hash gate
-    * like `kmeans_assign`. Redaction is CONSERVATIVE: every candidate is
-    * replaced with `<CARD>` whether or not Luhn passes (a scrubber must
-    * not leak a number because a check digit was mistyped); the valid
-    * count is the signal a curation pipeline keys retention decisions on.
-    * Cards are redacted before SSNs so an SSN-shaped infix of a separated
-    * card number cannot double-fire. Pure projection: codegen'd regexp +
-    * HOF expressions, one text scan, zero exchange.
+    * Card coverage is STAGED, most-specific grouping first — 16-digit
+    * 4×4 ([[CardRe]]), then 15-digit Amex 4-6-5 ([[AmexRe]]), then any
+    * bare 13–19-digit PAN run ([[PanRe]]) — with each stage's matches
+    * redacted before the next stage counts, so every candidate is
+    * counted by exactly one family (a plain 16-digit run is a card, not
+    * a PAN; a plain 15-digit run is an Amex, not a PAN).
+    * `n_card_candidates` is the TOTAL card-shaped matches across the
+    * three families (`n_amex`/`n_pan` break out the non-16 families);
+    * `n_cards_valid` counts the candidates passing the Luhn mod-10
+    * check — computed entirely in int64 higher-order expressions
+    * (separator strip → per-position doubled-digit sum over
+    * `sequence(1, len)` → `% 10 = 0`), so the check is integer-exact and
+    * sits under the cross-engine hash gate like `kmeans_assign`.
+    * Redaction is CONSERVATIVE: every candidate is replaced with
+    * `<CARD>` whether or not Luhn passes (a scrubber must not leak a
+    * number because a check digit was mistyped); the valid count is the
+    * signal a curation pipeline keys retention decisions on. All card
+    * stages run before SSNs so an SSN-shaped infix of a separated card
+    * number cannot double-fire. Pure projection: codegen'd regexp + HOF
+    * expressions, one text scan, zero exchange — the staging is
+    * expression nesting, not extra passes over the data.
     */
   def piiScrub2(documents: DataFrame): DataFrame = {
     // regexes travel through SQL string literals here (selectExpr), whose
     // default escape processing would eat single backslashes
     val cardRe = CardRe.replace("\\", "\\\\")
+    val amexRe = AmexRe.replace("\\", "\\\\")
+    val panRe = PanRe.replace("\\", "\\\\")
     val ssnRe = SsnRe.replace("\\", "\\\\")
     // Luhn sum of the cleaned digit string `c`: position i counted from
     // the RIGHT (1-based); even positions double, subtracting 9 above 9.
@@ -761,17 +785,26 @@ object TextOps {
          |       THEN CASE WHEN 2 * $digit > 9
          |                 THEN 2 * $digit - 9 ELSE 2 * $digit END
          |       ELSE $digit END) % 10 = 0""".stripMargin
-    documents.selectExpr(
-      "doc_id",
-      s"size(regexp_extract_all(text, '$cardRe', 0)) as n_card_candidates",
-      s"""size(filter(
-         |  transform(regexp_extract_all(text, '$cardRe', 0),
-         |            s -> regexp_replace(s, '[- ]', '')),
-         |  c -> $luhnOk)) as n_cards_valid""".stripMargin,
-      s"size(regexp_extract_all(text, '$ssnRe', 0)) as n_ssn",
-      s"""regexp_replace(
-         |  regexp_replace(text, '$cardRe', '<CARD>'),
-         |  '$ssnRe', '<SSN>') as scrubbed""".stripMargin)
+    documents
+      .selectExpr("doc_id",
+        s"regexp_extract_all(text, '$cardRe', 0) as m16",
+        s"regexp_replace(text, '$cardRe', '<CARD>') as t1")
+      .selectExpr("doc_id", "m16",
+        s"regexp_extract_all(t1, '$amexRe', 0) as m15",
+        s"regexp_replace(t1, '$amexRe', '<CARD>') as t2")
+      .selectExpr("doc_id", "m16", "m15",
+        s"regexp_extract_all(t2, '$panRe', 0) as mpan",
+        s"regexp_replace(t2, '$panRe', '<CARD>') as t3")
+      .selectExpr("doc_id",
+        "size(m16) + size(m15) + size(mpan) as n_card_candidates",
+        s"""size(filter(
+           |  transform(concat(m16, m15, mpan),
+           |            s -> regexp_replace(s, '[- ]', '')),
+           |  c -> $luhnOk)) as n_cards_valid""".stripMargin,
+        "size(m15) as n_amex",
+        "size(mpan) as n_pan",
+        s"size(regexp_extract_all(t3, '$ssnRe', 0)) as n_ssn",
+        s"regexp_replace(t3, '$ssnRe', '<SSN>') as scrubbed")
   }
 
   /** Quality-classifier filtering — the hashed bag-of-words linear model

@@ -1178,8 +1178,9 @@ class ExtSpec extends AnyFunSuite {
       (2L, "pay 4111111111111116 now"),
       // valid, dash-separated -> candidate + valid + redacted as one token
       (3L, "pay 4111-1111-1111-1111 now"),
-      // 17-digit run: fixed-width groups cannot backtrack into it -> no match
-      (4L, "id 41111111111111119 is not a card"),
+      // 17-digit run: not a 4x4 card, but IS a bare PAN (13-19); this one
+      // fails Luhn -> pan candidate, redacted, not valid
+      (4L, "id 41111111111111119 is maybe a card"),
       // SSN only
       (5L, "ssn 123-45-6789 here"),
       // SSN-shaped infix of a dashed card must not fire after redaction
@@ -1187,12 +1188,51 @@ class ExtSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val out = graft.ext.TextOps.piiScrub2(docs)
       .collect().map(r => r.getLong(0) ->
-        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+        ((r.getInt(1), r.getInt(2), r.getInt(5), r.getString(6)))).toMap
     assert(out(1L) === ((1, 1, 0, "pay <CARD> now")))
     assert(out(2L) === ((1, 0, 0, "pay <CARD> now"))) // conservative redaction
     assert(out(3L) === ((1, 1, 0, "pay <CARD> now")))
-    assert(out(4L) === ((0, 0, 0, "id 41111111111111119 is not a card")))
+    assert(out(4L) === ((1, 0, 0, "id <CARD> is maybe a card")))
     assert(out(5L) === ((0, 0, 1, "ssn <SSN> here")))
     assert(out(6L) === ((1, 1, 1, "both <CARD> and <SSN>")))
+  }
+
+  test("piiScrub2: Amex 4-6-5 and bare 13-19 PAN families; staged precedence assigns each candidate once") {
+    val docs = Seq(
+      // valid Amex test number, plain 15-digit run -> AMEX (not pan: precedence)
+      (1L, "pay 371449635398431 now"),
+      // valid Amex, 4-6-5 dashed grouping
+      (2L, "pay 3782-822463-10005 now"),
+      // Amex with broken check digit (+5 mod 10) -> candidate, not valid
+      (3L, "pay 378282246310000 now"),
+      // 13-digit valid Visa test PAN
+      (4L, "pay 4222222222222 now"),
+      // 19-digit valid PAN / broken twin
+      (5L, "pay 4111111111111111110 now"),
+      (6L, "pay 4111111111111111115 now"),
+      // 20-digit run: no in-run word boundary to restart from -> NO match
+      (7L, "id 12345678901234567890 stays"),
+      // 12-digit run: below the PAN floor -> no match
+      (8L, "id 123456789012 stays"),
+      // plain 16-digit run: counted ONCE as a 4x4 card, never as Amex/PAN
+      // (the Amex-infix-of-16 precedence case: its first 15 digits form a
+      // 4-6-5 shape but the trailing \\b and staging both reject it)
+      (9L, "pay 4111111111111111 now"),
+      // a card AND an amex AND a pan in one doc: families count independently
+      (10L, "c 4111-1111-1111-1111 a 371449635398431 p 4222222222222")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.piiScrub2(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(6)))).toMap
+    assert(out(1L) === ((1, 1, 1, 0, "pay <CARD> now")))
+    assert(out(2L) === ((1, 1, 1, 0, "pay <CARD> now")))
+    assert(out(3L) === ((1, 0, 1, 0, "pay <CARD> now")))
+    assert(out(4L) === ((1, 1, 0, 1, "pay <CARD> now")))
+    assert(out(5L) === ((1, 1, 0, 1, "pay <CARD> now")))
+    assert(out(6L) === ((1, 0, 0, 1, "pay <CARD> now")))
+    assert(out(7L) === ((0, 0, 0, 0, "id 12345678901234567890 stays")))
+    assert(out(8L) === ((0, 0, 0, 0, "id 123456789012 stays")))
+    assert(out(9L) === ((1, 1, 0, 0, "pay <CARD> now")))
+    assert(out(10L) === ((3, 3, 1, 1, "c <CARD> a <CARD> p <CARD>")))
   }
 }
