@@ -649,11 +649,19 @@ object TextOps {
     * any corpus scale. Ratios are exact-int IEEE divisions on one row, so
     * the whole card is cross-engine exact.
     */
-  def corpusStats(documents: DataFrame): DataFrame = {
-    val tok = documents.selectExpr(
-      "explode(filter(split(text, ' '), x -> x != '')) as token")
-    val perTok = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+  def corpusStats(documents: DataFrame): DataFrame =
+    statsCard(
+      documents.selectExpr(
+        "explode(filter(split(text, ' '), x -> x != '')) as token")
+        .groupBy(col("token")).agg(count(lit(1)).as("c")),
+      documents.agg(count(lit(1)).as("n_docs")))
+
+  /** The report-card aggregate over a (token, c) histogram + 1-row doc
+    * count — shared by the batch [[corpusStats]] and the accumulated
+    * streaming card [[corpusStatsFrom]], so the two can only agree or
+    * both be wrong.
+    */
+  private def statsCard(perTok: DataFrame, nDocs: DataFrame): DataFrame =
     perTok.agg(
       sum(col("c")).as("n_tokens"),
       count(lit(1)).as("n_types"),
@@ -663,7 +671,55 @@ object TextOps {
       .selectExpr("n_docs", "n_tokens", "n_types", "n_hapax", "max_token_freq",
         "cast(n_types as double) / cast(n_tokens as double) as type_token_ratio",
         "cast(n_hapax as double) / cast(n_types as double) as hapax_frac")
-  }
+
+  /** Streaming twin of [[corpusStats]] — the before/after card a
+    * long-running curation stream logs. The stream itself keeps NO
+    * unbounded state: each micro-batch writes its own map-side-combined
+    * token histogram and doc count to `outDir/tok|docs/batch_<id>`
+    * (partition-overwrite by batch id, so foreachBatch's re-delivered
+    * last batch replays idempotently — the [[graft.io.Sinks]] contract),
+    * and the card is computed ON DEMAND from the accumulated histograms
+    * by [[corpusStatsFrom]]. Per-batch cost is O(batch vocabulary);
+    * card cost is one merge-aggregate over per-batch vocabularies —
+    * far smaller than the corpus, and a compaction pass
+    * ([[graft.io.Maintenance.compactParquet]]) bounds the file count on
+    * a stream with many batches.
+    */
+  def corpusStatsSink(
+      documents: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    documents.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val df = batch.persist()
+        try {
+          df.selectExpr(
+            "explode(filter(split(text, ' '), x -> x != '')) as token")
+            .groupBy(col("token")).agg(count(lit(1)).as("c"))
+            .write.mode("overwrite").parquet(s"$outDir/tok/batch_$batchId")
+          df.agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$outDir/docs/batch_$batchId")
+        } finally df.unpersist()
+        ()
+      }
+      .start()
+
+  /** The accumulated report card over everything [[corpusStatsSink]] has
+    * seen so far: merge the per-batch token histograms (map-side-combined
+    * groupBy-sum — a token counted in k batches folds to one row), sum
+    * the per-batch doc counts, and run the SAME [[statsCard]] aggregate
+    * as the batch path. Equal to `corpusStats(union of all batches)` by
+    * construction.
+    */
+  def corpusStatsFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame =
+    statsCard(
+      spark.read.parquet(s"$outDir/tok/batch_*")
+        .groupBy(col("token")).agg(sum(col("c")).as("c")),
+      spark.read.parquet(s"$outDir/docs/batch_*")
+        .agg(sum(col("n")).as("n_docs")))
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each document by

@@ -71,6 +71,37 @@ object Sinks {
   def console(sessionized: Dataset[SessionizedEvent]): StreamingQuery =
     sessionized.writeStream.format("console").outputMode("append").start()
 
+  /** The configured-but-unstarted Kafka writer — split out from [[kafka]]
+    * so the option plumbing is assertable without a broker ([[IoSpec]]).
+    * `acks` passes through as the producer config `kafka.acks`, covering
+    * the reference's three producer modes (GetProducerAPI.scala:33,57,82):
+    * `"0"` = fire-and-forget, `"1"` = leader-ack (the sync/async pair's
+    * default), `"all"` = full-ISR durability. Anything the connector
+    * should hand the underlying KafkaProducer rides the same
+    * `kafka.`-prefix convention.
+    */
+  /** Whole-row → single `value` JSON column, the shape the Kafka
+    * connector requires. Shared by [[kafkaWriter]] and directly testable
+    * on a batch frame (a streaming frame can't be collected in a test).
+    */
+  def jsonPayload(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  def kafkaWriter(
+      df: DataFrame,
+      bootstrapServers: String,
+      topic: String,
+      checkpointDir: String,
+      acks: String = "all")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    jsonPayload(df)
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("kafka.acks", acks)
+      .option("checkpointLocation", checkpointDir)
+
   /** Kafka producer sink — the reference's producer app emits JSON lines
     * (GetProducerAPI.scala:82-105); engine-side the same is one writeStream.
     */
@@ -78,12 +109,7 @@ object Sinks {
       df: DataFrame,
       bootstrapServers: String,
       topic: String,
-      checkpointDir: String): StreamingQuery =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
-      .writeStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpointDir)
-      .start()
+      checkpointDir: String,
+      acks: String = "all"): StreamingQuery =
+    kafkaWriter(df, bootstrapServers, topic, checkpointDir, acks).start()
 }

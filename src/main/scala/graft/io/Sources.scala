@@ -27,6 +27,29 @@ object Sources {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The configured-but-unloaded Kafka reader — split out from
+    * [[kafkaEvents]] so the option plumbing (the part of the connector
+    * surface that CAN fail silently: a misspelled `subscribe` key, a
+    * dropped `maxOffsetsPerTrigger`) is assertable in tests without a
+    * broker or the connector jar on the classpath ([[IoSpec]] pins every
+    * key). `.load()` is the only step that needs either.
+    */
+  def kafkaReader(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.DataStreamReader = {
+    val reader = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+    maxOffsetsPerTrigger
+      .fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
+  }
+
   /** Kafka → Dataset[Event]: value bytes → JSON → typed columns, the
     * reference's S3+P1+P2+P3 chain in one projection.
     */
@@ -35,17 +58,10 @@ object Sources {
       bootstrapServers: String,
       topic: String,
       startingOffsets: String = "latest",
-      maxOffsetsPerTrigger: Option[Long] = None): Dataset[Event] = {
-    import spark.implicits._
-    val reader = spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-    val tuned = maxOffsetsPerTrigger
-      .fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
-    decode(tuned.load())
-  }
+      maxOffsetsPerTrigger: Option[Long] = None): Dataset[Event] =
+    decode(kafkaReader(
+      spark, bootstrapServers, topic, startingOffsets, maxOffsetsPerTrigger)
+      .load())
 
   /** JSON-lines file → Dataset[Event] through the DataSourceV2
     * micro-batch replay source ([[ReplaySourceProvider]]): the reference

@@ -548,6 +548,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("corpusStatsSink: accumulated streaming report card equals the batch card") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cstats").toString
+    // two micro-batches; 'shared' is a hapax in EACH batch but must fold
+    // to c=2 in the merged card (the cross-batch case a naive per-batch
+    // union of cards gets wrong); doc 3 has multi-space text so the
+    // empty-token filter is exercised on the streaming side too
+    val b1 = Seq((1L, "alpha beta shared"), (2L, "alpha gamma"))
+    val b2 = Seq((3L, "shared  delta   beta"), (4L, "epsilon"))
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.ext.TextOps.corpusStatsSink(
+      ms.toDS().toDF("doc_id", "text"), s"$dir/out", s"$dir/cp")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.ext.TextOps.corpusStatsFrom(spark, s"$dir/out")
+      .collect()(0)
+    val batch = graft.ext.TextOps.corpusStats((b1 ++ b2).toDF("doc_id", "text"))
+      .collect()(0)
+    assert(streamed === batch)
+    // spot-check the cross-batch fold: 9 tokens, 6 types, 3 hapax
+    // (gamma, delta, epsilon), max freq 2 (alpha, beta, shared)
+    assert(streamed.getLong(0) === 4L && streamed.getLong(1) === 9L)
+    assert(streamed.getLong(2) === 6L && streamed.getLong(3) === 3L)
+    assert(streamed.getLong(4) === 2L)
+  }
+
   test("codebook refresh: foreachBatch retrains + publishes; restart swaps it in with state intact") {
     // The refresh contract (Similarity.publishCodebook scaladoc): a running
     // query pins its codebook files, so the sink's retrained publish is
