@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
 
 /** Dev probe (results in BENCH_SF1.md): q21 on the scaled fact tables,
   * flat parquet vs a layout bucketed+sorted by orderkey — the round-7
@@ -59,22 +58,15 @@ object Q21BucketProbe {
     val (flatMed, flatAll) = timed3(flat)
     println(f"[q21probe] flat: median=$flatMed%.2fs runs=${flatAll.map(t => f"$t%.2f").mkString(",")} ${planShape(flat())}")
 
-    // bucketed layout: both facts bucketed+sorted by orderkey
+    // bucketed layout: both facts bucketed+sorted by orderkey, through
+    // the library recipe (one file per bucket enforced by bucketWrite)
     val t0 = System.nanoTime()
-    // one file per bucket (repartition on the bucket key with the bucket
-    // count uses the same murmur3 HashPartitioning as the bucketing
-    // layer): Spark only honors the per-bucket SORT when a bucket is a
-    // single file, and the sort elimination is half the point
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .repartition(buckets, col("l_orderkey"))
-      .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("lineitem_b")
-    spark.read.parquet(s"$sfDir/orders.parquet")
-      .repartition(buckets, col("o_orderkey"))
-      .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("orders_b")
+    val liFiles = graft.io.Maintenance.bucketWrite(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_orderkey", buckets, "lineitem_b")
+    graft.io.Maintenance.bucketWrite(
+      spark.read.parquet(s"$sfDir/orders.parquet"), "o_orderkey", buckets, "orders_b")
     println(f"[q21probe] bucketed write (one-time layout cost): ${(System.nanoTime() - t0) / 1e9}%.1fs")
-    println(s"[q21probe] lineitem_b files: ${new java.io.File(wh.toString + "/lineitem_b").list().count(_.endsWith(".parquet"))} for $buckets buckets")
+    println(s"[q21probe] lineitem_b files: $liFiles for $buckets buckets")
 
     val bucketed = () => graft.ops.Relational.waitingSupplierFrom(
       spark.table("lineitem_b"), spark.table("orders_b"), supplier)

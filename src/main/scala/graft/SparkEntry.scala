@@ -352,6 +352,7 @@ object SparkEntry {
     "classifier_score" -> ((s, d) => TextOps.classifierScore(Tables.documents(s, d))),
     "freq_score" -> ((s, d) => TextOps.freqScore(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
+    "doc_repetition" -> ((s, d) => TextOps.docRepetition(Tables.documents(s, d))),
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(Tables.documents(s, d))),
     // the synthetic corpus carries no real PII, so the query DECORATES
     // each doc with deterministic doc_id-derived email/IP/phone strings
@@ -2558,6 +2559,23 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |         / CAST(COUNT(*) AS DOUBLE) AS hapax_frac
         |FROM pt""".stripMargin,
+    "doc_repetition" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |        FROM documents WHERE doc_id IS NOT NULL)
+        |  GROUP BY doc_id, token
+        |), p AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |         COUNT(*) AS n_types, MAX(tf) AS max_tf
+        |  FROM tf GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, p.n_tokens, p.n_types, p.max_tf,
+        |       CAST(p.max_tf AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS top_tok_frac,
+        |       CAST(CAST(p.max_tf AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) > 0.075
+        |         AS INT) AS dominated
+        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
     "dsir_weights" ->
       s"""WITH t AS (
          |  SELECT doc_id, (lang = 'en') AS is_tgt,

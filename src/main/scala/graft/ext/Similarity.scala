@@ -514,6 +514,103 @@ object Similarity {
     }
   }
 
+  /** IN-PLACE codebook hot swap — the foreachBatch formulation of
+    * [[semanticDedupStream]] that picks up a newly published codebook at
+    * the NEXT micro-batch, with no query restart. The pinned-listing
+    * limitation ([[publishCodebook]] scaladoc) applies to file-backed
+    * static sides inside a STREAMING plan; inside `foreachBatch` every
+    * micro-batch is a fresh BATCH query, so re-resolving
+    * [[latestCodebook]] per batch is an ordinary read — that one line is
+    * the entire swap mechanism.
+    *
+    * What replaces `dropDuplicatesWithinWatermark`'s managed state: a
+    * (cell, qsig) key store under `outPath/keys`, partitioned by
+    * `batch_id`. Each batch (a) keys its rows against the CURRENT
+    * codebook, (b) keeps the min-`vec_id` row per key in-batch, (c)
+    * anti-joins the keys of the trailing `dedupBatches` batches — the
+    * manual analogue of the watermark bound, enforced by parquet
+    * PARTITION pruning so old key files are never opened — and (d)
+    * writes survivors + keys with DYNAMIC partition overwrite, so
+    * foreachBatch's re-delivered last batch replays idempotently (the
+    * [[graft.io.Sinks]] contract; the trailing read excludes the current
+    * batch id, so a replay sees exactly the pre-crash prior state).
+    *
+    * Scale shape: the batch side is micro-batch-sized; the prior side is
+    * bounded by `dedupBatches` × batch size at ANY stream age; nothing
+    * ever scans the full history. Cross-swap dedup contract is identical
+    * to the restart path (at most one extra survivor per (cell, qsig)
+    * neighborhood per swap, only where the codebooks disagree on the
+    * cell) — but the swap lands one micro-batch after publish instead of
+    * at the next restart. With `pruneKeys` the sink also deletes key
+    * partitions below every future batch's window floor
+    * ([[graft.io.Maintenance.pruneBatchPartitions]]), bounding key-store
+    * DISK (not just reads) on an unbounded stream; survivor data under
+    * `/data` is the product and is never pruned.
+    */
+  def hotSwapDedupSink(
+      cbDir: String,
+      outPath: String,
+      dedupBatches: Int = 100,
+      sigBits: Int = 16,
+      pruneKeys: Boolean = false): (DataFrame, Long) => Unit = {
+    require(dedupBatches >= 1, s"dedupBatches must be >= 1, got $dedupBatches")
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val keyed = withSemanticKey(batch, latestCodebook(spark, cbDir), sigBits)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell"), col("qsig")).orderBy(col("vec_id"))
+      val local = keyed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val survivors = local
+        .join(priorKeys(spark, s"$outPath/keys", batchId, dedupBatches),
+          Seq("cell", "qsig"), "left_anti")
+        .persist()
+      try {
+        Seq(
+          (survivors, s"$outPath/data"),
+          (survivors.select(col("cell"), col("qsig")), s"$outPath/keys")
+        ).foreach { case (df, dir) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(dir)
+        }
+      } finally survivors.unpersist()
+      // keys older than any FUTURE batch's window are dead operational
+      // state (survivor data under /data is the product and is kept);
+      // deleting strictly below the window floor can never race the
+      // trailing read, which this same sink performs
+      if (pruneKeys)
+        graft.io.Maintenance.pruneBatchPartitions(
+          spark, s"$outPath/keys", batchId - dedupBatches + 1)
+      ()
+    }
+  }
+
+  /** The (cell, qsig) keys of the trailing `dedupBatches` micro-batches
+    * STRICTLY BEFORE `batchId` — the prior-state read of
+    * [[hotSwapDedupSink]]. Explicit schema (no footer sampling), filter
+    * on the `batch_id` partition column only (pruning, not scanning),
+    * empty frame before the first write.
+    */
+  def priorKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      keysDir: String,
+      batchId: Long,
+      dedupBatches: Int): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(keysDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.range(0).selectExpr(
+        "cast(null as bigint) as cell", "cast(null as bigint) as qsig")
+    else
+      spark.read
+        .schema("cell BIGINT, qsig BIGINT, batch_id BIGINT")
+        .parquet(keysDir)
+        .where(col("batch_id").between(batchId - dedupBatches, batchId - 1))
+        .select(col("cell"), col("qsig"))
+  }
+
   /** The survivors written by [[refreshingDedupSink]] for the trailing
     * `trailingBatches` micro-batches ending at `upToBatch`, with the
     * `batch_id` bookkeeping column dropped. The `batch_id >= lo` filter

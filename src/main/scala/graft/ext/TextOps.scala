@@ -931,6 +931,42 @@ object TextOps {
     documents.select(col("doc_id")).join(per, Seq("doc_id"), "left")
   }
 
+  /** Most-common-word dominance — the Gopher repetition rule
+    * ([[repetitionStats]] and [[gopherQuality]] don't cover: Rae et al.
+    * 2021 table A1 drops a document whose single most frequent word
+    * covers too much of it). Per doc: token count, distinct-token count,
+    * the max within-doc term frequency, `top_tok_frac` = max_tf /
+    * n_tokens (exact-int64 IEEE division, hash-gate safe), and the
+    * `dominated` flag at Gopher's 7.5 % threshold (strict >, so the
+    * boundary value passes in both engines).
+    *
+    * Deliberately the AGGREGATE form, not a per-row
+    * `array_max(transform(array_distinct(toks), …))` projection — that
+    * lambda is O(len²) per document, quadratic in the one dimension
+    * (document length) the corpus doesn't bound. Here: one exchange
+    * keyed by (doc_id, token) — near-unique keys, so partial aggregation
+    * is skew-immune by construction (no corpus-wide stopword key
+    * exists) — then a per-doc rollup reusing the doc_id clustering. A
+    * doc with no tokens surfaces with NULL stats via the final left
+    * join.
+    */
+  def docRepetition(documents: DataFrame): DataFrame = {
+    val tf = documents.where(col("doc_id").isNotNull)
+      .selectExpr("doc_id",
+        "explode(filter(split(text, ' '), x -> x != '')) as token")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val per = tf.groupBy(col("doc_id")).agg(
+      sum(col("tf")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      max(col("tf")).as("max_tf"))
+    documents.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_tokens", "n_types", "max_tf",
+        "cast(max_tf as double) / cast(n_tokens as double) as top_tok_frac",
+        """cast(cast(max_tf as double) / cast(n_tokens as double) > 0.075
+          | as int) as dominated""".stripMargin)
+  }
+
   def heavyHittersByGroup(
       documents: DataFrame,
       groupCol: String = "lang",

@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Table-maintenance utilities. At 100 TB the classic operational failure
   * is the small-file problem: streaming sinks and over-parallel writers
@@ -34,5 +34,76 @@ object Maintenance {
     fs.delete(bak, true)
     val out = fs.listStatus(dst).count(_.getPath.getName.endsWith(".parquet"))
     (rows, out)
+  }
+
+  /** Write `df` as a saved table bucketed AND per-bucket-sorted by `key`,
+    * with strictly ONE FILE PER BUCKET — the layout that makes every
+    * downstream equi-join/aggregate on `key` both exchange-free and
+    * sort-free. Two layout invariants do the work:
+    *
+    *  1. `repartition(buckets, key)` before `bucketBy(buckets, key)`:
+    *     both use the same murmur3 `HashPartitioning`, so each write task
+    *     holds exactly one bucket's rows and emits exactly one file.
+    *     Without it, every write task emits a file per bucket it touches
+    *     (task-count × buckets small files), and multi-file buckets void
+    *     the sort metadata below.
+    *  2. Readers must set
+    *     `spark.sql.legacy.bucketedTableScan.outputOrdering=true`:
+    *     Spark ≥3.0 ignores per-bucket sort order by default because
+    *     multi-file buckets made it unsafe — single-file buckets are
+    *     exactly the case the flag re-enables, and [[GuardSpec]] pins the
+    *     flag's existence. Without the flag only the exchange
+    *     elimination survives (still the dominant term on a fact join).
+    *
+    * Measured effect (BENCH_SF1.md, q21 at 100×): fact exchanges gone,
+    * zero Sort nodes in the executed plan, 1.4–1.5× end-to-end against a
+    * one-time layout cost of ~2.3 query executions.
+    *
+    * Returns the file count; fails fast if any bucket produced more than
+    * one file (the silent way the sort contract breaks).
+    */
+  /** Retention sweep for `batch_id=N`-partitioned stores (the
+    * [[graft.ext.Similarity.hotSwapDedupSink]] key store, the
+    * [[graft.ext.Similarity.refreshingDedupSink]] survivor log, the
+    * `Sinks.historyAndState` history): delete partitions with
+    * `batch_id < keepFrom`. The trailing-window readers already never
+    * OPEN out-of-window files (partition pruning); this bounds the DISK
+    * and the directory-listing metadata too — on an unbounded stream both
+    * otherwise grow forever. Deleting strictly below the reader's window
+    * floor can never race a correct reader; run it from the same
+    * foreachBatch that advances the window. Returns the partitions
+    * removed.
+    */
+  def pruneBatchPartitions(
+      spark: SparkSession, dir: String, keepFrom: Long): Seq[Long] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_id=") && n.drop(9).forall(_.isDigit))
+          Some((n.drop(9).toLong, st.getPath))
+        else None
+      }
+      .filter(_._1 < keepFrom)
+      .sortBy(_._1)
+      .map { case (id, path) => fs.delete(path, true); id }
+  }
+
+  def bucketWrite(df: DataFrame, key: String, buckets: Int, table: String): Int = {
+    df.repartition(buckets, df(key))
+      .write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
+    val files = df.sparkSession.table(table).inputFiles
+    // bucketed part files carry their bucket id as the _NNNNN suffix:
+    // part-00000-<uuid>_00007.c000.snappy.parquet -> bucket 7
+    val ids = files.flatMap { f =>
+      "_(\\d{5})\\.".r.findFirstMatchIn(f.split('/').last).map(_.group(1).toInt)
+    }
+    require(ids.length == files.length && ids.distinct.length == ids.length,
+      s"bucketWrite($table): expected one file per bucket, got " +
+        s"${files.length} files over ${ids.distinct.length} buckets")
+    files.length
   }
 }

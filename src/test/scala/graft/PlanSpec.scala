@@ -417,4 +417,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition(token"), p)
     assert(p.contains("windowspecdefinition(doc_id"), p)
   }
+
+  test("bucketed q21 via Maintenance.bucketWrite: zero sorts, no fact-key exchange") {
+    // the library form of the BENCH_SF1 q21 result: both facts written
+    // through bucketWrite (one file per bucket + per-bucket sort), the
+    // legacy outputOrdering flag on, and the fact join forced off the
+    // broadcast path (threshold 4KB: the facts exceed it, the aggregated
+    // blame counts and supplier still broadcast, as at 100× where AQE
+    // demotes the fact joins itself)
+    val prevOrd = spark.conf.getOption(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering").getOrElse("false")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+      val sup = Tables.supplier(spark, sf)
+      assert(graft.io.Maintenance.bucketWrite(li, "l_orderkey", 8, "q21_li_b") <= 8)
+      assert(graft.io.Maintenance.bucketWrite(ord, "o_orderkey", 8, "q21_or_b") <= 8)
+      val bucketed = graft.ops.Relational.waitingSupplierFrom(
+        spark.table("q21_li_b"), spark.table("q21_or_b"), sup)
+      bucketed.count() // executed plan shows AQE's final shape after a run
+      val p = bucketed.queryExecution.executedPlan.toString
+      // per-bucket sort metadata honored: the fact SMJ reads both sides
+      // pre-sorted, so the executed plan carries ZERO Sort nodes (the
+      // final top-20 is TakeOrderedAndProject, not a Sort)
+      assert("Sort \\[".r.findAllIn(p).isEmpty, p)
+      // and neither fact re-partitions on its own orderkey (the
+      // countDistinct expand's compound (orderkey, suppkey, gid) exchange
+      // is layout-independent and allowed)
+      assert("hashpartitioning\\(l_orderkey#\\d+, \\d+\\)".r.findFirstIn(p).isEmpty, p)
+      assert("hashpartitioning\\(o_orderkey#\\d+, \\d+\\)".r.findFirstIn(p).isEmpty, p)
+      // same answer as the flat layout
+      val flat = graft.ops.Relational.waitingSupplierFrom(li, ord, sup)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val b = bucketed.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(b === flat)
+    } finally {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS q21_li_b")
+      spark.sql("DROP TABLE IF EXISTS q21_or_b")
+    }
+  }
 }

@@ -662,6 +662,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.contains(21L))
   }
 
+  test("hotSwapDedupSink: a publish takes effect at the NEXT micro-batch — no restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotswap").toFile
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val cbDir = new java.io.File(dir, "cb").getAbsolutePath
+    // synthetic codebooks with the SAME two axis centroids but the
+    // cent_id <-> centroid pairing FLIPPED between versions: every
+    // vector's cell id changes across the swap (cell = cent_id), while
+    // qsig is codebook-independent — so the verdict on a repeated vector
+    // discriminates exactly which codebook keyed the batch
+    def unit(a: Int) =
+      s"transform(sequence(0, 63), i -> cast(case when i = $a then 1.0 else 0.0 end as double))"
+    def axisCb(pairing: Seq[(Int, Int)]) = spark.sql(
+      s"SELECT array(${pairing.map { case (id, a) =>
+        s"struct(cast($id as bigint) as cent_id, ${unit(a)} as cent_unit)" }
+        .mkString(", ")}) AS cents")
+    def oneHot(a: Int): Seq[Float] = Seq.tabulate(64)(i => if (i == a) 1f else 0f)
+    val u1 = oneHot(0); val u2 = oneHot(1)
+    assert(graft.ext.Similarity.publishCodebook(
+      axisCb(Seq(0 -> 0, 1 -> 1)), cbDir) === 1)
+
+    val b1 = Seq((10L, u1), (11L, u2), (12L, u1)) // 12 = in-batch dup of 10
+    val b2 = Seq((20L, u1), (21L, u2), (22L, u1)) // repeats of both survivors
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(graft.ext.Similarity.hotSwapDedupSink(cbDir, out))
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      // publish the flipped pairing while the query is RUNNING — no
+      // stop, no restart
+      assert(graft.ext.Similarity.publishCodebook(
+        axisCb(Seq(0 -> 1, 1 -> 0)), cbDir) === 2)
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // under v2, u1 keys as (cell 1, qsig(u1)) — batch 1 stored it as
+    // (cell 0, qsig(u1)) — so 20 is RE-ADMITTED (the documented
+    // cross-swap contract), whereas if the swap had NOT landed, 20 and
+    // 21 would both be dups of batch 1's survivors and be dropped
+    val kept = spark.read.parquet(s"$out/data").select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept === Seq(10L, 11L, 20L, 21L), s"got $kept")
+    // and the batch-2 key store holds exactly the V2 keys, computed by
+    // the same projection the sink ran
+    def keys(rows: Seq[(Long, Seq[Float])], cb: org.apache.spark.sql.DataFrame) =
+      graft.ext.Similarity.withSemanticKey(rows.toDF("vec_id", "embedding"), cb)
+        .select("cell", "qsig").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val storedB2 = spark.read.parquet(s"$out/keys").where("batch_id = 1")
+      .select("cell", "qsig").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storedB2 === keys(Seq((20L, u1), (21L, u2)), spark.read.parquet(s"$cbDir/v=2")),
+      s"batch 2 must be keyed under the v2 codebook: $storedB2")
+    assert(storedB2 !== keys(Seq((20L, u1), (21L, u2)), spark.read.parquet(s"$cbDir/v=1")),
+      "test must discriminate the two codebooks")
+  }
+
+  test("hotSwapDedupSink: prior-key read prunes to the trailing window and replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotswap2").toFile
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val cbDir = new java.io.File(dir, "cb").getAbsolutePath
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.ext.Similarity.publishCodebook(graft.ext.Similarity.codebook(corpus, 2), cbDir)
+    val v = corpus.select("embedding").head().getSeq[Float](0)
+    val sink = graft.ext.Similarity.hotSwapDedupSink(
+      cbDir, out, dedupBatches = 2, pruneKeys = true)
+    def batchDf(id: Long) = Seq((id, v)).toDF("vec_id", "embedding")
+    sink(batchDf(0L), 0L) // survivor
+    sink(batchDf(1L), 1L) // dup of 0 within window -> dropped
+    // replay of batch 1 (the foreachBatch crash contract): same verdict,
+    // no duplicate rows
+    sink(batchDf(1L), 1L)
+    sink(batchDf(2L), 2L) // window = {0,1}: 0's key still in -> dropped
+    sink(batchDf(3L), 3L) // window = {1,2}, both empty -> re-admitted
+    val kept = spark.read.parquet(s"$out/data").select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept === Seq(0L, 3L), s"got $kept")
+    // retention: key partitions below batch 3's window floor (id < 2) are
+    // gone (all-dropped batches never wrote one); every SURVIVOR data
+    // partition is retained — the product is never pruned
+    val keyParts = new java.io.File(s"$out/keys").listFiles
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    assert(keyParts === Seq("batch_id=3"), s"got $keyParts")
+    val dataParts = new java.io.File(s"$out/data").listFiles
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    assert(dataParts === Seq("batch_id=0", "batch_id=3"), s"got $dataParts")
+    // pruning: the prior read carries a batch_id partition filter
+    val plan = graft.ext.Similarity.priorKeys(spark, s"$out/keys", 3L, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("batch_id"), plan)
+  }
+
   test("refreshingDedupSink: retrain reads ONLY the trailing window — cost independent of stream length") {
     // The bound is enforced by parquet partition pruning on batch_id. We
     // prove "files outside the window are never opened" black-box: after
