@@ -329,6 +329,7 @@ object SparkEntry {
     "minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
     "minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
     "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(Tables.documents(s, d))),
+    "incremental_fuzzy_dedup" -> ((s, d) => Dedup.incrementalFuzzyDedup(Tables.documents(s, d))),
     // ~8 bits/item at the test corpus scale (fpp ≈ 2%); output is exact
     // regardless — the confirm join erases the fpp tail
     "bloom_screen_dedup" -> ((s, d) => Dedup.bloomScreenDedup(
@@ -2015,6 +2016,33 @@ object SparkEntry {
          |  FROM sig n JOIN sig e
          |    ON n.doc_id % 5 = 4 AND NOT (e.doc_id % 5 = 4)
          |   AND (n.band0 = e.band0 OR n.band1 = e.band1)
+         |  GROUP BY n.doc_id
+         |)
+         |SELECT f.doc_id, matches.dup_of,
+         |       CAST(matches.dup_of IS NOT NULL AS INT) AS is_known_dup
+         |FROM (SELECT doc_id FROM sig WHERE doc_id % 5 = 4) f
+         |LEFT JOIN matches USING (doc_id)""".stripMargin,
+    "incremental_fuzzy_dedup" ->
+      s"""$dToksCte, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), h2 AS (
+         |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS hs FROM s
+         |), m AS (
+         |  SELECT doc_id,
+         |       $dMh
+         |  FROM h2
+         |), sig AS (
+         |  SELECT doc_id,
+         |         ${dH("concat_ws(',', mh0, mh1, mh2, mh3)")} AS band0,
+         |         ${dH("concat_ws(',', mh4, mh5, mh6, mh7)")} AS band1,
+         |         mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+         |  FROM m
+         |), matches AS (
+         |  SELECT n.doc_id, MIN(e.doc_id) AS dup_of
+         |  FROM sig n JOIN sig e
+         |    ON n.doc_id % 5 = 4 AND NOT (e.doc_id % 5 = 4)
+         |   AND (n.band0 = e.band0 OR n.band1 = e.band1)
+         |   AND (${(0 until 8).map(i => s"CASE WHEN n.mh$i = e.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) >= 6
          |  GROUP BY n.doc_id
          |)
          |SELECT f.doc_id, matches.dup_of,

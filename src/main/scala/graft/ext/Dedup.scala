@@ -214,6 +214,55 @@ object Dedup {
         col("dup_of").isNotNull.cast("int").as("is_known_dup"))
   }
 
+  /** Incremental dedup with a VERIFY stage — the crawl-update twin of
+    * the end-to-end fuzzy dedup (`fuzzy_dedup_survivors`), at a
+    * TIGHTENED similarity bar: a new-batch document is a duplicate iff
+    * it shares an LSH band with an existing doc AND at least `minMatch`
+    * of the k minhash components agree (the default ≥ 6 of 8 ⇒
+    * estimated Jaccard ≥ 0.75).
+    *
+    * `minMatch` must EXCEED the band width k/2 to mean anything: band
+    * agreement is defined by k/2 equal components, so any threshold ≤
+    * k/2 is subsumed by candidacy itself (the standard ≥ 0.5 accept
+    * rule of the whole-corpus composition coincides with band agreement
+    * — there it only removes band-hash collisions). This operator is
+    * the knob for the stricter regime: candidates at estimated Jaccard
+    * in [0.5, minMatch/k) are band-confirmed but verify-REJECTED.
+    *
+    * The verify is a FILTER inside the band join, not a later stage: the
+    * signature components are already columns on both join sides, so
+    * confirming a candidate costs k comparisons in the join's own
+    * codegen — no second join, no extra exchange, and candidates that
+    * fail verification never reach the aggregate. Cost shape is
+    * [[incrementalDedup]]'s: one shared signature exchange, one-sided
+    * |batch| × bucket band joins, never corpus × corpus.
+    */
+  def incrementalFuzzyDedup(
+      documents: DataFrame,
+      isNewExpr: String = "doc_id % 5 = 4",
+      k: Int = 8,
+      minMatch: Int = 6): DataFrame = {
+    require(minMatch >= 1 && minMatch <= k, s"minMatch in [1, $k], got $minMatch")
+    val sig = minhashSignatures(documents, k)
+    val existing = sig.filter(!expr(isNewExpr))
+    val fresh = sig.filter(expr(isNewExpr))
+    val nMatch = (0 until k)
+      .map(i => when(col(s"n.mh$i") === col(s"e.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    def bandJoin(band: String) =
+      fresh.alias("n")
+        .join(existing.alias("e"), col(s"n.$band") === col(s"e.$band"))
+        .filter(nMatch >= minMatch)
+        .select(col("n.doc_id").as("doc_id"), col("e.doc_id").as("match_id"))
+    val matches = bandJoin("band0").unionAll(bandJoin("band1"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("match_id")).as("dup_of"))
+    fresh.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNotNull.cast("int").as("is_known_dup"))
+  }
+
   /** Bloom-screened EXACT incremental dedup — the screen-then-verify
     * pattern for deduplicating an arriving batch against a corpus too big
     * to join outright. The existing corpus's content hashes aggregate

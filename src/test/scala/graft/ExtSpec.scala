@@ -1243,6 +1243,50 @@ class ExtSpec extends AnyFunSuite {
     assert(out(10L) === ((3, 3, 1, 1, "c <CARD> a <CARD> p <CARD>")))
   }
 
+  test("incrementalFuzzyDedup: band candidates below the component bar are rejected") {
+    import spark.implicits._
+    // sliding half-overlapping token windows give neighbor Jaccard ≈ 1/3
+    // (enough for single-component band hits at k=2) plus replica-15
+    // exact dups (the accept branch); with k=2 / minMatch=2 a candidate
+    // needs BOTH components, so one-component band hits must be rejected
+    val words = (0 until 70).map(i => s"w$i")
+    val docs = (0 until 30).map { i =>
+      val start = (i % 15) * 4
+      (i.toLong, words.slice(start, start + 12).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sig = graft.ext.Dedup.minhashSignatures(docs, 2)
+      .select("doc_id", "mh0", "mh1").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def isNew(id: Long) = id % 5 == 4
+    def minMatchOf(id: Long, bar: Int): Option[Long] = {
+      val (a0, a1) = sig(id)
+      val hits = sig.keys.filter(e => !isNew(e) && {
+        val (b0, b1) = sig(e)
+        val n = (if (a0 == b0) 1 else 0) + (if (a1 == b1) 1 else 0)
+        n >= 1 && n >= bar // candidate (any band) AND verified
+      })
+      if (hits.isEmpty) None else Some(hits.min)
+    }
+    val out = graft.ext.Dedup
+      .incrementalFuzzyDedup(docs, k = 2, minMatch = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val newIds = sig.keys.filter(isNew).toSeq.sorted
+    assert(out.keySet === newIds.toSet)
+    newIds.foreach { id =>
+      assert(out(id) === minMatchOf(id, 2), s"doc $id verdict mismatch")
+    }
+    // test validity: the reject branch must actually fire — some new doc
+    // is a one-component band candidate that verification turns away
+    val rejected = newIds.filter(id =>
+      minMatchOf(id, 1).isDefined && minMatchOf(id, 2).isEmpty)
+    assert(rejected.nonEmpty,
+      "corpus produced no band-candidate below the component bar")
+    // and the accept branch too (the replica exact dups)
+    assert(newIds.exists(id => out(id).isDefined))
+  }
+
   test("docRepetition: top-token dominance exact; empty docs surface with NULLs") {
     import spark.implicits._
     val docs = Seq(
