@@ -383,12 +383,18 @@ object TextOps {
     * This is the rewrite form of dedup — C4 dropped repeated lines, not
     * whole pages — which `chunkDedup` (report form) cannot do.
     *
-    * Scale shape: spans never shuffle as text for the dedup decision —
-    * the keep-first window partitions on the 60-bit span hash (8-byte
-    * keys); the reconstruction then groups by doc_id, an exchange whose
-    * payload is bounded by the surviving corpus itself (the same bytes
-    * any rewrite must move). Both window and group are hash-partitioned
-    * aggregations with no skew beyond the duplicate clusters themselves.
+    * Scale shape — deliberately NOT a `row_number() over (partition by
+    * bhash)` window: the duplicate clusters ARE the skew (a boilerplate
+    * license block repeated across millions of documents is one bhash
+    * key holding all its occurrences), and a window partition is
+    * unsplittable by AQE — the freq_score/dsir lesson applies to the
+    * span hash too. Instead the corpus-first occurrence per span is a
+    * map-side-combined `groupBy(bhash).agg(min(struct(doc_id, idx)))` —
+    * the million-copy cluster collapses to one row per task BEFORE its
+    * exchange — joined back on bhash, where a skewed key is
+    * AQE-splittable. The reconstruction then groups by doc_id, an
+    * exchange whose payload is bounded by the surviving corpus itself
+    * (the same bytes any rewrite must move).
     */
   def blockDedupRewrite(documents: DataFrame, block: Int = 16): DataFrame = {
     val blocks = documents
@@ -401,16 +407,19 @@ object TextOps {
         s"cast(start div $block as bigint) as idx",
         s"array_join(slice(toks, start + 1, $block), ' ') as btext")
       .withColumn("bhash", expr(md5Long64("btext")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bhash"))
-      .orderBy(col("doc_id"), col("idx"))
-    blocks
-      .withColumn("_rn", row_number().over(w))
+    // corpus-global first occupant of each span content, (doc_id, idx)
+    // lexicographic — identical to the former window's row_number()=1
+    // under ORDER BY (doc_id, idx), but skew-immune by partial aggregation
+    val firsts = blocks.groupBy(col("bhash"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    blocks.join(firsts, Seq("bhash"))
+      .withColumn("_keep",
+        col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_blocks"),
-        count(when(col("_rn") === 1, lit(1))).as("n_kept"),
-        collect_list(when(col("_rn") === 1, struct(col("idx"), col("btext")))).as("_kept"))
+        count(when(col("_keep"), lit(1))).as("n_kept"),
+        collect_list(when(col("_keep"), struct(col("idx"), col("btext")))).as("_kept"))
       .selectExpr(
         "doc_id", "n_blocks", "n_kept",
         // collect_list drops the non-kept nulls; order by span position.

@@ -213,12 +213,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<>"), p)
   }
 
-  test("block_dedup_rewrite: two exchanges only — span-hash window, then doc regroup") {
+  test("block_dedup_rewrite: no window over the span hash — keep-first is a skew-immune aggregate") {
     val p = formatted("block_dedup_rewrite")
-    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 2, p)
+    // the boilerplate-block cluster is ONE bhash key: a window partition
+    // on it is unsplittable, so keep-first must be groupBy + join-back
+    // (AQE can split a skewed JOIN key; it cannot split a window)
+    assert(!p.contains("Window"), p)
     assert(p.contains("hashpartitioning(bhash"), p)  // dedup decision keyed on 8-byte hashes
     assert(p.contains("hashpartitioning(doc_id"), p) // reconstruction regroup
-    // reconstruction keeps map-side partials (partial collect of kept spans)
+    // the firsts aggregate keeps map-side partials (the cluster collapses
+    // before its exchange), and reconstruction partially collects spans
+    assert(p.contains("partial_min"), p)
     assert(p.contains("partial_collect_list"), p)
   }
 
