@@ -1198,7 +1198,7 @@ object SparkEntry {
       s"""WITH r AS (
          |  SELECT doc_id, lang, source,
          |         row_number() OVER (PARTITION BY lang
-         |                            ORDER BY ${dH("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |                            ORDER BY ${dH("CAST(doc_id AS VARCHAR)")} % 4503599627370496, doc_id) AS rk
          |  FROM documents
          |)
          |SELECT doc_id, lang, source FROM r WHERE rk <= 20""".stripMargin,
@@ -1465,7 +1465,7 @@ object SparkEntry {
          |), r AS (
          |  SELECT doc_id, lang, source, n_chars,
          |         row_number() OVER (PARTITION BY lang
-         |                            ORDER BY ${dH("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |                            ORDER BY ${dH("CAST(doc_id AS VARCHAR)")} % 4503599627370496, doc_id) AS rk
          |  FROM uniq
          |)
          |SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= 10""".stripMargin,

@@ -138,11 +138,33 @@ object Sampling {
       stratumCol: String,
       keyExpr: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val h = expr(TextOps.md5Long64(s"cast($keyExpr as string)"))
-    val w = Window.partitionBy(col(stratumCol)).orderBy(h.asc, expr(keyExpr).asc)
-    df.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= k)
-      .drop("_rk")
+    // Skew-immune form ([[capPerSource]]'s idiom, round 10 — the former
+    // `row_number() OVER (PARTITION BY stratum)` put the dominant
+    // stratum, e.g. lang='en' ≈ most of a crawl, in ONE unsplittable
+    // window partition): per stratum keep the k smallest (hash, key)
+    // pairs via the map-side-combined TopKAggregator — the exchange
+    // carries ≤ k rows per (stratum, input partition) — then BROADCAST
+    // the k·|strata| picks back; the corpus itself never shuffles at
+    // all. The 52-bit hash fits a double exactly, so the (−hash, key)
+    // aggregator order is bit-identical to the oracle's
+    // `ORDER BY hash % 2^52, key` window. `keyExpr` must be integral and
+    // unique within its stratum (it is the join-back identity, not just
+    // a tiebreak) — true of every id column this library samples by.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val picks = df
+      .selectExpr(
+        s"cast($stratumCol as string) as _s",
+        s"cast($keyExpr as bigint) as _k",
+        s"${TextOps.md5Long64(s"cast($keyExpr as string)")} % 4503599627370496L as _h52")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (-t._3.toDouble, t._2)) // TopK keeps LARGEST = smallest hash
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("ks"))
+      .toDF("_s", "_ks")
+      .select(col("_s"), explode(col("_ks")).as("_k"))
+    df.join(broadcast(picks),
+      expr(s"cast($stratumCol as string) <=> _s and cast($keyExpr as bigint) = _k"))
+      .drop("_s", "_k")
   }
 }

@@ -423,6 +423,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(doc_id"), p)
   }
 
+  test("sample_stratified: no stratum window; picks broadcast back, corpus never shuffles") {
+    val p = formatted("sample_stratified")
+    // the dominant stratum (lang='en' at crawl scale) was one
+    // unsplittable window partition; the aggregator form's only exchange
+    // carries <= k rows per (stratum, input partition), and the join
+    // back is a broadcast — the corpus side has NO hash exchange at all
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("hashpartitioning\\(lang".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("bucketed q21 via Maintenance.bucketWrite: zero sorts, no fact-key exchange") {
     // the library form of the BENCH_SF1 q21 result: both facts written
     // through bucketWrite (one file per bucket + per-bucket sort), the
