@@ -194,19 +194,22 @@ object SparkEntry {
       val survivors = corpus
         .join(repetitiveIds, Seq("doc_id"), "left_anti")
         .join(cleanIds, Seq("doc_id"), "left_semi")
-      // keep-first dedup as ONE window pass (same keeper as
+      // keep-first dedup as ONE min_by aggregate (same keeper as
       // keepFirstByText: min doc_id per text hash). The semi-join form
-      // would put the whole filter chain under BOTH join sides, and
-      // column pruning pushes different projections below each side's
-      // exchange, so exchange reuse cannot collapse them — the window
-      // form has a single consumer by construction.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("_th")).orderBy(col("doc_id"))
+      // would put the whole filter chain under BOTH join sides (exchange
+      // reuse can't collapse differently-pruned subplans); the former
+      // row_number window had the single-consumer shape but buffered
+      // each duplicate CLUSTER in one unsplittable window partition —
+      // the skewed-key class de-skewed everywhere else this round.
+      // min_by keeps the single consumer AND partial-aggregates: a
+      // million-copy cluster collapses to one row per task before the
+      // exchange ever sees it.
       val deduped = survivors
         .withColumn("_th", expr(s"${TextOps.md5Long64("text")}"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .drop("_th", "_rn")
+        .groupBy(col("_th"))
+        .agg(min_by(
+          struct(survivors.columns.map(col): _*), col("doc_id")).as("_r"))
+        .select(col("_r.*"))
       val rate = expr(Sampling.sourceRateSql)
       val sampled = deduped.filter(
         expr(s"pmod(${TextOps.md5Long64("cast(doc_id as string)")}, 100)") < rate)
