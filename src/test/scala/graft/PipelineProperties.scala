@@ -103,4 +103,41 @@ object PipelineProperties extends Properties("pipelineops") {
         r.forall { case (k, v) => math.abs(repart(k) - v) <= 1e-6 }
       massOk && invariant
     }
+
+  property("incrementalFuzzyDedup equals the signature-level reference at any verify bar") =
+    Prop.forAll(genDocs.suchThat(_.length >= 5), Gen.choose(1, 2)) { (texts, mm) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // reference from the SAME signature projection the operator shares
+      // (mh nulls = shingle-less docs: never component-equal, can still
+      // band-collide through the coalesced empty-band hash)
+      val sig = Dedup.minhashSignatures(docs, 2)
+        .select("doc_id", "mh0", "mh1", "band0", "band1").collect()
+        .map { r =>
+          val mh = Seq(1, 2).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))
+          r.getLong(0) -> ((mh, (r.getLong(3), r.getLong(4))))
+        }.toMap
+      def isNew(id: Long) = id % 5 == 4
+      def expected(id: Long): Option[Long] = {
+        val (mhN, (b0, b1)) = sig(id)
+        val hits = sig.keys.filter { e =>
+          !isNew(e) && {
+            val (mhE, (c0, c1)) = sig(e)
+            val band = b0 == c0 || b1 == c1
+            val n = mhN.zip(mhE).count {
+              case (Some(a), Some(b)) => a == b
+              case _ => false
+            }
+            band && n >= mm
+          }
+        }
+        if (hits.isEmpty) None else Some(hits.min)
+      }
+      val out = Dedup.incrementalFuzzyDedup(docs, k = 2, minMatch = mm).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val newIds = sig.keys.filter(isNew).toSet
+      out.keySet == newIds && newIds.forall(id => out(id) == expected(id))
+    }
 }
