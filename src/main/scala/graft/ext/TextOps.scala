@@ -701,18 +701,28 @@ object TextOps {
     documents.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val df = batch.persist()
-        try {
-          df.selectExpr(
-            "explode(filter(split(text, ' '), x -> x != '')) as token")
-            .groupBy(col("token")).agg(count(lit(1)).as("c"))
-            .write.mode("overwrite").parquet(s"$outDir/tok/batch_$batchId")
-          df.agg(count(lit(1)).as("n"))
-            .write.mode("overwrite").parquet(s"$outDir/docs/batch_$batchId")
-        } finally df.unpersist()
-        ()
+        corpusStatsBatch(batch.toDF(), outDir, batchId)
       }
       .start()
+
+  /** One micro-batch's contribution to the accumulated card — factored
+    * out so composite sinks (e.g. [[CurationStream.curateStream]]) can
+    * fold the report card into their own foreachBatch alongside their
+    * survivor writes, instead of running a second streaming query over
+    * the same data.
+    */
+  def corpusStatsBatch(df: DataFrame, outDir: String, batchId: Long): Unit = {
+    val b = df.persist()
+    try {
+      b.selectExpr(
+        "explode(filter(split(text, ' '), x -> x != '')) as token")
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(s"$outDir/tok/batch_$batchId")
+      b.agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$outDir/docs/batch_$batchId")
+    } finally b.unpersist()
+    ()
+  }
 
   /** The accumulated report card over everything [[corpusStatsSink]] has
     * seen so far: merge the per-batch token histograms (map-side-combined
@@ -889,15 +899,23 @@ object TextOps {
     * 0; NULL text scores NULL (and `keep` is NULL, not false — unscorable
     * is not the same as rejected).
     */
-  def classifierScore(documents: DataFrame, dim: Int = 1024): DataFrame = {
+  /** The [[classifierScore]] hashed-bag-of-words score as a raw SQL
+    * expression over a token-array expression — the reusable form for
+    * pipelines that must keep their other columns (a streaming stage
+    * can't join back against itself to recover them).
+    */
+  def classifierScoreSql(toksExpr: String, dim: Int = 1024): String = {
     val w = s"((${md5Long64("x")} % $dim) * 2654435761L) % 2001L - 1000L"
+    s"aggregate($toksExpr, 0L, (a, x) -> a + ($w))"
+  }
+
+  def classifierScore(documents: DataFrame, dim: Int = 1024): DataFrame =
     documents
       .selectExpr("doc_id", "filter(split(text, ' '), x -> x != '') as toks")
       .selectExpr("doc_id", "size(toks) as n_tokens",
-        s"aggregate(toks, 0L, (a, x) -> a + ($w)) as score_milli")
+        s"${classifierScoreSql("toks", dim)} as score_milli")
       .selectExpr("doc_id", "n_tokens", "score_milli",
         "cast(score_milli >= 0 as int) as keep")
-  }
 
   /** Corpus-frequency quality scoring — the rarity signal LM-based
     * filters approximate: every token's corpus occurrence count is

@@ -662,6 +662,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.contains(21L))
   }
 
+  test("curateStream: streaming decontaminate → quality → dedup equals the batch composition") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    // choose tokens by their ACTUAL classifier weights so every branch
+    // provably fires: strictly-positive tokens build surviving texts, a
+    // negative token builds the quality-dropped doc
+    val cands = (0 until 60).map(i => s"tok$i")
+    val wts = graft.ext.TextOps.classifierScore(
+      cands.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .collect().map(r => cands(r.getLong(0).toInt) -> r.getLong(2)).toMap
+    val pos = cands.filter(t => wts(t) > 0).take(3)
+    val neg = cands.find(t => wts(t) < 0).get
+    assert(pos.length == 3, "need 3 positive-weight tokens")
+    val benchText = s"${pos(0)} benchmark page"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val tSurvive1 = pos.mkString(" ")         // positive score, clean
+    val tSurvive2 = pos.reverse.mkString(" ") // same tokens, different text
+    def t(m: Int) = ts(f"2024-01-01 00:$m%02d:00")
+    val b1 = Seq(
+      (1L, t(0), benchText),   // contaminated -> dropped by the screen
+      (2L, t(1), tSurvive1),   // survivor
+      (3L, t(2), neg),         // negative score -> dropped by quality
+      (4L, t(3), tSurvive1))   // in-batch exact dup of 2 -> dropped
+    val b2 = Seq(
+      (5L, t(10), tSurvive1),  // cross-batch dup -> dropped by state
+      (6L, t(11), tSurvive2))  // survivor
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.ext.CurationStream.curateStream(
+      ms.toDS().toDF("doc_id", "ts", "text"), bench, s"$dir/out", s"$dir/cp")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val survivors = spark.read.parquet(s"$dir/out/docs")
+    assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 6L))
+    // equals the batch composition on the union (arrival order = id
+    // order here, so keep-first-arrival = keepFirstByText)
+    val union = (b1 ++ b2).toDF("doc_id", "ts", "text")
+    val clean = union.join(bench.select("text"), Seq("text"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet // contaminated ids
+    val qual = graft.ext.TextOps.classifierScore(union)
+      .filter(org.apache.spark.sql.functions.col("keep") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = graft.ext.Dedup.keepFirstByText(
+      union.filter(!org.apache.spark.sql.functions.col("doc_id").isInCollection(clean))
+        .filter(org.apache.spark.sql.functions.col("doc_id").isInCollection(qual)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(expected === Seq(2L, 6L)) // the reference composition agrees
+    // accumulated report card == batch card over the same survivors
+    val streamedCard = graft.ext.TextOps.corpusStatsFrom(spark, s"$dir/out/stats")
+      .collect()(0)
+    val batchCard = graft.ext.TextOps.corpusStats(
+      survivors.select("doc_id", "text")).collect()(0)
+    assert(streamedCard === batchCard)
+    assert(streamedCard.getLong(0) === 2L) // n_docs = the two survivors
+  }
+
   test("hotSwapDedupSink: a publish takes effect at the NEXT micro-batch — no restart") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_hotswap").toFile
