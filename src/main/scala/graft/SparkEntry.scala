@@ -2561,8 +2561,11 @@ object SparkEntry {
          |GROUP BY grp, bin""".stripMargin,
     "freq_score" ->
       """WITH tok AS (
+        |  -- doc_id IS NOT NULL mirrors the Spark side exactly: corpus
+        |  -- frequencies are defined over IDENTIFIED documents (a
+        |  -- null-doc row's tokens count in neither engine)
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-        |  FROM documents
+        |  FROM documents WHERE doc_id IS NOT NULL
         |), m AS (
         |  SELECT doc_id, length(bin(COUNT(*) OVER (PARTITION BY token))) - 1 AS mag
         |  FROM tok

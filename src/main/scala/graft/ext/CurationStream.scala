@@ -34,6 +34,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object CurationStream {
 
+  /** NULL-text policy: a NULL text scores NULL and the quality filter
+    * drops it — the batch [[TextOps.classifierScore]] surfaces NULL so
+    * caller policy can decide, but a continuous pipeline must decide
+    * inline, and "unscorable does not enter the training corpus" is the
+    * conservative call. Route NULL-text rows around the pipeline
+    * upstream if they must be preserved.
+    */
   def curateStream(
       docs: DataFrame, // columns: doc_id, ts (event time), text
       benchmark: DataFrame, // reference eval set with a text column
@@ -42,8 +49,14 @@ object CurationStream {
       delay: String = "10 minutes",
       expectedItems: Long = 1L << 20,
       numBits: Long = 1L << 23): StreamingQuery = {
+    // pin the benchmark for the QUERY's lifetime: IncrementalExecution
+    // re-plans the Bloom blob's scalar subquery every micro-batch
+    // (bloomScreenStream scaladoc), so an unpinned reference would
+    // re-scan + re-aggregate O(benchmark) per batch; released by the
+    // termination listener below
+    val bench = benchmark.persist()
     val decontaminated =
-      Dedup.bloomScreenStream(docs, benchmark, expectedItems, numBits)
+      Dedup.bloomScreenStream(docs, bench, expectedItems, numBits)
     val quality = decontaminated
       .withColumn("_score", expr(
         TextOps.classifierScoreSql("filter(split(text, ' '), x -> x != '')")))
@@ -54,16 +67,39 @@ object CurationStream {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("_th")
       .drop("_th")
-    deduped.writeStream
+    val query = deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(s"$outDir/docs")
-        TextOps.corpusStatsBatch(batch.toDF(), s"$outDir/stats", batchId)
+        // one persist spans BOTH per-batch actions — without it the
+        // micro-batch plan executes once for the survivor write and
+        // again for the report-card fold (the Sinks.scala idiom).
+        // corpusStatsBatch's inner persist of the same plan is a no-op
+        // against this cache; its unpersist releases it, so the order
+        // (survivors first, stats last) is load-bearing.
+        val b = batch.persist()
+        try {
+          b.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$outDir/docs")
+          TextOps.corpusStatsBatch(b.toDF(), s"$outDir/stats", batchId)
+        } finally b.unpersist()
+        ()
       }
       .start()
+    val session = docs.sparkSession
+    session.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            bench.unpersist()
+            session.streams.removeListener(this)
+          }
+      })
+    query
   }
 }

@@ -152,11 +152,15 @@ object Sampling {
     // a tiebreak) — true of every id column this library samples by.
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL keys are unsampleable (no identity to join back on, no hash
+    // to order by) and are dropped — stated contract, and required: the
+    // primitive-Long encoder below would otherwise throw at runtime
     val picks = df
       .selectExpr(
         s"cast($stratumCol as string) as _s",
         s"cast($keyExpr as bigint) as _k",
         s"${TextOps.md5Long64(s"cast($keyExpr as string)")} % 4503599627370496L as _h52")
+      .where(col("_k").isNotNull)
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .mapValues(t => (-t._3.toDouble, t._2)) // TopK keeps LARGEST = smallest hash

@@ -502,8 +502,15 @@ object Similarity {
     require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
     require(trailingBatches >= 1, s"trailingBatches must be >= 1, got $trailingBatches")
     (batch, batchId) => {
+      // DYNAMIC partition overwrite, not append: foreachBatch MAY
+      // re-deliver the last batch id after a crash, and an append would
+      // double that batch's survivors in the log — and in every
+      // trailing-window retrain that includes it (the historyAndState /
+      // hotSwapDedupSink idempotence contract)
       batch.withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id").parquet(outPath)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outPath)
       if ((batchId + 1) % refreshEvery == 0)
         publishCodebook(
           trainedCodebook(
@@ -542,9 +549,10 @@ object Similarity {
     * neighborhood per swap, only where the codebooks disagree on the
     * cell) — but the swap lands one micro-batch after publish instead of
     * at the next restart. With `pruneKeys` the sink also deletes key
-    * partitions below every future batch's window floor
-    * ([[graft.io.Maintenance.pruneBatchPartitions]]), bounding key-store
-    * DISK (not just reads) on an unbounded stream; survivor data under
+    * partitions below the current batch's own window floor
+    * ([[graft.io.Maintenance.pruneBatchPartitions]]; the floor is
+    * replay-safe — see the call-site comment), bounding key-store DISK
+    * (not just reads) on an unbounded stream; survivor data under
     * `/data` is the product and is never pruned.
     */
   def hotSwapDedupSink(
@@ -576,13 +584,17 @@ object Similarity {
             .partitionBy("batch_id").parquet(dir)
         }
       } finally survivors.unpersist()
-      // keys older than any FUTURE batch's window are dead operational
-      // state (survivor data under /data is the product and is kept);
-      // deleting strictly below the window floor can never race the
-      // trailing read, which this same sink performs
+      // keys below the CURRENT batch's window floor are dead operational
+      // state (survivor data under /data is the product and is kept).
+      // The floor is batchId - dedupBatches, NOT +1: a crash after the
+      // prune re-delivers THIS batch id, and its replayed anti-join must
+      // still see its own floor partition — pruning one tighter would
+      // re-admit a duplicate of a floor-batch key on replay. One stale
+      // partition lingers until the next batch prunes it; replay safety
+      // is worth a partition of slack.
       if (pruneKeys)
         graft.io.Maintenance.pruneBatchPartitions(
-          spark, s"$outPath/keys", batchId - dedupBatches + 1)
+          spark, s"$outPath/keys", batchId - dedupBatches)
       ()
     }
   }

@@ -733,12 +733,26 @@ object TextOps {
     */
   def corpusStatsFrom(
       spark: org.apache.spark.sql.SparkSession,
-      outDir: String): DataFrame =
-    statsCard(
-      spark.read.parquet(s"$outDir/tok/batch_*")
-        .groupBy(col("token")).agg(sum(col("c")).as("c")),
-      spark.read.parquet(s"$outDir/docs/batch_*")
-        .agg(sum(col("n")).as("n_docs")))
+      outDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/tok")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // before the first micro-batch commits there is nothing to read: the
+    // card of zero batches is the card of zero documents (n_docs = 0,
+    // NULL aggregates), same as corpusStats on an empty frame — a
+    // dashboard polling a just-started stream gets a row, not a
+    // path-not-found error (the priorKeys empty-store contract)
+    if (!fs.exists(p))
+      statsCard(
+        spark.range(0).selectExpr(
+          "cast(null as string) as token", "cast(null as bigint) as c"),
+        spark.range(1).select(lit(0L).as("n_docs")))
+    else
+      statsCard(
+        spark.read.parquet(s"$outDir/tok/batch_*")
+          .groupBy(col("token")).agg(sum(col("c")).as("c")),
+        spark.read.parquet(s"$outDir/docs/batch_*")
+          .agg(sum(col("n")).as("n_docs")))
+  }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each document by
@@ -940,10 +954,13 @@ object TextOps {
     * the raw occurrence stream.
     */
   def freqScore(documents: DataFrame): DataFrame = {
-    // the explicit isnotnull mirrors the filter the outer left join
-    // infer-pushes into the tf branch only — with it on BOTH branches the
-    // two (doc, token) exchanges canonicalize identically and AQE stage
-    // reuse executes the scan→explode→partial-agg pipeline ONCE
+    // the explicit isnotnull does two jobs: (1) the outer left join
+    // infer-pushes it into the tf branch only — with it on BOTH branches
+    // the two (doc, token) exchanges canonicalize identically and AQE
+    // stage reuse executes the scan→explode→partial-agg pipeline ONCE;
+    // (2) it is a SEMANTIC choice the oracle mirrors verbatim: corpus
+    // frequencies are defined over identified documents, so a
+    // null-doc_id row's tokens count in neither engine
     val tok = documents.where(col("doc_id").isNotNull).selectExpr("doc_id",
       "explode(filter(split(text, ' '), x -> x != '')) as token")
     val tf = tok.groupBy(col("doc_id"), col("token"))

@@ -36,32 +36,6 @@ object Maintenance {
     (rows, out)
   }
 
-  /** Write `df` as a saved table bucketed AND per-bucket-sorted by `key`,
-    * with strictly ONE FILE PER BUCKET — the layout that makes every
-    * downstream equi-join/aggregate on `key` both exchange-free and
-    * sort-free. Two layout invariants do the work:
-    *
-    *  1. `repartition(buckets, key)` before `bucketBy(buckets, key)`:
-    *     both use the same murmur3 `HashPartitioning`, so each write task
-    *     holds exactly one bucket's rows and emits exactly one file.
-    *     Without it, every write task emits a file per bucket it touches
-    *     (task-count × buckets small files), and multi-file buckets void
-    *     the sort metadata below.
-    *  2. Readers must set
-    *     `spark.sql.legacy.bucketedTableScan.outputOrdering=true`:
-    *     Spark ≥3.0 ignores per-bucket sort order by default because
-    *     multi-file buckets made it unsafe — single-file buckets are
-    *     exactly the case the flag re-enables, and [[GuardSpec]] pins the
-    *     flag's existence. Without the flag only the exchange
-    *     elimination survives (still the dominant term on a fact join).
-    *
-    * Measured effect (BENCH_SF1.md, q21 at 100×): fact exchanges gone,
-    * zero Sort nodes in the executed plan, 1.4–1.5× end-to-end against a
-    * one-time layout cost of ~2.3 query executions.
-    *
-    * Returns the file count; fails fast if any bucket produced more than
-    * one file (the silent way the sort contract breaks).
-    */
   /** Retention sweep for `batch_id=N`-partitioned stores (the
     * [[graft.ext.Similarity.hotSwapDedupSink]] key store, the
     * [[graft.ext.Similarity.refreshingDedupSink]] survivor log, the
@@ -91,6 +65,32 @@ object Maintenance {
       .map { case (id, path) => fs.delete(path, true); id }
   }
 
+  /** Write `df` as a saved table bucketed AND per-bucket-sorted by `key`,
+    * with strictly ONE FILE PER BUCKET — the layout that makes every
+    * downstream equi-join/aggregate on `key` both exchange-free and
+    * sort-free. Two layout invariants do the work:
+    *
+    *  1. `repartition(buckets, key)` before `bucketBy(buckets, key)`:
+    *     both use the same murmur3 `HashPartitioning`, so each write task
+    *     holds exactly one bucket's rows and emits exactly one file.
+    *     Without it, every write task emits a file per bucket it touches
+    *     (task-count × buckets small files), and multi-file buckets void
+    *     the sort metadata below.
+    *  2. Readers must set
+    *     `spark.sql.legacy.bucketedTableScan.outputOrdering=true`:
+    *     Spark ≥3.0 ignores per-bucket sort order by default because
+    *     multi-file buckets made it unsafe — single-file buckets are
+    *     exactly the case the flag re-enables, and [[GuardSpec]] pins the
+    *     flag's existence. Without the flag only the exchange
+    *     elimination survives (still the dominant term on a fact join).
+    *
+    * Measured effect (BENCH_SF1.md, q21 at 100×): fact exchanges gone,
+    * zero Sort nodes in the executed plan, 1.4–1.5× end-to-end against a
+    * one-time layout cost of ~2.3 query executions.
+    *
+    * Returns the file count; fails fast if any bucket produced more than
+    * one file (the silent way the sort contract breaks).
+    */
   def bucketWrite(df: DataFrame, key: String, buckets: Int, table: String): Int = {
     df.repartition(buckets, df(key))
       .write.bucketBy(buckets, key).sortBy(key)

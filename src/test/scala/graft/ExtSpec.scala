@@ -111,6 +111,9 @@ class ExtSpec extends AnyFunSuite {
       "src/main/scala/graft/ext/Graph.scala" -> 1,
       "src/main/scala/graft/ext/Similarity.scala" -> 1,
       "src/main/scala/graft/ext/TextOps.scala" -> 1,
+      // benchmark pinned for the query lifetime (released by the
+      // termination listener) + the per-batch span across both writes
+      "src/main/scala/graft/ext/CurationStream.scala" -> 2,
       "src/main/scala/graft/io/Sinks.scala" -> 1)
     val toks = Seq(".persist(", ".cache(", ".localCheckpoint(", ".checkpoint(")
     val root = java.nio.file.Paths.get("src/main/scala")
