@@ -51,4 +51,35 @@ class MultimodalSpec extends AnyFunSuite {
       .select("media_id", "frame_idx").as[(Long, Long)].collect().sorted
     assert(frames.toSeq === Seq((2L, 0L), (2L, 7L))) // n_frames=12 -> 0, 7
   }
+
+  test("media pipeline runs unchanged on a stream and matches batch bit-for-bit") {
+    // the streaming-twin contract for the media family: synthesize →
+    // resize → extractFeatures are mapPartitions/projections, so the SAME
+    // library calls compile onto a streaming Dataset — the payload never
+    // shuffles, so there is no state and no watermark to manage
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq((0L, "aaaa bbbb cccc"), (1L, "dddd eeee"), (2L, "ffff gggg hhhh"))
+    val ms = MemoryStream[(Long, String)]
+    val streamed = Multimodal.extractFeatures(
+      Multimodal.resize(
+        Multimodal.synthesizeMedia(ms.toDS().toDF("doc_id", "text")), 10))
+    val q = streamed.writeStream.format("memory").queryName("media_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      val stream = spark.table("media_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getInt(4), r.getLong(5)))
+        .sortBy(_._1).toSeq
+      val batch = Multimodal.extractFeatures(
+        Multimodal.resize(
+          Multimodal.synthesizeMedia(rows.toDF("doc_id", "text")), 10))
+        .collect()
+        .map(f => (f.media_id, f.n_bytes, f.mean_byte, f.max_byte, f.byte_entropy_proxy))
+        .sortBy(_._1).toSeq
+      assert(stream === batch)
+      assert(stream.forall(_._2 <= 10)) // the resize budget applied in-stream
+    } finally q.stop()
+  }
 }
