@@ -357,6 +357,9 @@ object SparkEntry {
     "freq_score" -> ((s, d) => TextOps.freqScore(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextOps.docRepetition(Tables.documents(s, d))),
+    // no oracleSql entry: zlib bytes aren't SQL-expressible — driver
+    // records the rows-only check; determinism is ScalaTest-pinned
+    "compression_ratio" -> ((s, d) => TextOps.compressionRatio(Tables.documents(s, d))),
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(Tables.documents(s, d))),
     // the synthetic corpus carries no real PII, so the query DECORATES
     // each doc with deterministic doc_id-derived email/IP/phone strings

@@ -1011,6 +1011,65 @@ object TextOps {
           | as int) as dominated""".stripMargin)
   }
 
+  case class CompressionStats(
+      doc_id: Long,
+      n_bytes: Long,
+      n_deflate: Long,
+      deflate_ratio: Option[Double],
+      low_entropy: Option[Boolean])
+
+  /** Compression-ratio quality signal — the "gzip filter" of the
+    * C4/CCNet/Gopher curation family: text that DEFLATE shrinks too well
+    * is repetitive boilerplate or degenerate generation (the same class
+    * [[repetitionStats]] and [[docRepetition]] flag lexically, caught
+    * here at the byte level where token tricks can't hide it), and text
+    * that barely compresses at all is often binary junk mis-ingested as
+    * text. Emits raw sizes, the ratio, and the low-entropy flag at
+    * `threshold`.
+    *
+    * Shape: pure `mapPartitions` projection — one `Deflater` per
+    * PARTITION, `reset()` per row (allocating the native zlib stream
+    * per row is the classic 10× trap), payloads never shuffle, scan
+    * speed at any corpus size. NOT oracle-gated: zlib output is
+    * deterministic for a fixed library+level (the ScalaTest pins
+    * determinism under repartitioning) but no portable SQL reproduces
+    * the byte stream, so the driver records the rows-only check — the
+    * documented gate tier for non-SQL-expressible operators. NULL text
+    * yields NULL ratio/flag (unscorable ≠ rejected, the
+    * [[classifierScore]] contract).
+    */
+  def compressionRatio(
+      documents: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.selectExpr("doc_id", "text").as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        val out = rows.map { case (id, text) =>
+          if (text == null) CompressionStats(id, 0L, 0L, None, None)
+          else {
+            val bytes = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(bytes)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            val ratio =
+              if (bytes.length == 0) None
+              else Some(n.toDouble / bytes.length)
+            CompressionStats(id, bytes.length.toLong, n, ratio,
+              ratio.map(_ < threshold))
+          }
+        }
+        out // Deflater native state is freed by GC finalization; the
+        // iterator is consumed fully by the caller before the partition
+        // ends, so no row outlives the deflater it used
+      }
+      .toDF()
+  }
+
   def heavyHittersByGroup(
       documents: DataFrame,
       groupCol: String = "lang",

@@ -1290,6 +1290,39 @@ class ExtSpec extends AnyFunSuite {
     assert(newIds.exists(id => out(id).isDefined))
   }
 
+  test("compressionRatio: repetitive text compresses away; determinism under repartitioning") {
+    import spark.implicits._
+    val repetitive = ("spam " * 200).trim // one token, 200 times
+    // seeded-random alphanumerics: near-incompressible, deterministic
+    val rnd = new scala.util.Random(42)
+    val natural = (1 to 120).map(_ =>
+      rnd.alphanumeric.take(6).mkString).mkString(" ")
+    val docs = Seq(
+      (1L, repetitive),
+      (2L, natural),
+      (3L, ""),   // empty: sizes 0-ish, NULL ratio
+      (4L, null.asInstanceOf[String])) // unscorable: NULL everything
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val rRep = out(1L).getDouble(3)
+    val rNat = out(2L).getDouble(3)
+    // the signal orders as the filter needs: boilerplate far below
+    // natural text, and only boilerplate trips the low-entropy flag
+    assert(rRep < 0.1, s"repetitive ratio $rRep")
+    assert(rNat > 0.4, s"natural ratio $rNat")
+    assert(out(1L).getBoolean(4) === true && out(2L).getBoolean(4) === false)
+    assert(out(3L).getLong(1) === 0L && out(3L).isNullAt(3) && out(3L).isNullAt(4))
+    assert(out(4L).isNullAt(3) && out(4L).isNullAt(4))
+    // bit-stable under partitioning (per-partition Deflater reuse must
+    // not leak state between rows)
+    val again = graft.ext.TextOps.compressionRatio(docs.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val first = out.values.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(again === first)
+  }
+
   test("docRepetition: top-token dominance exact; empty docs surface with NULLs") {
     import spark.implicits._
     val docs = Seq(
