@@ -25,6 +25,9 @@ object HotSwapProbe {
     val batches = args.headOption.map(_.toInt).getOrElse(60)
     val rows = if (args.length > 1) args(1).toInt else 2000
     val window = if (args.length > 2) args(2).toInt else 10
+    // the report averages the 5..15, 25..35 and last-10 bands; fewer
+    // batches would divide by an empty band and print NaN means
+    require(batches >= 45, s"need batches >= 45 for the three report bands, got $batches")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

@@ -511,13 +511,29 @@ object Similarity {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(outPath)
-      if ((batchId + 1) % refreshEvery == 0)
-        publishCodebook(
-          trainedCodebook(
-            trailingSurvivors(batch.sparkSession, outPath, batchId, trailingBatches,
-              Some(batch.schema)),
-            k, iters),
-          cbDir)
+      if ((batchId + 1) % refreshEvery == 0) {
+        // replay guard: a crash AFTER a publish but before the
+        // micro-batch commits would re-fire this refresh on re-delivery
+        // and publish a spurious duplicate version (and pay the retrain
+        // twice). The marker makes the refresh at-most-once per batch
+        // id up to the marker's own crash window — inside which the
+        // duplicate publish carries IDENTICAL centroids (same trailing
+        // window, deterministic training), so consumers see version
+        // churn at worst, never a different model.
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$outPath/_refreshed_batch_$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          publishCodebook(
+            trainedCodebook(
+              trailingSurvivors(batch.sparkSession, outPath, batchId, trailingBatches,
+                Some(batch.schema)),
+              k, iters),
+            cbDir)
+          fs.create(marker, true).close()
+        }
+      }
     }
   }
 
@@ -565,10 +581,16 @@ object Similarity {
     (batch, batchId) => {
       val spark = batch.sparkSession
       val keyed = withSemanticKey(batch, latestCodebook(spark, cbDir), sigBits)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cell"), col("qsig")).orderBy(col("vec_id"))
-      val local = keyed.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      // in-batch keep-first as a min_by AGGREGATE, not a (cell, qsig)
+      // window: a burst of near-identical arrivals — the case this sink
+      // exists for — is one hot key, and a window partition cannot be
+      // split; min_by partial-aggregates the cluster map-side (the
+      // pipeline_curate2 idiom)
+      val local = keyed
+        .groupBy(col("cell"), col("qsig"))
+        .agg(min_by(
+          struct(keyed.columns.map(col): _*), col("vec_id")).as("_r"))
+        .select(col("_r.*"))
       val survivors = local
         .join(priorKeys(spark, s"$outPath/keys", batchId, dedupBatches),
           Seq("cell", "qsig"), "left_anti")
@@ -578,6 +600,16 @@ object Similarity {
           (survivors, s"$outPath/data"),
           (survivors.select(col("cell"), col("qsig")), s"$outPath/keys")
         ).foreach { case (df, dir) =>
+          // replay hygiene BEFORE the write: dynamic overwrite only
+          // replaces partitions the new result TOUCHES — if a publish
+          // landed between a crashed attempt and its re-delivery and the
+          // replay's survivor set shrank (or emptied), the crashed
+          // attempt's stale rows would otherwise persist as phantom
+          // survivors. Clearing this batch's own partition first makes
+          // the replay idempotent under any codebook.
+          val part = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
+          val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(part)) fs.delete(part, true)
           df.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -640,6 +672,20 @@ object Similarity {
       upToBatch: Long,
       trailingBatches: Int,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // fail LOUDLY on a legacy flat (non-batch_id-partitioned) survivor
+    // log: with the explicit schema, a missing partition column reads as
+    // all-NULL, the window filter drops every row, and the retrain would
+    // silently train a degenerate codebook from zero rows
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val entries = fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      require(entries.isEmpty || entries.exists(_.startsWith("batch_id=")),
+        s"trailingSurvivors($outPath): no batch_id= partitions found — " +
+          "this looks like a legacy flat survivor log; re-ingest it " +
+          "through the partitioned sink before retraining from it")
+    }
     val reader = schema.fold(spark.read)(s =>
       spark.read.schema(s.add("batch_id", org.apache.spark.sql.types.LongType)))
     reader.parquet(outPath)

@@ -734,23 +734,33 @@ object TextOps {
   def corpusStatsFrom(
       spark: org.apache.spark.sql.SparkSession,
       outDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$outDir/tok")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // before the first micro-batch commits there is nothing to read: the
-    // card of zero batches is the card of zero documents (n_docs = 0,
-    // NULL aggregates), same as corpusStats on an empty frame — a
-    // dashboard polling a just-started stream gets a row, not a
-    // path-not-found error (the priorKeys empty-store contract)
-    if (!fs.exists(p))
+    // read only batches BOTH sides committed: corpusStatsBatch writes
+    // tok then docs, so a crash between them leaves a tok/batch_N with
+    // no docs twin — counting its tokens without its documents would
+    // break the card's invariant (and the batch replays idempotently,
+    // healing the gap). Before the first complete batch the card of
+    // zero batches is the card of zero documents (n_docs = 0, NULL
+    // aggregates) — a dashboard polling a just-started stream gets a
+    // row, not a path-not-found error (the priorKeys empty-store
+    // contract).
+    def batches(sub: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_")).toSet
+    }
+    val complete = (batches("tok") intersect batches("docs")).toSeq.sorted
+    if (complete.isEmpty)
       statsCard(
         spark.range(0).selectExpr(
           "cast(null as string) as token", "cast(null as bigint) as c"),
         spark.range(1).select(lit(0L).as("n_docs")))
     else
       statsCard(
-        spark.read.parquet(s"$outDir/tok/batch_*")
+        spark.read.parquet(complete.map(b => s"$outDir/tok/$b"): _*)
           .groupBy(col("token")).agg(sum(col("c")).as("c")),
-        spark.read.parquet(s"$outDir/docs/batch_*")
+        spark.read.parquet(complete.map(b => s"$outDir/docs/$b"): _*)
           .agg(sum(col("n")).as("n_docs")))
   }
 
@@ -1043,7 +1053,12 @@ object TextOps {
       threshold: Double = 0.4): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.selectExpr("doc_id", "text").as[(Long, String)]
+    documents
+      // null doc_id rows are unidentifiable, the docRepetition/freqScore
+      // semantic choice — and the primitive-Long encoder below would
+      // otherwise fail the whole job on the first one
+      .where(col("doc_id").isNotNull)
+      .selectExpr("doc_id", "text").as[(Long, String)]
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](64 * 1024)
@@ -1063,9 +1078,10 @@ object TextOps {
               ratio.map(_ < threshold))
           }
         }
-        out // Deflater native state is freed by GC finalization; the
-        // iterator is consumed fully by the caller before the partition
-        // ends, so no row outlives the deflater it used
+        // release the native zlib stream deterministically at partition
+        // end (the ++ tail runs after the last row is consumed); an
+        // abandoned iterator falls back to GC finalization
+        out ++ { deflater.end(); Iterator.empty }
       }
       .toDF()
   }
