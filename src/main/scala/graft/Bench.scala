@@ -115,20 +115,34 @@ object Bench {
     // quiet down before timing; if it never does, record anyway but set
     // "load_contaminated": true so the artifact is self-disqualifying
     // for round-over-round comparison.
-    def load1m(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // The 1-min average alone admits a box whose 5-min residue is still
+    // draining (round 10's record: 1-min 1.45 under threshold while 5-min
+    // sat at 3.00, and a stage-scheduling-bound query recorded 16 s whose
+    // same-run forced re-time was 2.75 s). Wait on — and gate
+    // contamination by — max(1-min, 5-min). The 15-min average is
+    // recorded for the reader but not gated: it drains too slowly for a
+    // bounded wait and only matters through its 5-min shadow.
+    def loadPair(): (Double, Double) =
+      try {
+        val parts = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")
+        (parts(0).toDouble, parts(1).toDouble)
+      } catch {
+        case _: Throwable =>
+          val l = java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean.getSystemLoadAverage
+          (l, l)
+      }
+    def loadMax(): Double = { val (a, b) = loadPair(); math.max(a, b) }
     val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "1.5").toDouble
-    val waitDeadline = System.nanoTime() + 5L * 60 * 1000000000L
-    while (load1m() >= loadThreshold && System.nanoTime() < waitDeadline) {
-      System.err.println(f"[bench] load_avg_1m ${load1m()}%.2f >= $loadThreshold; waiting...")
+    val waitDeadline = System.nanoTime() + 10L * 60 * 1000000000L
+    while (loadMax() >= loadThreshold && System.nanoTime() < waitDeadline) {
+      val (l1, l5) = loadPair()
+      System.err.println(f"[bench] load_avg max(1m=$l1%.2f, 5m=$l5%.2f) >= $loadThreshold; waiting...")
       Thread.sleep(15000)
     }
-    val loadAvg = load1m()
-    val contaminated = loadAvg >= loadThreshold
-    // the 1-min average alone admits a box whose 5/15-min residue is
-    // still draining (observed: 1-min 0.9 with 5/15-min 2.6/4.0 —
-    // stage-scheduling-bound queries feel that residue); record the
-    // whole triple so the artifact is self-interpreting
+    val (loadAvg, load5m) = loadPair()
+    val contaminated = math.max(loadAvg, load5m) >= loadThreshold
     val loadTriple: String =
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).trim

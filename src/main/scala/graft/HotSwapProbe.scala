@@ -25,9 +25,11 @@ object HotSwapProbe {
     val batches = args.headOption.map(_.toInt).getOrElse(60)
     val rows = if (args.length > 1) args(1).toInt else 2000
     val window = if (args.length > 2) args(2).toInt else 10
-    // the report averages the 5..15, 25..35 and last-10 bands; fewer
-    // batches would divide by an empty band and print NaN means
-    require(batches >= 45, s"need batches >= 45 for the three report bands, got $batches")
+    // the report averages the max(window,5)..+10, 25..35 and last-10
+    // bands; fewer batches would divide by an empty band and print NaN
+    // means (and the early band must clear the windowed ramp-up)
+    require(batches >= math.max(45, math.max(window, 5) + 20),
+      s"need batches >= max(45, window+20) for the three report bands, got $batches")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -67,9 +69,15 @@ object HotSwapProbe {
         val xs = ts.filter { case (b, _) => b >= lo && b < hi }.map(_._2)
         xs.sum / xs.length
       }
-      println(f"[hotswapprobe] $tag: mean(5..15)=${win(5, 15)}%.3fs " +
+      // the early band starts at max(window, 5): the windowed regime is
+      // only in steady state once the store is older than W (before
+      // that the trailing anti-join sees fewer than W partitions), and a
+      // band straddling the ramp-up would understate early cost and so
+      // overstate the last/early growth ratio
+      val e0 = math.max(window, 5); val e1 = e0 + 10
+      println(f"[hotswapprobe] $tag: mean($e0..$e1)=${win(e0, e1)}%.3fs " +
         f"mean(25..35)=${win(25, 35)}%.3fs mean(${batches - 10}..$batches)=${win(batches - 10, batches)}%.3fs " +
-        f"last/early=${win(batches - 10, batches) / win(5, 15)}%.2f")
+        f"last/early=${win(batches - 10, batches) / win(e0, e1)}%.2f")
     }
 
     report(s"windowed(W=$window)", run("w", window))

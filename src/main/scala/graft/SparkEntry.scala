@@ -357,9 +357,29 @@ object SparkEntry {
     "freq_score" -> ((s, d) => TextOps.freqScore(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextOps.docRepetition(Tables.documents(s, d))),
-    // no oracleSql entry: zlib bytes aren't SQL-expressible — driver
-    // records the rows-only check; determinism is ScalaTest-pinned
-    "compression_ratio" -> ((s, d) => TextOps.compressionRatio(Tables.documents(s, d))),
+    // sketch-gate: the zlib byte stream isn't SQL-expressible, but the
+    // gate emits the exact-computable n_bytes (UTF-8 octet length, null
+    // propagating) plus invariant booleans — deflate output is nonempty,
+    // bounded by the zlib worst case (stored blocks: 5 bytes per 16 KiB
+    // + 6 bytes stream overhead), and ratio/flag are arithmetic-
+    // consistent with the sizes — that the oracle pins to literal true.
+    // A broken Deflater path (state leak, wrong size accounting, flag
+    // drift) flips a hash mismatch instead of hiding in a unit test.
+    "compression_ratio" -> ((s, d) =>
+      TextOps.compressionRatio(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_bytes"),
+          (col("n_deflate").isNotNull === col("n_bytes").isNotNull &&
+            (col("n_bytes").isNull ||
+              (col("n_deflate") > 0L &&
+                col("n_deflate") <= col("n_bytes") + col("n_bytes") / lit(16384L) * 5L + 16L)))
+            .as("deflate_bounded"),
+          when(col("n_bytes").isNull || col("n_bytes") === 0L,
+              col("deflate_ratio").isNull && col("low_entropy").isNull)
+            .otherwise(
+              abs(col("deflate_ratio") -
+                col("n_deflate").cast("double") / col("n_bytes").cast("double")) < 1e-12 &&
+              col("low_entropy") === (col("deflate_ratio") < 0.4))
+            .as("ratio_consistent"))),
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(Tables.documents(s, d))),
     // the synthetic corpus carries no real PII, so the query DECORATES
     // each doc with deterministic doc_id-derived email/IP/phone strings
@@ -508,7 +528,14 @@ object SparkEntry {
           (col("mean_byte") >= 0D && col("mean_byte") <= 255D &&
             col("max_byte") >= 0 && col("max_byte") <= 255 &&
             (col("n_bytes") === 0L ||
-              col("mean_byte") <= col("max_byte").cast("double"))).as("features_in_range")))
+              col("mean_byte") <= col("max_byte").cast("double"))).as("features_in_range"))),
+    // REAL codec path end-to-end: hand-rolled BMP encode → javax.imageio
+    // decode → exact integer pixel features, hash-gated against the
+    // oracle's closed-form recomputation of the same pixels. Every column
+    // is exact — a channel-order, row-orientation, padding, or ImageIO
+    // regression flips the gate.
+    "media_decode" -> ((s, d) =>
+      Multimodal.decodeImages(Multimodal.synthesizeImages(Tables.documents(s, d))).toDF())
   )
 
   // ---- DuckDB oracle fragments (mirror the Spark expressions exactly) ----
@@ -2613,6 +2640,15 @@ object SparkEntry {
         |       CAST(CAST(p.max_tf AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) > 0.075
         |         AS INT) AS dominated
         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+    "compression_ratio" ->
+      // sketch-gate: exact n_bytes (UTF-8 octet length, null propagating
+      // through encode) + the invariant booleans pinned to literal true
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       true AS deflate_bounded,
+        |       true AS ratio_consistent
+        |FROM documents
+        |WHERE doc_id IS NOT NULL""".stripMargin,
     "dsir_weights" ->
       s"""WITH t AS (
          |  SELECT doc_id, (lang = 'en') AS is_tgt,
@@ -2893,6 +2929,30 @@ object SparkEntry {
         |       COALESCE(CAST(octet_length(encode(text)) AS BIGINT), 0) AS n_bytes,
         |       true AS features_in_range
         |FROM documents""".stripMargin,
+    "media_decode" ->
+      // closed-form pixel spec (Multimodal.pixelChannels), recomputed
+      // independently of the Scala encoder/decoder pair
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |), ys AS (
+        |  SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d
+        |), px AS (
+        |  SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((doc_id + 3*x + 7*y) % 256
+        |           + (2*doc_id + 5*x + 11*y) % 256
+        |           + (3*doc_id + 13*x + y) % 256) AS BIGINT) AS pixel_sum,
+        |    CAST(SUM((1 + x + w*y) * ((doc_id + 3*x + 7*y) % 256
+        |           + 2*((2*doc_id + 5*x + 11*y) % 256)
+        |           + 3*((3*doc_id + 13*x + y) % 256))) AS BIGINT) AS weighted_sum
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id, true AS decode_ok,
+        |       CAST(d.w AS INT) AS img_width, CAST(d.h AS INT) AS img_height,
+        |       s.pixel_sum, s.weighted_sum, true AS meta_consistent
+        |FROM d JOIN s USING (doc_id)""".stripMargin,
     "ann_lsh_pairs" ->
       s"""$dUnitCte, wb AS (
          |  SELECT e.vec_id, u.unit,

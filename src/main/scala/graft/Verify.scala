@@ -30,7 +30,15 @@ object Verify {
     // oracle-harness crash downstream can never masquerade as (or hide) a
     // Spark failure across rounds.
     val sparkErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset filter (comma-separated names): lets tools/check.py
+    // spot-check a changed query in seconds instead of re-dumping all
+    // ~160. Applied to BOTH the query run and the oracle dump so the
+    // checker never sees an oracle row with no output dir. The driver
+    // does not set this — its runs stay full.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -51,7 +59,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = sparkErrors

@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schemas, partition-wise batch
   * processing (`mapPartitions` over a typed Dataset, the Scala analogue of
-  * arrow-batched `mapInPandas`), deterministic outputs, tests. The codec
-  * itself is a clearly-marked STUB (`decodeStub`): this container has no
-  * image/audio libraries, so the "decode" is a deterministic fake over the
-  * raw bytes. Swapping in a real codec changes ONE function and nothing
-  * about the distributed shape.
+  * arrow-batched `mapInPandas`), deterministic outputs, tests. Two codec
+  * tiers:
+  *  - the IMAGE leg is a REAL decode ([[decodeImages]]): JDK
+  *    `javax.imageio` reads genuine BMP payloads on executors, gated
+  *    end-to-end against a closed-form pixel oracle;
+  *  - audio/video decode remains a clearly-marked STUB (`decodeStub`) —
+  *    this container ships no PCM/video libraries, so that "decode" is a
+  *    deterministic fake over the raw bytes. Swapping in a real codec
+  *    changes ONE function and nothing about the distributed shape, as
+  *    the image leg demonstrates.
   *
   * Scale shape: payloads never shuffle — every operator here is a
   * projection or mapPartitions, so a 100 TB media corpus streams through
@@ -135,4 +140,149 @@ object Multimodal {
       .filter(col("modality") === "video" && col("n_frames") > 0)
       .selectExpr("media_id", "doc_id", "n_frames",
         s"explode(sequence(0L, cast(n_frames - 1 as bigint), ${stride}L)) as frame_idx")
+
+  // ---------------------------------------------------------------------
+  // Real codec path: BMP encode + javax.imageio decode (JDK-only, no
+  // external libraries). Unlike decodeStub above — which stands in for
+  // codecs this container genuinely lacks — the JDK ships PNG/BMP/GIF
+  // readers, so the image leg of the pipeline runs a REAL
+  // bytes→BufferedImage decode on executors. The gate closes the loop
+  // end-to-end: pixels are a closed-form function of (media_id, x, y)
+  // that the SQL oracle recomputes, so a bug anywhere in the encoder,
+  // the ImageIO round-trip, or the feature fold (channel order,
+  // bottom-up row flip, row padding, off-by-one) flips a hash mismatch.
+  // ---------------------------------------------------------------------
+
+  /** An encoded image payload + the metadata the encoder claims. */
+  case class ImageRecord(
+      media_id: Long,
+      content: Array[Byte],
+      meta_width: Int,
+      meta_height: Int)
+
+  /** Decode result: NULL-propagating on undecodable payloads
+    * (`decode_ok = false`) — a corrupt object must surface as a row, not
+    * kill the scan. `weighted_sum` is position- and channel-weighted so
+    * orientation (bottom-up BMP rows) and channel-order (BGR file order
+    * vs RGB in memory) mistakes change the value even though the plain
+    * `pixel_sum` wouldn't notice.
+    */
+  case class DecodedImage(
+      media_id: Long,
+      decode_ok: Boolean,
+      img_width: Option[Int],
+      img_height: Option[Int],
+      pixel_sum: Option[Long],
+      weighted_sum: Option[Long],
+      meta_consistent: Option[Boolean])
+
+  implicit val imageEnc: Encoder[ImageRecord] = Encoders.product[ImageRecord]
+  implicit val decodedEnc: Encoder[DecodedImage] = Encoders.product[DecodedImage]
+
+  /** Closed-form pixel spec — the contract both the Scala encoder and the
+    * SQL oracle implement independently. Channels are linear in
+    * (id, x, y) mod 256; x,y are image coordinates (y = 0 at the top).
+    */
+  private[graft] def pixelChannels(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((id + 3L * x + 7L * y) % 256L).toInt,
+    ((2L * id + 5L * x + 11L * y) % 256L).toInt,
+    ((3L * id + 13L * x + y) % 256L).toInt)
+
+  /** Hand-rolled 24-bit uncompressed (BI_RGB) BMP: 14-byte file header,
+    * 40-byte info header, bottom-up rows of B,G,R triplets padded to
+    * 4-byte boundaries. Written against the format spec, decoded by the
+    * JDK's independent reader — the pair cross-checks itself.
+    */
+  private[graft] def encodeBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imgSize = (rowBytes + pad) * h
+    val fileSize = 54 + imgSize
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imgSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var j = 0
+    while (j < h) {
+      val y = h - 1 - j // positive height ⇒ rows stored bottom-up
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixelChannels(id, x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      j += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic real-BMP corpus from the documents table: dimensions
+    * are doc_id-derived (so the oracle knows them), pixels follow
+    * [[pixelChannels]]. Pure mapPartitions — payload construction is
+    * executor-side; nothing but doc_ids leaves the scan.
+    */
+  def synthesizeImages(documents: DataFrame): Dataset[ImageRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      // negative ids would need floor-mod agreement across three
+      // languages; the corpus contract (TESTDATA.md) is nonnegative ids
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0L)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 11).toInt
+          ImageRecord(id, encodeBmp(id, w, h), w, h)
+        }
+      }
+  }
+
+  /** REAL decode: `javax.imageio.ImageIO.read` on each payload, then one
+    * pass over the `BufferedImage` folding exact integer features. Scale
+    * shape: mapPartitions projection, payloads touched once and never
+    * shuffled; `setUseCache(false)` keeps ImageIO off executor-local tmp
+    * files (its default spills every stream to disk).
+    */
+  def decodeImages(images: Dataset[ImageRecord]): Dataset[DecodedImage] =
+    images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { rec =>
+        val img =
+          if (rec.content == null) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(rec.content))
+            catch { case _: java.io.IOException => null }
+        if (img == null)
+          DecodedImage(rec.media_id, decode_ok = false, None, None, None, None, None)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var ps = 0L
+          var ws = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              ps += r + g + b
+              ws += (1L + x + w.toLong * y) * (r + 2L * g + 3L * b)
+              x += 1
+            }
+            y += 1
+          }
+          DecodedImage(rec.media_id, decode_ok = true, Some(w), Some(h),
+            Some(ps), Some(ws),
+            Some(w == rec.meta_width && h == rec.meta_height))
+        }
+      }
+    }
 }

@@ -133,11 +133,34 @@ object Sampling {
         "row_number() over (partition by shard order by h, doc_id) as shard_rank")
   }
 
+  /** Deterministic k-per-stratum sample, skew-immune.
+    *
+    * CONTRACT (narrower than a generic window-rank sample — enforced or
+    * stated here, not buried in the implementation):
+    *  - `keyExpr` must resolve to an INTEGRAL column (checked at plan
+    *    time, fails fast) — it is the join-back identity, not just a
+    *    tiebreak, so a lossy string→bigint cast is never silently
+    *    applied;
+    *  - `keyExpr` must be unique within its stratum: a duplicated
+    *    (stratum, key) pair would join back to multiple rows and
+    *    duplicate output;
+    *  - rows with NULL `keyExpr` are dropped (no identity to join back
+    *    on, no hash to order by) — unsampleable, not sampled-last.
+    * Every id column this library samples by satisfies all three.
+    */
   def stratifiedSample(
       df: DataFrame,
       stratumCol: String,
       keyExpr: String,
       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // fail fast on a non-integral key: under ANSI a bad cast would fail
+    // mid-job, under legacy cast it would silently NULL-drop every row
+    val keyType = df.selectExpr(keyExpr).schema.head.dataType
+    require(
+      Seq("byte", "short", "integer", "long").contains(keyType.typeName),
+      s"stratifiedSample keyExpr `$keyExpr` must be integral (the join-back " +
+        s"identity); got ${keyType.typeName}")
     // Skew-immune form ([[capPerSource]]'s idiom, round 10 — the former
     // `row_number() OVER (PARTITION BY stratum)` put the dominant
     // stratum, e.g. lang='en' ≈ most of a crawl, in ONE unsplittable

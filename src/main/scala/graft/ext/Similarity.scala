@@ -533,6 +533,18 @@ object Similarity {
             cbDir)
           fs.create(marker, true).close()
         }
+        // retention for the guards themselves: foreachBatch only ever
+        // re-delivers the LAST batch id, so every marker below the
+        // current one is dead — sweep them here or the survivor-log
+        // root's listing metadata grows one file per refresh forever
+        // (the same unbounded-listing failure pruneBatchPartitions
+        // exists to stop, which skips these non-`batch_id=` entries)
+        fs.listStatus(new org.apache.hadoop.fs.Path(outPath)).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_refreshed_batch_") &&
+              n.drop(17).forall(_.isDigit) && n.drop(17).toLong < batchId)
+            fs.delete(st.getPath, false)
+        }
       }
     }
   }

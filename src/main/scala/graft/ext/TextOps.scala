@@ -738,17 +738,23 @@ object TextOps {
     // tok then docs, so a crash between them leaves a tok/batch_N with
     // no docs twin — counting its tokens without its documents would
     // break the card's invariant (and the batch replays idempotently,
-    // healing the gap). Before the first complete batch the card of
-    // zero batches is the card of zero documents (n_docs = 0, NULL
-    // aggregates) — a dashboard polling a just-started stream gets a
-    // row, not a path-not-found error (the priorKeys empty-store
-    // contract).
+    // healing the gap). Directory existence alone is NOT commitment: a
+    // crash mid-OVERWRITE on a replay leaves a torn tok/batch_N whose
+    // dir still exists (and still intersects with the docs twin from the
+    // earlier successful attempt), so each side also requires the
+    // _SUCCESS marker the parquet committer writes last. Before the
+    // first complete batch the card of zero batches is the card of zero
+    // documents (n_docs = 0, NULL aggregates) — a dashboard polling a
+    // just-started stream gets a row, not a path-not-found error (the
+    // priorKeys empty-store contract).
     def batches(sub: String): Set[String] = {
       val p = new org.apache.hadoop.fs.Path(s"$outDir/$sub")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("batch_")).toSet
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch_"))
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+        .map(_.getName).toSet
     }
     val complete = (batches("tok") intersect batches("docs")).toSeq.sorted
     if (complete.isEmpty)
@@ -1023,8 +1029,8 @@ object TextOps {
 
   case class CompressionStats(
       doc_id: Long,
-      n_bytes: Long,
-      n_deflate: Long,
+      n_bytes: Option[Long],
+      n_deflate: Option[Long],
       deflate_ratio: Option[Double],
       low_entropy: Option[Boolean])
 
@@ -1040,13 +1046,15 @@ object TextOps {
     * Shape: pure `mapPartitions` projection — one `Deflater` per
     * PARTITION, `reset()` per row (allocating the native zlib stream
     * per row is the classic 10× trap), payloads never shuffle, scan
-    * speed at any corpus size. NOT oracle-gated: zlib output is
-    * deterministic for a fixed library+level (the ScalaTest pins
-    * determinism under repartitioning) but no portable SQL reproduces
-    * the byte stream, so the driver records the rows-only check — the
-    * documented gate tier for non-SQL-expressible operators. NULL text
-    * yields NULL ratio/flag (unscorable ≠ rejected, the
-    * [[classifierScore]] contract).
+    * speed at any corpus size. Oracle-gated via the sketch-gate idiom
+    * (no portable SQL reproduces the zlib byte stream, but the gate
+    * query emits the exact-computable `n_bytes` = UTF-8 octet length
+    * with null propagation plus invariant booleans the oracle pins to
+    * literal `true` — a broken Deflater path flips a hash mismatch);
+    * byte-level determinism under repartitioning is additionally pinned
+    * in ExtSpec. NULL text yields NULL everything (unscorable ≠
+    * rejected, the [[classifierScore]] contract — and null ≠ empty:
+    * an empty string has `n_bytes = 0` with a real deflate size).
     */
   def compressionRatio(
       documents: DataFrame,
@@ -1063,7 +1071,7 @@ object TextOps {
         val deflater = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](64 * 1024)
         val out = rows.map { case (id, text) =>
-          if (text == null) CompressionStats(id, 0L, 0L, None, None)
+          if (text == null) CompressionStats(id, None, None, None, None)
           else {
             val bytes = text.getBytes("UTF-8")
             deflater.reset()
@@ -1074,7 +1082,7 @@ object TextOps {
             val ratio =
               if (bytes.length == 0) None
               else Some(n.toDouble / bytes.length)
-            CompressionStats(id, bytes.length.toLong, n, ratio,
+            CompressionStats(id, Some(bytes.length.toLong), Some(n), ratio,
               ratio.map(_ < threshold))
           }
         }

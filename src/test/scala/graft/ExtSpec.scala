@@ -1312,13 +1312,16 @@ class ExtSpec extends AnyFunSuite {
     assert(rRep < 0.1, s"repetitive ratio $rRep")
     assert(rNat > 0.4, s"natural ratio $rNat")
     assert(out(1L).getBoolean(4) === true && out(2L).getBoolean(4) === false)
-    assert(out(3L).getLong(1) === 0L && out(3L).isNullAt(3) && out(3L).isNullAt(4))
-    assert(out(4L).isNullAt(3) && out(4L).isNullAt(4))
+    // empty ≠ null: empty text has n_bytes 0 with a real deflate size,
+    // null text propagates NULL through every column
+    assert(out(3L).getLong(1) === 0L && out(3L).getLong(2) > 0L
+      && out(3L).isNullAt(3) && out(3L).isNullAt(4))
+    assert((1 to 4).forall(out(4L).isNullAt))
     // bit-stable under partitioning (per-partition Deflater reuse must
     // not leak state between rows)
     val again = graft.ext.TextOps.compressionRatio(docs.repartition(5)).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
-    val first = out.values.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.get(1), r.get(2))).sortBy(_._1).toSeq
+    val first = out.values.map(r => (r.getLong(0), r.get(1), r.get(2)))
       .toSeq.sortBy(_._1)
     assert(again === first)
   }

@@ -30,6 +30,14 @@ class FunctionsSpec extends AnyFunSuite {
       .sameElements(again.select("k").as[Long].collect().sorted))
   }
 
+  test("stratifiedSample fails fast on a non-integral key (contract, not a runtime cast)") {
+    val df = Seq(("a", "s0"), ("b", "s0")).toDF("k", "stratum")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(df, "stratum", "k", 5)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("unpivot triples row count and round-trips values") {
     val df = Seq((1L, 1, 2.0, 10.0, 0.05)).toDF(
       "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")

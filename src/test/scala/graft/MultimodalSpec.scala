@@ -82,4 +82,54 @@ class MultimodalSpec extends AnyFunSuite {
       assert(stream.forall(_._2 <= 10)) // the resize budget applied in-stream
     } finally q.stop()
   }
+
+  test("decodeImages: real ImageIO round-trip matches the closed-form pixel spec") {
+    val ids = Seq(0L, 1L, 7L, 12L, 499L)
+    val docs = ids.map(id => (id, s"text $id")).toDF("doc_id", "text")
+    val out = Multimodal.decodeImages(Multimodal.synthesizeImages(docs))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out.keySet === ids.toSet)
+    ids.foreach { id =>
+      val d = out(id)
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 11).toInt
+      assert(d.decode_ok, s"id $id failed to decode")
+      assert(d.img_width === Some(w) && d.img_height === Some(h))
+      assert(d.meta_consistent === Some(true))
+      // independent fold of the spec, bypassing both encoder and decoder
+      var ps = 0L; var ws = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.pixelChannels(id, x, y)
+        ps += r + g + b
+        ws += (1L + x + w.toLong * y) * (r + 2L * g + 3L * b)
+      }
+      assert(d.pixel_sum === Some(ps), s"pixel_sum id $id")
+      assert(d.weighted_sum === Some(ws), s"weighted_sum id $id")
+    }
+  }
+
+  test("decodeImages: corrupt and null payloads surface as decode_ok=false rows") {
+    import Multimodal.{ImageRecord, DecodedImage}
+    val good = Multimodal.encodeBmp(5L, 6, 4)
+    val truncated = java.util.Arrays.copyOf(good, 20) // header torn mid-info
+    val garbage = Array.fill[Byte](64)(0x5a)
+    val recs = Seq(
+      ImageRecord(1L, good, 6, 4),
+      ImageRecord(2L, truncated, 6, 4),
+      ImageRecord(3L, garbage, 6, 4),
+      ImageRecord(4L, null, 6, 4),
+      // decodes fine but the claimed metadata lies → consistency false,
+      // not a decode failure
+      ImageRecord(5L, good, 9, 9))
+    val out = Multimodal.decodeImages(spark.createDataset(recs))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out(1L).decode_ok && out(1L).meta_consistent === Some(true))
+    Seq(2L, 3L, 4L).foreach { id =>
+      val d = out(id)
+      assert(!d.decode_ok, s"id $id should not decode")
+      assert(d.img_width.isEmpty && d.pixel_sum.isEmpty && d.meta_consistent.isEmpty)
+    }
+    assert(out(5L).decode_ok && out(5L).meta_consistent === Some(false))
+    assert(out(5L).pixel_sum === out(1L).pixel_sum)
+  }
 }

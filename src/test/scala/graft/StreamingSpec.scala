@@ -574,6 +574,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.getLong(0) === 4L && streamed.getLong(1) === 9L)
     assert(streamed.getLong(2) === 6L && streamed.getLong(3) === 3L)
     assert(streamed.getLong(4) === 2L)
+    // torn-overwrite replay crash: batch_2's tok dir exists WITH data
+    // files but no _SUCCESS (the committer died mid-overwrite), and its
+    // docs twin from the earlier successful attempt also exists — the
+    // card must exclude the batch entirely (dir existence is not
+    // commitment), leaving the two-batch card unchanged
+    val tok2 = java.nio.file.Paths.get(s"$dir/out/tok/batch_2")
+    val docs2 = java.nio.file.Paths.get(s"$dir/out/docs/batch_2")
+    java.nio.file.Files.createDirectories(tok2)
+    java.nio.file.Files.write(tok2.resolve("part-torn.parquet"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.createDirectories(docs2)
+    java.nio.file.Files.write(docs2.resolve("part-torn.parquet"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(docs2.resolve("_SUCCESS"), Array.empty[Byte])
+    val afterTear = graft.ext.TextOps.corpusStatsFrom(spark, s"$dir/out").collect()(0)
+    assert(afterTear === streamed)
   }
 
   test("codebook refresh: foreachBatch retrains + publishes; restart swaps it in with state intact") {
