@@ -263,6 +263,137 @@ object Dedup {
         col("dup_of").isNotNull.cast("int").as("is_known_dup"))
   }
 
+  /** The signature index rows [[incrementalFuzzyDedupSink]] maintains for
+    * batches BEFORE `batchId`: one row per (survivor, band), partitioned
+    * by (batch_id, bucket). The `batch_id < batchId` filter lands on the
+    * partition column, so a replayed batch never probes rows its own
+    * crashed attempt wrote (self-match would flag every replayed doc as
+    * a duplicate of itself). Empty-store contract: before any batch
+    * commits, the index of zero batches is an empty frame with the right
+    * schema, not a path error.
+    */
+  def fuzzyIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      batchId: Long,
+      k: Int): DataFrame = {
+    val mh = (0 until k).map(i => s"mh$i BIGINT").mkString(", ")
+    val schema =
+      s"doc_id BIGINT, bi INT, band BIGINT, $mh, batch_id BIGINT, bucket INT"
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    else
+      spark.read.schema(schema).parquet(indexDir)
+        .where(col("batch_id") < batchId)
+  }
+
+  /** STREAMING twin of [[incrementalFuzzyDedup]] — the crawl-update loop
+    * run continuously: each arriving micro-batch screens against the
+    * accumulated corpus INDEX (LSH band candidacy + the ≥`minMatch`-of-k
+    * component verify INLINE in the band join), writes per-doc verdicts,
+    * and appends its survivors' signature rows to the index so later
+    * batches screen against them. Batch N's verdicts equal the batch
+    * operator's with batch N as the new side and the accumulated
+    * SURVIVOR corpus as the existing side — survivors, not the raw
+    * union: a doc flagged duplicate never enters the index (its witness
+    * already stands near it in signature space), which is also what
+    * keeps the index from re-accumulating every near-copy a crawl
+    * re-fetches. The StreamingSpec parity pin iterates exactly that
+    * reference.
+    *
+    * Index layout and cost shape: the index holds one row per (survivor,
+    * band) — doc_id, the k signature components (the verify needs them on
+    * the probe's other side), the band hash — partitioned by
+    * `(batch_id, bucket)` where `bucket = band mod bandBuckets`. The
+    * probe side (the micro-batch, exploded to 2 band rows per doc) is
+    * BROADCAST into the index scan, so the corpus-sized side never
+    * shuffles — per-batch cost is |batch| × bucket occupancy, the
+    * [[incrementalDedup]] shape, and the bucket partition column admits
+    * partition pruning when a small batch's bands touch few buckets.
+    * Signature rows are ~10 longs per doc: the INDEX is O(corpus) by
+    * design (it IS the corpus's dedup key set, unlike the trailing-window
+    * STATE of [[graft.ext.Similarity.hotSwapDedupSink]]) — at rest as
+    * parquet, never resident in executor memory, compactable with
+    * [[graft.io.Maintenance.compactParquet]].
+    *
+    * Crash/replay contract (the [[graft.io.Sinks]] idiom): foreachBatch
+    * may re-deliver the last batch id; verdicts and index rows both land
+    * with delete-then-dynamic-overwrite on `batch_id=N`, and the probe
+    * reads strictly `batch_id < N` — a replay sees exactly the pre-crash
+    * prior state and rewrites its own partitions idempotently.
+    */
+  def incrementalFuzzyDedupSink(
+      indexPath: String,
+      verdictsPath: String,
+      k: Int = 8,
+      minMatch: Int = 6,
+      bandBuckets: Int = 64): (DataFrame, Long) => Unit = {
+    require(minMatch > k / 2 && minMatch <= k,
+      s"minMatch must be in (k/2, k] = (${k / 2}, $k] (band agreement already " +
+        s"implies k/2 matching components), got $minMatch")
+    require(bandBuckets >= 1, s"bandBuckets must be >= 1, got $bandBuckets")
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val mhNames = (0 until k).map(i => s"mh$i")
+      val sig = withMinhashBands(batch.select(col("doc_id"), col("text")), k)
+        .persist()
+      try {
+        // `bi` tags which band a row came from: the batch twin only ever
+        // compares band0-to-band0 and band1-to-band1, so the exploded
+        // form must carry the band index into the join key or a (however
+        // unlikely) cross-band hash collision would break exact parity
+        val probe = sig.selectExpr(
+          "doc_id" +:
+            "inline(array(struct(0 as bi, band0 as band), struct(1 as bi, band1 as band)))" +:
+            mhNames: _*)
+          .withColumn("bucket",
+            pmod(col("band"), lit(bandBuckets.toLong)).cast("int"))
+        val index = fuzzyIndex(spark, indexPath, batchId, k)
+        val nMatch = mhNames
+          .map(m => when(col(s"e.$m") === col(s"n.$m"), 1).otherwise(0))
+          .reduce(_ + _)
+        val matches = index.alias("e")
+          .join(broadcast(probe.alias("n")),
+            col("e.bucket") === col("n.bucket") &&
+              col("e.bi") === col("n.bi") && col("e.band") === col("n.band"))
+          .filter(nMatch >= minMatch)
+          .select(col("n.doc_id").as("doc_id"), col("e.doc_id").as("match_id"))
+          .groupBy(col("doc_id"))
+          .agg(min(col("match_id")).as("dup_of"))
+        val verdicts = sig.select(col("doc_id"))
+          .join(matches, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of"),
+            col("dup_of").isNotNull.cast("int").as("is_known_dup"))
+          .persist()
+        try {
+          val survBands = probe
+            .join(verdicts.where(col("is_known_dup") === 0).select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+          Seq(
+            (verdicts, verdictsPath, Seq("batch_id")),
+            (survBands, indexPath, Seq("batch_id", "bucket"))
+          ).foreach { case (df, dir, parts) =>
+            // replay hygiene BEFORE the write (the hotSwapDedupSink
+            // rationale): dynamic overwrite only replaces partitions the
+            // replay TOUCHES — clear this batch's own partition first so
+            // a shrunken replay leaves no phantom rows
+            val part = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
+            val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(part)) fs.delete(part, true)
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy(parts: _*).parquet(dir)
+          }
+        } finally verdicts.unpersist()
+      } finally sig.unpersist()
+    }
+  }
+
   /** Bloom-screened EXACT incremental dedup — the screen-then-verify
     * pattern for deduplicating an arriving batch against a corpus too big
     * to join outright. The existing corpus's content hashes aggregate

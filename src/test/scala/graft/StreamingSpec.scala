@@ -590,6 +590,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterTear === streamed)
   }
 
+  test("incrementalFuzzyDedupSink: per-batch verdicts equal the batch operator over prior survivors; reject branch fires; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ifds").toString
+    // the ExtSpec corpus: sliding half-overlapping token windows give
+    // neighbor Jaccard ≈ 1/3 (single-component band hits at k=2), and
+    // the +15 replicas are exact dups — so across sequential batches the
+    // accept AND the verify-reject branches both fire
+    val words = (0 until 70).map(i => s"w$i")
+    def doc(i: Int): (Long, String) = {
+      val start = (i % 15) * 4
+      (i.toLong, words.slice(start, start + 12).mkString(" "))
+    }
+    // interleaved membership (i % 3): sliding-window neighbors i, i+1
+    // always land in different batches, so cross-batch one-component
+    // band hits (the reject case) are guaranteed to occur
+    val batches = (0 until 3).map(b => (0 until 30).filter(_ % 3 == b).map(doc))
+    val ms = MemoryStream[(Long, String)]
+    val sink = graft.ext.Dedup.incrementalFuzzyDedupSink(
+      s"$dir/index", s"$dir/verdicts", k = 2, minMatch = 2, bandBuckets = 8)
+    val q = ms.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", s"$dir/cp").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // reference: iterate the BATCH operator with the existing side = the
+    // accumulated SURVIVOR corpus (the sink's documented parity spec)
+    var existing = Seq.empty[(Long, String)]
+    val expected = scala.collection.mutable.Map.empty[Long, Option[Long]]
+    var sawAccept = false; var sawBandReject = false
+    batches.foreach { b =>
+      val ref = graft.ext.Dedup.incrementalFuzzyDedup(
+        (existing ++ b).toDF("doc_id", "text"),
+        isNewExpr = s"doc_id in (${b.map(_._1).mkString(",")})",
+        k = 2, minMatch = 2).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      // reject-branch witness: band candidacy at bar 1 minus verdicts at
+      // bar 2 (bar 1 ≡ candidacy itself for k=2)
+      val atBar1 = graft.ext.Dedup.incrementalFuzzyDedup(
+        (existing ++ b).toDF("doc_id", "text"),
+        isNewExpr = s"doc_id in (${b.map(_._1).mkString(",")})",
+        k = 2, minMatch = 1).collect()
+        .map(r => r.getLong(0) -> !r.isNullAt(1)).toMap
+      ref.foreach { case (id, v) =>
+        expected(id) = v
+        if (v.isDefined) sawAccept = true
+        if (v.isEmpty && atBar1(id)) sawBandReject = true
+      }
+      val survivors = ref.filter(_._2.isEmpty).map(_._1).toSet
+      existing = existing ++ b.filter(d => survivors(d._1))
+    }
+    assert(sawAccept, "corpus produced no accepted duplicate")
+    assert(sawBandReject, "corpus produced no band candidate below the bar")
+    def verdicts(): Map[Long, Option[Long]] =
+      spark.read.parquet(s"$dir/verdicts").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          Option(r.getAs[Any]("dup_of")).map(_.asInstanceOf[Long]))
+        .toMap
+    assert(verdicts() === expected.toMap)
+    // replay of the last batch (the foreachBatch crash contract): the
+    // probe reads strictly batch_id < 2, so the re-delivered batch must
+    // not match its own crashed attempt's index rows — identical
+    // verdicts, no duplicated index rows
+    val idxRows = spark.read.parquet(s"$dir/index").count()
+    sink(batches(2).toDF("doc_id", "text"), 2L)
+    assert(verdicts() === expected.toMap)
+    assert(spark.read.parquet(s"$dir/index").count() === idxRows)
+  }
+
   test("codebook refresh: foreachBatch retrains + publishes; restart swaps it in with state intact") {
     // The refresh contract (Similarity.publishCodebook scaladoc): a running
     // query pins its codebook files, so the sink's retrained publish is
