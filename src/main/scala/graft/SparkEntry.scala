@@ -2523,7 +2523,8 @@ object SparkEntry {
          |WHERE CAST(n_common AS DOUBLE) / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE) >= 0.8
          |ORDER BY containment DESC, a_id, b_id""".stripMargin,
     "tfidf_cosine_pairs" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents WHERE doc_id IS NOT NULL),
         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
         |d AS (SELECT doc_id, token, tf, COUNT(*) OVER (PARTITION BY token) AS df FROM tf),

@@ -329,7 +329,18 @@ object TextOps {
       maxDf: Int = 100,
       threshold: Double = 0.5,
       topK: Int = 50): DataFrame = {
+    // the explicit isnotnull is the freqScore idiom applied to doc_id:
+    // the downstream doc_id joins (norms, pair sides) infer-push
+    // `isnotnull(doc_id)` into the PROBE-side tf branch only, leaving
+    // the df branch's scan without it — the two (doc, token) exchanges
+    // then canonicalize differently and AQE stage reuse can't fire, so
+    // the corpus scan→explode→tf pipeline ran TWICE (observed in the
+    // executed plan; PlanSpec now pins one materialized exchange).
+    // Putting the filter at the source makes both branches identical —
+    // and it is the semantic choice the oracle mirrors: tf·idf weights
+    // are defined over identified documents
     val tf = documents
+      .where(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))

@@ -206,11 +206,51 @@ class PlanSpec extends AnyFunSuite {
     val p = executedFinal("tfidf_top")
     assert(p.contains("isFinalPlan=true"), p)
     // exactly one MATERIALIZED (doc, token) exchange — the df branch reads
-    // reused shuffle output (a second one = a full corpus re-explode)
-    assert("\\+\\- Exchange hashpartitioning\\(doc_id#\\d+L?, token".r.findAllMatchIn(p).size === 1, p)
-    assert("ReusedExchange".r.findAllMatchIn(p).size >= 1, p)
+    // reused shuffle output (a second one = a full corpus re-explode).
+    // LOAD-BEARING INVISIBLE FILTER: the tautological `tf > 0` in
+    // TextOps.tfidfTop is what keeps the two exchanges canonically equal
+    // (it consumes tf in the df branch so column pruning can't rewrite
+    // that aggregate keys-only) — if this assert starts failing after a
+    // "simplification", that filter was almost certainly removed
+    assert("\\+\\- Exchange hashpartitioning\\(doc_id#\\d+L?, token".r.findAllMatchIn(p).size === 1,
+      s"expected ONE materialized (doc_id, token) exchange — was the canonical-equality " +
+        s"filter `tf > 0` in TextOps.tfidfTop removed?\n$p")
+    assert("ReusedExchange".r.findAllMatchIn(p).size >= 1,
+      s"expected the df branch to read a ReusedExchange — was the canonical-equality " +
+        s"filter `tf > 0` in TextOps.tfidfTop removed?\n$p")
     // the N scalar reads zero columns (metadata count), never the text
     assert(p.contains("ReadSchema: struct<>"), p)
+  }
+
+  test("freq_score: the corpus-count join-back reuses the tf exchange at runtime") {
+    // LOAD-BEARING INVISIBLE FILTER: the explicit isnotnull(doc_id) in
+    // TextOps.freqScore mirrors the filter the outer left join
+    // infer-pushes into the tf branch — with it on BOTH branches the two
+    // (doc, token) exchanges canonicalize identically and AQE executes
+    // the scan→explode→partial-agg pipeline once. It is also a semantic
+    // choice the oracle mirrors (null-doc_id tokens count nowhere).
+    val p = executedFinal("freq_score")
+    assert(p.contains("isFinalPlan=true"), p)
+    assert("\\+\\- Exchange hashpartitioning\\(doc_id#\\d+L?, token".r.findAllMatchIn(p).size === 1,
+      s"expected ONE materialized (doc_id, token) exchange — was the explicit " +
+        s"`isnotnull(doc_id)` mirror in TextOps.freqScore removed?\n$p")
+    assert("ReusedExchange".r.findAllMatchIn(p).size >= 1,
+      s"expected the corpus-count branch to read a ReusedExchange — was the explicit " +
+        s"`isnotnull(doc_id)` mirror in TextOps.freqScore removed?\n$p")
+  }
+
+  test("tfidf_cosine_pairs: the df/norm branches reuse the tf exchange at runtime") {
+    // same canonical-equality trick as tfidf_top (`tf > 0` tautology in
+    // TextOps.tfidfCosinePairs) — the corpus must explode once even
+    // though tf feeds the df count, the weights, and the norms
+    val p = executedFinal("tfidf_cosine_pairs")
+    assert(p.contains("isFinalPlan=true"), p)
+    assert("\\+\\- Exchange hashpartitioning\\(doc_id#\\d+L?, token".r.findAllMatchIn(p).size === 1,
+      s"expected ONE materialized (doc_id, token) exchange — was the canonical-equality " +
+        s"filter `tf > 0` in TextOps.tfidfCosinePairs removed?\n$p")
+    assert("ReusedExchange".r.findAllMatchIn(p).size >= 1,
+      s"expected ReusedExchange in the df branch — was the canonical-equality " +
+        s"filter `tf > 0` in TextOps.tfidfCosinePairs removed?\n$p")
   }
 
   test("block_dedup_rewrite: no window over the span hash — keep-first is a skew-immune aggregate") {
