@@ -126,4 +126,52 @@ class IoSpec extends AnyFunSuite {
     assert(wrapped.nonEmpty, "no Dataset field found on DataStreamWriter")
     assert(wrapped.head.columns.toSeq === Seq("value"))
   }
+
+  test("kafka boundary: option surface is exhaustive — connector defaults not silently overridden") {
+    // The reader must set EXACTLY the documented keys and nothing else:
+    // the connector's own defaults are part of the contract we rely on
+    // (failOnDataLoss=true fails the query on truncated/expired offsets
+    // rather than silently skipping data; no consumer group.id, so Spark
+    // derives a unique one per query; includeHeaders=false). A helper
+    // that "helpfully" pre-set any of these would change production
+    // failure semantics invisibly — this pin makes that a test failure.
+    val opts = heldOptions(graft.io.Sources.kafkaReader(spark, "b:9092", "events"))
+    assert(opts.keySet === Set("kafka.bootstrap.servers", "subscribe", "startingoffsets"))
+    for (k <- Seq("failondataloss", "kafka.group.id", "groupidprefix",
+        "includeheaders", "kafkaconsumer.polltimeoutms"))
+      assert(!opts.contains(k), s"connector default `$k` must not be silently overridden")
+    // and the same surface survives the REAL readStream→load() handoff
+    // (the part reflection can't see): rebuild the reader against a
+    // capture-instrumented DSv2 source carrying the same option shape
+    // plus its own required `path`, and compare what arrives at the
+    // provider
+    val f = java.nio.file.Files.createTempFile("graft_capture", ".jsonl")
+    java.nio.file.Files.writeString(f, "{\"k\":1}\n")
+    val reader = spark.readStream.format(classOf[CaptureSourceProvider].getName)
+      .option("path", f.toString)
+    opts.foreach { case (k, v) => reader.option(k, v) }
+    reader.load()
+    val arrived = CaptureSourceProvider.last
+      .map { case (k, v) => (k.toLowerCase, v) } - "path"
+    assert(arrived === opts)
+  }
+}
+
+/** Test-only capture instrumentation over the repo's real DSv2 replay
+  * source: records the options `.load()` hands the provider, proving
+  * option pass-through at the actual DataStreamReader boundary (the
+  * same TableProvider handoff a Kafka connector gets).
+  */
+object CaptureSourceProvider {
+  @volatile var last: Map[String, String] = Map.empty
+}
+
+class CaptureSourceProvider extends graft.io.ReplaySourceProvider {
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.types.StructType = {
+    import scala.jdk.CollectionConverters._
+    CaptureSourceProvider.last = options.asCaseSensitiveMap().asScala.toMap
+    super.inferSchema(options)
+  }
 }
