@@ -2951,6 +2951,7 @@ object SparkEntry {
         |  FROM px GROUP BY doc_id
         |)
         |SELECT d.doc_id AS media_id, true AS decode_ok,
+        |       CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS detected_format,
         |       CAST(d.w AS INT) AS img_width, CAST(d.h AS INT) AS img_height,
         |       s.pixel_sum, s.weighted_sum, true AS meta_consistent
         |FROM d JOIN s USING (doc_id)""".stripMargin,

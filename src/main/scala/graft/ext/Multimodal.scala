@@ -160,6 +160,33 @@ object Multimodal {
       meta_width: Int,
       meta_height: Int)
 
+  /** PNG twin of [[encodeBmp]]: the same [[pixelChannels]] spec rendered
+    * through the JDK's own PNG ENCODER (`ImageIO.write`), so the corpus
+    * exercises two genuinely different codecs — a hand-rolled
+    * uncompressed format and a real DEFLATE-compressed one — against one
+    * pixel oracle. Encoded bytes are never compared (PNG byte streams
+    * may differ across encoder versions); only decoded pixels are, and
+    * those are codec-independent.
+    */
+  private[graft] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixelChannels(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Decode result: NULL-propagating on undecodable payloads
     * (`decode_ok = false`) — a corrupt object must surface as a row, not
     * kill the scan. `weighted_sum` is position- and channel-weighted so
@@ -170,6 +197,7 @@ object Multimodal {
   case class DecodedImage(
       media_id: Long,
       decode_ok: Boolean,
+      detected_format: Option[String],
       img_width: Option[Int],
       img_height: Option[Int],
       pixel_sum: Option[Long],
@@ -237,7 +265,12 @@ object Multimodal {
         ids.map { id =>
           val w = (4 + id % 13).toInt
           val h = (3 + id % 11).toInt
-          ImageRecord(id, encodeBmp(id, w, h), w, h)
+          // alternate codecs by id: even → hand-rolled BMP, odd → the
+          // JDK PNG encoder; the decode side detects the format from
+          // magic bytes, so both real paths are gate-covered
+          val bytes =
+            if (id % 2 == 0) encodeBmp(id, w, h) else encodePng(id, w, h)
+          ImageRecord(id, bytes, w, h)
         }
       }
   }
@@ -259,8 +292,16 @@ object Multimodal {
               new java.io.ByteArrayInputStream(rec.content))
             catch { case _: java.io.IOException => null }
         if (img == null)
-          DecodedImage(rec.media_id, decode_ok = false, None, None, None, None, None)
+          DecodedImage(rec.media_id, decode_ok = false, None, None, None, None, None, None)
         else {
+          // container sniff from magic bytes — decode-independent, so a
+          // mislabeled payload is detectable even when it decodes
+          val fmt = rec.content match {
+            case c if c.length >= 2 && c(0) == 'B'.toByte && c(1) == 'M'.toByte => Some("bmp")
+            case c if c.length >= 4 && (c(0) & 0xff) == 0x89 &&
+              c(1) == 'P'.toByte && c(2) == 'N'.toByte && c(3) == 'G'.toByte => Some("png")
+            case _ => Some("other")
+          }
           val w = img.getWidth
           val h = img.getHeight
           var ps = 0L
@@ -279,7 +320,7 @@ object Multimodal {
             }
             y += 1
           }
-          DecodedImage(rec.media_id, decode_ok = true, Some(w), Some(h),
+          DecodedImage(rec.media_id, decode_ok = true, fmt, Some(w), Some(h),
             Some(ps), Some(ws),
             Some(w == rec.meta_width && h == rec.meta_height))
         }

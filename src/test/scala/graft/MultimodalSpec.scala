@@ -94,6 +94,9 @@ class MultimodalSpec extends AnyFunSuite {
       val w = (4 + id % 13).toInt
       val h = (3 + id % 11).toInt
       assert(d.decode_ok, s"id $id failed to decode")
+      // even ids are hand-rolled BMP, odd ids JDK-encoded PNG — both
+      // codecs must decode to the same spec pixels
+      assert(d.detected_format === Some(if (id % 2 == 0) "bmp" else "png"))
       assert(d.img_width === Some(w) && d.img_height === Some(h))
       assert(d.meta_consistent === Some(true))
       // independent fold of the spec, bypassing both encoder and decoder
@@ -127,7 +130,8 @@ class MultimodalSpec extends AnyFunSuite {
     Seq(2L, 3L, 4L).foreach { id =>
       val d = out(id)
       assert(!d.decode_ok, s"id $id should not decode")
-      assert(d.img_width.isEmpty && d.pixel_sum.isEmpty && d.meta_consistent.isEmpty)
+      assert(d.detected_format.isEmpty && d.img_width.isEmpty &&
+        d.pixel_sum.isEmpty && d.meta_consistent.isEmpty)
     }
     assert(out(5L).decode_ok && out(5L).meta_consistent === Some(false))
     assert(out(5L).pixel_sum === out(1L).pixel_sum)
