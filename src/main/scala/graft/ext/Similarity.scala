@@ -582,11 +582,27 @@ object Similarity {
     * replay-safe — see the call-site comment), bounding key-store DISK
     * (not just reads) on an unbounded stream; survivor data under
     * `/data` is the product and is never pruned.
+    *
+    * Choosing `dedupBatches` (measured, `graft.HotSwapProbe` sweep in
+    * BENCH_SF1.md "Round 11"): per-batch cost is FLAT in stream age for
+    * any window (late/steady ≤ 1.05 even at 200k all-distinct
+    * rows/batch, 100× the original probe volume) while the unbounded
+    * regime grows without limit (2.19× in its first 60 batches) — so the
+    * knob prices only the window's own size, not the stream's age. That
+    * price is a fixed floor up to W≈25 (per-batch machinery dominates:
+    * W=5 and W=25 both ≈1.0–1.1 s at 20k rows) and then roughly linear
+    * in W (W=100 ≈2.4× W=25 — trailing-partition listing/open plus the
+    * W×batch-size anti-join side). The default is 25: it sits at the
+    * top of the free plateau, covers the burst-of-near-identical-
+    * arrivals horizon this sink exists for, and its key store stayed at
+    * ~4 MB/26 partitions at the 100×-volume point. Streams whose
+    * duplicate horizon is genuinely longer should raise it and pay the
+    * measured linear price — the flat-in-age property holds at any W.
     */
   def hotSwapDedupSink(
       cbDir: String,
       outPath: String,
-      dedupBatches: Int = 100,
+      dedupBatches: Int = 25,
       sigBits: Int = 16,
       pruneKeys: Boolean = false): (DataFrame, Long) => Unit = {
     require(dedupBatches >= 1, s"dedupBatches must be >= 1, got $dedupBatches")
