@@ -312,8 +312,14 @@ object Dedup {
     * probe side (the micro-batch, exploded to 2 band rows per doc) is
     * BROADCAST into the index scan, so the corpus-sized side never
     * shuffles — per-batch cost is |batch| × bucket occupancy, the
-    * [[incrementalDedup]] shape, and the bucket partition column admits
-    * partition pruning when a small batch's bands touch few buckets.
+    * [[incrementalDedup]] shape — and the batch's bucket set (bounded by
+    * `bandBuckets`, so always a driver-safe handful of ints) is pushed
+    * into the index read as a static PARTITION filter: a small batch
+    * opens only the index partitions its bands hash into, instead of
+    * paying a full index scan per micro-batch (DPP does not fire for
+    * this join shape — measured — so the explicit filter is what makes
+    * trickle-arrival screening sublinear in corpus size; raise
+    * `bandBuckets` to sharpen it for small-batch streams).
     * Signature rows are ~10 longs per doc: the INDEX is O(corpus) by
     * design (it IS the corpus's dedup key set, unlike the trailing-window
     * STATE of [[graft.ext.Similarity.hotSwapDedupSink]]) — at rest as
@@ -352,44 +358,62 @@ object Dedup {
             mhNames: _*)
           .withColumn("bucket",
             pmod(col("band"), lit(bandBuckets.toLong)).cast("int"))
-        val index = fuzzyIndex(spark, indexPath, batchId, k)
-        val nMatch = mhNames
-          .map(m => when(col(s"e.$m") === col(s"n.$m"), 1).otherwise(0))
-          .reduce(_ + _)
-        val matches = index.alias("e")
-          .join(broadcast(probe.alias("n")),
-            col("e.bucket") === col("n.bucket") &&
-              col("e.bi") === col("n.bi") && col("e.band") === col("n.band"))
-          .filter(nMatch >= minMatch)
-          .select(col("n.doc_id").as("doc_id"), col("e.doc_id").as("match_id"))
-          .groupBy(col("doc_id"))
-          .agg(min(col("match_id")).as("dup_of"))
-        val verdicts = sig.select(col("doc_id"))
-          .join(matches, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("dup_of"),
-            col("dup_of").isNotNull.cast("int").as("is_known_dup"))
           .persist()
         try {
-          val survBands = probe
-            .join(verdicts.where(col("is_known_dup") === 0).select(col("doc_id")),
-              Seq("doc_id"), "left_semi")
-          Seq(
-            (verdicts, verdictsPath, Seq("batch_id")),
-            (survBands, indexPath, Seq("batch_id", "bucket"))
-          ).foreach { case (df, dir, parts) =>
-            // replay hygiene BEFORE the write (the hotSwapDedupSink
-            // rationale): dynamic overwrite only replaces partitions the
-            // replay TOUCHES — clear this batch's own partition first so
-            // a shrunken replay leaves no phantom rows
-            val part = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
-            val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (fs.exists(part)) fs.delete(part, true)
-            df.withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy(parts: _*).parquet(dir)
-          }
-        } finally verdicts.unpersist()
+          // push the batch's bucket set into the index read as a
+          // PARTITION filter: the set is bounded by bandBuckets (a few
+          // hundred ints at most), so this driver action is always
+          // bounded — the connectedComponents-count() class of justified
+          // collect, not a data collect — and a SMALL batch (the
+          // trickle/steady-state arrival shape) then opens only the
+          // partitions its bands hash into instead of scanning the whole
+          // accumulated index. A batch touching every bucket degrades to
+          // the vacuous filter (the full screen IS the work then). This
+          // is static partition pruning the planner applies at parquet
+          // listing time — measured necessary: DPP does NOT fire for
+          // this broadcast join (no selective filter on the probe side).
+          val touched = probe.select(col("bucket")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          val index = fuzzyIndex(spark, indexPath, batchId, k)
+            .where(col("bucket").isin(touched.map(Int.box): _*))
+          val nMatch = mhNames
+            .map(m => when(col(s"e.$m") === col(s"n.$m"), 1).otherwise(0))
+            .reduce(_ + _)
+          val matches = index.alias("e")
+            .join(broadcast(probe.alias("n")),
+              col("e.bucket") === col("n.bucket") &&
+                col("e.bi") === col("n.bi") && col("e.band") === col("n.band"))
+            .filter(nMatch >= minMatch)
+            .select(col("n.doc_id").as("doc_id"), col("e.doc_id").as("match_id"))
+            .groupBy(col("doc_id"))
+            .agg(min(col("match_id")).as("dup_of"))
+          val verdicts = sig.select(col("doc_id"))
+            .join(matches, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("dup_of"),
+              col("dup_of").isNotNull.cast("int").as("is_known_dup"))
+            .persist()
+          try {
+            val survBands = probe
+              .join(verdicts.where(col("is_known_dup") === 0).select(col("doc_id")),
+                Seq("doc_id"), "left_semi")
+            Seq(
+              (verdicts, verdictsPath, Seq("batch_id")),
+              (survBands, indexPath, Seq("batch_id", "bucket"))
+            ).foreach { case (df, dir, parts) =>
+              // replay hygiene BEFORE the write (the hotSwapDedupSink
+              // rationale): dynamic overwrite only replaces partitions
+              // the replay TOUCHES — clear this batch's own partition
+              // first so a shrunken replay leaves no phantom rows
+              val part = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
+              val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (fs.exists(part)) fs.delete(part, true)
+              df.withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(parts: _*).parquet(dir)
+            }
+          } finally verdicts.unpersist()
+        } finally probe.unpersist()
       } finally sig.unpersist()
     }
   }

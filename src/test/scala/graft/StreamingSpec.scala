@@ -659,6 +659,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/index").count() === idxRows)
   }
 
+  test("incrementalFuzzyDedupSink: a small batch opens ONLY its bucket partitions of the index") {
+    // black-box proof of the bucket partition pruning (the
+    // refreshingDedupSink garbage-files idiom): after seeding the index,
+    // every partition OUTSIDE the next batch's bucket set is overwritten
+    // with garbage — if the screen opened any of them, the parquet read
+    // would throw. A full-scan regression fails this test loudly.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ifdp").toString
+    val words = (0 until 70).map(i => s"w$i")
+    def doc(i: Int): (Long, String) = {
+      val start = (i % 15) * 4
+      (i.toLong, words.slice(start, start + 12).mkString(" "))
+    }
+    val sink = graft.ext.Dedup.incrementalFuzzyDedupSink(
+      s"$dir/index", s"$dir/verdicts", k = 2, minMatch = 2, bandBuckets = 64)
+    sink((0 until 30).map(doc).toDF("doc_id", "text"), 0L)
+    // one-doc batch: touches at most 2 of the 64 buckets
+    val nextDoc = Seq((100L, doc(3)._2)).toDF("doc_id", "text") // exact dup of doc 3
+    val touched = graft.ext.Dedup.withMinhashBands(nextDoc, 2)
+      .selectExpr("pmod(band0, 64) as b0", "pmod(band1, 64) as b1")
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val parts = new java.io.File(s"$dir/index/batch_id=0").listFiles
+      .filter(_.getName.startsWith("bucket="))
+    val garbaged = parts.filter(d => !touched.contains(d.getName.drop(7).toLong))
+    assert(garbaged.nonEmpty && garbaged.length < parts.length,
+      s"test needs both pruned and probed partitions (touched=$touched)")
+    garbaged.foreach(_.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, Array[Byte](9, 9, 9))
+    })
+    sink(nextDoc, 1L) // would throw on any garbaged partition it opened
+    val v = spark.read.parquet(s"$dir/verdicts")
+      .where(org.apache.spark.sql.functions.col("batch_id") === 1L).collect()
+    assert(v.length === 1 && v.head.getAs[Long]("dup_of") === 3L
+      && v.head.getAs[Int]("is_known_dup") === 1)
+  }
+
   test("codebook refresh: foreachBatch retrains + publishes; restart swaps it in with state intact") {
     // The refresh contract (Similarity.publishCodebook scaladoc): a running
     // query pins its codebook files, so the sink's retrained publish is
