@@ -393,9 +393,17 @@ object Dedup {
               col("dup_of").isNotNull.cast("int").as("is_known_dup"))
             .persist()
           try {
+            // repartition on the partition column before the two-level
+            // partitioned write (the Maintenance.bucketWrite lesson):
+            // without it every write task emits a file into every bucket
+            // dir it touches — tasks × buckets small files per batch,
+            // measured 19→26 s/batch and 178 MB of index for 80k docs in
+            // the bulk-arrival probe leg. One shuffle of the batch's own
+            // signature rows (tiny) buys one file per touched bucket.
             val survBands = probe
               .join(verdicts.where(col("is_known_dup") === 0).select(col("doc_id")),
                 Seq("doc_id"), "left_semi")
+              .repartition(col("bucket"))
             Seq(
               (verdicts, verdictsPath, Seq("batch_id")),
               (survBands, indexPath, Seq("batch_id", "bucket"))
