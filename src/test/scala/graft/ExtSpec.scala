@@ -107,7 +107,9 @@ class ExtSpec extends AnyFunSuite {
     // file fails until it is re-audited here — the round-3 leak class
     // must fail the build, not wait for a degraded bench.
     val allowed = Map(
-      "src/main/scala/graft/ext/Dedup.scala" -> 6,
+      // +3 in round 11: incrementalFuzzyDedupSink's per-batch sig /
+      // probe / verdicts pins, each released in a nested finally
+      "src/main/scala/graft/ext/Dedup.scala" -> 9,
       "src/main/scala/graft/ext/Graph.scala" -> 1,
       "src/main/scala/graft/ext/Similarity.scala" -> 1,
       "src/main/scala/graft/ext/TextOps.scala" -> 1,
