@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object TfidfAbProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/repo/testdata_scale/x100")
+    val sfDir = args.headOption.getOrElse("testdata_scale/x100")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

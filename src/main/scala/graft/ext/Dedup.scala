@@ -249,9 +249,16 @@ object Dedup {
     val nMatch = (0 until k)
       .map(i => when(col(s"n.mh$i") === col(s"e.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
+    // shingle-less docs (all-null components) share ONE constant band
+    // value but can never reach minMatch (null === null counts 0), so
+    // both join sides drop them — a pure optimization (verdicts are
+    // unchanged: they surface as never-duplicate via the left join
+    // below) that removes a |shingleless|² candidate blowup on corpora
+    // with many empty/short pages
     def bandJoin(band: String) =
-      fresh.alias("n")
-        .join(existing.alias("e"), col(s"n.$band") === col(s"e.$band"))
+      fresh.where(col("mh0").isNotNull).alias("n")
+        .join(existing.where(col("mh0").isNotNull).alias("e"),
+          col(s"n.$band") === col(s"e.$band"))
         .filter(nMatch >= minMatch)
         .select(col("n.doc_id").as("doc_id"), col("e.doc_id").as("match_id"))
     val matches = bandJoin("band0").unionAll(bandJoin("band1"))
@@ -352,10 +359,23 @@ object Dedup {
         // compares band0-to-band0 and band1-to-band1, so the exploded
         // form must carry the band index into the join key or a (however
         // unlikely) cross-band hash collision would break exact parity
-        val probe = sig.selectExpr(
-          "doc_id" +:
-            "inline(array(struct(0 as bi, band0 as band), struct(1 as bi, band1 as band)))" +:
-            mhNames: _*)
+        // Shingle-less docs (< 3 tokens, or null text) carry all-null
+        // minhash components, which hash to ONE constant band value —
+        // and since null components can never reach minMatch, every such
+        // doc is an eternal survivor. Left in the index they band-join
+        // every later batch's shingle-less docs against the whole
+        // accumulated class: 2·s·S join rows per batch with S growing
+        // forever, in one ever-skewing bucket — exactly the unbounded
+        // shape this sink exists to prevent. They are excluded from the
+        // probe AND (therefore) the index; their VERDICTS still emit
+        // (never-duplicate, dup_of null) via the outer left join below,
+        // identical to what the band join would have concluded.
+        val probe = sig
+          .where(col("mh0").isNotNull)
+          .selectExpr(
+            "doc_id" +:
+              "inline(array(struct(0 as bi, band0 as band), struct(1 as bi, band1 as band)))" +:
+              mhNames: _*)
           .withColumn("bucket",
             pmod(col("band"), lit(bandBuckets.toLong)).cast("int"))
           .persist()

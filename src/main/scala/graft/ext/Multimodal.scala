@@ -182,7 +182,6 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.setUseCache(false)
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
@@ -262,6 +261,9 @@ object Multimodal {
       .where(col("doc_id").isNotNull && col("doc_id") >= 0L)
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
+        // once per partition, not per row: keeps the PNG encoder off
+        // executor-local tmp files (ImageIO's default spills streams)
+        javax.imageio.ImageIO.setUseCache(false)
         ids.map { id =>
           val w = (4 + id % 13).toInt
           val h = (3 + id % 11).toInt
@@ -290,7 +292,11 @@ object Multimodal {
           else
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(rec.content))
-            catch { case _: java.io.IOException => null }
+            // NonFatal, not just IOException: the JDK readers throw
+            // IllegalArgument/ArrayIndexOutOfBounds/NegativeArraySize
+            // on malformed headers (valid magic, garbage dimensions) —
+            // a corrupt object must surface as a row, not kill the scan
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null)
           DecodedImage(rec.media_id, decode_ok = false, None, None, None, None, None, None)
         else {

@@ -541,8 +541,9 @@ object Similarity {
         // exists to stop, which skips these non-`batch_id=` entries)
         fs.listStatus(new org.apache.hadoop.fs.Path(outPath)).foreach { st =>
           val n = st.getPath.getName
-          if (n.startsWith("_refreshed_batch_") &&
-              n.drop(17).forall(_.isDigit) && n.drop(17).toLong < batchId)
+          if (n.startsWith("_refreshed_batch_") && n.drop(17).nonEmpty &&
+              n.drop(17).forall(c => c >= '0' && c <= '9') &&
+              n.drop(17).toLong < batchId)
             fs.delete(st.getPath, false)
         }
       }

@@ -762,10 +762,19 @@ object TextOps {
       val p = new org.apache.hadoop.fs.Path(s"$outDir/$sub")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("batch_"))
-        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
-        .map(_.getName).toSet
+      else {
+        val dirs = fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("batch_"))
+        val marked = dirs
+          .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+        // self-calibrating: when NO dir carries a marker, the committer
+        // evidently doesn't write them (marksuccessfuljobs=false is
+        // common object-store tuning) and requiring markers would
+        // silently return the empty card forever — fall back to
+        // dir-existence there; when at least one marker exists, the
+        // committer writes them and an unmarked dir IS a torn overwrite
+        (if (marked.isEmpty) dirs else marked).map(_.getName).toSet
+      }
     }
     val complete = (batches("tok") intersect batches("docs")).toSeq.sorted
     if (complete.isEmpty)

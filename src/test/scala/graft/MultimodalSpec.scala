@@ -116,6 +116,12 @@ class MultimodalSpec extends AnyFunSuite {
     val good = Multimodal.encodeBmp(5L, 6, 4)
     val truncated = java.util.Arrays.copyOf(good, 20) // header torn mid-info
     val garbage = Array.fill[Byte](64)(0x5a)
+    // valid BMP magic, malformed header (absurd negative dimensions):
+    // the JDK reader throws RuntimeExceptions here, not IOException —
+    // must still surface as a row (the NonFatal catch), not kill the task
+    val badHeader = java.util.Arrays.copyOf(good, good.length)
+    badHeader(18) = 0xff.toByte; badHeader(19) = 0xff.toByte
+    badHeader(20) = 0xff.toByte; badHeader(21) = 0xff.toByte // width = -1
     val recs = Seq(
       ImageRecord(1L, good, 6, 4),
       ImageRecord(2L, truncated, 6, 4),
@@ -123,11 +129,12 @@ class MultimodalSpec extends AnyFunSuite {
       ImageRecord(4L, null, 6, 4),
       // decodes fine but the claimed metadata lies → consistency false,
       // not a decode failure
-      ImageRecord(5L, good, 9, 9))
+      ImageRecord(5L, good, 9, 9),
+      ImageRecord(6L, badHeader, 6, 4))
     val out = Multimodal.decodeImages(spark.createDataset(recs))
       .collect().map(d => d.media_id -> d).toMap
     assert(out(1L).decode_ok && out(1L).meta_consistent === Some(true))
-    Seq(2L, 3L, 4L).foreach { id =>
+    Seq(2L, 3L, 4L, 6L).foreach { id =>
       val d = out(id)
       assert(!d.decode_ok, s"id $id should not decode")
       assert(d.detected_format.isEmpty && d.img_width.isEmpty &&

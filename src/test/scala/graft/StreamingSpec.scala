@@ -604,8 +604,13 @@ class StreamingSpec extends AnyFunSuite {
     }
     // interleaved membership (i % 3): sliding-window neighbors i, i+1
     // always land in different batches, so cross-batch one-component
-    // band hits (the reject case) are guaranteed to occur
-    val batches = (0 until 3).map(b => (0 until 30).filter(_ % 3 == b).map(doc))
+    // band hits (the reject case) are guaranteed to occur. Each batch
+    // also carries a SHINGLE-LESS doc (< 3 tokens → all-null minhash):
+    // they must verdict as never-duplicate and never enter the index
+    // (the constant-band accumulation class), in exact parity with the
+    // batch operator
+    val batches = (0 until 3).map(b =>
+      (0 until 30).filter(_ % 3 == b).map(doc) :+ (90L + b, s"tiny$b doc"))
     val ms = MemoryStream[(Long, String)]
     val sink = graft.ext.Dedup.incrementalFuzzyDedupSink(
       s"$dir/index", s"$dir/verdicts", k = 2, minMatch = 2, bandBuckets = 8)
@@ -649,6 +654,11 @@ class StreamingSpec extends AnyFunSuite {
           Option(r.getAs[Any]("dup_of")).map(_.asInstanceOf[Long]))
         .toMap
     assert(verdicts() === expected.toMap)
+    // the shingle-less docs verdicted (never-duplicate) but were kept
+    // OUT of the index — the constant-band class must not accumulate
+    assert((90L to 92L).forall(id => verdicts()(id).isEmpty))
+    assert(spark.read.parquet(s"$dir/index")
+      .where(org.apache.spark.sql.functions.col("doc_id") >= 90L).count() === 0L)
     // replay of the last batch (the foreachBatch crash contract): the
     // probe reads strictly batch_id < 2, so the re-delivered batch must
     // not match its own crashed attempt's index rows — identical
