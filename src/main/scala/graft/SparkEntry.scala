@@ -357,6 +357,7 @@ object SparkEntry {
     "freq_score" -> ((s, d) => TextOps.freqScore(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextOps.docRepetition(Tables.documents(s, d))),
+    "ngram_repetition" -> ((s, d) => TextOps.ngramRepetition(Tables.documents(s, d))),
     // sketch-gate: the zlib byte stream isn't SQL-expressible, but the
     // gate emits the exact-computable n_bytes (UTF-8 octet length, null
     // propagating) plus invariant booleans — deflate output is nonempty,
@@ -2641,6 +2642,30 @@ object SparkEntry {
         |       CAST(CAST(p.max_tf AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) > 0.075
         |         AS INT) AS dominated
         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+    "ngram_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS total_chars,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), nn AS (SELECT unnest([2,3,4]) AS n),
+        |x AS (
+        |  SELECT t.doc_id, t.total_chars, t.toks, nn.n
+        |  FROM t CROSS JOIN nn WHERE len(toks) >= n
+        |), g AS (
+        |  SELECT doc_id, total_chars, n,
+        |         array_to_string(toks[i:i+n-1], ' ') AS gram
+        |  FROM (SELECT doc_id, total_chars, toks, n,
+        |               unnest(range(1, len(toks) - n + 2)) AS i FROM x)
+        |), c AS (
+        |  SELECT doc_id, n, gram, COUNT(*) AS cnt, MAX(total_chars) AS total_chars
+        |  FROM g GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, n,
+        |       CAST(MAX(cnt * length(gram)) AS DOUBLE)
+        |         / CAST(MAX(total_chars) AS DOUBLE) AS top_char_frac,
+        |       CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
+        |         / CAST(MAX(total_chars) AS DOUBLE) AS dup_char_frac
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "compression_ratio" ->
       // sketch-gate: exact n_bytes (UTF-8 octet length, null propagating
       // through encode) + the invariant booleans pinned to literal true

@@ -1047,6 +1047,72 @@ object TextOps {
           | as int) as dominated""".stripMargin)
   }
 
+  /** Duplicate/top n-gram CHARACTER fractions — the remaining Gopher
+    * repetition rules (Rae et al. 2021, table A1) this library's bigram
+    * stats ([[repetitionStats]]) and top-token dominance
+    * ([[docRepetition]]) don't cover: per document and per n ∈ `ns`,
+    *  - `dup_char_frac`: characters covered by all occurrences of
+    *    word n-grams that appear more than once, as a fraction of the
+    *    document's characters (the datatrove/NeMo formulation —
+    *    occurrence-weighted, overlap not collapsed; exact-integer
+    *    numerator so the gate is engine-stable);
+    *  - `top_char_frac`: the character coverage `count × len(gram)` of
+    *    the single most-COVERING n-gram (max coverage rather than max
+    *    count: a deterministic scalar with no tie-break, where "most
+    *    frequent" would need one).
+    * Output is long-form — one row per (doc, n) with at least n tokens;
+    * documents shorter than n have no defined n-gram statistic and emit
+    * no row (the Gopher rules skip them too).
+    *
+    * Plan shape: one explode per n over the filtered token array,
+    * unioned, then two skew-immune aggregates — (doc, n, gram) keys are
+    * near-unique (bounded by document length, the [[docRepetition]]
+    * argument), and the per-(doc, n) rollup is map-side combined. The
+    * corpus never shuffles on a gram key alone, so a boilerplate gram
+    * repeated across millions of documents cannot form a hot partition.
+    */
+  def ngramRepetition(documents: DataFrame, ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1, got $ns")
+    val base = documents
+      .where(col("doc_id").isNotNull)
+      .selectExpr("doc_id", "length(text) as total_chars",
+        "filter(split(text, ' '), x -> x != '') as toks")
+    // the gram STRING is never built and never crosses the wire: explode
+    // POSITIONS and hash the n token components as FLAT columns (the
+    // repetitionCounts idiom — a concat inside a `transform` lambda is
+    // interpreted per element, measured ~3× on the shingle pipelines;
+    // flat element_at/xxhash64 stays in whole-stage codegen), and group
+    // on the 64-bit hash: the exchange carries 4 longs per distinct
+    // (doc, n, gram) instead of the gram bytes. The hash is internal
+    // only (the output needs count and length, not the text); a
+    // within-(doc, n) collision would merge two grams' counts
+    // (~len²·2⁻⁶⁴ per doc) and is never compared against the oracle.
+    val grams = ns.map { n =>
+      val gh = (0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ")
+      val glen = (0 until n).map(j => s"length(element_at(toks, i + $j))")
+        .mkString(" + ") + s" + ${n - 1}"
+      base
+        .select(col("doc_id"), col("total_chars"), col("toks"),
+          explode(expr(s"""case when size(toks) >= $n
+            | then sequence(1, size(toks) - $n + 1) else array() end""".stripMargin)).as("i"))
+        .selectExpr("doc_id", "total_chars", s"$n as n",
+          s"xxhash64($gh) as gh", s"cast($glen as int) as glen")
+    }.reduce(_ unionAll _)
+    grams
+      .groupBy(col("doc_id"), col("n"), col("gh"))
+      .agg(count(lit(1)).as("cnt"), max(col("glen")).as("glen"),
+        max(col("total_chars")).as("total_chars"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(
+        max(col("cnt") * col("glen")).as("top_chars"),
+        sum(when(col("cnt") >= 2, col("cnt") * col("glen"))
+          .otherwise(0L)).as("dup_chars"),
+        max(col("total_chars")).as("total_chars"))
+      .selectExpr("doc_id", "n",
+        "cast(top_chars as double) / cast(total_chars as double) as top_char_frac",
+        "cast(dup_chars as double) / cast(total_chars as double) as dup_char_frac")
+  }
+
   case class CompressionStats(
       doc_id: Long,
       n_bytes: Option[Long],

@@ -1292,6 +1292,32 @@ class ExtSpec extends AnyFunSuite {
     assert(newIds.exists(id => out(id).isDefined))
   }
 
+  test("ngramRepetition: Gopher dup/top n-gram char fractions, hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b"), // 11 chars; bigrams: "a b"x3, "b a"x2
+      (1L, "x y  z"),      // empty token filtered -> toks (x,y,z), 6 chars
+      (2L, "solo"),        // 1 token: no n-gram row for any n
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps.ngramRepetition(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // doc 0, n=2: top = "a b" coverage 3x3=9 of 11; dup = (9 + 2x3)=15 of 11
+    // (occurrence-weighted, overlap not collapsed -> can exceed 1, the
+    // documented datatrove formulation)
+    assert(out((0L, 2)) === ((9.0 / 11, 15.0 / 11)))
+    // doc 0, n=3: "a b a"x2 (10 chars), "b a b"x2 (10) -> top 10/11, dup 20/11
+    assert(out((0L, 3)) === ((10.0 / 11, 20.0 / 11)))
+    // doc 0, n=4: "a b a b"x2 (14) vs "b a b a"x1 -> top 14/11, dup 14/11
+    assert(out((0L, 4)) === ((14.0 / 11, 14.0 / 11)))
+    // doc 1: all grams distinct -> dup 0; n=2 top "x y" = 3/6
+    assert(out((1L, 2)) === ((0.5, 0.0)))
+    assert(out((1L, 3)) === ((5.0 / 6, 0.0)))
+    // short/null docs emit no rows; doc 1 has no n=4 row (3 tokens)
+    assert(!out.contains((1L, 4)) && !out.keys.exists(_._1 >= 2L))
+  }
+
   test("compressionRatio: repetitive text compresses away; determinism under repartitioning") {
     import spark.implicits._
     val repetitive = ("spam " * 200).trim // one token, 200 times
