@@ -536,7 +536,21 @@ object SparkEntry {
     // is exact — a channel-order, row-orientation, padding, or ImageIO
     // regression flips the gate.
     "media_decode" -> ((s, d) =>
-      Multimodal.decodeImages(Multimodal.synthesizeImages(Tables.documents(s, d))).toDF())
+      Multimodal.decodeImages(Multimodal.synthesizeImages(Tables.documents(s, d))).toDF()),
+    // REAL audio codec path: hand-rolled WAV (even ids, PCM16-LE) and
+    // JDK-encoded AIFF (odd ids, PCM16-BE) → javax.sound.sampled decode →
+    // exact integer sample features against the oracle's closed-form
+    // recomputation. Endianness, container parsing, and the signed-16
+    // interpretation all sit under the hash gate.
+    "audio_decode" -> ((s, d) =>
+      Multimodal.decodeAudio(Multimodal.synthesizeAudio(Tables.documents(s, d))).toDF()),
+    // REAL video (multi-frame) codec path: animated GIF encode via the
+    // JDK writer's sequence API → per-frame-indexed decode of every 3rd
+    // frame only (decode cost scales with frames KEPT) → exact per-frame
+    // pixel features the oracle recomputes closed-form.
+    "video_frames" -> ((s, d) =>
+      Multimodal.decodeSampledFrames(
+        Multimodal.synthesizeVideos(Tables.documents(s, d)), stride = 3).toDF())
   )
 
   // ---- DuckDB oracle fragments (mirror the Spark expressions exactly) ----
@@ -2977,6 +2991,55 @@ object SparkEntry {
         |)
         |SELECT d.doc_id AS media_id, true AS decode_ok,
         |       CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS detected_format,
+        |       CAST(d.w AS INT) AS img_width, CAST(d.h AS INT) AS img_height,
+        |       s.pixel_sum, s.weighted_sum, true AS meta_consistent
+        |FROM d JOIN s USING (doc_id)""".stripMargin,
+    "audio_decode" ->
+      // closed-form sample spec (Multimodal.sampleSpec), recomputed
+      // independently of the Scala encoder/decoder pair
+      """WITH d AS (
+        |  SELECT doc_id, 50 + doc_id % 100 AS n, 8000 + (doc_id % 3) * 4000 AS rate
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |), s AS (
+        |  SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM d
+        |), v AS (
+        |  SELECT doc_id, i, (doc_id * 31 + i * 17) % 65536 - 32768 AS smp FROM s
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(smp) AS BIGINT) AS sample_sum,
+        |    CAST(SUM((i + 1) * smp) AS BIGINT) AS weighted_sum,
+        |    CAST(MIN(smp) AS INT) AS min_sample,
+        |    CAST(MAX(smp) AS INT) AS max_sample
+        |  FROM v GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id, true AS decode_ok,
+        |       CASE WHEN d.doc_id % 2 = 0 THEN 'wav' ELSE 'aiff' END AS detected_format,
+        |       CAST(d.rate AS INT) AS sr_hz, 1 AS n_channels,
+        |       agg.n_samples, agg.sample_sum, agg.weighted_sum,
+        |       agg.min_sample, agg.max_sample, true AS meta_consistent
+        |FROM d JOIN agg USING (doc_id)""".stripMargin,
+    "video_frames" ->
+      // closed-form frame-pixel spec (Multimodal.frameGray): every 3rd
+      // frame of each doc's GIF, pixel sums recomputed independently
+      """WITH d AS (
+        |  SELECT doc_id, 6 + doc_id % 9 AS w, 5 + doc_id % 7 AS h,
+        |         4 + doc_id % 9 AS nf
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |), fr AS (
+        |  SELECT doc_id, w, h, nf, unnest(range(0, nf, 3)) AS f FROM d
+        |), ys AS (
+        |  SELECT doc_id, w, h, nf, f, unnest(range(0, h)) AS y FROM fr
+        |), px AS (
+        |  SELECT doc_id, w, h, nf, f, y, unnest(range(0, w)) AS x FROM ys
+        |), s AS (
+        |  SELECT doc_id, f,
+        |    CAST(SUM((doc_id + 5*f + 3*x + 7*y) % 256) AS BIGINT) AS pixel_sum,
+        |    CAST(SUM((1 + x + w*y) * ((doc_id + 5*f + 3*x + 7*y) % 256)) AS BIGINT) AS weighted_sum
+        |  FROM px GROUP BY doc_id, f
+        |)
+        |SELECT d.doc_id AS media_id, true AS decode_ok,
+        |       CAST(d.nf AS INT) AS n_frames, CAST(s.f AS INT) AS frame_idx,
         |       CAST(d.w AS INT) AS img_width, CAST(d.h AS INT) AS img_height,
         |       s.pixel_sum, s.weighted_sum, true AS meta_consistent
         |FROM d JOIN s USING (doc_id)""".stripMargin,

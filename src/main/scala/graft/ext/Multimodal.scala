@@ -332,4 +332,384 @@ object Multimodal {
         }
       }
     }
+
+  // ---------------------------------------------------------------------
+  // Real AUDIO codec path: WAV/AIFF encode + javax.sound.sampled decode
+  // (JDK-only). Mirrors the image leg's structure: samples are a
+  // closed-form function of (media_id, i) the SQL oracle recomputes, and
+  // the corpus alternates a hand-rolled container (RIFF/WAVE, PCM16
+  // little-endian) with a JDK-written one (AIFF, PCM16 big-endian) so
+  // BOTH endiannesses and both container parsers sit under one gate.
+  // ---------------------------------------------------------------------
+
+  /** An encoded audio payload + the metadata the encoder claims. */
+  case class AudioRecord(
+      media_id: Long,
+      content: Array[Byte],
+      meta_rate: Int,
+      meta_samples: Int)
+
+  /** Decode result: NULL-propagating on undecodable payloads, exact
+    * integer features otherwise. `weighted_sum` is position-weighted so a
+    * sample-order or endianness mistake changes the value even when the
+    * plain sum wouldn't; min/max pin the signed-16-bit interpretation
+    * (an unsigned or byte-swapped read shifts them wildly).
+    */
+  case class DecodedAudio(
+      media_id: Long,
+      decode_ok: Boolean,
+      detected_format: Option[String],
+      sr_hz: Option[Int],
+      n_channels: Option[Int],
+      n_samples: Option[Long],
+      sample_sum: Option[Long],
+      weighted_sum: Option[Long],
+      min_sample: Option[Int],
+      max_sample: Option[Int],
+      meta_consistent: Option[Boolean])
+
+  implicit val audioEnc: Encoder[AudioRecord] = Encoders.product[AudioRecord]
+  implicit val decAudioEnc: Encoder[DecodedAudio] = Encoders.product[DecodedAudio]
+
+  /** Closed-form sample spec — signed 16-bit PCM as a function of
+    * (id, i), implemented independently by the Scala encoder and the SQL
+    * oracle. Both operands are nonnegative, so `%` agrees across
+    * Scala/Spark/DuckDB.
+    */
+  private[graft] def sampleSpec(id: Long, i: Int): Int =
+    (((id * 31L + i.toLong * 17L) % 65536L) - 32768L).toInt
+
+  private[graft] def specRate(id: Long): Int = 8000 + (id % 3L).toInt * 4000
+  private[graft] def specSamples(id: Long): Int = 50 + (id % 100L).toInt
+
+  /** Hand-rolled RIFF/WAVE container: 44-byte canonical header + mono
+    * 16-bit little-endian PCM frames. Written against the format spec,
+    * decoded by the JDK's independent reader — the pair cross-checks
+    * itself.
+    */
+  private[graft] def encodeWav(id: Long, n: Int, rate: Int): Array[Byte] = {
+    val dataBytes = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2)      // block align
+      .putShort(16)     // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) { buf.putShort(sampleSpec(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** AIFF twin of [[encodeWav]]: the same [[sampleSpec]] samples rendered
+    * through the JDK's own AIFF ENCODER (`AudioSystem.write`), big-endian
+    * PCM — a genuinely different container and byte order against the
+    * same oracle.
+    */
+  private[graft] def encodeAiff(id: Long, n: Int, rate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleSpec(id, i)
+      pcm(2 * i) = ((s >> 8) & 0xff).toByte
+      pcm(2 * i + 1) = (s & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, 1, 2, rate.toFloat, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic real-audio corpus from the documents table: rates and
+    * lengths are doc_id-derived (so the oracle knows them), samples follow
+    * [[sampleSpec]]; even ids take the hand-rolled WAV, odd ids the JDK
+    * AIFF encoder. Pure mapPartitions — payload construction is
+    * executor-side; nothing but doc_ids leaves the scan.
+    */
+  def synthesizeAudio(documents: DataFrame): Dataset[AudioRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0L)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = specSamples(id)
+          val rate = specRate(id)
+          val bytes =
+            if (id % 2 == 0) encodeWav(id, n, rate) else encodeAiff(id, n, rate)
+          AudioRecord(id, bytes, rate, n)
+        }
+      }
+  }
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` parses the container
+    * and hands back PCM frames in the FILE's own byte order (the stream
+    * is not re-encoded), so the sample fold honors
+    * `AudioFormat.isBigEndian` per payload. Scale shape: mapPartitions
+    * projection, payloads touched once and never shuffled.
+    */
+  def decodeAudio(audio: Dataset[AudioRecord]): Dataset[DecodedAudio] =
+    audio.mapPartitions { rows =>
+      rows.map { rec =>
+        val parsed =
+          if (rec.content == null) None
+          else
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(rec.content))
+              val fmt = ais.getFormat
+              val data = {
+                val bos = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](8192)
+                var k = ais.read(buf)
+                while (k >= 0) { bos.write(buf, 0, k); k = ais.read(buf) }
+                bos.toByteArray
+              }
+              Some((fmt, data))
+            } // NonFatal, not just UnsupportedAudioFileException: malformed
+              // headers (valid magic, garbage chunk sizes) can surface as
+              // runtime exceptions — a corrupt object must become a row
+            catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case None =>
+            DecodedAudio(rec.media_id, decode_ok = false, None, None, None,
+              None, None, None, None, None, None)
+          case Some((fmt, data))
+              if fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                data.length % 2 != 0 =>
+            // decodable container, unexpected frame shape: surface as a
+            // failed decode rather than folding garbage into the features
+            DecodedAudio(rec.media_id, decode_ok = false, None, None, None,
+              None, None, None, None, None, None)
+          case Some((fmt, data)) =>
+            // container sniff from magic bytes — parser-independent
+            val sniff = rec.content match {
+              case c if c.length >= 4 && c(0) == 'R'.toByte &&
+                c(1) == 'I'.toByte && c(2) == 'F'.toByte && c(3) == 'F'.toByte =>
+                Some("wav")
+              case c if c.length >= 4 && c(0) == 'F'.toByte &&
+                c(1) == 'O'.toByte && c(2) == 'R'.toByte && c(3) == 'M'.toByte =>
+                Some("aiff")
+              case _ => Some("other")
+            }
+            val big = fmt.isBigEndian
+            val n = data.length / 2
+            var sum = 0L
+            var wsum = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            var i = 0
+            while (i < n) {
+              val hi = if (big) data(2 * i) else data(2 * i + 1)
+              val lo = if (big) data(2 * i + 1) else data(2 * i)
+              val s = ((hi << 8) | (lo & 0xff)).toShort.toInt
+              sum += s
+              wsum += (i + 1L) * s
+              if (s < mn) mn = s
+              if (s > mx) mx = s
+              i += 1
+            }
+            DecodedAudio(rec.media_id, decode_ok = true, sniff,
+              Some(math.round(fmt.getSampleRate)), Some(fmt.getChannels),
+              Some(n.toLong), Some(sum), Some(wsum),
+              Some(if (n == 0) 0 else mn), Some(if (n == 0) 0 else mx),
+              Some(n == rec.meta_samples &&
+                math.round(fmt.getSampleRate) == rec.meta_rate))
+        }
+      }
+    }
+
+  // ---------------------------------------------------------------------
+  // Real VIDEO codec path: multi-frame animated GIF (the JDK's
+  // `javax.imageio` GIF plugin supports image SEQUENCES both ways). The
+  // container is genuinely multi-frame — `sampleFrames` above explodes
+  // metadata; this leg DECODES the sampled frames out of real payload
+  // bytes. Frames are 8-bit indexed GRAYSCALE (an exact 256-gray
+  // palette), because GIF is palette-based: a true-color frame would be
+  // quantized by the encoder and the closed-form oracle would no longer
+  // hold. Indexed-in, indexed-out is bit-exact — probed and gate-pinned.
+  // ---------------------------------------------------------------------
+
+  /** An encoded multi-frame payload + the metadata the encoder claims. */
+  case class VideoRecord(
+      media_id: Long,
+      content: Array[Byte],
+      meta_width: Int,
+      meta_height: Int,
+      meta_frames: Int)
+
+  /** One decoded SAMPLED frame. `weighted_sum` is position-weighted (as
+    * in the image leg) so orientation mistakes flip the gate; frame_idx
+    * rides along so a stride or seek bug is visible as missing/extra
+    * rows, not just wrong sums.
+    */
+  case class DecodedFrame(
+      media_id: Long,
+      decode_ok: Boolean,
+      n_frames: Option[Int],
+      frame_idx: Option[Int],
+      img_width: Option[Int],
+      img_height: Option[Int],
+      pixel_sum: Option[Long],
+      weighted_sum: Option[Long],
+      meta_consistent: Option[Boolean])
+
+  implicit val videoEnc: Encoder[VideoRecord] = Encoders.product[VideoRecord]
+  implicit val frameEnc: Encoder[DecodedFrame] = Encoders.product[DecodedFrame]
+
+  /** Closed-form frame-pixel spec: 8-bit gray as a function of
+    * (id, frame, x, y), implemented independently by the encoder and the
+    * SQL oracle.
+    */
+  private[graft] def frameGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id + 5L * f + 3L * x + 7L * y) % 256L).toInt
+
+  private[graft] def specVideoW(id: Long): Int = 6 + (id % 9L).toInt
+  private[graft] def specVideoH(id: Long): Int = 5 + (id % 7L).toInt
+  private[graft] def specVideoFrames(id: Long): Int = 4 + (id % 9L).toInt
+
+  /** The exact 256-gray palette: index i ↦ (i,i,i). With every frame
+    * already indexed into this palette the GIF encoder has nothing to
+    * quantize, so pixels round-trip exactly.
+    */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = new Array[Byte](256)
+    var i = 0
+    while (i < 256) { g(i) = i.toByte; i += 1 }
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Multi-frame GIF via the JDK GIF writer's sequence API
+    * (`prepareWriteSequence` / `writeToSequence`) — a real multi-image
+    * container the reader can seek by frame index.
+    */
+  private[graft] def encodeGif(id: Long, w: Int, h: Int, nf: Int): Array[Byte] = {
+    val icm = grayPalette
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, frameGray(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Deterministic real-video corpus from the documents table: dimensions
+    * and frame counts are doc_id-derived, frames follow [[frameGray]].
+    * Pure mapPartitions — encoding is executor-side.
+    */
+  def synthesizeVideos(documents: DataFrame): Dataset[VideoRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0L)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = specVideoW(id)
+          val h = specVideoH(id)
+          val nf = specVideoFrames(id)
+          VideoRecord(id, encodeGif(id, w, h, nf), w, h, nf)
+        }
+      }
+  }
+
+  /** REAL frame sampling: open the container once per payload, count
+    * frames, and DECODE only every `stride`-th frame by index
+    * (`reader.read(f)`) — the pre-filter-before-decode shape a 100 TB
+    * video corpus needs (decode cost scales with frames KEPT, not frames
+    * stored). One output row per sampled frame; undecodable payloads
+    * surface as a single decode_ok=false row.
+    */
+  def decodeSampledFrames(
+      videos: Dataset[VideoRecord], stride: Int = 3): Dataset[DecodedFrame] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    videos.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { rec =>
+        val frames =
+          if (rec.content == null) None
+          else {
+            val reader =
+              javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+            try {
+              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(rec.content)))
+              // the GIF scanner can report ZERO images for non-GIF bytes
+              // instead of throwing — an empty container is a failed
+              // decode (it must produce a row), not a silent vanish
+              val nf = reader.getNumImages(true)
+              if (nf <= 0) throw new java.io.IOException("no frames")
+              val sampled = (0 until nf by stride).map { f =>
+                val img = reader.read(f)
+                val w = img.getWidth
+                val h = img.getHeight
+                var ps = 0L
+                var ws = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val g = img.getRGB(x, y) & 0xff
+                    ps += g
+                    ws += (1L + x + w.toLong * y) * g
+                    x += 1
+                  }
+                  y += 1
+                }
+                (f, w, h, ps, ws)
+              }
+              Some((nf, sampled))
+            } catch { case scala.util.control.NonFatal(_) => None }
+            finally reader.dispose()
+          }
+        frames match {
+          case None =>
+            Iterator.single(DecodedFrame(rec.media_id, decode_ok = false,
+              None, None, None, None, None, None, None))
+          case Some((nf, sampled)) =>
+            sampled.iterator.map { case (f, w, h, ps, ws) =>
+              DecodedFrame(rec.media_id, decode_ok = true, Some(nf), Some(f),
+                Some(w), Some(h), Some(ps), Some(ws),
+                Some(nf == rec.meta_frames && w == rec.meta_width &&
+                  h == rec.meta_height))
+            }
+        }
+      }
+    }
+  }
 }

@@ -143,4 +143,127 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(5L).decode_ok && out(5L).meta_consistent === Some(false))
     assert(out(5L).pixel_sum === out(1L).pixel_sum)
   }
+
+  test("decodeAudio: real WAV/AIFF round-trip matches the closed-form sample spec") {
+    val ids = Seq(0L, 1L, 2L, 7L, 499L)
+    val docs = ids.map(id => (id, s"text $id")).toDF("doc_id", "text")
+    val out = Multimodal.decodeAudio(Multimodal.synthesizeAudio(docs))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out.keySet === ids.toSet)
+    ids.foreach { id =>
+      val d = out(id)
+      val n = Multimodal.specSamples(id)
+      assert(d.decode_ok, s"id $id failed to decode")
+      // even ids are hand-rolled WAV (little-endian), odd ids JDK AIFF
+      // (big-endian) — both containers must decode to the same samples
+      assert(d.detected_format === Some(if (id % 2 == 0) "wav" else "aiff"))
+      assert(d.sr_hz === Some(Multimodal.specRate(id)))
+      assert(d.n_channels === Some(1) && d.n_samples === Some(n.toLong))
+      assert(d.meta_consistent === Some(true))
+      // independent fold of the spec, bypassing both encoder and decoder
+      var sum = 0L; var wsum = 0L
+      var mn = Int.MaxValue; var mx = Int.MinValue
+      for (i <- 0 until n) {
+        val s = Multimodal.sampleSpec(id, i)
+        sum += s; wsum += (i + 1L) * s
+        mn = math.min(mn, s); mx = math.max(mx, s)
+      }
+      assert(d.sample_sum === Some(sum), s"sample_sum id $id")
+      assert(d.weighted_sum === Some(wsum), s"weighted_sum id $id")
+      assert(d.min_sample === Some(mn) && d.max_sample === Some(mx))
+    }
+  }
+
+  test("decodeAudio: corrupt, null and wrong-shape payloads surface as decode_ok=false") {
+    import Multimodal.AudioRecord
+    val good = Multimodal.encodeWav(4L, 54, 12000)
+    val truncated = java.util.Arrays.copyOf(good, 30) // torn mid-header
+    val garbage = Array.fill[Byte](64)(0x5a)
+    // valid RIFF magic, data-chunk size lying past the payload end
+    val badHeader = java.util.Arrays.copyOf(good, good.length)
+    badHeader(40) = 0xff.toByte; badHeader(41) = 0xff.toByte
+    badHeader(42) = 0xff.toByte; badHeader(43) = 0x7f.toByte
+    // decodable but stereo/8-bit shapes must be rejected, not misfolded:
+    // 8-bit mono WAV built by the JDK encoder itself
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array.fill[Byte](16)(7)), fmt8, 16L)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais8, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    val recs = Seq(
+      AudioRecord(1L, good, 12000, 54),
+      AudioRecord(2L, truncated, 12000, 54),
+      AudioRecord(3L, garbage, 12000, 54),
+      AudioRecord(4L, null, 12000, 54),
+      AudioRecord(5L, good, 16000, 99), // decodes fine; metadata lies
+      AudioRecord(6L, bos8.toByteArray, 8000, 16))
+    val out = Multimodal.decodeAudio(spark.createDataset(recs))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out(1L).decode_ok && out(1L).meta_consistent === Some(true))
+    Seq(2L, 3L, 4L, 6L).foreach { id =>
+      val d = out(id)
+      assert(!d.decode_ok, s"id $id should not decode")
+      assert(d.detected_format.isEmpty && d.sample_sum.isEmpty &&
+        d.meta_consistent.isEmpty)
+    }
+    assert(out(5L).decode_ok && out(5L).meta_consistent === Some(false))
+    assert(out(5L).sample_sum === out(1L).sample_sum)
+    // the lying data-chunk size either fails or decodes exactly the real
+    // frames — it must never fold bytes past the payload end
+    if (out(2L).decode_ok) assert(out(2L).sample_sum === out(1L).sample_sum)
+  }
+
+  test("decodeSampledFrames: real multi-frame GIF matches the closed-form frame spec") {
+    val ids = Seq(0L, 1L, 5L, 12L, 499L)
+    val docs = ids.map(id => (id, s"text $id")).toDF("doc_id", "text")
+    val out = Multimodal.decodeSampledFrames(
+      Multimodal.synthesizeVideos(docs), stride = 3)
+      .collect().groupBy(_.media_id)
+    assert(out.keySet === ids.toSet)
+    ids.foreach { id =>
+      val w = Multimodal.specVideoW(id)
+      val h = Multimodal.specVideoH(id)
+      val nf = Multimodal.specVideoFrames(id)
+      val sampled = out(id).sortBy(_.frame_idx)
+      // exactly the strided frame indices, nothing else
+      assert(sampled.map(_.frame_idx.get).toSeq === (0 until nf by 3).toSeq)
+      sampled.foreach { d =>
+        assert(d.decode_ok && d.n_frames === Some(nf))
+        assert(d.img_width === Some(w) && d.img_height === Some(h))
+        assert(d.meta_consistent === Some(true))
+        val f = d.frame_idx.get
+        var ps = 0L; var ws = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val g = Multimodal.frameGray(id, f, x, y)
+          ps += g; ws += (1L + x + w.toLong * y) * g
+        }
+        assert(d.pixel_sum === Some(ps), s"pixel_sum id $id frame $f")
+        assert(d.weighted_sum === Some(ws), s"weighted_sum id $id frame $f")
+      }
+    }
+  }
+
+  test("decodeSampledFrames: corrupt and null payloads surface as one failed row") {
+    import Multimodal.VideoRecord
+    val good = Multimodal.encodeGif(3L, 7, 5, 6)
+    val truncated = java.util.Arrays.copyOf(good, 40)
+    val garbage = Array.fill[Byte](64)(0x5a)
+    val recs = Seq(
+      VideoRecord(1L, good, 7, 5, 6),
+      VideoRecord(2L, truncated, 7, 5, 6),
+      VideoRecord(3L, garbage, 7, 5, 6),
+      VideoRecord(4L, null, 7, 5, 6),
+      VideoRecord(5L, good, 9, 9, 6)) // decodes fine; metadata lies
+    val out = Multimodal.decodeSampledFrames(spark.createDataset(recs), stride = 3)
+      .collect().groupBy(_.media_id)
+    assert(out(1L).forall(d => d.decode_ok && d.meta_consistent === Some(true)))
+    assert(out(1L).map(_.frame_idx.get).sorted.toSeq === Seq(0, 3))
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(out(id).length === 1 && !out(id).head.decode_ok, s"id $id")
+      assert(out(id).head.pixel_sum.isEmpty && out(id).head.n_frames.isEmpty)
+    }
+    assert(out(5L).forall(d => d.decode_ok && d.meta_consistent === Some(false)))
+    assert(out(5L).map(_.pixel_sum) === out(1L).map(_.pixel_sum))
+  }
 }
