@@ -535,6 +535,26 @@ object SparkEntry {
     // oracle's closed-form recomputation of the same pixels. Every column
     // is exact — a channel-order, row-orientation, padding, or ImageIO
     // regression flips the gate.
+    // Z-ORDER layout key (Maintenance.zValue / zOrderWrite): equal-width
+    // monotone buckets over the ACTUAL key ranges, bit-interleaved into
+    // the Morton code the clustered write sorts by. All-integer, so the
+    // whole layout computation sits under the hash gate; the layout's
+    // pruning effect itself is pinned in BucketingSpec.
+    "zorder_layout" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val Array(r) = li.agg(
+        min(col("l_orderkey").cast("long")), max(col("l_orderkey").cast("long")),
+        min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long"))).collect()
+      def lv(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      val n = 256L
+      val xW = math.max(1L, (lv(1) - lv(0) + n) / n)
+      val yW = math.max(1L, (lv(3) - lv(2) + n) / n)
+      val bx = expr(s"(cast(l_orderkey as bigint) - ${lv(0)}L) div ${xW}L")
+      val by = expr(s"(cast(l_partkey as bigint) - ${lv(2)}L) div ${yW}L")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        bx.as("bx"), by.as("by"),
+        graft.io.Maintenance.zValue(bx, by, 8).as("zval"))
+    }),
     "media_decode" -> ((s, d) =>
       Multimodal.decodeImages(Multimodal.synthesizeImages(Tables.documents(s, d))).toDF()),
     // REAL audio codec path: hand-rolled WAV (even ids, PCM16-LE) and
@@ -2994,6 +3014,31 @@ object SparkEntry {
         |       CAST(d.w AS INT) AS img_width, CAST(d.h AS INT) AS img_height,
         |       s.pixel_sum, s.weighted_sum, true AS meta_consistent
         |FROM d JOIN s USING (doc_id)""".stripMargin,
+    "zorder_layout" -> {
+      // Morton interleave unrolled to pure integer arithmetic — bit i of
+      // bx lands at 2i, bit i of by at 2i+1 (Maintenance.zValue's twin)
+      val z = (0 until 8).map { i =>
+        s"((bx // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+          s"((by // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT CAST(min(l_orderkey) AS BIGINT) AS xmin,
+         |         CAST(max(l_orderkey) AS BIGINT) AS xmax,
+         |         CAST(min(l_partkey) AS BIGINT) AS ymin,
+         |         CAST(max(l_partkey) AS BIGINT) AS ymax
+         |  FROM lineitem
+         |), b AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    (CAST(l_orderkey AS BIGINT) - xmin)
+         |      // GREATEST(1, (xmax - xmin + 256) // 256) AS bx,
+         |    (CAST(l_partkey AS BIGINT) - ymin)
+         |      // GREATEST(1, (ymax - ymin + 256) // 256) AS by
+         |  FROM lineitem, mm
+         |)
+         |SELECT l_orderkey, l_linenumber, bx, by,
+         |       CAST($z AS BIGINT) AS zval
+         |FROM b""".stripMargin
+    },
     "audio_decode" ->
       // closed-form sample spec (Multimodal.sampleSpec), recomputed
       // independently of the Scala encoder/decoder pair

@@ -1,7 +1,8 @@
 package graft.io
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table-maintenance utilities. At 100 TB the classic operational failure
   * is the small-file problem: streaming sinks and over-parallel writers
@@ -105,5 +106,73 @@ object Maintenance {
       s"bucketWrite($table): expected one file per bucket, got " +
         s"${files.length} files over ${ids.distinct.length} buckets")
     files.length
+  }
+
+  /** Z-value (Morton code) of two `bits`-bit bucket ids: bit i of `x`
+    * lands at position 2i, bit i of `y` at 2i+1. Sorting by the z-value
+    * clusters rows that are close in BOTH dimensions — the multi-column
+    * analogue of a sort key, and the standard layout trick
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`) for making min/max file
+    * pruning work on more than one predicate column at once.
+    *
+    * Built from codegen'd built-ins only (`shiftright`/`&`/`shiftleft`
+    * fold), so the z computation rides inside WholeStageCodegen at scan
+    * speed. Inputs must already be nonnegative ints below 2^bits —
+    * bucketization (range/divisor/percentile) is the caller's choice and
+    * must be value-MONOTONE per dimension for range pruning to mean
+    * anything.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      val xb = shiftleft(shiftright(x.cast("long"), i).bitwiseAND(1L), 2 * i)
+      val yb = shiftleft(shiftright(y.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
+      xb + yb
+    }.reduce(_ + _)
+  }
+
+  /** Z-order clustered parquet layout: bucketize the two cluster columns
+    * monotonically (equal-width over the ACTUAL min/max — one cheap
+    * 2-row aggregate), range-partition by the interleaved z-value into
+    * `files` output files, sort within each, write. Result: every file
+    * covers a tight rectangle in (x, y) space, so a reader with
+    * predicates on EITHER or BOTH columns skips most files on parquet
+    * footer min/max alone — where a 1-D sort gives tight ranges on the
+    * sort column only and the full span on the other.
+    *
+    * `repartitionByRange` samples the z distribution, so file rectangles
+    * track the DATA's density, not the key space's — skewed corpora
+    * still get balanced files. Returns (files written, the bucket width
+    * pair) for observability.
+    */
+  def zOrderWrite(
+      df: DataFrame,
+      xKey: String,
+      yKey: String,
+      dir: String,
+      files: Int,
+      bits: Int = 10): (Int, (Long, Long)) = {
+    val Array(mmx) = df.agg(
+      min(col(xKey).cast("long")), max(col(xKey).cast("long")),
+      min(col(yKey).cast("long")), max(col(yKey).cast("long"))).collect()
+    val (xMin, xMax) = (mmx.getLong(0), mmx.getLong(1))
+    val (yMin, yMax) = (mmx.getLong(2), mmx.getLong(3))
+    val n = 1L << bits
+    // ceil-div widths so the top value still lands in bucket n-1
+    val xW = math.max(1L, (xMax - xMin + n) / n)
+    val yW = math.max(1L, (yMax - yMin + n) / n)
+    // integer `div`, not double `/`: exact at any key magnitude
+    val bx = expr(s"(cast($xKey as bigint) - ${xMin}L) div ${xW}L")
+    val by = expr(s"(cast($yKey as bigint) - ${yMin}L) div ${yW}L")
+    val z = zValue(bx, by, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+    val written = new Path(dir)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .listStatus(new Path(dir)).count(_.getPath.getName.endsWith(".parquet"))
+    (written, (xW, yW))
   }
 }

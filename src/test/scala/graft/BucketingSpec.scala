@@ -40,4 +40,72 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("zOrderWrite clusters both dimensions; 2-D box queries prune more files than a 1-D sort") {
+    import graft.io.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val files = 64
+    val (written, _) =
+      Maintenance.zOrderWrite(li, "l_orderkey", "l_partkey", s"$dir/z", files, bits = 10)
+    assert(written === files)
+    // the 1-D comparison layout: same file count, range-sorted by x only
+    li.repartitionByRange(files, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/s")
+
+    // per-file (min,max) of both key columns — what parquet footer
+    // pruning would see
+    def ranges(path: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("l_orderkey"), max("l_orderkey"), min("l_partkey"), max("l_partkey"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val zR = ranges(s"$dir/z")
+    val sR = ranges(s"$dir/s")
+    val Array(g) = li.agg(
+      min("l_orderkey"), max("l_orderkey"), min("l_partkey"), max("l_partkey")).collect()
+    val (xLo, xHi, yLo, yHi) = (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+    def avgSpan(rs: Array[(Long, Long, Long, Long)], dim: Int): Double = {
+      val spans = rs.map { case (a, b, c, d) =>
+        if (dim == 0) (b - a).toDouble / math.max(1L, xHi - xLo)
+        else (d - c).toDouble / math.max(1L, yHi - yLo)
+      }
+      spans.sum / spans.length
+    }
+    // 1-D sort: tight on the sort column, the full span on the other
+    assert(avgSpan(sR, 0) < 0.10, s"sorted layout x-span ${avgSpan(sR, 0)}")
+    assert(avgSpan(sR, 1) > 0.80, s"sorted layout y-span ${avgSpan(sR, 1)}")
+    // z-order: BOTH dimensions tight per file — that is the whole point
+    assert(avgSpan(zR, 0) < 0.40, s"zorder x-span ${avgSpan(zR, 0)}")
+    assert(avgSpan(zR, 1) < 0.40, s"zorder y-span ${avgSpan(zR, 1)}")
+
+    // predicate pruning: count the files whose footer range intersects —
+    // the files a reader must open. Central-quarter windows per dimension.
+    val (qxLo, qxHi) = (xLo + (xHi - xLo) * 3 / 8, xLo + (xHi - xLo) * 5 / 8)
+    val (qyLo, qyHi) = (yLo + (yHi - yLo) * 3 / 8, yLo + (yHi - yLo) * 5 / 8)
+    def hits(rs: Array[(Long, Long, Long, Long)],
+        x: Option[(Long, Long)], y: Option[(Long, Long)]): Int =
+      rs.count { case (a, b, c, d) =>
+        x.forall { case (lo, hi) => b >= lo && a <= hi } &&
+          y.forall { case (lo, hi) => d >= lo && c <= hi }
+      }
+    // the asymmetric win — a predicate on the NON-sort dimension: the 1-D
+    // layout cannot prune it at all (every file spans all of y), z-order
+    // prunes it like any other dimension
+    val yOnlyZ = hits(zR, None, Some((qyLo, qyHi)))
+    val yOnlyS = hits(sR, None, Some((qyLo, qyHi)))
+    assert(yOnlyS > files * 9 / 10, s"1-D sort pruned y?! $yOnlyS of $files")
+    assert(yOnlyZ * 2 < yOnlyS, s"y-only: zorder opened $yOnlyZ files, 1-D sort $yOnlyS")
+    // the 2-D box: z-order must not LOSE to the 1-D sort (at modest file
+    // counts the x-pruning term dominates both; the gap widens with files
+    // — measured at scale in ZProbe/BENCH_SF1.md)
+    val boxZ = hits(zR, Some((qxLo, qxHi)), Some((qyLo, qyHi)))
+    val boxS = hits(sR, Some((qxLo, qxHi)), Some((qyLo, qyHi)))
+    assert(boxZ <= boxS, s"box: zorder opened $boxZ files, 1-D sort $boxS")
+    // and the layout is a REWRITE, not a filter: row set unchanged
+    assert(spark.read.parquet(s"$dir/z").count() === li.count())
+  }
 }

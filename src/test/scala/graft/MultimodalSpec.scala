@@ -83,6 +83,41 @@ class MultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("codec legs run unchanged on a stream and match batch bit-for-bit") {
+    // the real decode paths are stateless mapPartitions like the feature
+    // chain, so the SAME library calls compile onto a streaming Dataset —
+    // payloads decode where they arrive and never shuffle
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq((0L, "a"), (1L, "b"), (7L, "c"), (12L, "d"))
+    val ms = MemoryStream[(Long, String)]
+    val sdf = ms.toDS().toDF("doc_id", "text")
+    val audioQ = Multimodal.decodeAudio(Multimodal.synthesizeAudio(sdf))
+      .writeStream.format("memory").queryName("audio_stream")
+      .outputMode("append").start()
+    val videoQ = Multimodal.decodeSampledFrames(Multimodal.synthesizeVideos(sdf))
+      .writeStream.format("memory").queryName("video_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows)
+      audioQ.processAllAvailable()
+      videoQ.processAllAvailable()
+      val batchDf = rows.toDF("doc_id", "text")
+      val audioBatch = Multimodal.decodeAudio(Multimodal.synthesizeAudio(batchDf))
+        .collect().map(d => (d.media_id, d.sample_sum, d.weighted_sum)).sorted.toSeq
+      val audioStream = spark.table("audio_stream")
+        .selectExpr("media_id", "sample_sum", "weighted_sum")
+        .as[(Long, Option[Long], Option[Long])].collect().sorted.toSeq
+      assert(audioStream === audioBatch)
+      val videoBatch = Multimodal.decodeSampledFrames(Multimodal.synthesizeVideos(batchDf))
+        .collect().map(d => (d.media_id, d.frame_idx, d.pixel_sum)).sorted.toSeq
+      val videoStream = spark.table("video_stream")
+        .selectExpr("media_id", "frame_idx", "pixel_sum")
+        .as[(Long, Option[Int], Option[Long])].collect().sorted.toSeq
+      assert(videoStream === videoBatch)
+    } finally { audioQ.stop(); videoQ.stop() }
+  }
+
   test("decodeImages: real ImageIO round-trip matches the closed-form pixel spec") {
     val ids = Seq(0L, 1L, 7L, 12L, 499L)
     val docs = ids.map(id => (id, s"text $id")).toDF("doc_id", "text")
