@@ -382,6 +382,7 @@ object SparkEntry {
               col("low_entropy") === (col("deflate_ratio") < 0.4))
             .as("ratio_consistent"))),
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(Tables.documents(s, d))),
+    "lm_score" -> ((s, d) => TextOps.lmScore(Tables.documents(s, d))),
     // the synthetic corpus carries no real PII, so the query DECORATES
     // each doc with deterministic doc_id-derived email/IP/phone strings
     // before scrubbing — the gate then proves count and redaction
@@ -2730,6 +2731,31 @@ object SparkEntry {
          |  FROM m GROUP BY doc_id
          |)
          |SELECT d.doc_id, d.lang, p.n_bigrams, p.dsir_score
+         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+    "lm_score" ->
+      // hashed bigram-LM: same bucket hashing as the Spark side, counts
+      // via window-over-bucket (fine at oracle scale), charges floored
+      // at 0 exactly as documented
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents
+         |), bg AS (
+         |  SELECT doc_id,
+         |         ${dH("toks[i]")} % 4096 AS cb,
+         |         ${dH("toks[i] || ' ' || toks[i + 1]")} % 4096 AS b
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |        FROM t WHERE len(toks) >= 2)
+         |), m AS (
+         |  SELECT doc_id,
+         |         GREATEST(0, (length(bin(COUNT(*) OVER (PARTITION BY cb))) - 1)
+         |           - (length(bin(COUNT(*) OVER (PARTITION BY b))) - 1)) AS chg
+         |  FROM bg
+         |), p AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(chg) AS BIGINT) AS nll_mag
+         |  FROM m GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.lang, p.n_bigrams, p.nll_mag,
+         |       CAST(p.nll_mag * 10 > p.n_bigrams * 44 AS INT) AS high_ppl
          |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
     "classifier_score" ->
       s"""WITH t AS (

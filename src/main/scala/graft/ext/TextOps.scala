@@ -843,6 +843,60 @@ object TextOps {
       .join(per, Seq("doc_id"), "left")
   }
 
+  /** Hashed bigram-LM perplexity scoring — the CCNet/Wenzek et al. 2020
+    * filter shape ([[dsirWeights]]' sibling with CONDITIONAL
+    * normalization): each bigram occurrence is charged its negative
+    * conditional log-probability under a corpus bigram model,
+    * −log₂ P(w | ctx) = log₂ c(ctx ·) − log₂ c(ctx w), and a document's
+    * `nll_mag` sums those charges — high sum/length ⇒ high perplexity ⇒
+    * the improbable-word-sequence signal unigram rarity ([[freqScore]])
+    * and target-likeness ([[dsirWeights]]) both miss. Integer log₂
+    * magnitudes (`length(bin(c)) - 1`) keep the whole score int64-exact
+    * under the cross-engine hash gate; a float KenLM drops in by
+    * replacing the magnitude formula. Contexts and bigrams hash into
+    * `dim` buckets each (the DSIR hashed-n-gram trick), so both count
+    * tables are ≤`dim` rows BY CONSTRUCTION — broadcast at any corpus
+    * size. Bucket collisions perturb counts (standard for the hashed
+    * form); collisions can make a bigram bucket outcount its context
+    * bucket, so per-occurrence charges floor at 0 rather than go
+    * negative (a probability is never > 1).
+    *
+    * Plan shape: the occurrence stream never shuffles on bucket keys —
+    * the only exchanges carry ≤`dim`-row count partials and the per-doc
+    * rollup; both broadcast joins land on the SAME exploded stream (one
+    * scan→explode at runtime). `high_ppl` flags mean charge >
+    * `thresholdTenths`/10 bits per bigram (default 4.4 ⇒ perplexity
+    * > 2^4.4 ≈ 21) in exact integer arithmetic — cross-multiplied, never
+    * divided, so the comparison is int64-exact; the default is set from
+    * the measured corpus charge distribution (min 4.0, median 4.4, max
+    * 4.8 bits/bigram at sf0.01) so BOTH branches fire non-vacuously.
+    * Sub-2-token docs surface with NULLs via the final left join.
+    */
+  def lmScore(
+      documents: DataFrame, dim: Int = 4096, thresholdTenths: Long = 44L): DataFrame = {
+    val bg = documents
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          "case when size(toks) >= 2 then sequence(1, size(toks) - 1) else array() end")).as("i"))
+      .selectExpr("doc_id",
+        s"pmod(${md5Long64("element_at(toks, i)")}, $dim) as cb",
+        s"pmod(${md5Long64("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")}, $dim) as b")
+    val ctxCounts = bg.groupBy(col("cb")).agg(count(lit(1)).as("c_ctx"))
+    val bgCounts = bg.groupBy(col("b")).agg(count(lit(1)).as("c_bg"))
+    val per = bg
+      .join(broadcast(ctxCounts), Seq("cb"))
+      .join(broadcast(bgCounts), Seq("b"))
+      .selectExpr("doc_id",
+        "greatest(0L, (length(bin(c_ctx)) - 1) - (length(bin(c_bg)) - 1)) as chg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("chg")).as("nll_mag"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(per, Seq("doc_id"), "left")
+      .withColumn("high_ppl",
+        (col("nll_mag") * 10L > col("n_bigrams") * thresholdTenths).cast("int"))
+  }
+
   /** Structured-PII patterns for [[piiScrub2]], same portable-regex
     * discipline as [[EmailRe]] (no alternation under a quantifier, no
     * lookaround — Java-backtracking ≡ RE2 leftmost-longest on these).

@@ -1381,4 +1381,31 @@ class ExtSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!p.contains("Window"), p)
   }
+
+  test("lmScore: predictable sequences charge 0 bits, rare continuations of a common context charge high") {
+    import spark.implicits._
+    // 20 background docs of a fully predictable alternation: every (a,b)
+    // and (b,a) bigram's count equals its context's count -> charge 0.
+    // One probe doc reuses the COMMON context 'a' with 10 never-seen
+    // continuations z1..z10 -> each (a, zi) charges mag(c_ctx(a)) - 0.
+    val bg = (1L to 20L).map(id => (id, Seq.fill(20)("a b").mkString(" "), "en"))
+    val probe = (99L, (1 to 10).map(i => s"a z$i").mkString(" "), "en")
+    val edge = Seq((100L, "", "en"), (101L, "solo", "en"))
+    val docs = (bg :+ probe).++(edge).toDF("doc_id", "text", "lang")
+    val out = graft.ext.TextOps.lmScore(docs, thresholdTenths = 40L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // background: 39 bigrams/doc, all charges 0 -> low perplexity
+    assert(out(1L).getLong(2) === 39L && out(1L).getLong(3) === 0L
+      && out(1L).getInt(4) === 0)
+    // probe: c_ctx(a) = 20*20 + 10 = 410 -> mag 8; the ten (a, zi)
+    // bigrams are singletons (mag 0) -> charge 8 each; the nine (zi, a)
+    // bigrams have singleton contexts -> charge 0. nll = 80 over 19
+    // bigrams = 4.2 bits/bigram > 4.0 -> flagged
+    assert(out(99L).getLong(2) === 19L && out(99L).getLong(3) === 80L
+      && out(99L).getInt(4) === 1)
+    // sub-2-token docs: NULL stats and NULL flag via the left join
+    Seq(100L, 101L).foreach { id =>
+      assert(out(id).isNullAt(2) && out(id).isNullAt(3) && out(id).isNullAt(4))
+    }
+  }
 }

@@ -198,6 +198,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
   }
 
+  test("codec queries: decode is scan-speed mapPartitions — zero exchanges, payloads never move") {
+    // the whole point of the multimodal shape: a 100 TB media corpus
+    // streams bytes through scan→decode→features exactly once per
+    // executor. Any Exchange here means payload bytes crossed the wire.
+    Seq("media_decode", "audio_decode", "video_frames").foreach { q =>
+      val p = formatted(q)
+      assert(!p.contains("Exchange"), s"$q shuffles payload bytes:\n$p")
+    }
+  }
+
+  test("zorder_layout: the z computation is a pure projection — zero exchanges") {
+    // min/max bucket widths are collected in a separate 2-row aggregate
+    // at construction; the emitted layout-key frame itself must be
+    // scan-speed (the clustering shuffle belongs to zOrderWrite, which
+    // pays exactly ONE range exchange)
+    val p = formatted("zorder_layout")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("tfidf_top: the df join-back reuses the tf exchange — corpus exploded once at runtime") {
     // the df side is a join-back (de-skewed form: a token window partition
     // is one unsplittable task on the stopword key), and the tautological
@@ -443,6 +462,18 @@ class PlanSpec extends AnyFunSuite {
     // is the histogram aggregate's own, carrying map-side-combined
     // partials (≤dim rows per task), never raw occurrences
     assert(p.contains("BroadcastHashJoin"), p)
+    assert("hashpartitioning\\(b#".r.findAllMatchIn(p).size === 1, p)
+  }
+
+  test("lm_score: no window over either bucket key; both count tables broadcast back") {
+    val p = formatted("lm_score")
+    // the dsir_weights shape with TWO histograms (context and bigram
+    // buckets): no Window anywhere, both ≤dim-row count tables broadcast
+    // back onto the same exploded stream, and the only cb/b-keyed
+    // exchanges are the histograms' own map-side-combined partials
+    assert(!p.contains("Window"), p)
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2, p)
+    assert("hashpartitioning\\(cb#".r.findAllMatchIn(p).size === 1, p)
     assert("hashpartitioning\\(b#".r.findAllMatchIn(p).size === 1, p)
   }
 
