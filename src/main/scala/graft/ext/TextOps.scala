@@ -742,6 +742,31 @@ object TextOps {
     * as the batch path. Equal to `corpusStats(union of all batches)` by
     * construction.
     */
+  /** The COMMITTED `batch_N` subdirectories of a per-batch store, by the
+    * marker discipline shared by every accumulating sink here: directory
+    * existence alone is NOT commitment (a crash mid-overwrite on a
+    * replay leaves a torn dir that still lists), so a dir counts only
+    * with the `_SUCCESS` marker the parquet committer writes last —
+    * self-calibrating to dir-existence when NO dir carries a marker
+    * (marksuccessfuljobs=false is common object-store tuning, and
+    * requiring markers there would silently read an empty store
+    * forever; when at least one marker exists, the committer evidently
+    * writes them and an unmarked dir IS a torn overwrite).
+    */
+  private[graft] def committedBatchDirs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val dirs = fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch_"))
+      val marked = dirs
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+      (if (marked.isEmpty) dirs else marked).map(_.getName).toSet
+    }
+  }
+
   def corpusStatsFrom(
       spark: org.apache.spark.sql.SparkSession,
       outDir: String): DataFrame = {
@@ -758,24 +783,8 @@ object TextOps {
     // documents (n_docs = 0, NULL aggregates) — a dashboard polling a
     // just-started stream gets a row, not a path-not-found error (the
     // priorKeys empty-store contract).
-    def batches(sub: String): Set[String] = {
-      val p = new org.apache.hadoop.fs.Path(s"$outDir/$sub")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Set.empty
-      else {
-        val dirs = fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.startsWith("batch_"))
-        val marked = dirs
-          .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
-        // self-calibrating: when NO dir carries a marker, the committer
-        // evidently doesn't write them (marksuccessfuljobs=false is
-        // common object-store tuning) and requiring markers would
-        // silently return the empty card forever — fall back to
-        // dir-existence there; when at least one marker exists, the
-        // committer writes them and an unmarked dir IS a torn overwrite
-        (if (marked.isEmpty) dirs else marked).map(_.getName).toSet
-      }
-    }
+    def batches(sub: String): Set[String] =
+      committedBatchDirs(spark, s"$outDir/$sub")
     val complete = (batches("tok") intersect batches("docs")).toSeq.sorted
     if (complete.isEmpty)
       statsCard(
@@ -872,9 +881,10 @@ object TextOps {
     * 4.8 bits/bigram at sf0.01) so BOTH branches fire non-vacuously.
     * Sub-2-token docs surface with NULLs via the final left join.
     */
-  def lmScore(
-      documents: DataFrame, dim: Int = 4096, thresholdTenths: Long = 44L): DataFrame = {
-    val bg = documents
+  /** The exploded (doc_id, context-bucket, bigram-bucket) occurrence
+    * stream both [[lmScore]] and [[lmScoreBatch]] charge against. */
+  private def lmBigrams(documents: DataFrame, dim: Int): DataFrame =
+    documents
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .select(col("doc_id"), col("toks"),
         explode(expr(
@@ -882,8 +892,19 @@ object TextOps {
       .selectExpr("doc_id",
         s"pmod(${md5Long64("element_at(toks, i)")}, $dim) as cb",
         s"pmod(${md5Long64("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")}, $dim) as b")
-    val ctxCounts = bg.groupBy(col("cb")).agg(count(lit(1)).as("c_ctx"))
-    val bgCounts = bg.groupBy(col("b")).agg(count(lit(1)).as("c_bg"))
+
+  /** Charge `bg`'s occurrences against the given count tables (both
+    * ≤dim rows — always broadcast) and roll up per document of
+    * `documents`. Occurrences whose bucket is absent from a table (can
+    * only happen when the tables came from a DIFFERENT corpus than bg)
+    * drop out of the inner join — with self-corpus counts every bucket
+    * is present by construction. */
+  private def lmCharge(
+      documents: DataFrame,
+      bg: DataFrame,
+      ctxCounts: DataFrame,
+      bgCounts: DataFrame,
+      thresholdTenths: Long): DataFrame = {
     val per = bg
       .join(broadcast(ctxCounts), Seq("cb"))
       .join(broadcast(bgCounts), Seq("b"))
@@ -895,6 +916,92 @@ object TextOps {
       .join(per, Seq("doc_id"), "left")
       .withColumn("high_ppl",
         (col("nll_mag") * 10L > col("n_bigrams") * thresholdTenths).cast("int"))
+  }
+
+  def lmScore(
+      documents: DataFrame, dim: Int = 4096, thresholdTenths: Long = 44L): DataFrame = {
+    val bg = lmBigrams(documents, dim)
+    lmCharge(documents, bg,
+      bg.groupBy(col("cb")).agg(count(lit(1)).as("c_ctx")),
+      bg.groupBy(col("b")).agg(count(lit(1)).as("c_bg")),
+      thresholdTenths)
+  }
+
+  /** STREAMING twin of [[lmScore]] — the incremental-crawl form: each
+    * arriving micro-batch is scored under the bigram model of EVERYTHING
+    * seen so far INCLUDING itself, i.e. batch N's scores equal
+    * `lmScore(union of batches 0..N)` restricted to batch N's documents
+    * (the [[Dedup.incrementalFuzzyDedup]]-style parity contract,
+    * StreamingSpec-pinned). State is the per-batch bucket histogram
+    * store — ≤2·dim rows per batch, kind ∈ {cb, b} — NOT the documents:
+    * the model accumulates in O(dim · batches) however large the crawl.
+    *
+    * Replay contract: scores and histograms land in `batch_N` dirs via
+    * idempotent overwrite; the prior-count read takes strictly
+    * `batch id < N` committed dirs ([[committedBatchDirs]]' marker
+    * discipline), so a re-delivered batch recomputes byte-identical
+    * output and heals any torn write.
+    */
+  def lmScoreSink(
+      documents: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      dim: Int = 4096,
+      thresholdTenths: Long = 44L): org.apache.spark.sql.streaming.StreamingQuery =
+    documents.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        lmScoreBatch(batch.toDF(), outDir, batchId, dim, thresholdTenths)
+      }
+      .start()
+
+  /** One micro-batch of [[lmScoreSink]] — factored out for composite
+    * sinks. Writes `scores/batch_N` (the batch's scored rows + batch_id)
+    * then `hist/batch_N` (the batch's own bucket histogram); a crash
+    * between the two replays into a full recompute of both.
+    */
+  def lmScoreBatch(
+      df: DataFrame,
+      outDir: String,
+      batchId: Long,
+      dim: Int = 4096,
+      thresholdTenths: Long = 44L): Unit = {
+    val spark = df.sparkSession
+    val batch = df.persist()
+    try {
+      val bg = lmBigrams(batch, dim)
+      // the two MARGINAL histograms, not the joint (cb, b) table: the
+      // joint has up to |distinct bigrams| rows, the marginals ≤2·dim
+      val cur = bg.groupBy(col("cb").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .select(lit("cb").as("kind"), col("bucket"), col("c"))
+        .unionByName(bg.groupBy(col("b").as("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .select(lit("b").as("kind"), col("bucket"), col("c")))
+        .persist()
+      try {
+        // strictly-prior committed batches only: the current batch's own
+        // contribution comes from `cur`, so a replayed batch_N never
+        // double-counts itself even when its hist dir already exists
+        val prior = committedBatchDirs(spark, s"$outDir/hist")
+          .filter(_.stripPrefix("batch_").toLong < batchId).toSeq.sorted
+        val hists =
+          if (prior.isEmpty) cur
+          else cur.unionByName(
+            spark.read.parquet(prior.map(bn => s"$outDir/hist/$bn"): _*))
+        val ctxCounts = hists.where(col("kind") === "cb")
+          .groupBy(col("bucket")).agg(sum(col("c")).as("c_ctx"))
+          .select(col("bucket").as("cb"), col("c_ctx"))
+        val bgCounts = hists.where(col("kind") === "b")
+          .groupBy(col("bucket")).agg(sum(col("c")).as("c_bg"))
+          .select(col("bucket").as("b"), col("c_bg"))
+        lmCharge(batch, bg, ctxCounts, bgCounts, thresholdTenths)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/scores/batch_$batchId")
+        cur.write.mode("overwrite").parquet(s"$outDir/hist/batch_$batchId")
+      } finally cur.unpersist()
+    } finally batch.unpersist()
+    ()
   }
 
   /** Structured-PII patterns for [[piiScrub2]], same portable-regex

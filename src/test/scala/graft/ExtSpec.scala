@@ -112,7 +112,9 @@ class ExtSpec extends AnyFunSuite {
       "src/main/scala/graft/ext/Dedup.scala" -> 9,
       "src/main/scala/graft/ext/Graph.scala" -> 1,
       "src/main/scala/graft/ext/Similarity.scala" -> 1,
-      "src/main/scala/graft/ext/TextOps.scala" -> 1,
+      // +2 in round 11: lmScoreBatch's batch + marginal-histogram pins,
+      // each released in a nested finally
+      "src/main/scala/graft/ext/TextOps.scala" -> 3,
       // benchmark pinned for the query lifetime (released by the
       // termination listener) + the per-batch span across both writes
       "src/main/scala/graft/ext/CurationStream.scala" -> 2,

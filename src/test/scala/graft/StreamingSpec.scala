@@ -590,6 +590,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterTear === streamed)
   }
 
+  test("lmScoreSink: per-batch scores equal lmScore over the accumulated corpus; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_lms").toString
+    // batch 1 establishes a predictable background ('a b' alternations);
+    // batch 2's probe doc reuses the now-common context 'a' with unseen
+    // continuations — its charge depends on CROSS-BATCH accumulated
+    // counts, which is exactly what the parity contract must pin
+    val b1 = (1L to 10L).map(id => (id, Seq.fill(20)("a b").mkString(" "), "en"))
+    val b2 = Seq(
+      (90L, (1 to 10).map(i => s"a z$i").mkString(" "), "en"),
+      (91L, Seq.fill(10)("a b").mkString(" "), "en"),
+      (92L, "", "en"))
+    val ms = MemoryStream[(Long, String, String)]
+    // threshold 3.5 bits: the probe charges mag(c_ctx(a)=220)=7 on each
+    // of its ten (a, zi) bigrams -> 70/19 = 3.68 bits/bigram; the
+    // all-predictable background charges 0
+    val q = graft.ext.TextOps.lmScoreSink(
+      ms.toDS().toDF("doc_id", "text", "lang"), s"$dir/out", s"$dir/cp",
+      thresholdTenths = 35L)
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def scores(df: org.apache.spark.sql.DataFrame): Seq[(Long, Any, Any, Any)] =
+      df.selectExpr("doc_id", "n_bigrams", "nll_mag", "high_ppl")
+        .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3)))
+        .sortBy(_._1).toSeq
+    // batch N's streamed scores == lmScore(union of batches 0..N)
+    // restricted to batch N's docs — the incremental-crawl contract
+    val s1 = scores(spark.read.parquet(s"$dir/out/scores/batch_0"))
+    val s2 = scores(spark.read.parquet(s"$dir/out/scores/batch_1"))
+    val all = (b1 ++ b2).toDF("doc_id", "text", "lang")
+    val e1 = scores(graft.ext.TextOps.lmScore(
+      b1.toDF("doc_id", "text", "lang"), thresholdTenths = 35L))
+    val e2 = scores(graft.ext.TextOps.lmScore(all, thresholdTenths = 35L)
+      .where(org.apache.spark.sql.functions.col("doc_id") >= 90L))
+    assert(s1 === e1)
+    assert(s2 === e2)
+    // the probe doc really was charged by the cross-batch model: its
+    // flag fires, the same-shape background doc's does not
+    val byId = s2.map(t => t._1 -> t).toMap
+    assert(byId(90L)._4 === 1)
+    assert(byId(91L)._4 === 0)
+    assert(byId(92L)._2 === null && byId(92L)._4 === null) // empty doc: NULLs
+    // replay idempotence: re-running the last batch must not
+    // double-count its histogram into its own model
+    val replayed = (b2, 1L)
+    graft.ext.TextOps.lmScoreBatch(
+      replayed._1.toDF("doc_id", "text", "lang"), s"$dir/out", replayed._2,
+      thresholdTenths = 35L)
+    assert(scores(spark.read.parquet(s"$dir/out/scores/batch_1")) === s2)
+  }
+
   test("incrementalFuzzyDedupSink: per-batch verdicts equal the batch operator over prior survivors; reject branch fires; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ifds").toString
