@@ -893,23 +893,54 @@ object TextOps {
         s"pmod(${md5Long64("element_at(toks, i)")}, $dim) as cb",
         s"pmod(${md5Long64("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")}, $dim) as b")
 
-  /** Charge `bg`'s occurrences against the given count tables (both
-    * ≤dim rows — always broadcast) and roll up per document of
-    * `documents`. Occurrences whose bucket is absent from a table (can
-    * only happen when the tables came from a DIFFERENT corpus than bg)
-    * drop out of the inner join — with self-corpus counts every bucket
-    * is present by construction. */
+  /** BOTH marginal bucket histograms of the occurrence stream in ONE
+    * pass: each occurrence explodes into a (kind, bucket) row for its
+    * context and its bigram, and a single map-side-combined aggregate
+    * counts them. Output ≤2·dim rows. */
+  private[graft] def lmHistograms(bg: DataFrame): DataFrame =
+    bg.select(explode(array(
+        struct(lit("cb").as("kind"), col("cb").as("bucket")),
+        struct(lit("b").as("kind"), col("b").as("bucket")))).as("kb"))
+      .groupBy(col("kb.kind").as("kind"), col("kb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Both count tables folded into ONE single-row frame of two DENSE
+    * `bits`-sized count arrays — the [[Dedup.bloomScreenDedupSharded]]
+    * idiom: the whole model reaches the probe as one broadcast row, so
+    * the histogram pipeline executes ONCE however many lookups consume
+    * it. The alternative — two filtered branches of the histogram
+    * joined back — re-executes the scan→explode pipeline per branch
+    * (the kind filter pushes below the aggregate, defeating exchange
+    * reuse; measured 1.4× slower at 100×). Arrays, not maps, on the
+    * probe side: Spark's `element_at` on a MapType is a LINEAR scan of
+    * the entries (measured 15.2 s at 100× with dim=4096 maps), while an
+    * array index is O(1); the dense conversion is one O(dim²) pass on a
+    * single row. Absent buckets hold count 0 (mag 0). */
+  private def lmModelRow(hist: DataFrame, dim: Int): DataFrame =
+    hist.agg(
+      map_from_entries(collect_list(
+        when(col("kind") === "cb", struct(col("bucket"), col("c"))))).as("cb_map"),
+      map_from_entries(collect_list(
+        when(col("kind") === "b", struct(col("bucket"), col("c"))))).as("b_map"))
+      .selectExpr(
+        s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(cb_map, cast(i as bigint)), 0L)) as cb_arr",
+        s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(b_map, cast(i as bigint)), 0L)) as b_arr")
+
+  /** Charge `bg`'s occurrences against the broadcast model row and roll
+    * up per document of `documents`. A bucket absent from the model (can
+    * only happen when the model came from a DIFFERENT corpus than bg —
+    * with self-corpus counts every bucket is present by construction)
+    * holds count 0, whose magnitude is 0 — the occurrence charges 0. */
   private def lmCharge(
       documents: DataFrame,
       bg: DataFrame,
-      ctxCounts: DataFrame,
-      bgCounts: DataFrame,
+      model: DataFrame,
       thresholdTenths: Long): DataFrame = {
     val per = bg
-      .join(broadcast(ctxCounts), Seq("cb"))
-      .join(broadcast(bgCounts), Seq("b"))
+      .crossJoin(broadcast(model))
       .selectExpr("doc_id",
-        "greatest(0L, (length(bin(c_ctx)) - 1) - (length(bin(c_bg)) - 1)) as chg")
+        """greatest(0L, (length(bin(element_at(cb_arr, cast(cb + 1 as int)))) - 1)
+          |            - (length(bin(element_at(b_arr, cast(b + 1 as int)))) - 1)) as chg""".stripMargin)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("chg")).as("nll_mag"))
     documents.select(col("doc_id"), col("lang"))
@@ -921,10 +952,7 @@ object TextOps {
   def lmScore(
       documents: DataFrame, dim: Int = 4096, thresholdTenths: Long = 44L): DataFrame = {
     val bg = lmBigrams(documents, dim)
-    lmCharge(documents, bg,
-      bg.groupBy(col("cb")).agg(count(lit(1)).as("c_ctx")),
-      bg.groupBy(col("b")).agg(count(lit(1)).as("c_bg")),
-      thresholdTenths)
+    lmCharge(documents, bg, lmModelRow(lmHistograms(bg), dim), thresholdTenths)
   }
 
   /** STREAMING twin of [[lmScore]] — the incremental-crawl form: each
@@ -972,13 +1000,7 @@ object TextOps {
       val bg = lmBigrams(batch, dim)
       // the two MARGINAL histograms, not the joint (cb, b) table: the
       // joint has up to |distinct bigrams| rows, the marginals ≤2·dim
-      val cur = bg.groupBy(col("cb").as("bucket"))
-        .agg(count(lit(1)).as("c"))
-        .select(lit("cb").as("kind"), col("bucket"), col("c"))
-        .unionByName(bg.groupBy(col("b").as("bucket"))
-          .agg(count(lit(1)).as("c"))
-          .select(lit("b").as("kind"), col("bucket"), col("c")))
-        .persist()
+      val cur = lmHistograms(bg).persist()
       try {
         // strictly-prior committed batches only: the current batch's own
         // contribution comes from `cur`, so a replayed batch_N never
@@ -989,13 +1011,9 @@ object TextOps {
           if (prior.isEmpty) cur
           else cur.unionByName(
             spark.read.parquet(prior.map(bn => s"$outDir/hist/$bn"): _*))
-        val ctxCounts = hists.where(col("kind") === "cb")
-          .groupBy(col("bucket")).agg(sum(col("c")).as("c_ctx"))
-          .select(col("bucket").as("cb"), col("c_ctx"))
-        val bgCounts = hists.where(col("kind") === "b")
-          .groupBy(col("bucket")).agg(sum(col("c")).as("c_bg"))
-          .select(col("bucket").as("b"), col("c_bg"))
-        lmCharge(batch, bg, ctxCounts, bgCounts, thresholdTenths)
+        val totals = hists.groupBy(col("kind"), col("bucket"))
+          .agg(sum(col("c")).as("c"))
+        lmCharge(batch, bg, lmModelRow(totals, dim), thresholdTenths)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$outDir/scores/batch_$batchId")
         cur.write.mode("overwrite").parquet(s"$outDir/hist/batch_$batchId")

@@ -465,16 +465,24 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning\\(b#".r.findAllMatchIn(p).size === 1, p)
   }
 
-  test("lm_score: no window over either bucket key; both count tables broadcast back") {
+  test("lm_score: one histogram pipeline, model broadcast as one row, no bucket-key shuffle") {
     val p = formatted("lm_score")
-    // the dsir_weights shape with TWO histograms (context and bigram
-    // buckets): no Window anywhere, both ≤dim-row count tables broadcast
-    // back onto the same exploded stream, and the only cb/b-keyed
-    // exchanges are the histograms' own map-side-combined partials
+    // the bloom-shard idiom: BOTH marginal histograms fold into a single
+    // model row of map columns, so the corpus explodes exactly twice at
+    // runtime (histogram pass + probe pass) — a filtered-branch join-back
+    // would push the kind filter below the aggregate and re-run the
+    // pipeline per branch (measured 1.4× slower at 100×)
     assert(!p.contains("Window"), p)
-    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2, p)
-    assert("hashpartitioning\\(cb#".r.findAllMatchIn(p).size === 1, p)
-    assert("hashpartitioning\\(b#".r.findAllMatchIn(p).size === 1, p)
+    // the 1-row model reaches the probe as a broadcast cross join
+    assert(p.contains("BroadcastNestedLoopJoin Cross"), p)
+    // occurrence stream never hash-partitions on a bucket key: the only
+    // exchanges are the histogram's ≤2·dim-row partials (kind, bucket),
+    // its 1-row model fold, and the per-doc rollup
+    assert(!p.contains("hashpartitioning(cb#"), p)
+    assert(!p.contains("hashpartitioning(b#"), p)
+    // detail-section node headers count each scan once: documents-meta
+    // (final join left side), probe pass, histogram pass
+    assert("\\(\\d+\\) Scan parquet".r.findAllMatchIn(p).size === 3, p)
   }
 
   test("freq_score: no window over the token key — the stopword task shape is gone") {
