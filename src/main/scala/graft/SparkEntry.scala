@@ -531,31 +531,25 @@ object SparkEntry {
             col("max_byte") >= 0 && col("max_byte") <= 255 &&
             (col("n_bytes") === 0L ||
               col("mean_byte") <= col("max_byte").cast("double"))).as("features_in_range"))),
+    // Z-ORDER layout key (Maintenance.zValue / zOrderWrite): equal-width
+    // monotone buckets over the ACTUAL key ranges, bit-interleaved into
+    // the Morton code the clustered write sorts by. The bucket exprs are
+    // THE SAME zBucketExprs the layout writer clusters by, so the gate
+    // tests what zOrderWrite actually writes; the layout's pruning
+    // effect itself is pinned in BucketingSpec.
+    "zorder_layout" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val (bx, by, _, _) =
+        graft.io.Maintenance.zBucketExprs(li, "l_orderkey", "l_partkey", 8)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        bx.as("bx"), by.as("by"),
+        graft.io.Maintenance.zValue(bx, by, 8).as("zval"))
+    }),
     // REAL codec path end-to-end: hand-rolled BMP encode → javax.imageio
     // decode → exact integer pixel features, hash-gated against the
     // oracle's closed-form recomputation of the same pixels. Every column
     // is exact — a channel-order, row-orientation, padding, or ImageIO
     // regression flips the gate.
-    // Z-ORDER layout key (Maintenance.zValue / zOrderWrite): equal-width
-    // monotone buckets over the ACTUAL key ranges, bit-interleaved into
-    // the Morton code the clustered write sorts by. All-integer, so the
-    // whole layout computation sits under the hash gate; the layout's
-    // pruning effect itself is pinned in BucketingSpec.
-    "zorder_layout" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val Array(r) = li.agg(
-        min(col("l_orderkey").cast("long")), max(col("l_orderkey").cast("long")),
-        min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long"))).collect()
-      def lv(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
-      val n = 256L
-      val xW = math.max(1L, (lv(1) - lv(0) + n) / n)
-      val yW = math.max(1L, (lv(3) - lv(2) + n) / n)
-      val bx = expr(s"(cast(l_orderkey as bigint) - ${lv(0)}L) div ${xW}L")
-      val by = expr(s"(cast(l_partkey as bigint) - ${lv(2)}L) div ${yW}L")
-      li.select(col("l_orderkey"), col("l_linenumber"),
-        bx.as("bx"), by.as("by"),
-        graft.io.Maintenance.zValue(bx, by, 8).as("zval"))
-    }),
     "media_decode" -> ((s, d) =>
       Multimodal.decodeImages(Multimodal.synthesizeImages(Tables.documents(s, d))).toDF()),
     // REAL audio codec path: hand-rolled WAV (even ids, PCM16-LE) and

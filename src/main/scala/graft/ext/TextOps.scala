@@ -735,13 +735,6 @@ object TextOps {
     ()
   }
 
-  /** The accumulated report card over everything [[corpusStatsSink]] has
-    * seen so far: merge the per-batch token histograms (map-side-combined
-    * groupBy-sum — a token counted in k batches folds to one row), sum
-    * the per-batch doc counts, and run the SAME [[statsCard]] aggregate
-    * as the batch path. Equal to `corpusStats(union of all batches)` by
-    * construction.
-    */
   /** The COMMITTED `batch_N` subdirectories of a per-batch store, by the
     * marker discipline shared by every accumulating sink here: directory
     * existence alone is NOT commitment (a crash mid-overwrite on a
@@ -767,6 +760,13 @@ object TextOps {
     }
   }
 
+  /** The accumulated report card over everything [[corpusStatsSink]] has
+    * seen so far: merge the per-batch token histograms (map-side-combined
+    * groupBy-sum — a token counted in k batches folds to one row), sum
+    * the per-batch doc counts, and run the SAME [[statsCard]] aggregate
+    * as the batch path. Equal to `corpusStats(union of all batches)` by
+    * construction.
+    */
   def corpusStatsFrom(
       spark: org.apache.spark.sql.SparkSession,
       outDir: String): DataFrame = {
@@ -852,35 +852,6 @@ object TextOps {
       .join(per, Seq("doc_id"), "left")
   }
 
-  /** Hashed bigram-LM perplexity scoring — the CCNet/Wenzek et al. 2020
-    * filter shape ([[dsirWeights]]' sibling with CONDITIONAL
-    * normalization): each bigram occurrence is charged its negative
-    * conditional log-probability under a corpus bigram model,
-    * −log₂ P(w | ctx) = log₂ c(ctx ·) − log₂ c(ctx w), and a document's
-    * `nll_mag` sums those charges — high sum/length ⇒ high perplexity ⇒
-    * the improbable-word-sequence signal unigram rarity ([[freqScore]])
-    * and target-likeness ([[dsirWeights]]) both miss. Integer log₂
-    * magnitudes (`length(bin(c)) - 1`) keep the whole score int64-exact
-    * under the cross-engine hash gate; a float KenLM drops in by
-    * replacing the magnitude formula. Contexts and bigrams hash into
-    * `dim` buckets each (the DSIR hashed-n-gram trick), so both count
-    * tables are ≤`dim` rows BY CONSTRUCTION — broadcast at any corpus
-    * size. Bucket collisions perturb counts (standard for the hashed
-    * form); collisions can make a bigram bucket outcount its context
-    * bucket, so per-occurrence charges floor at 0 rather than go
-    * negative (a probability is never > 1).
-    *
-    * Plan shape: the occurrence stream never shuffles on bucket keys —
-    * the only exchanges carry ≤`dim`-row count partials and the per-doc
-    * rollup; both broadcast joins land on the SAME exploded stream (one
-    * scan→explode at runtime). `high_ppl` flags mean charge >
-    * `thresholdTenths`/10 bits per bigram (default 4.4 ⇒ perplexity
-    * > 2^4.4 ≈ 21) in exact integer arithmetic — cross-multiplied, never
-    * divided, so the comparison is int64-exact; the default is set from
-    * the measured corpus charge distribution (min 4.0, median 4.4, max
-    * 4.8 bits/bigram at sf0.01) so BOTH branches fire non-vacuously.
-    * Sub-2-token docs surface with NULLs via the final left join.
-    */
   /** The exploded (doc_id, context-bucket, bigram-bucket) occurrence
     * stream both [[lmScore]] and [[lmScoreBatch]] charge against. */
   private def lmBigrams(documents: DataFrame, dim: Int): DataFrame =
@@ -949,6 +920,36 @@ object TextOps {
         (col("nll_mag") * 10L > col("n_bigrams") * thresholdTenths).cast("int"))
   }
 
+  /** Hashed bigram-LM perplexity scoring — the CCNet/Wenzek et al. 2020
+    * filter shape ([[dsirWeights]]' sibling with CONDITIONAL
+    * normalization): each bigram occurrence is charged its negative
+    * conditional log-probability under a corpus bigram model,
+    * −log₂ P(w | ctx) = log₂ c(ctx ·) − log₂ c(ctx w), and a document's
+    * `nll_mag` sums those charges — high sum/length ⇒ high perplexity ⇒
+    * the improbable-word-sequence signal unigram rarity ([[freqScore]])
+    * and target-likeness ([[dsirWeights]]) both miss. Integer log₂
+    * magnitudes (`length(bin(c)) - 1`) keep the whole score int64-exact
+    * under the cross-engine hash gate; a float KenLM drops in by
+    * replacing the magnitude formula. Contexts and bigrams hash into
+    * `dim` buckets each (the DSIR hashed-n-gram trick), so the whole
+    * model is ≤2·`dim` counts BY CONSTRUCTION — broadcast at any corpus
+    * size. Bucket collisions perturb counts (standard for the hashed
+    * form); collisions can make a bigram bucket outcount its context
+    * bucket, so per-occurrence charges floor at 0 rather than go
+    * negative (a probability is never > 1).
+    *
+    * Plan shape: the occurrence stream never shuffles on bucket keys —
+    * the corpus explodes exactly twice (one histogram pass folded into a
+    * single broadcast model row of dense count arrays ([[lmModelRow]]),
+    * one probe pass), and the only exchanges carry ≤2·`dim`-row count
+    * partials and the per-doc rollup. `high_ppl` flags mean charge >
+    * `thresholdTenths`/10 bits per bigram (default 4.4 ⇒ perplexity
+    * > 2^4.4 ≈ 21) in exact integer arithmetic — cross-multiplied, never
+    * divided, so the comparison is int64-exact; the default is set from
+    * the measured corpus charge distribution (min 4.0, median 4.4, max
+    * 4.8 bits/bigram at sf0.01) so BOTH branches fire non-vacuously.
+    * Sub-2-token docs surface with NULLs via the final left join.
+    */
   def lmScore(
       documents: DataFrame, dim: Int = 4096, thresholdTenths: Long = 44L): DataFrame = {
     val bg = lmBigrams(documents, dim)
@@ -1005,8 +1006,14 @@ object TextOps {
         // strictly-prior committed batches only: the current batch's own
         // contribution comes from `cur`, so a replayed batch_N never
         // double-counts itself even when its hist dir already exists
+        // non-numeric batch_* names (operator backups, tool droppings)
+        // are ignored, not parsed — a stray hist/batch_3_bak must not
+        // wedge every replay of the query with a NumberFormatException
         val prior = committedBatchDirs(spark, s"$outDir/hist")
-          .filter(_.stripPrefix("batch_").toLong < batchId).toSeq.sorted
+          .filter { bn =>
+            val id = bn.stripPrefix("batch_")
+            id.nonEmpty && id.forall(_.isDigit) && id.toLong < batchId
+          }.toSeq.sorted
         val hists =
           if (prior.isEmpty) cur
           else cur.unionByName(

@@ -145,6 +145,35 @@ object Maintenance {
     * still get balanced files. Returns (files written, the bucket width
     * pair) for observability.
     */
+  /** The equal-width monotone bucket expressions over the ACTUAL
+    * min/max of two key columns — THE bucketization [[zOrderWrite]]
+    * clusters by, shared with the `zorder_layout` hash gate so the
+    * gated formula can never silently diverge from the shipped layout.
+    * One cheap 2-row aggregate; integer `div`, not double `/` (exact at
+    * any key magnitude); ceil-div widths so the top value still lands
+    * in bucket 2^bits − 1. An empty (or all-null-key) frame yields
+    * origin buckets of width 1 — layout maintenance on a
+    * not-yet-populated table is a no-op, not a crash.
+    */
+  def zBucketExprs(
+      df: DataFrame,
+      xKey: String,
+      yKey: String,
+      bits: Int): (Column, Column, Long, Long) = {
+    val Array(mmx) = df.agg(
+      min(col(xKey).cast("long")), max(col(xKey).cast("long")),
+      min(col(yKey).cast("long")), max(col(yKey).cast("long"))).collect()
+    def lv(i: Int): Long = if (mmx.isNullAt(i)) 0L else mmx.getLong(i)
+    val n = 1L << bits
+    val xMin = lv(0)
+    val yMin = lv(2)
+    val xW = math.max(1L, (lv(1) - xMin + n) / n)
+    val yW = math.max(1L, (lv(3) - yMin + n) / n)
+    (expr(s"(cast($xKey as bigint) - ${xMin}L) div ${xW}L"),
+      expr(s"(cast($yKey as bigint) - ${yMin}L) div ${yW}L"),
+      xW, yW)
+  }
+
   def zOrderWrite(
       df: DataFrame,
       xKey: String,
@@ -152,18 +181,7 @@ object Maintenance {
       dir: String,
       files: Int,
       bits: Int = 10): (Int, (Long, Long)) = {
-    val Array(mmx) = df.agg(
-      min(col(xKey).cast("long")), max(col(xKey).cast("long")),
-      min(col(yKey).cast("long")), max(col(yKey).cast("long"))).collect()
-    val (xMin, xMax) = (mmx.getLong(0), mmx.getLong(1))
-    val (yMin, yMax) = (mmx.getLong(2), mmx.getLong(3))
-    val n = 1L << bits
-    // ceil-div widths so the top value still lands in bucket n-1
-    val xW = math.max(1L, (xMax - xMin + n) / n)
-    val yW = math.max(1L, (yMax - yMin + n) / n)
-    // integer `div`, not double `/`: exact at any key magnitude
-    val bx = expr(s"(cast($xKey as bigint) - ${xMin}L) div ${xW}L")
-    val by = expr(s"(cast($yKey as bigint) - ${yMin}L) div ${yW}L")
+    val (bx, by, xW, yW) = zBucketExprs(df, xKey, yKey, bits)
     val z = zValue(bx, by, bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
