@@ -510,6 +510,15 @@ object SparkEntry {
     // gate (k=8 seeds, 2 rounds — see Similarity.kmeansAssign)
     "kmeans_assign" -> ((s, d) =>
       Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)),
+    // product quantization (m=8 subspaces × k=8 codewords, 2 Lloyd's
+    // rounds): the trained multi-codebook, the per-vector codes, and the
+    // ADC ranking are all integer-exact — the whole FAISS-PQ shape under
+    // the hash gate (see Similarity.pqEncode/pqTopK)
+    "pq_codes" -> ((s, d) =>
+      Similarity.pqEncode(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("s").cast("long").as("s"),
+          col("code"), col("qobj"))),
+    "pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     "media_meta" -> ((s, d) =>
       Multimodal.synthesizeMedia(Tables.documents(s, d))
         .selectExpr("media_id", "doc_id", "modality",
@@ -664,6 +673,51 @@ object SparkEntry {
        |  SELECT cell, pos, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
        |  FROM (SELECT cell, unnest(qvec) AS qv, unnest(range(1, len(qvec) + 1)) AS pos FROM $a) e
        |  GROUP BY cell, pos) f GROUP BY cell""".stripMargin
+
+  /** One multi-subspace PQ assignment round (Similarity.pqAssign's twin):
+    * exact int64 L2 objective 2·x·c − c·c per codeword of the row's OWN
+    * subspace, argmax with ties to the smallest code. `sub`/`c` are CTE
+    * names; `sub` must have (vec_id, s, qsub), `c` (s, cidx, qcent).
+    */
+  private def dPqAssign(sub: String, c: String): String =
+    s"""SELECT vec_id, s, qsub, code, obj FROM (
+       |  SELECT vec_id, s, qsub, code, obj,
+       |         row_number() OVER (PARTITION BY vec_id, s ORDER BY obj DESC, code) AS rn
+       |  FROM (SELECT $sub.vec_id, $sub.s, $sub.qsub, kc.cidx AS code,
+       |               CAST(2 * list_sum(list_transform(range(1, len($sub.qsub) + 1),
+       |                 i -> $sub.qsub[i] * kc.qcent[i]))
+       |                 - list_sum(list_transform(kc.qcent, x -> x * x)) AS BIGINT) AS obj
+       |        FROM $sub, $c kc WHERE $sub.qsub IS NOT NULL AND kc.s = $sub.s) d) t
+       |WHERE rn = 1""".stripMargin
+
+  /** One PQ codebook update (Similarity.pqCentroids' twin): per-(subspace,
+    * code) integer mean, empty codes drop out.
+    */
+  private def dPqUpdate(a: String): String =
+    s"""SELECT s, code AS cidx, list(mv ORDER BY pos) AS qcent FROM (
+       |  SELECT s, code, pos, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mv
+       |  FROM (SELECT s, code, unnest(qsub) AS qv, unnest(range(1, len(qsub) + 1)) AS pos FROM $a) e
+       |  GROUP BY s, code, pos) f GROUP BY s, code""".stripMargin
+
+  /** Shared PQ CTE prefix: quantized units → subvector stream → seeded
+    * codebooks → 2 unrolled Lloyd's rounds → final assignment `a2` over
+    * final codebooks `c2`.
+    */
+  private val dPqCtes =
+    s"""$dUnitCte,
+       |q AS (SELECT vec_id, CASE WHEN unit IS NOT NULL THEN list_transform(unit,
+       |        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) END AS qvec FROM u),
+       |sub AS (SELECT vec_id, s,
+       |          CASE WHEN qvec IS NOT NULL THEN list_slice(qvec, s * 8 + 1, s * 8 + 8) END AS qsub
+       |        FROM (SELECT vec_id, qvec, unnest(range(0, 8)) AS s FROM q)),
+       |c0 AS (SELECT s, vec_id AS cidx, qsub AS qcent FROM sub
+       |       WHERE qsub IS NOT NULL AND vec_id IN (
+       |         SELECT vec_id FROM q WHERE qvec IS NOT NULL ORDER BY vec_id LIMIT 8)),
+       |a0 AS (${dPqAssign("sub", "c0")}),
+       |c1 AS (${dPqUpdate("a0")}),
+       |a1 AS (${dPqAssign("sub", "c1")}),
+       |c2 AS (${dPqUpdate("a1")}),
+       |a2 AS (${dPqAssign("sub", "c2")})""".stripMargin
 
   private val dMh = (0 until 8).map { i =>
     s"list_min(list_transform(hs, x -> (${Dedup.minhashA(i)} * (x % 1073741824) + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS mh$i"
@@ -2947,6 +3001,26 @@ object SparkEntry {
          |a2 AS (${dKmAssign("q", "c2")})
          |SELECT e.vec_id, a.cell, CAST(a.dot AS BIGINT) AS qdot
          |FROM embeddings e LEFT JOIN a2 a USING (vec_id)""".stripMargin,
+    "pq_codes" ->
+      // trained multi-subspace PQ, unrolled exactly like kmeans_assign;
+      // every (vec_id, subspace) surfaces — NULL code for zero-norm rows
+      s"""$dPqCtes
+         |SELECT sub.vec_id, CAST(sub.s AS BIGINT) AS s, a.code, a.obj AS qobj
+         |FROM sub LEFT JOIN a2 a ON sub.vec_id = a.vec_id AND sub.s = a.s""".stripMargin,
+    "pq_topk" ->
+      // ADC: the query's exact dot with every final codeword as an
+      // (s, code) lookup table, summed over each vector's codes
+      s"""$dPqCtes,
+         |qs AS (SELECT s, qsub FROM sub WHERE vec_id = 0 AND qsub IS NOT NULL),
+         |lut AS (SELECT c2.s, c2.cidx AS code,
+         |          CAST(list_sum(list_transform(range(1, len(qs.qsub) + 1),
+         |            i -> qs.qsub[i] * c2.qcent[i])) AS BIGINT) AS qdot
+         |        FROM c2 JOIN qs ON c2.s = qs.s),
+         |adc AS (SELECT a.vec_id, CAST(SUM(l.qdot) AS BIGINT) AS adc_qdot, COUNT(*) AS n_sub
+         |        FROM a2 a JOIN lut l ON a.s = l.s AND a.code = l.code
+         |        WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+         |SELECT vec_id, adc_qdot FROM adc WHERE n_sub = 8
+         |ORDER BY adc_qdot DESC, vec_id LIMIT 5""".stripMargin,
     "ivf_topk" ->
       s"""$dUnitCte, c AS (
          |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u

@@ -899,6 +899,147 @@ object Similarity {
       .agg(collect_list(struct(col("cidx").as("cent_id"), col("cent_unit")))
         .as("cents"))
 
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search" — the FAISS `PQ` index family): the unit
+  // vector splits into `m` subvectors, each quantized against its OWN
+  // k-entry codebook, so a d-dim float vector compresses to m small
+  // codes (64-dim float32 → 8 bytes at m=8, 32×) and approximate dot
+  // products evaluate from per-subspace lookup tables without touching
+  // the original vectors. Trained with the same INTEGER-EXACT Lloyd's
+  // discipline as [[kmeansAssign]] — every assignment, mean, and ADC
+  // score below is bit-identical in any engine, so the whole trained
+  // PQ index sits under the DuckDB hash gate. One deliberate metric
+  // difference: subvectors are NOT unit vectors, so assignment is true
+  // L2 — argmin ‖x−c‖² ≡ argmax (2·x·c − c·c) — where the spherical
+  // trainer's plain dot-argmax would just pick the largest-norm
+  // centroid.
+  // ---------------------------------------------------------------------
+
+  /** The (vec_id, s, qsub) subvector stream: subspace `s` takes
+    * components [s·sub, (s+1)·sub) of the quantized unit vector. NULL
+    * qvec (zero-norm) rows keep NULL subvectors — they surface with
+    * NULL codes downstream, the [[ivfAssignWithUnit]] contract.
+    */
+  private def pqSubvectors(q: DataFrame, m: Int, sub: Int): DataFrame =
+    q.select(col("vec_id"), col("qvec"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("s"))
+      .selectExpr("vec_id", "s",
+        s"case when qvec is not null then slice(qvec, s * $sub + 1, $sub) end as qsub")
+
+  /** Nearest-codeword assignment for EVERY subspace in one projection:
+    * all m·k codewords broadcast as one row, each subvector takes the
+    * argmax of the exact int64 L2 objective over ITS subspace's
+    * codewords, ties to the smallest code. One scan, no joins keyed on
+    * vector ids.
+    */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents
+      .agg(collect_list(struct(col("s"), col("cidx"), col("qcent"))).as("cents"))
+    subs.crossJoin(broadcast(centsRow))
+      .withColumn("__best",
+        when(col("qsub").isNotNull && size(col("cents")) > 0, expr(
+          """array_max(transform(filter(cents, c -> c.s = s), c -> named_struct(
+            |  'obj', 2L * aggregate(zip_with(qsub, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x)
+            |         - aggregate(c.qcent, 0L, (a, x) -> a + x * x),
+            |  'negidx', -c.cidx)))""".stripMargin)))
+      .select(col("vec_id"), col("s"), col("qsub"),
+        (-col("__best.negidx")).as("code"), col("__best.obj").as("qobj"))
+  }
+
+  /** `iters` rounds of multi-subspace Lloyd's — ALL m codebooks train in
+    * the same pipeline (the subspace id rides as a key), so the round
+    * cost is one explode-aggregate over n·m subvector rows however many
+    * subspaces there are. Init: subvectors of the k smallest non-null
+    * vec_ids (code identity = seed vec_id, the [[codebook]] convention).
+    * Update: per-(subspace, code) integer mean via the map-side-combining
+    * [[graft.functions.LongVecSumAggregator]] — ≤ m·k rows per partition
+    * cross the wire.
+    */
+  private def pqCentroids(
+      subs: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    val spark = subs.sparkSession
+    import spark.implicits._
+    val seeds = subs.filter(col("qsub").isNotNull && col("s") === 0)
+      .orderBy(col("vec_id")).limit(k).select(col("vec_id"))
+    var cents = subs.join(broadcast(seeds), Seq("vec_id"))
+      .filter(col("qsub").isNotNull)
+      .select(col("s"), col("vec_id").as("cidx"), col("qsub").as("qcent"))
+    for (_ <- 1 to iters) {
+      cents = pqAssign(subs, cents)
+        .filter(col("code").isNotNull)
+        .select(col("s").cast("long"), col("code"), col("qsub"))
+        .as[(Long, Long, Seq[Long])]
+        .groupByKey(t => (t._1, t._2))
+        .agg(new graft.functions.LongVecSumAggregator[(Long, Long, Seq[Long])](_._3)
+          .toColumn.name("sc"))
+        .select(col("key._1").cast("int").as("s"), col("key._2").as("cidx"),
+          expr("transform(sc.sums, s -> cast(floor(cast(s as double) / cast(sc.n as double) + 0.5) as bigint))")
+            .as("qcent"))
+    }
+    cents
+  }
+
+  /** Trained PQ encoding: every vector's m codes plus the exact integer
+    * L2 objective per subspace. The 100 TB contract: after training on
+    * a sample, encoding is ONE broadcast-codebook scan projection, and
+    * downstream stores keep (vec_id, codes) — m bytes a vector at
+    * k ≤ 256 — instead of the embedding.
+    */
+  def pqEncode(
+      embeddings: DataFrame,
+      m: Int = 8,
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val dim = 64 // TESTDATA embedding width; see FIXTURES.md
+    require(m >= 1 && dim % m == 0, s"m must divide $dim, got $m")
+    require(k >= 1 && iters >= 0 && iters <= 8,
+      s"k >= 1, iters in [0, 8] (lineage doubles per round), got k=$k iters=$iters")
+    val subs = pqSubvectors(quantizedUnits(embeddings), m, dim / m)
+    pqAssign(subs, pqCentroids(subs, m, k, iters))
+      .select(col("vec_id"), col("s"), col("code"), col("qobj"))
+  }
+
+  /** PQ top-k by Asymmetric Distance Computation: the query keeps its
+    * FULL subvectors, every corpus vector is represented only by its m
+    * codes, and the approximate dot is Σ_s qsub_s · codeword(s, code_s)
+    * — evaluated here as one broadcast join of the (s, code) → qdot
+    * lookup TABLE (m·k rows by construction) against the code stream,
+    * then a per-vector sum. Exact int64 end to end, so the trained
+    * index, the encoding, and the ADC ranking all sit under one hash
+    * gate; ties to the smallest vec_id.
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      queryVecId: Long = 0L,
+      kNbrs: Int = 5,
+      m: Int = 8,
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val dim = 64
+    require(m >= 1 && dim % m == 0, s"m must divide $dim, got $m")
+    val subs = pqSubvectors(quantizedUnits(embeddings), m, dim / m)
+    val cents = pqCentroids(subs, m, k, iters)
+    val codes = pqAssign(subs, cents)
+    // the ADC lookup table: the query's exact dot with every codeword
+    val qSubs = subs.filter(col("vec_id") === queryVecId && col("qsub").isNotNull)
+      .select(col("s").as("qs"), col("qsub").as("q_qsub"))
+    val lut = cents.join(qSubs, col("s") === col("qs"))
+      .selectExpr("s", "cidx as code",
+        "aggregate(zip_with(q_qsub, qcent, (x, y) -> x * y), 0L, (a, x) -> a + x) as qdot")
+    codes.filter(col("code").isNotNull && col("vec_id") =!= queryVecId)
+      .join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qdot")).as("adc_qdot"), count(lit(1)).as("n_sub"))
+      // vectors missing any subspace in the LUT join would rank on a
+      // partial sum — with self-corpus codebooks every (s, code) is
+      // present, but the guard keeps the contract explicit
+      .filter(col("n_sub") === m)
+      .select(col("vec_id"), col("adc_qdot"))
+      .orderBy(col("adc_qdot").desc, col("vec_id"))
+      .limit(kNbrs)
+  }
+
   /** Bulk kNN join: top-`kNbrs` nearest neighbors for EVERY vector — the
     * embedding-pipeline operator ([[cosineTopK]]/[[ivfTopK]] answer one
     * query vector; semantic clustering, kNN-graph construction and

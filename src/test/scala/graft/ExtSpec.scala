@@ -1053,6 +1053,51 @@ class ExtSpec extends AnyFunSuite {
       s"trained ssq ${ssq(trained)} > seed ssq ${ssq(i0)}")
   }
 
+  test("pqEncode/pqTopK: codes are seed-labeled and total; ADC retrieves the query's cluster") {
+    import spark.implicits._
+    // a corpus PQ is actually good at: 10 well-separated clusters with
+    // small within-cluster noise (real embedding corpora are clustered;
+    // the uniform-random fixture corpus is the worst case for ANY
+    // quantizer and is gate-checked for exactness, not recall)
+    val rows = for (v <- 0 until 200) yield {
+      val c = v % 10
+      val vec = Array.tabulate(64) { j =>
+        val center = ((c * 17 + j * 3) % 7 - 3).toFloat
+        val noise = ((v * 31 + j * 13) % 5 - 2) * 0.05f
+        center + noise
+      }
+      (v.toLong, vec.toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val codes = Similarity.pqEncode(emb).collect()
+    // total: every (vector, subspace) surfaces with a code
+    assert(codes.length === 200 * 8)
+    assert(codes.forall(!_.isNullAt(2)))
+    // codes are labeled by seed vec_id (the codebook convention): at most
+    // k=8 distinct codes per subspace, all from the 8 smallest vec_ids
+    codes.groupBy(_.getInt(1)).foreach { case (_, g) =>
+      val cs = g.map(_.getLong(2)).distinct
+      assert(cs.length <= 8 && cs.forall(c => c >= 0L && c < 8L))
+    }
+    // an exact duplicate encodes to identical codes in every subspace
+    val clone = emb.filter(col("vec_id") === 33L)
+      .select(lit(9999L).as("vec_id"), col("embedding"), col("label"))
+    val withClone = Similarity.pqEncode(emb.unionByName(clone))
+      .filter(col("vec_id").isin(33L, 9999L))
+      .collect().groupBy(_.getLong(0)).view.mapValues(
+        _.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(withClone(33L) === withClone(9999L))
+    // ADC retrieval: the query's top-5 by PQ codes alone must come from
+    // the query's own cluster (label = 3 for vec 13)
+    val top = Similarity.pqTopK(emb, queryVecId = 13L, kNbrs = 5).collect()
+    assert(top.length === 5 && !top.map(_.getLong(0)).contains(13L))
+    val sameCluster = top.map(_.getLong(0)).count(id => id % 10 == 3)
+    assert(sameCluster >= 4, s"only $sameCluster of 5 ADC neighbors share the query's cluster")
+    // ranked best-first, ties broken by vec_id
+    val adcs = top.map(_.getLong(1))
+    assert(adcs.zip(adcs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("kmeansAssign / capPerSource are bit-invariant under repartitioning and row order") {
     // the round-7 exactness claim: integer sums are associative, so the
     // trained assignment must not depend on HOW the data is distributed.

@@ -485,6 +485,22 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Scan parquet".r.findAllMatchIn(p).size === 3, p)
   }
 
+  test("pq_codes / pq_topk: vectors never shuffle — codebooks always come to the data") {
+    // the PQ contract at corpus scale: training rounds exchange only
+    // per-(subspace, code) partials (m·k rows), every assignment is a
+    // broadcast of the codebook row against a scan, and the ADC lookup
+    // table broadcasts — the embedding stream itself is never
+    // hash-partitioned or sort-merge-joined by vec_id
+    val pc = formatted("pq_codes")
+    assert(!pc.contains("hashpartitioning(vec_id"), s"pq_codes shuffles vectors:\n$pc")
+    assert(!pc.contains("SortMergeJoin"), s"pq_codes sort-merge-joins:\n$pc")
+    // pq_topk's ONE vec_id exchange is the ADC rollup — map-side-combined
+    // (vec_id, qdot) long pairs, never embedding payloads
+    val pt = formatted("pq_topk")
+    assert("hashpartitioning\\(vec_id".r.findAllMatchIn(pt).size === 1, pt)
+    assert(!pt.contains("SortMergeJoin"), s"pq_topk sort-merge-joins:\n$pt")
+  }
+
   test("freq_score: no window over the token key — the stopword task shape is gone") {
     val p = formatted("freq_score")
     // corpus counts were `count() over (partition by token)`: the stopword
