@@ -519,6 +519,10 @@ object SparkEntry {
         .select(col("vec_id"), col("s").cast("long").as("s"),
           col("code"), col("qobj"))),
     "pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
+    // the full FAISS IVFx,PQy composition: coarse cells + PQ on the cell
+    // RESIDUALS + per-probed-cell query lookup tables — integer-exact end
+    // to end (see Similarity.ivfPqTopK)
+    "ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d))),
     "media_meta" -> ((s, d) =>
       Multimodal.synthesizeMedia(Tables.documents(s, d))
         .selectExpr("media_id", "doc_id", "modality",
@@ -3020,6 +3024,53 @@ object SparkEntry {
          |        FROM a2 a JOIN lut l ON a.s = l.s AND a.code = l.code
          |        WHERE a.vec_id <> 0 GROUP BY a.vec_id)
          |SELECT vec_id, adc_qdot FROM adc WHERE n_sub = 8
+         |ORDER BY adc_qdot DESC, vec_id LIMIT 5""".stripMargin,
+    "ivfpq_topk" ->
+      // coarse Lloyd's (the kmeans_assign unroll) → integer residuals →
+      // residual-PQ Lloyd's (the pq unroll) → per-probed-cell LUT → ADC
+      s"""$dUnitCte,
+         |q AS (SELECT vec_id, CASE WHEN unit IS NOT NULL THEN list_transform(unit,
+         |        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) END AS qvec FROM u),
+         |c0 AS (SELECT vec_id AS cidx, qvec AS qcent FROM q WHERE qvec IS NOT NULL
+         |       ORDER BY vec_id LIMIT 8),
+         |a0 AS (${dKmAssign("q", "c0")}),
+         |c1 AS (${dKmUpdate("a0")}),
+         |a1 AS (${dKmAssign("q", "c1")}),
+         |c2 AS (${dKmUpdate("a1")}),
+         |a2 AS (${dKmAssign("q", "c2")}),
+         |resid AS (SELECT a.vec_id, a.cell,
+         |    list_transform(range(1, len(a.qvec) + 1), i -> a.qvec[i] - kc.qcent[i]) AS qvec
+         |  FROM a2 a JOIN c2 kc ON kc.cidx = a.cell),
+         |rsub AS (SELECT vec_id, cell, s, list_slice(qvec, s * 8 + 1, s * 8 + 8) AS qsub
+         |  FROM (SELECT vec_id, cell, qvec, unnest(range(0, 8)) AS s FROM resid)),
+         |rc0 AS (SELECT s, vec_id AS cidx, qsub AS qcent FROM rsub
+         |  WHERE vec_id IN (SELECT vec_id FROM resid ORDER BY vec_id LIMIT 8)),
+         |ra0 AS (${dPqAssign("rsub", "rc0")}),
+         |rc1 AS (${dPqUpdate("ra0")}),
+         |ra1 AS (${dPqAssign("rsub", "rc1")}),
+         |rc2 AS (${dPqUpdate("ra1")}),
+         |ra2 AS (${dPqAssign("rsub", "rc2")}),
+         |qv AS (SELECT qvec FROM q WHERE vec_id = 0 AND qvec IS NOT NULL),
+         |probed AS (SELECT kc.cidx AS pcell, kc.qcent,
+         |    CAST(list_sum(list_transform(range(1, len(qv.qvec) + 1),
+         |      i -> qv.qvec[i] * kc.qcent[i])) AS BIGINT) AS qcdot
+         |  FROM c2 kc, qv ORDER BY qcdot DESC, pcell LIMIT 2),
+         |lutq AS (SELECT pcell, qcdot, s AS ls, list_slice(qres, s * 8 + 1, s * 8 + 8) AS q_qsub
+         |  FROM (SELECT pcell, qcdot,
+         |          list_transform(range(1, len(qv.qvec) + 1), i -> qv.qvec[i] - probed.qcent[i]) AS qres,
+         |          unnest(range(0, 8)) AS s
+         |        FROM probed, qv)),
+         |lut AS (SELECT l.pcell, l.qcdot, l.ls, kc.cidx AS lcode,
+         |    CAST(list_sum(list_transform(range(1, len(l.q_qsub) + 1),
+         |      i -> l.q_qsub[i] * kc.qcent[i])) AS BIGINT) AS rdot
+         |  FROM lutq l JOIN rc2 kc ON kc.s = l.ls),
+         |cand AS (SELECT a.vec_id, SUM(l.rdot) AS r, MAX(l.qcdot) AS cterm, COUNT(*) AS n_sub
+         |  FROM ra2 a
+         |  JOIN resid rs ON rs.vec_id = a.vec_id
+         |  JOIN lut l ON rs.cell = l.pcell AND a.s = l.ls AND a.code = l.lcode
+         |  WHERE a.vec_id <> 0
+         |  GROUP BY a.vec_id)
+         |SELECT vec_id, CAST(cterm + r AS BIGINT) AS adc_qdot FROM cand WHERE n_sub = 8
          |ORDER BY adc_qdot DESC, vec_id LIMIT 5""".stripMargin,
     "ivf_topk" ->
       s"""$dUnitCte, c AS (

@@ -943,8 +943,11 @@ object Similarity {
             |  'obj', 2L * aggregate(zip_with(qsub, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x)
             |         - aggregate(c.qcent, 0L, (a, x) -> a + x * x),
             |  'negidx', -c.cidx)))""".stripMargin)))
-      .select(col("vec_id"), col("s"), col("qsub"),
-        (-col("__best.negidx")).as("code"), col("__best.obj").as("qobj"))
+      // withColumn + drop, not a select: extra rider columns (e.g. the
+      // coarse cell id in [[ivfPqTopK]]) pass through untouched
+      .withColumn("code", -col("__best.negidx"))
+      .withColumn("qobj", col("__best.obj"))
+      .drop("cents", "__best")
   }
 
   /** `iters` rounds of multi-subspace Lloyd's — ALL m codebooks train in
@@ -1036,6 +1039,82 @@ object Similarity {
       // present, but the guard keeps the contract explicit
       .filter(col("n_sub") === m)
       .select(col("vec_id"), col("adc_qdot"))
+      .orderBy(col("adc_qdot").desc, col("vec_id"))
+      .limit(kNbrs)
+  }
+
+  /** IVF-PQ top-k — the full FAISS `IVFx,PQy` composition: a coarse
+    * quantizer partitions the corpus into cells (trained integer
+    * Lloyd's, [[kmeansAssign]]'s machinery), PQ codebooks train on the
+    * cell RESIDUALS qvec − centroid (integer subtraction, so the whole
+    * index stays int64-exact — residuals concentrate near the origin,
+    * which is where per-cell quantization earns its accuracy), and the
+    * query probes its `nprobe` best cells with a PER-CELL residual
+    * lookup table. The approximate similarity decomposes exactly:
+    * dot(q, cent + residual̂) = dot(q, cent) + dot(q_res, codeword)
+    * summed over subspaces — both terms integer, so the trained coarse
+    * quantizer, the residual codebooks, the codes, AND the ADC ranking
+    * all sit under one DuckDB hash gate.
+    *
+    * Scale shape: vectors never shuffle — both codebooks broadcast to
+    * the data, the candidate set is the probed cells' code rows joined
+    * to a ≤nprobe·m·k-row broadcast LUT, and the only vec_id exchange
+    * is the final ADC rollup of long pairs. At corpus scale the code
+    * store is (vec_id, cell, codes) — m bytes + a cell id per vector —
+    * partition-pruned by cell exactly like [[ivfTopK]]'s flat form.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      queryVecId: Long = 0L,
+      kNbrs: Int = 5,
+      cells: Int = 8,
+      m: Int = 8,
+      k: Int = 8,
+      iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
+    val dim = 64
+    require(m >= 1 && dim % m == 0, s"m must divide $dim, got $m")
+    require(nprobe >= 1 && nprobe <= cells, s"nprobe in [1, $cells], got $nprobe")
+    val sub = dim / m
+    val q = quantizedUnits(embeddings)
+    val coarse = kmeansCentroids(q, cells, iters)
+    val resid = assignQCells(q, coarse)
+      .filter(col("cell").isNotNull)
+      .join(broadcast(coarse), col("cell") === col("cidx"))
+      .selectExpr("vec_id", "cell",
+        "zip_with(qvec, qcent, (x, y) -> x - y) as qvec")
+    val rsubs = resid
+      .select(col("vec_id"), col("cell"), col("qvec"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("s"))
+      .selectExpr("vec_id", "cell", "s", s"slice(qvec, s * $sub + 1, $sub) as qsub")
+    val pqc = pqCentroids(rsubs.select("vec_id", "s", "qsub"), m, k, iters)
+    val codes = pqAssign(rsubs, pqc) // rider column `cell` passes through
+    // query side: probe the nprobe best cells by the exact coarse dot...
+    val qv = q.filter(col("vec_id") === queryVecId && col("qvec").isNotNull)
+    val probed = qv.crossJoin(broadcast(coarse))
+      .selectExpr("cidx as pcell", "qcent",
+        "aggregate(zip_with(qvec, qcent, (x, y) -> x * y), 0L, (a, x) -> a + x) as qcdot")
+      .orderBy(col("qcdot").desc, col("pcell")).limit(nprobe)
+    // ...then build the PER-CELL residual LUT: the query's residual
+    // differs per probed cell, so each (pcell, s, code) gets its own dot
+    val lut = qv.crossJoin(broadcast(probed))
+      .selectExpr("pcell", "qcdot",
+        "zip_with(qvec, qcent, (x, y) -> x - y) as qres")
+      .select(col("pcell"), col("qcdot"), col("qres"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("ls"))
+      .selectExpr("pcell", "qcdot", "ls", s"slice(qres, ls * $sub + 1, $sub) as q_qsub")
+      .join(pqc, col("ls") === col("s"))
+      .selectExpr("pcell", "qcdot", "ls", "cidx as lcode",
+        "aggregate(zip_with(q_qsub, qcent, (x, y) -> x * y), 0L, (a, x) -> a + x) as rdot")
+    codes.filter(col("code").isNotNull && col("vec_id") =!= queryVecId)
+      .join(broadcast(lut),
+        col("cell") === col("pcell") && col("s") === col("ls") &&
+          col("code") === col("lcode"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("rdot")).as("r"), max(col("qcdot")).as("c"),
+        count(lit(1)).as("n_sub"))
+      .filter(col("n_sub") === m)
+      .select(col("vec_id"), (col("c") + col("r")).as("adc_qdot"))
       .orderBy(col("adc_qdot").desc, col("vec_id"))
       .limit(kNbrs)
   }

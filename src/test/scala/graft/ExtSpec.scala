@@ -1096,6 +1096,26 @@ class ExtSpec extends AnyFunSuite {
     // ranked best-first, ties broken by vec_id
     val adcs = top.map(_.getLong(1))
     assert(adcs.zip(adcs.tail).forall { case (a, b) => a >= b })
+    // IVF-PQ (coarse cells + residual codebooks + per-cell LUTs) must
+    // ALSO retrieve the query's cluster — the composition's recall on
+    // clustered data, with candidates restricted to the probed cells
+    val ivfpq = Similarity.ivfPqTopK(emb, queryVecId = 13L, kNbrs = 5).collect()
+    assert(ivfpq.length === 5 && !ivfpq.map(_.getLong(0)).contains(13L))
+    val sameIvfpq = ivfpq.map(_.getLong(0)).count(id => id % 10 == 3)
+    assert(sameIvfpq >= 4, s"only $sameIvfpq of 5 IVF-PQ neighbors share the query's cluster")
+    // an exact duplicate of the query must score the MAXIMAL ADC (the
+    // self-retrieval sanity of any ANN index). It need not rank first:
+    // clustermates that quantize to the same codewords tie exactly with
+    // it — PQ cannot distinguish inside a codeword by construction —
+    // and ties break by vec_id
+    val dup = emb.filter(col("vec_id") === 13L)
+      .select(lit(8888L).as("vec_id"), col("embedding"), col("label"))
+    val withDup = Similarity.ivfPqTopK(
+      emb.unionByName(dup), queryVecId = 13L, kNbrs = 50).collect()
+    val dupAdc = withDup.find(_.getLong(0) == 8888L)
+      .getOrElse(fail("duplicate missing from IVF-PQ results")).getLong(1)
+    assert(withDup.forall(_.getLong(1) <= dupAdc),
+      s"some vector out-scored an exact duplicate of the query (dup adc $dupAdc)")
   }
 
   test("kmeansAssign / capPerSource are bit-invariant under repartitioning and row order") {

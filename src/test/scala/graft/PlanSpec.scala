@@ -495,10 +495,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!pc.contains("hashpartitioning(vec_id"), s"pq_codes shuffles vectors:\n$pc")
     assert(!pc.contains("SortMergeJoin"), s"pq_codes sort-merge-joins:\n$pc")
     // pq_topk's ONE vec_id exchange is the ADC rollup — map-side-combined
-    // (vec_id, qdot) long pairs, never embedding payloads
-    val pt = formatted("pq_topk")
-    assert("hashpartitioning\\(vec_id".r.findAllMatchIn(pt).size === 1, pt)
-    assert(!pt.contains("SortMergeJoin"), s"pq_topk sort-merge-joins:\n$pt")
+    // (vec_id, qdot) long pairs, never embedding payloads; ivfpq_topk
+    // keeps the same contract through the full coarse+residual stack
+    Seq("pq_topk", "ivfpq_topk").foreach { q =>
+      val pt = formatted(q)
+      assert("hashpartitioning\\(vec_id".r.findAllMatchIn(pt).size === 1,
+        s"$q:\n$pt")
+      assert(!pt.contains("SortMergeJoin"), s"$q sort-merge-joins:\n$pt")
+    }
   }
 
   test("freq_score: no window over the token key — the stopword task shape is gone") {
