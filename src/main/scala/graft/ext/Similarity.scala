@@ -983,6 +983,35 @@ object Similarity {
     cents
   }
 
+  /** The trained PQ codebooks as a broadcastable (s, cidx, qcent) frame
+    * — train once (on a SAMPLE at corpus scale), then encode anywhere
+    * with [[pqEncodeWith]].
+    */
+  def pqCodebook(
+      embeddings: DataFrame,
+      m: Int = 8,
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val dim = 64
+    require(m >= 1 && dim % m == 0, s"m must divide $dim, got $m")
+    pqCentroids(pqSubvectors(quantizedUnits(embeddings), m, dim / m), m, k, iters)
+  }
+
+  /** Encode vectors against a FIXED trained codebook: a stateless
+    * broadcast projection, so the SAME call compiles onto a streaming
+    * Dataset — arriving vectors PQ-encode where they land with no state
+    * and no shuffle (StreamingSpec pins stream≡batch parity). This is
+    * the steady-state half of the train-once/encode-forever contract;
+    * [[pqEncode]] is the self-trained batch form.
+    */
+  def pqEncodeWith(
+      vectors: DataFrame, codebook: DataFrame, m: Int = 8): DataFrame = {
+    val dim = 64
+    require(m >= 1 && dim % m == 0, s"m must divide $dim, got $m")
+    pqAssign(pqSubvectors(quantizedUnits(vectors), m, dim / m), codebook)
+      .select(col("vec_id"), col("s"), col("code"), col("qobj"))
+  }
+
   /** Trained PQ encoding: every vector's m codes plus the exact integer
     * L2 objective per subspace. The 100 TB contract: after training on
     * a sample, encoding is ONE broadcast-codebook scan projection, and

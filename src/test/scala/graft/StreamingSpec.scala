@@ -1032,6 +1032,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(cent(0)) < 1e-9 && math.abs(cent(1) - 1.0) < 1e-9, cent)
   }
 
+  test("streaming PQ encode: arriving vectors code against the trained codebook, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // train once on the static corpus; the stream only ever sees the
+    // broadcastable codebook frame — no state, no shuffle, no retrain
+    val cb = graft.ext.Similarity.pqCodebook(corpus)
+    val arrivals = corpus.select("vec_id", "embedding").orderBy("vec_id")
+      .limit(6).collect().map(r => (r.getLong(0) + 5000L, r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val streamed = graft.ext.Similarity.pqEncodeWith(
+      ms.toDS().toDF("vec_id", "embedding"), cb)
+    val q = streamed.writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(arrivals.take(3).toSeq)
+      q.processAllAvailable()
+      ms.addData(arrivals.drop(3).toSeq)
+      q.processAllAvailable()
+      val stream = spark.table("pq_stream")
+        .select("vec_id", "s", "code", "qobj")
+        .as[(Long, Int, Long, Long)].collect().sorted.toSeq
+      val batch = graft.ext.Similarity.pqEncodeWith(
+        arrivals.toSeq.toDF("vec_id", "embedding"), cb)
+        .as[(Long, Int, Long, Long)].collect().sorted.toSeq
+      assert(stream === batch)
+      assert(stream.size === 6 * 8) // every (vector, subspace) coded
+    } finally q.stop()
+  }
+
   test("streaming kNN: arriving query vectors get windowed top-k from the static IVF index") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
