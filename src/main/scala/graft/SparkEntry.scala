@@ -523,6 +523,9 @@ object SparkEntry {
     // RESIDUALS + per-probed-cell query lookup tables — integer-exact end
     // to end (see Similarity.ivfPqTopK)
     "ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d))),
+    // two-stage retrieval: PQ-ADC shortlist (50) -> exact re-rank (5),
+    // the FAISS refine stage (see Similarity.pqRerank)
+    "pq_rerank" -> ((s, d) => Similarity.pqRerank(Tables.embeddings(s, d))),
     "media_meta" -> ((s, d) =>
       Multimodal.synthesizeMedia(Tables.documents(s, d))
         .selectExpr("media_id", "doc_id", "modality",
@@ -3025,6 +3028,25 @@ object SparkEntry {
          |        WHERE a.vec_id <> 0 GROUP BY a.vec_id)
          |SELECT vec_id, adc_qdot FROM adc WHERE n_sub = 8
          |ORDER BY adc_qdot DESC, vec_id LIMIT 5""".stripMargin,
+    "pq_rerank" ->
+      // ADC shortlist of 50 (the pq_topk pipeline) → exact integer dot
+      // re-rank of the shortlist's real vectors → top 5
+      s"""$dPqCtes,
+         |qs AS (SELECT s, qsub FROM sub WHERE vec_id = 0 AND qsub IS NOT NULL),
+         |lut AS (SELECT c2.s, c2.cidx AS code,
+         |          CAST(list_sum(list_transform(range(1, len(qs.qsub) + 1),
+         |            i -> qs.qsub[i] * c2.qcent[i])) AS BIGINT) AS qdot
+         |        FROM c2 JOIN qs ON c2.s = qs.s),
+         |adc AS (SELECT a.vec_id, CAST(SUM(l.qdot) AS BIGINT) AS adc_qdot, COUNT(*) AS n_sub
+         |        FROM a2 a JOIN lut l ON a.s = l.s AND a.code = l.code
+         |        WHERE a.vec_id <> 0 GROUP BY a.vec_id),
+         |cand AS (SELECT vec_id FROM adc WHERE n_sub = 8
+         |         ORDER BY adc_qdot DESC, vec_id LIMIT 50),
+         |qq AS (SELECT qvec FROM q WHERE vec_id = 0 AND qvec IS NOT NULL)
+         |SELECT c.vec_id, CAST(list_sum(list_transform(range(1, len(q2.qvec) + 1),
+         |         i -> q2.qvec[i] * qq.qvec[i])) AS BIGINT) AS exact_qdot
+         |FROM cand c JOIN q q2 ON q2.vec_id = c.vec_id, qq
+         |ORDER BY exact_qdot DESC, c.vec_id LIMIT 5""".stripMargin,
     "ivfpq_topk" ->
       // coarse Lloyd's (the kmeans_assign unroll) → integer residuals →
       // residual-PQ Lloyd's (the pq unroll) → per-probed-cell LUT → ADC

@@ -1072,6 +1072,40 @@ object Similarity {
       .limit(kNbrs)
   }
 
+  /** Two-stage retrieval: PQ-ADC SHORTLIST then exact re-rank — the
+    * production serving shape (FAISS's refine/rerank stage). Stage 1
+    * ranks the whole corpus by compressed codes alone ([[pqTopK]]'s ADC,
+    * cost m lookups a vector); stage 2 fetches the `shortlist` best
+    * candidates' REAL vectors and re-ranks them by exact integer dot —
+    * recall recovers from quantization error while full-precision reads
+    * stay O(shortlist), not O(corpus). The candidate id set broadcasts
+    * (≤`shortlist` rows by construction), so the re-rank join is a
+    * broadcast semi-join against the vector store — at 100 TB that is
+    * the difference between touching m bytes and d·4 bytes per corpus
+    * row. Both stages integer-exact under one hash gate.
+    */
+  def pqRerank(
+      embeddings: DataFrame,
+      queryVecId: Long = 0L,
+      kNbrs: Int = 5,
+      shortlist: Int = 50,
+      m: Int = 8,
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    require(shortlist >= kNbrs, s"shortlist $shortlist < kNbrs $kNbrs")
+    val cand = pqTopK(embeddings, queryVecId, shortlist, m, k, iters)
+      .select(col("vec_id").as("cand_id"))
+    val q = quantizedUnits(embeddings)
+    val qv = q.filter(col("vec_id") === queryVecId && col("qvec").isNotNull)
+      .select(col("qvec").as("q_qvec"))
+    q.join(broadcast(cand), col("vec_id") === col("cand_id"))
+      .crossJoin(broadcast(qv))
+      .selectExpr("vec_id",
+        "aggregate(zip_with(qvec, q_qvec, (x, y) -> x * y), 0L, (a, x) -> a + x) as exact_qdot")
+      .orderBy(col("exact_qdot").desc, col("vec_id"))
+      .limit(kNbrs)
+  }
+
   /** IVF-PQ top-k — the full FAISS `IVFx,PQy` composition: a coarse
     * quantizer partitions the corpus into cells (trained integer
     * Lloyd's, [[kmeansAssign]]'s machinery), PQ codebooks train on the

@@ -1118,6 +1118,26 @@ class ExtSpec extends AnyFunSuite {
       s"some vector out-scored an exact duplicate of the query (dup adc $dupAdc)")
   }
 
+  test("pqRerank: the exact re-rank stage recovers the recall raw ADC loses") {
+    // the fixture embeddings are uniform-random — the WORST case for any
+    // quantizer, where 3-bit-per-subspace ADC ranking is essentially
+    // noise. The two-stage shape exists exactly for this: a 10% ADC
+    // shortlist re-ranked by exact dot recovers the true neighbors.
+    // Deterministic on the fixed corpus (measured: ADC-only overlaps
+    // exact top-5 in 0 ids; re-rank in 4).
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Similarity.cosineTopK(emb, queryVecId = 0L, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val adcOnly = Similarity.pqTopK(emb, queryVecId = 0L, kNbrs = 5)
+      .collect().map(_.getLong(0)).toSet
+    val reranked = Similarity.pqRerank(emb, queryVecId = 0L, kNbrs = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert((reranked intersect exact).size >= 4,
+      s"re-rank recall ${(reranked intersect exact).size}/5 (exact $exact, reranked $reranked)")
+    assert((reranked intersect exact).size > (adcOnly intersect exact).size,
+      s"re-rank did not improve on raw ADC (adc $adcOnly)")
+  }
+
   test("kmeansAssign / capPerSource are bit-invariant under repartitioning and row order") {
     // the round-7 exactness claim: integer sums are associative, so the
     // trained assignment must not depend on HOW the data is distributed.
