@@ -730,9 +730,15 @@ object Multimodal {
           else {
             val reader =
               javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+            // capture the ImageInputStream so the finally can close it:
+            // with setUseCache(false) it's memory-backed and dispose()
+            // alone would leak nothing, but a cache-setting change would
+            // silently turn it into a temp-FILE leak per payload
+            var iis: javax.imageio.stream.ImageInputStream = null
             try {
-              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(rec.content)))
+              iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(rec.content))
+              reader.setInput(iis)
               // the GIF scanner can report ZERO images for non-GIF bytes
               // instead of throwing — an empty container is a failed
               // decode (it must produce a row), not a silent vanish
@@ -759,7 +765,12 @@ object Multimodal {
               }
               Some((nf, sampled))
             } catch { case scala.util.control.NonFatal(_) => None }
-            finally reader.dispose()
+            finally {
+              reader.dispose()
+              if (iis != null)
+                try iis.close()
+                catch { case scala.util.control.NonFatal(_) => () }
+            }
           }
         frames match {
           case None =>

@@ -961,6 +961,12 @@ object Similarity {
     */
   private def pqCentroids(
       subs: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    // every public PQ entry point (pqCodebook/pqEncode/pqTopK/pqRerank/
+    // ivfPqTopK) trains through here — the k/iters bounds that keep the
+    // per-round lineage doubling finite are hoisted to this single choke
+    // point so no caller can reach the unbounded-lineage regime
+    require(k >= 1 && iters >= 0 && iters <= 8,
+      s"k >= 1, iters in [0, 8] (lineage doubles per round), got k=$k iters=$iters")
     val spark = subs.sparkSession
     import spark.implicits._
     val seeds = subs.filter(col("qsub").isNotNull && col("s") === 0)

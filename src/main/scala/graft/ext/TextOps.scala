@@ -1012,7 +1012,12 @@ object TextOps {
         val prior = committedBatchDirs(spark, s"$outDir/hist")
           .filter { bn =>
             val id = bn.stripPrefix("batch_")
-            id.nonEmpty && id.forall(_.isDigit) && id.toLong < batchId
+            // Try, not a bare toLong: an all-digit name LONGER than
+            // Long.MaxValue's 19 digits would otherwise throw and wedge
+            // every replay — the exact failure mode the digit filter
+            // exists to prevent for non-numeric names
+            id.nonEmpty && id.forall(_.isDigit) &&
+              scala.util.Try(id.toLong).toOption.exists(_ < batchId)
           }.toSeq.sorted
         val hists =
           if (prior.isEmpty) cur

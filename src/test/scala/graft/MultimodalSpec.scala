@@ -232,7 +232,8 @@ class MultimodalSpec extends AnyFunSuite {
       AudioRecord(3L, garbage, 12000, 54),
       AudioRecord(4L, null, 12000, 54),
       AudioRecord(5L, good, 16000, 99), // decodes fine; metadata lies
-      AudioRecord(6L, bos8.toByteArray, 8000, 16))
+      AudioRecord(6L, bos8.toByteArray, 8000, 16),
+      AudioRecord(7L, badHeader, 12000, 54))
     val out = Multimodal.decodeAudio(spark.createDataset(recs))
       .collect().map(d => d.media_id -> d).toMap
     assert(out(1L).decode_ok && out(1L).meta_consistent === Some(true))
@@ -244,9 +245,11 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(out(5L).decode_ok && out(5L).meta_consistent === Some(false))
     assert(out(5L).sample_sum === out(1L).sample_sum)
-    // the lying data-chunk size either fails or decodes exactly the real
-    // frames — it must never fold bytes past the payload end
-    if (out(2L).decode_ok) assert(out(2L).sample_sum === out(1L).sample_sum)
+    // the lying data-chunk size (id 7: valid RIFF magic, data-chunk size
+    // pointing past the payload end) either fails or decodes exactly the
+    // real frames — it must never fold bytes past the payload end
+    if (out(7L).decode_ok) assert(out(7L).sample_sum === out(1L).sample_sum)
+    else assert(out(7L).sample_sum.isEmpty)
   }
 
   test("decodeSampledFrames: real multi-frame GIF matches the closed-form frame spec") {
