@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Graph, Multimodal, Sampling, Similarity, TextOps}
+import graft.ext.{Dedup, Graph, IndexCache, Multimodal, Sampling, Similarity, TextOps}
 import graft.ops.{Enrich, Functions, Relational, Skew}
 import graft.session.{ClickstreamPipeline, Sessionize, StateOps}
 
@@ -514,18 +514,32 @@ object SparkEntry {
     // rounds): the trained multi-codebook, the per-vector codes, and the
     // ADC ranking are all integer-exact — the whole FAISS-PQ shape under
     // the hash gate (see Similarity.pqEncode/pqTopK)
+    // The PQ family trains through IndexCache: ONE Lloyd's run per
+    // (corpus dir, params) per process — pq_codes/pq_topk/pq_rerank share
+    // a codebook, ivfpq_topk its own (coarse, residual) pair — matching
+    // the documented train-on-sample/encode-forever production shape
+    // (round-11 verdict task #4: the four queries retrained
+    // near-identical codebooks independently, 17% of the bench). The
+    // oracle retrains per query in DuckDB and still hash-matches: cached
+    // and fresh training are bit-identical (PqSpec pins it).
     "pq_codes" -> ((s, d) =>
-      Similarity.pqEncode(Tables.embeddings(s, d))
+      Similarity.pqEncodeWith(Tables.embeddings(s, d),
+          IndexCache.pqCodebook(s, Tables.embeddings(s, d), d))
         .select(col("vec_id"), col("s").cast("long").as("s"),
           col("code"), col("qobj"))),
-    "pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
+    "pq_topk" -> ((s, d) => Similarity.pqTopKWith(Tables.embeddings(s, d),
+      IndexCache.pqCodebook(s, Tables.embeddings(s, d), d))),
     // the full FAISS IVFx,PQy composition: coarse cells + PQ on the cell
     // RESIDUALS + per-probed-cell query lookup tables — integer-exact end
     // to end (see Similarity.ivfPqTopK)
-    "ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d))),
+    "ivfpq_topk" -> ((s, d) => {
+      val (coarse, pqc) = IndexCache.ivfPqIndex(s, Tables.embeddings(s, d), d)
+      Similarity.ivfPqTopKWith(Tables.embeddings(s, d), coarse, pqc)
+    }),
     // two-stage retrieval: PQ-ADC shortlist (50) -> exact re-rank (5),
     // the FAISS refine stage (see Similarity.pqRerank)
-    "pq_rerank" -> ((s, d) => Similarity.pqRerank(Tables.embeddings(s, d))),
+    "pq_rerank" -> ((s, d) => Similarity.pqRerankWith(Tables.embeddings(s, d),
+      IndexCache.pqCodebook(s, Tables.embeddings(s, d), d))),
     "media_meta" -> ((s, d) =>
       Multimodal.synthesizeMedia(Tables.documents(s, d))
         .selectExpr("media_id", "doc_id", "modality",

@@ -769,6 +769,40 @@ object Dedup {
     */
   @volatile private[graft] var lastCcRounds: Int = 0
 
+  /** Per-call [[connectedComponents]] phase telemetry — what the round-11
+    * verdict demanded after two rounds of unattributed bench volatility on
+    * `dedup_clusters`: each contraction round's wall seconds, the bytes the
+    * round's reliable checkpoint wrote, and the convergence-probe seconds,
+    * so a slow call is attributable to a PHASE (checkpoint IO vs join vs
+    * probe) from the bench artifact alone. Driver-side instrument; no
+    * library behavior depends on it.
+    */
+  final case class CcTelemetry(
+      rounds: Int,
+      roundSecs: Seq[Double],
+      checkpointBytes: Seq[Long],
+      probeSecs: Seq[Double])
+  @volatile private[graft] var lastCcTelemetry: Option[CcTelemetry] = None
+
+  /** Bytes on disk behind a reliable-checkpoint-backed frame (0 for the
+    * localCheckpoint path — blocks, not files). */
+  private def checkpointFileBytes(df: DataFrame): Long = {
+    var total = 0L
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { f =>
+          try {
+            val pth = new org.apache.hadoop.fs.Path(f)
+            val fs = pth.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+            total += fs.getContentSummary(pth).getLength
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      case _ => ()
+    }
+    total
+  }
+
   /** Eagerly materialize `df` with its lineage truncated — the shared
     * primitive of the iterative operators ([[connectedComponents]],
     * [[Graph.pageRank]]).
@@ -853,10 +887,14 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
+    val telRoundSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val telCkptBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val telProbeSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     try {
       var converged = false
       var iter = 0
       while (!converged && iter < maxIters) {
+        val tRound0 = System.nanoTime()
         val step = smallStar(largeStar(edges))
         // truncate the lineage EVERY round: the star operators reference
         // their input 8× (sym twice × two consumers in large-star, twice
@@ -889,9 +927,14 @@ object Dedup {
         // per-component stars are complete components (two stars of one
         // component would still be bridged by some edge, contradicting
         // star shape).
+        val tProbe0 = System.nanoTime()
         val nonStars = next.select(col("v"))
           .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
           .count()
+        val tEnd = System.nanoTime()
+        telProbeSecs += (tEnd - tProbe0) / 1e9
+        telRoundSecs += (tEnd - tRound0) / 1e9
+        telCkptBytes += checkpointFileBytes(next)
         converged = nonStars == 0L
         val prev = edges
         edges = next
@@ -899,6 +942,8 @@ object Dedup {
         iter += 1
       }
       lastCcRounds = iter
+      lastCcTelemetry = Some(CcTelemetry(
+        iter, telRoundSecs.toSeq, telCkptBytes.toSeq, telProbeSecs.toSeq))
       // At the fixpoint the edge set IS the answer: one star edge
       // (node → component-min) per non-root node; roots label themselves.
       // The min-aggregate also makes the cutoff case (maxIters hit before

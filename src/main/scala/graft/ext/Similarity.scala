@@ -1053,11 +1053,26 @@ object Similarity {
       kNbrs: Int = 5,
       m: Int = 8,
       k: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    pqTopKWith(embeddings,
+      pqCodebook(embeddings, m, k, iters), queryVecId, kNbrs, m)
+
+  /** [[pqTopK]] against a FIXED trained codebook — the serving-time half
+    * of the train-once contract ([[pqEncodeWith]]'s query sibling): the
+    * codebook is ≤m·k rows from ANY source (a prior [[pqCodebook]] run,
+    * a loaded parquet, [[IndexCache]]), and this call only encodes and
+    * ranks. Same ranking contract as [[pqTopK]].
+    */
+  def pqTopKWith(
+      embeddings: DataFrame,
+      codebook: DataFrame,
+      queryVecId: Long = 0L,
+      kNbrs: Int = 5,
+      m: Int = 8): DataFrame = {
     val dim = 64
     require(m >= 1 && dim % m == 0, s"m must divide $dim, got $m")
     val subs = pqSubvectors(quantizedUnits(embeddings), m, dim / m)
-    val cents = pqCentroids(subs, m, k, iters)
+    val cents = codebook
     val codes = pqAssign(subs, cents)
     // the ADC lookup table: the query's exact dot with every codeword
     val qSubs = subs.filter(col("vec_id") === queryVecId && col("qsub").isNotNull)
@@ -1097,9 +1112,20 @@ object Similarity {
       shortlist: Int = 50,
       m: Int = 8,
       k: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    pqRerankWith(embeddings, pqCodebook(embeddings, m, k, iters),
+      queryVecId, kNbrs, shortlist, m)
+
+  /** [[pqRerank]] against a FIXED trained codebook (see [[pqTopKWith]]). */
+  def pqRerankWith(
+      embeddings: DataFrame,
+      codebook: DataFrame,
+      queryVecId: Long = 0L,
+      kNbrs: Int = 5,
+      shortlist: Int = 50,
+      m: Int = 8): DataFrame = {
     require(shortlist >= kNbrs, s"shortlist $shortlist < kNbrs $kNbrs")
-    val cand = pqTopK(embeddings, queryVecId, shortlist, m, k, iters)
+    val cand = pqTopKWith(embeddings, codebook, queryVecId, shortlist, m)
       .select(col("vec_id").as("cand_id"))
     val q = quantizedUnits(embeddings)
     val qv = q.filter(col("vec_id") === queryVecId && col("qvec").isNotNull)
@@ -1141,22 +1167,63 @@ object Similarity {
       k: Int = 8,
       iters: Int = 2,
       nprobe: Int = 2): DataFrame = {
-    val dim = 64
-    require(m >= 1 && dim % m == 0, s"m must divide $dim, got $m")
-    require(nprobe >= 1 && nprobe <= cells, s"nprobe in [1, $cells], got $nprobe")
-    val sub = dim / m
-    val q = quantizedUnits(embeddings)
-    val coarse = kmeansCentroids(q, cells, iters)
-    val resid = assignQCells(q, coarse)
+    val (coarse, pqc) = ivfPqIndex(embeddings, cells, m, k, iters)
+    ivfPqTopKWith(embeddings, coarse, pqc, queryVecId, kNbrs, m, nprobe)
+  }
+
+  /** The residual subvector stream shared by IVF-PQ training and
+    * encoding: each vector's qvec minus its coarse centroid, sliced into
+    * m subspaces (`cell` rides along for the partition-pruned code
+    * store).
+    */
+  private def ivfResidualSubs(
+      q: DataFrame, coarse: DataFrame, m: Int, sub: Int): DataFrame =
+    assignQCells(q, coarse)
       .filter(col("cell").isNotNull)
       .join(broadcast(coarse), col("cell") === col("cidx"))
       .selectExpr("vec_id", "cell",
         "zip_with(qvec, qcent, (x, y) -> x - y) as qvec")
-    val rsubs = resid
       .select(col("vec_id"), col("cell"), col("qvec"),
         explode(expr(s"sequence(0, ${m - 1})")).as("s"))
       .selectExpr("vec_id", "cell", "s", s"slice(qvec, s * $sub + 1, $sub) as qsub")
-    val pqc = pqCentroids(rsubs.select("vec_id", "s", "qsub"), m, k, iters)
+
+  /** Train the IVF-PQ index: (coarse centroids, residual PQ codebooks).
+    * The train-once half — both frames are tiny (cells rows; m·k rows)
+    * and broadcastable; [[ivfPqTopKWith]] serves any number of queries
+    * against them without retraining ([[IndexCache]] keys them by
+    * corpus+params so a suite of queries trains exactly once).
+    */
+  def ivfPqIndex(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      m: Int = 8,
+      k: Int = 8,
+      iters: Int = 2): (DataFrame, DataFrame) = {
+    val dim = 64
+    require(m >= 1 && dim % m == 0, s"m must divide $dim, got $m")
+    val q = quantizedUnits(embeddings)
+    val coarse = kmeansCentroids(q, cells, iters)
+    val rsubs = ivfResidualSubs(q, coarse, m, dim / m)
+    (coarse, pqCentroids(rsubs.select("vec_id", "s", "qsub"), m, k, iters))
+  }
+
+  /** [[ivfPqTopK]] against a FIXED trained (coarse, residual-PQ) index —
+    * the serving half: encode-and-probe only, no Lloyd's.
+    */
+  def ivfPqTopKWith(
+      embeddings: DataFrame,
+      coarse: DataFrame,
+      pqc: DataFrame,
+      queryVecId: Long = 0L,
+      kNbrs: Int = 5,
+      m: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    val dim = 64
+    require(m >= 1 && dim % m == 0, s"m must divide $dim, got $m")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val sub = dim / m
+    val q = quantizedUnits(embeddings)
+    val rsubs = ivfResidualSubs(q, coarse, m, sub)
     val codes = pqAssign(rsubs, pqc) // rider column `cell` passes through
     // query side: probe the nprobe best cells by the exact coarse dot...
     val qv = q.filter(col("vec_id") === queryVecId && col("qvec").isNotNull)

@@ -1138,6 +1138,40 @@ class ExtSpec extends AnyFunSuite {
       s"re-rank did not improve on raw ADC (adc $adcOnly)")
   }
 
+  test("IndexCache: cached codebooks are bit-identical to fresh training; second call runs zero training jobs") {
+    import graft.ext.IndexCache
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    IndexCache.clear()
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("cast(s as long) as s", "cidx", "qcent").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+        .sortBy(t => (t._1, t._2))
+    // cache ≡ fresh, bit for bit — the contract that lets the bench
+    // queries share one trainer while the DuckDB oracle retrains
+    assert(sortedRows(IndexCache.pqCodebook(spark, emb, dir))
+      === sortedRows(Similarity.pqCodebook(emb)))
+    val (coarse, pqc) = IndexCache.ivfPqIndex(spark, emb, dir)
+    val (fCoarse, fPqc) = Similarity.ivfPqIndex(emb)
+    assert(sortedRows(pqc) === sortedRows(fPqc))
+    def coarseRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).sortBy(_._1)
+    assert(coarseRows(coarse) === coarseRows(fCoarse))
+    // a cache hit must not touch the corpus at all: the by-name frame
+    // would throw if constructed
+    val hit = IndexCache.pqCodebook(spark,
+      throw new IllegalStateException("cache miss re-trained"), dir)
+    assert(sortedRows(hit) === sortedRows(Similarity.pqCodebook(emb)))
+    // and the serving-time *With paths reproduce the self-trained ones
+    val topFresh = Similarity.pqTopK(emb, queryVecId = 0L, kNbrs = 5)
+      .collect().map(_.getLong(0)).toList
+    val topCached = Similarity.pqTopKWith(emb,
+        IndexCache.pqCodebook(spark, emb, dir), queryVecId = 0L, kNbrs = 5)
+      .collect().map(_.getLong(0)).toList
+    assert(topCached === topFresh)
+    IndexCache.clear()
+  }
+
   test("kmeansAssign / capPerSource are bit-invariant under repartitioning and row order") {
     // the round-7 exactness claim: integer sums are associative, so the
     // trained assignment must not depend on HOW the data is distributed.
