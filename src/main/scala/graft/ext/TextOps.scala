@@ -832,37 +832,46 @@ object TextOps {
       documents: DataFrame,
       targetExpr: String = "lang = 'en'",
       dim: Int = 4096): DataFrame = {
+    // occurrence stream and histogram via the compiled kernel (only the
+    // bigram bucket is needed — the kernel skips the context hash);
+    // probe side is ONE compiled pass per document against the dense
+    // count arrays, the lmScore discipline: no per-occurrence join, no
+    // per-doc rollup exchange. Bit-identical to the explode+join SQL
+    // formulation (LmHashSpec pins the signed un-floored gap too).
     val bg = documents
-      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .withColumn("is_tgt", expr(s"cast(($targetExpr) as boolean)"))
-      .select(col("doc_id"), col("is_tgt"), col("toks"),
-        explode(expr(
-          "case when size(toks) >= 2 then sequence(1, size(toks) - 1) else array() end")).as("i"))
-      .selectExpr("doc_id", "is_tgt",
-        s"pmod(${md5Long64("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")}, $dim) as b")
+      .select(col("doc_id"), col("is_tgt"),
+        explode(graft.functions.LmFunctions.lm_bigram_buckets(col("text"), dim)).as("p"))
+      .select(col("doc_id"), col("is_tgt"), col("p.b").as("b"))
     val counts = bg.groupBy(col("b")).agg(
       count(lit(1)).as("c_all"),
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
-    val per = bg.join(broadcast(counts), Seq("b"))
-      .selectExpr("doc_id",
-        "(length(bin(c_tgt)) - 1) - (length(bin(c_all)) - 1) as wgt")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("wgt")).as("dsir_score"))
-    documents.select(col("doc_id"), col("lang"))
-      .join(per, Seq("doc_id"), "left")
+    val model = counts.agg(
+      map_from_entries(collect_list(struct(col("b"), col("c_tgt")))).as("tgt_map"),
+      map_from_entries(collect_list(struct(col("b"), col("c_all")))).as("all_map"))
+      .selectExpr(
+        s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(tgt_map, cast(i as bigint)), 0L)) as tgt_arr",
+        s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(all_map, cast(i as bigint)), 0L)) as all_arr")
+    documents.select(col("doc_id"), col("lang"), col("text"))
+      .crossJoin(broadcast(model))
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id").isNotNull, graft.functions.LmFunctions
+          .lm_gap(col("text"), col("tgt_arr"), col("all_arr"), dim)).as("c"))
+      .select(col("doc_id"), col("lang"),
+        col("c.n_bigrams").as("n_bigrams"), col("c.nll_mag").as("dsir_score"))
   }
 
   /** The exploded (doc_id, context-bucket, bigram-bucket) occurrence
-    * stream both [[lmScore]] and [[lmScoreBatch]] charge against. */
+    * stream both [[lmScore]] and [[lmScoreBatch]] charge against.
+    * Buckets come from the compiled [[graft.functions.LmHash]] kernel —
+    * one pass per document instead of per-occurrence md5-hex/conv
+    * evaluation; bit-identical to the SQL formulation (LmHashSpec).
+    */
   private def lmBigrams(documents: DataFrame, dim: Int): DataFrame =
     documents
-      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
-      .select(col("doc_id"), col("toks"),
-        explode(expr(
-          "case when size(toks) >= 2 then sequence(1, size(toks) - 1) else array() end")).as("i"))
-      .selectExpr("doc_id",
-        s"pmod(${md5Long64("element_at(toks, i)")}, $dim) as cb",
-        s"pmod(${md5Long64("concat(element_at(toks, i), ' ', element_at(toks, i + 1))")}, $dim) as b")
+      .select(col("doc_id"),
+        explode(graft.functions.LmFunctions.lm_bigram_buckets(col("text"), dim)).as("p"))
+      .select(col("doc_id"), col("p.cb").as("cb"), col("p.b").as("b"))
 
   /** BOTH marginal bucket histograms of the occurrence stream in ONE
     * pass: each occurrence explodes into a (kind, bucket) row for its
@@ -904,21 +913,24 @@ object TextOps {
     * holds count 0, whose magnitude is 0 — the occurrence charges 0. */
   private def lmCharge(
       documents: DataFrame,
-      bg: DataFrame,
       model: DataFrame,
-      thresholdTenths: Long): DataFrame = {
-    val per = bg
+      dim: Int,
+      thresholdTenths: Long): DataFrame =
+    // whole-document charge in ONE compiled pass against the broadcast
+    // model row — no occurrence explode, no per-doc rollup exchange on
+    // the probe side (the old shape shuffled every bigram occurrence
+    // through a groupBy(doc_id)). The doc_id-null guard preserves the
+    // old left-join semantics exactly: a NULL-keyed doc joined nothing,
+    // so it surfaces with NULL stats, not a computed charge.
+    documents.select(col("doc_id"), col("lang"), col("text"))
       .crossJoin(broadcast(model))
-      .selectExpr("doc_id",
-        """greatest(0L, (length(bin(element_at(cb_arr, cast(cb + 1 as int)))) - 1)
-          |            - (length(bin(element_at(b_arr, cast(b + 1 as int)))) - 1)) as chg""".stripMargin)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("chg")).as("nll_mag"))
-    documents.select(col("doc_id"), col("lang"))
-      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id").isNotNull, graft.functions.LmFunctions
+          .lm_charge(col("text"), col("cb_arr"), col("b_arr"), dim)).as("c"))
+      .select(col("doc_id"), col("lang"),
+        col("c.n_bigrams").as("n_bigrams"), col("c.nll_mag").as("nll_mag"))
       .withColumn("high_ppl",
         (col("nll_mag") * 10L > col("n_bigrams") * thresholdTenths).cast("int"))
-  }
 
   /** Hashed bigram-LM perplexity scoring — the CCNet/Wenzek et al. 2020
     * filter shape ([[dsirWeights]]' sibling with CONDITIONAL
@@ -951,10 +963,9 @@ object TextOps {
     * Sub-2-token docs surface with NULLs via the final left join.
     */
   def lmScore(
-      documents: DataFrame, dim: Int = 4096, thresholdTenths: Long = 44L): DataFrame = {
-    val bg = lmBigrams(documents, dim)
-    lmCharge(documents, bg, lmModelRow(lmHistograms(bg), dim), thresholdTenths)
-  }
+      documents: DataFrame, dim: Int = 4096, thresholdTenths: Long = 44L): DataFrame =
+    lmCharge(documents,
+      lmModelRow(lmHistograms(lmBigrams(documents, dim)), dim), dim, thresholdTenths)
 
   /** STREAMING twin of [[lmScore]] — the incremental-crawl form: each
     * arriving micro-batch is scored under the bigram model of EVERYTHING
@@ -1025,7 +1036,7 @@ object TextOps {
             spark.read.parquet(prior.map(bn => s"$outDir/hist/$bn"): _*))
         val totals = hists.groupBy(col("kind"), col("bucket"))
           .agg(sum(col("c")).as("c"))
-        lmCharge(batch, bg, lmModelRow(totals, dim), thresholdTenths)
+        lmCharge(batch, lmModelRow(totals, dim), dim, thresholdTenths)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$outDir/scores/batch_$batchId")
         cur.write.mode("overwrite").parquet(s"$outDir/hist/batch_$batchId")

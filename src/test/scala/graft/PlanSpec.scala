@@ -457,12 +457,17 @@ class PlanSpec extends AnyFunSuite {
     // task at corpus scale. The de-skewed shape has NO Window at all —
     // the ≤dim-row bucket histogram is a map-side-combined aggregate...
     assert(!p.contains("Window"), p)
-    // ...joined back by BROADCAST, so the occurrence stream itself never
+    // ...folded into ONE dense-array model row that reaches the probe as
+    // a broadcast cross join (the lm_score idiom — the compiled LmCharge
+    // kernel replaced the per-occurrence broadcast-hash join-back AND the
+    // per-doc rollup exchange), so the occurrence stream never
     // hash-partitions on the skewed bucket key: the only b-keyed exchange
     // is the histogram aggregate's own, carrying map-side-combined
     // partials (≤dim rows per task), never raw occurrences
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin Cross"), p)
     assert("hashpartitioning\\(b#".r.findAllMatchIn(p).size === 1, p)
+    // probe side is a pure projection: no doc_id-keyed exchange at all
+    assert(!p.contains("hashpartitioning(doc_id"), p)
   }
 
   test("lm_score: one histogram pipeline, model broadcast as one row, no bucket-key shuffle") {
@@ -476,13 +481,16 @@ class PlanSpec extends AnyFunSuite {
     // the 1-row model reaches the probe as a broadcast cross join
     assert(p.contains("BroadcastNestedLoopJoin Cross"), p)
     // occurrence stream never hash-partitions on a bucket key: the only
-    // exchanges are the histogram's ≤2·dim-row partials (kind, bucket),
-    // its 1-row model fold, and the per-doc rollup
+    // exchanges are the histogram's ≤2·dim-row partials (kind, bucket)
+    // and its 1-row model fold — the compiled LmCharge kernel removed
+    // the per-doc rollup exchange entirely
     assert(!p.contains("hashpartitioning(cb#"), p)
     assert(!p.contains("hashpartitioning(b#"), p)
-    // detail-section node headers count each scan once: documents-meta
-    // (final join left side), probe pass, histogram pass
-    assert("\\(\\d+\\) Scan parquet".r.findAllMatchIn(p).size === 3, p)
+    assert(!p.contains("hashpartitioning(doc_id"), p)
+    // detail-section node headers count each scan once: probe pass +
+    // histogram pass (the old final-join documents-meta scan is gone —
+    // the probe row carries doc_id/lang itself)
+    assert("\\(\\d+\\) Scan parquet".r.findAllMatchIn(p).size === 2, p)
   }
 
   test("pq_codes / pq_topk: vectors never shuffle — codebooks always come to the data") {
