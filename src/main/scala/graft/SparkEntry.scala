@@ -540,6 +540,12 @@ object SparkEntry {
     // the FAISS refine stage (see Similarity.pqRerank)
     "pq_rerank" -> ((s, d) => Similarity.pqRerankWith(Tables.embeddings(s, d),
       IndexCache.pqCodebook(s, Tables.embeddings(s, d), d))),
+    // bulk kNN graph on m-byte PQ codes + exact re-rank of the ADC
+    // shortlist — the form that stays feasible when vectors don't fit
+    // the shuffle (see Similarity.pqKnnJoin); shares the cached trained
+    // codebook with the rest of the PQ family
+    "pq_knn_join" -> ((s, d) => Similarity.pqKnnJoinWith(Tables.embeddings(s, d),
+      IndexCache.pqCodebook(s, Tables.embeddings(s, d), d))),
     "media_meta" -> ((s, d) =>
       Multimodal.synthesizeMedia(Tables.documents(s, d))
         .selectExpr("media_id", "doc_id", "modality",
@@ -3061,6 +3067,49 @@ object SparkEntry {
          |         i -> q2.qvec[i] * qq.qvec[i])) AS BIGINT) AS exact_qdot
          |FROM cand c JOIN q q2 ON q2.vec_id = c.vec_id, qq
          |ORDER BY exact_qdot DESC, c.vec_id LIMIT 5""".stripMargin,
+    "pq_knn_join" ->
+      // bulk PQ kNN graph: first-16 integer coarse cells -> per-cell
+      // pairs on m CODES on BOTH sides (symmetric SDC against the
+      // trained codebook's codeword-x-codeword dots) -> shortlist 10 ->
+      // exact integer re-rank -> top 3
+      s"""$dPqCtes,
+         |qn AS (SELECT vec_id, qvec FROM q WHERE qvec IS NOT NULL),
+         |cc AS (SELECT vec_id AS ccidx, qvec AS ccent FROM qn ORDER BY vec_id LIMIT 16),
+         |asgr AS (
+         |  SELECT qn.vec_id, qn.qvec, cc.ccidx,
+         |         row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+         |           list_sum(list_transform(range(1, 65), i -> qn.qvec[i] * cc.ccent[i])) DESC,
+         |           cc.ccidx) AS rn
+         |  FROM qn CROSS JOIN cc),
+         |asg AS (SELECT vec_id, qvec, ccidx AS cell FROM asgr WHERE rn = 1),
+         |adcp AS (
+         |  SELECT pa.vec_id, pb.vec_id AS nbr_id,
+         |         CAST(SUM(list_sum(list_transform(range(1, 9),
+         |           j -> ca.qcent[j] * cb.qcent[j]))) AS BIGINT) AS adc_qdot,
+         |         COUNT(*) AS n_sub
+         |  FROM asg pa JOIN asg pb ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
+         |  JOIN a2 aa ON aa.vec_id = pa.vec_id
+         |  JOIN a2 ab ON ab.vec_id = pb.vec_id AND ab.s = aa.s
+         |  JOIN c2 ca ON ca.s = aa.s AND ca.cidx = aa.code
+         |  JOIN c2 cb ON cb.s = ab.s AND cb.cidx = ab.code
+         |  GROUP BY pa.vec_id, pb.vec_id),
+         |sl AS (
+         |  SELECT vec_id, nbr_id,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY adc_qdot DESC, nbr_id) AS rs
+         |  FROM adcp WHERE n_sub = 8),
+         |ex AS (
+         |  SELECT sl.vec_id, sl.nbr_id,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> qa.qvec[i] * qb.qvec[i])) AS BIGINT) AS exact_qdot
+         |  FROM sl JOIN qn qa ON qa.vec_id = sl.vec_id
+         |          JOIN qn qb ON qb.vec_id = sl.nbr_id
+         |  WHERE sl.rs <= 10)
+         |SELECT vec_id, nbr_id, exact_qdot, rank FROM (
+         |  SELECT vec_id, nbr_id, exact_qdot,
+         |         CAST(row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY exact_qdot DESC, nbr_id) AS BIGINT) AS rank
+         |  FROM ex) t WHERE rank <= 3""".stripMargin,
     "ivfpq_topk" ->
       // coarse Lloyd's (the kmeans_assign unroll) → integer residuals →
       // residual-PQ Lloyd's (the pq unroll) → per-probed-cell LUT → ADC

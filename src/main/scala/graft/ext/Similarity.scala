@@ -1312,6 +1312,153 @@ object Similarity {
       .filter(col("rank") <= kNbrs)
   }
 
+  /** Bulk kNN join on PQ-COMPRESSED codes — [[knnJoin]] for the regime
+    * where the vectors themselves don't fit the shuffle: the candidate
+    * pair space is still cell-restricted (Σ|cell|², the [[knnJoin]]
+    * contract), but the corpus side of the pair join carries only each
+    * vector's m codes (m bytes at k ≤ 256) instead of the d-dim vector —
+    * at 64-dim float32 that is 32× fewer vector bytes through the big
+    * exchange — on BOTH sides, because ranking is SYMMETRIC (Jégou et
+    * al.'s SDC): each pair reads the broadcast m·k² codeword×codeword
+    * table via the compiled [[graft.functions.PqSdcPacked]] kernel (m
+    * loads + adds per pair; the pair stream never explodes to
+    * Σ|cell|²·m rows and never carries a vector). The SDC shortlist
+    * then gets an exact integer re-rank that fetches full vectors for
+    * only shortlist·n candidate ids — quantization error on both sides
+    * is recovered exactly where [[pqRerank]] recovers ADC's. Everything
+    * is int64-exact, so the trained codebook, the packed codes, the SDC
+    * shortlist AND the re-rank sit under one DuckDB hash gate.
+    *
+    * The coarse restriction uses the first-`cells` integer codebook
+    * (assignment exact, ties to the smallest centroid id); trained
+    * coarse cells drop in by passing `kmeansCentroids` output to the
+    * same assignment. Zero-norm/null vectors have NULL qvec and emit no
+    * rows on either side (cosine undefined — the [[knnJoin]] contract).
+    */
+  def pqKnnJoin(
+      embeddings: DataFrame,
+      kNbrs: Int = 3,
+      shortlist: Int = 10,
+      cells: Int = 16,
+      m: Int = 8,
+      k: Int = 8,
+      iters: Int = 2): DataFrame =
+    pqKnnJoinWith(embeddings, pqCodebook(embeddings, m, k, iters),
+      kNbrs, shortlist, cells, m, k)
+
+  /** [[pqKnnJoin]] against a FIXED trained PQ codebook (the
+    * [[IndexCache]] serving shape). */
+  def pqKnnJoinWith(
+      embeddings: DataFrame,
+      codebook: DataFrame,
+      kNbrs: Int = 3,
+      shortlist: Int = 10,
+      cells: Int = 16,
+      m: Int = 8,
+      k: Int = 8): DataFrame = {
+    val dim = 64
+    require(m >= 1 && m <= 8 && dim % m == 0,
+      s"m must divide $dim and be <= 8 (8-bit packed ranks), got $m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    require(shortlist >= kNbrs, s"shortlist $shortlist < kNbrs $kNbrs")
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val sub = dim / m
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // Bounded driver action (the connectedComponents class): the
+    // codebook is ≤ m·k rows BY CONSTRUCTION — collect it once. Two
+    // things depend on having it local: (1) a self-trained codebook's
+    // Lloyd's jobs execute exactly once, with every downstream use
+    // reading the materialized local rows; (2) the SDC table becomes a
+    // PLAN LITERAL instead of a broadcast column — a 4 KB array column
+    // cross-joined onto Σ|cell|² pair rows gets COPIED into every
+    // unsafe row (measured 3× the whole exact join at x10); a literal
+    // is one reference object in the generated code.
+    val cbRows = codebook.selectExpr("cast(s as int) as s", "cidx", "qcent")
+      .as[(Int, Long, Seq[Long])].collect().toSeq
+    val cbLocal = cbRows.toDF("s", "cidx", "qcent")
+    // per-subspace codeword ranks (rank < k always — dropout only
+    // shrinks a subspace) and the m·k² codeword×codeword SDC table
+    val rankOf: Map[(Int, Long), Long] = cbRows.groupBy(_._1).toSeq.flatMap {
+      case (s, rs) => rs.map(_._2).sorted.zipWithIndex
+        .map { case (cidx, r) => ((s, cidx), r.toLong) }
+    }.toMap
+    require(rankOf.valuesIterator.forall(_ < k),
+      s"codebook has a subspace with more than $k codewords")
+    val table = new Array[Long](m * k * k)
+    for ((s1, c1, q1) <- cbRows; (s2, c2, q2) <- cbRows if s1 == s2) {
+      var d = 0L
+      var j = 0
+      while (j < q1.length && j < q2.length) { d += q1(j) * q2(j); j += 1 }
+      table(((s1 * k + rankOf((s1, c1)).toInt) * k + rankOf((s2, c2)).toInt)) = d
+    }
+    val rankDf = rankOf.toSeq.map { case ((s, c), r) => (s, c, r) }
+      .toDF("s", "code", "r")
+    val q = quantizedUnits(embeddings).filter(col("qvec").isNotNull)
+    val cents0 = q.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cidx"), col("qvec").as("qcent"))
+    val assign = assignQCells(q, cents0)
+      .filter(col("cell").isNotNull)
+      .select(col("vec_id"), col("qvec"), col("cell"))
+    // THE code store: each vector's m 8-bit ranks packed into one
+    // bigint — this is what crosses the wire on BOTH sides of the pair
+    // join in place of the d-dim vector. Vectors missing any subspace
+    // (foreign codebook) drop out via the m-count guard.
+    val packed = pqAssign(
+        assign.select(col("vec_id"), col("cell"), col("qvec"),
+            explode(expr(s"sequence(0, ${m - 1})")).as("s"))
+          .selectExpr("vec_id", "cell", "s", s"slice(qvec, s * $sub + 1, $sub) as qsub"),
+        cbLocal)
+      .join(broadcast(rankDf), Seq("s", "code"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(expr("cast(sum(shiftleft(r, 8 * s)) as bigint)").as("packed"),
+        count(lit(1)).as("_ns"))
+      .filter(col("_ns") === m)
+      .select(col("cell"), col("vec_id"), col("packed"))
+      // cell-cluster the store with an EXPLICIT partition count: the
+      // packed store is so small that AQE would coalesce a bare
+      // repartition(cell) to ~1 partition — and this exchange feeds a
+      // self-join that FANS OUT to Σ|cell|² rows, so the coalesced plan
+      // sorts the whole pair stream in one task (measured 33 s vs 3.8 s
+      // at x10 — the AQE coalesce-before-expanding-join trap; AQE sizes
+      // on the exchange's output, blind to the blow-up above it)
+      .repartition(
+        embeddings.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cell"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"), col("vec_id"))
+      .orderBy(col("adc_qdot").desc, col("nbr_id"))
+    // no join-strategy hint: locally the m-byte store broadcasts (the
+    // compression's own doing — re-running the cheap encode on the
+    // broadcast side costs 0.2 s); at corpus scale it exceeds the
+    // threshold and becomes a shuffle join on the already-clustered
+    // exchange
+    val short = packed
+      .join(packed.select(col("cell"), col("vec_id").as("nbr_id"),
+        col("packed").as("nbr_packed")), Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("cell"), col("vec_id"), col("nbr_id"),
+        graft.functions.PqFunctions
+          .sdc_packed(typedLit(table.toSeq), col("packed"), col("nbr_packed"), m, k)
+          .as("adc_qdot"))
+      .filter(col("adc_qdot").isNotNull)
+      .withColumn("_rs", row_number().over(wAdc))
+      .filter(col("_rs") <= shortlist)
+      .select(col("vec_id"), col("nbr_id"))
+    // exact re-rank: full-precision reads for k·n candidate ids only
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("exact_qdot").desc, col("nbr_id"))
+    short
+      .join(q.select(col("vec_id"), col("qvec")), Seq("vec_id"))
+      .join(q.select(col("vec_id").as("nbr_id"), col("qvec").as("nvec")), Seq("nbr_id"))
+      .selectExpr("vec_id", "nbr_id",
+        "aggregate(zip_with(qvec, nvec, (x, y) -> x * y), 0L, (a, x) -> a + x) as exact_qdot")
+      .withColumn("rank", row_number().over(wExact).cast("bigint"))
+      .filter(col("rank") <= kNbrs)
+      .select(col("vec_id"), col("nbr_id"), col("exact_qdot"), col("rank"))
+  }
+
   /** IVF top-k: search ONLY the query vector's cell (nprobe = 1), exact
     * cosine re-rank inside. At scale the scan touches 1/k of the corpus;
     * recall is traded via nprobe exactly as in IVF-flat indexes.

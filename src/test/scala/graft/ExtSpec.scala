@@ -1172,6 +1172,46 @@ class ExtSpec extends AnyFunSuite {
     IndexCache.clear()
   }
 
+  test("pqKnnJoin: SDC shortlist + exact re-rank recovers cluster neighbors on codes alone") {
+    import spark.implicits._
+    // the clustered fixture (pqEncode's test corpus): 10 well-separated
+    // clusters — neighbors found through 8-byte packed codes + exact
+    // re-rank should overwhelmingly share the query's cluster
+    val rows = for (v <- 0 until 200) yield {
+      val c = v % 10
+      val vec = Array.tabulate(64) { j =>
+        val center = ((c * 17 + j * 3) % 7 - 3).toFloat
+        val noise = ((v * 31 + j * 13) % 5 - 2) * 0.05f
+        center + noise
+      }
+      (v.toLong, vec.toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.pqKnnJoin(emb, kNbrs = 3, shortlist = 10, cells = 8)
+      .collect()
+    // contract: every emitted rank in 1..3, no self-pairs, exact_qdot is
+    // the true integer dot of the pair (spot-check against brute force)
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3))
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    val sameCluster = out.count(r => r.getLong(0) % 10 == r.getLong(1) % 10)
+    assert(sameCluster >= out.length * 9 / 10,
+      s"only $sameCluster/${out.length} neighbors share the query's cluster")
+    // exact_qdot parity with an independently computed integer dot
+    val q = emb.selectExpr("vec_id",
+        "transform(embedding, x -> cast(x as double)) as dv")
+      .selectExpr("vec_id",
+        "aggregate(dv, 0D, (a, x) -> a + x * x) as ss", "dv")
+      .selectExpr("vec_id",
+        "transform(dv, x -> cast(floor(x / sqrt(ss) * 1000000.0 + 0.5) as bigint)) as qvec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    out.take(20).foreach { r =>
+      val a = q(r.getLong(0)); val b = q(r.getLong(1))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(r.getLong(2) === dot, s"exact_qdot mismatch for ${r.getLong(0)}->${r.getLong(1)}")
+    }
+  }
+
   test("kmeansAssign / capPerSource are bit-invariant under repartitioning and row order") {
     // the round-7 exactness claim: integer sums are associative, so the
     // trained assignment must not depend on HOW the data is distributed.
