@@ -95,8 +95,14 @@ object ZProbe {
     for ((label, path) <- Seq("unordered" -> "u", "sorted-x" -> "s", "zorder" -> "z")) {
       val (bm, ball) = timed3(() => boxQ(s"$dir/$path"))
       val (xm, xall) = timed3(() => xQ(s"$dir/$path"))
+      // rows the scan MATERIALIZED (post row-group min/max pruning) —
+      // the direct skip observable; skip ratio = 1 - read/rows
+      val bRead = ScanMetrics.scanOutputRows(boxQ(s"$dir/$path"))
+      val xRead = ScanMetrics.scanOutputRows(xQ(s"$dir/$path"))
       println(f"[zprobe] $label%-9s box median=$bm%.3fs runs=${ball.map(t => f"$t%.3f").mkString(",")}" +
-        f"  x-only median=$xm%.3fs runs=${xall.map(t => f"$t%.3f").mkString(",")}")
+        f"  x-only median=$xm%.3fs runs=${xall.map(t => f"$t%.3f").mkString(",")}" +
+        f"  box_rows_read=$bRead (skip=${100.0 * (1 - bRead.toDouble / rows)}%.1f%%)" +
+        f"  x_rows_read=$xRead (skip=${100.0 * (1 - xRead.toDouble / rows)}%.1f%%)")
     }
     // cross-check: identical answers on every layout
     val answers = Seq("u", "s", "z").map(p => boxQ(s"$dir/$p").collect()(0).get(0))

@@ -107,5 +107,20 @@ class BucketingSpec extends AnyFunSuite {
     assert(boxZ <= boxS, s"box: zorder opened $boxZ files, 1-D sort $boxS")
     // and the layout is a REWRITE, not a filter: row set unchanged
     assert(spark.read.parquet(s"$dir/z").count() === li.count())
+
+    // the footer geometry above says pruning COULD happen; this asserts
+    // it DOES: an executed y-predicate scan over the z layout
+    // materializes strictly fewer rows (row-group min/max pruning of the
+    // pushed filter) than over the 1-D layout, which must read ~all rows
+    val total = li.count()
+    def readRows(path: String): Long = ScanMetrics.scanOutputRows(
+      spark.read.parquet(path)
+        .where(col("l_partkey").between(qyLo, qyHi))
+        .agg(sum("l_linenumber")))
+    val zRead = readRows(s"$dir/z")
+    val sRead = readRows(s"$dir/s")
+    assert(sRead > total * 9 / 10, s"1-D layout skipped y?! read $sRead of $total")
+    assert(zRead * 2 < sRead,
+      s"executed scan: z layout read $zRead rows, 1-D sort $sRead — no actual skipping")
   }
 }
