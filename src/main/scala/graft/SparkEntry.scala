@@ -1787,7 +1787,9 @@ object SparkEntry {
         |       TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
         |       TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS pri_num,
         |       o_totalprice / CAST(o_custkey % 3 AS DOUBLE) AS per_bucket,
-        |       CASE WHEN o_orderkey = 0 THEN 9223372036854775807 ELSE CAST(NULL AS BIGINT) END AS overflow_add
+        |       CASE WHEN o_orderkey % 1000 = 0 AND o_orderkey > 0 THEN CAST(NULL AS BIGINT)
+        |            WHEN o_orderkey % 1000 = 0 THEN 9223372036854775807
+        |            ELSE o_orderkey END AS overflow_add
         |FROM orders""".stripMargin,
     "simhash_pairs" ->
       s"""$dToksCte, h AS (

@@ -290,7 +290,14 @@ object Functions {
       "try_cast(o_orderpriority as int) as pri_int", // never numeric -> NULL
       "try_cast(split_part(o_orderpriority, '-', 1) as int) as pri_num",
       "try_divide(o_totalprice, cast(o_custkey % 3 as double)) as per_bucket",
-      "try_add(9223372036854775807L, o_orderkey) as overflow_add")
+      // overflow on ~0.1% of rows (key % 1000 == 0, key > 0): BOTH
+      // try_add branches fire at every sf. The original
+      // try_add(Long.MaxValue, key) overflowed on EVERY row — the null
+      // branch was total, the value branch untested, and the per-row
+      // ArithmeticException machinery alone cost 2.0 s of try_ops'
+      // 4.0 s forced re-time at sf0.1 (isolated round 12)
+      """try_add(case when o_orderkey % 1000 = 0 then 9223372036854775807L
+        |        else 0L end, o_orderkey) as overflow_add""".stripMargin)
 
   /** Datetime formatting and parse round-trip (numeric patterns only —
     * textual month/day names are locale-dependent and not portable).
