@@ -546,6 +546,13 @@ object SparkEntry {
     // codebook with the rest of the PQ family
     "pq_knn_join" -> ((s, d) => Similarity.pqKnnJoinWith(Tables.embeddings(s, d),
       IndexCache.pqCodebook(s, Tables.embeddings(s, d), d))),
+    // the SERVING path: every corpus vector as a query, ADC-ranked
+    // against the packed code store (asymmetric — queries keep full
+    // precision; the streaming twin pqKnnStream is StreamingSpec-pinned
+    // equal to this batch form)
+    "pq_adc_knn" -> ((s, d) => Similarity.pqAdcTopKJoin(
+      Tables.embeddings(s, d), Tables.embeddings(s, d),
+      IndexCache.pqCodebook(s, Tables.embeddings(s, d), d))),
     "media_meta" -> ((s, d) =>
       Multimodal.synthesizeMedia(Tables.documents(s, d))
         .selectExpr("media_id", "doc_id", "modality",
@@ -3112,6 +3119,33 @@ object SparkEntry {
          |         CAST(row_number() OVER (PARTITION BY vec_id
          |                                 ORDER BY exact_qdot DESC, nbr_id) AS BIGINT) AS rank
          |  FROM ex) t WHERE rank <= 3""".stripMargin,
+    "pq_adc_knn" ->
+      // asymmetric serving ADC: the query keeps its full subvectors,
+      // the corpus side its codes; self-pairs kept (serving contract)
+      s"""$dPqCtes,
+         |qn AS (SELECT vec_id, qvec FROM q WHERE qvec IS NOT NULL),
+         |cc AS (SELECT vec_id AS ccidx, qvec AS ccent FROM qn ORDER BY vec_id LIMIT 16),
+         |asgr AS (
+         |  SELECT qn.vec_id, qn.qvec, cc.ccidx,
+         |         row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+         |           list_sum(list_transform(range(1, 65), i -> qn.qvec[i] * cc.ccent[i])) DESC,
+         |           cc.ccidx) AS rn
+         |  FROM qn CROSS JOIN cc),
+         |asg AS (SELECT vec_id, qvec, ccidx AS cell FROM asgr WHERE rn = 1),
+         |adcp AS (
+         |  SELECT pa.vec_id AS query_id, pb.vec_id AS nbr_id,
+         |         CAST(SUM(list_sum(list_transform(range(1, 9),
+         |           j -> pa.qvec[a.s * 8 + j] * c2.qcent[j]))) AS BIGINT) AS adc_qdot,
+         |         COUNT(*) AS n_sub
+         |  FROM asg pa JOIN asg pb ON pa.cell = pb.cell
+         |  JOIN a2 a ON a.vec_id = pb.vec_id
+         |  JOIN c2 ON c2.s = a.s AND c2.cidx = a.code
+         |  GROUP BY pa.vec_id, pb.vec_id)
+         |SELECT query_id, nbr_id, adc_qdot, rank FROM (
+         |  SELECT query_id, nbr_id, adc_qdot,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY adc_qdot DESC, nbr_id) AS BIGINT) AS rank
+         |  FROM adcp WHERE n_sub = 8) t WHERE rank <= 3""".stripMargin,
     "ivfpq_topk" ->
       // coarse Lloyd's (the kmeans_assign unroll) → integer residuals →
       // residual-PQ Lloyd's (the pq unroll) → per-probed-cell LUT → ADC

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.{vec_dot, vec_norm}
@@ -320,8 +320,13 @@ object Similarity {
     // projection all sit above it, so exchange reuse computes the
     // assignment (scan + normalize + argmax window) exactly once — and the
     // cell equi-join needs no further shuffle, both sides arrive
-    // cell-partitioned (same storage-hygiene idiom as Dedup.computedOnce)
-    val a = assign.repartition(col("cell"))
+    // cell-partitioned (same storage-hygiene idiom as Dedup.computedOnce).
+    // EXPLICIT partition count: this exchange feeds a Σ|cell|² fan-out,
+    // and AQE sizes coalescing on the exchange's own output — blind to
+    // the blow-up above it (the pqKnnJoin trap, measured 8.7× there;
+    // benign here only while unit rows keep the exchange big)
+    val a = assign.repartition(
+      assign.sparkSession.sessionState.conf.numShufflePartitions, col("cell"))
     val l = a.select(col("cell"), col("vec_id").as("a_id"), col("unit").as("a_unit"))
     val r = a.select(col("cell"), col("vec_id").as("b_id"), col("unit").as("b_unit"))
     val dups = l.join(r, Seq("cell"))
@@ -1298,7 +1303,10 @@ object Similarity {
     knnJoinFromAssign(assignWithUnit(embeddings, codebook), kNbrs)
 
   private def knnJoinFromAssign(assign: DataFrame, kNbrs: Int): DataFrame = {
-    val a = assign.repartition(col("cell"))
+    // explicit count: see semanticDedup's cell exchange — a Σ|cell|²
+    // fan-out sits above this exchange, outside AQE's sizing horizon
+    val a = assign.repartition(
+      assign.sparkSession.sessionState.conf.numShufflePartitions, col("cell"))
     val l = a.select(col("cell"), col("vec_id"), col("unit"))
     val r = a.select(col("cell"), col("vec_id").as("nbr_id"), col("unit").as("nbr_unit"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1310,6 +1318,217 @@ object Similarity {
         round(vec_dot(col("unit"), col("nbr_unit")), 6).as("cosine_sim"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= kNbrs)
+  }
+
+  /** The packed-rank PQ index shared by [[pqKnnJoin]], [[pqAdcTopKJoin]]
+    * and [[pqKnnStream]]: local codebook rows + per-subspace rank map +
+    * first-`cells` coarse centroids + the cell-clustered (cell, vec_id,
+    * packed) code store. */
+  private final case class PqPackedIdx(
+      cbRows: Seq[(Int, Long, Seq[Long])],
+      rankOf: Map[(Int, Long), Long],
+      cents0: DataFrame,
+      packed: DataFrame)
+
+  private def pqPackedIndex(
+      corpus: DataFrame, codebook: DataFrame,
+      cells: Int, m: Int, k: Int): PqPackedIdx = {
+    val dim = 64
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Bounded driver action (the connectedComponents class): the
+    // codebook is ≤ m·k rows BY CONSTRUCTION — collect it once. Two
+    // things depend on having it local: (1) a self-trained codebook's
+    // Lloyd's jobs execute exactly once, with every downstream use
+    // reading the materialized local rows; (2) the SDC/ADC tables become
+    // PLAN LITERALS instead of broadcast columns — a 4 KB array column
+    // cross-joined onto Σ|cell|² pair rows gets COPIED into every
+    // unsafe row (measured 3× the whole exact join at x10); a literal
+    // is one reference object in the generated code.
+    val cbRows = codebook.selectExpr("cast(s as int) as s", "cidx", "qcent")
+      .as[(Int, Long, Seq[Long])].collect().toSeq
+    val cbLocal = cbRows.toDF("s", "cidx", "qcent")
+    // per-subspace codeword ranks (rank < k always — dropout only
+    // shrinks a subspace)
+    val rankOf: Map[(Int, Long), Long] = cbRows.groupBy(_._1).toSeq.flatMap {
+      case (s, rs) => rs.map(_._2).sorted.zipWithIndex
+        .map { case (cidx, r) => ((s, cidx), r.toLong) }
+    }.toMap
+    require(rankOf.valuesIterator.forall(_ < k),
+      s"codebook has a subspace with more than $k codewords")
+    val rankDf = rankOf.toSeq.map { case ((s, c), r) => (s, c, r) }
+      .toDF("s", "code", "r")
+    val q = quantizedUnits(corpus).filter(col("qvec").isNotNull)
+    val cents0 = q.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cidx"), col("qvec").as("qcent"))
+    val assign = assignQCells(q, cents0)
+      .filter(col("cell").isNotNull)
+      .select(col("vec_id"), col("qvec"), col("cell"))
+    // THE code store: each vector's m 8-bit ranks packed into one
+    // bigint — this is what crosses the wire in place of the d-dim
+    // vector. Vectors missing any subspace (foreign codebook) drop out
+    // via the m-count guard.
+    val packed = pqAssign(
+        assign.select(col("vec_id"), col("cell"), col("qvec"),
+            explode(expr(s"sequence(0, ${m - 1})")).as("s"))
+          .selectExpr("vec_id", "cell", "s", s"slice(qvec, s * $sub + 1, $sub) as qsub"),
+        cbLocal)
+      .join(broadcast(rankDf), Seq("s", "code"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(expr("cast(sum(shiftleft(r, 8 * s)) as bigint)").as("packed"),
+        count(lit(1)).as("_ns"))
+      .filter(col("_ns") === m)
+      .select(col("cell"), col("vec_id"), col("packed"))
+      // cell-cluster the store with an EXPLICIT partition count: the
+      // packed store is so small that AQE would coalesce a bare
+      // repartition(cell) to ~1 partition — and this exchange can feed
+      // a join that FANS OUT to Σ|cell|² rows, so the coalesced plan
+      // sorts the whole pair stream in one task (measured 33 s vs 3.8 s
+      // at x10 — the AQE coalesce-before-expanding-join trap; AQE sizes
+      // on the exchange's output, blind to the blow-up above it)
+      .repartition(
+        corpus.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cell"))
+    PqPackedIdx(cbRows, rankOf, cents0, packed)
+  }
+
+  /** The dense (s-major, rank-minor) codeword table as local data:
+    * slot s·k + r holds codeword (s, rank r)'s components, zero-vectors
+    * in dropout slots (never referenced — packed ranks are < count_s).
+    */
+  private def cwDense(
+      cbRows: Seq[(Int, Long, Seq[Long])], m: Int, k: Int, sub: Int): Seq[Seq[Long]] =
+    (0 until m).flatMap { s =>
+      val entries = cbRows.filter(_._1 == s).sortBy(_._2)
+      (0 until k).map(r =>
+        if (r < entries.length) entries(r)._3.toList else List.fill(sub)(0L))
+    }
+
+  /** The per-query ADC lookup-table column: lut[s·k + r] = exact dot of
+    * the query's subvector s with codeword (s, r), computed ONCE per
+    * query row against the literal dense codeword table — m·k small
+    * dots; every candidate afterwards costs m loads + adds in
+    * [[graft.functions.PqAdcLut]]. */
+  private def adcLutCol(cw: Seq[Seq[Long]], m: Int, k: Int, sub: Int): Column =
+    transform(typedLit(cw), (c, i) =>
+      aggregate(
+        zip_with(
+          slice(col("qvec"), ((i / lit(k)).cast("int") * sub + 1), lit(sub)),
+          c, (x, y) => x * y),
+        lit(0L), (a, x) => a + x))
+
+  /** ADC top-k for EVERY query vector against a PQ-compressed corpus —
+    * the batch twin of [[pqKnnStream]] and the asymmetric sibling of
+    * [[pqKnnJoin]]: queries keep full precision (each query row computes
+    * its m·k-entry codeword-dot table once), the corpus side of the
+    * cell join carries only packed ranks, and ranking quality matches
+    * [[pqTopK]]'s ADC. Self-pairs are NOT excluded — a query that exists
+    * in the corpus ranks itself first, the [[knnStream]] serving
+    * contract. Int64-exact end to end.
+    */
+  def pqAdcTopKJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      codebook: DataFrame,
+      kNbrs: Int = 3,
+      cells: Int = 16,
+      m: Int = 8,
+      k: Int = 8): DataFrame = {
+    val dim = 64
+    require(m >= 1 && m <= 8 && dim % m == 0,
+      s"m must divide $dim and be <= 8, got $m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    val sub = dim / m
+    val idx = pqPackedIndex(corpus, codebook, cells, m, k)
+    val qAssign = assignQCells(
+        quantizedUnits(queries).filter(col("qvec").isNotNull), idx.cents0)
+      .filter(col("cell").isNotNull)
+      .select(col("vec_id").as("query_id"), col("qvec"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_qdot").desc, col("nbr_id"))
+    qAssign
+      .withColumn("lut", adcLutCol(cwDense(idx.cbRows, m, k, sub), m, k, sub))
+      .select(col("cell"), col("query_id"), col("lut"))
+      .join(idx.packed.select(col("cell"), col("vec_id").as("nbr_id"),
+        col("packed")), Seq("cell"))
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.PqFunctions.adc_lut(col("lut"), col("packed"), m, k)
+          .as("adc_qdot"))
+      .filter(col("adc_qdot").isNotNull)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= kNbrs)
+  }
+
+  /** STREAMING PQ serving — [[knnStream]]'s compressed-corpus form:
+    * arriving query vectors are cell-assigned and ADC-ranked against the
+    * static packed code store ([[pqPackedIndex]]), emitting top-k
+    * neighbor ids per (window, query). The per-query codeword-dot table
+    * is one projection on the stream; the corpus never ships vectors —
+    * the stream-static join probes m-byte packed rows. ADC scores are
+    * < 2⁵³ by construction (|qvec|, |qcent| ≤ 10⁶ ⇒ Σ ≤ 6.4·10¹³), so
+    * the Double-scored [[graft.functions.TopKAggregator]] ranks them
+    * EXACTLY. Re-arrivals inside the watermark dedup to one request, the
+    * [[knnStream]] idempotence contract.
+    */
+  def pqKnnStream(
+      queries: DataFrame,
+      corpus: DataFrame,
+      codebook: DataFrame,
+      kNbrs: Int = 3,
+      cells: Int = 16,
+      m: Int = 8,
+      k: Int = 8,
+      eventTimeCol: String = "ts",
+      delay: String = "10 minutes",
+      windowLen: String = "10 minutes"): DataFrame = {
+    val dim = 64
+    require(m >= 1 && m <= 8 && dim % m == 0,
+      s"m must divide $dim and be <= 8, got $m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    val sub = dim / m
+    val idx = pqPackedIndex(corpus, codebook, cells, m, k)
+    // stream-safe cell assignment: equi-join on a dummy key instead of
+    // assignQCells' crossJoin (stream-static cross joins are restricted;
+    // the broadcast one-row codebook is the same)
+    val centsRow = idx.cents0
+      .agg(collect_list(struct(col("cidx"), col("qcent"))).as("cents"))
+      .withColumn("__one", lit(1))
+    // quantizedUnits projects down to (vec_id, qvec); the stream needs
+    // its event-time column to survive — quantize in place instead
+    val assigned = normalized(queries)
+      .withColumn("qvec",
+        expr("transform(unit, x -> cast(floor(x * 1000000.0 + 0.5) as bigint))"))
+      .filter(col("qvec").isNotNull)
+      .withColumn("__one", lit(1))
+      .join(broadcast(centsRow), Seq("__one"))
+      .withColumn("__best",
+        when(size(col("cents")) > 0, expr(
+          """array_max(transform(cents, c -> named_struct(
+            |  'dot', aggregate(zip_with(qvec, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x),
+            |  'negidx', -c.cidx)))""".stripMargin)))
+      .withColumn("cell", -col("__best.negidx"))
+      .filter(col("cell").isNotNull)
+      .withColumn("lut", adcLutCol(cwDense(idx.cbRows, m, k, sub), m, k, sub))
+      .select(col("vec_id").as("query_id"), col(eventTimeCol),
+        col("cell"), col("lut"))
+    val once = assigned
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("query_id")
+    val scored = once
+      .join(idx.packed.select(col("cell"), col("vec_id").as("nbr_id"),
+        col("packed")), Seq("cell"))
+      .withColumn("adc",
+        graft.functions.PqFunctions.adc_lut(col("lut"), col("packed"), m, k)
+          .cast("double"))
+      .filter(col("adc").isNotNull)
+    val topk = udaf(new graft.functions.TopKAggregator(kNbrs),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    scored
+      .groupBy(window(col(eventTimeCol), windowLen).as("win"), col("query_id"))
+      .agg(topk(col("adc"), col("nbr_id")).as("nbr_ids"))
+      .select(col("win.start").as("window_start"), col("query_id"), col("nbr_ids"))
   }
 
   /** Bulk kNN join on PQ-COMPRESSED codes — [[knnJoin]] for the regime
@@ -1362,69 +1581,17 @@ object Similarity {
     require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
     require(shortlist >= kNbrs, s"shortlist $shortlist < kNbrs $kNbrs")
     require(cells >= 1, s"cells must be >= 1, got $cells")
-    val sub = dim / m
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    // Bounded driver action (the connectedComponents class): the
-    // codebook is ≤ m·k rows BY CONSTRUCTION — collect it once. Two
-    // things depend on having it local: (1) a self-trained codebook's
-    // Lloyd's jobs execute exactly once, with every downstream use
-    // reading the materialized local rows; (2) the SDC table becomes a
-    // PLAN LITERAL instead of a broadcast column — a 4 KB array column
-    // cross-joined onto Σ|cell|² pair rows gets COPIED into every
-    // unsafe row (measured 3× the whole exact join at x10); a literal
-    // is one reference object in the generated code.
-    val cbRows = codebook.selectExpr("cast(s as int) as s", "cidx", "qcent")
-      .as[(Int, Long, Seq[Long])].collect().toSeq
-    val cbLocal = cbRows.toDF("s", "cidx", "qcent")
-    // per-subspace codeword ranks (rank < k always — dropout only
-    // shrinks a subspace) and the m·k² codeword×codeword SDC table
-    val rankOf: Map[(Int, Long), Long] = cbRows.groupBy(_._1).toSeq.flatMap {
-      case (s, rs) => rs.map(_._2).sorted.zipWithIndex
-        .map { case (cidx, r) => ((s, cidx), r.toLong) }
-    }.toMap
-    require(rankOf.valuesIterator.forall(_ < k),
-      s"codebook has a subspace with more than $k codewords")
+    val idx = pqPackedIndex(embeddings, codebook, cells, m, k)
+    // the m·k² codeword×codeword SDC table, from the local rows alone
     val table = new Array[Long](m * k * k)
-    for ((s1, c1, q1) <- cbRows; (s2, c2, q2) <- cbRows if s1 == s2) {
+    for ((s1, c1, q1) <- idx.cbRows; (s2, c2, q2) <- idx.cbRows if s1 == s2) {
       var d = 0L
       var j = 0
       while (j < q1.length && j < q2.length) { d += q1(j) * q2(j); j += 1 }
-      table(((s1 * k + rankOf((s1, c1)).toInt) * k + rankOf((s2, c2)).toInt)) = d
+      table(((s1 * k + idx.rankOf((s1, c1)).toInt) * k + idx.rankOf((s2, c2)).toInt)) = d
     }
-    val rankDf = rankOf.toSeq.map { case ((s, c), r) => (s, c, r) }
-      .toDF("s", "code", "r")
     val q = quantizedUnits(embeddings).filter(col("qvec").isNotNull)
-    val cents0 = q.orderBy(col("vec_id")).limit(cells)
-      .select(col("vec_id").as("cidx"), col("qvec").as("qcent"))
-    val assign = assignQCells(q, cents0)
-      .filter(col("cell").isNotNull)
-      .select(col("vec_id"), col("qvec"), col("cell"))
-    // THE code store: each vector's m 8-bit ranks packed into one
-    // bigint — this is what crosses the wire on BOTH sides of the pair
-    // join in place of the d-dim vector. Vectors missing any subspace
-    // (foreign codebook) drop out via the m-count guard.
-    val packed = pqAssign(
-        assign.select(col("vec_id"), col("cell"), col("qvec"),
-            explode(expr(s"sequence(0, ${m - 1})")).as("s"))
-          .selectExpr("vec_id", "cell", "s", s"slice(qvec, s * $sub + 1, $sub) as qsub"),
-        cbLocal)
-      .join(broadcast(rankDf), Seq("s", "code"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(expr("cast(sum(shiftleft(r, 8 * s)) as bigint)").as("packed"),
-        count(lit(1)).as("_ns"))
-      .filter(col("_ns") === m)
-      .select(col("cell"), col("vec_id"), col("packed"))
-      // cell-cluster the store with an EXPLICIT partition count: the
-      // packed store is so small that AQE would coalesce a bare
-      // repartition(cell) to ~1 partition — and this exchange feeds a
-      // self-join that FANS OUT to Σ|cell|² rows, so the coalesced plan
-      // sorts the whole pair stream in one task (measured 33 s vs 3.8 s
-      // at x10 — the AQE coalesce-before-expanding-join trap; AQE sizes
-      // on the exchange's output, blind to the blow-up above it)
-      .repartition(
-        embeddings.sparkSession.sessionState.conf.numShufflePartitions,
-        col("cell"))
+    val packed = idx.packed
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell"), col("vec_id"))
       .orderBy(col("adc_qdot").desc, col("nbr_id"))

@@ -29,6 +29,22 @@ import org.apache.spark.sql.types._
   * shrinks the exchange: ids + 8 bytes on BOTH sides.
   */
 object PqAdc {
+  /** [[PqAdcLut]]'s kernel: Σ_s lut[s·k + rank_s(packed)]; null (boxed)
+    * when a packed rank falls outside [0, k) or the table. */
+  def adcLut(lut: ArrayData, packed: Long, m: Int, k: Int): java.lang.Long = {
+    val n = lut.numElements()
+    var total = 0L
+    var s = 0
+    while (s < m) {
+      val r = ((packed >>> (8 * s)) & 0xffL).toInt
+      val idx = s * k + r
+      if (r >= k || idx >= n) return null
+      total += lut.getLong(idx)
+      s += 1
+    }
+    java.lang.Long.valueOf(total)
+  }
+
   /** Null (boxed) when a packed rank falls outside the table — codes
     * from a foreign codebook; callers filter those pairs. */
   def sdcPacked(table: ArrayData, packedA: Long, packedB: Long,
@@ -86,6 +102,48 @@ case class PqSdcPacked(
     copy(table = newFirst, packedA = newSecond, packedB = newThird)
 }
 
+/** `adc_lut(lut, packed)` — ASYMMETRIC distance computation for serving:
+  * the QUERY keeps full precision as its dense per-(subspace, rank)
+  * codeword-dot table `lut[s·k + r]` (m·k longs, computed once per query
+  * row), the corpus row is its packed ranks, and the approximate dot is
+  * m table loads + adds. The serving-time sibling of [[PqSdcPacked]]:
+  * one side exact, so ranking quality matches [[graft.ext.Similarity.pqTopK]]'s
+  * ADC instead of SDC's doubly-quantized scores.
+  */
+case class PqAdcLut(lut: Expression, packed: Expression, m: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with Serializable {
+
+  require(m >= 1 && m <= 8, s"m must be in [1, 8] (8-bit packed ranks), got m=$m")
+  require(k >= 1 && k <= 256, s"k must be in [1, 256] (8-bit packed ranks), got k=$k")
+
+  override def left: Expression = lut
+  override def right: Expression = packed
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (lut.dataType, packed.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"adc_lut expects (array<bigint>, bigint), got ($a, $b)")
+    }
+
+  override def nullSafeEval(l: Any, p: Any): Any =
+    PqAdc.adcLut(l.asInstanceOf[ArrayData], p.asInstanceOf[Long], m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, p) => s"""
+      |java.lang.Long r = graft.functions.PqAdc.adcLut($l, $p, $m, $k);
+      |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcLut =
+    copy(lut = newLeft, packed = newRight)
+}
+
 object PqFunctions {
   /** Column API: symmetric PQ dot of two packed-rank code words against
     * the broadcast codeword×codeword table. */
@@ -93,4 +151,10 @@ object PqFunctions {
       m: Int, k: Int): Column =
     GraftShim.column(PqSdcPacked(GraftShim.expression(table),
       GraftShim.expression(packedA), GraftShim.expression(packedB), m, k))
+
+  /** Column API: asymmetric PQ dot of a query's dense (s, rank)
+    * codeword-dot table against a corpus vector's packed ranks. */
+  def adc_lut(lut: Column, packed: Column, m: Int, k: Int): Column =
+    GraftShim.column(PqAdcLut(GraftShim.expression(lut),
+      GraftShim.expression(packed), m, k))
 }

@@ -1212,6 +1212,44 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("pqAdcTopKJoin: per-query ADC ranking equals the independently recomputed codeword sums") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Similarity.pqCodebook(emb)
+    val out = Similarity.pqAdcTopKJoin(emb, emb, cb, kNbrs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.forall(t => t._4 >= 1 && t._4 <= 3))
+    // self-serving contract: a corpus query ranks itself first (max ADC
+    // is its own codes' table entries — maximal by construction only
+    // when unique; assert membership not strict rank-1 for ties)
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.forall { case (q, rows) => rows.map(_._2).contains(q) ||
+      rows.forall(_._3 >= rows.filter(_._2 == q).map(_._3).headOption.getOrElse(Long.MinValue)) })
+    // independent ADC recompute: codes via pqEncodeWith, codebook rows,
+    // query subvectors — adc(query, nbr) must match exactly
+    val codes = Similarity.pqEncodeWith(emb, cb).collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val cwRows = cb.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val qsubs = emb.selectExpr("vec_id",
+        "transform(embedding, x -> cast(x as double)) as dv")
+      .selectExpr("vec_id", "aggregate(dv, 0D, (a, x) -> a + x * x) as ss", "dv")
+      .where("ss > 0")
+      .selectExpr("vec_id",
+        "transform(dv, x -> cast(floor(x / sqrt(ss) * 1000000.0 + 0.5) as bigint)) as qvec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    out.take(30).foreach { case (qid, nid, adc, _) =>
+      val qv = qsubs(qid)
+      val expected = (0 until 8).map { s =>
+        val cw = cwRows((s, codes((nid, s))))
+        (0 until 8).map(j => qv(s * 8 + j) * cw(j)).sum
+      }.sum
+      assert(adc === expected, s"adc mismatch for ($qid, $nid)")
+    }
+  }
+
   test("kmeansAssign / capPerSource are bit-invariant under repartitioning and row order") {
     // the round-7 exactness claim: integer sums are associative, so the
     // trained assignment must not depend on HOW the data is distributed.

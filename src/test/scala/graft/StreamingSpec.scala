@@ -1061,6 +1061,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PQ kNN: arriving queries ADC-rank against the packed code store, equal to the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = graft.ext.Similarity.pqCodebook(corpus)
+    val qs = corpus.select("vec_id", "embedding").orderBy("vec_id").limit(3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val out = graft.ext.Similarity.pqKnnStream(
+      ms.toDS().toDF("vec_id", "ts", "embedding"), corpus, cb,
+      kNbrs = 3, delay = "0 seconds", windowLen = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("pqknn_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        (qs(0)._1, ts("2024-01-01 00:01:00"), qs(0)._2),
+        (qs(1)._1, ts("2024-01-01 00:02:00"), qs(1)._2),
+        // a re-arrival inside the watermark: same request, deduped
+        (qs(0)._1, ts("2024-01-01 00:03:00"), qs(0)._2),
+        (qs(2)._1, ts("2024-01-01 00:04:00"), qs(2)._2)))
+      q.processAllAvailable()
+      ms.addData(Seq((qs(0)._1, ts("2024-01-02 00:00:00"), qs(0)._2)))
+      q.processAllAvailable()
+      val rows = spark.table("pqknn_stream")
+        .where(org.apache.spark.sql.functions.col("window_start") === ts("2024-01-01 00:00:00"))
+        .select("query_id", "nbr_ids").as[(Long, Seq[Long])].collect().toMap
+      assert(rows.keySet === qs.map(_._1).toSet)
+      // parity: the emitted ids equal the batch twin's ranked ids for
+      // the same query vectors (ADC scores < 2^53 rank exactly through
+      // the Double-scored aggregator)
+      val batch = graft.ext.Similarity.pqAdcTopKJoin(
+          qs.map { case (id, v) => (id, v) }.toSeq.toDF("vec_id", "embedding"),
+          corpus, cb, kNbrs = 3)
+        .orderBy("query_id", "rank")
+        .select("query_id", "nbr_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      qs.foreach { case (id, _) =>
+        assert(rows(id) === batch(id), s"query $id: stream ${rows(id)} vs batch ${batch(id)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming kNN: arriving query vectors get windowed top-k from the static IVF index") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
