@@ -480,6 +480,8 @@ object SparkEntry {
     "chunk_dedup" -> ((s, d) => TextOps.chunkDedup(Tables.documents(s, d))),
     "tfidf_top" -> ((s, d) => TextOps.tfidfTop(Tables.documents(s, d))),
     "block_dedup_rewrite" -> ((s, d) => TextOps.blockDedupRewrite(Tables.documents(s, d))),
+    "dup_spans" -> ((s, d) => TextOps.dupSpans(Tables.documents(s, d))),
+    "substring_dedup" -> ((s, d) => TextOps.substringDedup(Tables.documents(s, d))),
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.documents(s, d))),
     "heavy_hitters_by_lang" -> ((s, d) => TextOps.heavyHittersByGroup(Tables.documents(s, d))),
     // postings serialized to CSV for the gate: the driver's pandas harness
@@ -2320,6 +2322,56 @@ object SparkEntry {
          |       COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
          |       string_agg(CASE WHEN rn = 1 THEN btext END, ' ' ORDER BY idx) AS new_text
          |FROM h GROUP BY doc_id""".stripMargin,
+    "dup_spans" ->
+      // rolling 8-token windows; duplicated = hash occurs > 1 time
+      // anywhere in the corpus; maximal spans by gaps-and-islands
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+         |             ${dH("array_to_string(list_slice(toks, start + 1, start + 8), ' ')")} AS whash
+         |      FROM (SELECT doc_id, toks,
+         |                   unnest(generate_series(0, len(toks) - 8)) AS start
+         |            FROM d WHERE len(toks) >= 8)),
+         |c AS (SELECT whash FROM w GROUP BY whash HAVING COUNT(*) > 1),
+         |dup AS (SELECT w.doc_id, w.start FROM w JOIN c USING (whash)),
+         |g AS (SELECT doc_id, start,
+         |             CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= 8
+         |                  THEN 0 ELSE 1 END AS brk
+         |      FROM dup),
+         |isl AS (SELECT doc_id, start,
+         |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island
+         |        FROM g)
+         |SELECT doc_id, MIN(start) AS span_start, MAX(start) + 7 AS span_end,
+         |       MAX(start) + 7 - MIN(start) + 1 AS span_tokens,
+         |       COUNT(*) AS n_windows
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    "substring_dedup" ->
+      // corpus-global keep-first on (doc_id, start): rn = 1 survives,
+      // every other occurrence's 8 covered positions are removed
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+         |             ${dH("array_to_string(list_slice(toks, start + 1, start + 8), ' ')")} AS whash
+         |      FROM (SELECT doc_id, toks,
+         |                   unnest(generate_series(0, len(toks) - 8)) AS start
+         |            FROM d WHERE len(toks) >= 8)),
+         |r AS (SELECT doc_id, start,
+         |             row_number() OVER (PARTITION BY whash ORDER BY doc_id, start) AS rn
+         |      FROM w),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM
+         |         (SELECT doc_id, unnest(generate_series(start, start + 7)) AS pos
+         |          FROM r WHERE rn > 1)),
+         |t AS (SELECT doc_id, unnest(toks) AS token,
+         |             CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos
+         |      FROM d),
+         |kept AS (SELECT t.doc_id, t.pos, t.token FROM t
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov
+         |                           WHERE cov.doc_id = t.doc_id AND cov.pos = t.pos)),
+         |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |               string_agg(token, ' ' ORDER BY pos) AS new_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d2.doc_id,
+         |       CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens,
+         |       COALESCE(reb.n_kept, CAST(0 AS BIGINT)) AS n_kept, reb.new_text
+         |FROM documents d2 LEFT JOIN reb ON reb.doc_id = d2.doc_id""".stripMargin,
     "heavy_hitters" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |n AS (SELECT COUNT(*) AS n_total FROM tok)

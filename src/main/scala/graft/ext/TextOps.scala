@@ -441,6 +441,116 @@ object TextOps {
           | else array_join(transform(array_sort(_kept), s -> s.btext), ' ') end as new_text""".stripMargin)
   }
 
+  /** The rolling L-token duplicated-window stream shared by [[dupSpans]]
+    * and [[substringDedup]]: one row per (doc, start) whose L-token
+    * window content also occurs elsewhere in the corpus (any other
+    * (doc, start), including within the same document). Overlapping
+    * starts make the detection ALIGNMENT-FREE — a duplicated passage is
+    * caught wherever it begins, where the disjoint-block form
+    * ([[blockDedupRewrite]]) only sees block-aligned reuse.
+    *
+    * Scale shape: the window hashes are flat codegen'd columns (hash
+    * OUTSIDE any array lambda — the repetitionCounts lesson), the
+    * occurrence count is a map-side-combined aggregate over 60-bit
+    * hashes (a boilerplate passage duplicated across millions of docs
+    * collapses to one row per task before its exchange), and the
+    * join-back key is AQE-skew-splittable. Only (doc_id, start, hash)
+    * triples ever shuffle — never window text.
+    */
+  private def dupWindows(documents: DataFrame, window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens, got $window")
+    val wins = documents
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= window)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks) - $window)")).as("start"))
+      .selectExpr("doc_id", "cast(start as bigint) as start",
+        s"${md5Long64(s"array_join(slice(toks, start + 1, $window), ' ')")} as whash")
+    val firsts = wins.groupBy(col("whash"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("start"))).as("first"))
+    wins.join(firsts, Seq("whash")).where(col("cnt") > 1)
+  }
+
+  /** Duplicated-substring spans — the telemetry half of exact substring
+    * dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better": the ExactSubstr criterion, here at token rather
+    * than byte granularity): every maximal token span of a document
+    * whose every L-token window occurs more than once in the corpus.
+    * Overlapping duplicated windows merge into maximal spans (classic
+    * gaps-and-islands: a new island starts when the next duplicated
+    * start is more than L past the previous — beyond overlap-or-touch).
+    *
+    * Emits (doc_id, span_start, span_end, span_tokens, n_windows) per
+    * maximal span, token positions 0-based inclusive. The per-doc island
+    * window partitions by doc_id — bounded by document length, never by
+    * corpus size (the duplicate CLUSTER skew lives in the hash-count
+    * aggregate, which is map-side combined; see [[dupWindows]]).
+    */
+  def dupSpans(documents: DataFrame, window: Int = 8): DataFrame = {
+    val wlag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start"))
+    val wrun = wlag.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    dupWindows(documents, window)
+      .select(col("doc_id"), col("start"))
+      .withColumn("_new",
+        when(col("start") - lag(col("start"), 1).over(wlag) <= window, 0L)
+          .otherwise(1L))
+      .withColumn("_island", sum(col("_new")).over(wrun))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + window - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .selectExpr("doc_id", "span_start", "span_end",
+        "span_end - span_start + 1 as span_tokens", "n_windows")
+  }
+
+  /** Exact substring DEDUP with document reconstruction — the rewrite
+    * half: every non-first occurrence of a duplicated L-token window is
+    * removed (corpus-global keep-first on (doc_id, start) lexicographic,
+    * so exactly one copy of each duplicated passage survives, in its
+    * earliest document), and each document is rebuilt from its surviving
+    * tokens in order. The alignment-free counterpart of
+    * [[blockDedupRewrite]]: a passage repeated at ANY offset is caught,
+    * not just block-aligned reuse.
+    *
+    * Output per document: n_tokens, n_kept, new_text (NULL iff zero
+    * tokens survive — the [[blockDedupRewrite]] convention).
+    *
+    * Scale shape: covered positions are (doc_id, bigint) pairs — L rows
+    * per duplicated window, deduplicated map-side; the anti-join and the
+    * per-doc rebuild shuffle at most the surviving corpus itself (the
+    * same bytes any rewrite must move). No per-token array scans — the
+    * covered-position check is a hash anti-join, not an
+    * `array_contains` lambda (which would be O(len²) per doc).
+    */
+  def substringDedup(documents: DataFrame, window: Int = 8): DataFrame = {
+    val losers = dupWindows(documents, window)
+      .where(!(col("doc_id") === col("first.doc_id") &&
+        col("start") === col("first.start")))
+    val covered = losers
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${window - 1})")).as("pos"))
+      .distinct()
+    val toks = documents
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .withColumn("pos", col("pos").cast("long"))
+    val rebuilt = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        collect_list(struct(col("pos"), col("token"))).as("_kept"))
+      .selectExpr("doc_id", "n_kept",
+        "array_join(transform(array_sort(_kept), s -> s.token), ' ') as new_text")
+    documents
+      .selectExpr("doc_id", "cast(size(split(text, ' ')) as bigint) as n_tokens")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_tokens",
+        "coalesce(n_kept, cast(0 as bigint)) as n_kept", "new_text")
+  }
+
   /** Exact corpus heavy hitters (tokens with frequency > N/k) via a
     * bounded-memory two-pass plan: pass 1 is one [[graft.functions.MisraGriesAggregator]]
     * scan yielding ≤ `capacity` candidates (a PROVEN superset of every

@@ -597,6 +597,67 @@ class ExtSpec extends AnyFunSuite {
     assert(a.exists(r => r.getLong(2) < r.getLong(1)))
   }
 
+  test("dupSpans finds the maximal duplicated passage at ANY offset; block form is alignment-blind") {
+    // a 10-token passage P shared by two docs at DIFFERENT offsets (3 vs
+    // 0) — the alignment-free case the disjoint-block form cannot see
+    val p = (0 until 10).map(i => s"p$i").mkString(" ")
+    val fillA = (0 until 3).map(i => s"a$i").mkString(" ")
+    val tailA = (0 until 5).map(i => s"x$i").mkString(" ")
+    val tailB = (0 until 7).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$fillA $p $tailA"), // P at token positions [3, 12]
+      (2L, s"$p $tailB")         // P at token positions [0, 9]
+    ).toDF("doc_id", "text")
+    val spans = TextOps.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // duplicated 8-windows: doc1 starts 3,4,5 ≡ doc2 starts 0,1,2 → one
+    // maximal island per doc covering exactly P
+    assert(spans.toSet === Set((1L, 3L, 12L, 10L, 3L), (2L, 0L, 9L, 10L, 3L)))
+  }
+
+  test("dupSpans merges overlapping windows within a doc and splits distant islands") {
+    val p = (0 until 8).map(i => s"q$i").mkString(" ")
+    val mid = (0 until 10).map(i => s"m$i").mkString(" ")
+    // doc 1: P ... P (two islands, far apart); doc 2: P once
+    val docs = Seq(
+      (1L, s"$p $mid $p"),
+      (2L, p)
+    ).toDF("doc_id", "text")
+    val spans = TextOps.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSet === Set((1L, 0L, 7L), (1L, 18L, 25L), (2L, 0L, 7L)))
+  }
+
+  test("substringDedup keeps the corpus-first copy, removes the rest, rebuilds in order") {
+    val p = (0 until 10).map(i => s"p$i").mkString(" ")
+    val fillA = (0 until 3).map(i => s"a$i").mkString(" ")
+    val tailB = (0 until 7).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$fillA $p"),  // first (smallest doc_id) occurrence: kept intact
+      (2L, s"$p $tailB"),  // loser: P removed, own tail survives
+      (3L, p)              // everything duplicated -> NULL rewrite
+    ).toDF("doc_id", "text")
+    val r = TextOps.substringDedup(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) === ((13L, 13L, s"$fillA $p")))
+    assert(r(2L) === ((17L, 7L, tailB)))
+    assert(r(3L)._1 === 10L && r(3L)._2 === 0L && r(3L)._3 == null)
+  }
+
+  test("substringDedup: no duplicates -> identity rewrite; invariant under repartitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = TextOps.substringDedup(docs).orderBy("doc_id").collect().toSeq
+    val b = TextOps.substringDedup(docs.repartition(13)).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // every doc accounted for, n_kept <= n_tokens, and identity where intact
+    assert(a.size.toLong === docs.count())
+    assert(a.forall(r => r.getLong(2) <= r.getLong(1)))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.filter(r => r.getLong(2) === r.getLong(1)).take(20).foreach { r =>
+      assert(r.getString(3) === texts(r.getLong(0)))
+    }
+  }
+
   test("heavyHitters equals the exact GROUP BY/HAVING form, any partitioning") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def exact(k: Int): Seq[(String, Long)] = {
