@@ -555,6 +555,11 @@ object SparkEntry {
     "pq_adc_knn" -> ((s, d) => Similarity.pqAdcTopKJoin(
       Tables.embeddings(s, d), Tables.embeddings(s, d),
       IndexCache.pqCodebook(s, Tables.embeddings(s, d), d))),
+    // ANN quality telemetry: recall of the ADC serving path vs the exact
+    // integer top-k on a deterministic query slice — integers only, so
+    // the whole measurement is hash-gated
+    "pq_recall" -> ((s, d) => Similarity.pqRecall(Tables.embeddings(s, d),
+      IndexCache.pqCodebook(s, Tables.embeddings(s, d), d))),
     "media_meta" -> ((s, d) =>
       Multimodal.synthesizeMedia(Tables.documents(s, d))
         .selectExpr("media_id", "doc_id", "modality",
@@ -3198,6 +3203,53 @@ object SparkEntry {
          |         CAST(row_number() OVER (PARTITION BY query_id
          |                                 ORDER BY adc_qdot DESC, nbr_id) AS BIGINT) AS rank
          |  FROM adcp WHERE n_sub = 8) t WHERE rank <= 3""".stripMargin,
+    "pq_recall" ->
+      // ADC top-k (the pq_adc_knn body, queries restricted to the
+      // vec_id % 25 slice) intersected with the exact integer top-k of
+      // the same slice; per-query integer counts only
+      s"""$dPqCtes,
+         |qn AS (SELECT vec_id, qvec FROM q WHERE qvec IS NOT NULL),
+         |cc AS (SELECT vec_id AS ccidx, qvec AS ccent FROM qn ORDER BY vec_id LIMIT 16),
+         |asgr AS (
+         |  SELECT qn.vec_id, qn.qvec, cc.ccidx,
+         |         row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+         |           list_sum(list_transform(range(1, 65), i -> qn.qvec[i] * cc.ccent[i])) DESC,
+         |           cc.ccidx) AS rn
+         |  FROM qn CROSS JOIN cc),
+         |asg AS (SELECT vec_id, qvec, ccidx AS cell FROM asgr WHERE rn = 1),
+         |qsub AS (SELECT vec_id, qvec, cell FROM asg WHERE vec_id % 25 = 0),
+         |adcp AS (
+         |  SELECT pa.vec_id AS query_id, pb.vec_id AS nbr_id,
+         |         CAST(SUM(list_sum(list_transform(range(1, 9),
+         |           j -> pa.qvec[a.s * 8 + j] * c2.qcent[j]))) AS BIGINT) AS adc_qdot,
+         |         COUNT(*) AS n_sub
+         |  FROM qsub pa JOIN asg pb ON pa.cell = pb.cell
+         |  JOIN a2 a ON a.vec_id = pb.vec_id
+         |  JOIN c2 ON c2.s = a.s AND c2.cidx = a.code
+         |  GROUP BY pa.vec_id, pb.vec_id),
+         |adck AS (SELECT query_id, nbr_id FROM (
+         |           SELECT query_id, nbr_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY adc_qdot DESC, nbr_id) AS rank
+         |           FROM adcp WHERE n_sub = 8) t WHERE rank <= 3),
+         |exk AS (SELECT query_id, nbr_id FROM (
+         |          SELECT qs.vec_id AS query_id, qn.vec_id AS nbr_id,
+         |                 row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+         |                   list_sum(list_transform(range(1, 65), i -> qn.qvec[i] * qs.qvec[i])) DESC,
+         |                   qn.vec_id) AS rank
+         |          FROM (SELECT vec_id, qvec FROM qn WHERE vec_id % 25 = 0) qs
+         |          CROSS JOIN qn) u WHERE rank <= 3),
+         |exn AS (SELECT query_id, COUNT(*) AS n_exact FROM exk GROUP BY query_id),
+         |adcn AS (SELECT query_id, COUNT(*) AS n_adc FROM adck GROUP BY query_id),
+         |hitn AS (SELECT e.query_id, COUNT(*) AS hits
+         |         FROM exk e JOIN adck x ON x.query_id = e.query_id AND x.nbr_id = e.nbr_id
+         |         GROUP BY e.query_id)
+         |SELECT exn.query_id, exn.n_exact,
+         |       COALESCE(adcn.n_adc, CAST(0 AS BIGINT)) AS n_adc,
+         |       COALESCE(hitn.hits, CAST(0 AS BIGINT)) AS hits
+         |FROM exn
+         |LEFT JOIN adcn ON adcn.query_id = exn.query_id
+         |LEFT JOIN hitn ON hitn.query_id = exn.query_id""".stripMargin,
     "ivfpq_topk" ->
       // coarse Lloyd's (the kmeans_assign unroll) → integer residuals →
       // residual-PQ Lloyd's (the pq unroll) → per-probed-cell LUT → ADC

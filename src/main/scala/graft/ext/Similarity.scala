@@ -1461,6 +1461,62 @@ object Similarity {
       .filter(col("rank") <= kNbrs)
   }
 
+  /** ANN quality telemetry — per-query recall of the PQ ADC serving path
+    * ([[pqAdcTopKJoin]]) against the EXACT integer top-k: the measurement
+    * every ANN deployment needs before trusting an index (recall losses
+    * come from the coarse-cell restriction AND code quantization; this
+    * observes both at once). Queries are the deterministic
+    * `vec_id % queryMod == 0` corpus slice, so the exact side costs
+    * O(n·q) with q ≈ n/queryMod, not O(n²).
+    *
+    * Emits (query_id, n_exact, n_adc, hits) — integers only, no float
+    * division, so the whole measurement sits under the DuckDB hash gate;
+    * recall@k = hits / n_exact is one trivial division away for the
+    * consumer. Self-pairs count on both sides (the serving contract).
+    *
+    * Scale shape: the query slice broadcasts (q rows of one qvec each);
+    * the exact side is one pass over the corpus per batch of queries
+    * with a per-query window bounded by the corpus — the honest cost of
+    * ground truth, paid on a SLICE by construction. The ADC side is the
+    * serving plan itself, unchanged.
+    */
+  def pqRecall(
+      corpus: DataFrame,
+      codebook: DataFrame,
+      kNbrs: Int = 3,
+      queryMod: Long = 25,
+      cells: Int = 16,
+      m: Int = 8,
+      k: Int = 8): DataFrame = {
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
+    val queries = corpus.filter(col("vec_id") % queryMod === 0)
+    val adc = pqAdcTopKJoin(queries, corpus, codebook, kNbrs, cells, m, k)
+      .select(col("query_id"), col("nbr_id"))
+    val q = quantizedUnits(corpus).filter(col("qvec").isNotNull)
+    val qs = q.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("nbr_id"))
+    val exact = q.select(col("vec_id").as("nbr_id"), col("qvec"))
+      .crossJoin(broadcast(qs))
+      .withColumn("qdot",
+        expr("aggregate(zip_with(qvec, q_qvec, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNbrs)
+      .select(col("query_id"), col("nbr_id"))
+    val exN = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    val adcN = adc.groupBy(col("query_id")).agg(count(lit(1)).as("n_adc"))
+    val hitN = exact.join(adc, Seq("query_id", "nbr_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exN
+      .join(adcN, Seq("query_id"), "left")
+      .join(hitN, Seq("query_id"), "left")
+      .selectExpr("query_id", "n_exact",
+        "coalesce(n_adc, cast(0 as bigint)) as n_adc",
+        "coalesce(hits, cast(0 as bigint)) as hits")
+  }
+
   /** STREAMING PQ serving — [[knnStream]]'s compressed-corpus form:
     * arriving query vectors are cell-assigned and ADC-ranked against the
     * static packed code store ([[pqPackedIndex]]), emitting top-k

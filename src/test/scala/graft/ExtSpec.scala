@@ -1311,6 +1311,38 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("pqRecall: hits equal the locally recomputed exact∩ADC intersection") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Similarity.pqCodebook(emb)
+    val rec = Similarity.pqRecall(emb, cb).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rec.nonEmpty)
+    assert(rec.values.forall { case (ne, na, h) =>
+      h <= math.min(ne, na) && ne <= 3 && na <= 3 })
+    val qv = emb.selectExpr("vec_id",
+        "transform(embedding, x -> cast(x as double)) as dv")
+      .selectExpr("vec_id", "aggregate(dv, 0D, (a, x) -> a + x * x) as ss", "dv")
+      .where("ss > 0")
+      .selectExpr("vec_id",
+        "transform(dv, x -> cast(floor(x / sqrt(ss) * 1000000.0 + 0.5) as bigint)) as qvec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rec.keySet === qv.keySet.filter(_ % 25 == 0))
+    val adc = Similarity.pqAdcTopKJoin(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") % 25 === 0), emb, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rec.foreach { case (qid, (ne, na, h)) =>
+      val dots = qv.toSeq.map { case (vid, v) =>
+        (vid, v.zip(qv(qid)).map { case (a, b) => a * b }.sum) }
+      val exact = dots.sortBy { case (vid, d) => (-d, vid) }.take(3).map(_._1).toSet
+      val served = adc.getOrElse(qid, Set.empty)
+      assert(ne === exact.size.toLong)
+      assert(na === served.size.toLong)
+      assert(h === (exact intersect served).size.toLong, s"query $qid")
+    }
+  }
+
   test("kmeansAssign / capPerSource are bit-invariant under repartitioning and row order") {
     // the round-7 exactness claim: integer sums are associative, so the
     // trained assignment must not depend on HOW the data is distributed.
