@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Graph, IndexCache, Multimodal, Sampling, Similarity, TextOps}
+import graft.ext.{Bpe, Dedup, Graph, IndexCache, Multimodal, Sampling, Similarity, TextOps}
 import graft.ops.{Enrich, Functions, Relational, Skew}
 import graft.session.{ClickstreamPipeline, Sessionize, StateOps}
 
@@ -483,6 +483,10 @@ object SparkEntry {
     "dup_spans" -> ((s, d) => TextOps.dupSpans(Tables.documents(s, d))),
     "substring_dedup" -> ((s, d) => TextOps.substringDedup(Tables.documents(s, d))),
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.documents(s, d))),
+    "cms_counts" -> ((s, d) => TextOps.cmsCounts(Tables.documents(s, d), probeMod = 7)),
+    "bpe_merges" -> ((s, d) => Bpe.bpeMerges(Tables.documents(s, d))),
+    "bpe_segment" -> ((s, d) => Bpe.bpeSegment(Tables.documents(s, d))),
+    "bpe_encode_docs" -> ((s, d) => Bpe.bpeEncodeDocs(Tables.documents(s, d))),
     "heavy_hitters_by_lang" -> ((s, d) => TextOps.heavyHittersByGroup(Tables.documents(s, d))),
     // postings serialized to CSV for the gate: the driver's pandas harness
     // cannot hash-sort an array column (r4: the one ungated query); the
@@ -496,6 +500,7 @@ object SparkEntry {
     "bm25_top" -> ((s, d) => TextOps.bm25Top(Tables.documents(s, d))),
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
+    "mixture_sample" -> ((s, d) => Sampling.mixtureSample(Tables.documents(s, d))),
     "domain_cap" -> ((s, d) => Sampling.capPerSource(Tables.documents(s, d), cap = 8)),
     "dataset_split" -> ((s, d) => Sampling.datasetSplit(Tables.documents(s, d))),
     "epoch_order" -> ((s, d) => Sampling.epochOrder(Tables.documents(s, d), epoch = 1, shards = 8)),
@@ -602,6 +607,14 @@ object SparkEntry {
     // regression flips the gate.
     "media_decode" -> ((s, d) =>
       Multimodal.decodeImages(Multimodal.synthesizeImages(Tables.documents(s, d))).toDF()),
+    // Perceptual dedup on DECODED pixels: each doc's pixels encoded twice
+    // (BMP + PNG twins, zero shared payload bytes); the dHash is computed
+    // from the real codec output and the oracle recomputes it from the
+    // closed-form pixel spec.
+    "image_phash" -> ((s, d) =>
+      Multimodal.imagePhash(Multimodal.synthesizeImagePairs(Tables.documents(s, d))).toDF()),
+    "phash_dedup" -> ((s, d) =>
+      Multimodal.phashDedup(Multimodal.synthesizeImagePairs(Tables.documents(s, d)))),
     // REAL audio codec path: hand-rolled WAV (even ids, PCM16-LE) and
     // JDK-encoded AIFF (odd ids, PCM16-BE) → javax.sound.sampled decode →
     // exact integer sample features against the oracle's closed-form
@@ -623,6 +636,82 @@ object SparkEntry {
   /** DuckDB twin of TextOps.md5Long64. */
   private def dH(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB twin of Bpe's 6-pass anchored merge (pair columns a/b ride
+    * in from the round's best-pair CTE via CROSS JOIN).
+    */
+  private def dBpeMerged(col: String): String =
+    (1 to 6).foldLeft(col)((acc, _) =>
+      s"replace($acc, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')")
+
+  /** Unrolled BPE training CTE chain: v0 (word-freq vocab, space-anchored
+    * chars) then per round t: pair counts p_t, deterministic best b_t,
+    * merged vocab v_t — the DuckDB twin of Bpe.trainedState.
+    */
+  private def dBpeCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |v0 AS (SELECT word, COUNT(*) AS freq,
+        |              ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sp
+        |       FROM tok WHERE regexp_full_match(word, '[a-z]+') GROUP BY word)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(",\n").append(
+        s"""p$t AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+           |               CAST(SUM(freq) AS BIGINT) AS pair_count
+           |        FROM (SELECT string_split(trim(sp), ' ') AS syms, freq,
+           |                     unnest(generate_series(1, len(string_split(trim(sp), ' ')) - 1)) AS i
+           |              FROM v${t - 1})
+           |        GROUP BY 1, 2),
+           |b$t AS (SELECT a, b, pair_count FROM p$t ORDER BY pair_count DESC, a, b LIMIT 1),
+           |v$t AS (SELECT word, freq, ${dBpeMerged("sp")} AS sp FROM v${t - 1} CROSS JOIN b$t)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** DuckDB twin of Multimodal's integer luma (r + 2g + 3b over the
+    * closed-form pixelChannels spec) at coordinates (`x`, `y`).
+    */
+  private def dLuma(x: String, y: String): String =
+    s"(((doc_id + 3*($x) + 7*($y)) % 256)" +
+      s" + 2*((2*doc_id + 5*($x) + 11*($y)) % 256)" +
+      s" + 3*((3*doc_id + 13*($x) + ($y)) % 256))"
+
+  /** CTE chain ending in `ph` = (media_id, w, h, band0..band3): the dHash
+    * of every BMP/PNG twin (media 2·doc_id and 2·doc_id+1 share the
+    * doc's pixels, hence the hash), recomputed from the pixel spec —
+    * the DuckDB twin of Multimodal.imagePhash ∘ synthesizeImagePairs.
+    */
+  private val dPhashCtes: String = {
+    val bandSums = (0 to 3).map { b =>
+      s"""CAST(SUM(CASE WHEN (j*8 + i) // 16 = $b
+         |              THEN bit * (CAST(1 AS BIGINT) << ((j*8 + i) % 16))
+         |              ELSE 0 END) AS BIGINT) AS band$b""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+       |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+       |), js AS (
+       |  SELECT doc_id, w, h, unnest(range(0, 8)) AS j FROM d
+       |), ij AS (
+       |  SELECT doc_id, w, h, j, unnest(range(0, 8)) AS i FROM js
+       |), bits AS (
+       |  SELECT doc_id, j, i,
+       |    CASE WHEN ${dLuma("(i+1) * w // 9", "j * h // 8")}
+       |            > ${dLuma("i * w // 9", "j * h // 8")}
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM ij
+       |), bands AS (
+       |  SELECT doc_id,
+       |$bandSums
+       |  FROM bits GROUP BY doc_id
+       |), ph AS (
+       |  SELECT 2*d.doc_id + twin AS media_id, d.w, d.h,
+       |         band0, band1, band2, band3
+       |  FROM d JOIN bands USING (doc_id)
+       |       CROSS JOIN (SELECT unnest([0, 1]) AS twin)
+       |)""".stripMargin
+  }
 
   /** DuckDB twin of TextOps.shingleExpr (distinct word 3-grams). */
   private val dSh =
@@ -2385,6 +2474,47 @@ object SparkEntry {
         |GROUP BY token, n.n_total
         |HAVING COUNT(*) * 40 > n.n_total
         |ORDER BY cnt DESC, token""".stripMargin,
+    "cms_counts" ->
+      // count-min sketch: depth=4 md5-hashed rows × width=512 cells;
+      // estimate = min over the probe token's cells; over_ok pins the
+      // CMS one-sided guarantee (collisions only add)
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+         |sk AS (SELECT r, ${dH("r || ':' || token")} % 512 AS bucket,
+         |              COUNT(*) AS c
+         |       FROM tok CROSS JOIN rws GROUP BY 1, 2),
+         |probes AS (SELECT token, COUNT(*) AS exact_c FROM tok
+         |           WHERE ${dH("'p:' || token")} % 7 = 0 GROUP BY token),
+         |est AS (SELECT p.token, p.exact_c, MIN(sk.c) AS est_c
+         |        FROM probes p CROSS JOIN rws
+         |        JOIN sk ON sk.r = rws.r
+         |               AND sk.bucket = ${dH("rws.r || ':' || p.token")} % 512
+         |        GROUP BY p.token, p.exact_c)
+         |SELECT token, exact_c, est_c, est_c - exact_c AS err,
+         |       CAST(CASE WHEN est_c >= exact_c THEN 1 ELSE 0 END AS INT) AS over_ok
+         |FROM est""".stripMargin,
+    "bpe_merges" ->
+      // unrolled 3-round BPE training loop; each round's best pair by
+      // (count desc, pair asc) — the whole trainer under the hash gate
+      (dBpeCtes(3) + "\n" + (1 to 3).map(t =>
+        s"SELECT $t AS iter, a AS left_sym, b AS right_sym, pair_count FROM b$t")
+        .mkString("\nUNION ALL ")),
+    "bpe_segment" ->
+      (dBpeCtes(3) +
+        """
+          |SELECT word, freq, trim(sp) AS segmented,
+          |       CAST(len(string_split(trim(sp), ' ')) AS INT) AS n_symbols
+          |FROM v3""".stripMargin),
+    "bpe_encode_docs" ->
+      // encode under the trained merges: inner join to the trained vocab
+      // is the Spark side's broadcast-join encoding
+      (dBpeCtes(3) + """,
+        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |       FROM documents)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(len(string_split(trim(sp), ' '))) AS BIGINT) AS n_subwords
+        |FROM dw JOIN v3 USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "heavy_hitters_by_lang" ->
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |n AS (SELECT lang, COUNT(*) AS n_total FROM tok GROUP BY lang)
@@ -2488,6 +2618,34 @@ object SparkEntry {
          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents d JOIN r USING (source)
          |GROUP BY 1, 2
+         |ORDER BY d.source""".stripMargin,
+    "mixture_sample" ->
+      // mixture weights -> feasible token budget B = min_s(T_s*Σw/w_s)
+      // -> per-source ppm acceptance rates (split division mirrors the
+      // Spark side's overflow-safe q*1000 + r*1000//T form)
+      s"""WITH d AS (SELECT doc_id, source,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |           FROM documents),
+         |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(n_toks) AS BIGINT) AS t_toks,
+         |             CAST((${Sampling.sourceRateSql}) AS BIGINT) AS w
+         |      FROM d GROUP BY source),
+         |sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w FROM t),
+         |b AS (SELECT MIN(t_toks * sum_w // w) AS budget, MIN(sum_w) AS sum_w
+         |      FROM t CROSS JOIN sw),
+         |r AS (SELECT t.*, w * budget // sum_w AS ask_toks,
+         |             CASE WHEN t_toks > 0
+         |                  THEN ((w * budget // sum_w) * 1000 // t_toks) * 1000
+         |                       + (((w * budget // sum_w) * 1000 % t_toks) * 1000 // t_toks)
+         |                  ELSE CAST(0 AS BIGINT) END AS rate_ppm
+         |      FROM t CROSS JOIN b)
+         |SELECT d.source, r.w, r.t_toks, r.ask_toks, r.rate_ppm, r.n_docs,
+         |       CAST(SUM(CASE WHEN ${dH("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         |       CAST(SUM(CASE WHEN ${dH("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm
+         |                THEN n_toks ELSE 0 END) AS BIGINT) AS kept_toks
+         |FROM d JOIN r USING (source)
+         |GROUP BY 1, 2, 3, 4, 5, 6
          |ORDER BY d.source""".stripMargin,
     "domain_cap" ->
       s"""SELECT source, doc_id FROM (
@@ -3343,6 +3501,22 @@ object SparkEntry {
         |SELECT media_id, doc_id, n_frames, CAST(unnest(range(0, n_frames, 7)) AS BIGINT) AS frame_idx
         |FROM m
         |WHERE modality = 'video' AND n_frames > 0""".stripMargin,
+    "image_phash" ->
+      (dPhashCtes + """
+        |SELECT media_id, true AS decode_ok,
+        |       CAST(w AS INT) AS img_width, CAST(h AS INT) AS img_height,
+        |       band0, band1, band2, band3
+        |FROM ph""".stripMargin),
+    "phash_dedup" ->
+      // cluster form: group on the full 64-bit perceptual hash; every
+      // BMP/PNG twin pair lands in one cluster (n_copies ≥ 2)
+      (dPhashCtes + """
+        |SELECT band0, band1, band2, band3,
+        |       MIN(media_id) AS keeper_media_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM ph
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2, 3, 4""".stripMargin),
     "media_dedup" ->
       """SELECT md5(text) AS content_hash,
         |       MIN(doc_id) AS keeper_media_id,

@@ -334,6 +334,152 @@ object Multimodal {
     }
 
   // ---------------------------------------------------------------------
+  // Perceptual (difference-hash) image dedup: the content-level dedup
+  // byte hashing cannot do — the SAME pixels encoded as BMP and as PNG
+  // share not a single payload byte, so `mediaDedup`'s byte hash calls
+  // them distinct; the dHash of their DECODED pixels is identical.
+  // ---------------------------------------------------------------------
+
+  /** Per-image perceptual hash: decode_ok + dimensions + the 64-bit
+    * dHash split into four 16-bit bands (the LSH-band form
+    * [[phashPairs]] joins on; four bands ⇒ any two hashes within
+    * Hamming distance 3 share at least one band, pigeonhole).
+    */
+  case class ImagePhash(
+      media_id: Long,
+      decode_ok: Boolean,
+      img_width: Option[Int],
+      img_height: Option[Int],
+      band0: Option[Long],
+      band1: Option[Long],
+      band2: Option[Long],
+      band3: Option[Long])
+
+  implicit val phashEnc: Encoder[ImagePhash] = Encoders.product[ImagePhash]
+
+  /** Cross-codec twin corpus: every document yields the SAME pixel
+    * content twice — media 2·doc_id as hand-rolled BMP, 2·doc_id+1 as
+    * JDK-encoded PNG. Byte-level dedup sees 2n distinct objects; pixel-
+    * level dedup must pair them up. Same executor-side construction
+    * rationale as [[synthesizeImages]].
+    */
+  def synthesizeImagePairs(documents: DataFrame): Dataset[ImageRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0L)
+      .select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 11).toInt
+        Seq(
+          ImageRecord(2 * id, encodeBmp(id, w, h), w, h),
+          ImageRecord(2 * id + 1, encodePng(id, w, h), w, h))
+      }
+  }
+
+  /** dHash over the DECODED image (Krawetz's difference hash, the
+    * standard near-duplicate image fingerprint): sample a 9×8 grid of
+    * integer-luma values (nearest-neighbor at x=i·w/9, y=j·h/8 — all
+    * integer division, so the oracle recomputes it exactly), emit bit
+    * (i,j) = 1 iff luma(i+1,j) > luma(i,j), and pack the 64 bits as four
+    * 16-bit band integers (a single int64 would need the sign bit).
+    * Luma is the integer proxy r + 2g + 3b — monotone in each channel,
+    * and exact in every engine.
+    *
+    * Scale shape: mapPartitions projection over payloads (the codec
+    * seam), payloads touched once, never shuffled; output is 4 small
+    * ints per image. Downstream dedup joins on band values only.
+    */
+  def imagePhash(images: Dataset[ImageRecord]): Dataset[ImagePhash] =
+    images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { rec =>
+        val img =
+          if (rec.content == null) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(rec.content))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null)
+          ImagePhash(rec.media_id, decode_ok = false, None, None, None, None, None, None)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          @inline def luma(x: Int, y: Int): Int = {
+            val rgb = img.getRGB(x, y)
+            ((rgb >> 16) & 0xff) + 2 * ((rgb >> 8) & 0xff) + 3 * (rgb & 0xff)
+          }
+          val xs = Array.tabulate(9)(i => i * w / 9)
+          val ys = Array.tabulate(8)(j => j * h / 8)
+          val bands = new Array[Long](4)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              if (luma(xs(i + 1), ys(j)) > luma(xs(i), ys(j))) {
+                val k = j * 8 + i
+                bands(k >> 4) |= 1L << (k & 15)
+              }
+              i += 1
+            }
+            j += 1
+          }
+          ImagePhash(rec.media_id, decode_ok = true, Some(w), Some(h),
+            Some(bands(0)), Some(bands(1)), Some(bands(2)), Some(bands(3)))
+        }
+      }
+    }
+
+  /** Perceptual dedup in CLUSTER form — the scalable default (the
+    * byte-level `mediaDedup` shape, but keyed on the dHash of DECODED
+    * pixels): one map-side-combined groupBy on the 64-bit hash, output
+    * bounded by the number of DISTINCT hashes. This is the form to
+    * prefer over [[phashPairs]] at corpus scale: a pair listing of a
+    * near-duplicate-heavy corpus is Σ|cluster|² rows (measured 26k pairs
+    * from 1k of these synthetic gradient images — quadratic blowup on
+    * exactly the corpora dedup exists for), while the cluster form stays
+    * ≤ n rows no matter how duplicated the corpus is.
+    */
+  def phashDedup(images: Dataset[ImageRecord]): DataFrame =
+    imagePhash(images).toDF()
+      .where(col("decode_ok"))
+      .groupBy(col("band0"), col("band1"), col("band2"), col("band3"))
+      .agg(min(col("media_id")).as("keeper_media_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("band0"), col("band1"), col("band2"), col("band3"))
+
+  /** Near-duplicate image pairs by banded dHash: explode each hash into
+    * its four (band_idx, band_val) keys, equi-join on them (the LSH
+    * pigeonhole — candidate space is Σ|bucket|², never n²), then verify
+    * with the EXACT 64-bit Hamming distance (`bit_count` of per-band
+    * xors) and keep pairs within `tau`. tau ≤ 3 makes the band join a
+    * complete candidate generator (4 bands, pigeonhole); larger tau
+    * would need more bands.
+    */
+  def phashPairs(images: Dataset[ImageRecord], tau: Int = 3): DataFrame = {
+    require(tau >= 0 && tau <= 3,
+      s"tau must be in [0,3] — four 16-bit bands only guarantee recall to Hamming 3, got $tau")
+    val ph = imagePhash(images).toDF()
+      .where(col("decode_ok"))
+      .select(col("media_id"),
+        array(col("band0"), col("band1"), col("band2"), col("band3")).as("bands"))
+    val keyed = ph.select(col("media_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("b", "v")))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(
+        col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        expr("""aggregate(zip_with(x.bands, y.bands, (p, q) -> bit_count(p ^ q)),
+               | 0, (acc, v) -> acc + v)""".stripMargin).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= tau)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  // ---------------------------------------------------------------------
   // Real AUDIO codec path: WAV/AIFF encode + javax.sound.sampled decode
   // (JDK-only). Mirrors the image leg's structure: samples are a
   // closed-form function of (media_id, i) the SQL oracle recomputes, and

@@ -56,6 +56,65 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Token-budget data mixing — the step that turns "train on 50% web /
+    * 30% wiki / 20% books" into per-source sampling rates (the
+    * Pile/Dolma mixture-weights shape). Given integer mixture weights
+    * per source (`weightExpr`), the operator:
+    *
+    *   1. counts tokens per source (ONE map-side-combined corpus pass);
+    *   2. finds the largest total token budget B that no source can
+    *      over-supply: B = min_s floor(T_s · Σw / w_s) — ask more and
+    *      some source runs out, capping the real mixture below target;
+    *   3. asks each source for floor(w_s · B / Σw) tokens and converts
+    *      that to a parts-per-million doc-hash acceptance rate.
+    *
+    * Selection is the deterministic hash filter (`md5(doc_id) % ppm <
+    * rate`), NOT an ordered prefix: a per-source cumulative-sum window
+    * would sort whole sources in single tasks (a 50 TB source = one
+    * task), while the hash filter is a zero-shuffle projection after a
+    * broadcast join, hitting the asked token count in expectation — the
+    * only shape that survives 100 TB. Everything is int64: the
+    * rate division is split as q·1000 + (r·1000 div T) so intermediates
+    * stay under 2⁶³ for sources up to ~9·10¹⁵ tokens.
+    *
+    * Output is the per-source plan + outcome: weight, token supply,
+    * asked tokens, acceptance rate, docs/tokens actually kept — the
+    * audit row a mixture pipeline logs per source.
+    */
+  def mixtureSample(
+      documents: DataFrame,
+      weightExpr: String = sourceRateSql,
+      ppm: Long = 1000000L): DataFrame = {
+    require(ppm >= 1000 && ppm % 1000 == 0,
+      s"ppm must be a positive multiple of 1000 (split-division exactness), got $ppm")
+    val kilo = ppm / 1000
+    val d = documents.select(col("doc_id"), col("source"),
+      expr("cast(size(split(text, ' ')) as bigint)").as("n_toks"))
+    val totals = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("t_toks"))
+      .withColumn("w", expr(s"cast(($weightExpr) as bigint)"))
+    val sw = totals.agg(sum(col("w")).as("sum_w"))
+    val budget = totals.crossJoin(broadcast(sw))
+      .agg(min(expr("t_toks * sum_w div w")).as("budget"),
+        min(col("sum_w")).as("sum_w"))
+    val rates = totals.crossJoin(broadcast(budget))
+      .withColumn("ask_toks", expr("w * budget div sum_w"))
+      .withColumn("rate_ppm", expr(
+        s"""case when t_toks > 0
+           | then (ask_toks * 1000 div t_toks) * $kilo
+           |      + ((ask_toks * 1000 % t_toks) * $kilo div t_toks)
+           | else cast(0 as bigint) end""".stripMargin))
+    d.join(broadcast(rates.select("source", "w", "t_toks", "ask_toks", "rate_ppm",
+        "n_docs")), Seq("source"))
+      .withColumn("kept", expr(
+        s"cast(pmod(${TextOps.md5Long64("concat('mix:', cast(doc_id as string))")}, $ppm) < rate_ppm as int)"))
+      .groupBy(col("source"), col("w"), col("t_toks"), col("ask_toks"),
+        col("rate_ppm"), col("n_docs"))
+      .agg(sum(col("kept")).as("kept_docs"),
+        sum(col("kept") * col("n_toks")).as("kept_toks"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic stratified sample: the `k` rows with the smallest key
     * hash per stratum — every engine picks the same rows. One shuffle on
     * the stratum key; the window prunes partition-locally first under

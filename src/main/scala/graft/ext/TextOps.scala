@@ -586,6 +586,71 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Count-min sketch of the corpus token frequencies (Cormode &
+    * Muthukrishnan 2005), verified against exact counts on a
+    * deterministic probe slice of the vocabulary.
+    *
+    * The sketch IS a bounded `groupBy`: every token occurrence maps to
+    * `depth` (row, bucket) cells via independent 60-bit md5 hashes, and
+    * the cell counts aggregate with map-side combine — each partition
+    * reduces to ≤ depth·width rows before the exchange, so the exchange
+    * carries depth·width·numPartitions rows REGARDLESS of vocabulary
+    * size (the same bounded-summary rationale as [[heavyHitters]], but
+    * answering point-frequency queries for EVERY token instead of only
+    * the dominant ones). Because cell counts are plain sums, the sketch
+    * is mergeable by construction — union-then-sketch equals
+    * sketch-then-add, pinned under repartitioning in ExtSpec.
+    *
+    * The query side estimates a token's count as min over its `depth`
+    * cells; CMS guarantees est ≥ exact always (collisions only ADD), so
+    * `over_ok` is a structural invariant the gate pins to 1, and `err`
+    * (= est − exact ≥ 0) is the observed collision mass. The probe slice
+    * (`hash(token) % probeMod == 0`) keeps the verification arm's exact
+    * re-count at 1/probeMod of the vocabulary (the declared gate uses a
+    * small probeMod sized to the test corpus's vocabulary; production
+    * uses the 1/101 default); a production consumer keeps only the
+    * depth·width-cell sketch.
+    *
+    * Everything is int64 md5-bucket arithmetic, so the whole sketch —
+    * build, probe, estimate, invariant — sits under the DuckDB hash gate.
+    */
+  def cmsCounts(
+      documents: DataFrame,
+      depth: Int = 4,
+      width: Int = 512,
+      probeMod: Int = 101): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    require(probeMod >= 1, s"probeMod must be >= 1, got $probeMod")
+    val toks = documents.select(explode(split(col("text"), " ")).as("token"))
+    // sketch build: depth cells per occurrence, ≤ depth·width after combine
+    val sketch = toks
+      .select(col("token"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .select(col("r"),
+        expr(s"${md5Long64("concat(r, ':', token)")} % $width").as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // probe slice: exact counts for a deterministic 1/probeMod vocabulary cut
+    val exact = toks
+      .where(expr(s"${md5Long64("concat('p:', token)")} % $probeMod = 0"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_c"))
+    // estimate: min over the token's depth cells; sketch is ≤ depth·width
+    // rows — broadcast, so the probe side never shuffles
+    val est = exact
+      .select(col("token"), col("exact_c"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .withColumn("bucket",
+        expr(s"${md5Long64("concat(r, ':', token)")} % $width"))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("token"), col("exact_c"))
+      .agg(min(col("c")).as("est_c"))
+    est.select(
+      col("token"), col("exact_c"), col("est_c"),
+      (col("est_c") - col("exact_c")).as("err"),
+      expr("cast(case when est_c >= exact_c then 1 else 0 end as int)").as("over_ok"))
+  }
+
   /** Inverted index: token → sorted posting list of containing documents
     * (+ document frequency) — the search primitive over a corpus. One
     * explode and ONE shuffle of (token, doc_id) pairs; `collect_set`

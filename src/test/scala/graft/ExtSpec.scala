@@ -1700,4 +1700,102 @@ class ExtSpec extends AnyFunSuite {
       assert(out(id).isNullAt(2) && out(id).isNullAt(3) && out(id).isNullAt(4))
     }
   }
+
+  test("cmsCounts: exact on the probe slice, one-sided estimates, merge-invariant under partitioning") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b c d e f g"),
+      (3L, "a a h")
+    ).toDF("doc_id", "text")
+    // probeMod=1: every vocabulary token is probed
+    val out = TextOps.cmsCounts(docs, probeMod = 1).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Map("a" -> 6L, "b" -> 3L, "c" -> 2L, "d" -> 1L,
+      "e" -> 1L, "f" -> 1L, "g" -> 1L, "h" -> 1L)
+    assert(out.keySet === exact.keySet)
+    exact.foreach { case (t, c) =>
+      assert(out(t).getLong(1) === c, s"exact_c($t)")
+      // CMS one-sided guarantee: estimate never undercounts
+      assert(out(t).getLong(2) >= c && out(t).getInt(4) === 1, s"est_c($t)")
+      assert(out(t).getLong(3) === out(t).getLong(2) - c, s"err($t)")
+    }
+    // cell counts are plain sums -> the sketch (and hence every estimate)
+    // is invariant under any partitioning of the corpus
+    val again = TextOps.cmsCounts(docs.repartition(7), probeMod = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(again === out.values.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1))
+  }
+
+  test("mixtureSample: feasible budget, exact integer rates, independently recomputed selection") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4", "a"), (2L, "t1 t2 t3 t4", "a"),
+      (3L, "t1 t2", "b"), (4L, "t1 t2", "b"), (5L, "t1 t2", "b")
+    ).toDF("doc_id", "text", "source")
+    // weights a=3, b=1 (Σw=4); T_a=8, T_b=6
+    // B = min(8*4//3, 6*4//1) = min(10, 24) = 10
+    // ask_a = 3*10//4 = 7 -> rate 875000; ask_b = 10//4 = 2 -> rate 333333
+    val out = graft.ext.Sampling.mixtureSample(docs,
+        weightExpr = "case when source = 'a' then 3 else 1 end")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) === 3L && out("a").getLong(2) === 8L
+      && out("a").getLong(3) === 7L && out("a").getLong(4) === 875000L)
+    assert(out("b").getLong(1) === 1L && out("b").getLong(2) === 6L
+      && out("b").getLong(3) === 2L && out("b").getLong(4) === 333333L)
+    // independent recomputation of the hash selection (JDK md5, not Spark)
+    def h(docId: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$docId".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val toks = Map(1L -> 4L, 2L -> 4L, 3L -> 2L, 4L -> 2L, 5L -> 2L)
+    val src = Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b", 5L -> "b")
+    val rate = Map("a" -> 875000L, "b" -> 333333L)
+    Seq("a", "b").foreach { s =>
+      val kept = toks.keys.filter(id => src(id) == s && h(id) < rate(s)).toSeq
+      assert(out(s).getLong(6) === kept.size.toLong, s"kept_docs($s)")
+      assert(out(s).getLong(7) === kept.map(toks).sum, s"kept_toks($s)")
+    }
+  }
+
+  test("bpe: anchored-replace chain semantics pinned; hand-computed merge table and segmentation") {
+    import spark.implicits._
+    // the portable-merge contract: leftmost-nonoverlapping scan that
+    // continues AFTER each replacement — an engine upgrade that changes
+    // this must fail here, not silently diverge from the DuckDB oracle
+    val chain = spark.sql("SELECT replace(' a a a a a ', ' a a ', ' aa ')")
+      .as[String].head()
+    assert(chain === " aa a aa ") // DuckDB computes the same (verified)
+    val docs = Seq(
+      (1L, "abc abd abc X9"), // X9 is not ^[a-z]+$ -> excluded from training
+      (2L, "abc abd")
+    ).toDF("doc_id", "text")
+    // freq: abc=3, abd=2. Round 1: (a,b)=5 beats (b,c)=3,(b,d)=2.
+    // Round 2: (ab,c)=3 beats (ab,d)=2. Round 3: (ab,d)=2.
+    val merges = graft.ext.Bpe.bpeMerges(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(merges === Seq((1, "a", "b", 5L), (2, "ab", "c", 3L), (3, "ab", "d", 2L)))
+    val seg = graft.ext.Bpe.bpeSegment(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2), r.getInt(3))).toMap
+    assert(seg === Map("abc" -> ((3L, "abc", 1)), "abd" -> ((2L, "abd", 1))))
+    // encode under the trained merges: after 1 round (a,b)->ab every
+    // word is 2 symbols; after 3 rounds every word is 1 symbol; the
+    // non-trainable token X9 never counts
+    val enc1 = graft.ext.Bpe.bpeEncodeDocs(docs, iters = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc1 === Map(1L -> ((3L, 6L)), 2L -> ((2L, 4L))))
+    val enc3 = graft.ext.Bpe.bpeEncodeDocs(docs, iters = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc3 === Map(1L -> ((3L, 3L)), 2L -> ((2L, 2L))))
+    // deterministic tie-break: equal counts resolve to the
+    // lexicographically smallest (left, right) pair
+    val tied = Seq((1L, "xy uv"), (2L, "xy uv")).toDF("doc_id", "text")
+    val first = graft.ext.Bpe.bpeMerges(tied, iters = 1).collect().head
+    assert(first.getString(1) === "u" && first.getString(2) === "v"
+      && first.getLong(3) === 2L)
+  }
 }

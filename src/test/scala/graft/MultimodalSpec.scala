@@ -304,4 +304,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(5L).forall(d => d.decode_ok && d.meta_consistent === Some(false)))
     assert(out(5L).map(_.pixel_sum) === out(1L).map(_.pixel_sum))
   }
+
+  test("imagePhash/phashPairs: BMP/PNG twins hash identically; byte dedup cannot pair them; corrupt rows surface") {
+    import Multimodal.ImageRecord
+    import spark.implicits._
+    val docs = Seq((0L, "x"), (1L, "y"), (7L, "z")).toDF("doc_id", "text")
+    val twins = Multimodal.synthesizeImagePairs(docs)
+    // zero shared payload bytes between a doc's two encodings...
+    val byId = twins.collect().map(r => r.media_id -> r).toMap
+    assert(byId.keySet === Set(0L, 1L, 2L, 3L, 14L, 15L))
+    Seq(0L, 1L, 7L).foreach { d =>
+      assert(!java.util.Arrays.equals(byId(2 * d).content, byId(2 * d + 1).content))
+    }
+    // ...but identical perceptual hashes
+    val ph = Multimodal.imagePhash(twins).collect()
+      .map(p => p.media_id -> p).toMap
+    Seq(0L, 1L, 7L).foreach { d =>
+      val (a, b) = (ph(2 * d), ph(2 * d + 1))
+      assert(a.decode_ok && b.decode_ok)
+      assert(Seq(a.band0, a.band1, a.band2, a.band3)
+        === Seq(b.band0, b.band1, b.band2, b.band3), s"doc $d")
+    }
+    // the pair join recovers exactly the cross-codec twins at Hamming 0
+    val pairs = Multimodal.phashPairs(twins).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    Seq(0L, 1L, 7L).foreach { d =>
+      assert(pairs.contains((2 * d, 2 * d + 1, 0)), s"twin pair of doc $d")
+    }
+    // a corrupt payload surfaces as decode_ok=false and never pairs
+    val corrupt = spark.createDataset(
+      twins.collect().toSeq :+ ImageRecord(99L, Array[Byte](1, 2, 3), 4, 3))
+    val ph2 = Multimodal.imagePhash(corrupt).collect()
+      .map(p => p.media_id -> p).toMap
+    assert(!ph2(99L).decode_ok && ph2(99L).band0.isEmpty)
+    assert(!Multimodal.phashPairs(corrupt).collect()
+      .exists(r => r.getLong(0) == 99L || r.getLong(1) == 99L))
+  }
 }
