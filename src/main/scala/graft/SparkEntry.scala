@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Dedup, Graph, IndexCache, Multimodal, Sampling, Similarity, TextOps}
-import graft.ops.{Enrich, Functions, Relational, Skew}
+import graft.ops.{Cdc, Enrich, Functions, Relational, Skew}
 import graft.session.{ClickstreamPipeline, Sessionize, StateOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -33,6 +33,43 @@ object SparkEntry {
       .sessionStats(Sessionize.withSessionIds(Tables.events(s, dir)))
 
   private val Cutoff = "2024-01-15 00:00:00"
+
+  /** CDC gate fixtures: a compact customer snapshot plus a changelog
+    * DERIVED deterministically from it (the oracle rebuilds the same
+    * rows in SQL), exercising every MERGE case — two-version
+    * latest-wins (% 30 == 3 keys get U v1 then U v2), plain update
+    * (% 10 == 3), delete (% 10 == 7), delete-overridden-by-later-update
+    * (% 20 == 17 — a 'D' at v·10+1 loses to a 'U' at v·10+5), insert
+    * under fresh keys (% 10 == 1 → key + 10⁷), and untouched
+    * pass-through (everything else). All key/version arithmetic in
+    * bigint so both engines agree at any SF. */
+  private def cdcSnapshot(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey").cast("bigint").as("cust_id"),
+      col("c_name").as("name"),
+      col("c_nationkey").cast("bigint").as("nation"),
+      col("c_mktsegment").as("segment"))
+
+  private def cdcChangelog(snap: DataFrame): DataFrame = {
+    val id = col("cust_id")
+    val u1 = snap.filter(id % 10 === 3)
+      .select(id, col("name"), col("nation"), lit("UPDATED1").as("segment"),
+        lit("U").as("op"), (id * 10 + 1).as("version"))
+    val u2 = snap.filter(id % 30 === 3)
+      .select(id, col("name"), col("nation"), lit("UPDATED2").as("segment"),
+        lit("U").as("op"), (id * 10 + 2).as("version"))
+    val del = snap.filter(id % 10 === 7)
+      .select(id, col("name"), col("nation"), col("segment"),
+        lit("D").as("op"), (id * 10 + 1).as("version"))
+    val revive = snap.filter(id % 20 === 17)
+      .select(id, col("name"), col("nation"), lit("REVIVED").as("segment"),
+        lit("U").as("op"), (id * 10 + 5).as("version"))
+    val ins = snap.filter(id % 10 === 1)
+      .select((id + 10000000L).as("cust_id"), lit("new_customer").as("name"),
+        (id % 25).as("nation"), lit("NEW").as("segment"),
+        lit("I").as("op"), lit(1L).as("version"))
+    u1.unionByName(u2).unionByName(del).unionByName(revive).unionByName(ins)
+  }
 
   private def qEnrich(s: SparkSession, dir: String): DataFrame =
     Enrich.enrichEvents(Tables.events(s, dir))
@@ -503,6 +540,14 @@ object SparkEntry {
     "mixture_sample" -> ((s, d) => Sampling.mixtureSample(Tables.documents(s, d))),
     "domain_cap" -> ((s, d) => Sampling.capPerSource(Tables.documents(s, d), cap = 8)),
     "dataset_split" -> ((s, d) => Sampling.datasetSplit(Tables.documents(s, d))),
+    "cdc_apply" -> ((s, d) => {
+      val snap = cdcSnapshot(s, d)
+      Cdc.applyChangelog(snap, cdcChangelog(snap), "cust_id")
+    }),
+    "cdc_diff" -> ((s, d) => {
+      val snap = cdcSnapshot(s, d)
+      Cdc.snapshotDiff(snap, Cdc.applyChangelog(snap, cdcChangelog(snap), "cust_id"), "cust_id")
+    }),
     "epoch_order" -> ((s, d) => Sampling.epochOrder(Tables.documents(s, d), epoch = 1, shards = 8)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "embed_outliers" -> ((s, d) => Similarity.outliersByLabel(Tables.embeddings(s, d))),
@@ -643,6 +688,45 @@ object SparkEntry {
   private def dBpeMerged(col: String): String =
     (1 to 6).foldLeft(col)((acc, _) =>
       s"replace($acc, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')")
+
+  /** DuckDB twin of the CDC gate fixtures (cdcSnapshot/cdcChangelog) plus
+    * the latest-wins MERGE: CTEs `snap`, `chg`, `latest` (one row per
+    * changed key, highest version), and `applied` (the post-merge table).
+    */
+  private val dCdcCtes: String =
+    """WITH snap AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_name AS name,
+      |         CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment
+      |  FROM customer
+      |), chg AS (
+      |  SELECT cust_id, name, nation, 'UPDATED1' AS segment,
+      |         'U' AS op, cust_id * 10 + 1 AS version
+      |  FROM snap WHERE cust_id % 10 = 3
+      |  UNION ALL
+      |  SELECT cust_id, name, nation, 'UPDATED2', 'U', cust_id * 10 + 2
+      |  FROM snap WHERE cust_id % 30 = 3
+      |  UNION ALL
+      |  SELECT cust_id, name, nation, segment, 'D', cust_id * 10 + 1
+      |  FROM snap WHERE cust_id % 10 = 7
+      |  UNION ALL
+      |  SELECT cust_id, name, nation, 'REVIVED', 'U', cust_id * 10 + 5
+      |  FROM snap WHERE cust_id % 20 = 17
+      |  UNION ALL
+      |  SELECT cust_id + 10000000, 'new_customer', cust_id % 25, 'NEW',
+      |         'I', CAST(1 AS BIGINT)
+      |  FROM snap WHERE cust_id % 10 = 1
+      |), latest AS (
+      |  SELECT cust_id, name, nation, segment, op FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY cust_id
+      |                                 ORDER BY version DESC) AS rn
+      |    FROM chg) t
+      |  WHERE rn = 1
+      |), applied AS (
+      |  SELECT cust_id, name, nation, segment FROM snap
+      |  WHERE cust_id NOT IN (SELECT cust_id FROM latest)
+      |  UNION ALL
+      |  SELECT cust_id, name, nation, segment FROM latest WHERE op <> 'D'
+      |)""".stripMargin
 
   /** Unrolled BPE training CTE chain: v0 (word-freq vocab, space-anchored
     * chars) then per round t: pair counts p_t, deterministic best b_t,
@@ -2661,6 +2745,22 @@ object SparkEntry {
          |            ELSE 'train' END AS split
          |FROM (SELECT doc_id, ${dH("CAST(doc_id AS VARCHAR)")} % 100 AS b
          |      FROM documents) t""".stripMargin,
+    "cdc_apply" ->
+      s"""$dCdcCtes
+         |SELECT cust_id, name, nation, segment FROM applied""".stripMargin,
+    "cdc_diff" ->
+      s"""$dCdcCtes
+         |SELECT cust_id, change_type FROM (
+         |  SELECT COALESCE(b.cust_id, a.cust_id) AS cust_id,
+         |         CASE WHEN b.cust_id IS NULL THEN 'added'
+         |              WHEN a.cust_id IS NULL THEN 'removed'
+         |              WHEN NOT (b.name IS NOT DISTINCT FROM a.name
+         |                        AND b.nation IS NOT DISTINCT FROM a.nation
+         |                        AND b.segment IS NOT DISTINCT FROM a.segment)
+         |                THEN 'changed'
+         |              ELSE 'unchanged' END AS change_type
+         |  FROM snap b FULL OUTER JOIN applied a ON b.cust_id = a.cust_id) t
+         |WHERE change_type <> 'unchanged'""".stripMargin,
     "epoch_order" ->
       s"""SELECT doc_id, shard,
          |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS shard_rank

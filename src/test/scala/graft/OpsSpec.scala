@@ -211,6 +211,62 @@ class OpsSpec extends AnyFunSuite {
     assert(r(1L)._3 === 1 && r(4L)._3 === 4)
   }
 
+  test("applyChangelog: latest-wins MERGE over every op mix") {
+    import graft.ops.Cdc
+    val snap = Seq(
+      (1L, "alice", 10L), // untouched
+      (2L, "bob", 20L), // single update
+      (3L, "carol", 30L), // two updates — v2 wins
+      (4L, "dave", 40L), // delete
+      (5L, "erin", 50L) // delete then later update — survives updated
+    ).toDF("id", "name", "score")
+    val chg = Seq(
+      (2L, "bob2", 21L, "U", 1L),
+      (3L, "carol1", 31L, "U", 1L),
+      (3L, "carol2", 32L, "U", 2L),
+      (4L, "dave", 40L, "D", 1L),
+      (5L, "erin", 50L, "D", 1L),
+      (5L, "erin2", 52L, "U", 5L),
+      (6L, "frank", 60L, "I", 1L)
+    ).toDF("id", "name", "score", "op", "version")
+    val out = Cdc.applyChangelog(snap, chg, "id")
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "alice", 10L),
+      (2L, "bob2", 21L),
+      (3L, "carol2", 32L),
+      (5L, "erin2", 52L),
+      (6L, "frank", 60L)))
+    // contract guards: key must exist; op/version must not collide with data
+    intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(snap, chg, "missing")
+    }
+    intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(snap.withColumn("op", lit("x")), chg, "id")
+    }
+  }
+
+  test("snapshotDiff: classifies added/removed/changed, drops unchanged, null-safe") {
+    import graft.ops.Cdc
+    val before = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]),
+      (4L, Option("gone"))
+    ).toDF("id", "v")
+    val after = Seq(
+      (1L, Option("a")), // unchanged — must not appear
+      (2L, Option("B")), // changed
+      (3L, Option("now")), // changed (null -> value, null-safe compare)
+      (5L, Option("new")) // added
+    ).toDF("id", "v")
+    val out = Cdc.snapshotDiff(before, after, "id")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out === Seq(
+      (2L, "changed"), (3L, "changed"), (4L, "removed"), (5L, "added")))
+    intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(before, after.withColumnRenamed("v", "w"), "id")
+    }
+  }
+
   test("every declared query constructs with the nanos conf unset (whole-class audit)") {
     // construction reads parquet footers and runs analysis — exactly where
     // a raw TIMESTAMP(NANOS) events read blows up. Unsetting the conf
