@@ -1330,25 +1330,53 @@ object Similarity {
       cents0: DataFrame,
       packed: DataFrame)
 
-  private def pqPackedIndex(
-      corpus: DataFrame, codebook: DataFrame,
-      cells: Int, m: Int, k: Int): PqPackedIdx = {
+  /** The serving-time PQ index as DATA: the first-`cells` coarse
+    * centroids plus the cell-clustered (cell, vec_id, packed) code
+    * store. Build it ONCE per corpus — persist it, or write it out (at
+    * scale the store is m bytes + a cell id per vector) — and serve any
+    * number of query batches against it with [[pqAdcTopKJoinOn]].
+    * Rebuilding per query batch re-pays the O(n·cells·dim) coarse
+    * assignment of the whole corpus, which DOMINATES serving once
+    * `cells` grows with the store (measured: AdcServeProbe at 100× —
+    * the per-batch rebuild got SLOWER going 16 → 256 cells even as the
+    * probed pair space shrank 16×; BENCH_SF1).
+    */
+  final case class PqIndex(cents: DataFrame, store: DataFrame)
+
+  /** Build the [[PqIndex]] for a corpus under a trained codebook (the
+    * [[graft.ext.IndexCache]] shape: train once, index once, serve
+    * forever). */
+  def pqServingIndex(
+      corpus: DataFrame,
+      codebook: DataFrame,
+      cells: Int = 16,
+      m: Int = 8,
+      k: Int = 8): PqIndex = {
     val dim = 64
-    val sub = dim / m
-    val spark = corpus.sparkSession
+    require(m >= 1 && m <= 8 && dim % m == 0,
+      s"m must divide $dim and be <= 8, got $m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val (cbRows, rankOf) = cbLocalRows(codebook, k)
+    buildPqIndex(corpus, cbRows, rankOf, cells, m, k)
+  }
+
+  /** Bounded driver action (the connectedComponents class): the
+    * codebook is ≤ m·k rows BY CONSTRUCTION — collect it once. Two
+    * things depend on having it local: (1) a self-trained codebook's
+    * Lloyd's jobs execute exactly once, with every downstream use
+    * reading the materialized local rows; (2) the SDC/ADC tables become
+    * PLAN LITERALS instead of broadcast columns — a 4 KB array column
+    * cross-joined onto Σ|cell|² pair rows gets COPIED into every
+    * unsafe row (measured 3× the whole exact join at x10); a literal
+    * is one reference object in the generated code.
+    */
+  private def cbLocalRows(codebook: DataFrame, k: Int)
+      : (Seq[(Int, Long, Seq[Long])], Map[(Int, Long), Long]) = {
+    val spark = codebook.sparkSession
     import spark.implicits._
-    // Bounded driver action (the connectedComponents class): the
-    // codebook is ≤ m·k rows BY CONSTRUCTION — collect it once. Two
-    // things depend on having it local: (1) a self-trained codebook's
-    // Lloyd's jobs execute exactly once, with every downstream use
-    // reading the materialized local rows; (2) the SDC/ADC tables become
-    // PLAN LITERALS instead of broadcast columns — a 4 KB array column
-    // cross-joined onto Σ|cell|² pair rows gets COPIED into every
-    // unsafe row (measured 3× the whole exact join at x10); a literal
-    // is one reference object in the generated code.
     val cbRows = codebook.selectExpr("cast(s as int) as s", "cidx", "qcent")
       .as[(Int, Long, Seq[Long])].collect().toSeq
-    val cbLocal = cbRows.toDF("s", "cidx", "qcent")
     // per-subspace codeword ranks (rank < k always — dropout only
     // shrinks a subspace)
     val rankOf: Map[(Int, Long), Long] = cbRows.groupBy(_._1).toSeq.flatMap {
@@ -1357,6 +1385,27 @@ object Similarity {
     }.toMap
     require(rankOf.valuesIterator.forall(_ < k),
       s"codebook has a subspace with more than $k codewords")
+    (cbRows, rankOf)
+  }
+
+  private def pqPackedIndex(
+      corpus: DataFrame, codebook: DataFrame,
+      cells: Int, m: Int, k: Int): PqPackedIdx = {
+    val (cbRows, rankOf) = cbLocalRows(codebook, k)
+    val idx = buildPqIndex(corpus, cbRows, rankOf, cells, m, k)
+    PqPackedIdx(cbRows, rankOf, idx.cents, idx.store)
+  }
+
+  private def buildPqIndex(
+      corpus: DataFrame,
+      cbRows: Seq[(Int, Long, Seq[Long])],
+      rankOf: Map[(Int, Long), Long],
+      cells: Int, m: Int, k: Int): PqIndex = {
+    val dim = 64
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbLocal = cbRows.toDF("s", "cidx", "qcent")
     val rankDf = rankOf.toSeq.map { case ((s, c), r) => (s, c, r) }
       .toDF("s", "code", "r")
     val q = quantizedUnits(corpus).filter(col("qvec").isNotNull)
@@ -1390,7 +1439,7 @@ object Similarity {
       .repartition(
         corpus.sparkSession.sessionState.conf.numShufflePartitions,
         col("cell"))
-    PqPackedIdx(cbRows, rankOf, cents0, packed)
+    PqIndex(cents0, packed)
   }
 
   /** The dense (s-major, rank-minor) codeword table as local data:
@@ -1434,24 +1483,39 @@ object Similarity {
       kNbrs: Int = 3,
       cells: Int = 16,
       m: Int = 8,
+      k: Int = 8): DataFrame =
+    pqAdcTopKJoinOn(queries,
+      pqServingIndex(corpus, codebook, cells, m, k), codebook, kNbrs, m, k)
+
+  /** [[pqAdcTopKJoin]] against a PREBUILT [[PqIndex]] — the production
+    * serving shape: the store is built (and persisted) once, each
+    * request batch pays only its own cell assignment + the cell join.
+    * `codebook` must be the one the index was built under (the packed
+    * ranks are meaningless under any other). */
+  def pqAdcTopKJoinOn(
+      queries: DataFrame,
+      index: PqIndex,
+      codebook: DataFrame,
+      kNbrs: Int = 3,
+      m: Int = 8,
       k: Int = 8): DataFrame = {
     val dim = 64
     require(m >= 1 && m <= 8 && dim % m == 0,
       s"m must divide $dim and be <= 8, got $m")
     require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
     val sub = dim / m
-    val idx = pqPackedIndex(corpus, codebook, cells, m, k)
+    val (cbRows, _) = cbLocalRows(codebook, k)
     val qAssign = assignQCells(
-        quantizedUnits(queries).filter(col("qvec").isNotNull), idx.cents0)
+        quantizedUnits(queries).filter(col("qvec").isNotNull), index.cents)
       .filter(col("cell").isNotNull)
       .select(col("vec_id").as("query_id"), col("qvec"), col("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_qdot").desc, col("nbr_id"))
     qAssign
-      .withColumn("lut", adcLutCol(cwDense(idx.cbRows, m, k, sub), m, k, sub))
+      .withColumn("lut", adcLutCol(cwDense(cbRows, m, k, sub), m, k, sub))
       .select(col("cell"), col("query_id"), col("lut"))
-      .join(idx.packed.select(col("cell"), col("vec_id").as("nbr_id"),
+      .join(index.store.select(col("cell"), col("vec_id").as("nbr_id"),
         col("packed")), Seq("cell"))
       .select(col("query_id"), col("nbr_id"),
         graft.functions.PqFunctions.adc_lut(col("lut"), col("packed"), m, k)

@@ -118,7 +118,10 @@ class ExtSpec extends AnyFunSuite {
       // benchmark pinned for the query lifetime (released by the
       // termination listener) + the per-batch span across both writes
       "src/main/scala/graft/ext/CurationStream.scala" -> 2,
-      "src/main/scala/graft/io/Sinks.scala" -> 1)
+      "src/main/scala/graft/io/Sinks.scala" -> 1,
+      // dev measurement instrument, not library code: pins the prebuilt
+      // PqIndex for the serve-regime timing and unpersists in-run
+      "src/main/scala/graft/AdcServeProbe.scala" -> 2)
     val toks = Seq(".persist(", ".cache(", ".localCheckpoint(", ".checkpoint(")
     val root = java.nio.file.Paths.get("src/main/scala")
     val bad = scala.collection.mutable.ListBuffer[String]()
