@@ -548,6 +548,8 @@ object SparkEntry {
       val snap = cdcSnapshot(s, d)
       Cdc.snapshotDiff(snap, Cdc.applyChangelog(snap, cdcChangelog(snap), "cust_id"), "cust_id")
     }),
+    "scd2_history" -> ((s, d) =>
+      Cdc.scdHistory(cdcChangelog(cdcSnapshot(s, d)), "cust_id")),
     "epoch_order" -> ((s, d) => Sampling.epochOrder(Tables.documents(s, d), epoch = 1, shards = 8)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "embed_outliers" -> ((s, d) => Similarity.outliersByLabel(Tables.embeddings(s, d))),
@@ -2761,6 +2763,15 @@ object SparkEntry {
          |              ELSE 'unchanged' END AS change_type
          |  FROM snap b FULL OUTER JOIN applied a ON b.cust_id = a.cust_id) t
          |WHERE change_type <> 'unchanged'""".stripMargin,
+    "scd2_history" ->
+      s"""$dCdcCtes
+         |SELECT cust_id, name, nation, segment,
+         |       version AS valid_from, valid_to, valid_to IS NULL AS is_current
+         |FROM (
+         |  SELECT *, lead(version) OVER (PARTITION BY cust_id
+         |                                ORDER BY version) AS valid_to
+         |  FROM chg) t
+         |WHERE op <> 'D'""".stripMargin,
     "epoch_order" ->
       s"""SELECT doc_id, shard,
          |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS shard_rank

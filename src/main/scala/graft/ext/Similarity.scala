@@ -1602,17 +1602,39 @@ object Similarity {
       k: Int = 8,
       eventTimeCol: String = "ts",
       delay: String = "10 minutes",
+      windowLen: String = "10 minutes"): DataFrame =
+    pqKnnStreamOn(queries, pqServingIndex(corpus, codebook, cells, m, k),
+      codebook, kNbrs, m, k, eventTimeCol, delay, windowLen)
+
+  /** [[pqKnnStream]] against a PREBUILT [[PqIndex]] — the long-running
+    * serving shape: the static side of a stream-static join RE-EXECUTES
+    * its plan every micro-batch, so a stream built on the raw corpus
+    * re-pays the whole O(n·cells·dim) index construction per trigger.
+    * Pass a persisted (or parquet-backed) index and each micro-batch
+    * pays only its own assignment + cell join — the same measured
+    * 5.8–17× the batch split gives ([[pqAdcTopKJoinOn]], BENCH_SF1).
+    * `codebook` must be the one the index was built under.
+    */
+  def pqKnnStreamOn(
+      queries: DataFrame,
+      index: PqIndex,
+      codebook: DataFrame,
+      kNbrs: Int = 3,
+      m: Int = 8,
+      k: Int = 8,
+      eventTimeCol: String = "ts",
+      delay: String = "10 minutes",
       windowLen: String = "10 minutes"): DataFrame = {
     val dim = 64
     require(m >= 1 && m <= 8 && dim % m == 0,
       s"m must divide $dim and be <= 8, got $m")
     require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
     val sub = dim / m
-    val idx = pqPackedIndex(corpus, codebook, cells, m, k)
+    val (cbRows, _) = cbLocalRows(codebook, k)
     // stream-safe cell assignment: equi-join on a dummy key instead of
     // assignQCells' crossJoin (stream-static cross joins are restricted;
     // the broadcast one-row codebook is the same)
-    val centsRow = idx.cents0
+    val centsRow = index.cents
       .agg(collect_list(struct(col("cidx"), col("qcent"))).as("cents"))
       .withColumn("__one", lit(1))
     // quantizedUnits projects down to (vec_id, qvec); the stream needs
@@ -1630,14 +1652,14 @@ object Similarity {
             |  'negidx', -c.cidx)))""".stripMargin)))
       .withColumn("cell", -col("__best.negidx"))
       .filter(col("cell").isNotNull)
-      .withColumn("lut", adcLutCol(cwDense(idx.cbRows, m, k, sub), m, k, sub))
+      .withColumn("lut", adcLutCol(cwDense(cbRows, m, k, sub), m, k, sub))
       .select(col("vec_id").as("query_id"), col(eventTimeCol),
         col("cell"), col("lut"))
     val once = assigned
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("query_id")
     val scored = once
-      .join(idx.packed.select(col("cell"), col("vec_id").as("nbr_id"),
+      .join(index.store.select(col("cell"), col("vec_id").as("nbr_id"),
         col("packed")), Seq("cell"))
       .withColumn("adc",
         graft.functions.PqFunctions.adc_lut(col("lut"), col("packed"), m, k)

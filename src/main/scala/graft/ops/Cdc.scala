@@ -55,6 +55,100 @@ object Cdc {
     survivors.unionByName(upserts)
   }
 
+  /** Streaming twin of [[applyChangelog]] — the incrementally-maintained
+    * table a long-running CDC stream feeds. The stream keeps NO merged
+    * table state and never rewrites the store: each micro-batch writes
+    * its changelog rows to `outDir/chg/batch_<id>` (whole-dir overwrite
+    * keyed by batch id, so foreachBatch's re-delivered last batch
+    * replays idempotently — the [[graft.io.Sinks]] contract), and the
+    * merged table materializes ON DEMAND via [[cdcTableFrom]]. This is
+    * the merge-on-read shape: per-batch cost is O(batch), the expensive
+    * MERGE is paid only when someone reads, and
+    * [[graft.io.Maintenance.compactParquet]] bounds the file count on a
+    * long stream.
+    */
+  def applyChangelogSink(
+      changes: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyChangelogBatch(batch.toDF(), outDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch's contribution to the changelog store — factored
+    * out so composite sinks can fold it into their own foreachBatch,
+    * and so redelivery (same batch id, same rows) is directly testable:
+    * the whole-dir overwrite makes a replay converge to the same store.
+    */
+  def applyChangelogBatch(df: DataFrame, outDir: String, batchId: Long): Unit = {
+    df.write.mode("overwrite").parquet(s"$outDir/chg/batch_$batchId")
+    ()
+  }
+
+  /** The merged table over everything [[applyChangelogSink]] has
+    * committed so far: fold ALL committed batches' changes over the
+    * base snapshot in the SAME one-aggregate latest-wins MERGE as
+    * [[applyChangelog]]. Versions are globally ordered (CDC log
+    * offsets), so batch boundaries are immaterial — a key changed in k
+    * batches resolves to its single highest-version change, and the
+    * result equals `applyChangelog(snapshot, union of all batches)` by
+    * construction. Zero committed batches yield the snapshot unchanged
+    * (the empty-store contract: a reader polling a just-started stream
+    * gets the base table, not a path error).
+    */
+  def cdcTableFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      snapshot: DataFrame,
+      outDir: String,
+      key: String,
+      opCol: String = "op",
+      versionCol: String = "version"): DataFrame = {
+    val committed = graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/chg")
+    if (committed.isEmpty) snapshot
+    else {
+      val changes = spark.read.parquet(
+        committed.toSeq.sorted.map(b => s"$outDir/chg/$b"): _*)
+      applyChangelog(snapshot, changes, key, opCol, versionCol)
+    }
+  }
+
+  /** Build an SCD type-2 history from a changelog: each non-delete
+    * change becomes an attribute-validity row — `valid_from` = its
+    * version, `valid_to` = the key's next change version (NULL while
+    * current), `is_current` = no later change exists. A delete closes
+    * the previous interval (its version becomes that row's `valid_to`)
+    * and emits nothing itself — a deleted key has no current row.
+    * Versions must be unique per key (CDC log offsets are), the same
+    * contract as [[applyChangelog]].
+    *
+    * Scale shape: ONE (key)-partitioned window over the changelog —
+    * the history is proportional to the changelog, never to the
+    * snapshot, and no global sort exists.
+    */
+  def scdHistory(
+      changes: DataFrame,
+      key: String,
+      opCol: String = "op",
+      versionCol: String = "version"): DataFrame = {
+    val cols = changes.columns.toSeq
+    require(cols.contains(key), s"key '$key' missing from changelog")
+    require(cols.contains(opCol) && cols.contains(versionCol),
+      s"changelog must carry '$opCol' and '$versionCol'")
+    val dataCols = cols.filterNot(c => c == opCol || c == versionCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(versionCol))
+    changes
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .where(col(opCol) =!= lit("D"))
+      .select(dataCols.map(col) ++ Seq(
+        col(versionCol).as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+  }
+
   /** Diff two snapshots of a keyed table: one full-outer join on the
     * key, null-safe column compares for the change classification.
     * Emits only differing keys — (key, change_type ∈ added / removed /

@@ -246,6 +246,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scdHistory: validity intervals close at the next version; deletes close but never appear") {
+    import graft.ops.Cdc
+    val chg = Seq(
+      (1L, "v1", "U", 10L), // closed by v2
+      (1L, "v2", "U", 20L), // current
+      (2L, "w1", "U", 5L), // closed by the delete at 9
+      (2L, "w1", "D", 9L), // closes — emits nothing; key 2 has no current row
+      (3L, "x1", "I", 1L) // insert-only — current from birth
+    ).toDF("id", "v", "op", "version")
+    val out = Cdc.scdHistory(chg, "id")
+      .orderBy("id", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, "v1", 10L, Some(20L), false),
+      (1L, "v2", 20L, None, true),
+      (2L, "w1", 5L, Some(9L), false),
+      (3L, "x1", 1L, None, true)))
+    intercept[IllegalArgumentException] {
+      Cdc.scdHistory(chg.drop("op"), "id")
+    }
+  }
+
   test("snapshotDiff: classifies added/removed/changed, drops unchanged, null-safe") {
     import graft.ops.Cdc
     val before = Seq(

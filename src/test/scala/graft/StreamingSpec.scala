@@ -590,6 +590,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterTear === streamed)
   }
 
+  test("applyChangelogSink: merged table equals batch MERGE over the union; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    // cross-batch latest-wins: key 2 updated in BOTH batches (batch-2
+    // version must win), key 3 deleted in batch 1 then revived by a
+    // later-version update in batch 2, key 5 inserted in batch 2
+    val b1 = Seq((2L, "b1", "U", 10L), (3L, "c", "D", 11L))
+    val b2 = Seq((2L, "b2", "U", 20L), (3L, "c2", "U", 21L),
+      (5L, "e", "I", 22L))
+    val ms = MemoryStream[(Long, String, String, Long)]
+    val q = graft.ops.Cdc.applyChangelogSink(
+      ms.toDS().toDF("id", "v", "op", "version"), s"$dir/out", s"$dir/cp")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.ops.Cdc.cdcTableFrom(spark, snap, s"$dir/out", "id")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val batch = graft.ops.Cdc.applyChangelog(
+        snap, (b1 ++ b2).toDF("id", "v", "op", "version"), "id")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed === Seq(
+      (1L, "a"), (2L, "b2"), (3L, "c2"), (4L, "d"), (5L, "e")))
+    // last-batch redelivery (foreachBatch's contract: same batch id,
+    // same rows): the whole-dir overwrite must converge to the same
+    // store, not double-apply
+    graft.ops.Cdc.applyChangelogBatch(
+      b2.toDF("id", "v", "op", "version"), s"$dir/out", 1L)
+    val replayed = graft.ops.Cdc.cdcTableFrom(spark, snap, s"$dir/out", "id")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(replayed === streamed)
+    // empty store: the merged table of zero batches is the snapshot
+    val empty = graft.ops.Cdc.cdcTableFrom(
+      spark, snap, s"$dir/nothing_here", "id")
+    assert(empty.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("lmScoreSink: per-batch scores equal lmScore over the accumulated corpus; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_lms").toString
@@ -1101,6 +1142,50 @@ class StreamingSpec extends AnyFunSuite {
         assert(rows(id) === batch(id), s"query $id: stream ${rows(id)} vs batch ${batch(id)}")
       }
     } finally q.stop()
+  }
+
+  test("streaming PQ kNN against a prebuilt persisted index equals the on-the-fly form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = graft.ext.Similarity.pqCodebook(corpus)
+    // the production shape: the index is data built once — persisted
+    // here; parquet-backed in a real deployment — so micro-batches
+    // never re-pay the O(n·cells·dim) store construction
+    val idx0 = graft.ext.Similarity.pqServingIndex(corpus, cb)
+    val idx = graft.ext.Similarity.PqIndex(
+      idx0.cents.persist(), idx0.store.persist())
+    val qs = corpus.select("vec_id", "embedding").orderBy("vec_id").limit(3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val out = graft.ext.Similarity.pqKnnStreamOn(
+      ms.toDS().toDF("vec_id", "ts", "embedding"), idx, cb,
+      kNbrs = 3, delay = "0 seconds", windowLen = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("pqknn_stream_on")
+      .outputMode("append").start()
+    try {
+      ms.addData(qs.toSeq.map { case (id, v) =>
+        (id, ts("2024-01-01 00:01:00"), v) })
+      q.processAllAvailable()
+      // a next-day arrival advances the watermark so the first window
+      // finalizes (append mode emits closed windows only)
+      ms.addData(Seq((qs(0)._1, ts("2024-01-02 00:00:00"), qs(0)._2)))
+      q.processAllAvailable()
+      val rows = spark.table("pqknn_stream_on")
+        .where(org.apache.spark.sql.functions.col("window_start") === ts("2024-01-01 00:00:00"))
+        .select("query_id", "nbr_ids").as[(Long, Seq[Long])].collect().toMap
+      val batch = graft.ext.Similarity.pqAdcTopKJoinOn(
+          qs.toSeq.toDF("vec_id", "embedding"), idx, cb, kNbrs = 3)
+        .orderBy("query_id", "rank")
+        .select("query_id", "nbr_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      assert(rows.keySet === qs.map(_._1).toSet)
+      qs.foreach { case (id, _) => assert(rows(id) === batch(id)) }
+    } finally {
+      q.stop()
+      idx.cents.unpersist()
+      idx.store.unpersist()
+    }
   }
 
   test("streaming kNN: arriving query vectors get windowed top-k from the static IVF index") {
