@@ -550,6 +550,8 @@ object SparkEntry {
     }),
     "scd2_history" -> ((s, d) =>
       Cdc.scdHistory(cdcChangelog(cdcSnapshot(s, d)), "cust_id")),
+    "leakage_safe_split" -> ((s, d) =>
+      Sampling.leakageSafeSplit(Tables.documents(s, d))),
     "epoch_order" -> ((s, d) => Sampling.epochOrder(Tables.documents(s, d), epoch = 1, shards = 8)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "embed_outliers" -> ((s, d) => Similarity.outliersByLabel(Tables.embeddings(s, d))),
@@ -2831,6 +2833,44 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
          |)
          |SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1""".stripMargin,
+    "leakage_safe_split" ->
+      s"""${dToksCte.replace("WITH t AS", "WITH RECURSIVE t AS")}, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), h2 AS (
+         |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS hs FROM s
+         |), m AS (
+         |  SELECT doc_id,
+         |       $dMh
+         |  FROM h2
+         |), sig AS (
+         |  SELECT doc_id,
+         |         ${dH("concat_ws(',', mh0, mh1, mh2, mh3)")} AS band0,
+         |         ${dH("concat_ws(',', mh4, mh5, mh6, mh7)")} AS band1
+         |  FROM m
+         |), pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sig a JOIN sig b
+         |    ON a.doc_id < b.doc_id AND (a.band0 = b.band0 OR a.band1 = b.band1)
+         |), edges AS (
+         |  SELECT a_id AS u, b_id AS v FROM pairs
+         |  UNION
+         |  SELECT b_id, a_id FROM pairs
+         |), reach AS (
+         |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), comp AS (
+         |  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1
+         |), reps AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)
+         |)
+         |SELECT doc_id, rep,
+         |       CASE WHEN b < 10 THEN 'test'
+         |            WHEN b < 20 THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM (SELECT doc_id, rep, ${dH("CAST(rep AS VARCHAR)")} % 100 AS b
+         |      FROM reps) t""".stripMargin,
     "fuzzy_dedup_survivors" ->
       s"""${dToksCte.replace("WITH t AS", "WITH RECURSIVE t AS")}, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

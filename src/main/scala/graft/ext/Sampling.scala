@@ -170,6 +170,42 @@ object Sampling {
            |     else 'train' end as split""".stripMargin)
   }
 
+  /** Leakage-safe train/val/test assignment: near-duplicate documents
+    * must land in the SAME split, or the test set silently contains
+    * paraphrases of training documents and every evaluation number is
+    * contaminated — the failure [[datasetSplit]]'s independent per-doc
+    * hashing cannot prevent. Composition of already-gated machinery:
+    * LSH candidate pairs → connected components → each doc splits by
+    * its component representative's hash (singletons by their own id,
+    * so an un-duplicated doc gets exactly its [[datasetSplit]]
+    * assignment — the two operators agree wherever leakage is not at
+    * stake).
+    *
+    * Scale shape: the banded LSH pair search and O(log n) star
+    * contraction are the `dedup_clusters` plan; the split itself adds
+    * one key join + a projection. Stability: adding documents never
+    * moves an existing doc between splits unless it genuinely joins a
+    * cluster that straddles the change.
+    */
+  def leakageSafeSplit(
+      documents: DataFrame,
+      valPct: Int = 10,
+      testPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"invalid split percentages: val=$valPct test=$testPct")
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashCandidatePairs(documents).select("a_id", "b_id"))
+    documents.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(component, doc_id) as rep")
+      .selectExpr("doc_id", "rep",
+        s"pmod(${TextOps.md5Long64("cast(rep as string)")}, 100) as bucket")
+      .selectExpr("doc_id", "rep",
+        s"""case when bucket < $testPct then 'test'
+           |     when bucket < ${testPct + valPct} then 'val'
+           |     else 'train' end as split""".stripMargin)
+  }
+
   /** Per-epoch data-loader order: a fresh deterministic permutation per
     * epoch, laid out the way distributed readers actually consume data —
     * `shards` parallel streams, each internally ordered by an

@@ -1731,6 +1731,32 @@ class ExtSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1))
   }
 
+  test("leakageSafeSplit: near-dup clusters share one split; singletons match datasetSplit") {
+    import spark.implicits._
+    // docs 1..3 are exact duplicates (every minhash component equal →
+    // band candidates → one component); 10 and 20 are unrelated
+    // singletons with enough tokens to shingle
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),
+      (10L, "one two three four five six seven eight"),
+      (20L, "red green blue cyan magenta yellow black white")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Sampling.leakageSafeSplit(docs)
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val byId = out.map(t => t._1 -> t).toMap
+    // the cluster: one rep (the min id), one split for all members
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct === Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size === 1)
+    // singletons: rep = self, split = the per-doc datasetSplit bucket
+    val solo = graft.ext.Sampling.datasetSplit(docs.where($"doc_id" >= 10L))
+      .as[(Long, String)].collect().toMap
+    Seq(10L, 20L).foreach { id =>
+      assert(byId(id)._2 === id)
+      assert(byId(id)._3 === solo(id))
+    }
+  }
+
   test("mixtureSample: feasible budget, exact integer rates, independently recomputed selection") {
     import spark.implicits._
     val docs = Seq(
