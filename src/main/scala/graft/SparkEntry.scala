@@ -552,6 +552,14 @@ object SparkEntry {
       Cdc.scdHistory(cdcChangelog(cdcSnapshot(s, d)), "cust_id")),
     "leakage_safe_split" -> ((s, d) =>
       Sampling.leakageSafeSplit(Tables.documents(s, d))),
+    // distribution-shift telemetry: even/odd vec_id halves stand in for
+    // reference vs current crawl snapshots
+    "embedding_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
+    }),
     "epoch_order" -> ((s, d) => Sampling.epochOrder(Tables.documents(s, d), epoch = 1, shards = 8)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "embed_outliers" -> ((s, d) => Similarity.outliersByLabel(Tables.embeddings(s, d))),
@@ -3390,6 +3398,32 @@ object SparkEntry {
          |SELECT u.vec_id, a.cent_id AS cell, a.cent_sim
          |FROM u LEFT JOIN (SELECT vec_id, cent_id, cent_sim FROM r WHERE rn = 1) a
          |       USING (vec_id)""".stripMargin,
+    "embedding_drift" ->
+      s"""$dUnitCte,
+         |q AS (SELECT vec_id, CASE WHEN unit IS NOT NULL THEN list_transform(unit,
+         |        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) END AS qvec FROM u),
+         |qr AS (SELECT vec_id, qvec FROM q WHERE qvec IS NOT NULL AND vec_id % 2 = 0),
+         |qc AS (SELECT vec_id, qvec FROM q WHERE qvec IS NOT NULL AND vec_id % 2 = 1),
+         |c0 AS (SELECT vec_id AS cidx, qvec AS qcent FROM qr ORDER BY vec_id LIMIT 16),
+         |ar AS (${dKmAssign("qr", "c0")}),
+         |ac AS (${dKmAssign("qc", "c0")}),
+         |nr AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_ref FROM ar GROUP BY 1),
+         |nc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_cur FROM ac GROUP BY 1),
+         |t AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ar) AS t_ref,
+         |             (SELECT CAST(COUNT(*) AS BIGINT) FROM ac) AS t_cur),
+         |j AS (SELECT COALESCE(nr.cell, nc.cell) AS cell,
+         |             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+         |      FROM nr FULL OUTER JOIN nc ON nr.cell = nc.cell),
+         |g AS (SELECT cell, n_ref, n_cur,
+         |             CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         |               CAST(((length(bin(n_cur)) - 1) - (length(bin(n_ref)) - 1))
+         |                  - ((length(bin(t_cur)) - 1) - (length(bin(t_ref)) - 1)) AS BIGINT)
+         |             END AS drift_mag
+         |      FROM j CROSS JOIN t)
+         |SELECT cell, n_ref, n_cur, drift_mag,
+         |       CAST(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1
+         |                 WHEN abs(drift_mag) >= 2 THEN 1 ELSE 0 END AS INT) AS drifted
+         |FROM g""".stripMargin,
     "kmeans_assign" ->
       s"""$dUnitCte,
          |q AS (SELECT vec_id, CASE WHEN unit IS NOT NULL THEN list_transform(unit,

@@ -234,6 +234,150 @@ object Similarity {
   private[ext] def ivfAssignWithUnit(embeddings: DataFrame, k: Int = 16): DataFrame =
     assignWithUnit(embeddings, codebook(embeddings, k))
 
+  /** Embedding-DISTRIBUTION drift between a reference corpus and the
+    * current one — the dataset-shift telemetry an embedding pipeline
+    * needs before its downstream indexes and dedup thresholds silently
+    * rot (a new crawl source, an encoder upgrade, a language mix shift
+    * all move the cell histogram first). Both corpora are assigned to
+    * the REFERENCE's coarse cells (integer-exact dots, ties to the
+    * smallest centroid id — the [[kmeansAssign]] rule), and each cell
+    * compares its share of the two corpora by integer log₂ magnitudes
+    * (`length(bin(n)) − 1`, the [[graft.ext.TextOps.freqScore]] idiom):
+    * `drift_mag = (⌊log₂ n_cur⌋ − ⌊log₂ n_ref⌋) − (⌊log₂ t_cur⌋ −
+    * ⌊log₂ t_ref⌋)` — the bit-length form never multiplies counts, so
+    * it cannot overflow at any corpus size (cross-multiplied proportion
+    * compares die at ~10⁹×10⁹). `drifted` fires on |drift_mag| ≥ 2
+    * (≥ ~4× proportion shift, ±1 bit quantization) and on cells that
+    * appeared or vanished outright (drift_mag NULL there — the log of
+    * an empty cell is undefined). Everything is int64, so the whole
+    * measurement sits under the DuckDB hash gate.
+    *
+    * Scale shape: one broadcast-codebook assignment pass per corpus
+    * (zero vector shuffles), two ≤`cells`-row map-side-combined
+    * aggregates, one tiny full-outer join — O(n) scans, O(cells)
+    * exchange.
+    */
+  def embeddingDrift(
+      reference: DataFrame,
+      current: DataFrame,
+      cells: Int = 16): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val qr = quantizedUnits(reference).filter(col("qvec").isNotNull)
+    val qc = quantizedUnits(current).filter(col("qvec").isNotNull)
+    val cents = qr.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cidx"), col("qvec").as("qcent"))
+    val nr = assignQCells(qr, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_ref"))
+    val nc = assignQCells(qc, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_cur"))
+    driftFromCounts(nr, nc)
+  }
+
+  /** The drift card from already-aggregated per-cell counts — shared by
+    * the batch and streaming forms so they can only agree or both be
+    * wrong (the statsCard discipline). */
+  private def driftFromCounts(nr: DataFrame, nc: DataFrame): DataFrame = {
+    val tot = nr.agg(coalesce(sum(col("n_ref")), lit(0L)).as("t_ref"))
+      .crossJoin(nc.agg(coalesce(sum(col("n_cur")), lit(0L)).as("t_cur")))
+    nr.join(nc, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("cell", "n_ref", "n_cur",
+        """case when n_ref > 0 and n_cur > 0 then
+          |  cast(((length(bin(n_cur)) - 1) - (length(bin(n_ref)) - 1))
+          |     - ((length(bin(t_cur)) - 1) - (length(bin(t_ref)) - 1)) as bigint)
+          |end as drift_mag""".stripMargin)
+      .selectExpr("cell", "n_ref", "n_cur", "drift_mag",
+        """cast(case when n_ref = 0 or n_cur = 0 then 1
+          |          when abs(drift_mag) >= 2 then 1
+          |          else 0 end as int) as drifted""".stripMargin)
+  }
+
+  /** STREAMING drift monitoring — the long-running ingest form of
+    * [[embeddingDrift]]: the stream keeps NO vector state, each
+    * micro-batch writes only its ≤`cells`-row cell histogram to
+    * `outDir/cells/batch_<id>` (whole-dir overwrite by batch id —
+    * foreachBatch redelivery replays idempotently), and the drift card
+    * vs the reference materializes ON DEMAND via [[embeddingDriftFrom]].
+    * The reference's coarse centroids are collected ONCE (≤`cells`
+    * rows, the cbLocalRows discipline) so micro-batches never re-scan
+    * the reference corpus.
+    */
+  def embeddingDriftSink(
+      current: DataFrame,
+      reference: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      cells: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    val centsLocal = localCents(reference, cells)
+    current.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        embeddingDriftBatch(batch.toDF(), centsLocal, outDir, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch's cell histogram — factored out for composite
+    * sinks and direct redelivery testing. `centsLocal` must be the
+    * reference centroids from the sink that owns `outDir`. */
+  def embeddingDriftBatch(
+      df: DataFrame,
+      centsLocal: Seq[(Long, Seq[Long])],
+      outDir: String,
+      batchId: Long): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centsLocal.toDF("cidx", "qcent")
+    assignQCells(quantizedUnits(df).filter(col("qvec").isNotNull), cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$outDir/cells/batch_$batchId")
+    ()
+  }
+
+  /** The reference corpus's first-`cells` coarse centroids as LOCAL
+    * rows (≤`cells` — a bounded driver action), the broadcastable seed
+    * every drift micro-batch assigns against. */
+  def localCents(reference: DataFrame, cells: Int = 16): Seq[(Long, Seq[Long])] = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val spark = reference.sparkSession
+    import spark.implicits._
+    quantizedUnits(reference).filter(col("qvec").isNotNull)
+      .orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cidx"), col("qvec").as("qcent"))
+      .as[(Long, Seq[Long])].collect().toSeq
+  }
+
+  /** The accumulated drift card over everything [[embeddingDriftSink]]
+    * has committed so far: merge the per-batch cell histograms (one
+    * ≤cells·batches-row sum) and run the SAME [[driftFromCounts]] as
+    * the batch path — equal to `embeddingDrift(reference, union of
+    * batches)` by shared-aggregate construction. Zero committed batches
+    * yield every reference cell as vanished (n_cur = 0), which is the
+    * truthful card of an ingest that has delivered nothing.
+    */
+  def embeddingDriftFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      reference: DataFrame,
+      outDir: String,
+      cells: Int = 16): DataFrame = {
+    import spark.implicits._
+    val centsLocal = localCents(reference, cells)
+    val cents = centsLocal.toDF("cidx", "qcent")
+    val nr = assignQCells(
+        quantizedUnits(reference).filter(col("qvec").isNotNull), cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_ref"))
+    val committed = TextOps.committedBatchDirs(spark, s"$outDir/cells")
+    val nc =
+      if (committed.isEmpty)
+        spark.emptyDataset[(Long, Long)].toDF("cell", "n_cur")
+      else
+        spark.read.parquet(
+            committed.toSeq.sorted.map(b => s"$outDir/cells/$b"): _*)
+          .groupBy(col("cell")).agg(sum(col("n")).as("n_cur"))
+    driftFromCounts(nr, nc)
+  }
+
   /** [[ivfAssignWithUnit]] against an ARBITRARY one-row codebook frame
     * (first-k, [[trainedCodebook]], or externally trained centroids in
     * the same format) — the seam that lets every cell-restricted

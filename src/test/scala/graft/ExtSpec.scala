@@ -1731,6 +1731,30 @@ class ExtSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1))
   }
 
+  test("embeddingDrift: proportion shifts flag, stable cells don't, vanished cells are NULL-mag drifted") {
+    import spark.implicits._
+    // three axis-clusters; members wiggle in dims 20..27 so they stay
+    // distinct but assign to their axis centroid
+    def v(axis: Int, wiggle: Int): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      a(axis) = 1f
+      a(20 + (wiggle % 8)) = 0.05f * ((wiggle % 3) + 1)
+      a
+    }
+    val ref = (Seq((0L, v(0, 0)), (1L, v(1, 0)), (2L, v(2, 0))) ++
+      (3L to 10L).map(i => (i, v(0, i.toInt))) ++
+      (11L to 14L).map(i => (i, v(1, i.toInt)))).toDF("vec_id", "embedding")
+    val cur = ((100L to 116L).map(i => (i, v(0, i.toInt))) :+ (200L, v(1, 5)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.embeddingDrift(ref, cur, cells = 3)
+      .orderBy("cell").as[(Long, Long, Long, Option[Long], Int)].collect().toSeq
+    // t_ref=15 (mag 3), t_cur=18 (mag 4) -> corpus-growth term = 1
+    assert(out === Seq(
+      (0L, 9L, 17L, Some(0L), 0), // stable share: (4-3)-1 = 0
+      (1L, 5L, 1L, Some(-3L), 1), // collapsed share: (0-2)-1 = -3
+      (2L, 1L, 0L, None, 1))) // vanished cell: undefined mag, drifted
+  }
+
   test("leakageSafeSplit: near-dup clusters share one split; singletons match datasetSplit") {
     import spark.implicits._
     // docs 1..3 are exact duplicates (every minhash component equal →

@@ -590,6 +590,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterTear === streamed)
   }
 
+  test("embeddingDriftSink: accumulated drift card equals the batch card; replay idempotent; empty store truthful") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    def v(axis: Int, wiggle: Int): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      a(axis) = 1f
+      a(20 + (wiggle % 8)) = 0.05f * ((wiggle % 3) + 1)
+      a
+    }
+    val ref = (Seq((0L, v(0, 0)), (1L, v(1, 0))) ++
+      (2L to 9L).map(i => (i, v(0, i.toInt))) ++
+      (10L to 13L).map(i => (i, v(1, i.toInt)))).toDF("vec_id", "embedding")
+    // batch 1 tracks the reference mix; batch 2 floods cluster 0 —
+    // the accumulated card must see BOTH batches
+    val b1 = Seq((100L, v(0, 1)), (101L, v(1, 2)))
+    val b2 = (110L to 125L).map(i => (i, v(0, i.toInt))).toSeq
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = graft.ext.Similarity.embeddingDriftSink(
+      ms.toDS().toDF("vec_id", "embedding"), ref, s"$dir/out", s"$dir/cp",
+      cells = 2)
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def card(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cell").as[(Long, Long, Long, Option[Long], Int)]
+        .collect().toSeq
+    val streamed = card(graft.ext.Similarity.embeddingDriftFrom(
+      spark, ref, s"$dir/out", cells = 2))
+    val batch = card(graft.ext.Similarity.embeddingDrift(
+      ref, (b1 ++ b2).toDF("vec_id", "embedding"), cells = 2))
+    assert(streamed === batch)
+    // the flood registered: cluster 1's share collapsed vs cluster 0's
+    assert(streamed.find(_._1 == 1L).get._5 === 1)
+    // last-batch redelivery: same batch id, same rows — same card
+    graft.ext.Similarity.embeddingDriftBatch(
+      b2.toDF("vec_id", "embedding"),
+      graft.ext.Similarity.localCents(ref, 2), s"$dir/out", 1L)
+    assert(card(graft.ext.Similarity.embeddingDriftFrom(
+      spark, ref, s"$dir/out", cells = 2)) === streamed)
+    // empty store: every reference cell truthfully reads as vanished
+    val empty = card(graft.ext.Similarity.embeddingDriftFrom(
+      spark, ref, s"$dir/nothing", cells = 2))
+    assert(empty.forall(r => r._3 === 0L && r._5 === 1))
+    assert(empty.map(_._2).sum === 14L)
+  }
+
   test("applyChangelogSink: merged table equals batch MERGE over the union; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
