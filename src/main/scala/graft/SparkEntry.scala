@@ -511,6 +511,17 @@ object SparkEntry {
         .join(docs, Seq("doc_id"))
         .select("doc_id", "lang", "source", "n_chars")
     }),
+    // decoration (doc_id % 3 == 0): a tab run, a control byte, and a
+    // DECOMPOSED e+combining-acute — so the control strip, the NFC fold
+    // (2 chars -> 1) and the whitespace collapse all provably fire,
+    // while undecorated rows pin the changed=0 branch
+    "text_normalize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.textNormalize(docs.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\t\t x\u0001e\u0301")))
+          .otherwise(col("text"))))
+    }),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => TextOps.chunkTokens(Tables.documents(s, d))),
@@ -2435,6 +2446,25 @@ object SparkEntry {
          |  FROM h
          |)
          |SELECT doc_id, COALESCE(CAST($dSimhashPack AS BIGINT), 0) AS simhash FROM b""".stripMargin,
+    "text_normalize" ->
+      """WITH dec AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN text || chr(9) || chr(9) || ' x' || chr(1) || 'e' || chr(769)
+        |              ELSE text END AS text
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(nfc_normalize(regexp_replace(text,
+        |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+        |           '[ \t\r\n]+', ' ', 'g')) AS text_norm
+        |  FROM dec
+        |)
+        |SELECT doc_id, text_norm,
+        |       CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |       CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+        |       CAST(text <> text_norm AS INT) AS changed
+        |FROM n""".stripMargin,
     "repetition_stats" ->
       s"""$dToksCte, b AS (
          |  SELECT doc_id, toks,

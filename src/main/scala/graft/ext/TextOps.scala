@@ -83,6 +83,35 @@ object TextOps {
         countDistinct(col("bh")).as("n_distinct_bigrams"))
 
   /** Per-document token statistics and a deterministic quality score. */
+  /** Canonical text normalization — the cleanup every hashing, dedup,
+    * and tokenization pass silently assumes has already happened: the
+    * same logical text in NFD vs NFC (a macOS-filename paste, an OCR
+    * pipeline) hashes differently, splits differently, and defeats
+    * exact dedup. Order: strip non-whitespace control characters
+    * (keeping \t \r \n for the collapse), Unicode NFC via the compiled
+    * [[graft.functions.NfcNormalize]] expression (JDK Normalizer — the
+    * same Unicode tables as the oracle's `nfc_normalize`), collapse
+    * whitespace runs to one space, trim. Counters make every change
+    * observable, so the whole operator sits under the hash gate.
+    *
+    * Scale shape: a pure projection — zero exchanges, whole-stage
+    * codegen throughout (the NFC expression's fast path is an
+    * allocation-free scan for the overwhelmingly-common already-NFC
+    * case).
+    */
+  def textNormalize(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val stripped = regexp_replace(col(textCol),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val norm = trim(regexp_replace(
+      graft.functions.TextFunctions.nfc_normalize(stripped), "[ \\t\\r\\n]+", " "))
+    documents.select(
+      col("doc_id"),
+      norm.as("text_norm"),
+      length(col(textCol)).cast("bigint").as("n_chars_raw"),
+      length(norm).cast("bigint").as("n_chars_norm"),
+      (col(textCol) =!= norm).cast("int").as("changed"))
+  }
+
   def textStats(documents: DataFrame): DataFrame =
     documents
       .withColumn("toks", split(col("text"), " "))

@@ -183,4 +183,40 @@ class FunctionsSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq
     assert(hits.contains(10L) && hits.contains(20L))
   }
+
+  test("nfc_normalize expression: decomposed folds, NFC passes through, nulls propagate") {
+    import spark.implicits._
+    // "e" + U+0301 (2 codepoints) must fold to precomposed U+00E9 (1);
+    // plain ASCII takes the allocation-free fast path unchanged; the
+    // already-precomposed char is a fixed point
+    val out = Seq(
+      (1L, "caf" + "e\u0301"),
+      (2L, "plain ascii"),
+      (3L, "caf\u00e9"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+      .select($"id", graft.functions.TextFunctions.nfc_normalize($"s").as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L) === Some("caf\u00e9"))
+    assert(out(2L) === Some("plain ascii"))
+    assert(out(3L) === Some("caf\u00e9"))
+    assert(out(4L) === None)
+  }
+
+  test("textNormalize: control strip, NFC fold, whitespace collapse, trim, honest counters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "  a\tb\r\nc  "), // whitespace zoo -> "a b c"
+      (2L, "x\u0001y\u007fz"), // control bytes stripped
+      (3L, "de" + "e\u0301" + "p"), // NFC: 4 codepoints -> 3
+      (4L, "already clean") // unchanged branch
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.textNormalize(docs)
+      .as[(Long, String, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "a b c", 10L, 5L, 1),
+      (2L, "xyz", 5L, 3L, 1),
+      (3L, "de\u00e9p", 5L, 4L, 1),
+      (4L, "already clean", 13L, 13L, 0)))
+  }
 }
