@@ -217,6 +217,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("text_normalize: pure projection — zero exchanges, codegen'd end to end") {
+    val p = formatted("text_normalize")
+    assert(!p.contains("Exchange"), p)
+    // the compiled NfcNormalize must not knock the projection out of
+    // whole-stage codegen (executedPlan's * markers are codegen spans)
+    val e = SparkEntry.queries("text_normalize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(e.contains("*(1) Project"), e)
+  }
+
+  test("cdc_apply: the snapshot streams through a broadcast anti-join — only the changelog exchanges") {
+    // the MERGE contract at scale: the changelog is ≪ the snapshot, so
+    // the anti-join must be a broadcast (no SortMergeJoin — that would
+    // shuffle+sort the whole table to apply a day of changes); the only
+    // hash exchanges allowed are the changelog's own aggregates
+    val p = executedFinal("cdc_apply")
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the snapshot projection (c_custkey AS cust_id from the full
+    // 4-column read) must appear directly under the anti-join, not
+    // under any Exchange — grep the snapshot scan's read schema is
+    // 4-column while changelog scans read 1-4 filtered columns
+    assert(!"Exchange hashpartitioning[^\n]*\n[^\n]*c_mktsegment".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("embedding_drift: vectors never shuffle — only O(cells) count rows cross the wire") {
+    // both corpora assign against a broadcast centroid row and collapse
+    // to per-cell counts map-side; any exchange carrying qvec means the
+    // corpus' vectors moved for a 16-row telemetry card
+    val p = formatted("embedding_drift")
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+    assert(!"Exchange [^\n]*qvec".r.findFirstIn(p).isDefined, p)
+  }
+
   test("tfidf_top: the df join-back reuses the tf exchange — corpus exploded once at runtime") {
     // the df side is a join-back (de-skewed form: a token window partition
     // is one unsplittable task on the stopword key), and the tautological
