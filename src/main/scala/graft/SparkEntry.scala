@@ -522,6 +522,24 @@ object SparkEntry {
           concat(col("text"), lit("\t\t x\u0001e\u0301")))
           .otherwise(col("text"))))
     }),
+    // decoration: doc_id % 5 picks an injected script run (Cyrillic of
+    // id-dependent length / CJK / Arabic / Greek+digits / none) so every
+    // class counter and the dominant arg-max provably fire; undecorated
+    // rows pin the ASCII latin-dominant baseline
+    "script_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cyr = "\u0430\u0431\u0432"
+      val cjk = "\u4E2D\u6587"
+      val arb = "\u0627\u0628\u062C"
+      val grk = "\u03B1\u03B2\u03B3"
+      TextOps.scriptMix(docs.withColumn("text",
+        when(col("doc_id") % 5 === 1, concat(col("text"), lit(" "),
+          expr(s"repeat('$cyr', cast(doc_id % 3 + 1 as int))")))
+          .when(col("doc_id") % 5 === 2, concat(col("text"), lit(s" $cjk")))
+          .when(col("doc_id") % 5 === 3, concat(col("text"), lit(s" $arb")))
+          .when(col("doc_id") % 5 === 4, concat(col("text"), lit(s" ${grk}42")))
+          .otherwise(col("text"))))
+    }),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => TextOps.chunkTokens(Tables.documents(s, d))),
@@ -2446,6 +2464,51 @@ object SparkEntry {
          |  FROM h
          |)
          |SELECT doc_id, COALESCE(CAST($dSimhashPack AS BIGINT), 0) AS simhash FROM b""".stripMargin,
+    "script_mix" ->
+      """WITH dec AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN text || ' ' ||
+        |           repeat(chr(1072) || chr(1073) || chr(1074),
+        |                  CAST(doc_id % 3 + 1 AS INT))
+        |         WHEN doc_id % 5 = 2 THEN text || ' ' || chr(20013) || chr(25991)
+        |         WHEN doc_id % 5 = 3 THEN text || ' ' || chr(1575) || chr(1576) || chr(1580)
+        |         WHEN doc_id % 5 = 4 THEN text || ' ' || chr(945) || chr(946) || chr(947) || '42'
+        |         ELSE text END AS text
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text,
+        |    length(text) - length(regexp_replace(text,
+        |      '[A-Za-z' || chr(192) || '-' || chr(591) || ']', '', 'g')) AS n_latin,
+        |    length(text) - length(regexp_replace(text,
+        |      '[' || chr(1024) || '-' || chr(1279) || ']', '', 'g')) AS n_cyrillic,
+        |    length(text) - length(regexp_replace(text,
+        |      '[' || chr(19968) || '-' || chr(40959) || chr(12352) || '-' || chr(12543) || ']', '', 'g')) AS n_cjk,
+        |    length(text) - length(regexp_replace(text,
+        |      '[' || chr(1536) || '-' || chr(1791) || ']', '', 'g')) AS n_arabic,
+        |    length(text) - length(regexp_replace(text,
+        |      '[' || chr(880) || '-' || chr(1023) || ']', '', 'g')) AS n_greek,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+        |  FROM dec
+        |)
+        |SELECT doc_id,
+        |  CAST(n_latin AS BIGINT) AS n_latin,
+        |  CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+        |  CAST(n_cjk AS BIGINT) AS n_cjk,
+        |  CAST(n_arabic AS BIGINT) AS n_arabic,
+        |  CAST(n_greek AS BIGINT) AS n_greek,
+        |  CAST(n_digit AS BIGINT) AS n_digit,
+        |  CAST(length(text) - (n_latin + n_cyrillic + n_cjk + n_arabic + n_greek + n_digit)
+        |       AS BIGINT) AS n_other,
+        |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+        |            AND n_latin >= n_arabic AND n_latin >= n_greek THEN 'latin'
+        |       WHEN n_cyrillic >= n_latin AND n_cyrillic >= n_cjk
+        |            AND n_cyrillic >= n_arabic AND n_cyrillic >= n_greek THEN 'cyrillic'
+        |       WHEN n_cjk >= n_latin AND n_cjk >= n_cyrillic
+        |            AND n_cjk >= n_arabic AND n_cjk >= n_greek THEN 'cjk'
+        |       WHEN n_arabic >= n_latin AND n_arabic >= n_cyrillic
+        |            AND n_arabic >= n_cjk AND n_arabic >= n_greek THEN 'arabic'
+        |       ELSE 'greek' END AS dominant
+        |FROM c""".stripMargin,
     "text_normalize" ->
       """WITH dec AS (
         |  SELECT doc_id,

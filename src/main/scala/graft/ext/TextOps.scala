@@ -112,6 +112,59 @@ object TextOps {
       (col(textCol) =!= norm).cast("int").as("changed"))
   }
 
+  /** Unicode-SCRIPT composition per document — the signal upstream of
+    * language ID (a stopword-profile lang-id is useless on Cyrillic
+    * text scored against Latin stopwords) and the filter for
+    * script-mixed spam/OCR garbage. Counts per script class come from
+    * explicit CODEPOINT-RANGE character classes — the regex construct
+    * whose semantics Java regex and RE2 share exactly, the
+    * [[piiScrub]] portability discipline (named classes like
+    * \p{IsCyrillic} vs \p{Cyrillic} differ between engines) — via the
+    * `length(text) − length(remove-class)` idiom, all integers under
+    * the hash gate. `dominant` ties break by the fixed class order
+    * (latin first), deterministically in both engines.
+    *
+    * Scale shape: pure projection, zero exchanges, scan-speed.
+    */
+  def scriptMix(documents: DataFrame): DataFrame = {
+    val counted = scriptClasses.foldLeft(
+        documents.select(col("doc_id"), col("text"))) {
+      case (df, (name, re)) =>
+        df.withColumn(s"n_$name",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), re, ""))).cast("bigint"))
+    }
+    val letters = scriptClasses.map(_._1).filterNot(_ == "digit")
+    counted
+      .withColumn("n_other",
+        (length(col("text")) -
+          scriptClasses.map(c => col(s"n_${c._1}")).reduce(_ + _))
+          .cast("bigint"))
+      .withColumn("dominant", expr(dominantCase(letters)))
+      .drop("text")
+  }
+
+  /** (class, codepoint-range regex) pairs shared by the operator; the
+    * oracle rebuilds the identical ranges from chr() codepoints. */
+  private val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\u00C0-\u024F]",
+    "cyrillic" -> "[\u0400-\u04FF]",
+    "cjk" -> "[\u4E00-\u9FFF\u3040-\u30FF]",
+    "arabic" -> "[\u0600-\u06FF]",
+    "greek" -> "[\u0370-\u03FF]",
+    "digit" -> "[0-9]")
+
+  /** The deterministic arg-max CASE over letter-script counts: first
+    * class in the fixed order to weakly dominate all others wins. */
+  private def dominantCase(letters: Seq[String]): String = {
+    val branches = letters.init.map { c =>
+      val ge = letters.filterNot(_ == c)
+        .map(o => s"n_$c >= n_$o").mkString(" and ")
+      s"when $ge then '$c'"
+    }
+    s"case ${branches.mkString(" ")} else '${letters.last}' end"
+  }
+
   def textStats(documents: DataFrame): DataFrame =
     documents
       .withColumn("toks", split(col("text"), " "))

@@ -1731,6 +1731,28 @@ class ExtSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1))
   }
 
+  test("scriptMix: per-class counts partition the text; dominant arg-max ties break by fixed order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello 42"), // latin + digits
+      (2L, "\u043F\u0440\u0438\u0432\u0435\u0442 ok"), // cyrillic-dominant
+      (3L, "\u4E2D\u6587\u3042"), // cjk incl. hiragana
+      (4L, "\u0627\u0628"), // arabic
+      (5L, "\u03B1\u03B2\u03B3\u03B4"), // greek
+      (6L, "") // empty: all-zero counts -> latin by fixed tie order
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.scriptMix(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 5L, 0L, 0L, 0L, 0L, 2L, 1L, "latin"),
+      (2L, 2L, 6L, 0L, 0L, 0L, 0L, 1L, "cyrillic"),
+      (3L, 0L, 0L, 3L, 0L, 0L, 0L, 0L, "cjk"),
+      (4L, 0L, 0L, 0L, 2L, 0L, 0L, 0L, "arabic"),
+      (5L, 0L, 0L, 0L, 0L, 4L, 0L, 0L, "greek"),
+      (6L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, "latin")))
+  }
+
   test("embeddingDrift: proportion shifts flag, stable cells don't, vanished cells are NULL-mag drifted") {
     import spark.implicits._
     // three axis-clusters; members wiggle in dims 20..27 so they stay
