@@ -333,6 +333,15 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), k = 16)),
     "semantic_dedup_keep" -> ((s, d) => Similarity.semanticDedupKeep(Tables.embeddings(s, d), k = 16)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d), kNbrs = 3, k = 16)),
+    // decoration: vec_id % 20 == 0 vectors re-enter as EXACT duplicates
+    // under fresh ids, so the near-dup exclusion provably fires — a
+    // twin's cosine-1.0 pair must never surface as a "negative"
+    "hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val dup = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.hardNegatives(emb.unionByName(dup), kNbrs = 3, k = 16)
+    }),
     // The PRODUCTION regime: k ≈ √n adaptive codebook (the default the docs
     // recommend at scale), hash-gated against an oracle that derives the
     // same k from COUNT(*) — not just the pinned k=16 oracle regime.
@@ -2163,6 +2172,44 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |                               ORDER BY cosine_sim DESC, nbr_id) AS rnk
          |  FROM p
+         |)
+         |SELECT vec_id, cell, nbr_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+         |FROM rk WHERE rnk <= 3""".stripMargin,
+    "hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+         |), u AS (
+         |  SELECT vec_id,
+         |         CASE WHEN sqrt(list_sum(list_transform(embedding,
+         |                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) > 0
+         |           THEN list_transform(embedding, x -> CAST(x AS DOUBLE)
+         |             / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+         |         END AS unit
+         |  FROM e
+         |), c AS (
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u
+         |  WHERE unit IS NOT NULL ORDER BY vec_id LIMIT 16
+         |), s AS (
+         |  SELECT u.vec_id, u.unit, c.cent_id,
+         |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
+         |  FROM u CROSS JOIN c WHERE u.unit IS NOT NULL
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cent_sim DESC, cent_id) AS rn
+         |  FROM s
+         |), assign AS (
+         |  SELECT vec_id, unit, cent_id AS cell FROM r WHERE rn = 1
+         |), p AS (
+         |  SELECT la.vec_id AS vec_id, la.cell AS cell, lb.vec_id AS nbr_id,
+         |         round(${dUnitDot("la.unit", "lb.unit")}, 6) AS cosine_sim
+         |  FROM assign la JOIN assign lb
+         |    ON la.cell = lb.cell AND la.vec_id <> lb.vec_id
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cosine_sim DESC, nbr_id) AS rnk
+         |  FROM p WHERE cosine_sim < 0.95
          |)
          |SELECT vec_id, cell, nbr_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
          |FROM rk WHERE rnk <= 3""".stripMargin,

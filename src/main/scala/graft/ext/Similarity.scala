@@ -1446,7 +1446,11 @@ object Similarity {
       kNbrs: Int = 3): DataFrame =
     knnJoinFromAssign(assignWithUnit(embeddings, codebook), kNbrs)
 
-  private def knnJoinFromAssign(assign: DataFrame, kNbrs: Int): DataFrame = {
+  private def knnJoinFromAssign(assign: DataFrame, kNbrs: Int): DataFrame =
+    knnJoinFromAssign(assign, kNbrs, maxSim = None)
+
+  private def knnJoinFromAssign(
+      assign: DataFrame, kNbrs: Int, maxSim: Option[Double]): DataFrame = {
     // explicit count: see semanticDedup's cell exchange — a Σ|cell|²
     // fan-out sits above this exchange, outside AQE's sizing horizon
     val a = assign.repartition(
@@ -1456,12 +1460,34 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell"), col("vec_id"))
       .orderBy(col("cosine_sim").desc, col("nbr_id"))
-    l.join(r, Seq("cell"))
+    val pairs = l.join(r, Seq("cell"))
       .filter(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("cell"), col("nbr_id"),
         round(vec_dot(col("unit"), col("nbr_unit")), 6).as("cosine_sim"))
+    maxSim.fold(pairs)(t => pairs.filter(col("cosine_sim") < t))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= kNbrs)
+  }
+
+  /** HARD-NEGATIVE mining for contrastive training: each vector's
+    * top-`kNbrs` most-similar neighbors that are NOT near-duplicates —
+    * close enough to be informative negatives, excluded above `maxSim`
+    * where a "negative" is really an unlabeled positive (the false
+    * negative that poisons a contrastive batch; near-dups belong to
+    * dedup, not to the negative pool). Same cell-restricted pair space,
+    * exchange-reuse plan and engine-stable ranking as [[knnJoin]] — the
+    * near-dup exclusion is a filter BETWEEN pair scoring and the
+    * window, so survivors re-rank and every anchor still yields up to
+    * `kNbrs` negatives.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      kNbrs: Int = 3,
+      k: Int = AdaptiveK,
+      maxSim: Double = 0.95): DataFrame = {
+    require(maxSim > -1.0 && maxSim <= 1.0, s"maxSim must be in (-1, 1], got $maxSim")
+    knnJoinFromAssign(
+      ivfAssignWithUnit(embeddings, resolveK(embeddings, k)), kNbrs, Some(maxSim))
   }
 
   /** The packed-rank PQ index shared by [[pqKnnJoin]], [[pqAdcTopKJoin]]

@@ -1731,6 +1731,31 @@ class ExtSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1))
   }
 
+  test("hardNegatives: near-duplicates never surface as negatives; close non-dups rank first") {
+    import spark.implicits._
+    // 1 and 2 are exact twins (cosine 1.0); 3 is close to both (~0.95-);
+    // 4 is distant. All in one cell (k=1 -> single centroid).
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    val embs = Seq(
+      (1L, v(0 -> 1f)),
+      (2L, v(0 -> 1f)),
+      (3L, v(0 -> 1f, 1 -> 0.4f)),
+      (4L, v(1 -> 1f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.hardNegatives(embs, kNbrs = 2, k = 1)
+      .select("vec_id", "nbr_id", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    val by = out.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2)).toMap
+    // the twins exclude each other; the close non-dup is the TOP negative
+    assert(by(1L) === Seq(3L, 4L))
+    assert(by(2L) === Seq(3L, 4L))
+    assert(!by(1L).contains(2L) && !by(2L).contains(1L))
+    // 3's nearest negatives are the twins (cos ≈ 0.928 < 0.95), then 4
+    assert(by(3L) === Seq(1L, 2L))
+  }
+
   test("scriptMix: per-class counts partition the text; dominant arg-max ties break by fixed order") {
     import spark.implicits._
     val docs = Seq(
