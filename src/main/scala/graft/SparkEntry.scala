@@ -549,6 +549,7 @@ object SparkEntry {
           .when(col("doc_id") % 5 === 4, concat(col("text"), lit(s" ${grk}42")))
           .otherwise(col("text"))))
     }),
+    "fim_split" -> ((s, d) => TextOps.fimSplit(Tables.documents(s, d))),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => TextOps.chunkTokens(Tables.documents(s, d))),
@@ -2511,6 +2512,32 @@ object SparkEntry {
          |  FROM h
          |)
          |SELECT doc_id, COALESCE(CAST($dSimhashPack AS BIGINT), 0) AS simhash FROM b""".stripMargin,
+    "fim_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |         (${dH("'fim:' || CAST(doc_id AS VARCHAR)")} % 100 < 50) AS elected,
+         |         ${dH("'fim_a:' || CAST(doc_id AS VARCHAR)")}
+         |           % greatest(CAST(length(text) AS BIGINT) - 1, 1) + 1 AS a_raw,
+         |         ${dH("'fim_b:' || CAST(doc_id AS VARCHAR)")}
+         |           % greatest(CAST(length(text) AS BIGINT) - 1, 1) + 1 AS b_raw
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, text, CAST(elected AND n >= 2 AS INT) AS fim,
+         |         CAST(least(a_raw, b_raw) AS INT) AS lo,
+         |         CAST(greatest(a_raw, b_raw) AS INT) AS hi
+         |  FROM b
+         |), parts AS (
+         |  SELECT doc_id, fim,
+         |         CASE WHEN fim = 1 THEN substr(text, 1, lo - 1) ELSE text END AS prefix,
+         |         CASE WHEN fim = 1 THEN substr(text, lo, hi - lo) ELSE '' END AS middle,
+         |         CASE WHEN fim = 1 THEN substr(text, hi) ELSE '' END AS suffix
+         |  FROM s
+         |)
+         |SELECT doc_id, fim, prefix, middle, suffix,
+         |       CASE WHEN fim = 1
+         |            THEN '<PRE>' || prefix || '<SUF>' || suffix || '<MID>' || middle
+         |            ELSE prefix END AS assembled
+         |FROM parts""".stripMargin,
     "script_mix" ->
       """WITH dec AS (
         |  SELECT doc_id,

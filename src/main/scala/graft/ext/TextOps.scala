@@ -165,6 +165,51 @@ object TextOps {
     s"case ${branches.mkString(" ")} else '${letters.last}' end"
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * arXiv:2207.14255) — the data-side half of FIM training: a
+    * deterministic `fimPct`% of documents split at two hash-derived
+    * character positions into (prefix, middle, suffix) and reassemble
+    * in PSM order with sentinel markers, teaching the model to infill;
+    * the rest pass through untouched (the paper's mixed regime).
+    * Hash-derived split points (not RNG) make the transform stable
+    * under retries, repartitioning, and engine changes — the same
+    * determinism contract as [[graft.ext.Sampling]] — and two
+    * independent hash streams (`fim_a:`/`fim_b:` prefixes) keep the two
+    * cut points uncorrelated. Documents under 2 chars never transform
+    * (no interior cut exists).
+    *
+    * Scale shape: pure projection, zero exchanges, scan-speed.
+    */
+  def fimSplit(
+      documents: DataFrame,
+      fimPct: Int = 50,
+      preTok: String = "<PRE>",
+      sufTok: String = "<SUF>",
+      midTok: String = "<MID>"): DataFrame = {
+    require(fimPct >= 0 && fimPct <= 100, s"fimPct must be in [0,100], got $fimPct")
+    val h = md5Long64("concat('fim:', cast(doc_id as string))")
+    val ha = md5Long64("concat('fim_a:', cast(doc_id as string))")
+    val hb = md5Long64("concat('fim_b:', cast(doc_id as string))")
+    documents
+      .selectExpr("doc_id", "text",
+        "cast(length(text) as bigint) as n",
+        s"cast(pmod($h, 100) < $fimPct as boolean) as elected",
+        s"pmod($ha, greatest(cast(length(text) as bigint) - 1, 1)) + 1 as a_raw",
+        s"pmod($hb, greatest(cast(length(text) as bigint) - 1, 1)) + 1 as b_raw")
+      .selectExpr("doc_id", "text", "n",
+        "cast(elected and n >= 2 as int) as fim",
+        "cast(least(a_raw, b_raw) as int) as lo",
+        "cast(greatest(a_raw, b_raw) as int) as hi")
+      .selectExpr("doc_id", "fim",
+        "case when fim = 1 then substring(text, 1, lo - 1) else text end as prefix",
+        "case when fim = 1 then substring(text, lo, hi - lo) else '' end as middle",
+        "case when fim = 1 then substring(text, hi) else '' end as suffix")
+      .selectExpr("doc_id", "fim", "prefix", "middle", "suffix",
+        s"""case when fim = 1
+           |  then concat('$preTok', prefix, '$sufTok', suffix, '$midTok', middle)
+           |  else prefix end as assembled""".stripMargin)
+  }
+
   def textStats(documents: DataFrame): DataFrame =
     documents
       .withColumn("toks", split(col("text"), " "))

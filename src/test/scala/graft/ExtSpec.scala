@@ -1731,6 +1731,38 @@ class ExtSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1))
   }
 
+  test("fimSplit: parts reconstruct the document; PSM assembly; short docs never transform") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "x"), // 1 char: no interior cut exists
+      (3L, ""), // empty
+      (4L, "abcdefghij"),
+      (5L, "some longer document body with enough characters to cut")
+    ).toDF("doc_id", "text")
+    val raw = docs.as[(Long, String)].collect().toMap
+    val out = graft.ext.TextOps.fimSplit(docs, fimPct = 100)
+      .as[(Long, Int, String, String, String, String)].collect().toSeq
+    out.foreach { case (id, fim, pre, mid, suf, asm) =>
+      if (raw(id).length >= 2) {
+        assert(fim === 1, s"doc $id should transform at fimPct=100")
+        // the three parts partition the original exactly
+        assert(pre + mid + suf === raw(id), s"doc $id reconstruction")
+        assert(suf.nonEmpty, s"doc $id: suffix is never empty by construction")
+        assert(asm === s"<PRE>$pre<SUF>$suf<MID>$mid")
+      } else {
+        assert(fim === 0 && pre === raw(id) && mid === "" && suf === "")
+        assert(asm === raw(id))
+      }
+    }
+    // fimPct=0: pure pass-through
+    val none = graft.ext.TextOps.fimSplit(docs, fimPct = 0)
+      .as[(Long, Int, String, String, String, String)].collect().toSeq
+    none.foreach { case (id, fim, pre, _, _, asm) =>
+      assert(fim === 0 && pre === raw(id) && asm === raw(id))
+    }
+  }
+
   test("hardNegatives: near-duplicates never surface as negatives; close non-dups rank first") {
     import spark.implicits._
     // 1 and 2 are exact twins (cosine 1.0); 3 is close to both (~0.95-);
