@@ -342,6 +342,14 @@ object SparkEntry {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.hardNegatives(emb.unionByName(dup), kNbrs = 3, k = 16)
     }),
+    // same duplicate decoration: the twins are each other's positives,
+    // so every decorated anchor emits a complete (anchor, pos, neg) row
+    "contrastive_triplets" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val dup = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.contrastiveTriplets(emb.unionByName(dup), k = 16)
+    }),
     // The PRODUCTION regime: k ≈ √n adaptive codebook (the default the docs
     // recommend at scale), hash-gated against an oracle that derives the
     // same k from COUNT(*) — not just the pinned k=16 oracle regime.
@@ -2214,6 +2222,50 @@ object SparkEntry {
          |)
          |SELECT vec_id, cell, nbr_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
          |FROM rk WHERE rnk <= 3""".stripMargin,
+    "contrastive_triplets" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+         |), u AS (
+         |  SELECT vec_id,
+         |         CASE WHEN sqrt(list_sum(list_transform(embedding,
+         |                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) > 0
+         |           THEN list_transform(embedding, x -> CAST(x AS DOUBLE)
+         |             / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+         |         END AS unit
+         |  FROM e
+         |), c AS (
+         |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u
+         |  WHERE unit IS NOT NULL ORDER BY vec_id LIMIT 16
+         |), s AS (
+         |  SELECT u.vec_id, u.unit, c.cent_id,
+         |         round(${dUnitDot("u.unit", "c.cent_unit")}, 6) AS cent_sim
+         |  FROM u CROSS JOIN c WHERE u.unit IS NOT NULL
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cent_sim DESC, cent_id) AS rn
+         |  FROM s
+         |), assign AS (
+         |  SELECT vec_id, unit, cent_id AS cell FROM r WHERE rn = 1
+         |), p AS (
+         |  SELECT la.vec_id AS vec_id, lb.vec_id AS nbr_id,
+         |         round(${dUnitDot("la.unit", "lb.unit")}, 6) AS sim
+         |  FROM assign la JOIN assign lb
+         |    ON la.cell = lb.cell AND la.vec_id <> lb.vec_id
+         |), pos AS (
+         |  SELECT vec_id AS anchor_id, nbr_id AS pos_id, sim AS pos_sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY sim DESC, nbr_id) AS rk
+         |    FROM p WHERE sim >= 0.95) t WHERE rk = 1
+         |), neg AS (
+         |  SELECT vec_id AS anchor_id, nbr_id AS neg_id, sim AS neg_sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY sim DESC, nbr_id) AS rk
+         |    FROM p WHERE sim < 0.95) t WHERE rk = 1
+         |)
+         |SELECT anchor_id, pos_id, pos_sim, neg_id, neg_sim
+         |FROM pos JOIN neg USING (anchor_id)""".stripMargin,
     // Adaptive-codebook twins: k = max(16, min(2^16, ceil(sqrt(n)))) derived
     // from COUNT(*) exactly as Similarity.adaptiveCodebookSize does (n is
     // exact; sqrt/ceil are the same IEEE-double ops both engines run), and

@@ -1469,6 +1469,47 @@ object Similarity {
       .filter(col("rank") <= kNbrs)
   }
 
+  /** Contrastive TRIPLET assembly — the training artifact itself:
+    * (anchor, positive, negative) rows where the positive is the
+    * anchor's most-similar near-duplicate (sim ≥ `minPosSim`) and the
+    * negative its best hard negative (sim < `minPosSim`, the
+    * [[hardNegatives]] bar) — anchors lacking either side emit nothing
+    * (a triplet loss needs both). ONE cell-restricted pair-scoring pass
+    * feeds both selections: the positive and negative windows partition
+    * by (cell, vec_id) over the same exchange, so the corpus is scored
+    * once and only the two rank-1 frames (≤ n rows each) meet in the
+    * final anchor join.
+    */
+  def contrastiveTriplets(
+      embeddings: DataFrame,
+      minPosSim: Double = 0.95,
+      k: Int = AdaptiveK): DataFrame = {
+    require(minPosSim > -1.0 && minPosSim <= 1.0,
+      s"minPosSim must be in (-1, 1], got $minPosSim")
+    val a = ivfAssignWithUnit(embeddings, resolveK(embeddings, k))
+      .repartition(
+        embeddings.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cell"))
+    val l = a.select(col("cell"), col("vec_id"), col("unit"))
+    val r = a.select(col("cell"), col("vec_id").as("nbr_id"),
+      col("unit").as("nbr_unit"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("cell"), col("nbr_id"),
+        round(vec_dot(col("unit"), col("nbr_unit")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"), col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    def top1(side: DataFrame, idCol: String, simCol: String): DataFrame =
+      side.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id").as("anchor_id"), col("nbr_id").as(idCol),
+          col("sim").as(simCol))
+    top1(pairs.filter(col("sim") >= minPosSim), "pos_id", "pos_sim")
+      .join(top1(pairs.filter(col("sim") < minPosSim), "neg_id", "neg_sim"),
+        Seq("anchor_id"))
+      .select("anchor_id", "pos_id", "pos_sim", "neg_id", "neg_sim")
+  }
+
   /** HARD-NEGATIVE mining for contrastive training: each vector's
     * top-`kNbrs` most-similar neighbors that are NOT near-duplicates —
     * close enough to be informative negatives, excluded above `maxSim`

@@ -1731,6 +1731,28 @@ class ExtSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1))
   }
 
+  test("contrastiveTriplets: anchors need both sides; twins pair as positives with the close non-dup negative") {
+    import spark.implicits._
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    val embs = Seq(
+      (1L, v(0 -> 1f)), // twin of 2
+      (2L, v(0 -> 1f)),
+      (3L, v(0 -> 1f, 1 -> 0.4f)), // close non-dup (~0.93 to the twins)
+      (4L, v(1 -> 1f)) // distant; has no positive -> emits nothing
+    ).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.contrastiveTriplets(embs, k = 1)
+      .as[(Long, Long, Double, Long, Double)].collect().sortBy(_._1).toSeq
+    // only the twins have a positive; their negative is the CLOSE
+    // non-dup 3, not the distant 4 (hard negative = best sub-bar sim)
+    assert(out.map(_._1) === Seq(1L, 2L))
+    val byAnchor = out.map(t => t._1 -> t).toMap
+    assert(byAnchor(1L)._2 === 2L && byAnchor(1L)._4 === 3L)
+    assert(byAnchor(2L)._2 === 1L && byAnchor(2L)._4 === 3L)
+    assert(byAnchor(1L)._3 === 1.0 && byAnchor(1L)._5 < 0.95)
+  }
+
   test("fimSplit: parts reconstruct the document; PSM assembly; short docs never transform") {
     import spark.implicits._
     val docs = Seq(
