@@ -587,6 +587,32 @@ object SparkEntry {
     "mixture_sample" -> ((s, d) => Sampling.mixtureSample(Tables.documents(s, d))),
     "domain_cap" -> ((s, d) => Sampling.capPerSource(Tables.documents(s, d), cap = 8)),
     "dataset_split" -> ((s, d) => Sampling.datasetSplit(Tables.documents(s, d))),
+    // decoration: orderkey-derived breakage so every rule's violation
+    // counter provably fires — null FKs, orphan FKs, negative totals,
+    // malformed priorities, re-entered duplicate keys
+    "dq_report" -> ((s, d) => {
+      import graft.ops.Quality
+      val o = Tables.orders(s, d)
+      val dec0 = o.select(
+        col("o_orderkey").cast("bigint").as("o_orderkey"),
+        when(col("o_orderkey") % 1000 === 7, lit(null).cast("bigint"))
+          .when(col("o_orderkey") % 1000 === 33, lit(-5L))
+          .otherwise(col("o_custkey").cast("bigint")).as("o_custkey"),
+        when(col("o_orderkey") % 1000 === 13, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("o_orderkey") % 1000 === 21, lit("X-BAD"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      val dec = dec0.unionByName(dec0.filter(col("o_orderkey") % 5000 === 11))
+      Quality.dqReport(dec, Seq(
+        Quality.NotNull("o_custkey"),
+        Quality.InRange("o_totalprice", 0, 10000000),
+        Quality.Matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+        Quality.Unique(Seq("o_orderkey")),
+        Quality.RefIntegrity("o_custkey",
+          Tables.customer(s, d)
+            .select(col("c_custkey").cast("bigint").as("c_custkey")),
+          "c_custkey")))
+    }),
     "cdc_apply" -> ((s, d) => {
       val snap = cdcSnapshot(s, d)
       Cdc.applyChangelog(snap, cdcChangelog(snap), "cust_id")
@@ -2976,6 +3002,48 @@ object SparkEntry {
          |            ELSE 'train' END AS split
          |FROM (SELECT doc_id, ${dH("CAST(doc_id AS VARCHAR)")} % 100 AS b
          |      FROM documents) t""".stripMargin,
+    "dq_report" ->
+      """WITH dec0 AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |         CASE WHEN o_orderkey % 1000 = 7 THEN NULL
+        |              WHEN o_orderkey % 1000 = 33 THEN CAST(-5 AS BIGINT)
+        |              ELSE CAST(o_custkey AS BIGINT) END AS o_custkey,
+        |         CASE WHEN o_orderkey % 1000 = 13 THEN -o_totalprice
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         CASE WHEN o_orderkey % 1000 = 21 THEN 'X-BAD'
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders
+        |), dec AS (
+        |  SELECT * FROM dec0
+        |  UNION ALL
+        |  SELECT * FROM dec0 WHERE o_orderkey % 5000 = 11
+        |), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM dec)
+        |SELECT rule, col_name, n_rows, n_violations,
+        |       CAST(n_violations = 0 AS INT) AS pass
+        |FROM (
+        |  SELECT 'not_null' AS rule, 'o_custkey' AS col_name, t.n_rows,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
+        |          WHERE o_custkey IS NULL) AS n_violations FROM t
+        |  UNION ALL
+        |  SELECT 'in_range', 'o_totalprice', t.n_rows,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
+        |          WHERE o_totalprice IS NOT NULL
+        |            AND (o_totalprice < 0 OR o_totalprice > 10000000)) FROM t
+        |  UNION ALL
+        |  SELECT 'matches', 'o_orderpriority', t.n_rows,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
+        |          WHERE o_orderpriority IS NOT NULL
+        |            AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')) FROM t
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey', t.n_rows,
+        |         (SELECT COALESCE(CAST(SUM(c - 1) AS BIGINT), 0) FROM
+        |           (SELECT COUNT(*) AS c FROM dec GROUP BY o_orderkey) g) FROM t
+        |  UNION ALL
+        |  SELECT 'ref_integrity', 'o_custkey', t.n_rows,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
+        |          WHERE o_custkey IS NOT NULL
+        |            AND o_custkey NOT IN (SELECT c_custkey FROM customer)) FROM t
+        |) r""".stripMargin,
     "cdc_apply" ->
       s"""$dCdcCtes
          |SELECT cust_id, name, nation, segment FROM applied""".stripMargin,

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — the constraint-report shape
+  * (dbt tests / Great Expectations / Deequ) every ingest boundary needs:
+  * assert properties of a table, get back one small row per rule with
+  * exact violation counts, and gate the pipeline on `pass`.
+  *
+  * Scale shape: every SCALAR rule (not-null, range, regex) folds into
+  * ONE shared aggregate pass — conditional sums, map-side combined, so
+  * the table scans once however many scalar rules there are. `Unique`
+  * is one map-side-combined groupBy on its key (the exact duplicate
+  * count, not an approximation); `RefIntegrity` is one anti-join whose
+  * dimension side broadcasts when small. Each non-scalar rule is its
+  * own bounded job; the report union is a handful of one-row frames.
+  */
+object Quality {
+
+  sealed trait DqRule
+  /** `col` must be non-null. */
+  final case class NotNull(col: String) extends DqRule
+  /** `col` must lie in [lo, hi] (nulls are NOT violations here —
+    * compose with [[NotNull]] to also forbid them; a rule should test
+    * one property). */
+  final case class InRange(col: String, lo: Double, hi: Double) extends DqRule
+  /** `col` must fully match `regex` (nulls pass, as with [[InRange]]).
+    * Stick to constructs Java regex and RE2 share (the piiScrub
+    * portability discipline) if the report must be oracle-comparable. */
+  final case class Matches(col: String, regex: String) extends DqRule
+  /** The key must be unique; violations = rows in excess of one per
+    * key (so a key seen 3× contributes 2). */
+  final case class Unique(cols: Seq[String]) extends DqRule
+  /** Every non-null `fkCol` must exist in `dim.dimKey` (referential
+    * integrity); violations = orphan rows. */
+  final case class RefIntegrity(fkCol: String, dim: DataFrame, dimKey: String)
+      extends DqRule
+
+  /** One row per rule: (rule, col_name, n_rows, n_violations, pass). */
+  def dqReport(df: DataFrame, rules: Seq[DqRule]): DataFrame = {
+    require(rules.nonEmpty, "dqReport needs at least one rule")
+    val total = count(lit(1)).cast("bigint").as("n_rows")
+    def viol(cond: Column): Column =
+      sum(when(cond, 1L).otherwise(0L)).cast("bigint")
+
+    val scalar = rules.zipWithIndex.collect {
+      case (NotNull(c), i) =>
+        (i, "not_null", c, col(c).isNull)
+      case (InRange(c, lo, hi), i) =>
+        (i, "in_range", c, col(c).isNotNull && (col(c) < lo || col(c) > hi))
+      case (Matches(c, re), i) =>
+        (i, "matches", c, col(c).isNotNull && !col(c).rlike(s"^(?:$re)$$"))
+    }
+    val scalarReport: Option[DataFrame] =
+      if (scalar.isEmpty) None
+      else Some {
+        // one pass: every scalar rule is a conditional aggregate over
+        // the same scan
+        val aggs = total +: scalar.flatMap { case (i, _, _, cond) =>
+          Seq(viol(cond).as(s"v_$i"))
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        scalar.map { case (i, rule, c, _) =>
+          row.select(lit(rule).as("rule"), lit(c).as("col_name"),
+            col("n_rows"), col(s"v_$i").as("n_violations"))
+        }.reduce(_.unionByName(_))
+      }
+
+    val others: Seq[DataFrame] = rules.collect {
+      case Unique(cols) =>
+        val keyCols = cols.map(col)
+        df.groupBy(keyCols: _*).agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c")), lit(0L)).cast("bigint").as("n_rows"),
+            coalesce(sum(col("c") - 1), lit(0L)).cast("bigint").as("n_violations"))
+          .select(lit("unique").as("rule"),
+            lit(cols.mkString(",")).as("col_name"),
+            col("n_rows"), col("n_violations"))
+      case RefIntegrity(fk, dim, key) =>
+        val orphans = df.filter(col(fk).isNotNull)
+          .join(dim.select(col(key).as(fk)).distinct(), Seq(fk), "left_anti")
+        val nOrph = orphans.agg(count(lit(1)).cast("bigint").as("n_violations"))
+        df.agg(total).crossJoin(nOrph)
+          .select(lit("ref_integrity").as("rule"), lit(fk).as("col_name"),
+            col("n_rows"), col("n_violations"))
+    }
+
+    (scalarReport.toSeq ++ others)
+      .reduce(_.unionByName(_))
+      .withColumn("pass", (col("n_violations") === 0L).cast("int"))
+  }
+}

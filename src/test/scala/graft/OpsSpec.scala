@@ -246,6 +246,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dqReport: exact violation counts per rule; nulls pass range/regex; duplicates count in excess") {
+    import graft.ops.Quality
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val df = Seq(
+      (1L, Option(1L), Option(5.0), Option("1-HIGH")),
+      (1L, Option(2L), Option(-1.0), Option("2-LOW")), // dup key, range viol
+      (2L, Option.empty[Long], Option.empty[Double], Option.empty[String]), // null fk; null range/regex PASS
+      (3L, Option(9L), Option(11.0), Option("bad")), // orphan fk, range viol, regex viol
+      (3L, Option(3L), Option(0.0), Option("3-OK")), // dup key (3 seen twice)
+      (3L, Option(3L), Option(10.0), Option("5-X")) // key 3 thrice -> 2 excess
+    ).toDF("id", "fk", "v", "tag")
+    val out = Quality.dqReport(df, Seq(
+      Quality.NotNull("fk"),
+      Quality.InRange("v", 0, 10),
+      Quality.Matches("tag", "[1-5]-[A-Z]+"),
+      Quality.Unique(Seq("id")),
+      Quality.RefIntegrity("fk", dim, "k")))
+      .as[(String, String, Long, Long, Int)].collect().toSeq
+    val byRule = out.map(r => r._1 -> r).toMap
+    assert(out.forall(_._3 === 6L)) // every rule reports the full row count
+    assert(byRule("not_null") === (("not_null", "fk", 6L, 1L, 0)))
+    assert(byRule("in_range") === (("in_range", "v", 6L, 2L, 0)))
+    assert(byRule("matches") === (("matches", "tag", 6L, 1L, 0)))
+    assert(byRule("unique") === (("unique", "id", 6L, 3L, 0))) // 1 excess for key 1, 2 for key 3
+    assert(byRule("ref_integrity") === (("ref_integrity", "fk", 6L, 1L, 0))) // only fk 9 orphans; the null fk is not_null's concern
+    intercept[IllegalArgumentException] { Quality.dqReport(df, Seq.empty) }
+  }
+
   test("scdHistory: validity intervals close at the next version; deletes close but never appear") {
     import graft.ops.Cdc
     val chg = Seq(
