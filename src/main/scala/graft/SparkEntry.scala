@@ -558,6 +558,7 @@ object SparkEntry {
           .otherwise(col("text"))))
     }),
     "fim_split" -> ((s, d) => TextOps.fimSplit(Tables.documents(s, d))),
+    "source_report" -> ((s, d) => TextOps.sourceReport(Tables.documents(s, d))),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => TextOps.chunkTokens(Tables.documents(s, d))),
@@ -3389,6 +3390,30 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, p.n_tokens, p.logfreq_sum, p.rarest_mag
         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+    "source_report" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents
+        |), pt AS (
+        |  SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token
+        |), agg AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+        |         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |         MAX(c) AS max_token_freq
+        |  FROM pt GROUP BY source
+        |), d AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT d.source, d.n_docs,
+        |       COALESCE(a.n_tokens, 0) AS n_tokens,
+        |       COALESCE(a.n_types, 0) AS n_types,
+        |       COALESCE(a.n_hapax, 0) AS n_hapax,
+        |       a.max_token_freq,
+        |       CAST(a.n_types AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS type_token_ratio,
+        |       CAST(a.n_hapax AS DOUBLE) / CAST(a.n_types AS DOUBLE) AS hapax_frac
+        |FROM d LEFT JOIN agg a USING (source)""".stripMargin,
     "corpus_stats" ->
       """WITH tok AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token

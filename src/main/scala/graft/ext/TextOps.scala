@@ -978,6 +978,39 @@ object TextOps {
         .groupBy(col("token")).agg(count(lit(1)).as("c")),
       documents.agg(count(lit(1)).as("n_docs")))
 
+  /** The per-SOURCE report card — [[corpusStats]] grouped by origin
+    * domain, the table a curation dashboard actually shows (corpus-wide
+    * numbers hide a single bad source behind the aggregate; mixture
+    * decisions are made per source). Same counters, keyed: docs,
+    * tokens, types, hapax count, heaviest token frequency, type–token
+    * and hapax ratios. Types/hapax are per-source by definition (a
+    * token common globally can be a hapax within one source).
+    *
+    * Scale shape: ONE (source, token)-keyed map-side-combined exchange
+    * (the tf→df idiom) plus a per-source doc count — the source key
+    * rides the token exchange, so the cost over [[corpusStats]] is the
+    * key bytes, not a second corpus pass.
+    */
+  def sourceReport(documents: DataFrame): DataFrame = {
+    val perTok = documents.selectExpr("source",
+        "explode(filter(split(text, ' '), x -> x != '')) as token")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val nDocs = documents.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    perTok.groupBy(col("source")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("c")).as("max_token_freq"))
+      .join(nDocs, Seq("source"), "right")
+      .selectExpr("source", "n_docs",
+        "coalesce(n_tokens, cast(0 as bigint)) as n_tokens",
+        "coalesce(n_types, cast(0 as bigint)) as n_types",
+        "coalesce(n_hapax, cast(0 as bigint)) as n_hapax",
+        "max_token_freq",
+        "cast(n_types as double) / cast(n_tokens as double) as type_token_ratio",
+        "cast(n_hapax as double) / cast(n_types as double) as hapax_frac")
+  }
+
   /** The report-card aggregate over a (token, c) histogram + 1-row doc
     * count — shared by the batch [[corpusStats]] and the accumulated
     * streaming card [[corpusStatsFrom]], so the two can only agree or

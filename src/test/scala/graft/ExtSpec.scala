@@ -1731,6 +1731,28 @@ class ExtSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1))
   }
 
+  test("sourceReport: per-source counters; a globally-common token is a within-source hapax") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared alpha alpha", "a"),
+      (2L, "shared beta", "a"),
+      (3L, "shared gamma gamma gamma", "b"),
+      (4L, "  ", "b") // whitespace-only doc: zero tokens, still counted
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ext.TextOps.sourceReport(docs)
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    // source a: 5 tokens {shared:2, alpha:2, beta:1} -> 3 types, 1 hapax
+    // source b: 4 tokens {shared:1, gamma:3} -> 2 types; 'shared' is
+    //   corpus-common (3 occurrences) but a HAPAX within b
+    assert(out(0) === (("a", 2L, 5L, 3L, 1L, 2L, 3.0 / 5.0, 1.0 / 3.0)))
+    assert(out(1) === (("b", 2L, 4L, 2L, 1L, 3L, 2.0 / 4.0, 1.0 / 2.0)))
+    // the per-source cards tile the corpus card
+    val global = graft.ext.TextOps.corpusStats(docs).collect()(0)
+    assert(out.map(_._3).sum === global.getLong(1))
+    assert(out.map(_._2).sum === global.getLong(0))
+  }
+
   test("contrastiveTriplets: anchors need both sides; twins pair as positives with the close non-dup negative") {
     import spark.implicits._
     def v(parts: (Int, Float)*): Array[Float] = {
