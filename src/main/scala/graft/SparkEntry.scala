@@ -272,6 +272,8 @@ object SparkEntry {
     }),
     "salted_agg" -> ((s, d) =>
       Skew.saltedSumCount(Tables.events(s, d), "user_id", "value", "event_id")),
+    "skew_report" -> ((s, d) =>
+      Skew.skewReport(Tables.events(s, d), "user_id")),
     "asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       // right side: each user's last event per day (a daily state snapshot)
@@ -1387,6 +1389,14 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderstatus
         |UNION ALL
         |SELECT 'ALL', COUNT(DISTINCT o_custkey), true FROM orders""".stripMargin,
+    "skew_report" ->
+      """WITH k AS (
+        |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+        |)
+        |SELECT CAST(length(bin(c)) - 1 AS INT) AS freq_mag,
+        |       COUNT(*) AS n_keys,
+        |       CAST(SUM(c) AS BIGINT) AS n_rows
+        |FROM k GROUP BY 1""".stripMargin,
     "salted_agg" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -62,4 +62,27 @@ object Skew {
       .join(replicated, col(key) === col("_dk") && col("_salt") === col("_dsalt"))
       .drop("_salt", "_dsalt", "_dk")
   }
+
+  /** Join-key SKEW telemetry — the measurement that justifies (or
+    * rules out) [[saltedSumCount]]/[[saltedJoin]] before anyone pays
+    * their replication cost: the key-frequency distribution folded
+    * into integer log₂ magnitude buckets. One row per magnitude m with
+    * the number of distinct keys whose count has ⌊log₂⌋ = m and the
+    * rows they carry — a heavy top bucket says salt, a flat profile
+    * says don't. NULL keys group like any key (a hot NULL is the most
+    * common real-world skew cause). Key identities are
+    * [[graft.ext.TextOps.heavyHitters]]'s job; this is the shape.
+    *
+    * Scale shape: two map-side-combined aggregates — the (key) count
+    * and the ≤64-row magnitude fold. The key aggregate's exchange
+    * carries one row per key per partition; the hot key itself
+    * combines map-side, so the diagnosis never suffers the skew it
+    * measures.
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .selectExpr("c", "cast(length(bin(c)) - 1 as int) as freq_mag")
+      .groupBy(col("freq_mag"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).cast("bigint").as("n_rows"))
 }

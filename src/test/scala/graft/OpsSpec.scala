@@ -246,6 +246,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("skewReport: magnitude buckets partition keys and rows; NULL groups as a (hot) key") {
+    import graft.ops.Skew
+    val rows =
+      Seq.fill(9)(Option(1L)) ++ // hot key: c=9 -> mag 3
+        Seq.fill(8)(Option.empty[Long]) ++ // hot NULL: c=8 -> mag 3
+        Seq.fill(2)(Option(2L)) ++ // c=2 -> mag 1
+        Seq(Option(3L), Option(4L), Option(5L)) // three singletons -> mag 0
+    val out = Skew.skewReport(rows.toDF("k"), "k")
+      .orderBy("freq_mag").as[(Int, Long, Long)].collect().toSeq
+    assert(out === Seq((0, 3L, 3L), (1, 1L, 2L), (3, 2L, 17L)))
+    assert(out.map(_._3).sum === rows.size)
+  }
+
   test("dqReport: exact violation counts per rule; nulls pass range/regex; duplicates count in excess") {
     import graft.ops.Quality
     val dim = Seq(1L, 2L, 3L).toDF("k")
