@@ -1554,6 +1554,65 @@ object Similarity {
     */
   final case class PqIndex(cents: DataFrame, store: DataFrame)
 
+  /** Publish a [[PqIndex]] (plus the codebook it was built under — a
+    * serve needs all three frames, and packed ranks are meaningless
+    * under any other codebook) as an immutable version under `dir`,
+    * the [[publishCodebook]] contract extended to a MULTI-frame
+    * artifact: three writes land under `dir/v=N/{codebook,cents,store}`
+    * and only the final `_PUBLISHED` marker makes the version visible —
+    * a crash mid-publish leaves a torn dir that [[latestPqIndex]] never
+    * resolves (the committedBatchDirs discipline), and the next publish
+    * skips past it. Running queries keep their pinned version; a swap
+    * lands at (re)start via [[latestPqIndex]].
+    */
+  def publishPqIndex(index: PqIndex, codebook: DataFrame, dir: String): Int = {
+    val spark = codebook.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // next = past EVERY v= dir, torn ones included (errorifexists would
+    // otherwise collide with a torn dir forever)
+    val all =
+      if (!fs.exists(p)) Seq.empty[Int]
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case s if s.startsWith("v=") && s.drop(2).nonEmpty
+          && s.drop(2).forall(_.isDigit) => s.drop(2).toInt }
+    val next = (0 +: all).max + 1
+    val base = s"$dir/v=$next"
+    codebook.coalesce(1).write.mode("errorifexists").parquet(s"$base/codebook")
+    index.cents.coalesce(1).write.mode("errorifexists").parquet(s"$base/cents")
+    // the store keeps its cell clustering — at scale it is the big frame
+    index.store.write.mode("errorifexists").parquet(s"$base/store")
+    fs.create(new org.apache.hadoop.fs.Path(base, "_PUBLISHED"), false).close()
+    next
+  }
+
+  /** PUBLISHED versions under `dir` (marker present), ascending. */
+  def pqIndexVersions(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") && s.drop(2).nonEmpty
+        && s.drop(2).forall(_.isDigit) => s.drop(2).toInt }
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v", "_PUBLISHED")))
+      .sorted
+  }
+
+  /** The newest PUBLISHED serving index and its codebook. Resolved at
+    * creation time — call at query (re)start, not once per process. */
+  def latestPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (PqIndex, DataFrame) = {
+    val vs = pqIndexVersions(spark, dir)
+    require(vs.nonEmpty, s"no PQ index versions published under $dir")
+    val base = s"$dir/v=${vs.last}"
+    (PqIndex(
+      spark.read.parquet(s"$base/cents"),
+      spark.read.parquet(s"$base/store")),
+      spark.read.parquet(s"$base/codebook"))
+  }
+
   /** Build the [[PqIndex]] for a corpus under a trained codebook (the
     * [[graft.ext.IndexCache]] shape: train once, index once, serve
     * forever). */

@@ -1731,6 +1731,29 @@ class ExtSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1))
   }
 
+  test("publishPqIndex/latestPqIndex: parquet round-trip serves identically; torn versions invisible") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqpub").toString
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = graft.ext.Similarity.pqCodebook(corpus)
+    val idx = graft.ext.Similarity.pqServingIndex(corpus, cb)
+    assert(graft.ext.Similarity.publishPqIndex(idx, cb, dir) === 1)
+    val (idx1, cb1) = graft.ext.Similarity.latestPqIndex(spark, dir)
+    val queries = corpus.limit(5)
+    def serve(i: graft.ext.Similarity.PqIndex, c: org.apache.spark.sql.DataFrame) =
+      graft.ext.Similarity.pqAdcTopKJoinOn(queries, i, c, kNbrs = 3)
+        .select("query_id", "nbr_id", "rank")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(serve(idx1, cb1) === serve(idx, cb))
+    // a torn publish (dirs without the marker) must stay invisible and
+    // must not block the next publish's version counter
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/v=2/store"))
+    assert(graft.ext.Similarity.pqIndexVersions(spark, dir) === Seq(1))
+    assert(graft.ext.Similarity.latestPqIndex(spark, dir)._1 !== null)
+    assert(graft.ext.Similarity.publishPqIndex(idx, cb, dir) === 3)
+    assert(graft.ext.Similarity.pqIndexVersions(spark, dir) === Seq(1, 3))
+  }
+
   test("sourceReport: per-source counters; a globally-common token is a within-source hapax") {
     import spark.implicits._
     val docs = Seq(
