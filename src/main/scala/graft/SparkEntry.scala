@@ -626,6 +626,13 @@ object SparkEntry {
     }),
     "scd2_history" -> ((s, d) =>
       Cdc.scdHistory(cdcChangelog(cdcSnapshot(s, d)), "cust_id")),
+    // asOf = 3031 (custkey 303's first update): keys < 303 fully
+    // applied, key 303 at v1-only (latest-wins restricted by time),
+    // later keys untouched, all v=1 inserts present
+    "cdc_as_of" -> ((s, d) => {
+      val snap = cdcSnapshot(s, d)
+      Cdc.applyChangelogAsOf(snap, cdcChangelog(snap), "cust_id", asOf = 3031L)
+    }),
     "leakage_safe_split" -> ((s, d) =>
       Sampling.leakageSafeSplit(Tables.documents(s, d))),
     // distribution-shift telemetry: even/odd vec_id halves stand in for
@@ -3071,6 +3078,18 @@ object SparkEntry {
          |              ELSE 'unchanged' END AS change_type
          |  FROM snap b FULL OUTER JOIN applied a ON b.cust_id = a.cust_id) t
          |WHERE change_type <> 'unchanged'""".stripMargin,
+    "cdc_as_of" ->
+      s"""$dCdcCtes, latest_asof AS (
+         |  SELECT cust_id, name, nation, segment, op FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cust_id
+         |                                 ORDER BY version DESC) AS rn
+         |    FROM chg WHERE version <= 3031) t
+         |  WHERE rn = 1
+         |)
+         |SELECT cust_id, name, nation, segment FROM snap
+         |WHERE cust_id NOT IN (SELECT cust_id FROM latest_asof)
+         |UNION ALL
+         |SELECT cust_id, name, nation, segment FROM latest_asof WHERE op <> 'D'""".stripMargin,
     "scd2_history" ->
       s"""$dCdcCtes
          |SELECT cust_id, name, nation, segment,

@@ -149,6 +149,41 @@ object Cdc {
         col("valid_to").isNull.as("is_current")): _*)
   }
 
+  /** TIME TRAVEL over the changelog: the merged table as of version
+    * `asOf` — changes with a later version simply don't exist yet, so
+    * this is [[applyChangelog]] over the version-restricted changelog.
+    * The version filter pushes to the changelog scan; cost is the same
+    * one-aggregate MERGE.
+    */
+  def applyChangelogAsOf(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      key: String,
+      asOf: Long,
+      opCol: String = "op",
+      versionCol: String = "version"): DataFrame =
+    applyChangelog(snapshot, changes.where(col(versionCol) <= asOf),
+      key, opCol, versionCol)
+
+  /** The point-in-time state from an SCD2 history — the lookup the
+    * history exists for: rows whose validity interval covers `asOf`
+    * (valid_from ≤ asOf < valid_to, open intervals unbounded). Keys
+    * deleted before `asOf` have no covering interval and emit nothing;
+    * keys first changed after `asOf` likewise (their pre-history state
+    * lives in the base snapshot, not the changelog — [[scdAsOf]] over
+    * [[scdHistory]] plus the untouched snapshot rows reconstructs
+    * exactly [[applyChangelogAsOf]], OpsSpec-pinned).
+    */
+  def scdAsOf(history: DataFrame, asOf: Long): DataFrame = {
+    val cols = history.columns.toSeq
+    require(cols.contains("valid_from") && cols.contains("valid_to"),
+      "scdAsOf expects a scdHistory frame (valid_from/valid_to)")
+    history
+      .where(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .drop("valid_from", "valid_to", "is_current")
+  }
+
   /** Diff two snapshots of a keyed table: one full-outer join on the
     * key, null-safe column compares for the change classification.
     * Emits only differing keys — (key, change_type ∈ added / removed /

@@ -309,6 +309,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("time travel: scdAsOf over the history + untouched snapshot rows equals applyChangelogAsOf, at every version") {
+    import graft.ops.Cdc
+    val snap = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")
+    ).toDF("id", "v")
+    val chg = Seq(
+      (2L, "b1", "U", 10L), (2L, "b2", "U", 20L), // two updates
+      (3L, "c", "D", 12L), (3L, "c2", "U", 18L), // delete then revive
+      (4L, "d", "D", 15L), // delete, never revived
+      (6L, "f", "I", 11L) // insert
+    ).toDF("id", "v", "op", "version")
+    val hist = Cdc.scdHistory(chg, "id")
+    // at every version boundary (incl. between delete and revive), the
+    // two time-travel formulations agree exactly
+    Seq(5L, 10L, 12L, 15L, 16L, 18L, 20L, 99L).foreach { t =>
+      val direct = Cdc.applyChangelogAsOf(snap, chg, "id", t)
+        .orderBy("id").as[(Long, String)].collect().toSeq
+      val touched = chg.where(col("version") <= t).select("id").distinct()
+      val viaHist = snap.join(touched, Seq("id"), "left_anti")
+        .unionByName(Cdc.scdAsOf(hist, t))
+        .orderBy("id").as[(Long, String)].collect().toSeq
+      assert(viaHist === direct, s"asOf=$t")
+    }
+    // spot-pin the delete-window state: at t=16, key 3 is deleted (its
+    // revive at 18 doesn't exist yet) and key 4 is gone
+    val t16 = Cdc.applyChangelogAsOf(snap, chg, "id", 16L)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(t16 === Seq((1L, "a"), (2L, "b1"), (5L, "e"), (6L, "f")))
+  }
+
   test("snapshotDiff: classifies added/removed/changed, drops unchanged, null-safe") {
     import graft.ops.Cdc
     val before = Seq(
