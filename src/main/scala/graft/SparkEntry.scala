@@ -488,6 +488,8 @@ object SparkEntry {
     "pagerank_top" -> ((s, d) =>
       Graph.pageRank(Graph.lineitemGraph(Tables.lineitem(s, d)))
         .orderBy(col("rank").desc, col("id")).limit(20)),
+    "triangle_count" -> ((s, d) =>
+      Graph.triangleCounts(Graph.lineitemGraph(Tables.lineitem(s, d)))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id"))),
@@ -3687,6 +3689,36 @@ object SparkEntry {
          |FROM f JOIN fo USING (shingle_hash)
          |GROUP BY f.doc_id""".stripMargin,
     "pagerank_top" -> pagerankSql(8),
+    "triangle_count" ->
+      """WITH e0 AS (
+        |  SELECT l_suppkey % 100 AS src, l_partkey % 100 AS dst
+        |  FROM lineitem WHERE l_suppkey % 100 <> l_partkey % 100
+        |), und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), pern AS (
+        |  SELECT node, COUNT(*) AS n_triangles FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri
+        |  ) GROUP BY node
+        |), deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        |  ) GROUP BY node
+        |)
+        |SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+        |       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |       CAST(CASE WHEN d.degree >= 2
+        |            THEN floor(1000000.0 * 2 * COALESCE(p.n_triangles, 0)
+        |                       / (d.degree * (d.degree - 1)))
+        |            ELSE 0 END AS BIGINT) AS clustering_ppm
+        |FROM deg d LEFT JOIN pern p ON p.node = d.node
+        |ORDER BY d.node""".stripMargin,
     "cosine_topk" ->
       s"""$dUnitCte, q AS (SELECT unit AS q_unit FROM u WHERE vec_id = 0)
          |SELECT vec_id,

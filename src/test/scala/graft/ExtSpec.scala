@@ -938,6 +938,23 @@ class ExtSpec extends AnyFunSuite {
     Dedup.release(rdf)
   }
 
+  test("triangleCounts: 4-clique + pendant + isolated edge; duplicates/reversals collapse") {
+    // clique {0,1,2,3} (one edge given BOTH directions and once duplicated),
+    // pendant 4-0, disconnected edge 5-6
+    val raw = Seq(
+      (0L, 1L), (1L, 0L), (0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 0L), (5L, 6L))
+      .toDF("src", "dst")
+    val r = Graph.triangleCounts(raw).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.size === 7)
+    assert(r(0L) === ((4L, 3L, 500000L)))  // 2*3/(4*3) = 0.5
+    Seq(1L, 2L, 3L).foreach(n => assert(r(n) === ((3L, 3L, 1000000L))))
+    assert(r(4L) === ((1L, 0L, 0L)))
+    assert(r(5L) === ((1L, 0L, 0L)) && r(6L) === ((1L, 0L, 0L)))
+  }
+
   test("tfidfCosinePairs: rare-term overlap outranks common-term overlap") {
     // docs 1,2 share the RARE term; docs 3,4 share only terms that appear
     // everywhere (high df -> near-zero idf weight after the cap)

@@ -384,6 +384,15 @@ class PlanSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllMatchIn(p).size >= 8, p)
   }
 
+  test("triangle_count: wedge join and closure are equi-joins — never a cartesian") {
+    val p = formatted("triangle_count")
+    // degree orientation exists precisely so the wedge enumeration stays
+    // a hash equi-join on the low-rank corner; a NestedLoop/Cartesian
+    // here means the orientation columns fell out of the join condition
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("knn_join: one assignment exchange; the per-vector window adds NO shuffle") {
     val p = executedFinal("knn_join")
     assert(p.contains("isFinalPlan=true"), p)
