@@ -307,6 +307,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) =>
       graft.ext.Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 20)
         .select("doc_id", "lang", "source")),
+    "weighted_sample" -> ((s, d) =>
+      graft.ext.Sampling.prioritySample(Tables.documents(s, d), "doc_id", "n_chars", 100)),
     "q13_custdist" -> (Relational.customerDistribution _),
     "argmax_order" -> (Relational.topOrderPerStatus _),
     "outer_join_balance" -> (Relational.balanceVsBigOrders _),
@@ -1630,6 +1632,23 @@ object SparkEntry {
       s"""SELECT event_id, ts, user_id, event_type, value, props
          |FROM events
          |WHERE ${dH("CAST(event_id AS VARCHAR)")} % 100 < 10""".stripMargin,
+    "weighted_sample" ->
+      s"""WITH s AS (
+         |  SELECT doc_id AS key, CAST(n_chars AS DOUBLE) AS weight,
+         |         CAST(n_chars AS DOUBLE)
+         |           / ((CAST(${dH("concat('ps:', CAST(doc_id AS VARCHAR))")} AS DOUBLE) + 1.0)
+         |              / 1152921504606846976.0) AS q
+         |  FROM documents
+         |), t AS (
+         |  SELECT * FROM s ORDER BY q DESC, key DESC LIMIT 101
+         |), th AS (
+         |  SELECT MIN(q) AS tau, COUNT(*) AS n_top FROM t
+         |)
+         |SELECT key, weight,
+         |       CASE WHEN n_top <= 100 THEN weight ELSE greatest(weight, tau) END AS w_hat
+         |FROM t, th
+         |WHERE n_top <= 100 OR q > tau
+         |ORDER BY key""".stripMargin,
     "sample_stratified" ->
       s"""WITH r AS (
          |  SELECT doc_id, lang, source,

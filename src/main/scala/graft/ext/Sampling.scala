@@ -289,4 +289,47 @@ object Sampling {
       expr(s"cast($stratumCol as string) <=> _s and cast($keyExpr as bigint) = _k"))
       .drop("_s", "_k")
   }
+
+  /** Weight-proportional sample WITHOUT replacement via priority sampling
+    * (Duffield–Lund–Thorup 2007): each row gets priority q = w/u for a
+    * per-row uniform u ∈ (0,1]; the k highest-priority rows are the
+    * sample, and with τ = the (k+1)-th priority, ŵ = max(w, τ) is an
+    * unbiased estimator of each kept row's weight contribution — so
+    * downstream subset-sums over the sample estimate corpus totals
+    * without a second pass.
+    *
+    * Chosen over Efraimidis–Spirakis (u^(1/w) keys) deliberately: E-S
+    * needs ln/pow, whose libm results differ by ulps across engines; the
+    * priority key is ONE IEEE division on a hash-derived uniform, so the
+    * sample AND the estimator are bit-reproducible in the DuckDB oracle,
+    * under task retries, and across repartitioning. u is derived from a
+    * 60-bit md5 prefix of the key: u = (h+1)/2^60 ∈ (0, 1].
+    *
+    * Scale shape: the top-(k+1) is per-partition top-k + a k-sized merge
+    * (TakeOrderedAndProject — never a full sort or shuffle of the corpus),
+    * and τ rides back as a broadcast 1-row frame. k ≥ n degenerates to
+    * keep-everything with ŵ = w (no row sacrificed to the threshold).
+    *
+    * @param keyExpr    SQL expression for the stable identity (also the
+    *                   output `key` column and final sort key)
+    * @param weightExpr SQL expression for a POSITIVE numeric weight
+    */
+  def prioritySample(df: DataFrame, keyExpr: String, weightExpr: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = TextOps.md5Long64(s"concat('ps:', cast($keyExpr as string))")
+    val scored = df.selectExpr(
+      s"$keyExpr as key",
+      s"cast($weightExpr as double) as weight",
+      s"cast($weightExpr as double) / ((cast($h as double) + 1.0d) / 1152921504606846976.0d) as q")
+    val top = scored.orderBy(col("q").desc, col("key").desc).limit(k + 1)
+    val tau = top.agg(min(col("q")).as("tau"), count(lit(1)).as("n_top"))
+    top.crossJoin(broadcast(tau))
+      .filter(col("n_top") <= k || col("q") > col("tau"))
+      .select(
+        col("key"),
+        col("weight"),
+        when(col("n_top") <= k, col("weight"))
+          .otherwise(greatest(col("weight"), col("tau"))).as("w_hat"))
+      .orderBy(col("key"))
+  }
 }

@@ -938,6 +938,26 @@ class ExtSpec extends AnyFunSuite {
     Dedup.release(rdf)
   }
 
+  test("prioritySample: k rows, w_hat = max(w, tau); k >= n keeps all with w_hat = w") {
+    import graft.ext.Sampling
+    val docs = (1L to 500L).map(i => (i, 10L + (i % 97) * 3)).toDF("doc_id", "n_chars")
+    val r = Sampling.prioritySample(docs, "doc_id", "n_chars", 50).collect()
+    assert(r.length === 50)
+    // estimator floor: every kept row's w_hat is >= its weight, and the
+    // rows lifted to tau all share ONE threshold value
+    val lifted = r.filter(x => x.getDouble(2) > x.getDouble(1)).map(_.getDouble(2)).distinct
+    assert(r.forall(x => x.getDouble(2) >= x.getDouble(1)))
+    assert(lifted.length <= 1)
+    // deterministic: membership is pure hash, stable across re-runs and
+    // repartitioning
+    val again = Sampling.prioritySample(docs.repartition(7), "doc_id", "n_chars", 50).collect()
+    assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // degenerate k >= n: keep everything, no row sacrificed to the threshold
+    val all = Sampling.prioritySample(docs, "doc_id", "n_chars", 600).collect()
+    assert(all.length === 500)
+    assert(all.forall(x => x.getDouble(2) === x.getDouble(1)))
+  }
+
   test("triangleCounts: 4-clique + pendant + isolated edge; duplicates/reversals collapse") {
     // clique {0,1,2,3} (one edge given BOTH directions and once duplicated),
     // pendant 4-0, disconnected edge 5-6

@@ -384,6 +384,16 @@ class PlanSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllMatchIn(p).size >= 8, p)
   }
 
+  test("weighted_sample: top-(k+1) is TakeOrdered, never a global sort; tau broadcasts") {
+    val p = formatted("weighted_sample")
+    // per-partition top-k + k-sized merge — the corpus is never fully
+    // sorted or shuffled to find the priority threshold
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // the 1-row (tau, n_top) frame comes to the sample, broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("triangle_count: wedge join and closure are equi-joins — never a cartesian") {
     val p = formatted("triangle_count")
     // degree orientation exists precisely so the wedge enumeration stays
