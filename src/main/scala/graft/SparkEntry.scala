@@ -146,6 +146,7 @@ object SparkEntry {
     "date_ops" -> (Functions.dateOps _),
     "array_ops" -> (Functions.arrayOps _),
     "price_percentiles" -> (Functions.pricePercentiles _),
+    "winsorize" -> (Functions.winsorizedStats _),
     // sketch queries are gated via Spark-side accuracy booleans against
     // the exact value (the sketch itself is engine-specific): the oracle
     // computes the exact columns and literal `true`, so a sketch accuracy
@@ -1369,6 +1370,23 @@ object SparkEntry {
         |       list_contains(event_types, 'purchase') AS has_purchase,
         |       event_types[1] AS first_type
         |FROM l""".stripMargin,
+    "winsorize" ->
+      """WITH qs AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(l_extendedprice, 0.01) AS q01,
+        |         quantile_cont(l_extendedprice, 0.99) AS q99
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l.l_returnflag,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COALESCE(SUM(CASE WHEN l_extendedprice < q01 THEN 1 END), 0) AS BIGINT) AS n_floor,
+        |       CAST(COALESCE(SUM(CASE WHEN l_extendedprice > q99 THEN 1 END), 0) AS BIGINT) AS n_ceil,
+        |       MIN(q01) AS q01, MIN(q99) AS q99,
+        |       CAST(SUM(CAST(least(greatest(l_extendedprice, q01), q99) AS DECIMAL(18,2)))
+        |            AS DECIMAL(18,2)) AS winsorized_sum
+        |FROM lineitem l JOIN qs USING (l_returnflag)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
     "price_percentiles" ->
       """SELECT o_orderstatus,
         |       quantile_cont(o_totalprice, 0.5) AS median_price,

@@ -70,6 +70,37 @@ object Functions {
         expr("percentile(o_totalprice, 0.9)").as("p90_price"),
         min(col("o_totalprice")).as("min_price"))
 
+  /** Winsorization — clamp a numeric feature to its per-group [p1, p99]
+    * band, the outlier-capping step feature pipelines run before
+    * normalization (a single fat-finger price otherwise dominates a
+    * mean/σ scaler). Two passes: an exact-percentile aggregate on the
+    * bounded group key, whose 3-row result broadcasts back onto the fact
+    * table for the clamp pass — the fact side never shuffles twice.
+    * Clamped money sums as decimal(18,2) (order-independent, so the gate
+    * is stable under partitioning); the bounds themselves ride on the
+    * `percentile` ↔ `quantile_cont` parity the price_percentiles gate
+    * already pins. At 100 TB the exact percentile (a sort-based agg that
+    * buffers each group) swaps for `approx_percentile` — same plan shape,
+    * sketch-gated accuracy instead of a hash gate.
+    */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_extendedprice"))
+    val qs = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.01)").as("q01"),
+      expr("percentile(l_extendedprice, 0.99)").as("q99"))
+    li.join(broadcast(qs), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_extendedprice") < col("q01"), 1L).otherwise(0L)).as("n_floor"),
+        sum(when(col("l_extendedprice") > col("q99"), 1L).otherwise(0L)).as("n_ceil"),
+        min(col("q01")).as("q01"),
+        min(col("q99")).as("q99"),
+        sum(least(greatest(col("l_extendedprice"), col("q01")), col("q99"))
+          .cast("decimal(18,2)")).cast("decimal(18,2)").as("winsorized_sum"))
+      .orderBy("l_returnflag")
+  }
+
   /** Generator / lateral view: one row per token with its position
     * (`posexplode`). The 100 TB shape: explode multiplies rows INSIDE a
     * partition — no shuffle, and the narrow projection keeps row width

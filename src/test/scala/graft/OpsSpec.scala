@@ -151,6 +151,21 @@ class OpsSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("winsorize: bounds ordered; clamped tails hold at most the 1% mass each") {
+    val r = SparkEntry.queries("winsorize")(spark, "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (n, nFloor, nCeil) = (x.getLong(1), x.getLong(2), x.getLong(3))
+      assert(x.getDouble(4) <= x.getDouble(5)) // q01 <= q99
+      // strictly-outside counts are bounded by the tail mass (ceil of 1%)
+      assert(nFloor <= n / 100 + 1, s"floor $nFloor of $n")
+      assert(nCeil <= n / 100 + 1, s"ceil $nCeil of $n")
+      // the winsorized sum is within the clamp bounds times n
+      val ws = x.getDecimal(6).doubleValue()
+      assert(ws >= x.getDouble(4) * n && ws <= x.getDouble(5) * n)
+    }
+  }
+
   test("funnelSteps: ordering and window constraints gate each stage") {
     val now = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
     val df = Seq(
