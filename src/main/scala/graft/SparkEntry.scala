@@ -289,6 +289,8 @@ object SparkEntry {
         ev.select("event_id", "user_id", "ts"),
         snaps, "user_id", "ts", "snap_ts", Seq("snap_ts", "snap_value"))
     }),
+    "interval_join_pairs" -> ((s, d) =>
+      graft.streaming.StreamJoins.intervalJoinPairs(Tables.events(s, d))),
     "tumbling_counts" -> ((s, d) => Sessionize.tumblingCounts(Tables.events(s, d))),
     "session_window" -> ((s, d) => Sessionize.sessionWindowStats(Tables.events(s, d))),
     "q4_late_priority" -> (Relational.latePriorityCounts _),
@@ -1431,6 +1433,14 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY user_id""".stripMargin,
+    "interval_join_pairs" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "asof_join" ->
       """WITH snaps AS (
         |  SELECT user_id, ts AS snap_ts, value AS snap_value FROM (

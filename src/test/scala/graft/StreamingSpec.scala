@@ -1505,4 +1505,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(cands.size <= 8)
     } finally q.stop()
   }
+
+  test("stream-stream interval join: batch parity; watermark evicts click state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mc = MemoryStream[Event]
+    val mp = MemoryStream[Event]
+    def side(ms: MemoryStream[Event]) = ms.toDS()
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+    val joined = graft.streaming.StreamJoins.clickToConversion(side(mc), side(mp), "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      val clicks1 = Seq(ev(1, "2024-01-01 10:00:00", 7, "click"),
+        ev(2, "2024-01-01 10:01:00", 8, "click"))
+      val buys1 = Seq(ev(100, "2024-01-01 10:05:00", 7, "purchase"),
+        ev(101, "2024-01-01 11:00:00", 7, "purchase"), // outside the 30-min band
+        ev(102, "2024-01-01 10:20:00", 9, "purchase")) // no matching user
+      mc.addData(clicks1); mp.addData(buys1); q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("click_id", "purchase_id", "gap_us")
+        .as[(Long, Long, Long)].collect().toSet
+      // parity with the SAME builder run on batch frames
+      val want = graft.streaming.StreamJoins.clickToConversion(
+          clicks1.toDF().select(col("user_id"), col("event_id"), col("ts")),
+          buys1.toDF().select(col("user_id"), col("event_id"), col("ts")),
+          "30 minutes")
+        .select("click_id", "purchase_id", "gap_us")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want)
+      assert(got === Set((1L, 100L, 300000000L)))
+      // advance both watermarks past click-1's ts + band + lateness …
+      mc.addData(ev(3, "2024-01-01 13:00:00", 50, "click"))
+      mp.addData(ev(200, "2024-01-01 13:00:00", 51, "purchase"))
+      q.processAllAvailable()
+      // … then a purchase that WOULD pair with click 1 arrives too late:
+      // the click's state row is evicted and the input row is late-dropped
+      // — no pair may appear
+      mp.addData(ev(300, "2024-01-01 10:10:00", 7, "purchase"))
+      q.processAllAvailable()
+      val pids = spark.table("ssj_out").select("purchase_id").as[Long].collect().toSet
+      assert(!pids.contains(300L))
+    } finally q.stop()
+  }
 }
