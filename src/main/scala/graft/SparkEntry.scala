@@ -733,6 +733,19 @@ object SparkEntry {
             col("max_byte") >= 0 && col("max_byte") <= 255 &&
             (col("n_bytes") === 0L ||
               col("mean_byte") <= col("max_byte").cast("double"))).as("features_in_range"))),
+    // Per-file Bloom sidecar index end-to-end: scatter the docs across 16
+    // hash-partitioned files (min/max useless by construction), build the
+    // sidecar, probe a fixed key set through the pruned read. No false
+    // negatives = exactly the oracle's IN-list rows; the actual file
+    // skipping is pinned with executed-scan metrics in BucketingSpec.
+    "bloom_prune" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory("graft_bloomidx").toString
+      docs.repartition(16, col("doc_id")).write.mode("overwrite").parquet(dir)
+      graft.io.BloomIndex.build(s, dir, "doc_id")
+      val (res, _, _) = graft.io.BloomIndex.prunedRead(s, dir, "doc_id", bloomProbeKeys)
+      res.orderBy("doc_id")
+    }),
     // Z-ORDER layout key (Maintenance.zValue / zOrderWrite): equal-width
     // monotone buckets over the ACTUAL key ranges, bit-interleaved into
     // the Morton code the clustered write sorts by. The bucket exprs are
@@ -783,6 +796,14 @@ object SparkEntry {
   /** DuckDB twin of TextOps.md5Long64. */
   private def dH(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** bloom_prune's probe set — ONE definition interpolated into both the
+    * Spark query and the oracle SQL so the membership list can't drift.
+    * Mostly-present scattered ids plus two absent sentinels (the skip
+    * case).
+    */
+  private val bloomProbeKeys: Seq[Long] =
+    (0L until 60L).map(i => i * 7L + 1L) ++ Seq(1000000007L, 1000000009L)
 
   /** DuckDB twin of Bpe's 6-pass anchored merge (pair columns a/b ride
     * in from the round's best-pair CTE via CROSS JOIN).
@@ -4163,6 +4184,10 @@ object SparkEntry {
         |       CAST(d.w AS INT) AS img_width, CAST(d.h AS INT) AS img_height,
         |       s.pixel_sum, s.weighted_sum, true AS meta_consistent
         |FROM d JOIN s USING (doc_id)""".stripMargin,
+    "bloom_prune" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id IN (${bloomProbeKeys.mkString(", ")})
+         |ORDER BY doc_id""".stripMargin,
     "zorder_layout" -> {
       // Morton interleave unrolled to pure integer arithmetic — bit i of
       // bx lands at 2i, bit i of by at 2i+1 (Maintenance.zValue's twin)

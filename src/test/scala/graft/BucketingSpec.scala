@@ -41,6 +41,44 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("BloomIndex: point probes open a strict subset of files; results stay exact") {
+    import graft.io.BloomIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomspec").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "lang", "n_chars")
+    // hash-scattered layout: every file's doc_id min/max spans the whole
+    // domain, so min/max pruning is USELESS here by construction — only
+    // the bloom can skip
+    docs.repartition(16, col("doc_id")).write.mode("overwrite").parquet(dir)
+    val indexed = BloomIndex.build(spark, dir, "doc_id")
+    assert(indexed === BloomIndex.dataFiles(spark, dir))
+    assert(indexed >= 8, s"expected a multi-file layout, got $indexed")
+
+    // a single present key lives in exactly one file; fpp at this size is
+    // ~0, so the probe must open far fewer files than exist
+    val probe = Seq(42L)
+    val (res, kept, total) = BloomIndex.prunedRead(spark, dir, "doc_id", probe)
+    assert(total === indexed)
+    assert(kept < total / 2, s"bloom kept $kept of $total files")
+    val got = res.collect().map(_.getLong(0)).sorted
+    val want = docs.filter(col("doc_id") === 42L).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+
+    // executed-scan proof: the pruned plan materializes a fraction of the
+    // rows the naive full-dir read does (the IN filter itself can't
+    // row-group-prune a scattered key)
+    val fullRows = ScanMetrics.scanOutputRows(
+      spark.read.parquet(dir).filter(col("doc_id") === 42L).agg(count(lit(1))))
+    val (pruned, _, _) = BloomIndex.prunedRead(spark, dir, "doc_id", probe)
+    val prunedRows = ScanMetrics.scanOutputRows(pruned.agg(count(lit(1))))
+    assert(prunedRows * 2 < fullRows,
+      s"pruned read materialized $prunedRows rows vs full $fullRows — no skipping")
+
+    // absent keys: every bloom says no, zero files open, empty result
+    val (none, keptNone, _) = BloomIndex.prunedRead(spark, dir, "doc_id", Seq(999999999L))
+    assert(keptNone === 0 && none.count() === 0L)
+  }
+
   test("zOrderWrite clusters both dimensions; 2-D box queries prune more files than a 1-D sort") {
     import graft.io.Maintenance
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
