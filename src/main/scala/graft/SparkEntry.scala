@@ -147,6 +147,7 @@ object SparkEntry {
     "array_ops" -> (Functions.arrayOps _),
     "price_percentiles" -> (Functions.pricePercentiles _),
     "winsorize" -> (Functions.winsorizedStats _),
+    "dense_ids" -> (Functions.denseIdsDocs _),
     // sketch queries are gated via Spark-side accuracy booleans against
     // the exact value (the sketch itself is engine-specific): the oracle
     // computes the exact columns and literal `true`, so a sketch accuracy
@@ -1393,6 +1394,11 @@ object SparkEntry {
         |       list_contains(event_types, 'purchase') AS has_purchase,
         |       event_types[1] AS first_type
         |FROM l""".stripMargin,
+    "dense_ids" ->
+      """SELECT doc_id, lang,
+        |       row_number() OVER (ORDER BY doc_id) - 1 AS id
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "winsorize" ->
       """WITH qs AS (
         |  SELECT l_returnflag,

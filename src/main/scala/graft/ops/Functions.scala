@@ -70,6 +70,48 @@ object Functions {
         expr("percentile(o_totalprice, 0.9)").as("p90_price"),
         min(col("o_totalprice")).as("min_price"))
 
+  /** Contiguous 0-based global row numbering in `orderExpr` order WITHOUT
+    * the global-window bottleneck. `row_number() OVER (ORDER BY …)` with
+    * no partition key plans an `Exchange SinglePartition` — every row
+    * through ONE task, the classic 100 TB scale-killer for "assign
+    * training-example ids". This operator gets the identical numbering
+    * from three bounded pieces: range-partition on the order key, rank
+    * WITHIN each partition (a parallel window), and add per-partition
+    * offsets computed from a partitions-sized count frame that cumsums
+    * in one tiny window and broadcasts back. The result is independent
+    * of where the range boundaries land, so sampling drift in the range
+    * partitioner can never change an id.
+    *
+    * Contract: `orderExpr` must be unique (it defines the total order; a
+    * duplicate key's relative numbering would be tie-broken by physical
+    * placement — nondeterministic).
+    */
+  def denseIds(df: DataFrame, orderExpr: String, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    val parted = df
+      .repartitionByRange(partitions, expr(orderExpr))
+      .withColumn("_pid", spark_partition_id())
+    val ranked = parted.withColumn(
+      "_rk",
+      row_number().over(Window.partitionBy(col("_pid")).orderBy(expr(orderExpr))))
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_n"))
+    val offsets = counts.withColumn(
+      "_off",
+      coalesce(
+        sum(col("_n")).over(
+          Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    ranked.join(broadcast(offsets.select(col("_pid"), col("_off"))), Seq("_pid"))
+      .withColumn("id", col("_off") + col("_rk") - lit(1L))
+      .drop("_pid", "_rk", "_off")
+  }
+
+  /** The dense_ids gate entry: number the documents by doc_id. */
+  def denseIdsDocs(s: SparkSession, dir: String): DataFrame =
+    denseIds(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Winsorization — clamp a numeric feature to its per-group [p1, p99]
     * band, the outlier-capping step feature pipelines run before
     * normalization (a single fat-finger price otherwise dominates a

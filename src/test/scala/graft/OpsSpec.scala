@@ -151,6 +151,21 @@ class OpsSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("denseIds: contiguous 0..n-1 in key order, invariant to input partitioning") {
+    import spark.implicits._
+    val keys = scala.util.Random.shuffle((1L to 1000L).map(_ * 3).toList)
+    val df = keys.toDF("k")
+    val got = graft.ops.Functions.denseIds(df, "k", partitions = 7)
+      .orderBy("k").select("k", "id").as[(Long, Long)].collect()
+    assert(got.map(_._2).toSeq === (0L until 1000L))
+    assert(got.map(_._1).toSeq === (1L to 1000L).map(_ * 3))
+    // numbering is a pure function of the key order — physical layout
+    // (partition count, row placement) must not leak into a single id
+    val again = graft.ops.Functions.denseIds(df.repartition(13), "k", partitions = 3)
+      .orderBy("k").select("k", "id").as[(Long, Long)].collect()
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("winsorize: bounds ordered; clamped tails hold at most the 1% mass each") {
     val r = SparkEntry.queries("winsorize")(spark, "/root/testdata/sf0.001").collect()
     assert(r.nonEmpty)

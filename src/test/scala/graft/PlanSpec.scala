@@ -384,6 +384,16 @@ class PlanSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllMatchIn(p).size >= 8, p)
   }
 
+  test("dense_ids: the data-side rank window is partitioned — only the offsets frame may single-partition") {
+    val p = formatted("dense_ids")
+    // the per-partition rank must window over _pid (parallel), and the
+    // lone SinglePartition exchange allowed is the partitions-sized
+    // offsets cumsum — a second one means the data path collapsed into
+    // the global-window shape this operator exists to avoid
+    assert(p.contains("windowspecdefinition(_pid"), p)
+    assert("Exchange SinglePartition".r.findAllMatchIn(p).size <= 1, p)
+  }
+
   test("weighted_sample: top-(k+1) is TakeOrdered, never a global sort; tau broadcasts") {
     val p = formatted("weighted_sample")
     // per-partition top-k + k-sized merge — the corpus is never fully
