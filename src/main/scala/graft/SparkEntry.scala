@@ -496,6 +496,8 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("id")).limit(20)),
     "triangle_count" -> ((s, d) =>
       Graph.triangleCounts(Graph.lineitemGraph(Tables.lineitem(s, d)))),
+    "label_propagation" -> ((s, d) =>
+      Graph.labelPropagation(Graph.lineitemGraph(Tables.lineitem(s, d)))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id"))),
@@ -3763,6 +3765,31 @@ object SparkEntry {
          |FROM f JOIN fo USING (shingle_hash)
          |GROUP BY f.doc_id""".stripMargin,
     "pagerank_top" -> pagerankSql(8),
+    "label_propagation" -> {
+      val head =
+        """WITH e0 AS (
+          |  SELECT l_suppkey % 100 AS src, l_partkey % 100 AS dst
+          |  FROM lineitem WHERE l_suppkey % 100 <> l_partkey % 100
+          |), und AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+          |  ) WHERE src <> dst
+          |), l0 AS (
+          |  SELECT DISTINCT src AS node, src AS label FROM und
+          |)""".stripMargin
+      val steps = (1 to 3).map { k =>
+        s""", l$k AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT u.src, l.label,
+           |           row_number() OVER (PARTITION BY u.src
+           |                              ORDER BY COUNT(*) DESC, l.label) AS rk
+           |    FROM und u JOIN l${k - 1} l ON l.node = u.dst
+           |    GROUP BY u.src, l.label
+           |  ) t WHERE rk = 1
+           |)""".stripMargin
+      }.mkString
+      head + steps + "\nSELECT node, label FROM l3 ORDER BY node"
+    },
     "triangle_count" ->
       """WITH e0 AS (
         |  SELECT l_suppkey % 100 AS src, l_partkey % 100 AS dst

@@ -129,6 +129,47 @@ object Graph {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("weight"))
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with a FIXED
+    * iteration count and a deterministic tie-break — community detection
+    * as the fourth member of the iterative-join graph family (PageRank,
+    * connected components, triangles). Each node starts labeled with its
+    * own id; per round every node adopts the most frequent label among
+    * its neighbors, ties to the SMALLEST label — the asynchronous
+    * random-order variant of the paper is deliberately replaced by the
+    * synchronous deterministic one so the result is oracle-checkable and
+    * stable under retries (the same trade PageRank makes with its fixed
+    * iteration count).
+    *
+    * Scale shape per round: labels ⋈ edges on dst (hash equi-join),
+    * count aggregate on (src, label) with map-side partials, and a
+    * per-node top-1 window bounded by the node's distinct neighbor
+    * labels (≤ degree — never an unbounded-key window). The plan unrolls
+    * across rounds; `iters` is capped so the unrolled tree stays
+    * analyzable, the PageRank precedent (exchange reuse keeps execution
+    * O(1) edge scans).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("src")).orderBy(col("c").desc, col("label"))
+      labels = und
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("src").as("node"), col("label"))
+    }
+    labels.orderBy("node")
+  }
+
   /** Per-node triangle counts and local clustering coefficient via
     * degree-ordered wedge enumeration (the Suri–Vassilvitskii 2011
     * "curse of the last reducer" shape, also GraphX's triangleCount

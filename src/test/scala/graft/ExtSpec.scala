@@ -938,6 +938,20 @@ class ExtSpec extends AnyFunSuite {
     Dedup.release(rdf)
   }
 
+  test("labelPropagation: two cliques joined by a bridge settle on per-clique labels") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((4L, 10L)))
+      .toDF("src", "dst")
+    val r = Graph.labelPropagation(edges, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size === 8)
+    // each clique converges to its minimum id; the single bridge edge
+    // never outvotes the three intra-clique neighbors
+    Seq(1L, 2L, 3L, 4L).foreach(n => assert(r(n) === 1L, s"node $n -> ${r(n)}"))
+    Seq(10L, 11L, 12L, 13L).foreach(n => assert(r(n) === 10L, s"node $n -> ${r(n)}"))
+  }
+
   test("prioritySample: k rows, w_hat = max(w, tau); k >= n keeps all with w_hat = w") {
     import graft.ext.Sampling
     val docs = (1L to 500L).map(i => (i, 10L + (i % 97) * 3)).toDF("doc_id", "n_chars")
