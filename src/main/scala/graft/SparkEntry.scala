@@ -409,6 +409,7 @@ object SparkEntry {
     // collect_list per shingle) is a test-only baseline — one boilerplate
     // shingle in f docs would put f² pairs on a single task at corpus scale
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d), maxDf = 100)),
+    "ssjoin_pairs" -> ((s, d) => Dedup.prefixFilterPairs(Tables.documents(s, d))),
     "ngram_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d))),
     "containment_pairs" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => TextOps.tfidfCosinePairs(Tables.documents(s, d))),
@@ -3184,6 +3185,28 @@ object SparkEntry {
          |             ${dH("('1:' || CAST(doc_id AS VARCHAR))")} % 8 AS shard,
          |             ${dH("('1:' || CAST(doc_id AS VARCHAR))")} AS h
          |      FROM documents) t""".stripMargin,
+    "ssjoin_pairs" ->
+      s"""$dToksCte, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), e AS (
+         |  SELECT doc_id, unnest(list_transform(sh, s2 -> ${dH("s2")})) AS shingle_hash
+         |  FROM s
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_sh FROM e GROUP BY 1
+         |), common AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+         |  FROM e a JOIN e b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a_id, b_id,
+         |       CAST(na.n_sh AS BIGINT) AS a_n, CAST(nb.n_sh AS BIGINT) AS b_n,
+         |       n_common,
+         |       CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jaccard
+         |FROM common
+         |JOIN sizes na ON na.doc_id = a_id
+         |JOIN sizes nb ON nb.doc_id = b_id
+         |WHERE 5 * n_common >= 3 * (na.n_sh + nb.n_sh - n_common)
+         |ORDER BY a_id, b_id""".stripMargin,
     "ngram_jaccard" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

@@ -1049,6 +1049,67 @@ object Dedup {
       .agg(count(lit(1)).as("n_common"))
   }
 
+  /** EXACT threshold set-similarity self-join via prefix filtering — the
+    * AllPairs/SSJoin candidate scheme (Bayardo et al. WWW 2007; Chaudhuri
+    * et al. ICDE 2006): order every document's shingle set by global
+    * rarity (df asc, hash asc), keep only the first
+    * n − ⌈t·n⌉ + 1 elements as the document's PREFIX, and generate
+    * candidates only from prefix-token collisions. Completeness is a
+    * theorem, not a heuristic: under any global order, two sets with
+    * Jaccard ≥ t must share an element inside BOTH prefixes (if all
+    * common elements ranked after A's prefix, |A∩B| ≤ n_A − p_A < t·n_A
+    * — contradiction), so the exact verify pass sees every qualifying
+    * pair. This differs from [[ngramJaccardCapped]]'s df-cap, which
+    * BOUNDS work by dropping hot shingles and is approximate by
+    * contract; prefix filtering prunes harder the rarer a document's
+    * rarest shingle is, and stays exact. The oracle computes ALL pairs
+    * with no prefix logic — a green gate therefore PROVES the filter
+    * admitted every qualifying pair on this corpus.
+    *
+    * The threshold is a rational tNum/tDen so the prefix length and the
+    * final test (tDen·common ≥ tNum·union) are integer-exact — no
+    * cross-engine double-ceil drift can shrink a prefix.
+    *
+    * Scale shape: one shingle exchange (reused across df, sizes, prefix
+    * — same computedOnce spine as the capped family), candidates keyed
+    * by prefix shingle (rarity-ordered prefixes make hot-token buckets
+    * structurally rare), and the verify join touches only candidate
+    * pairs. No all-pairs stage anywhere.
+    */
+  def prefixFilterPairs(
+      documents: DataFrame,
+      tNum: Int = 3,
+      tDen: Int = 5): DataFrame = {
+    require(tNum >= 1 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
+    import org.apache.spark.sql.expressions.Window
+    val flat = computedOnce(shingleHashes(documents, outer = false), "shingle_hash")
+    val sizes = flat.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val dfreq = flat.groupBy(col("shingle_hash")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle_hash"))
+    val prefix = flat.join(dfreq, "shingle_hash")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <=
+        col("n_sh") - expr(s"($tNum * n_sh + ${tDen - 1}) div $tDen") + 1)
+      .select(col("shingle_hash"), col("doc_id"))
+    val cand = prefix.select(col("shingle_hash"), col("doc_id").as("a_id"))
+      .join(prefix.select(col("shingle_hash"), col("doc_id").as("b_id")), "shingle_hash")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val common = cand
+      .join(flat.select(col("doc_id").as("a_id"), col("shingle_hash")), "a_id")
+      .join(flat.select(col("doc_id").as("b_id"), col("shingle_hash")),
+        Seq("b_id", "shingle_hash"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), "b_id")
+      .filter(col("n_common") * tDen >= (col("a_n") + col("b_n") - col("n_common")) * tNum)
+      .selectExpr("a_id", "b_id", "a_n", "b_n", "n_common",
+        "cast(n_common as double) / cast(a_n + b_n - n_common as double) as jaccard")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   def ngramJaccardCapped(
       documents: DataFrame,
       maxDf: Int = 20,

@@ -938,6 +938,24 @@ class ExtSpec extends AnyFunSuite {
     Dedup.release(rdf)
   }
 
+  test("prefixFilterPairs: near-dup pair surfaces with exact overlap; unrelated doc never pairs") {
+    // A and B share 7 of their shingles (one tail word differs); C is disjoint
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+      .toDF("doc_id", "text")
+    val r = Dedup.prefixFilterPairs(docs, 3, 5).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1)) === ((1L, 2L)))
+    // 8 shingles each, the last trigram differs -> 7 common, union 9
+    assert(row.getLong(4) === 7L)
+    assert(math.abs(row.getDouble(5) - 7.0 / 9.0) < 1e-12)
+    // below threshold: tighten to 9/10 and the 7/9 pair must vanish
+    assert(Dedup.prefixFilterPairs(docs, 9, 10).count() === 0L)
+  }
+
   test("labelPropagation: two cliques joined by a bridge settle on per-clique labels") {
     def clique(ids: Seq[Long]) =
       for (a <- ids; b <- ids if a < b) yield (a, b)

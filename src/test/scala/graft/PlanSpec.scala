@@ -384,6 +384,17 @@ class PlanSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllMatchIn(p).size >= 8, p)
   }
 
+  test("ssjoin_pairs: candidates come from prefix-token equi-joins — no cartesian, no token-key window") {
+    val p = formatted("ssjoin_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the rank window partitions by doc_id (bounded by a doc's shingle
+    // count) — a window over the raw shingle key would be the
+    // unsplittable hot-token shape the skew audit banned
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    assert(!p.contains("windowspecdefinition(shingle_hash"), p)
+  }
+
   test("dense_ids: the data-side rank window is partitioned — only the offsets frame may single-partition") {
     val p = formatted("dense_ids")
     // the per-partition rank must window over _pid (parallel), and the
