@@ -596,6 +596,8 @@ object SparkEntry {
           array_join(col("postings").cast("array<string>"), ",").as("postings_csv"))),
     "token_pmi" -> ((s, d) => TextOps.tokenPmi(Tables.documents(s, d))),
     "bm25_top" -> ((s, d) => TextOps.bm25Top(Tables.documents(s, d))),
+    "rank_fusion" -> ((s, d) => TextOps.rrfFusion(Tables.documents(s, d),
+      Seq("spark", "query", "join"), Seq("stream", "window", "batch"))),
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
     "mixture_sample" -> ((s, d) => Sampling.mixtureSample(Tables.documents(s, d))),
@@ -2969,6 +2971,43 @@ object SparkEntry {
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |  GROUP BY token)
         |ORDER BY token""".stripMargin,
+    "rank_fusion" -> {
+      def list(p: String, rk: String, terms: Seq[String]): String = {
+        val tfs = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+        }.mkString(", ")
+        val dfs = terms.indices.map(i =>
+          s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+        val score = terms.indices.map { i =>
+          s"""(ln((CAST(n_docs AS DOUBLE) - df$i + 0.5) / (df$i + 0.5) + 1.0)
+             | * (CAST(tf$i AS DOUBLE) * 2.2)
+             | / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))""".stripMargin
+        }.mkString("\n           + ")
+        s"""${p}f AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfs
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           |), ${p}st AS (
+           |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, $dfs FROM ${p}f
+           |), ${p}sc AS (
+           |  SELECT doc_id, score FROM (
+           |    SELECT f.doc_id, round($score, 6) AS score
+           |    FROM ${p}f f CROSS JOIN ${p}st
+           |  ) WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20
+           |), ${p}rk AS (
+           |  SELECT doc_id,
+           |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank_$rk
+           |  FROM ${p}sc
+           |)""".stripMargin
+      }
+      s"""WITH ${list("qa", "a", Seq("spark", "query", "join"))},
+         |${list("qb", "b", Seq("stream", "window", "batch"))}
+         |SELECT COALESCE(qark.doc_id, qbrk.doc_id) AS doc_id, rank_a, rank_b,
+         |       COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_a), CAST(0.0 AS DOUBLE))
+         |         + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_b), CAST(0.0 AS DOUBLE)) AS rrf_score
+         |FROM qark FULL OUTER JOIN qbrk ON qark.doc_id = qbrk.doc_id
+         |ORDER BY rrf_score DESC, doc_id
+         |LIMIT 20""".stripMargin
+    },
     "bm25_top" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

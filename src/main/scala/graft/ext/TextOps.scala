@@ -852,6 +852,43 @@ object TextOps {
     * intermediate is double with the identical left-to-right formula in
     * the oracle, rounded once at the end.
     */
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR 2009) of two retrieval
+    * lists — the standard way to combine heterogeneous rankers (two
+    * query formulations, BM25 + dense retrieval, …) without score
+    * calibration: fused(d) = Σ_lists 1/(k + rank_list(d)), absent-from-
+    * list contributes 0. Ranks are WITHIN the retrieved top-`listN`
+    * lists (the serving shape — RRF fuses per-query candidate lists, not
+    * corpus-wide rankings), so the rank windows run over listN-sized
+    * frames: bounded by construction, never a corpus-wide global window.
+    *
+    * The fused score is two IEEE divisions on integer ranks summed in a
+    * fixed order — bit-reproducible in the oracle with no rounding
+    * escape hatch.
+    */
+  def rrfFusion(
+      documents: DataFrame,
+      termsA: Seq[String],
+      termsB: Seq[String],
+      rrfK: Int = 60,
+      listN: Int = 20,
+      topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rrfK >= 1 && listN >= 1 && topN >= 1)
+    def ranked(terms: Seq[String], rankName: String) =
+      bm25Top(documents, terms, topN = listN)
+        .select(col("doc_id"), col("score"))
+        .withColumn(rankName,
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .drop("score")
+    ranked(termsA, "rank_a")
+      .join(ranked(termsB, "rank_b"), Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_b")), lit(0.0)))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   def bm25Top(
       documents: DataFrame,
       terms: Seq[String] = Seq("spark", "query", "join"),

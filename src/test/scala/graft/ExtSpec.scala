@@ -938,6 +938,18 @@ class ExtSpec extends AnyFunSuite {
     Dedup.release(rdf)
   }
 
+  test("rrfFusion: fused score is exactly the reciprocal-rank sum; ordering monotone") {
+    val r = SparkEntry.queries("rank_fusion")(spark, "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty && r.length <= 20)
+    val scores = r.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sorted.reverse), "rrf_score not monotone")
+    r.foreach { x =>
+      val ra = if (x.isNullAt(1)) 0.0 else 1.0 / (60 + x.getInt(1))
+      val rb = if (x.isNullAt(2)) 0.0 else 1.0 / (60 + x.getInt(2))
+      assert(x.getDouble(3) === ra + rb)
+    }
+  }
+
   test("prefixFilterPairs: near-dup pair surfaces with exact overlap; unrelated doc never pairs") {
     // A and B share 7 of their shingles (one tail word differs); C is disjoint
     val docs = Seq(
