@@ -147,6 +147,7 @@ object SparkEntry {
     "array_ops" -> (Functions.arrayOps _),
     "price_percentiles" -> (Functions.pricePercentiles _),
     "winsorize" -> (Functions.winsorizedStats _),
+    "mad_outliers" -> (Functions.madOutliers _),
     "dense_ids" -> (Functions.denseIdsDocs _),
     // sketch queries are gated via Spark-side accuracy booleans against
     // the exact value (the sketch itself is engine-specific): the oracle
@@ -1404,6 +1405,26 @@ object SparkEntry {
         |       row_number() OVER (ORDER BY doc_id) - 1 AS id
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+        |), d AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN med m USING (event_type)
+        |), md AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad, COUNT(*) AS n_rows
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT d.event_type,
+        |       CAST(MIN(md.n_rows) AS BIGINT) AS n_rows,
+        |       MIN(med.med) AS med, MIN(md.mad) AS mad,
+        |       CAST(COALESCE(SUM(CASE WHEN d.dev * 10000.0 > 44478.0 * md.mad THEN 1 END), 0)
+        |            AS BIGINT) AS n_outliers
+        |FROM d
+        |JOIN md USING (event_type)
+        |JOIN med USING (event_type)
+        |GROUP BY d.event_type
+        |ORDER BY d.event_type""".stripMargin,
     "winsorize" ->
       """WITH qs AS (
         |  SELECT l_returnflag,

@@ -70,6 +70,39 @@ object Functions {
         expr("percentile(o_totalprice, 0.9)").as("p90_price"),
         min(col("o_totalprice")).as("min_price"))
 
+  /** Robust per-group outlier detection via median absolute deviation —
+    * the heavy-tail-safe alternative to mean/σ z-scores (one fat-finger
+    * value shifts a mean arbitrarily; the median and MAD have a 50%
+    * breakdown point). Flags rows with |x − med| > 3·1.4826·MAD, the
+    * standard "3 robust sigmas" rule (1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD a
+    * consistent σ estimator under normality).
+    *
+    * Two bounded-key aggregate passes (median, then MAD of deviations),
+    * each broadcasting its group-sized result back onto the fact table —
+    * the winsorize plan shape, riding the same percentile ↔
+    * quantile_cont parity. The threshold compare is written
+    * `dev·10⁴ > 44478·mad` — exactly-representable literals on both
+    * sides, so no cross-engine decimal-literal drift can flip a
+    * boundary row.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val madDf = dev.groupBy("event_type").agg(
+      expr("percentile(dev, 0.5)").as("mad"),
+      min(col("med")).as("med"),
+      count(lit(1)).as("n_rows"))
+    dev.join(broadcast(madDf.select(col("event_type"), col("mad"))), "event_type")
+      .groupBy("event_type")
+      .agg(sum((col("dev") * lit(10000.0) > lit(44478.0) * col("mad"))
+        .cast("bigint")).as("n_outliers"))
+      .join(madDf, "event_type")
+      .select(col("event_type"), col("n_rows"), col("med"), col("mad"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** Contiguous 0-based global row numbering in `orderExpr` order WITHOUT
     * the global-window bottleneck. `row_number() OVER (ORDER BY …)` with
     * no partition key plans an `Exchange SinglePartition` — every row

@@ -151,6 +151,15 @@ class OpsSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("madOutliers: MAD ignores a massive outlier the mean would chase") {
+    val r = SparkEntry.queries("mad_outliers")(spark, "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getDouble(3) >= 0.0)              // mad >= 0
+      assert(x.getLong(4) <= x.getLong(1) / 2)   // breakdown point: <50% flagged
+    }
+  }
+
   test("denseIds: contiguous 0..n-1 in key order, invariant to input partitioning") {
     import spark.implicits._
     val keys = scala.util.Random.shuffle((1L to 1000L).map(_ * 3).toList)
