@@ -293,6 +293,22 @@ object SparkEntry {
     }),
     "interval_join_pairs" -> ((s, d) =>
       graft.streaming.StreamJoins.intervalJoinPairs(Tables.events(s, d))),
+    "asof_join_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), date_trunc("day", col("ts")))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val snaps = ev
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("ts").as("snap_ts"), col("value").as("snap_value"))
+      // forward with a 1-day tolerance: the "next daily snapshot, unless
+      // it is too stale to be that event's snapshot" feature-store read
+      graft.ops.AsOfJoin.asofForward(
+        ev.select("event_id", "user_id", "ts"),
+        snaps, "user_id", "ts", "snap_ts",
+        Seq("snap_ts", "snap_value"), Some(86400000000L))
+    }),
     "tumbling_counts" -> ((s, d) => Sessionize.tumblingCounts(Tables.events(s, d))),
     "session_window" -> ((s, d) => Sessionize.sessionWindowStats(Tables.events(s, d))),
     "q4_late_priority" -> (Relational.latePriorityCounts _),
@@ -1494,6 +1510,25 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "asof_join_fwd" ->
+      """WITH snaps AS (
+        |  SELECT user_id, ts AS snap_ts, value AS snap_value FROM (
+        |    SELECT user_id, ts, value,
+        |           row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t
+        |  WHERE rn = 1
+        |), j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, MIN(s.snap_ts) AS m
+        |  FROM events e LEFT JOIN snaps s
+        |    ON s.user_id = e.user_id AND s.snap_ts >= e.ts
+        |   AND epoch_us(s.snap_ts) - epoch_us(e.ts) <= 86400000000
+        |  GROUP BY e.event_id, e.user_id, e.ts
+        |)
+        |SELECT j.event_id, j.user_id, j.ts,
+        |       s.snap_ts AS asof_snap_ts, s.snap_value AS asof_snap_value
+        |FROM j LEFT JOIN snaps s
+        |  ON s.user_id = j.user_id AND s.snap_ts = j.m""".stripMargin,
     "asof_join" ->
       """WITH snaps AS (
         |  SELECT user_id, ts AS snap_ts, value AS snap_value FROM (

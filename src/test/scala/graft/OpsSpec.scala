@@ -130,6 +130,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(None, Some(10.0), Some(20.0), None))
   }
 
+  test("asofForward: next right row, equality matches, tolerance nulls stale matches") {
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L), // next snap A is 1 day out -> in tol
+      (2L, ts("2024-01-02 00:00:00"), 7L), // equality tie with snap A
+      (3L, ts("2024-01-02 12:00:00"), 7L), // next is B, 12h out -> in tol
+      (4L, ts("2024-01-03 00:00:01"), 7L), // nothing after -> null
+      (5L, ts("2023-12-25 00:00:00"), 7L)  // next is A but 8 days out -> tol nulls it
+    ).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (7L, ts("2024-01-02 00:00:00"), 10.0), // A
+      (7L, ts("2024-01-03 00:00:00"), 20.0)  // B
+    ).toDF("user_id", "snap_ts", "snap_value")
+    val got = graft.ops.AsOfJoin
+      .asofForward(left, right, "user_id", "ts", "snap_ts", Seq("snap_value"),
+        tolMicros = Some(86400000000L))
+      .orderBy("event_id")
+      .select("asof_snap_value").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    assert(got.toSeq === Seq(Some(10.0), Some(10.0), Some(20.0), None, None))
+    // without tolerance, event 5 reaches 8 days forward to snap A
+    val noTol = graft.ops.AsOfJoin
+      .asofForward(left, right, "user_id", "ts", "snap_ts", Seq("snap_value"))
+      .orderBy("event_id")
+      .select("asof_snap_value").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    assert(noTol.toSeq === Seq(Some(10.0), Some(10.0), Some(20.0), None, Some(10.0)))
+  }
+
   test("stateSnapshot keeps exactly the latest row per user") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), 7L, "a"),
