@@ -623,29 +623,11 @@ object SparkEntry {
     // decoration: orderkey-derived breakage so every rule's violation
     // counter provably fires — null FKs, orphan FKs, negative totals,
     // malformed priorities, re-entered duplicate keys
-    "dq_report" -> ((s, d) => {
-      import graft.ops.Quality
-      val o = Tables.orders(s, d)
-      val dec0 = o.select(
-        col("o_orderkey").cast("bigint").as("o_orderkey"),
-        when(col("o_orderkey") % 1000 === 7, lit(null).cast("bigint"))
-          .when(col("o_orderkey") % 1000 === 33, lit(-5L))
-          .otherwise(col("o_custkey").cast("bigint")).as("o_custkey"),
-        when(col("o_orderkey") % 1000 === 13, -col("o_totalprice"))
-          .otherwise(col("o_totalprice")).as("o_totalprice"),
-        when(col("o_orderkey") % 1000 === 21, lit("X-BAD"))
-          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
-      val dec = dec0.unionByName(dec0.filter(col("o_orderkey") % 5000 === 11))
-      Quality.dqReport(dec, Seq(
-        Quality.NotNull("o_custkey"),
-        Quality.InRange("o_totalprice", 0, 10000000),
-        Quality.Matches("o_orderpriority", "[1-5]-[A-Z ]+"),
-        Quality.Unique(Seq("o_orderkey")),
-        Quality.RefIntegrity("o_custkey",
-          Tables.customer(s, d)
-            .select(col("c_custkey").cast("bigint").as("c_custkey")),
-          "c_custkey")))
-    }),
+    "dq_report" -> ((s, d) =>
+      graft.ops.Quality.dqReport(dqDecorated(s, d), dqRules(s, d))),
+    "dq_quarantine" -> ((s, d) =>
+      graft.ops.Quality.dqQuarantine(dqDecorated(s, d), dqRules(s, d))
+        .orderBy(col("o_orderkey"), col("n_failed"))),
     "cdc_apply" -> ((s, d) => {
       val snap = cdcSnapshot(s, d)
       Cdc.applyChangelog(snap, cdcChangelog(snap), "cust_id")
@@ -819,6 +801,37 @@ object SparkEntry {
   /** DuckDB twin of TextOps.md5Long64. */
   private def dH(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** The dq family's deterministically-corrupted orders frame — shared
+    * by dq_report (aggregate verdicts) and dq_quarantine (row routing)
+    * so both gates decorate identically.
+    */
+  private def dqDecorated(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val dec0 = o.select(
+      col("o_orderkey").cast("bigint").as("o_orderkey"),
+      when(col("o_orderkey") % 1000 === 7, lit(null).cast("bigint"))
+        .when(col("o_orderkey") % 1000 === 33, lit(-5L))
+        .otherwise(col("o_custkey").cast("bigint")).as("o_custkey"),
+      when(col("o_orderkey") % 1000 === 13, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(col("o_orderkey") % 1000 === 21, lit("X-BAD"))
+        .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+    dec0.unionByName(dec0.filter(col("o_orderkey") % 5000 === 11))
+  }
+
+  private def dqRules(s: SparkSession, d: String): Seq[graft.ops.Quality.DqRule] = {
+    import graft.ops.Quality
+    Seq(
+      Quality.NotNull("o_custkey"),
+      Quality.InRange("o_totalprice", 0, 10000000),
+      Quality.Matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+      Quality.Unique(Seq("o_orderkey")),
+      Quality.RefIntegrity("o_custkey",
+        Tables.customer(s, d)
+          .select(col("c_custkey").cast("bigint").as("c_custkey")),
+        "c_custkey"))
+  }
 
   /** bloom_prune's probe set — ONE definition interpolated into both the
     * Spark query and the oracle SQL so the membership list can't drift.
@@ -3194,6 +3207,47 @@ object SparkEntry {
          |            ELSE 'train' END AS split
          |FROM (SELECT doc_id, ${dH("CAST(doc_id AS VARCHAR)")} % 100 AS b
          |      FROM documents) t""".stripMargin,
+    "dq_quarantine" ->
+      """WITH dec0 AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |         CASE WHEN o_orderkey % 1000 = 7 THEN NULL
+        |              WHEN o_orderkey % 1000 = 33 THEN CAST(-5 AS BIGINT)
+        |              ELSE CAST(o_custkey AS BIGINT) END AS o_custkey,
+        |         CASE WHEN o_orderkey % 1000 = 13 THEN -o_totalprice
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         CASE WHEN o_orderkey % 1000 = 21 THEN 'X-BAD'
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders
+        |), dec AS (
+        |  SELECT * FROM dec0
+        |  UNION ALL
+        |  SELECT * FROM dec0 WHERE o_orderkey % 5000 = 11
+        |), dups AS (
+        |  SELECT o_orderkey, true AS isdup FROM dec
+        |  GROUP BY o_orderkey HAVING COUNT(*) > 1
+        |), ck AS (
+        |  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS ck FROM customer
+        |)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |       failed_rules, CAST(len(failed_rules) AS INT) AS n_failed
+        |FROM (
+        |  SELECT d.*, list_sort(list_filter([
+        |    CASE WHEN d.o_custkey IS NULL THEN 'not_null:o_custkey' END,
+        |    CASE WHEN d.o_totalprice IS NOT NULL
+        |              AND (d.o_totalprice < 0 OR d.o_totalprice > 10000000)
+        |         THEN 'in_range:o_totalprice' END,
+        |    CASE WHEN d.o_orderpriority IS NOT NULL
+        |              AND NOT regexp_full_match(d.o_orderpriority, '[1-5]-[A-Z ]+')
+        |         THEN 'matches:o_orderpriority' END,
+        |    CASE WHEN u.isdup THEN 'unique:o_orderkey' END,
+        |    CASE WHEN d.o_custkey IS NOT NULL AND c.ck IS NULL THEN 'ref:o_custkey' END
+        |  ], x -> x IS NOT NULL)) AS failed_rules
+        |  FROM dec d
+        |  LEFT JOIN dups u ON u.o_orderkey = d.o_orderkey
+        |  LEFT JOIN ck c ON c.ck = d.o_custkey
+        |) q
+        |WHERE len(failed_rules) > 0
+        |ORDER BY o_orderkey, n_failed""".stripMargin,
     "dq_report" ->
       """WITH dec0 AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

@@ -89,4 +89,51 @@ object Quality {
       .reduce(_.unionByName(_))
       .withColumn("pass", (col("n_violations") === 0L).cast("int"))
   }
+
+  /** Row-level quarantine routing — the complement of [[dqReport]]'s
+    * aggregates: every failing row comes back with `failed_rules`, the
+    * sorted list of rules it violates, ready to write to a quarantine
+    * sink while the clean rows continue (the dead-letter pattern at the
+    * ingest boundary; Deequ's row-level results / dbt's store_failures).
+    *
+    * Scale shape: all scalar rules evaluate in the SAME projection over
+    * one scan; `Unique` joins back the duplicated keys only (the
+    * violating sliver, shuffled once on the key); `RefIntegrity`
+    * broadcasts the dimension key set. The verdict array is built and
+    * filtered per row — no per-rule passes, no row explosion.
+    */
+  def dqQuarantine(df: DataFrame, rules: Seq[DqRule]): DataFrame = {
+    require(rules.nonEmpty, "dqQuarantine needs at least one rule")
+    val markers = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var cur = df
+    rules.foreach {
+      case NotNull(c) =>
+        markers += when(col(c).isNull, lit(s"not_null:$c"))
+      case InRange(c, lo, hi) =>
+        markers += when(col(c).isNotNull && (col(c) < lo || col(c) > hi),
+          lit(s"in_range:$c"))
+      case Matches(c, re) =>
+        markers += when(col(c).isNotNull && !col(c).rlike(s"^(?:$re)$$"),
+          lit(s"matches:$c"))
+      case Unique(cols) =>
+        val name = s"_dup_${cols.mkString("_")}"
+        val dups = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_c"))
+          .filter(col("_c") > 1)
+          .select(cols.map(col) :+ lit(true).as(name): _*)
+        cur = cur.join(dups, cols, "left")
+        markers += when(col(name), lit(s"unique:${cols.mkString(",")}"))
+      case RefIntegrity(fk, dim, key) =>
+        val name = s"_ref_$fk"
+        val d = dim.select(col(key).as(s"_k_$fk")).distinct()
+          .withColumn(name, lit(true))
+        cur = cur.join(broadcast(d), col(fk) === col(s"_k_$fk"), "left")
+        markers += when(col(fk).isNotNull && col(name).isNull, lit(s"ref:$fk"))
+    }
+    cur
+      .withColumn("failed_rules",
+        array_sort(filter(array(markers.toSeq: _*), x => x.isNotNull)))
+      .filter(size(col("failed_rules")) > 0)
+      .select(df.columns.map(col) :+ col("failed_rules") :+
+        size(col("failed_rules")).cast("int").as("n_failed"): _*)
+  }
 }

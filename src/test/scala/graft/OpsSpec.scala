@@ -130,6 +130,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(None, Some(10.0), Some(20.0), None))
   }
 
+  test("dqQuarantine: failing rows carry ALL their violated rules; clean rows never appear") {
+    import graft.ops.Quality
+    val dim = Seq(1L, 2L).toDF("k")
+    val df = Seq(
+      (10L, Some(1L), 5.0, "ok"),        // clean
+      (11L, None, 5.0, "ok"),            // null fk
+      (12L, Some(9L), -1.0, "bad row"),  // orphan fk + range + regex: 3 rules
+      (13L, Some(2L), 5.0, "ok"),        // dup key with 14
+      (13L, Some(2L), 5.0, "ok"))
+      .toDF("id", "fk", "v", "s")
+    val out = Quality.dqQuarantine(df, Seq(
+      Quality.NotNull("fk"),
+      Quality.InRange("v", 0, 10),
+      Quality.Matches("s", "[a-z]+"),
+      Quality.Unique(Seq("id")),
+      Quality.RefIntegrity("fk", dim, "k")))
+      .collect()
+    val byId = out.groupBy(_.getLong(0))
+    assert(!byId.contains(10L))
+    assert(byId(11L).head.getSeq[String](4) === Seq("not_null:fk"))
+    assert(byId(12L).head.getSeq[String](4).sorted ===
+      Seq("in_range:v", "matches:s", "ref:fk"))
+    assert(byId(13L).length === 2)
+    byId(13L).foreach(r => assert(r.getSeq[String](4) === Seq("unique:id")))
+  }
+
   test("asofForward: next right row, equality matches, tolerance nulls stale matches") {
     val left = Seq(
       (1L, ts("2024-01-01 00:00:00"), 7L), // next snap A is 1 day out -> in tol
