@@ -793,7 +793,15 @@ object SparkEntry {
     // pixel features the oracle recomputes closed-form.
     "video_frames" -> ((s, d) =>
       Multimodal.decodeSampledFrames(
-        Multimodal.synthesizeVideos(Tables.documents(s, d)), stride = 3).toDF())
+        Multimodal.synthesizeVideos(Tables.documents(s, d)), stride = 3).toDF()),
+    // keyframe selection on REAL decoded frames, gated via the same
+    // closed-form pixel spec: consecutive frames differ by +5 mod 256 per
+    // pixel, so per-frame energy = 5*(npix - wraps) + 251*wraps and the
+    // wrap count drives which frames clear the 8/pixel threshold
+    "video_keyframes" -> ((s, d) =>
+      Multimodal.keyframes(
+        Multimodal.synthesizeVideos(Tables.documents(s, d))).toDF()
+        .orderBy(col("media_id"), col("frame_idx")))
   )
 
   // ---- DuckDB oracle fragments (mirror the Spark expressions exactly) ----
@@ -4467,6 +4475,32 @@ object SparkEntry {
         |       CAST(d.w AS INT) AS img_width, CAST(d.h AS INT) AS img_height,
         |       s.pixel_sum, s.weighted_sum, true AS meta_consistent
         |FROM d JOIN s USING (doc_id)""".stripMargin,
+    "video_keyframes" ->
+      """WITH d AS (
+        |  SELECT doc_id, 6 + doc_id % 9 AS w, 5 + doc_id % 7 AS h,
+        |         4 + doc_id % 9 AS nf
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |), fr AS (
+        |  SELECT doc_id, w, h, nf, unnest(range(1, nf)) AS f FROM d
+        |), ys AS (
+        |  SELECT doc_id, w, h, nf, f, unnest(range(0, h)) AS y FROM fr
+        |), px AS (
+        |  SELECT doc_id, w, h, nf, f, y, unnest(range(0, w)) AS x FROM ys
+        |), e AS (
+        |  SELECT doc_id, f, MIN(nf) AS nf, MIN(w * h) AS npix,
+        |    CAST(SUM(abs(((doc_id + 5*f + 3*x + 7*y) % 256)
+        |               - ((doc_id + 5*f - 5 + 3*x + 7*y) % 256))) AS BIGINT) AS energy
+        |  FROM px GROUP BY doc_id, f
+        |)
+        |SELECT media_id, frame_idx, energy, n_frames FROM (
+        |  SELECT doc_id AS media_id, 0 AS frame_idx,
+        |         CAST(NULL AS BIGINT) AS energy, CAST(nf AS INT) AS n_frames
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CAST(f AS INT), energy, CAST(nf AS INT)
+        |  FROM e WHERE energy > 8 * npix
+        |) t
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "ann_lsh_pairs" ->
       s"""$dUnitCte, wb AS (
          |  SELECT e.vec_id, u.unit,

@@ -778,8 +778,17 @@ object Multimodal {
       weighted_sum: Option[Long],
       meta_consistent: Option[Boolean])
 
+  /** One selected keyframe. `energy` is the L1 pixel delta against the
+    * PREVIOUS frame (None for frame 0, which is always a keyframe). */
+  case class KeyFrame(
+      media_id: Long,
+      frame_idx: Int,
+      energy: Option[Long],
+      n_frames: Int)
+
   implicit val videoEnc: Encoder[VideoRecord] = Encoders.product[VideoRecord]
   implicit val frameEnc: Encoder[DecodedFrame] = Encoders.product[DecodedFrame]
+  implicit val keyFrameEnc: Encoder[KeyFrame] = Encoders.product[KeyFrame]
 
   /** Closed-form frame-pixel spec: 8-bit gray as a function of
     * (id, frame, x, y), implemented independently by the encoder and the
@@ -865,6 +874,85 @@ object Multimodal {
     * stored). One output row per sampled frame; undecodable payloads
     * surface as a single decode_ok=false row.
     */
+  /** Motion-energy keyframe selection on DECODED frames — the shot-
+    * boundary heuristic a video curation pipeline runs before expensive
+    * per-frame featurization: frame 0 is always kept, and frame f is a
+    * keyframe iff its L1 pixel delta against frame f−1 exceeds
+    * `threshold` per pixel (Σ|g_f − g_{f−1}| > threshold·w·h). Energies
+    * are exact integers on the real codec's output, so the whole
+    * selection sits under the DuckDB hash gate via the closed-form pixel
+    * spec — a codec regression, a frame-seek bug, or an off-by-one in
+    * the delta all flip the gate.
+    *
+    * Scale shape: mapPartitions, one sequential decode pass per payload
+    * holding ONE previous-frame buffer — payloads are touched once and
+    * never shuffled; output is keyframe rows only (decode cost scales
+    * with frames stored, selection output with scene changes).
+    * Undecodable payloads contribute no rows (the decode-health signal
+    * is [[decodeSampledFrames]]' job, not the selector's).
+    */
+  def keyframes(
+      videos: Dataset[VideoRecord], threshold: Int = 8): Dataset[KeyFrame] = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    videos.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { rec =>
+        if (rec.content == null) Iterator.empty
+        else {
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          var iis: javax.imageio.stream.ImageInputStream = null
+          try {
+            iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(rec.content))
+            reader.setInput(iis)
+            val nf = reader.getNumImages(true)
+            if (nf <= 0) throw new java.io.IOException("no frames")
+            val out = scala.collection.mutable.ArrayBuffer.empty[KeyFrame]
+            var prev: Array[Int] = null
+            var f = 0
+            while (f < nf) {
+              val img = reader.read(f)
+              val w = img.getWidth
+              val h = img.getHeight
+              val cur = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  cur(y * w + x) = img.getRGB(x, y) & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              if (f == 0) out += KeyFrame(rec.media_id, 0, None, nf)
+              else if (prev.length == cur.length) {
+                var e = 0L
+                var i = 0
+                while (i < cur.length) {
+                  e += math.abs(cur(i) - prev(i)).toLong
+                  i += 1
+                }
+                if (e > threshold.toLong * w * h)
+                  out += KeyFrame(rec.media_id, f, Some(e), nf)
+              }
+              prev = cur
+              f += 1
+            }
+            out.iterator
+          } catch {
+            case scala.util.control.NonFatal(_) => Iterator.empty
+          } finally {
+            reader.dispose()
+            if (iis != null)
+              try iis.close()
+              catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+      }
+    }
+  }
+
   def decodeSampledFrames(
       videos: Dataset[VideoRecord], stride: Int = 3): Dataset[DecodedFrame] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")

@@ -282,6 +282,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("keyframes: energies re-derived from the closed-form spec; corrupt payloads drop out") {
+    import Multimodal.VideoRecord
+    val ids = Seq(0L, 7L, 123L)
+    val docs = ids.map(id => (id, s"text $id")).toDF("doc_id", "text")
+    val out = Multimodal.keyframes(Multimodal.synthesizeVideos(docs))
+      .collect().groupBy(_.media_id)
+    assert(out.keySet === ids.toSet)
+    ids.foreach { id =>
+      val w = Multimodal.specVideoW(id)
+      val h = Multimodal.specVideoH(id)
+      val nf = Multimodal.specVideoFrames(id)
+      // reference selection straight from the pixel spec
+      val want = (1 until nf).flatMap { f =>
+        var e = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          e += math.abs(Multimodal.frameGray(id, f, x, y) -
+            Multimodal.frameGray(id, f - 1, x, y)).toLong
+        if (e > 8L * w * h) Some(f -> e) else None
+      }.toMap
+      val got = out(id).sortBy(_.frame_idx)
+      assert(got.head.frame_idx === 0 && got.head.energy.isEmpty)
+      assert(got.tail.map(k => k.frame_idx -> k.energy.get).toMap === want)
+      got.foreach(k => assert(k.n_frames === nf))
+    }
+    // corrupt/null payloads contribute no keyframe rows
+    val bad = Seq(
+      VideoRecord(90L, Array.fill[Byte](64)(0x5a), 7, 5, 6),
+      VideoRecord(91L, null, 7, 5, 6),
+      VideoRecord(92L, Multimodal.encodeGif(92L, 7, 5, 6), 7, 5, 6))
+    val got2 = Multimodal.keyframes(spark.createDataset(bad)).collect().map(_.media_id).toSet
+    assert(got2 === Set(92L))
+  }
+
   test("decodeSampledFrames: corrupt and null payloads surface as one failed row") {
     import Multimodal.VideoRecord
     val good = Multimodal.encodeGif(3L, 7, 5, 6)
