@@ -625,6 +625,9 @@ object SparkEntry {
     // malformed priorities, re-entered duplicate keys
     "dq_report" -> ((s, d) =>
       graft.ops.Quality.dqReport(dqDecorated(s, d), dqRules(s, d))),
+    "k_anonymity" -> ((s, d) =>
+      graft.ops.Quality.kAnonymize(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), k = 8)),
     "dq_quarantine" -> ((s, d) =>
       graft.ops.Quality.dqQuarantine(dqDecorated(s, d), dqRules(s, d))
         .orderBy(col("o_orderkey"), col("n_failed"))),
@@ -3215,6 +3218,23 @@ object SparkEntry {
          |            ELSE 'train' END AS split
          |FROM (SELECT doc_id, ${dH("CAST(doc_id AS VARCHAR)")} % 100 AS b
          |      FROM documents) t""".stripMargin,
+    "k_anonymity" ->
+      """WITH b AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS n,
+        |         CAST(c_mktsegment AS VARCHAR) AS s
+        |  FROM customer
+        |), cl AS (
+        |  SELECT n, s, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+        |)
+        |SELECT ng AS c_nationkey_g, sg AS c_mktsegment_g,
+        |       CAST(COUNT(*) AS BIGINT) AS class_size
+        |FROM (
+        |  SELECT CASE WHEN cl.cnt >= 8 THEN b.n ELSE '*' END AS ng,
+        |         CASE WHEN cl.cnt >= 8 THEN b.s ELSE '*' END AS sg
+        |  FROM b JOIN cl ON cl.n = b.n AND cl.s = b.s
+        |) t
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "dq_quarantine" ->
       """WITH dec0 AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

@@ -90,6 +90,35 @@ object Quality {
       .withColumn("pass", (col("n_violations") === 0L).cast("int"))
   }
 
+  /** Single-round suppression k-anonymization: rows whose quasi-
+    * identifier combination occurs fewer than `k` times get those QI
+    * values suppressed to `'*'`, then the anonymized view's class
+    * histogram is returned. Every surviving non-suppressed class has
+    * ≥ k members by construction; the merged `'*'` class is reported
+    * as-is — if it is still smaller than k the caller drops it (stated
+    * contract; full iterative generalization à la Mondrian trades
+    * utility for it and is out of scope of the suppression form).
+    *
+    * Scale shape: one count aggregate on the QI key, broadcast back for
+    * the suppression projection, one re-aggregate — the QI key space is
+    * the (bounded) crossing of the QI columns, so both aggregates are
+    * map-side combined and the broadcast is class-histogram-sized.
+    */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2, s"need QI columns and k >= 2, got k=$k")
+    val cast = qiCols.map(c => col(c).cast("string").as(c))
+    val base = df.select(cast: _*)
+    val classes = base.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val joined = base.join(broadcast(classes), qiCols)
+    val outCols = qiCols.map(c =>
+      when(col("_n") >= k, col(c)).otherwise(lit("*")).as(s"${c}_g"))
+    joined.select(outCols: _*)
+      .groupBy(qiCols.map(c => col(s"${c}_g")): _*)
+      .agg(count(lit(1)).cast("bigint").as("class_size"))
+      .orderBy(qiCols.map(c => col(s"${c}_g")): _*)
+  }
+
   /** Row-level quarantine routing — the complement of [[dqReport]]'s
     * aggregates: every failing row comes back with `failed_rules`, the
     * sorted list of rules it violates, ready to write to a quarantine

@@ -130,6 +130,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(None, Some(10.0), Some(20.0), None))
   }
 
+  test("kAnonymize: surviving classes have >= k members; rare combos merge into '*'") {
+    import graft.ops.Quality
+    val df = (Seq.fill(10)(("US", "A")) ++ Seq.fill(9)(("US", "B")) ++
+      Seq(("FR", "A"), ("FR", "B"), ("DE", "A")))
+      .toDF("country", "seg")
+    val r = Quality.kAnonymize(df, Seq("country", "seg"), k = 5).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r(("US", "A")) === 10L && r(("US", "B")) === 9L)
+    assert(r(("*", "*")) === 3L) // the three rare combos pooled
+    assert(r.size === 3)
+    // non-suppressed classes all clear k
+    r.foreach { case ((c, s), n) => if (c != "*") assert(n >= 5L) }
+  }
+
   test("dqQuarantine: failing rows carry ALL their violated rules; clean rows never appear") {
     import graft.ops.Quality
     val dim = Seq(1L, 2L).toDF("k")
