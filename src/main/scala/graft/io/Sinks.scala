@@ -67,6 +67,56 @@ object Sinks {
       }
       .start()
 
+  /** Streaming dead-letter routing: apply the declarative dq rules to
+    * every micro-batch and fan out from ONE query — clean rows to
+    * `outDir/clean`, failing rows (with their `failed_rules` verdicts)
+    * to `outDir/quarantine` — the ingest-boundary pattern where bad
+    * records must never silently vanish NOR poison the main table.
+    * Both legs write idempotently per batch id (partition overwrite),
+    * honoring the post-crash foreachBatch replay contract the history
+    * sink established; rule evaluation is [[graft.ops.Quality
+    * .dqQuarantine]]'s single shared projection, so batch and streaming
+    * verdicts can never diverge.
+    */
+  def dqQuarantineSink(
+      events: org.apache.spark.sql.DataFrame,
+      rules: Seq[graft.ops.Quality.DqRule],
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val df = batch.persist()
+        try {
+          val bad = graft.ops.Quality.dqQuarantine(df, rules).persist()
+          try {
+            bad.write.mode("overwrite")
+              .parquet(s"$outDir/quarantine/batch_$batchId")
+            // clean = rows anti-joined against the quarantined rows on the
+            // FULL column tuple, with NULL-SAFE equality — a failing row
+            // often fails BECAUSE a column is null, and `=` would let it
+            // slip past the anti-join into the clean leg. Exact because
+            // verdicts are value-deterministic: any row value-equal to a
+            // quarantined row earns the same scalar/ref verdicts, and
+            // identical rows share their Unique key, so a value-twin of a
+            // bad row is itself bad
+            val badSide = bad.select(df.columns
+              .map(c => org.apache.spark.sql.functions.col(c).as(s"_q_$c")): _*)
+            val cond = df.columns
+              .map(c => org.apache.spark.sql.functions.col(c) <=>
+                org.apache.spark.sql.functions.col(s"_q_$c"))
+              .reduce(_ && _)
+            df.join(badSide, cond, "left_anti")
+              .write.mode("overwrite")
+              .parquet(s"$outDir/clean/batch_$batchId")
+          } finally bad.unpersist()
+        } finally df.unpersist()
+        ()
+      }
+      .start()
+
   /** Console sink (the reference's dev sink, StructuredStreaming:228-231). */
   def console(sessionized: Dataset[SessionizedEvent]): StreamingQuery =
     sessionized.writeStream.format("console").outputMode("append").start()

@@ -1506,6 +1506,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dqQuarantineSink: one query routes clean vs failing rows; replay idempotent") {
+    import graft.ops.Quality
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dlq").toString
+    val rules = Seq(
+      Quality.NotNull("event_type"),
+      Quality.InRange("value", 0, 100))
+    val rows = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "view", 5.0),     // clean
+      ev(2, "2024-01-01 00:01:00", 1, null, 5.0),       // null type
+      ev(3, "2024-01-01 00:02:00", 2, "click", -3.0),   // range
+      ev(4, "2024-01-01 00:03:00", 2, "click", 7.0))    // clean
+    def deliver(ckpt: String): Unit = {
+      val ms = MemoryStream[Event]
+      ms.addData(rows)
+      val q = graft.io.Sinks.dqQuarantineSink(
+        ms.toDS().toDF(), rules, s"$dir/out", s"$dir/$ckpt")
+      q.processAllAvailable(); q.stop()
+    }
+    deliver("ckpt1")
+    val clean = spark.read.parquet(s"$dir/out/clean/batch_0")
+    val bad = spark.read.parquet(s"$dir/out/quarantine/batch_0")
+    assert(clean.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 4L))
+    val verdicts = bad.select("event_id", "failed_rules")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(verdicts(2L) === Seq("not_null:event_type"))
+    assert(verdicts(3L) === Seq("in_range:value"))
+    // replay with a fresh checkpoint (same batch id 0): both legs converge
+    deliver("ckpt2")
+    assert(spark.read.parquet(s"$dir/out/clean/batch_0").count() === 2L)
+    assert(spark.read.parquet(s"$dir/out/quarantine/batch_0").count() === 2L)
+  }
+
   test("stream-stream interval join: batch parity; watermark evicts click state") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
