@@ -660,6 +660,7 @@ object SparkEntry {
     }),
     "epoch_order" -> ((s, d) => Sampling.epochOrder(Tables.documents(s, d), epoch = 1, shards = 8)),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
+    "embed_truncate" -> ((s, d) => Similarity.matryoshkaProbe(Tables.embeddings(s, d))),
     "embed_outliers" -> ((s, d) => Similarity.outliersByLabel(Tables.embeddings(s, d))),
     "lsh_buckets" -> ((s, d) => Similarity.lshBuckets(Tables.embeddings(s, d))),
     // blocked-tile exact form; the row-level n² join is a test-only baseline
@@ -4020,6 +4021,40 @@ object SparkEntry {
         |            ELSE 0 END AS BIGINT) AS clustering_ppm
         |FROM deg d LEFT JOIN pern p ON p.node = d.node
         |ORDER BY d.node""".stripMargin,
+    "embed_truncate" ->
+      s"""$dUnitCte, tu AS (
+         |  SELECT vec_id,
+         |         CASE WHEN sqrt(list_sum(list_transform(embedding[1:32],
+         |                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) > 0
+         |           THEN list_transform(embedding[1:32], x -> CAST(x AS DOUBLE)
+         |             / sqrt(list_sum(list_transform(embedding[1:32], y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+         |         END AS tunit
+         |  FROM embeddings
+         |), qf AS (SELECT unit AS q FROM u WHERE vec_id = 0),
+         |qt AS (SELECT tunit AS q FROM tu WHERE vec_id = 0),
+         |fsim AS (
+         |  SELECT vec_id, round(${dUnitDot("unit", "q")}, 6) AS full_sim
+         |  FROM u, qf WHERE vec_id <> 0
+         |), tsim AS (
+         |  SELECT vec_id, round(${dUnitDot("tunit", "q")}, 6) AS trunc_sim
+         |  FROM tu, qt WHERE vec_id <> 0
+         |), ftop AS (
+         |  SELECT vec_id, true AS in_full FROM fsim
+         |  ORDER BY full_sim DESC, vec_id LIMIT 10
+         |), ttop AS (
+         |  SELECT vec_id, true AS in_trunc FROM tsim
+         |  ORDER BY trunc_sim DESC, vec_id LIMIT 10
+         |)
+         |SELECT v.vec_id, f2.full_sim, t2.trunc_sim,
+         |       COALESCE(f.in_full, false) AS in_full,
+         |       COALESCE(t.in_trunc, false) AS in_trunc
+         |FROM (SELECT COALESCE(f0.vec_id, t0.vec_id) AS vec_id
+         |      FROM ftop f0 FULL OUTER JOIN ttop t0 ON f0.vec_id = t0.vec_id) v
+         |LEFT JOIN ftop f ON f.vec_id = v.vec_id
+         |LEFT JOIN ttop t ON t.vec_id = v.vec_id
+         |JOIN fsim f2 ON f2.vec_id = v.vec_id
+         |JOIN tsim t2 ON t2.vec_id = v.vec_id
+         |ORDER BY v.vec_id""".stripMargin,
     "cosine_topk" ->
       s"""$dUnitCte, q AS (SELECT unit AS q_unit FROM u WHERE vec_id = 0)
          |SELECT vec_id,

@@ -64,6 +64,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka truncation probe — the measurement behind the "store the
+    * first d′ dims, renormalize, search cheaper" embedding-compression
+    * trade (Kusupati et al. 2022; OpenAI/Nomic shortened embeddings):
+    * for one query vector, compare its exact top-k under FULL-dimension
+    * cosine against top-k under truncate-to-`dims`-and-renormalize, and
+    * emit the union with both similarities and membership flags — the
+    * overlap IS the retrieval-quality number a team reads before
+    * flipping storage to the truncated form.
+    *
+    * Scale shape: two single-scan cosine passes against broadcast
+    * 1-row query vectors, two TakeOrdered top-ks, and a k-sized
+    * full-outer join — vectors never shuffle, nothing exceeds k rows
+    * after the scans. Exactness: slicing is positional, the renorm is
+    * the same sqrt/divide spine as [[normalized]], and both similarity
+    * columns round at 6 like every cosine gate here.
+    */
+  def matryoshkaProbe(
+      embeddings: DataFrame,
+      dims: Int = 32,
+      queryVecId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    require(dims >= 1 && k >= 1)
+    val full = normalized(embeddings).select(col("vec_id"), col("unit"))
+    val tr = embeddings
+      .withColumn("t", slice(col("embedding"), 1, dims))
+      .withColumn("_tn", vec_norm(col("t")))
+      .withColumn("tunit",
+        when(col("_tn") > 0D, expr("transform(t, x -> cast(x as double) / _tn)")))
+      .select(col("vec_id"), col("tunit"))
+    val qf = full.filter(col("vec_id") === queryVecId).select(col("unit").as("qf"))
+    val qt = tr.filter(col("vec_id") === queryVecId).select(col("tunit").as("qt"))
+    val fsim = full.filter(col("vec_id") =!= queryVecId).crossJoin(broadcast(qf))
+      .select(col("vec_id"), round(vec_dot(col("unit"), col("qf")), 6).as("full_sim"))
+    val tsim = tr.filter(col("vec_id") =!= queryVecId).crossJoin(broadcast(qt))
+      .select(col("vec_id"), round(vec_dot(col("tunit"), col("qt")), 6).as("trunc_sim"))
+    val ftop = fsim.orderBy(col("full_sim").desc, col("vec_id")).limit(k)
+      .select(col("vec_id"), lit(true).as("in_full"))
+    val ttop = tsim.orderBy(col("trunc_sim").desc, col("vec_id")).limit(k)
+      .select(col("vec_id"), lit(true).as("in_trunc"))
+    ftop.join(ttop, Seq("vec_id"), "full_outer")
+      .join(fsim, "vec_id").join(tsim, "vec_id")
+      .select(col("vec_id"), col("full_sim"), col("trunc_sim"),
+        coalesce(col("in_full"), lit(false)).as("in_full"),
+        coalesce(col("in_trunc"), lit(false)).as("in_trunc"))
+      .orderBy("vec_id")
+  }
+
   /** Per-group embedding outlier screen: cosine of every vector against
     * its label group's deterministic representative — the min-`vec_id`
     * member, a medoid stand-in that needs NO float averaging (a mean

@@ -938,6 +938,23 @@ class ExtSpec extends AnyFunSuite {
     Dedup.release(rdf)
   }
 
+  test("matryoshkaProbe: k flags per list; full truncation (dims = d) makes the lists identical") {
+    val r = SparkEntry.queries("embed_truncate")(spark, "/root/testdata/sf0.001").collect()
+    assert(r.count(_.getBoolean(3)) === 10) // in_full
+    assert(r.count(_.getBoolean(4)) === 10) // in_trunc
+    assert(r.length >= 10 && r.length <= 20)
+    r.foreach(x => assert(x.getBoolean(3) || x.getBoolean(4)))
+    // degenerate check: truncating to the full dimension is a no-op, so
+    // both lists coincide and every row carries both flags
+    val same = graft.ext.Similarity.matryoshkaProbe(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"), dims = 64).collect()
+    assert(same.length === 10)
+    same.foreach { x =>
+      assert(x.getBoolean(3) && x.getBoolean(4))
+      assert(x.getDouble(1) === x.getDouble(2))
+    }
+  }
+
   test("rrfFusion: fused score is exactly the reciprocal-rank sum; ordering monotone") {
     val r = SparkEntry.queries("rank_fusion")(spark, "/root/testdata/sf0.001").collect()
     assert(r.nonEmpty && r.length <= 20)
