@@ -277,6 +277,13 @@ object SparkEntry {
       Skew.saltedSumCount(Tables.events(s, d), "user_id", "value", "event_id")),
     "skew_report" -> ((s, d) =>
       Skew.skewReport(Tables.events(s, d), "user_id")),
+    "join_size_estimate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Skew.joinSizeEstimate(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", "user_id")
+    }),
     "asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       // right side: each user's last event per day (a daily state snapshot)
@@ -1522,6 +1529,36 @@ object SparkEntry {
         |       COUNT(*) AS n_keys,
         |       CAST(SUM(c) AS BIGINT) AS n_rows
         |FROM k GROUP BY 1""".stripMargin,
+    "join_size_estimate" ->
+      s"""WITH a AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+         |  WHERE event_type = 'click' AND user_id IS NOT NULL
+         |), b AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+         |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+         |), ca AS (
+         |  SELECT r, bucket, COUNT(*) AS c_a FROM (
+         |    SELECT rr.r, ${dH("concat(rr.r, ':', a.k)")} % 512 AS bucket
+         |    FROM a, (SELECT unnest(range(0, 4)) AS r) rr
+         |  ) t GROUP BY 1, 2
+         |), cb AS (
+         |  SELECT r, bucket, COUNT(*) AS c_b FROM (
+         |    SELECT rr.r, ${dH("concat(rr.r, ':', b.k)")} % 512 AS bucket
+         |    FROM b, (SELECT unnest(range(0, 4)) AS r) rr
+         |  ) t GROUP BY 1, 2
+         |), est AS (
+         |  SELECT CAST(CASE WHEN COUNT(*) < 4 THEN 0 ELSE MIN(ip) END AS BIGINT) AS est_size FROM (
+         |    SELECT ca.r, SUM(ca.c_a * cb.c_b) AS ip
+         |    FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+         |    GROUP BY ca.r) t
+         |), ex AS (
+         |  SELECT CAST(COALESCE(SUM(x.ca * y.cb), 0) AS BIGINT) AS exact_size FROM
+         |    (SELECT k, COUNT(*) AS ca FROM a GROUP BY k) x
+         |    JOIN (SELECT k, COUNT(*) AS cb FROM b GROUP BY k) y ON x.k = y.k
+         |)
+         |SELECT exact_size, est_size, est_size - exact_size AS err,
+         |       CAST(CASE WHEN est_size >= exact_size THEN 1 ELSE 0 END AS INT) AS over_ok
+         |FROM ex, est""".stripMargin,
     "salted_agg" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -85,4 +85,55 @@ object Skew {
       .groupBy(col("freq_mag"))
       .agg(count(lit(1)).as("n_keys"),
         sum(col("c")).cast("bigint").as("n_rows"))
+
+  /** Equi-join OUTPUT-size estimation from count-min sketches (Cormode &
+    * Muthukrishnan's inner-product estimator): |A ⋈ B| = Σ_k cA(k)·cB(k)
+    * is estimated as min over sketch rows r of Σ_b cmsA[r][b]·cmsB[r][b].
+    * This is the pre-flight check before a join whose output could be
+    * quadratic — a skewed key on BOTH sides multiplies, and you want the
+    * d·w-cell sketches (buildable in one bounded pass per side, exactly
+    * [[graft.ext.TextOps.cmsCounts]]' shape) to say so BEFORE the
+    * exchange is paid, not after the stage OOMs. Collisions only add
+    * non-negative products, so est ≥ exact is structural (`over_ok`),
+    * and every quantity is int64 md5-bucket arithmetic — the whole
+    * estimator sits under the DuckDB hash gate, exact-verification arm
+    * included (a production consumer computes only the sketch side).
+    */
+  def joinSizeEstimate(
+      left: DataFrame,
+      right: DataFrame,
+      keyL: String,
+      keyR: String,
+      depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    def cms(df: DataFrame, key: String, side: String): DataFrame =
+      df.select(expr(key).cast("string").as("k"))
+        .where(col("k").isNotNull)
+        .select(col("k"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+        .select(col("r"),
+          expr(s"${graft.ext.TextOps.md5Long64("concat(r, ':', k)")} % $width").as("bucket"))
+        .groupBy(col("r"), col("bucket"))
+        .agg(count(lit(1)).as(s"c_$side"))
+    // A sketch row with NO overlapping buckets has inner product 0 but drops
+    // out of the inner join; if any of the `depth` rows is absent the true
+    // min is 0 (disjoint-key inputs must estimate 0, not NULL).
+    val est = cms(left, keyL, "a").join(cms(right, keyR, "b"), Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum(col("c_a") * col("c_b")).as("ip"))
+      .agg(when(count(lit(1)) < depth, lit(0L))
+        .otherwise(min(col("ip"))).cast("bigint").as("est_size"))
+    val exact = left.select(expr(keyL).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      .join(right.select(expr(keyR).cast("string").as("k"))
+        .where(col("k").isNotNull)
+        .groupBy(col("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).cast("bigint").as("exact_size"))
+    exact.crossJoin(est).select(
+      col("exact_size"), col("est_size"),
+      (col("est_size") - col("exact_size")).as("err"),
+      expr("cast(case when est_size >= exact_size then 1 else 0 end as int)").as("over_ok"))
+  }
 }

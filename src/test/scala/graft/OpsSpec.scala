@@ -366,6 +366,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_._3).sum === rows.size)
   }
 
+  test("joinSizeEstimate: exact inner-product size, structural overestimate, nulls excluded") {
+    import graft.ops.Skew
+    val left = (Seq.fill(5)(Option("a")) ++ Seq.fill(3)(Option("b")) ++
+      Seq(Option("c"), Option.empty[String])).toDF("k")
+    val right = (Seq.fill(2)(Option("a")) ++ Seq.fill(4)(Option("d")) ++
+      Seq(Option("b"), Option.empty[String])).toDF("k")
+    val out = Skew.joinSizeEstimate(left, right, "k", "k")
+      .as[(Long, Long, Long, Int)].head()
+    // exact = 5*2 ('a') + 3*1 ('b') = 13; NULL keys never match an equi-join
+    assert(out._1 === 13L)
+    assert(out._4 === 1 && out._2 >= out._1 && out._3 === out._2 - out._1)
+    // disjoint key sets: exact 0, estimate still a non-negative overestimate
+    val disj = Skew.joinSizeEstimate(
+      left, right.select(concat(col("k"), lit("_z")).as("k")), "k", "k")
+      .as[(Long, Long, Long, Int)].head()
+    assert(disj._1 === 0L && disj._4 === 1)
+    intercept[IllegalArgumentException](
+      Skew.joinSizeEstimate(left, right, "k", "k", depth = 0))
+    intercept[IllegalArgumentException](
+      Skew.joinSizeEstimate(left, right, "k", "k", width = 1))
+  }
+
   test("dqReport: exact violation counts per rule; nulls pass range/regex; duplicates count in excess") {
     import graft.ops.Quality
     val dim = Seq(1L, 2L, 3L).toDF("k")
