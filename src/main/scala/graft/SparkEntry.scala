@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Dedup, Graph, IndexCache, Multimodal, Sampling, Similarity, TextOps}
-import graft.ops.{Cdc, Enrich, Functions, Relational, Skew}
+import graft.ops.{Cdc, Enrich, Functions, Incremental, Mining, Relational, Skew}
 import graft.session.{ClickstreamPipeline, Sessionize, StateOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -284,6 +284,41 @@ object SparkEntry {
         ev.filter(col("event_type") === "purchase"),
         "user_id", "user_id")
     }),
+    "freq_itemsets" -> ((s, d) =>
+      Mining.freqItemsets(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey")),
+        "l_orderkey", "p_brand", 0.02)),
+    "assoc_rules" -> ((s, d) =>
+      Mining.assocRules(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey")),
+        "l_orderkey", "p_brand", 0.02)),
+    "markov_transitions" -> ((s, d) =>
+      Mining.markovTransitions(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id")),
+    "pareto_front" -> ((s, d) =>
+      Mining.paretoFront(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+        "o_totalprice", "o_orderdate")),
+    "incr_agg_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      val state = Incremental.aggState(ev.filter(col("ts") < cutoff), "user_id", "value")
+      val delta = Incremental.aggState(ev.filter(col("ts") >= cutoff), "user_id", "value")
+      Incremental.mergeAggState(state, delta, "user_id")
+        .select(col("user_id"), col("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v").cast("double").as("min_v"),
+          col("max_v").cast("double").as("max_v"))
+    }),
+    "dp_counts" -> ((s, d) =>
+      graft.ops.Quality.dpCounts(Tables.events(s, d), "event_type")),
+    "label_agreement" -> ((s, d) =>
+      graft.ops.Quality.labelAgreement(
+        TextOps.langId(Tables.documents(s, d)), "lang", "predicted_lang")),
     "asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       // right side: each user's last event per day (a daily state snapshot)
@@ -1559,6 +1594,133 @@ object SparkEntry {
          |SELECT exact_size, est_size, est_size - exact_size AS err,
          |       CAST(CASE WHEN est_size >= exact_size THEN 1 ELSE 0 END AS INT) AS over_ok
          |FROM ex, est""".stripMargin,
+    "freq_itemsets" ->
+      """WITH tx AS (
+        |  SELECT DISTINCT l.l_orderkey AS b, CAST(p.p_brand AS VARCHAR) AS it
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL
+        |), ms AS (
+        |  SELECT CAST(CEIL(0.02 * CAST(COUNT(DISTINCT b) AS DOUBLE)) AS BIGINT) AS min_n FROM tx
+        |), fi AS (
+        |  SELECT it FROM tx GROUP BY it HAVING COUNT(*) >= (SELECT min_n FROM ms)
+        |), pruned AS (
+        |  SELECT tx.b, tx.it FROM tx JOIN fi USING (it)
+        |), pairs AS (
+        |  SELECT x.it AS item_a, y.it AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_n
+        |  FROM pruned x JOIN pruned y ON x.b = y.b AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT min_n FROM ms)
+        |), nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM tx)
+        |SELECT item_a, item_b, pair_n,
+        |       CAST(pair_n AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS supp
+        |FROM pairs, nb""".stripMargin,
+    "assoc_rules" ->
+      """WITH tx AS (
+        |  SELECT DISTINCT l.l_orderkey AS b, CAST(p.p_brand AS VARCHAR) AS it
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL
+        |), ms AS (
+        |  SELECT CAST(CEIL(0.02 * CAST(COUNT(DISTINCT b) AS DOUBLE)) AS BIGINT) AS min_n FROM tx
+        |), fi AS (
+        |  SELECT it, CAST(COUNT(*) AS BIGINT) AS item_n FROM tx GROUP BY it HAVING COUNT(*) >= (SELECT min_n FROM ms)
+        |), pruned AS (
+        |  SELECT tx.b, tx.it FROM tx JOIN fi USING (it)
+        |), pairs AS (
+        |  SELECT x.it AS item_a, y.it AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_n
+        |  FROM pruned x JOIN pruned y ON x.b = y.b AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT min_n FROM ms)
+        |), directed AS (
+        |  SELECT item_a AS antecedent, item_b AS consequent, pair_n FROM pairs
+        |  UNION ALL
+        |  SELECT item_b AS antecedent, item_a AS consequent, pair_n FROM pairs
+        |), nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM tx)
+        |SELECT d.antecedent, d.consequent, d.pair_n,
+        |       fa.item_n AS n_ant, fc.item_n AS n_cons,
+        |       CAST(d.pair_n AS DOUBLE) / CAST(fa.item_n AS DOUBLE) AS confidence,
+        |       CAST(d.pair_n * n_baskets AS DOUBLE) / CAST(fa.item_n * fc.item_n AS DOUBLE) AS lift
+        |FROM directed d
+        |JOIN fi fa ON d.antecedent = fa.it
+        |JOIN fi fc ON d.consequent = fc.it, nb""".stripMargin,
+    "markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS from_type, ts, event_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), t AS (
+        |  SELECT from_type,
+        |         LEAD(from_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), f AS (
+        |  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from FROM c GROUP BY 1
+        |)
+        |SELECT c.from_type, c.to_type, c.n_trans, f.n_from,
+        |       CAST(c.n_trans AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS prob
+        |FROM c JOIN f USING (from_type)""".stripMargin,
+    "pareto_front" ->
+      """WITH p AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |)
+        |SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.o_totalprice >= a.o_totalprice AND b.o_orderdate >= a.o_orderdate
+        |    AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate > a.o_orderdate))""".stripMargin,
+    "incr_agg_merge" ->
+      """SELECT user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        |       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
+    "dp_counts" ->
+      """WITH g AS (
+        |  SELECT COALESCE(CAST(event_type AS VARCHAR), '<NULL>') AS k,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), z AS (
+        |  SELECT k,
+        |         CAST(n + length(regexp_extract(md5('dp:a:' || k), '^0*'))
+        |                - length(regexp_extract(md5('dp:b:' || k), '^0*')) AS BIGINT) AS noisy_n
+        |  FROM g
+        |)
+        |SELECT k AS event_type, noisy_n,
+        |       CAST(GREATEST(noisy_n, 0) AS BIGINT) AS released_n
+        |FROM z""".stripMargin,
+    "label_agreement" ->
+      s"""$dToksCte, sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS en_score,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('der', 'die', 'das', 'und', 'ist'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS de_score,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('el', 'la', 'de', 'y', 'es'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS es_score,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('le', 'la', 'de', 'et', 'les'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS fr_score
+         |  FROM t
+         |), p AS (
+         |  SELECT *, CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+         |                 WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+         |                 WHEN es_score >= fr_score THEN 'es'
+         |                 ELSE 'fr' END AS predicted_lang
+         |  FROM sc
+         |), lab AS (
+         |  SELECT CAST(lang AS VARCHAR) AS a, CAST(predicted_lang AS VARCHAR) AS b FROM p
+         |  WHERE lang IS NOT NULL AND predicted_lang IS NOT NULL
+         |), tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(COUNT(CASE WHEN a = b THEN 1 END) AS BIGINT) AS n_agree
+         |  FROM lab
+         |), pe AS (
+         |  SELECT CAST(COALESCE(SUM(x.na * y.nb), 0) AS BIGINT) AS pe_num FROM
+         |    (SELECT a, COUNT(*) AS na FROM lab GROUP BY a) x
+         |    JOIN (SELECT b, COUNT(*) AS nb FROM lab GROUP BY b) y ON x.a = y.b
+         |)
+         |SELECT n, n_agree, pe_num,
+         |       n * n_agree - pe_num AS kappa_num,
+         |       n * n - pe_num AS kappa_den,
+         |       CASE WHEN n * n <> pe_num
+         |            THEN CAST(n * n_agree - pe_num AS DOUBLE) / CAST(n * n - pe_num AS DOUBLE)
+         |       END AS kappa
+         |FROM tot, pe""".stripMargin,
     "salted_agg" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

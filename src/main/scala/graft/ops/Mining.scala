@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pattern-mining operators: frequent itemsets / association rules
+  * (market-basket, Agrawal & Srikant's Apriori pruning), Markov
+  * transition telemetry over event streams, and an exact 2-D Pareto
+  * frontier (skyline, Börzsönyi et al. 2001) in distributed form.
+  *
+  * All shapes are scale-first: pair candidates are generated PER BASKET
+  * from a bounded sorted item array (never a corpus self-join), the
+  * Apriori item-support prune runs before any pair exists, and the
+  * skyline reduces to per-x maxima then range-bucketed local windows so
+  * no unbounded single-partition sort appears anywhere.
+  */
+object Mining {
+
+  /** Distinct (basket, item) pairs with NULLs dropped — the transaction
+    * relation every mining op starts from.
+    */
+  private def transactions(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    df.select(col(basketCol).as("b"), col(itemCol).cast("string").as("it"))
+      .where(col("b").isNotNull && col("it").isNotNull)
+      .distinct()
+
+  /** Basket count and the absolute support threshold ⌈ratio · n_baskets⌉
+    * as ONE broadcast 1-row frame — relative support is what survives a
+    * data-scale change (a fixed absolute count silently returns
+    * everything at 100× and nothing at 0.01×), and deriving both numbers
+    * from a single aggregate keeps it one subtree that AQE stage-reuse
+    * shares across every consumer. Same double product and ceil on both
+    * engines.
+    */
+  private def basketStats(tx: DataFrame, ratio: Double): DataFrame =
+    tx.agg(count_distinct(col("b")).as("n_baskets"))
+      .select(col("n_baskets"),
+        ceil(lit(ratio) * col("n_baskets").cast("double")).cast("bigint").as("min_n"))
+
+  /** Item supports ≥ the threshold (the Apriori monotonicity prune: a
+    * pair can only be frequent if both items are).
+    */
+  private def frequentItems(tx: DataFrame, stats: DataFrame): DataFrame =
+    tx.groupBy(col("it")).agg(count(lit(1)).as("item_n"))
+      .crossJoin(broadcast(stats.select("min_n")))
+      .where(col("item_n") >= col("min_n"))
+      .drop("min_n")
+
+  /** Co-occurrence counts of item PAIRS within baskets. The candidate
+    * pairs are enumerated inside each basket from its sorted distinct
+    * frequent-item array (size bounded by the basket, not the corpus) —
+    * one explode of a per-row pair array, then a map-side-combined
+    * count. There is no corpus-level self-join at any point, which is
+    * what makes the shape safe when baskets number in the billions.
+    */
+  private def basketPairCounts(df: DataFrame, basketCol: String, itemCol: String, stats: DataFrame): DataFrame = {
+    val tx = transactions(df, basketCol, itemCol)
+    val pruned = tx.join(frequentItems(tx, stats).select("it"), Seq("it"))
+    pruned
+      .groupBy(col("b"))
+      .agg(array_sort(collect_set(col("it"))).as("its"))
+      .where(size(col("its")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(its) - 1),
+          |  i -> transform(sequence(i + 1, size(its)),
+          |    j -> struct(element_at(its, i) as item_a, element_at(its, j) as item_b))))""".stripMargin)).as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_n"))
+  }
+
+  /** Frequent item pairs: (item_a < item_b, pair support count, support
+    * ratio). `supp` is one IEEE division of two exact int64s — identical
+    * across engines.
+    */
+  def freqItemsets(df: DataFrame, basketCol: String, itemCol: String, minSupportRatio: Double = 0.01): DataFrame = {
+    require(minSupportRatio > 0 && minSupportRatio <= 1,
+      s"minSupportRatio must be in (0,1], got $minSupportRatio")
+    val tx = transactions(df, basketCol, itemCol)
+    val stats = basketStats(tx, minSupportRatio)
+    basketPairCounts(df, basketCol, itemCol, stats)
+      .crossJoin(broadcast(stats))
+      .where(col("pair_n") >= col("min_n"))
+      .select(col("item_a"), col("item_b"), col("pair_n"),
+        (col("pair_n").cast("double") / col("n_baskets").cast("double")).as("supp"))
+  }
+
+  /** Association rules antecedent → consequent from frequent pairs, both
+    * directions, with confidence = supp(ab)/supp(a) and
+    * lift = supp(ab)/(supp(a)·supp(b)) = pair_n·n_baskets/(n_a·n_b).
+    * Both ratios are single IEEE divisions of exact int64 products.
+    */
+  def assocRules(df: DataFrame, basketCol: String, itemCol: String, minSupportRatio: Double = 0.01): DataFrame = {
+    require(minSupportRatio > 0 && minSupportRatio <= 1,
+      s"minSupportRatio must be in (0,1], got $minSupportRatio")
+    val tx = transactions(df, basketCol, itemCol)
+    val stats = basketStats(tx, minSupportRatio)
+    val items = frequentItems(tx, stats)
+    val pairs = basketPairCounts(df, basketCol, itemCol, stats)
+      .crossJoin(broadcast(stats.select("min_n")))
+      .where(col("pair_n") >= col("min_n"))
+      .drop("min_n")
+    val directed = pairs.select(col("item_a").as("antecedent"), col("item_b").as("consequent"), col("pair_n"))
+      .unionAll(pairs.select(col("item_b").as("antecedent"), col("item_a").as("consequent"), col("pair_n")))
+    directed
+      .join(items.select(col("it").as("antecedent"), col("item_n").as("n_ant")), Seq("antecedent"))
+      .join(items.select(col("it").as("consequent"), col("item_n").as("n_cons")), Seq("consequent"))
+      .crossJoin(broadcast(stats.select("n_baskets")))
+      .select(col("antecedent"), col("consequent"), col("pair_n"), col("n_ant"), col("n_cons"),
+        (col("pair_n").cast("double") / col("n_ant").cast("double")).as("confidence"),
+        ((col("pair_n") * col("n_baskets")).cast("double") /
+          (col("n_ant") * col("n_cons")).cast("double")).as("lift"))
+  }
+
+  /** First-order Markov transition telemetry: consecutive (state → next
+    * state) counts per entity ordered by (ts, tie-break), with each
+    * source state's outgoing total and the empirical transition
+    * probability (one int64/int64 IEEE division). The behavioral
+    * "what happens after X" matrix — one shuffle on the entity key, a
+    * per-entity lead window, then a map-side-combined count.
+    */
+  def markovTransitions(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val wFrom = Window.partitionBy(col("from_type"))
+    df.where(col(keyCol).isNotNull)
+      .select(col(keyCol), col(typeCol).as("from_type"), col(tsCol), col(tieCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("n_from", sum(col("n_trans")).over(wFrom))
+      .withColumn("prob", col("n_trans").cast("double") / col("n_from").cast("double"))
+  }
+
+  /** Exact 2-D Pareto frontier (skyline), both dimensions maximized: the
+    * rows no other row dominates (≥ in both, > in at least one). Never
+    * the O(n²) dominance join: reduce to per-x maxima (distributed
+    * aggregate), range-bucket the distinct-x frame by exact min/max (one
+    * bounded 2-value driver action, like Maintenance's z-range probe),
+    * run the classic sort-by-x-desc / strictly-preceding-cummax-y window
+    * WITHIN each bucket, then resolve across buckets with a ≤`buckets`-row
+    * window — no unbounded single-partition sort. Bucket ids come from
+    * monotone double arithmetic, so a higher bucket implies strictly
+    * greater x; the bucketing affects only intermediate pruning, never
+    * the result. Rows tied on both dimensions all survive (neither
+    * strictly dominates), matching the NOT-EXISTS oracle. NULL
+    * dimensions are dropped (dominance is undefined on them).
+    */
+  def paretoFront(df: DataFrame, xCol: String, yCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val pts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val perX = pts.groupBy(col(xCol).as("_x")).agg(max(col(yCol)).as("_mx"))
+    val Row(minX, maxX) = perX.agg(min(col("_x")).cast("double"), max(col("_x")).cast("double")).head()
+    val bucketExpr: Column =
+      if (minX == null || minX == maxX) lit(0)
+      else least(floor((col("_x").cast("double") - lit(minX)) /
+        lit(maxX.asInstanceOf[Double] - minX.asInstanceOf[Double]) * lit(buckets)), lit(buckets - 1)).cast("int")
+    val bucketed = perX.withColumn("_bk", bucketExpr)
+    val wLocal = Window.partitionBy(col("_bk")).orderBy(col("_x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed
+      .withColumn("_smax", max(col("_mx")).over(wLocal))
+      .where(col("_smax").isNull || col("_mx") > col("_smax"))
+    val wBuckets = Window.orderBy(col("_bk").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val higherMax = bucketed.groupBy(col("_bk")).agg(max(col("_mx")).as("_bmx"))
+      .withColumn("_hmax", max(col("_bmx")).over(wBuckets))
+      .select(col("_bk"), col("_hmax"))
+    val sky = local.join(higherMax, Seq("_bk"))
+      .where(col("_hmax").isNull || col("_mx") > col("_hmax"))
+      .select(col("_x"), col("_mx"))
+    pts.join(sky, pts(xCol) === sky("_x") && pts(yCol) === sky("_mx"))
+      .select(pts.columns.map(pts(_)): _*)
+  }
+}

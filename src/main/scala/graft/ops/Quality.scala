@@ -165,4 +165,62 @@ object Quality {
       .select(df.columns.map(col) :+ col("failed_rules") :+
         size(col("failed_rules")).cast("int").as("n_failed"): _*)
   }
+
+  /** Differentially-private group counts under the DISCRETE two-sided
+    * geometric mechanism (Ghosh–Roughgarden–Sundararajan 2012 — the
+    * utility-optimal integer mechanism for count queries): noise
+    * Z = G₁ − G₂ for iid geometrics P(G=g) = (1−α)αᵍ gives the
+    * two-sided geometric with ε = ln(1/α). Each geometric is sampled
+    * EXACTLY as the number of leading zero hex digits of an md5 draw
+    * (each digit uniform on 16 values → P(G≥g) = 16⁻ᵍ, so α = 1/16,
+    * ε = ln 16 ≈ 2.77 per count at sensitivity 1) — pure integer
+    * arithmetic end to end, no float ln/exp to drift between engines,
+    * which is what lets the whole mechanism sit under the DuckDB hash
+    * gate. `released_n` clamps at 0 (post-processing, privacy-free).
+    *
+    * Testability caveat, stated plainly: the draws here are seeded
+    * hashes of the group key so the gate can verify the mechanism's
+    * arithmetic; hash noise an adversary can recompute provides NO
+    * privacy. Production swaps the two md5 draws for a real entropy
+    * source — the mechanism, sensitivity, and clamping are unchanged.
+    */
+  def dpCounts(df: DataFrame, keyCol: String, seed: String = "dp"): DataFrame = {
+    def geo(tag: String): Column =
+      length(regexp_extract(md5(concat(lit(s"$seed:$tag:"), col("_k"))), "^0*", 0)).cast("bigint")
+    df.select(coalesce(col(keyCol).cast("string"), lit("<NULL>")).as("_k"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("_k").as(keyCol),
+        (col("_n") + geo("a") - geo("b")).cast("bigint").as("noisy_n"))
+      .withColumn("released_n", greatest(col("noisy_n"), lit(0L)))
+  }
+
+  /** Cohen's kappa inter-labeler agreement — the training-data QA check
+    * for "do these two annotators/classifiers agree beyond chance".
+    * κ = (N·Σagree − Σₖ aₖ·bₖ) / (N² − Σₖ aₖ·bₖ): numerator and
+    * denominator are EXACT int64 products (emitted as columns), κ is
+    * their single IEEE division, NULL when the denominator is 0 (both
+    * sides constant and equal — chance agreement is already 1). Rows
+    * where either label is NULL are excluded (agreement is undefined).
+    * Three map-side-combined aggregates over one pass each; the
+    * marginal product join is on the label vocabulary, not the corpus.
+    */
+  def labelAgreement(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val base = df
+      .select(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    val tot = base.agg(
+      count(lit(1)).as("n"),
+      count(when(col("a") === col("b"), 1)).as("n_agree"))
+    val pe = base.groupBy(col("a")).agg(count(lit(1)).as("na"))
+      .join(base.groupBy(col("b")).agg(count(lit(1)).as("nb")), col("a") === col("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+    tot.crossJoin(pe).select(
+      col("n"), col("n_agree"), col("pe_num"),
+      (col("n") * col("n_agree") - col("pe_num")).as("kappa_num"),
+      (col("n") * col("n") - col("pe_num")).as("kappa_den"),
+      when(col("n") * col("n") =!= col("pe_num"),
+        (col("n") * col("n_agree") - col("pe_num")).cast("double") /
+          (col("n") * col("n") - col("pe_num")).cast("double")).as("kappa"))
+  }
 }

@@ -388,6 +388,116 @@ class OpsSpec extends AnyFunSuite {
       Skew.joinSizeEstimate(left, right, "k", "k", width = 1))
   }
 
+  test("freqItemsets/assocRules: hand-computed supports, Apriori prune, relative threshold") {
+    import graft.ops.Mining
+    // baskets 1:{a,b,c} 2:{a,b} 3:{a,b} 4:{a,c} 5:{d}; duplicate (1,c) must
+    // not double-count; ratio 0.4 of 5 baskets -> min_n = 2 prunes item d
+    // and pair (b,c) (support 1)
+    val df = Seq((1, "a"), (1, "b"), (1, "c"), (1, "c"), (2, "a"), (2, "b"),
+      (3, "a"), (3, "b"), (4, "a"), (4, "c"), (5, "d")).toDF("b", "i")
+    val fi = Mining.freqItemsets(df, "b", "i", 0.4).orderBy("item_a", "item_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(fi === Seq(("a", "b", 3L, 0.6), ("a", "c", 2L, 0.4)))
+    val ar = Mining.assocRules(df, "b", "i", 0.4).orderBy("antecedent", "consequent")
+      .select("antecedent", "consequent", "pair_n", "n_ant", "n_cons", "confidence", "lift")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().toSeq
+    // item supports: a=4 b=3 c=2 (the (1,c) duplicate counts once);
+    // lift = pair_n*5/(n_ant*n_cons)
+    assert(ar === Seq(
+      ("a", "b", 3L, 4L, 3L, 0.75, 15.0 / 12.0),
+      ("a", "c", 2L, 4L, 2L, 0.5, 10.0 / 8.0),
+      ("b", "a", 3L, 3L, 4L, 1.0, 15.0 / 12.0),
+      ("c", "a", 2L, 2L, 4L, 1.0, 10.0 / 8.0)))
+    intercept[IllegalArgumentException](Mining.freqItemsets(df, "b", "i", 0.0))
+    intercept[IllegalArgumentException](Mining.assocRules(df, "b", "i", 1.5))
+  }
+
+  test("markovTransitions: consecutive pairs per key in (ts, tie) order; NULL keys dropped") {
+    import graft.ops.Mining
+    val ev = Seq(
+      (Option(1L), 1L, "a"), (Option(1L), 2L, "b"), (Option(1L), 3L, "a"),
+      (Option(2L), 4L, "a"), (Option(2L), 5L, "a"),
+      (Option(3L), 6L, "b"), // no successor -> no transition
+      (Option.empty[Long], 7L, "z")) // NULL key dropped
+      .toDF("u", "eid", "t")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp")) // ties -> eid breaks
+    val out = Mining.markovTransitions(ev, "u", "t", "ts", "eid")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("a", "a", 1L, 2L, 0.5), ("a", "b", 1L, 2L, 0.5), ("b", "a", 1L, 1L, 1.0)))
+  }
+
+  test("paretoFront: strict-dominance skyline, both-dim ties all survive, bucketed = unbucketed") {
+    import graft.ops.Mining
+    val df = Seq((1, 5.0, 1.0), (2, 4.0, 4.0), (3, 5.0, 1.0), (4, 5.0, 0.5),
+      (5, 3.0, 5.0), (6, 2.0, 2.0), (7, 4.0, 4.0)).toDF("id", "x", "y")
+    // skyline points: (5,1) ids 1,3 (id 4 dominated at same x), (4,4) ids 2,7, (3,5) id 5
+    val expected = Seq(1, 2, 3, 5, 7)
+    for (b <- Seq(1, 2, 64)) {
+      val ids = Mining.paretoFront(df, "x", "y", buckets = b)
+        .select("id").as[Int].collect().toSeq.sorted
+      assert(ids === expected, s"buckets=$b")
+    }
+    // all-equal x degenerate bucket range; NULL dims dropped
+    val deg = Seq((1, 1.0, Option(2.0)), (2, 1.0, Option(3.0)), (3, 1.0, Option.empty[Double]))
+      .toDF("id", "x", "y")
+    assert(Mining.paretoFront(deg, "x", "y").select("id").as[Int].collect().toSeq === Seq(2))
+  }
+
+  test("incremental agg merge: equals full recompute incl. NULL key, one-side keys, all-NULL sums") {
+    import graft.ops.Incremental
+    val old = Seq((Option(1), Option(10.0)), (Option(1), Option(2.0)), (Option(2), Option.empty[Double]),
+      (Option(3), Option(1.0)), (Option.empty[Int], Option(9.0))).toDF("k", "v")
+    val nw = Seq((Option(1), Option(5.0)), (Option(2), Option.empty[Double]),
+      (Option(4), Option(7.0)), (Option.empty[Int], Option(1.0))).toDF("k", "v")
+    val merged = Incremental.mergeAggState(
+      Incremental.aggState(old, "k", "v"), Incremental.aggState(nw, "k", "v"))
+    val full = Incremental.aggState(old.unionAll(nw), "k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("n"), col("sum_v").cast("string"),
+        col("min_v").cast("string"), col("max_v").cast("string"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(canon(merged) === canon(full))
+    // key 2 (all NULL values on both sides) must keep a NULL sum, not 0
+    val k2 = merged.filter(col("k") === 2).head()
+    assert(k2.getAs[Any]("sum_v") == null && k2.getLong(1) === 2L)
+  }
+
+  test("dpCounts: exact two-sided-geometric noise from md5 leading zeros; clamped release") {
+    import graft.ops.Quality
+    val df = Seq(Option("x"), Option("x"), Option("x"), Option("y"), Option.empty[String]).toDF("k")
+    val out = Quality.dpCounts(df, "k").orderBy("k")
+      .as[(String, Long, Long)].collect().toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def geo(s: String): Long = md5hex(s).takeWhile(_ == '0').length.toLong
+    def expect(k: String, n: Long): (String, Long, Long) = {
+      val noisy = n + geo(s"dp:a:$k") - geo(s"dp:b:$k")
+      (k, noisy, math.max(noisy, 0L))
+    }
+    assert(out === Seq(expect("<NULL>", 1L), expect("x", 3L), expect("y", 1L)).sortBy(_._1))
+  }
+
+  test("labelAgreement: hand-computed kappa; perfect = 1; degenerate denominator -> NULL") {
+    import graft.ops.Quality
+    val df = Seq((Option("a"), Option("a")), (Option("a"), Option("b")),
+      (Option("b"), Option("b")), (Option("b"), Option("b")),
+      (Option.empty[String], Option("a")), (Option("c"), Option.empty[String]))
+      .toDF("g", "p")
+    val r = Quality.labelAgreement(df, "g", "p").head()
+    // n=4 agree=3; marginals g{a:2,b:2} p{a:1,b:3}; pe_num=2*1+2*3=8
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((4L, 3L, 8L, 4L, 8L)))
+    assert(r.getDouble(5) === 0.5)
+    val perfect = Quality.labelAgreement(
+      Seq(("a", "a"), ("b", "b")).toDF("g", "p"), "g", "p").head()
+    assert(perfect.getDouble(5) === 1.0)
+    val degen = Quality.labelAgreement(
+      Seq(("a", "a"), ("a", "a")).toDF("g", "p"), "g", "p").head()
+    assert(degen.isNullAt(5))
+  }
+
   test("dqReport: exact violation counts per rule; nulls pass range/regex; duplicates count in excess") {
     import graft.ops.Quality
     val dim = Seq(1L, 2L, 3L).toDF("k")

@@ -372,6 +372,22 @@ class PlanSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllMatchIn(p).size >= 1, p)
   }
 
+  test("freq_itemsets: pairs generate per basket (explode), never a corpus self-join on basket") {
+    val p = executedFinal("freq_itemsets")
+    assert(p.contains("isFinalPlan=true"), p)
+    // the pair candidates come from exploding each basket's bounded sorted
+    // item array — a Generate over the per-basket aggregate
+    assert(p.contains("Generate explode"), p)
+    // no JOIN keyed on the raw basket id anywhere — that would be the
+    // O(Σ|basket|²) tx⋈tx self-join formulation the oracle uses (fine for
+    // DuckDB at sf0.01, fatal on a 100 TB basket table); the b-keyed
+    // exchanges that DO exist feed aggregates (collect_set, distinct)
+    assert(!"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[b#".r.findFirstIn(p).isDefined, p)
+    // the distinct-(b,it) exchange materializes once; the frequent-items
+    // prune branch reads reused shuffle output
+    assert("ReusedExchange".r.findAllMatchIn(p).size >= 2, p)
+  }
+
   test("pagerank_top: iterations reuse the edge exchanges — lineitem scans stay O(1), not O(iters)") {
     val p = executedFinal("pagerank_top")
     assert(p.contains("isFinalPlan=true"), p)
