@@ -316,6 +316,16 @@ object SparkEntry {
     }),
     "dp_counts" -> ((s, d) =>
       graft.ops.Quality.dpCounts(Tables.events(s, d), "event_type")),
+    "golden_record" -> ((s, d) =>
+      Cdc.goldenRecord(Tables.events(s, d), "user_id",
+        Seq("ts", "event_id"), Seq("event_type", "value", "props"))),
+    "k_core" -> ((s, d) =>
+      Graph.kCoreMedian(
+        Tables.lineitem(s, d).select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 1000000L).as("dst")),
+        iters = 4)),
+    "cusum_drift" -> ((s, d) =>
+      graft.ops.Quality.cusumDrift(Tables.events(s, d), "event_type", "ts")),
     "label_agreement" -> ((s, d) =>
       graft.ops.Quality.labelAgreement(
         TextOps.langId(Tables.documents(s, d)), "lang", "predicted_lang")),
@@ -1688,6 +1698,68 @@ object SparkEntry {
         |SELECT k AS event_type, noisy_n,
         |       CAST(GREATEST(noisy_n, 0) AS BIGINT) AS released_n
         |FROM z""".stripMargin,
+    "golden_record" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_obs,
+        |    MAX(ts) OVER (PARTITION BY user_id) AS last_ts,
+        |    last_value(event_type IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS event_type,
+        |    last_value(value IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS value,
+        |    last_value(props IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS props,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, n_obs, last_ts, event_type, value, props
+        |FROM w WHERE rn = 1""".stripMargin,
+    "k_core" -> {
+      val head =
+        """WITH e0 AS (
+          |  SELECT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem
+          |), u0 AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+          |  ) WHERE src <> dst
+          |), km AS (
+          |  SELECT CAST(CEIL(MEDIAN(cnt)) AS BIGINT) AS min_deg
+          |  FROM (SELECT COUNT(*) AS cnt FROM u0 GROUP BY src)
+          |)""".stripMargin
+      val steps = (1 to 4).map { r =>
+        s""", a$r AS (
+           |  SELECT src AS node FROM u${r - 1} GROUP BY src
+           |  HAVING COUNT(*) >= (SELECT min_deg FROM km)
+           |), u$r AS (
+           |  SELECT u.src, u.dst FROM u${r - 1} u
+           |  JOIN a$r x ON x.node = u.src
+           |  JOIN a$r y ON y.node = u.dst
+           |)""".stripMargin
+      }.mkString
+      head + steps +
+        "\nSELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM u4 GROUP BY src"
+    },
+    "cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype, date_trunc('day', ts) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |), st AS (
+        |  SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(n) AS BIGINT) AS total
+        |  FROM daily GROUP BY 1
+        |), c AS (
+        |  SELECT d.etype, d.day, d.n, s.n_days, s.total,
+        |         CAST(SUM(d.n * s.n_days - s.total)
+        |              OVER (PARTITION BY d.etype ORDER BY d.day) AS BIGINT) AS cusum_scaled
+        |  FROM daily d JOIN st s USING (etype)
+        |)
+        |SELECT etype, day, n, n_days, total, cusum_scaled,
+        |       abs(cusum_scaled) > 1 * total AS drift_flag
+        |FROM c""".stripMargin,
     "label_agreement" ->
       s"""$dToksCte, sc AS (
          |  SELECT doc_id, lang,

@@ -234,4 +234,65 @@ object Graph {
           .otherwise(lit(0L)).cast("bigint").as("clustering_ppm"))
       .orderBy("node")
   }
+
+  /** k-core peeling (Seidman 1983) with a FIXED number of SYNCHRONOUS
+    * rounds — the fifth member of the iterative-join graph family. Each
+    * round recomputes degrees over the surviving edge set and drops
+    * every node of degree < k simultaneously; after enough rounds the
+    * survivors are exactly the k-core (each round is monotone, so a
+    * fixed round count is a deterministic, oracle-checkable UNDER-
+    * approximation of the peeling fixpoint that equals it once stable —
+    * the same bounded-round trade labelPropagation and pageRank make).
+    * Output: each surviving node with its within-subgraph degree.
+    *
+    * Scale shape per round: one map-side-combined degree aggregate over
+    * the (symmetric) edge frame plus two semi-join-shaped filters of
+    * edges against the alive node set — hash equi-joins on node-sized
+    * frames, nothing driver-side, no windows. The plan unrolls across
+    * rounds; exchange reuse keeps the base edge scan O(1) as in the
+    * rest of the family.
+    */
+  def kCore(edges: DataFrame, k: Int, iters: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val thr = edges.sparkSession.range(1).select(lit(k.toLong).as("min_deg"))
+    peelCore(symmetrize(edges), thr, iters)
+  }
+
+  /** k-core at the MEDIAN initial degree (k = ⌈median(deg₀)⌉, derived
+    * from the data as a broadcast 1-row frame) — the scale-portable
+    * form: an absolute k silently returns the whole graph at 100× the
+    * density and the empty graph at 0.01×, exactly the failure the
+    * relative min-support threshold avoids in [[graft.ops.Mining]].
+    * Interpolated median of integer degrees is the average of two
+    * int64s — exact in double on both engines.
+    */
+  def kCoreMedian(edges: DataFrame, iters: Int = 4): DataFrame = {
+    val und = symmetrize(edges)
+    val thr = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(ceil(expr("percentile(deg, 0.5)")).cast("bigint").as("min_deg"))
+    peelCore(und, thr, iters)
+  }
+
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  private def peelCore(und0: DataFrame, thr: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    var und = und0
+    for (_ <- 1 to iters) {
+      val alive = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .crossJoin(broadcast(thr))
+        .where(col("deg") >= col("min_deg"))
+        .select(col("node"))
+      und = und
+        .join(alive.select(col("node").as("src")), Seq("src"))
+        .join(alive.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+    }
+    und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("bigint").as("core_degree"))
+  }
 }

@@ -209,4 +209,37 @@ object Cdc {
           .otherwise(lit("unchanged")).as("change_type"))
       .where(col("change_type") =!= lit("unchanged"))
   }
+
+  /** Golden-record survivorship: fold every observation of an entity
+    * into ONE master row where each field independently takes its
+    * latest NON-NULL value (ordered by `orderCols`, which must
+    * totally order observations — e.g. (ts, event_id)). The standard
+    * MDM merge rule: a fresher row with a missing field must not erase
+    * an older row's known value, so fields survive per-field, not
+    * per-row.
+    *
+    * One map-side-combined aggregate: per field,
+    * max(struct(orderCols..., field)) over the rows where the field is
+    * non-null — struct comparison is lexicographic, so the max is the
+    * latest observation that KNOWS the field. No windows, no self-joins;
+    * entities with every observation null on a field keep NULL.
+    */
+  def goldenRecord(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      fieldCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(fieldCols.nonEmpty, "fieldCols must be non-empty")
+    val fieldAggs = fieldCols.map { f =>
+      max(when(col(f).isNotNull,
+        struct(orderCols.map(col) :+ col(f).as("v"): _*)))
+        .getField("v").as(f)
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_obs"),
+      max(struct(orderCols.map(col): _*)).getField(orderCols.head).as("last_" + orderCols.head)
+    ) ++ fieldAggs
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

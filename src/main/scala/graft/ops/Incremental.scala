@@ -54,4 +54,62 @@ object Incremental {
         least(col("_mins"), col("_mind")).as("min_v"),
         greatest(col("_maxs"), col("_maxd")).as("max_v"))
   }
+
+  /** N-way merge of aggregate-state partials in ONE aggregate — the
+    * shape the streaming store reader uses (k batch partials for a key
+    * fold to one row; `sum` skips NULLs so an all-NULL-valued key keeps
+    * a NULL sum, matching [[mergeAggState]]'s pairwise contract without
+    * any join).
+    */
+  def mergePartials(partials: DataFrame): DataFrame =
+    partials.groupBy(col("k"))
+      .agg(
+        sum(col("n")).cast("bigint").as("n"),
+        sum(col("sum_v")).cast("decimal(18,2)").as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
+  /** Streaming twin: maintain the per-key aggregate state from a stream.
+    * Each micro-batch writes its own state partial to a batch-id
+    * directory (whole-dir overwrite ⇒ redelivery of a batch converges to
+    * the same store — the [[Cdc.applyChangelogSink]] idempotence
+    * contract), and readers fold base + all committed partials with
+    * [[mergePartials]]. Equal to `aggState(base events ∪ streamed
+    * events)` by the mergeability of count/sum/min/max.
+    */
+  def aggStateSink(
+      events: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        aggStateBatch(batch.toDF(), keyCol, valueCol, outDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch's state partial — factored out so redelivery (same
+    * batch id, same rows) is directly testable.
+    */
+  def aggStateBatch(df: DataFrame, keyCol: String, valueCol: String, outDir: String, batchId: Long): Unit = {
+    aggState(df, keyCol, valueCol)
+      .write.mode("overwrite").parquet(s"$outDir/state/batch_$batchId")
+    ()
+  }
+
+  /** The merged state over a base state frame plus everything
+    * [[aggStateSink]] has committed so far. Zero committed batches yield
+    * the base unchanged (the empty-store contract).
+    */
+  def aggStateFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame,
+      outDir: String): DataFrame = {
+    val committed = graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/state")
+    if (committed.isEmpty) base
+    else mergePartials(base.unionByName(
+      spark.read.parquet(committed.toSeq.sorted.map(b => s"$outDir/state/$b"): _*)))
+  }
 }

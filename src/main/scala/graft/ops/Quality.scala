@@ -195,6 +195,39 @@ object Quality {
       .withColumn("released_n", greatest(col("noisy_n"), lit(0L)))
   }
 
+  /** CUSUM change-point telemetry over per-day event counts (Page 1954)
+    * — the "did the mix shift mid-corpus" alarm for ingest monitoring.
+    * Per type, the classic cumulative sum of deviations from the mean is
+    * kept INTEGER-EXACT by scaling with the day count: cusum_scaled(d) =
+    * Σ_{d'≤d} (n(d')·D − total) is the true CUSUM times D, so no float
+    * accumulates across rows (cross-engine-exact under the hash gate)
+    * and the flag |cusum_scaled| > m·total reads "the running deviation
+    * exceeded m mean-days". Observed days only (an absent day is absent
+    * in both engines; a zero-filled axis is `resample_fill`'s job).
+    *
+    * One shuffle on the type key serves both windows (the per-type
+    * constants and the ordered cumsum); day cardinality bounds every
+    * partition, so the sort is per-type-tiny at any corpus size.
+    */
+  def cusumDrift(df: DataFrame, typeCol: String, tsCol: String, threshMult: Int = 1): DataFrame = {
+    require(threshMult >= 1, s"threshMult must be >= 1, got $threshMult")
+    import org.apache.spark.sql.expressions.Window
+    val wType = Window.partitionBy(col("etype"))
+    val wCum = Window.partitionBy(col("etype")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.where(col(typeCol).isNotNull)
+      .groupBy(col(typeCol).as("etype"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_days", count(lit(1)).over(wType))
+      .withColumn("total", sum(col("n")).over(wType))
+      .withColumn("cusum_scaled",
+        sum(col("n") * col("n_days") - col("total")).over(wCum).cast("bigint"))
+      .select(col("etype"), col("day"), col("n"),
+        col("n_days").cast("bigint").as("n_days"), col("total").cast("bigint").as("total"),
+        col("cusum_scaled"),
+        (abs(col("cusum_scaled")) > lit(threshMult) * col("total")).as("drift_flag"))
+  }
+
   /** Cohen's kappa inter-labeler agreement — the training-data QA check
     * for "do these two annotators/classifiers agree beyond chance".
     * κ = (N·Σagree − Σₖ aₖ·bₖ) / (N² − Σₖ aₖ·bₖ): numerator and

@@ -479,6 +479,68 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Seq(expect("<NULL>", 1L), expect("x", 3L), expect("y", 1L)).sortBy(_._1))
   }
 
+  test("kCore: synchronous peeling cascades; median-k twin matches the absolute form") {
+    import graft.ext.Graph
+    // triangle {1,2,3} + tail 3-4-5: round 1 peels 5 (deg 1), round 2
+    // peels 4 (deg fell to 1) -> the 2-core is exactly the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2, iters = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(core === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // initial degrees (2,2,3,2,1): median 2 -> kCoreMedian == kCore(k=2)
+    val med = Graph.kCoreMedian(edges, iters = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(med === core)
+    // one round is not enough to cascade: node 4 still present after r1
+    val r1 = Graph.kCore(edges, k = 2, iters = 1)
+      .select("node").as[Long].collect().toSeq.sorted
+    assert(r1 === Seq(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException](Graph.kCore(edges, k = 0))
+    intercept[IllegalArgumentException](Graph.kCore(edges, k = 2, iters = 9))
+  }
+
+  test("goldenRecord: per-field latest non-null survives; fresher nulls don't erase") {
+    import graft.ops.Cdc
+    val ts0 = ts("2024-01-01 00:00:00")
+    val ts1 = ts("2024-01-02 00:00:00")
+    val ts2 = ts("2024-01-03 00:00:00")
+    val obs = Seq(
+      (1L, ts0, 1L, Option("click"), Option(5.0)),
+      (1L, ts1, 2L, Option.empty[String], Option(9.0)), // fresher but type unknown
+      (1L, ts2, 3L, Option("buy"), Option.empty[Double]), // freshest, value unknown
+      (2L, ts0, 4L, Option.empty[String], Option.empty[Double]))
+      .toDF("u", "ts", "eid", "etype", "v")
+    val out = Cdc.goldenRecord(obs, "u", Seq("ts", "eid"), Seq("etype", "v"))
+      .orderBy("u")
+      .select("u", "n_obs", "last_ts", "etype", "v")
+      .as[(Long, Long, java.sql.Timestamp, Option[String], Option[Double])]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, ts2, Some("buy"), Some(9.0)), // v from ts1, etype from ts2
+      (2L, 1L, ts0, None, None))) // never-known fields stay NULL
+    intercept[IllegalArgumentException](Cdc.goldenRecord(obs, "u", Nil, Seq("v")))
+  }
+
+  test("cusumDrift: integer-exact scaled CUSUM; last prefix is 0; flag fires on a shift") {
+    import graft.ops.Quality
+    // type 'a' counts by day: 1, 1, 10 -> D=3 total=12; scaled devs
+    // -9,-9,+18; cusum -9,-18,0 -> |−18| > 12 flags day 2 only
+    val rows =
+      Seq.fill(1)(("a", "2024-01-01 01:00:00")) ++
+        Seq.fill(1)(("a", "2024-01-02 01:00:00")) ++
+        Seq.fill(10)(("a", "2024-01-03 01:00:00"))
+    val df = rows.toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = Quality.cusumDrift(df, "t", "ts")
+      .orderBy("day")
+      .select("n", "n_days", "total", "cusum_scaled", "drift_flag")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 12L, -9L, false),
+      (1L, 3L, 12L, -18L, true),
+      (10L, 3L, 12L, 0L, false)))
+    intercept[IllegalArgumentException](Quality.cusumDrift(df, "t", "ts", threshMult = 0))
+  }
+
   test("labelAgreement: hand-computed kappa; perfect = 1; degenerate denominator -> NULL") {
     import graft.ops.Quality
     val df = Seq((Option("a"), Option("a")), (Option("a"), Option("b")),

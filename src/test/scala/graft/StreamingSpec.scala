@@ -679,6 +679,41 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("aggStateSink: merged state equals one-shot aggState over base+stream; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Incremental
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggstate").toString
+    val baseRows = Seq((Option(1L), Option(10.0)), (Option(1L), Option(2.0)),
+      (Option(2L), Option.empty[Double]), (Option.empty[Long], Option(9.0)))
+    val base = Incremental.aggState(baseRows.toDF("k", "v"), "k", "v")
+    // key 1 updated in both batches; key 3 appears only streamed; key 2
+    // stays all-NULL-valued (sum must stay NULL through the merge)
+    val b1 = Seq((Option(1L), Option(5.0)), (Option(2L), Option.empty[Double]))
+    val b2 = Seq((Option(1L), Option(1.0)), (Option(3L), Option(7.0)),
+      (Option.empty[Long], Option(1.0)))
+    val ms = MemoryStream[(Option[Long], Option[Double])]
+    val q = Incremental.aggStateSink(
+      ms.toDS().toDF("k", "v"), "k", "v", s"$dir/out", s"$dir/cp")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.functions.col
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("n"), col("sum_v").cast("string"),
+        col("min_v").cast("string"), col("max_v").cast("string"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val streamed = canon(Incremental.aggStateFrom(spark, base, s"$dir/out"))
+    val oneShot = canon(Incremental.aggState(
+      (baseRows ++ b1 ++ b2).toDF("k", "v"), "k", "v"))
+    assert(streamed === oneShot)
+    // last-batch redelivery: same batch id, same rows — same state
+    Incremental.aggStateBatch(b2.toDF("k", "v"), "k", "v", s"$dir/out", 1L)
+    assert(canon(Incremental.aggStateFrom(spark, base, s"$dir/out")) === streamed)
+    // empty store: the merged state of zero batches is the base
+    assert(canon(Incremental.aggStateFrom(spark, base, s"$dir/nothing")) === canon(base))
+  }
+
   test("lmScoreSink: per-batch scores equal lmScore over the accumulated corpus; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_lms").toString
