@@ -479,6 +479,7 @@ object SparkEntry {
     // shingle in f docs would put f² pairs on a single task at corpus scale
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d), maxDf = 100)),
     "ssjoin_pairs" -> ((s, d) => Dedup.prefixFilterPairs(Tables.documents(s, d))),
+    "lsh_tuning" -> ((s, d) => Dedup.lshTuning(Tables.documents(s, d))),
     "ngram_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d))),
     "containment_pairs" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => TextOps.tfidfCosinePairs(Tables.documents(s, d))),
@@ -3634,6 +3635,91 @@ object SparkEntry {
          |             ${dH("('1:' || CAST(doc_id AS VARCHAR))")} % 8 AS shard,
          |             ${dH("('1:' || CAST(doc_id AS VARCHAR))")} AS h
          |      FROM documents) t""".stripMargin,
+    "lsh_tuning" -> {
+      val configs = Seq((2, 8), (4, 4), (8, 2))
+      val k = 16
+      val rMin = 2
+      val bMin = k / rMin
+      val mh16 = (0 until k).map { i =>
+        s"list_min(list_transform(hs, x -> (${Dedup.minhashA(i)} * (x % 1073741824) + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS mh$i"
+      }.mkString(",\n         ")
+      val mharr = (0 until k).map(i => s"mh$i").mkString("[", ", ", "]")
+      val bandCols = (0 until bMin).map { j =>
+        val slice = (j * rMin until j * rMin + rMin).map(i => s"mh$i")
+          .mkString("concat_ws(',', ", ", ", ")")
+        s"${dH(slice)} AS b$j"
+      }.mkString(",\n         ")
+      val sbUnion = (0 until bMin)
+        .map(j => s"SELECT doc_id, $j AS j, b$j AS bh FROM ma")
+        .mkString("\n    UNION ALL\n    ")
+      def member(b: Int, r: Int) =
+        s"len(list_filter(range(0, $b), j -> a_mh[j*$r+1:j*$r+$r] = b_mh[j*$r+1:j*$r+$r])) > 0"
+      val flagCols = configs.map { case (b, r) =>
+        s"${member(b, r)} AS m_${b}_$r"
+      }.mkString(",\n         ")
+      val aggCols = configs.flatMap { case (b, r) =>
+        Seq(
+          s"CAST(COALESCE(SUM(CASE WHEN m_${b}_$r THEN 1 END), 0) AS BIGINT) AS nc_${b}_$r",
+          s"CAST(COALESCE(SUM(CASE WHEN m_${b}_$r AND hit = 1 THEN 1 END), 0) AS BIGINT) AS nh_${b}_$r")
+      }.mkString(",\n         ")
+      val finals = configs.map { case (b, r) =>
+        s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+           |       nc_${b}_$r AS n_candidates, tc.n_truth, nh_${b}_$r AS n_hits,
+           |       CASE WHEN nc_${b}_$r > 0 THEN CAST(nh_${b}_$r AS DOUBLE) / CAST(nc_${b}_$r AS DOUBLE) END AS "precision",
+           |       CASE WHEN tc.n_truth > 0 THEN CAST(nh_${b}_$r AS DOUBLE) / CAST(tc.n_truth AS DOUBLE) END AS recall
+           |FROM st, tc""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$dToksCte, s AS (
+         |  SELECT doc_id, $dSh AS sh FROM t
+         |), e AS (
+         |  SELECT doc_id, unnest(list_transform(sh, s2 -> ${dH("s2")})) AS shingle_hash
+         |  FROM s
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_sh FROM e GROUP BY 1
+         |), truth AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+         |    FROM e a JOIN e b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2
+         |  ) c
+         |  JOIN sizes na ON na.doc_id = c.a_id
+         |  JOIN sizes nb ON nb.doc_id = c.b_id
+         |  WHERE 5 * n_common >= 3 * (na.n_sh + nb.n_sh - n_common)
+         |), tc AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth
+         |), h2 AS (
+         |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS hs
+         |  FROM s WHERE len(sh) > 0
+         |), m AS (
+         |  SELECT doc_id,
+         |         $mh16
+         |  FROM h2
+         |), ma AS (
+         |  SELECT doc_id, $mharr AS mharr,
+         |         $bandCols
+         |  FROM m
+         |), sb AS (
+         |    $sbUnion
+         |), cand0 AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sb a JOIN sb b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), wm AS (
+         |  SELECT c.a_id, c.b_id, x.mharr AS a_mh, y.mharr AS b_mh,
+         |         CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM cand0 c
+         |  JOIN ma x ON x.doc_id = c.a_id
+         |  JOIN ma y ON y.doc_id = c.b_id
+         |  LEFT JOIN truth t ON t.a_id = c.a_id AND t.b_id = c.b_id
+         |), flags AS (
+         |  SELECT hit,
+         |         $flagCols
+         |  FROM wm
+         |), st AS (
+         |  SELECT $aggCols
+         |  FROM flags
+         |)
+         |$finals""".stripMargin
+    },
     "ssjoin_pairs" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

@@ -985,6 +985,33 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.prefixFilterPairs(docs, 9, 10).count() === 0L)
   }
 
+  test("lshTuning: exact duplicates are candidates AND truth in every config; counts reconcile") {
+    // doc 1 == doc 2 (identical signatures -> same band hash in EVERY
+    // config), doc 3 disjoint (deterministic md5 minhashes -> no shared
+    // band, stable run to run)
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshTuning(docs)
+      .orderBy("bands")
+      .as[(Int, Int, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(r === Seq(
+      (2, 8, 1L, 1L, 1L, Some(1.0), Some(1.0)),
+      (4, 4, 1L, 1L, 1L, Some(1.0), Some(1.0)),
+      (8, 2, 1L, 1L, 1L, Some(1.0), Some(1.0))))
+    // empty-denominator contract: a corpus with no pairs at all
+    val lone = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val e = Dedup.lshTuning(lone).as[(Int, Int, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(e.forall(x => x._3 === 0L && x._4 === 0L && x._5 === 0L &&
+      x._6.isEmpty && x._7.isEmpty))
+    intercept[IllegalArgumentException](Dedup.lshTuning(docs, k = 8, configs = Seq((3, 3))))
+    intercept[IllegalArgumentException](Dedup.lshTuning(docs, configs = Nil))
+  }
+
   test("labelPropagation: two cliques joined by a bridge settle on per-clique labels") {
     def clique(ids: Seq[Long]) =
       for (a <- ids; b <- ids if a < b) yield (a, b)

@@ -388,6 +388,18 @@ class PlanSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllMatchIn(p).size >= 2, p)
   }
 
+  test("lsh_tuning: one signature pipeline feeds candidates, membership and truth — bounded scans") {
+    val p = executedFinal("lsh_tuning")
+    assert(p.contains("isFinalPlan=true"), p)
+    // the nested-config rewrite: ONE exploded band self-join builds the
+    // loosest candidate set; tighter configs are membership tests on the
+    // min arrays, never their own join pipelines. documents scans stay
+    // O(1) in the config count (4 total: signature + truth machinery),
+    // and the shared subtrees reuse exchanges at runtime.
+    assert("FileScan parquet".r.findAllMatchIn(p).size <= 5, p)
+    assert("ReusedExchange".r.findAllMatchIn(p).size >= 10, p)
+  }
+
   test("pagerank_top: iterations reuse the edge exchanges — lineitem scans stay O(1), not O(iters)") {
     val p = executedFinal("pagerank_top")
     assert(p.contains("isFinalPlan=true"), p)
