@@ -330,6 +330,15 @@ object SparkEntry {
         iters = 2)),
     "cusum_drift" -> ((s, d) =>
       graft.ops.Quality.cusumDrift(Tables.events(s, d), "event_type", "ts")),
+    "profile_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      graft.ops.Quality.profileDiff(
+        o.filter(col("o_orderdate") < cutoff),
+        o.filter(col("o_orderdate") >= cutoff),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+    }),
+    "bpe_fertility" -> ((s, d) => Bpe.bpeFertility(Tables.documents(s, d))),
     "label_agreement" -> ((s, d) =>
       graft.ops.Quality.labelAgreement(
         TextOps.langId(Tables.documents(s, d)), "lang", "predicted_lang")),
@@ -1765,6 +1774,46 @@ object SparkEntry {
         |SELECT etype, day, n, n_days, total, cusum_scaled,
         |       abs(cusum_scaled) > 1 * total AS drift_flag
         |FROM c""".stripMargin,
+    "profile_diff" -> {
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      def side(name: String, pred: String): String = {
+        val perCol = cols.map { c =>
+          s"""SELECT '$c' AS col_name,
+             |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_n_$name,
+             |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS distinct_n_$name,
+             |       CAST(MIN($c) AS VARCHAR) AS min_$name,
+             |       CAST(MAX($c) AS VARCHAR) AS max_$name
+             |FROM ${name}_slice""".stripMargin
+        }.mkString("\n    UNION ALL\n    ")
+        s"""${name}_slice AS (
+           |  SELECT * FROM orders WHERE $pred
+           |), n_$name AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_$name FROM ${name}_slice
+           |), p_$name AS (
+           |    $perCol
+           |)""".stripMargin
+      }
+      s"""WITH ${side("before", "o_orderdate < TIMESTAMP '1998-01-01'")},
+         |${side("after", "o_orderdate >= TIMESTAMP '1998-01-01'")}
+         |SELECT b.col_name, n_before, n_after,
+         |       null_n_before, null_n_after,
+         |       distinct_n_before, distinct_n_after,
+         |       min_before, min_after, max_before, max_after,
+         |       distinct_n_before <> distinct_n_after AS distinct_changed,
+         |       NOT (min_before IS NOT DISTINCT FROM min_after
+         |            AND max_before IS NOT DISTINCT FROM max_after) AS range_changed,
+         |       null_n_after * n_before > null_n_before * n_after AS null_rate_up
+         |FROM p_before b JOIN p_after a ON a.col_name = b.col_name, n_before, n_after""".stripMargin
+    },
+    "bpe_fertility" ->
+      (dBpeCtes(3) + """,
+        |dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |       FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(len(string_split(trim(sp), ' '))) AS BIGINT) AS n_subwords,
+        |       CAST(SUM(len(string_split(trim(sp), ' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+        |FROM dw JOIN v3 USING (word)
+        |GROUP BY lang""".stripMargin),
     "label_agreement" ->
       s"""$dToksCte, sc AS (
          |  SELECT doc_id, lang,

@@ -141,6 +141,28 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility by language — subwords emitted per trainable
+    * word under the trained merges, the tokenizer-QA number that says
+    * which languages the vocabulary under-serves (fertility ≫ 1 means
+    * the context window fills with fragments). Same broadcast-vocab
+    * encode as [[bpeEncodeDocs]], aggregated per `lang` instead of per
+    * doc; `fertility` is one IEEE division of exact int64 totals.
+    */
+  def bpeFertility(documents: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"iters must be in [1,8] (lineage grows per round), got $iters")
+    val (_, v) = trainedState(documents, iters)
+    val seg = v.select(col("word"),
+      expr("cast(size(split(trim(sp), ' ')) as bigint)").as("n_sym"))
+    documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(seg), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words").cast("double"))
+  }
+
   private def trainedState(documents: DataFrame, iters: Int): (DataFrame, DataFrame) = {
     val v0 = vocab(documents)
     val (mergesRev, vFinal) = (1 to iters).foldLeft((List.empty[DataFrame], v0)) {

@@ -209,15 +209,25 @@ object Quality {
     * constants and the ordered cumsum); day cardinality bounds every
     * partition, so the sort is per-type-tiny at any corpus size.
     */
-  def cusumDrift(df: DataFrame, typeCol: String, tsCol: String, threshMult: Int = 1): DataFrame = {
+  def cusumDrift(df: DataFrame, typeCol: String, tsCol: String, threshMult: Int = 1): DataFrame =
+    cusumFromDaily(dailyCounts(df, typeCol, tsCol), threshMult)
+
+  /** Per-(type, day) event counts — the mergeable partial the streaming
+    * twin stores per batch (counts of the same (type, day) from k
+    * batches fold by summing).
+    */
+  def dailyCounts(df: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    df.where(col(typeCol).isNotNull)
+      .groupBy(col(typeCol).as("etype"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  private def cusumFromDaily(daily: DataFrame, threshMult: Int): DataFrame = {
     require(threshMult >= 1, s"threshMult must be >= 1, got $threshMult")
     import org.apache.spark.sql.expressions.Window
     val wType = Window.partitionBy(col("etype"))
     val wCum = Window.partitionBy(col("etype")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.where(col(typeCol).isNotNull)
-      .groupBy(col(typeCol).as("etype"), date_trunc("day", col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n"))
+    daily
       .withColumn("n_days", count(lit(1)).over(wType))
       .withColumn("total", sum(col("n")).over(wType))
       .withColumn("cusum_scaled",
@@ -226,6 +236,102 @@ object Quality {
         col("n_days").cast("bigint").as("n_days"), col("total").cast("bigint").as("total"),
         col("cusum_scaled"),
         (abs(col("cusum_scaled")) > lit(threshMult) * col("total")).as("drift_flag"))
+  }
+
+  /** Streaming twin of [[cusumDrift]]: each micro-batch writes its
+    * (type, day) count partial to a batch-id directory (whole-dir
+    * overwrite ⇒ replay-idempotent), and [[cusumDriftFrom]] folds base +
+    * committed partials into the SAME CUSUM as the batch path over the
+    * union — the drift alarm recomputes from bounded daily aggregates,
+    * never from raw history.
+    */
+  def cusumDriftSink(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cusumDriftBatch(batch.toDF(), typeCol, tsCol, outDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch's daily-count partial (factored out for replay tests). */
+  def cusumDriftBatch(df: DataFrame, typeCol: String, tsCol: String, outDir: String, batchId: Long): Unit = {
+    dailyCounts(df, typeCol, tsCol)
+      .write.mode("overwrite").parquet(s"$outDir/daily/batch_$batchId")
+    ()
+  }
+
+  /** CUSUM over base events plus everything [[cusumDriftSink]] committed.
+    * Zero committed batches yield the CUSUM of the base alone.
+    */
+  def cusumDriftFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      outDir: String,
+      threshMult: Int = 1): DataFrame = {
+    val committed = graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/daily")
+    val baseDaily = dailyCounts(base, typeCol, tsCol)
+    val all =
+      if (committed.isEmpty) baseDaily
+      else baseDaily.unionByName(spark.read.parquet(
+        committed.toSeq.sorted.map(b => s"$outDir/daily/$b"): _*))
+    cusumFromDaily(
+      all.groupBy(col("etype"), col("day")).agg(sum(col("n")).as("n")),
+      threshMult)
+  }
+
+  /** Column-profile drift between two snapshots of a table — the
+    * "did the upstream schema/semantics shift" check run at every
+    * ingest boundary: per column, null count, EXACT distinct count, and
+    * min/max (stringified for a uniform row schema), before vs after,
+    * with three integer-exact verdict flags (`distinct_changed`,
+    * `range_changed` via null-safe compares, `null_rate_up` via
+    * cross-multiplication — no float rate ever computed).
+    *
+    * Scale shape: ONE aggregate pass per side produces every column's
+    * metrics as flat columns (map-side combined), then a `stack`
+    * reshapes the single row to per-column rows — the table scans once
+    * per side however many columns are profiled. Exact COUNT(DISTINCT)
+    * over many columns expands rows per aggregate (Spark's Expand);
+    * at corpus scale swap `approx_count_distinct` in — same plan shape,
+    * the sketch-gate idiom covers the accuracy contract.
+    */
+  def profileDiff(before: DataFrame, after: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    def profile(df: DataFrame, side: String): DataFrame = {
+      val aggs = Seq(count(lit(1)).as(s"_n")) ++ cols.flatMap { c =>
+        Seq(
+          count(when(col(c).isNull, 1)).as(s"_null_$c"),
+          count_distinct(col(c)).as(s"_dist_$c"),
+          min(col(c)).cast("string").as(s"_min_$c"),
+          max(col(c)).cast("string").as(s"_max_$c"))
+      }
+      val stackArgs = cols
+        .map(c => s"'$c', _null_$c, _dist_$c, _min_$c, _max_$c")
+        .mkString(", ")
+      df.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"_n as n_$side",
+          s"stack(${cols.length}, $stackArgs) as " +
+            s"(col_name, null_n_$side, distinct_n_$side, min_$side, max_$side)")
+    }
+    profile(before, "before").join(profile(after, "after"), Seq("col_name"))
+      .select(col("col_name"),
+        col("n_before"), col("n_after"),
+        col("null_n_before"), col("null_n_after"),
+        col("distinct_n_before"), col("distinct_n_after"),
+        col("min_before"), col("min_after"),
+        col("max_before"), col("max_after"),
+        (col("distinct_n_before") =!= col("distinct_n_after")).as("distinct_changed"),
+        (!((col("min_before") <=> col("min_after")) &&
+          (col("max_before") <=> col("max_after")))).as("range_changed"),
+        (col("null_n_after") * col("n_before") >
+          col("null_n_before") * col("n_after")).as("null_rate_up"))
   }
 
   /** Cohen's kappa inter-labeler agreement — the training-data QA check

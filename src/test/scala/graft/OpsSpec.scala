@@ -541,6 +541,49 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Quality.cusumDrift(df, "t", "ts", threshMult = 0))
   }
 
+  test("profileDiff: exact per-column metrics and integer-exact verdict flags") {
+    import graft.ops.Quality
+    val before = Seq((Option(1), Option("a")), (Option(2), Option("b")),
+      (Option.empty[Int], Option("b"))).toDF("x", "y")
+    val after = Seq((Option(1), Option("a")), (Option(3), Option.empty[String]),
+      (Option.empty[Int], Option.empty[String])).toDF("x", "y")
+    val out = Quality.profileDiff(before, after, Seq("x", "y"))
+      .orderBy("col_name")
+      .select("col_name", "null_n_before", "null_n_after",
+        "distinct_n_before", "distinct_n_after",
+        "min_before", "max_after",
+        "distinct_changed", "range_changed", "null_rate_up")
+      .as[(String, Long, Long, Long, Long, String, String, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("x", 1L, 1L, 2L, 2L, "1", "3", false, true, false),
+      ("y", 0L, 2L, 2L, 1L, "a", "a", true, true, true)))
+    intercept[IllegalArgumentException](Quality.profileDiff(before, after, Nil))
+  }
+
+  test("bpeFertility: per-lang totals reconcile with the per-doc encode") {
+    import graft.ext.Bpe
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "a cat ran to the mat", "en"),
+      (3L, "der hund lief", "de")).toDF("doc_id", "text", "lang")
+    val fert = Bpe.bpeFertility(docs).orderBy("lang")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // reconciliation: fertility totals == per-doc encode totals per lang
+    val enc = Bpe.bpeEncodeDocs(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("w"), sum(col("n_subwords")).as("s"))
+      .orderBy("lang")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(fert.map(f => (f._1, f._2, f._3)) === enc)
+    fert.foreach { f =>
+      assert(f._4 === f._3.toDouble / f._2.toDouble)
+      assert(f._4 >= 1.0) // a word is at least one subword
+    }
+    intercept[IllegalArgumentException](Bpe.bpeFertility(docs, iters = 0))
+  }
+
   test("labelAgreement: hand-computed kappa; perfect = 1; degenerate denominator -> NULL") {
     import graft.ops.Quality
     val df = Seq((Option("a"), Option("a")), (Option("a"), Option("b")),

@@ -714,6 +714,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(Incremental.aggStateFrom(spark, base, s"$dir/nothing")) === canon(base))
   }
 
+  test("cusumDriftSink: CUSUM over base+stream equals the batch path; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Quality
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    def ev(t: String, day: String, n: Int) = Seq.fill(n)((t, s"$day 01:00:00"))
+    val baseRows = ev("a", "2024-01-01", 1) ++ ev("a", "2024-01-02", 1)
+    val base = baseRows.toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    // the stream floods day 3 (same (type, day) also split ACROSS batches
+    // so partial-merge is exercised) and adds a second type
+    val b1 = ev("a", "2024-01-03", 4) ++ ev("b", "2024-01-01", 2)
+    val b2 = ev("a", "2024-01-03", 6) ++ ev("b", "2024-01-02", 2)
+    val ms = MemoryStream[(String, String)]
+    val q = Quality.cusumDriftSink(
+      ms.toDS().toDF("t", "s").withColumn("ts", col("s").cast("timestamp")),
+      "t", "ts", s"$dir/out", s"$dir/cp")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("etype", "day")
+      .as[(String, java.sql.Timestamp, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    val streamed = canon(Quality.cusumDriftFrom(spark, base, "t", "ts", s"$dir/out"))
+    val oneShot = canon(Quality.cusumDrift(
+      (baseRows ++ b1 ++ b2).toDF("t", "s").withColumn("ts", col("s").cast("timestamp")),
+      "t", "ts"))
+    assert(streamed === oneShot)
+    // type a days (1,1,10): scaled cusum -9,-18,0 -> the flood flags day 2
+    val a2 = streamed.find(x => x._1 == "a" && x._2.toString.startsWith("2024-01-02")).get
+    assert(a2._6 === -18L && a2._7)
+    // last-batch redelivery converges; empty store = base-only CUSUM
+    Quality.cusumDriftBatch(
+      b2.toDF("t", "s").withColumn("ts", col("s").cast("timestamp")),
+      "t", "ts", s"$dir/out", 1L)
+    assert(canon(Quality.cusumDriftFrom(spark, base, "t", "ts", s"$dir/out")) === streamed)
+    assert(canon(Quality.cusumDriftFrom(spark, base, "t", "ts", s"$dir/nothing")) ===
+      canon(Quality.cusumDrift(base, "t", "ts")))
+  }
+
   test("lmScoreSink: per-batch scores equal lmScore over the accumulated corpus; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_lms").toString
