@@ -299,6 +299,15 @@ object SparkEntry {
     "markov_transitions" -> ((s, d) =>
       Mining.markovTransitions(Tables.events(s, d),
         "user_id", "event_type", "ts", "event_id")),
+    "item_cooccurrence" -> ((s, d) =>
+      Mining.itemCooccurrence(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey")),
+        "l_orderkey", "p_brand")),
+    "event_trigrams" -> ((s, d) =>
+      Mining.eventTrigrams(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id")),
     "pareto_front" -> ((s, d) =>
       Mining.paretoFront(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
@@ -330,6 +339,8 @@ object SparkEntry {
         iters = 2)),
     "cusum_drift" -> ((s, d) =>
       graft.ops.Quality.cusumDrift(Tables.events(s, d), "event_type", "ts")),
+    "trend_slope" -> ((s, d) =>
+      graft.ops.Quality.trendSlope(Tables.events(s, d), "event_type", "ts")),
     "profile_diff" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val cutoff = lit("1998-01-01").cast("timestamp")
@@ -1664,6 +1675,55 @@ object SparkEntry {
         |FROM directed d
         |JOIN fi fa ON d.antecedent = fa.it
         |JOIN fi fc ON d.consequent = fc.it, nb""".stripMargin,
+    "item_cooccurrence" ->
+      """WITH tx AS (
+        |  SELECT DISTINCT l.l_orderkey AS b, CAST(p.p_brand AS VARCHAR) AS it
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL
+        |), ms AS (
+        |  SELECT CAST(CEIL(0.001 * CAST(COUNT(DISTINCT b) AS DOUBLE)) AS BIGINT) AS min_n FROM tx
+        |), fi AS (
+        |  SELECT it, CAST(COUNT(*) AS BIGINT) AS item_n FROM tx GROUP BY it
+        |  HAVING COUNT(*) >= (SELECT min_n FROM ms)
+        |), pruned AS (
+        |  SELECT tx.b, tx.it FROM tx JOIN fi USING (it)
+        |), pairs AS (
+        |  SELECT x.it AS item_a, y.it AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_n
+        |  FROM pruned x JOIN pruned y ON x.b = y.b AND x.it < y.it
+        |  GROUP BY 1, 2
+        |), directed AS (
+        |  SELECT item_a AS item, item_b AS neighbor, pair_n FROM pairs
+        |  UNION ALL
+        |  SELECT item_b AS item, item_a AS neighbor, pair_n FROM pairs
+        |), scored AS (
+        |  SELECT d.item, d.neighbor, d.pair_n, fi1.item_n AS n_i, fi2.item_n AS n_j,
+        |         CAST(d.pair_n AS DOUBLE) / SQRT(CAST(fi1.item_n * fi2.item_n AS DOUBLE)) AS cosine
+        |  FROM directed d
+        |  JOIN fi fi1 ON fi1.it = d.item
+        |  JOIN fi fi2 ON fi2.it = d.neighbor
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY item
+        |                               ORDER BY cosine DESC, pair_n DESC, neighbor) AS rk
+        |  FROM scored
+        |)
+        |SELECT item, neighbor, pair_n, n_i, n_j, cosine, CAST(rk AS INT) AS rk
+        |FROM rk WHERE rk <= 5""".stripMargin,
+    "event_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS t1, ts, event_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), t AS (
+        |  SELECT t1,
+        |         LEAD(t1, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |         LEAD(t1, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        |  FROM e
+        |), c AS (
+        |  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+        |), rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS rk FROM c
+        |)
+        |SELECT t1, t2, t3, n, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 20""".stripMargin,
     "markov_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_type AS from_type, ts, event_id
@@ -1774,6 +1834,33 @@ object SparkEntry {
         |SELECT etype, day, n, n_days, total, cusum_scaled,
         |       abs(cusum_scaled) > 1 * total AS drift_flag
         |FROM c""".stripMargin,
+    "trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype, date_trunc('day', ts) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |), dd AS (
+        |  SELECT etype,
+        |         CAST(date_diff('day', TIMESTAMP '1970-01-01', day) AS BIGINT) AS d, n
+        |  FROM daily
+        |), pairs AS (
+        |  SELECT i.etype, j.n - i.n AS num, j.d - i.d AS den,
+        |         CAST(FLOOR(CAST(j.n - i.n AS DOUBLE) * 1000000.0
+        |              / CAST(j.d - i.d AS DOUBLE)) AS BIGINT) AS slope_micro
+        |  FROM dd i JOIN dd j ON i.etype = j.etype AND i.d < j.d
+        |), rk AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY etype
+        |                            ORDER BY slope_micro, num, den) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY etype) AS BIGINT) AS n_pairs
+        |  FROM pairs
+        |), nd AS (
+        |  SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+        |)
+        |SELECT r.etype, nd.n_days, r.n_pairs, r.num AS med_num, r.den AS med_den,
+        |       CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE) AS slope
+        |FROM rk r JOIN nd USING (etype)
+        |WHERE rn = (n_pairs + 1) // 2""".stripMargin,
     "profile_diff" -> {
       val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
       def side(name: String, pred: String): String = {

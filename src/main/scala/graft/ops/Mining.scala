@@ -113,6 +113,77 @@ object Mining {
           (col("n_ant") * col("n_cons")).cast("double")).as("lift"))
   }
 
+  /** Item–item co-occurrence similarity — the "customers who bought X
+    * also bought Y" collaborative-filtering primitive: for every item
+    * pair sharing a basket, the co-count and the cosine
+    * c_ij/√(c_i·c_j), plus each item's top-k neighbors by (cosine,
+    * co-count, id) — ties broken totally so the cut is deterministic.
+    * √ of an exact int64 product is one IEEE op, identical
+    * cross-engine; the ranking key is (co-count² vs scaled product)
+    * comparisons only through that single double.
+    *
+    * Scale shape: identical to [[freqItemsets]] (per-basket pair
+    * explode, no corpus self-join); the top-k window is per-item,
+    * bounded by the item's neighbor count.
+    */
+  def itemCooccurrence(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupportRatio: Double = 0.001,
+      topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(minSupportRatio > 0 && minSupportRatio <= 1,
+      s"minSupportRatio must be in (0,1], got $minSupportRatio")
+    val tx = transactions(df, basketCol, itemCol)
+    val stats = basketStats(tx, minSupportRatio)
+    val items = frequentItems(tx, stats)
+    val pairs = basketPairCounts(df, basketCol, itemCol, stats)
+    val directed = pairs
+      .select(col("item_a").as("item"), col("item_b").as("neighbor"), col("pair_n"))
+      .unionAll(pairs.select(col("item_b").as("item"), col("item_a").as("neighbor"), col("pair_n")))
+      .join(items.select(col("it").as("item"), col("item_n").as("n_i")), Seq("item"))
+      .join(items.select(col("it").as("neighbor"), col("item_n").as("n_j")), Seq("neighbor"))
+      .withColumn("cosine",
+        col("pair_n").cast("double") / sqrt((col("n_i") * col("n_j")).cast("double")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("pair_n").desc, col("neighbor"))
+    directed
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("item"), col("neighbor"), col("pair_n"), col("n_i"), col("n_j"),
+        col("cosine"), col("rk").cast("int").as("rk"))
+  }
+
+  /** Top event TRIGRAM paths per entity stream — the sequence-mining
+    * counterpart of [[markovTransitions]] (second-order context:
+    * "what happens after X then Y"). One shuffle on the entity key,
+    * two leads over the same window sort, then a map-side-combined
+    * count with a global top-k by (count desc, path) — the top-k
+    * window runs over the path vocabulary (|types|³ max), not events.
+    */
+  def eventTrigrams(
+      df: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val wAll = Window.orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+    df.where(col(keyCol).isNotNull)
+      .select(col(keyCol), col(typeCol).as("t1"), col(tsCol), col(tieCol))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .where(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(wAll))
+      .where(col("rk") <= topK)
+      .select(col("t1"), col("t2"), col("t3"), col("n"), col("rk").cast("int").as("rk"))
+  }
+
   /** First-order Markov transition telemetry: consecutive (state → next
     * state) counts per entity ordered by (ts, tie-break), with each
     * source state's outgoing total and the empirical transition

@@ -238,6 +238,49 @@ object Quality {
         (abs(col("cusum_scaled")) > lit(threshMult) * col("total")).as("drift_flag"))
   }
 
+  /** Theil–Sen robust trend slope over per-day event counts — the
+    * outlier-immune "is this type growing or dying" estimator (breakdown
+    * point 29%, vs 0% for least squares): the median of all pairwise
+    * slopes (nⱼ−nᵢ)/(dⱼ−dᵢ). Slopes stay EXACT RATIONALS (int64
+    * numerator/denominator); the median is taken under the total order
+    * (⌊10⁶·num/den⌋, num, den) — the first key is one IEEE
+    * floor-division (identical cross-engine), the tie-breaks make the
+    * order total, so both engines pick the same pair. Lower median for
+    * even counts (averaging rationals would be exact too, but the
+    * witness pair is more useful than a synthetic midpoint). `slope` is
+    * the single division num/den.
+    *
+    * Scale shape: the pairwise self-join is per-type and day-bounded
+    * (D(D−1)/2 rows for D observed days — 435 at a 30-day window), as
+    * is the median window; types parallelize freely.
+    */
+  def trendSlope(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyCounts(df, typeCol, tsCol)
+      .select(col("etype"),
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("bigint").as("d"),
+        col("n"))
+    val pairs = daily.alias("i")
+      .join(daily.alias("j"),
+        col("i.etype") === col("j.etype") && col("i.d") < col("j.d"))
+      .select(col("i.etype").as("etype"),
+        (col("j.n") - col("i.n")).as("num"),
+        (col("j.d") - col("i.d")).as("den"))
+      .withColumn("slope_micro",
+        floor(col("num").cast("double") * lit(1000000.0) / col("den").cast("double")).cast("bigint"))
+    val w = Window.partitionBy(col("etype"))
+      .orderBy(col("slope_micro"), col("num"), col("den"))
+    val wAll = Window.partitionBy(col("etype"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(wAll))
+      .where(col("rn") === expr("(n_pairs + 1) div 2"))
+      .join(daily.groupBy(col("etype")).agg(count(lit(1)).as("n_days")), Seq("etype"))
+      .select(col("etype"), col("n_days"), col("n_pairs").cast("bigint").as("n_pairs"),
+        col("num").as("med_num"), col("den").as("med_den"),
+        (col("num").cast("double") / col("den").cast("double")).as("slope"))
+  }
+
   /** Streaming twin of [[cusumDrift]]: each micro-batch writes its
     * (type, day) count partial to a batch-id directory (whole-dir
     * overwrite ⇒ replay-idempotent), and [[cusumDriftFrom]] folds base +

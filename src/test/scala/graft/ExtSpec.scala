@@ -118,7 +118,10 @@ class ExtSpec extends AnyFunSuite {
       // benchmark pinned for the query lifetime (released by the
       // termination listener) + the per-batch span across both writes
       "src/main/scala/graft/ext/CurationStream.scala" -> 2,
-      "src/main/scala/graft/io/Sinks.scala" -> 1,
+      // +2 in round 12: dqQuarantineSink's per-batch input + quarantine
+      // pins (the quarantine frame feeds both the dead-letter write and
+      // the clean-side anti-join), each released in a nested finally
+      "src/main/scala/graft/io/Sinks.scala" -> 3,
       // dev measurement instrument, not library code: pins the prebuilt
       // PqIndex for the serve-regime timing and unpersists in-run
       "src/main/scala/graft/AdcServeProbe.scala" -> 2)

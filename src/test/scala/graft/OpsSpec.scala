@@ -584,6 +584,58 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bpe.bpeFertility(docs, iters = 0))
   }
 
+  test("itemCooccurrence: hand-computed cosine neighbors; deterministic top-k cut") {
+    import graft.ops.Mining
+    // baskets: {a,b} x3, {a,c} x1, {b,c} x1 -> counts a=4 b=4 c=2
+    // cosines: (a,b)=3/4, (a,c)=1/sqrt(8), (b,c)=1/sqrt(8)
+    val df = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+      (4, "a"), (4, "c"), (5, "b"), (5, "c")).toDF("b", "i")
+    val out = Mining.itemCooccurrence(df, "b", "i", minSupportRatio = 0.2, topK = 1)
+      .orderBy("item")
+      .select("item", "neighbor", "pair_n", "cosine", "rk")
+      .as[(String, String, Long, Double, Int)].collect().toSeq
+    assert(out === Seq(
+      ("a", "b", 3L, 0.75, 1),
+      ("b", "a", 3L, 0.75, 1),
+      ("c", "a", 1L, 1.0 / math.sqrt(8.0), 1))) // tie (a vs b) broken by id
+    intercept[IllegalArgumentException](Mining.itemCooccurrence(df, "b", "i", topK = 0))
+  }
+
+  test("eventTrigrams: second-order paths counted per key in order; top-k total order") {
+    import graft.ops.Mining
+    val ev = Seq(
+      (1L, 1L, "x"), (1L, 2L, "y"), (1L, 3L, "z"), (1L, 4L, "x"), // xyz, yzx
+      (2L, 5L, "x"), (2L, 6L, "y"), (2L, 7L, "z"), // xyz
+      (3L, 8L, "q"), (3L, 9L, "q")) // too short -> nothing
+      .toDF("u", "eid", "t")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val out = Mining.eventTrigrams(ev, "u", "t", "ts", "eid", topK = 10)
+      .select("t1", "t2", "t3", "n", "rk")
+      .as[(String, String, String, Long, Int)].collect().toSeq
+    assert(out === Seq(("x", "y", "z", 2L, 1), ("y", "z", "x", 1L, 2)))
+  }
+
+  test("trendSlope: Theil-Sen median slope is outlier-immune; exact rational witness") {
+    import graft.ops.Quality
+    // type 'a': counts 1,2,3,4 on days 1-4 (perfect slope 1) plus a wild
+    // outlier day 5 with 100 events — OLS would explode, Theil-Sen holds
+    def ev(t: String, day: Int, n: Int) =
+      Seq.fill(n)((t, f"2024-01-$day%02d 01:00:00"))
+    val rows = ev("a", 1, 1) ++ ev("a", 2, 2) ++ ev("a", 3, 3) ++
+      ev("a", 4, 4) ++ ev("a", 5, 100)
+    val df = rows.toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val r = Quality.trendSlope(df, "t", "ts").head()
+    // 10 pairs; 6 outlier-free pairs all have slope 1 -> median stays 1
+    assert(r.getLong(1) === 5L && r.getLong(2) === 10L)
+    assert(r.getLong(3).toDouble / r.getLong(4).toDouble === 1.0)
+    assert(r.getDouble(5) === 1.0)
+    // a two-day series: single pair IS the median, exact rational 5/1
+    val two = (ev("b", 1, 2) ++ ev("b", 2, 7))
+      .toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val r2 = Quality.trendSlope(two, "t", "ts").head()
+    assert((r2.getLong(3), r2.getLong(4), r2.getDouble(5)) === ((5L, 1L, 5.0)))
+  }
+
   test("labelAgreement: hand-computed kappa; perfect = 1; degenerate denominator -> NULL") {
     import graft.ops.Quality
     val df = Seq((Option("a"), Option("a")), (Option("a"), Option("b")),
