@@ -284,6 +284,13 @@ object SparkEntry {
         ev.filter(col("event_type") === "purchase"),
         "user_id", "user_id")
     }),
+    "join_advisor" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Skew.joinAdvisor(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", "user_id")
+    }),
     "freq_itemsets" -> ((s, d) =>
       Mining.freqItemsets(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
@@ -1629,6 +1636,46 @@ object SparkEntry {
          |SELECT exact_size, est_size, est_size - exact_size AS err,
          |       CAST(CASE WHEN est_size >= exact_size THEN 1 ELSE 0 END AS INT) AS over_ok
          |FROM ex, est""".stripMargin,
+    "join_advisor" ->
+      s"""WITH a AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+         |  WHERE event_type = 'click' AND user_id IS NOT NULL
+         |), b AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+         |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+         |), sa AS (
+         |  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_left,
+         |         CAST(COALESCE(MAX(length(bin(c)) - 1), 0) AS INT) AS max_mag_left
+         |  FROM (SELECT k, COUNT(*) AS c FROM a GROUP BY k)
+         |), sb AS (
+         |  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_right,
+         |         CAST(COALESCE(MAX(length(bin(c)) - 1), 0) AS INT) AS max_mag_right
+         |  FROM (SELECT k, COUNT(*) AS c FROM b GROUP BY k)
+         |), ca AS (
+         |  SELECT r, bucket, COUNT(*) AS c_a FROM (
+         |    SELECT rr.r, ${dH("concat(rr.r, ':', a.k)")} % 512 AS bucket
+         |    FROM a, (SELECT unnest(range(0, 4)) AS r) rr
+         |  ) t GROUP BY 1, 2
+         |), cb AS (
+         |  SELECT r, bucket, COUNT(*) AS c_b FROM (
+         |    SELECT rr.r, ${dH("concat(rr.r, ':', b.k)")} % 512 AS bucket
+         |    FROM b, (SELECT unnest(range(0, 4)) AS r) rr
+         |  ) t GROUP BY 1, 2
+         |), est AS (
+         |  SELECT CAST(CASE WHEN COUNT(*) < 4 THEN 0 ELSE MIN(ip) END AS BIGINT) AS est_size FROM (
+         |    SELECT ca.r, SUM(ca.c_a * cb.c_b) AS ip
+         |    FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+         |    GROUP BY ca.r) t
+         |)
+         |SELECT n_left, n_right, est_size, max_mag_left, max_mag_right,
+         |       n_left <= 100000 AS can_broadcast_left,
+         |       n_right <= 100000 AS can_broadcast_right,
+         |       est_size > 4 * (n_left + n_right) AS output_blowup,
+         |       CASE WHEN n_right <= 100000 THEN 'broadcast_right'
+         |            WHEN n_left <= 100000 THEN 'broadcast_left'
+         |            WHEN max_mag_left >= 13 OR max_mag_right >= 13 THEN 'salted_join'
+         |            ELSE 'shuffle_join' END AS strategy
+         |FROM sa, sb, est""".stripMargin,
     "freq_itemsets" ->
       """WITH tx AS (
         |  SELECT DISTINCT l.l_orderkey AS b, CAST(p.p_brand AS VARCHAR) AS it

@@ -99,13 +99,17 @@ object Skew {
     * estimator sits under the DuckDB hash gate, exact-verification arm
     * included (a production consumer computes only the sketch side).
     */
-  def joinSizeEstimate(
+  /** The sketch-only arm of [[joinSizeEstimate]] as a broadcastable
+    * 1-row frame — what a production pre-flight computes (the exact arm
+    * exists for the gate), and what [[joinAdvisor]] composes.
+    */
+  private def cmsJoinEstimate(
       left: DataFrame,
       right: DataFrame,
       keyL: String,
       keyR: String,
-      depth: Int = 4,
-      width: Int = 512): DataFrame = {
+      depth: Int,
+      width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
     def cms(df: DataFrame, key: String, side: String): DataFrame =
@@ -119,11 +123,21 @@ object Skew {
     // A sketch row with NO overlapping buckets has inner product 0 but drops
     // out of the inner join; if any of the `depth` rows is absent the true
     // min is 0 (disjoint-key inputs must estimate 0, not NULL).
-    val est = cms(left, keyL, "a").join(cms(right, keyR, "b"), Seq("r", "bucket"))
+    cms(left, keyL, "a").join(cms(right, keyR, "b"), Seq("r", "bucket"))
       .groupBy(col("r"))
       .agg(sum(col("c_a") * col("c_b")).as("ip"))
       .agg(when(count(lit(1)) < depth, lit(0L))
         .otherwise(min(col("ip"))).cast("bigint").as("est_size"))
+  }
+
+  def joinSizeEstimate(
+      left: DataFrame,
+      right: DataFrame,
+      keyL: String,
+      keyR: String,
+      depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    val est = cmsJoinEstimate(left, right, keyL, keyR, depth, width)
     val exact = left.select(expr(keyL).cast("string").as("k"))
       .where(col("k").isNotNull)
       .groupBy(col("k")).agg(count(lit(1)).as("ca"))
@@ -135,5 +149,61 @@ object Skew {
       col("exact_size"), col("est_size"),
       (col("est_size") - col("exact_size")).as("err"),
       expr("cast(case when est_size >= exact_size then 1 else 0 end as int)").as("over_ok"))
+  }
+
+  /** Pre-flight JOIN strategy advisor — the telemetry family composed
+    * into one verdict row BEFORE any exchange is paid: side row counts
+    * (null keys excluded — an inner equi-join prunes them), the CMS
+    * output-size estimate, each side's hottest key magnitude
+    * (⌊log₂ max count⌋, the [[skewReport]] fold), three exact boolean
+    * findings, and a recommended strategy string:
+    * broadcast the side under `broadcastRowLimit`, else salt when either
+    * side carries a key hotter than 2^`hotMagLimit`, else plain shuffle.
+    * `output_blowup` flags est > `blowupFactor`·(|L|+|R|) — the quadratic
+    * output that no join strategy survives (fix the data, not the plan).
+    * Every input to every verdict is an exact int64 or the structural
+    * CMS overestimate, so the whole advisor sits under the hash gate.
+    *
+    * Scale shape: two key-count aggregates, two ≤64-row magnitude folds,
+    * two d×w sketches — all map-side combined, all 1-row outputs crossed
+    * as broadcasts. Cost is a few column-pruned scans; paying it beats
+    * discovering the blowup when the shuffle stage OOMs.
+    */
+  def joinAdvisor(
+      left: DataFrame,
+      right: DataFrame,
+      keyL: String,
+      keyR: String,
+      broadcastRowLimit: Long = 100000L,
+      hotMagLimit: Int = 13,
+      blowupFactor: Long = 4L,
+      depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(broadcastRowLimit >= 1, s"broadcastRowLimit must be >= 1, got $broadcastRowLimit")
+    require(hotMagLimit >= 1 && hotMagLimit <= 62, s"hotMagLimit must be in [1,62], got $hotMagLimit")
+    require(blowupFactor >= 1, s"blowupFactor must be >= 1, got $blowupFactor")
+    def keyed(df: DataFrame, key: String): DataFrame =
+      df.select(expr(key).cast("string").as("k")).where(col("k").isNotNull)
+    def stats(df: DataFrame, key: String, side: String): DataFrame =
+      keyed(df, key)
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .agg(
+          coalesce(sum(col("c")), lit(0L)).cast("bigint").as(s"n_$side"),
+          coalesce(max(expr("cast(length(bin(c)) - 1 as int)")), lit(0)).as(s"max_mag_$side"))
+    stats(left, keyL, "left")
+      .crossJoin(broadcast(stats(right, keyR, "right")))
+      .crossJoin(broadcast(cmsJoinEstimate(left, right, keyL, keyR, depth, width)))
+      .select(
+        col("n_left"), col("n_right"), col("est_size"),
+        col("max_mag_left"), col("max_mag_right"),
+        (col("n_left") <= broadcastRowLimit).as("can_broadcast_left"),
+        (col("n_right") <= broadcastRowLimit).as("can_broadcast_right"),
+        (col("est_size") > lit(blowupFactor) * (col("n_left") + col("n_right")))
+          .as("output_blowup"),
+        when(col("n_right") <= broadcastRowLimit, lit("broadcast_right"))
+          .when(col("n_left") <= broadcastRowLimit, lit("broadcast_left"))
+          .when(col("max_mag_left") >= hotMagLimit || col("max_mag_right") >= hotMagLimit,
+            lit("salted_join"))
+          .otherwise(lit("shuffle_join")).as("strategy"))
   }
 }

@@ -388,6 +388,31 @@ class OpsSpec extends AnyFunSuite {
       Skew.joinSizeEstimate(left, right, "k", "k", width = 1))
   }
 
+  test("joinAdvisor: every strategy branch fires on its constructed input") {
+    import graft.ops.Skew
+    def keys(xs: Seq[String]) = xs.map(Tuple1(_)).toDF("k")
+    val small = keys(Seq("a", "b"))
+    val bigFlat = keys((1 to 40).map(i => s"k$i")) // 40 distinct singletons
+    val bigHot = keys(Seq.fill(40)("hot") ++ Seq("x", "y")) // one key with 2^5 < c
+    def advise(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      Skew.joinAdvisor(l, r, "k", "k", broadcastRowLimit = 10, hotMagLimit = 5)
+        .select("n_left", "n_right", "strategy", "output_blowup", "can_broadcast_right")
+        .as[(Long, Long, String, Boolean, Boolean)].head()
+    // right fits the limit -> broadcast_right
+    assert(advise(bigFlat, small) === ((40L, 2L, "broadcast_right", false, true)))
+    // only left fits -> broadcast_left
+    assert(advise(small, bigFlat)._3 === "broadcast_left")
+    // neither fits, hot key of magnitude floor(log2 40)=5 -> salted_join
+    assert(advise(bigFlat, bigHot)._3 === "salted_join")
+    // neither fits, flat keys -> shuffle_join
+    assert(advise(bigFlat, keys((1 to 11).map(i => s"z$i")))._3 === "shuffle_join")
+    // self-join of the hot side: output ~ 40^2 >> 4*(42+42) -> blowup flag
+    val blow = advise(bigHot, bigHot)
+    assert(blow._4 && blow._3 === "salted_join")
+    intercept[IllegalArgumentException](
+      Skew.joinAdvisor(small, small, "k", "k", hotMagLimit = 0))
+  }
+
   test("freqItemsets/assocRules: hand-computed supports, Apriori prune, relative threshold") {
     import graft.ops.Mining
     // baskets 1:{a,b,c} 2:{a,b} 3:{a,b} 4:{a,c} 5:{d}; duplicate (1,c) must
