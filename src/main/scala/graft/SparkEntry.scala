@@ -509,8 +509,15 @@ object SparkEntry {
     // collect_list per shingle) is a test-only baseline — one boilerplate
     // shingle in f docs would put f² pairs on a single task at corpus scale
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d), maxDf = 100)),
-    "ssjoin_pairs" -> ((s, d) => Dedup.prefixFilterPairs(Tables.documents(s, d))),
-    "lsh_tuning" -> ((s, d) => Dedup.lshTuning(Tables.documents(s, d))),
+    // the exact-truth pair set is a corpus-level artifact: computed once
+    // per (corpus, threshold) via IndexCache (the PQ train-once contract)
+    // and reused by every consumer — the pair listing and LSH tuning's
+    // recall denominator below
+    "ssjoin_pairs" -> ((s, d) =>
+      IndexCache.prefixPairs(s, Tables.documents(s, d), d)),
+    "lsh_tuning" -> ((s, d) =>
+      Dedup.lshTuningWith(Tables.documents(s, d),
+        IndexCache.prefixPairs(s, Tables.documents(s, d), d).select("a_id", "b_id"))),
     "ngram_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d))),
     "containment_pairs" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => TextOps.tfidfCosinePairs(Tables.documents(s, d))),

@@ -1167,7 +1167,21 @@ object Dedup {
       k: Int = 16,
       configs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2)),
       tNum: Int = 3,
-      tDen: Int = 5): DataFrame = {
+      tDen: Int = 5): DataFrame =
+    lshTuningWith(documents,
+      prefixFilterPairs(documents, tNum, tDen).select("a_id", "b_id"),
+      k, configs)
+
+  /** [[lshTuning]] against a PRECOMPUTED truth pair set — the shape a
+    * suite with a shared truth cache uses ([[IndexCache.prefixPairs]]):
+    * the exact join is a corpus-level artifact, paid once per corpus,
+    * not once per consumer.
+    */
+  def lshTuningWith(
+      documents: DataFrame,
+      truthPairs: DataFrame,
+      k: Int = 16,
+      configs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))): DataFrame = {
     require(k >= 2 && k <= 64, s"k must be in [2,64], got $k")
     require(configs.nonEmpty, "configs must be non-empty")
     configs.foreach { case (b, r) =>
@@ -1217,7 +1231,7 @@ object Dedup {
     val withMins = cand0
       .join(sig.select(col("doc_id").as("a_id"), col("mharr").as("a_mh")), Seq("a_id"))
       .join(sig.select(col("doc_id").as("b_id"), col("mharr").as("b_mh")), Seq("b_id"))
-    val truth = prefixFilterPairs(documents, tNum, tDen).select("a_id", "b_id")
+    val truth = truthPairs.select("a_id", "b_id")
     val truthCount = truth.agg(count(lit(1)).as("n_truth"))
     // per-config membership: ∃ band j whose whole min slice matches
     def memberExpr(b: Int, r: Int): org.apache.spark.sql.Column = expr(

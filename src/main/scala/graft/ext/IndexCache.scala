@@ -74,6 +74,31 @@ object IndexCache {
     (coarseRows.toDF("cidx", "qcent"), pqcRows.toDF("s", "cidx", "qcent"))
   }
 
+  private val prefixPairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Long, Long, Long, Long, Double)]]
+
+  /** [[Dedup.prefixFilterPairs]], computed at most once per (corpus key,
+    * threshold) in this process — the dedup-family analog of the PQ
+    * train-once contract: the exact similarity-join TRUTH SET is a
+    * corpus-level artifact every consumer reuses (the pair listing
+    * itself, LSH tuning's recall denominator, …), and it is tiny by the
+    * threshold's nature (pairs at J ≥ 3/5 are the near-dup population:
+    * 25 rows at sf0.01, 256 at sf0.1). Exactness is deterministic, so
+    * cached and fresh results are bit-identical (ExtSpec pins this).
+    */
+  def prefixPairs(
+      spark: SparkSession,
+      documents: => DataFrame,
+      key: String,
+      tNum: Int = 3,
+      tDen: Int = 5): DataFrame = {
+    import spark.implicits._
+    val rows = prefixPairsCache.getOrElseUpdate(s"$key|t=$tNum/$tDen",
+      Dedup.prefixFilterPairs(documents, tNum, tDen)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq)
+    rows.toDF("a_id", "b_id", "a_n", "b_n", "n_common", "jaccard")
+  }
+
   /** Drop every cached index (corpus rotation / tests). */
-  def clear(): Unit = { pqCbCache.clear(); ivfPqCache.clear() }
+  def clear(): Unit = { pqCbCache.clear(); ivfPqCache.clear(); prefixPairsCache.clear() }
 }

@@ -988,6 +988,26 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.prefixFilterPairs(docs, 9, 10).count() === 0L)
   }
 
+  test("IndexCache.prefixPairs: cached truth is bit-identical to fresh; corpus never rebuilt on hit") {
+    import graft.ext.IndexCache
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+      .toDF("doc_id", "text")
+    val key = s"prefixpairs-spec-${System.nanoTime()}"
+    val fresh = Dedup.prefixFilterPairs(docs, 3, 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val cached = IndexCache.prefixPairs(spark, docs, key)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(cached === fresh)
+    // a hit must not construct the corpus frame (by-name contract)
+    var built = false
+    val hit = IndexCache.prefixPairs(spark, { built = true; docs }, key)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(hit === fresh && !built)
+  }
+
   test("lshTuning: exact duplicates are candidates AND truth in every config; counts reconcile") {
     // doc 1 == doc 2 (identical signatures -> same band hash in EVERY
     // config), doc 3 disjoint (deterministic md5 minhashes -> no shared
