@@ -486,6 +486,17 @@ object SparkEntry {
     "big_order_customers" -> (Relational.bigOrderCustomers(_, _)),
     "text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "calibration_table" -> ((s, d) => TextOps.langIdCalibration(Tables.documents(s, d))),
+    "compact_plan" -> ((s, d) => {
+      val files = Tables.lineitem(s, d).select(
+        date_trunc("month", col("l_shipdate")).as("part"),
+        (col("l_orderkey") % 50).as("file_id"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint").as("cents"))
+        .groupBy(col("part"), col("file_id"))
+        .agg(sum(col("cents")).cast("bigint").as("bytes"))
+      graft.io.Maintenance.compactPlan(files, "part", "file_id", "bytes",
+        targetBytes = 8000000L)
+    }),
     "fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_keep_first" -> ((s, d) =>
@@ -3089,6 +3100,45 @@ object SparkEntry {
          |SELECT doc_id, lang, en_score, de_score, es_score, fr_score, predicted_lang,
          |       CAST(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
          |FROM p""".stripMargin,
+    "calibration_table" ->
+      s"""$dToksCte, sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS en_score,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('der', 'die', 'das', 'und', 'ist'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS de_score,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('el', 'la', 'de', 'y', 'es'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS es_score,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('le', 'la', 'de', 'et', 'les'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS fr_score
+         |  FROM t
+         |), p AS (
+         |  SELECT *, CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+         |                 WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+         |                 WHEN es_score >= fr_score THEN 'es'
+         |                 ELSE 'fr' END AS predicted_lang
+         |  FROM sc
+         |), g AS (
+         |  SELECT CAST(FLOOR(GREATEST(en_score, de_score, es_score, fr_score) * 10.0) AS INT) AS bucket,
+         |         CAST(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS ok
+         |  FROM p
+         |)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ok) AS BIGINT) AS n_correct,
+         |       CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+         |FROM g GROUP BY 1""".stripMargin,
+    "compact_plan" ->
+      """WITH f AS (
+        |  SELECT date_trunc('month', l_shipdate) AS part, l_orderkey % 50 AS file_id,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS bytes
+        |  FROM lineitem GROUP BY 1, 2
+        |), p AS (
+        |  SELECT part, file_id, bytes,
+        |         COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY bytes DESC, file_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM f
+        |), b AS (
+        |  SELECT part, file_id, bytes, CAST(pre // 8000000 AS BIGINT) AS bin_id FROM p
+        |)
+        |SELECT part, file_id, bytes, bin_id,
+        |       CAST(SUM(bytes) OVER (PARTITION BY part, bin_id) AS BIGINT) AS bin_bytes,
+        |       CAST(COUNT(*) OVER (PARTITION BY part, bin_id) AS BIGINT) AS bin_files
+        |FROM b""".stripMargin,
     "fingerprints" ->
       s"""$dToksCte, s AS (
          |  SELECT doc_id, text, $dSh AS sh FROM t

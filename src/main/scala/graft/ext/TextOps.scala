@@ -270,6 +270,24 @@ object TextOps {
         "cast(case when predicted_lang = lang then 1 else 0 end as bigint) as is_correct")
   }
 
+  /** Calibration table for the n-gram language classifier — does a
+    * winning score of 0.8 actually mean 80%-ish accuracy? Buckets the
+    * winning stopword score into tenths and reports exact hit counts
+    * per bucket: the reliability diagram every score-thresholding
+    * pipeline should look at before picking a cutoff. `floor(score·10)`
+    * is one IEEE multiply+floor of the same rational on both engines;
+    * counts are exact, `accuracy` a single division.
+    */
+  def langIdCalibration(documents: DataFrame): DataFrame =
+    langId(documents)
+      .withColumn("bucket",
+        floor(greatest(col("en_score"), col("de_score"), col("es_score"), col("fr_score"))
+          * lit(10.0)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("is_correct")).as("n_correct"))
+      .select(col("bucket"), col("n"), col("n_correct").cast("bigint").as("n_correct"),
+        (col("n_correct").cast("double") / col("n").cast("double")).as("accuracy"))
+
   /** Gopher-style composite quality rules (Rae et al. 2021, §A1.1 — the
     * public rule set every corpus-curation pipeline starts from): word
     * count bounds, mean word length bounds, minimum alphabetic-word

@@ -193,4 +193,41 @@ object Maintenance {
       .listStatus(new Path(dir)).count(_.getPath.getName.endsWith(".parquet"))
     (written, (xW, yW))
   }
+
+  /** Compaction PLANNER over a (partition, file, bytes) metadata frame —
+    * which small files merge into which target-sized output, decided
+    * from bounded listing metadata BEFORE any data moves (the expensive
+    * part of compaction is the rewrite; the plan is a window pass).
+    * Files pack contiguously in (bytes desc, file id) order —
+    * big-first keeps bins near the target without first-fit's
+    * quadratic scan, the id tie-break makes the plan total — and
+    * bin k = ⌊preceding-bytes / target⌋, all int64 (a file larger than
+    * `targetBytes` lands alone in its own bin slot).
+    *
+    * Scale shape: one window per PARTITION of the table (bounded by
+    * that partition's file count, never corpus-wide); the metadata
+    * frame is file-listing-sized. Output: every file's bin plus its
+    * bin's total bytes and width, the rewrite work-list.
+    */
+  def compactPlan(
+      files: DataFrame,
+      partCol: String,
+      fileCol: String,
+      bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col(bytesCol).desc, col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBin = Window.partitionBy(col(partCol), col("bin_id"))
+    files
+      .select(col(partCol), col(fileCol), col(bytesCol).cast("bigint").as("bytes"))
+      .where(col("bytes").isNotNull && col("bytes") >= 0)
+      .withColumn("_pre", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"_pre div ${targetBytes}").cast("bigint"))
+      .withColumn("bin_bytes", sum(col("bytes")).over(wBin).cast("bigint"))
+      .withColumn("bin_files", count(lit(1)).over(wBin).cast("bigint"))
+      .drop("_pre")
+  }
 }

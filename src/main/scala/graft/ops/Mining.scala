@@ -191,17 +191,98 @@ object Mining {
     * "what happens after X" matrix — one shuffle on the entity key, a
     * per-entity lead window, then a map-side-combined count.
     */
-  def markovTransitions(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String): DataFrame = {
+  def markovTransitions(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String): DataFrame =
+    transitionMatrix(pairCounts(df, keyCol, typeCol, tsCol, tieCol))
+
+  /** Within-frame consecutive (from, to) counts per entity. */
+  private def pairCounts(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
-    val wFrom = Window.partitionBy(col("from_type"))
     df.where(col(keyCol).isNotNull)
       .select(col(keyCol), col(typeCol).as("from_type"), col(tsCol), col(tieCol))
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
       .where(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_trans"))
-      .withColumn("n_from", sum(col("n_trans")).over(wFrom))
+  }
+
+  /** Fold (from, to, n) counts into the transition matrix with outgoing
+    * totals and empirical probabilities — shared by the batch path and
+    * the streaming reader.
+    */
+  private def transitionMatrix(counts: DataFrame): DataFrame = {
+    val wFrom = Window.partitionBy(col("from_type"))
+    counts
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n_trans")).cast("bigint").as("n_trans"))
+      .withColumn("n_from", sum(col("n_trans")).over(wFrom).cast("bigint"))
       .withColumn("prob", col("n_trans").cast("double") / col("n_from").cast("double"))
+  }
+
+  /** Streaming twin of [[markovTransitions]]: each micro-batch stores
+    * its WITHIN-batch transition counts plus each entity's first/last
+    * state (two per-batch stores, whole-dir overwrite ⇒
+    * replay-idempotent); [[markovFrom]] merges the counts and stitches
+    * the CROSS-batch transitions from the boundary states — so no raw
+    * event history is ever kept, only (types² counts + per-user
+    * boundary rows) per batch. Correct under the replay/watermark
+    * source contract that each entity's events arrive in event-time
+    * order across batches (the stitch orders by batch id); within a
+    * batch, (ts, tie) ordering applies as in the batch path.
+    */
+  def markovSink(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        markovBatch(batch.toDF(), keyCol, typeCol, tsCol, tieCol, outDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch's stores (factored out for replay tests). Writes
+    * trans then bounds; the reader intersects the two committed sets, so
+    * a crash between the writes never double-counts (the
+    * corpusStatsSink two-store discipline).
+    */
+  def markovBatch(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String,
+      outDir: String, batchId: Long): Unit = {
+    pairCounts(df, keyCol, typeCol, tsCol, tieCol)
+      .write.mode("overwrite").parquet(s"$outDir/trans/batch_$batchId")
+    df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("k"))
+      .agg(
+        min(struct(col(tsCol), col(tieCol), col(typeCol).as("t"))).getField("t").as("first_type"),
+        max(struct(col(tsCol), col(tieCol), col(typeCol).as("t"))).getField("t").as("last_type"))
+      .withColumn("bid", lit(batchId))
+      .write.mode("overwrite").parquet(s"$outDir/bounds/batch_$batchId")
+    ()
+  }
+
+  /** The transition matrix over everything [[markovSink]] committed. */
+  def markovFrom(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val committed =
+      graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/trans")
+        .intersect(graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/bounds"))
+    if (committed.isEmpty)
+      transitionMatrix(Seq.empty[(String, String, Long)].toDF("from_type", "to_type", "n_trans"))
+    else {
+      val dirs = committed.toSeq.sorted
+      val within = spark.read.parquet(dirs.map(b => s"$outDir/trans/$b"): _*)
+      val bounds = spark.read.parquet(dirs.map(b => s"$outDir/bounds/$b"): _*)
+      val wB = Window.partitionBy(col("k")).orderBy(col("bid"))
+      val cross = bounds
+        .withColumn("prev_last", lag(col("last_type"), 1).over(wB))
+        .where(col("prev_last").isNotNull)
+        .groupBy(col("prev_last").as("from_type"), col("first_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      transitionMatrix(within.unionByName(cross))
+    }
   }
 
   /** Exact 2-D Pareto frontier (skyline), both dimensions maximized: the

@@ -388,6 +388,41 @@ class OpsSpec extends AnyFunSuite {
       Skew.joinSizeEstimate(left, right, "k", "k", width = 1))
   }
 
+  test("compactPlan: big-first contiguous bins; oversize file isolated; per-partition windows") {
+    import graft.io.Maintenance
+    val files = Seq(
+      ("p1", 1L, 60L), ("p1", 2L, 50L), ("p1", 3L, 40L), ("p1", 4L, 30L), ("p1", 5L, 250L),
+      ("p2", 6L, 10L)).toDF("part", "file", "bytes")
+    // order in p1: 250,60,50,40,30; pre: 0,250,310,360,400; target 100 ->
+    // bins floor(pre/100): 0,2,3,3,4 — the 250 oversize occupies slots 0-1
+    val out = Maintenance.compactPlan(files, "part", "file", "bytes", targetBytes = 100L)
+      .orderBy("part", "file")
+      .select("part", "file", "bin_id", "bin_bytes", "bin_files")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("p1", 1L, 2L, 60L, 1L),
+      ("p1", 2L, 3L, 90L, 2L),
+      ("p1", 3L, 3L, 90L, 2L),
+      ("p1", 4L, 4L, 30L, 1L),
+      ("p1", 5L, 0L, 250L, 1L),
+      ("p2", 6L, 0L, 10L, 1L)))
+    intercept[IllegalArgumentException](
+      Maintenance.compactPlan(files, "part", "file", "bytes", targetBytes = 0L))
+  }
+
+  test("langIdCalibration: buckets floor the winning score; counts reconcile with lang_id") {
+    import graft.ext.TextOps
+    val docs = Seq(
+      (1L, "the cat is on the mat", "en"), // en_score 5/6? high bucket, correct
+      (2L, "la la la la la la la la la la", "fr"), // fr/es tie -> es picked, wrong
+      (3L, "der und ist das die der und", "de")).toDF("doc_id", "text", "lang")
+    val cal = TextOps.langIdCalibration(docs).as[(Int, Long, Long, Double)].collect().toSeq
+    assert(cal.map(_._2).sum === 3L) // every doc lands in exactly one bucket
+    val correct = TextOps.langId(docs).agg(sum(col("is_correct"))).head().getLong(0)
+    assert(cal.map(_._3).sum === correct)
+    cal.foreach(c => assert(c._4 === c._3.toDouble / c._2.toDouble && c._1 >= 0 && c._1 <= 10))
+  }
+
   test("joinAdvisor: every strategy branch fires on its constructed input") {
     import graft.ops.Skew
     def keys(xs: Seq[String]) = xs.map(Tuple1(_)).toDF("k")

@@ -714,6 +714,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(Incremental.aggStateFrom(spark, base, s"$dir/nothing")) === canon(base))
   }
 
+  test("markovSink: cross-batch transitions stitched from bounds; equals the batch matrix; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Mining
+    val dir = java.nio.file.Files.createTempDirectory("graft_markov").toString
+    // u1 spans batches (b1 ends 'b', b2 starts 'a' -> stitched b->a);
+    // u2 lives in one batch; u3 appears in b1 and b3-like replay only
+    val b1 = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 3L, "a"))
+    val b2 = Seq((1L, 4L, "a"), (1L, 5L, "c"), (2L, 6L, "a"))
+    def frame(xs: Seq[(Long, Long, String)]) =
+      xs.toDF("u", "eid", "t").withColumn("ts", col("eid").cast("timestamp"))
+    val ms = MemoryStream[(Long, Long, String)]
+    val q = Mining.markovSink(
+      ms.toDS().toDF("u", "eid", "t").withColumn("ts", col("eid").cast("timestamp")),
+      "u", "t", "ts", "eid", s"$dir/out", s"$dir/cp")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    val streamed = canon(Mining.markovFrom(spark, s"$dir/out"))
+    val oneShot = canon(Mining.markovTransitions(frame(b1 ++ b2), "u", "t", "ts", "eid"))
+    assert(streamed === oneShot)
+    // the b->a transition exists ONLY across the batch boundary
+    assert(streamed.exists(x => x._1 == "b" && x._2 == "a" && x._3 == 1L))
+    // replay of the last batch converges to the same store
+    Mining.markovBatch(frame(b2), "u", "t", "ts", "eid", s"$dir/out", 1L)
+    assert(canon(Mining.markovFrom(spark, s"$dir/out")) === streamed)
+    // empty store: an empty matrix, not an error
+    assert(Mining.markovFrom(spark, s"$dir/none").count() === 0L)
+  }
+
   test("cusumDriftSink: CUSUM over base+stream equals the batch path; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
