@@ -487,6 +487,17 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "calibration_table" -> ((s, d) => TextOps.langIdCalibration(Tables.documents(s, d))),
+    "code_detect" -> ((s, d) => TextOps.codeDetect(Tables.documents(s, d))),
+    "feature_hash" -> ((s, d) => TextOps.featureHash(Tables.documents(s, d))),
+    "impute_values" -> ((s, d) => {
+      // deterministically knock out ~10% of values so the imputation
+      // path provably fires (the dq-family corruption idiom)
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("value",
+          when(expr(s"${TextOps.md5Long64("concat('imp:', cast(event_id as string))")} % 10") === 0,
+            lit(null)).otherwise(col("value")))
+      graft.ops.Quality.imputeMedian(ev, "event_type", "value")
+    }),
     "compact_plan" -> ((s, d) => {
       val files = Tables.lineitem(s, d).select(
         date_trunc("month", col("l_shipdate")).as("part"),
@@ -3122,6 +3133,48 @@ object SparkEntry {
          |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ok) AS BIGINT) AS n_correct,
          |       CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
          |FROM g GROUP BY 1""".stripMargin,
+    "code_detect" ->
+      """SELECT doc_id, n_chars, n_symbols, n_digits, n_semicolons,
+        |       CASE WHEN n_chars > 0 THEN CAST(n_symbols AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS symbol_frac,
+        |       CASE WHEN n_chars > 0 THEN CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS digit_frac,
+        |       (n_symbols * 1000 >= 30 * n_chars AND n_chars > 0) AS is_code
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(length(regexp_replace(text, '[^{}\[\]();=<>]', '', 'g')) AS BIGINT) AS n_symbols,
+        |         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |         CAST(length(regexp_replace(text, '[^;]', '', 'g')) AS BIGINT) AS n_semicolons
+        |  FROM documents)""".stripMargin,
+    "feature_hash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, ${dH("'fh:' || token")} % 64 AS feature_idx,
+         |         CASE WHEN ${dH("'fs:' || token")} % 2 = 1 THEN 1 ELSE -1 END AS sgn
+         |  FROM tok
+         |)
+         |SELECT doc_id, feature_idx, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(SUM(sgn) AS BIGINT) AS signed_sum
+         |FROM h GROUP BY 1, 2""".stripMargin,
+    "impute_values" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type,
+         |         CASE WHEN ${dH("'imp:' || CAST(event_id AS VARCHAR)")} % 10 = 0
+         |              THEN NULL ELSE value END AS value
+         |  FROM events
+         |), m AS (
+         |  SELECT _g, _v AS _med FROM (
+         |    SELECT event_type AS _g, value AS _v,
+         |           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+         |    FROM e WHERE value IS NOT NULL) t
+         |  WHERE rn = (cnt + 1) // 2
+         |)
+         |SELECT e.event_id, e.event_type, e.value,
+         |       COALESCE(e.value, m._med) AS value_imputed,
+         |       e.value IS NULL AS was_imputed
+         |FROM e LEFT JOIN m ON e.event_type IS NOT DISTINCT FROM m._g""".stripMargin,
     "compact_plan" ->
       """WITH f AS (
         |  SELECT date_trunc('month', l_shipdate) AS part, l_orderkey % 50 AS file_id,

@@ -288,6 +288,47 @@ object TextOps {
       .select(col("bucket"), col("n"), col("n_correct").cast("bigint").as("n_correct"),
         (col("n_correct").cast("double") / col("n").cast("double")).as("accuracy"))
 
+  /** Code-vs-prose detection heuristics — the curation signal that keeps
+    * source code out of (or routed into) a text corpus: exact counts of
+    * code-charged symbols ({}[]();=<>), digits, and semicolons, their
+    * fractions of the character count, and a verdict boolean at
+    * `symbolFracMilli` thousandths. Pure per-row projection — scan speed
+    * at any corpus size; every fraction is a single division of exact
+    * int64 counts. (Whitespace-only or empty docs get NULL fractions
+    * and a false verdict, never a division error.)
+    */
+  def codeDetect(documents: DataFrame, symbolFracMilli: Int = 30): DataFrame = {
+    require(symbolFracMilli >= 1, s"symbolFracMilli must be >= 1, got $symbolFracMilli")
+    documents
+      .selectExpr("doc_id",
+        "cast(length(text) as bigint) as n_chars",
+        """cast(length(regexp_replace(text, '[^{}\\[\\]();=<>]', '')) as bigint) as n_symbols""",
+        "cast(length(regexp_replace(text, '[^0-9]', '')) as bigint) as n_digits",
+        "cast(length(regexp_replace(text, '[^;]', '')) as bigint) as n_semicolons")
+      .selectExpr("doc_id", "n_chars", "n_symbols", "n_digits", "n_semicolons",
+        "case when n_chars > 0 then cast(n_symbols as double) / cast(n_chars as double) end as symbol_frac",
+        "case when n_chars > 0 then cast(n_digits as double) / cast(n_chars as double) end as digit_frac",
+        s"cast(coalesce(n_symbols * 1000 >= $symbolFracMilli * n_chars and n_chars > 0, false) as boolean) as is_code")
+  }
+
+  /** Hashing-trick featurizer (Weinberger et al. 2009) in sparse COO
+    * form: token → md5 bucket in [0, dim), per-(doc, bucket) exact
+    * count plus the SIGNED sum (sign from an independent hash bit) that
+    * makes collisions cancel in expectation — the inner-product-
+    * preserving form downstream linear models want. One explode + one
+    * map-side-combined count; int64 end to end.
+    */
+  def featureHash(documents: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    documents
+      .selectExpr("doc_id", "explode(filter(split(text, ' '), x -> x != '')) as token")
+      .selectExpr("doc_id",
+        s"${md5Long64("concat('fh:', token)")} % $dim as feature_idx",
+        s"case when ${md5Long64("concat('fs:', token)")} % 2 = 1 then 1L else -1L end as sgn")
+      .groupBy(col("doc_id"), col("feature_idx"))
+      .agg(count(lit(1)).as("cnt"), sum(col("sgn")).cast("bigint").as("signed_sum"))
+  }
+
   /** Gopher-style composite quality rules (Rae et al. 2021, §A1.1 — the
     * public rule set every corpus-curation pipeline starts from): word
     * count bounds, mean word length bounds, minimum alphabetic-word

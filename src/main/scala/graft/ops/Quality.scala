@@ -254,9 +254,41 @@ object Quality {
     * (D(D−1)/2 rows for D observed days — 435 at a 30-day window), as
     * is the median window; types parallelize freely.
     */
-  def trendSlope(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+  def trendSlope(df: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    trendFromDaily(dailyCounts(df, typeCol, tsCol))
+
+  /** [[trendSlope]] over base events plus everything [[cusumDriftSink]]
+    * committed — the SAME daily-count store serves both drift readers
+    * (one bounded per-batch aggregate on disk, k monitoring views over
+    * it), which is the point of storing mergeable partials instead of
+    * computed verdicts.
+    */
+  def trendSlopeFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      outDir: String): DataFrame =
+    trendFromDaily(mergedDaily(spark, base, typeCol, tsCol, outDir))
+
+  private def mergedDaily(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      outDir: String): DataFrame = {
+    val committed = graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/daily")
+    val baseDaily = dailyCounts(base, typeCol, tsCol)
+    val all =
+      if (committed.isEmpty) baseDaily
+      else baseDaily.unionByName(spark.read.parquet(
+        committed.toSeq.sorted.map(b => s"$outDir/daily/$b"): _*))
+    all.groupBy(col("etype"), col("day")).agg(sum(col("n")).as("n"))
+  }
+
+  private def trendFromDaily(dailyIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = dailyCounts(df, typeCol, tsCol)
+    val daily = dailyIn
       .select(col("etype"),
         datediff(col("day"), to_date(lit("1970-01-01"))).cast("bigint").as("d"),
         col("n"))
@@ -317,16 +349,33 @@ object Quality {
       typeCol: String,
       tsCol: String,
       outDir: String,
-      threshMult: Int = 1): DataFrame = {
-    val committed = graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/daily")
-    val baseDaily = dailyCounts(base, typeCol, tsCol)
-    val all =
-      if (committed.isEmpty) baseDaily
-      else baseDaily.unionByName(spark.read.parquet(
-        committed.toSeq.sorted.map(b => s"$outDir/daily/$b"): _*))
-    cusumFromDaily(
-      all.groupBy(col("etype"), col("day")).agg(sum(col("n")).as("n")),
-      threshMult)
+      threshMult: Int = 1): DataFrame =
+    cusumFromDaily(mergedDaily(spark, base, typeCol, tsCol, outDir), threshMult)
+
+  /** Per-group NULL imputation with the exact LOWER-MEDIAN of the
+    * group's known values — the feature-engineering fill that is robust
+    * to the skew a mean would inherit, chosen as an exact ELEMENT
+    * (row_number = ⌈n/2⌉ under value order) rather than an interpolated
+    * midpoint, so no cross-engine float interpolation exists to drift.
+    * Rows in groups with NO known value stay NULL (flagged, not
+    * invented). One group-bounded window over the non-null values plus
+    * one broadcast-sized join-back.
+    */
+  def imputeMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+    val wN = Window.partitionBy(col("_g"))
+    val med = df
+      .select(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .where(col("_v").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(wN))
+      .where(col("_rn") === expr("(_cnt + 1) div 2"))
+      .select(col("_g"), col("_v").as("_med"))
+    df.join(med, col(groupCol) <=> col("_g"), "left")
+      .select(df.columns.map(col) :+
+        coalesce(col(valueCol), col("_med")).as(s"${valueCol}_imputed") :+
+        col(valueCol).isNull.as("was_imputed"): _*)
   }
 
   /** Column-profile drift between two snapshots of a table — the

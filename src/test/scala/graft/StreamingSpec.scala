@@ -787,6 +787,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(Quality.cusumDriftFrom(spark, base, "t", "ts", s"$dir/out")) === streamed)
     assert(canon(Quality.cusumDriftFrom(spark, base, "t", "ts", s"$dir/nothing")) ===
       canon(Quality.cusumDrift(base, "t", "ts")))
+    // the SAME daily store serves the trend reader — one store, k views
+    def canonT(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("etype").as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(canonT(Quality.trendSlopeFrom(spark, base, "t", "ts", s"$dir/out")) ===
+      canonT(Quality.trendSlope(
+        (baseRows ++ b1 ++ b2).toDF("t", "s").withColumn("ts", col("s").cast("timestamp")),
+        "t", "ts")))
   }
 
   test("lmScoreSink: per-batch scores equal lmScore over the accumulated corpus; replay idempotent") {
