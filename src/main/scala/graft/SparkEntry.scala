@@ -489,6 +489,30 @@ object SparkEntry {
     "calibration_table" -> ((s, d) => TextOps.langIdCalibration(Tables.documents(s, d))),
     "code_detect" -> ((s, d) => TextOps.codeDetect(Tables.documents(s, d))),
     "feature_hash" -> ((s, d) => TextOps.featureHash(Tables.documents(s, d))),
+    "quantile_elements" -> ((s, d) =>
+      graft.ops.Quality.quantileElements(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
+    "event_gaps" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = ev.where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+        .where(col("next_us").isNotNull)
+        .select(col("event_type"),
+          (col("next_us") - unix_micros(col("ts"))).as("gap_us"))
+      graft.ops.Quality.quantileElements(gaps, "event_type", "gap_us", Seq(500, 900, 990))
+    }),
+    "ab_lift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("variant", when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")))
+        .withColumn("converted", col("event_type") === "purchase")
+      graft.ops.Quality.abLift(ev, "variant", "user_id", "converted")
+    }),
+    "dedup_stats" -> ((s, d) =>
+      Dedup.clusterStats(Dedup.connectedComponents(
+        Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id")))),
     "impute_values" -> ((s, d) => {
       // deterministically knock out ~10% of values so the imputation
       // path provably fires (the dq-family corruption idiom)
@@ -1216,6 +1240,38 @@ object SparkEntry {
        |a1 AS (${dPqAssign("sub", "c1")}),
        |c2 AS (${dPqUpdate("a1")}),
        |a2 AS (${dPqAssign("sub", "c2")})""".stripMargin
+
+  /** The recursive connected-components oracle body, shared by
+    * dedup_clusters (the assignment view) and dedup_stats (the size
+    * histogram view). */
+  private lazy val dCcSql: String =
+    s"""${dToksCte.replace("WITH t AS", "WITH RECURSIVE t AS")}, s AS (
+       |  SELECT doc_id, $dSh AS sh FROM t
+       |), h2 AS (
+       |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS hs FROM s
+       |), m AS (
+       |  SELECT doc_id,
+       |       $dMh
+       |  FROM h2
+       |), sig AS (
+       |  SELECT doc_id,
+       |         ${dH("concat_ws(',', mh0, mh1, mh2, mh3)")} AS band0,
+       |         ${dH("concat_ws(',', mh4, mh5, mh6, mh7)")} AS band1
+       |  FROM m
+       |), pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id < b.doc_id AND (a.band0 = b.band0 OR a.band1 = b.band1)
+       |), edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION
+       |  SELECT b_id, a_id FROM pairs
+       |), reach AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |)
+       |SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1""".stripMargin
 
   private val dMh = (0 until 8).map { i =>
     s"list_min(list_transform(hs, x -> (${Dedup.minhashA(i)} * (x % 1073741824) + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS mh$i"
@@ -3157,6 +3213,59 @@ object SparkEntry {
          |SELECT doc_id, feature_idx, CAST(COUNT(*) AS BIGINT) AS cnt,
          |       CAST(SUM(sgn) AS BIGINT) AS signed_sum
          |FROM h GROUP BY 1, 2""".stripMargin,
+    "quantile_elements" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |)
+        |SELECT g AS l_returnflag, q AS q_permille, n, v AS l_extendedprice
+        |FROM r, (SELECT unnest([250, 500, 750, 900, 990]) AS q)
+        |WHERE rn = (q * n + 999) // 1000""".stripMargin,
+    "event_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events WHERE user_id IS NOT NULL
+        |), g AS (
+        |  SELECT event_type,
+        |         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           - epoch_us(ts) AS gap_us
+        |  FROM e
+        |), r AS (
+        |  SELECT event_type AS grp, CAST(gap_us AS BIGINT) AS v,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM g WHERE gap_us IS NOT NULL
+        |)
+        |SELECT grp AS event_type, q AS q_permille, n, v AS gap_us
+        |FROM r, (SELECT unnest([500, 900, 990]) AS q)
+        |WHERE rn = (q * n + 999) // 1000""".stripMargin,
+    "ab_lift" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |         user_id, event_type = 'purchase' AS converted
+        |  FROM events WHERE user_id IS NOT NULL
+        |), per AS (
+        |  SELECT variant,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_units,
+        |         CAST(COUNT(DISTINCT CASE WHEN converted THEN user_id END) AS BIGINT) AS n_conv
+        |  FROM e GROUP BY 1
+        |), a AS (SELECT n_units AS n_a, n_conv AS c_a FROM per WHERE variant = 'A'),
+        |b AS (SELECT n_units AS n_b, n_conv AS c_b FROM per WHERE variant = 'B')
+        |SELECT n_a, c_a, n_b, c_b,
+        |       CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |       CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |       CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS abs_lift,
+        |       CASE WHEN c_a > 0 THEN
+        |         (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - 1.0
+        |       END AS rel_lift,
+        |       CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+        |         (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |         / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |                * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |       END AS z_score
+        |FROM a, b""".stripMargin,
     "impute_values" ->
       s"""WITH e AS (
          |  SELECT event_id, event_type,
@@ -4063,34 +4172,22 @@ object SparkEntry {
          |JOIN sizes nb ON nb.doc_id = b_id
          |ORDER BY jaccard DESC, a_id, b_id
          |LIMIT 50""".stripMargin,
-    "dedup_clusters" ->
-      s"""${dToksCte.replace("WITH t AS", "WITH RECURSIVE t AS")}, s AS (
-         |  SELECT doc_id, $dSh AS sh FROM t
-         |), h2 AS (
-         |  SELECT doc_id, list_transform(sh, s2 -> ${dH("s2")}) AS hs FROM s
-         |), m AS (
-         |  SELECT doc_id,
-         |       $dMh
-         |  FROM h2
-         |), sig AS (
-         |  SELECT doc_id,
-         |         ${dH("concat_ws(',', mh0, mh1, mh2, mh3)")} AS band0,
-         |         ${dH("concat_ws(',', mh4, mh5, mh6, mh7)")} AS band1
-         |  FROM m
-         |), pairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM sig a JOIN sig b
-         |    ON a.doc_id < b.doc_id AND (a.band0 = b.band0 OR a.band1 = b.band1)
-         |), edges AS (
-         |  SELECT a_id AS u, b_id AS v FROM pairs
-         |  UNION
-         |  SELECT b_id, a_id FROM pairs
-         |), reach AS (
-         |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-         |)
-         |SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1""".stripMargin,
+    "dedup_clusters" -> dCcSql,
+    // dedup_stats extends the SAME recursive-CC oracle with a size
+    // histogram — one truth construction, two views
+    "dedup_stats" -> dCcSql.replace(
+      "SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1",
+      """, comp0 AS (
+        |  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1
+        |), sizes AS (
+        |  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |  FROM comp0 GROUP BY 1
+        |)
+        |SELECT cluster_size,
+        |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+        |FROM sizes GROUP BY 1""".stripMargin),
     "leakage_safe_split" ->
       s"""${dToksCte.replace("WITH t AS", "WITH RECURSIVE t AS")}, s AS (
          |  SELECT doc_id, $dSh AS sh FROM t

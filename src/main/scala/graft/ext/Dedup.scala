@@ -1141,6 +1141,21 @@ object Dedup {
       .filter(col("containment") >= minContainment)
       .orderBy(col("containment").desc, col("a_id"), col("b_id"))
 
+  /** Cluster-size report over a connected-components assignment — the
+    * run summary every dedup job logs: per cluster size, how many
+    * clusters, how many documents they hold, and how many a keep-one
+    * policy removes. Two bounded aggregates over the node-sized CC
+    * frame; int64 throughout.
+    */
+  def clusterStats(cc: DataFrame): DataFrame =
+    cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).cast("bigint").as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).cast("bigint").as("n_removable"))
+
   /** LSH band-configuration tuning table — the measurement every LSH
     * deployment needs before committing to a (bands, rows-per-band)
     * choice: for each candidate config over ONE k-component MinHash

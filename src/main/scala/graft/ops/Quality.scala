@@ -352,6 +352,74 @@ object Quality {
       threshMult: Int = 1): DataFrame =
     cusumFromDaily(mergedDaily(spark, base, typeCol, tsCol, outDir), threshMult)
 
+  /** Exact ELEMENT quantiles per group — for each requested q, the value
+    * at row ⌈q·n⌉ of the group's sort order (percentile-disc semantics:
+    * an actual data element, never an interpolated midpoint, so nothing
+    * floats between engines). One group-bounded window pass serves every
+    * requested quantile; emits (group, q_permille, n, value).
+    */
+  def quantileElements(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qPermille: Seq[Int] = Seq(250, 500, 750, 900, 990)): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      s"qPermille values must be in [1,1000], got $qPermille")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+    val wN = Window.partitionBy(col("_g"))
+    val ranked = df
+      .select(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .where(col("_v").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wN))
+    qPermille.distinct.sorted.map { q =>
+      ranked
+        // ⌈q·n/1000⌉ in pure int64: (q*n + 999) div 1000
+        .where(col("_rn") === expr(s"(${q}L * _n + 999) div 1000"))
+        .select(col("_g").as(groupCol), lit(q).as("q_permille"),
+          col("_n").cast("bigint").as("n"), col("_v").as(valueCol))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Two-proportion A/B comparison: per-variant exposed/converted counts,
+    * exact-ratio conversion rates, absolute and relative lift, and the
+    * pooled two-proportion z statistic. Counts are exact int64; every
+    * float is a fixed expression tree of correctly-rounded IEEE ops over
+    * those counts, so the whole row is hash-gatable. One pass for the
+    * per-variant counts; the 2-row pivot is a broadcast formality.
+    */
+  def abLift(
+      df: DataFrame,
+      variantCol: String,
+      unitCol: String,
+      convertedCol: String): DataFrame = {
+    val per = df
+      .where(col(variantCol).isNotNull && col(unitCol).isNotNull)
+      .groupBy(col(variantCol).cast("string").as("variant"))
+      .agg(
+        count_distinct(col(unitCol)).as("n_units"),
+        count_distinct(when(col(convertedCol), col(unitCol))).as("n_conv"))
+    val a = per.where(col("variant") === "A")
+      .select(col("n_units").as("n_a"), col("n_conv").as("c_a"))
+    val b = per.where(col("variant") === "B")
+      .select(col("n_units").as("n_b"), col("n_conv").as("c_b"))
+    a.crossJoin(broadcast(b)).selectExpr(
+      "n_a", "c_a", "n_b", "c_b",
+      "cast(c_a as double) / cast(n_a as double) as rate_a",
+      "cast(c_b as double) / cast(n_b as double) as rate_b",
+      "cast(c_b as double) / cast(n_b as double) - cast(c_a as double) / cast(n_a as double) as abs_lift",
+      """case when c_a > 0 then
+        |  (cast(c_b as double) / cast(n_b as double)) / (cast(c_a as double) / cast(n_a as double)) - 1.0
+        |end as rel_lift""".stripMargin,
+      """case when c_a + c_b > 0 and c_a + c_b < n_a + n_b then
+        |  (cast(c_b as double) / cast(n_b as double) - cast(c_a as double) / cast(n_a as double))
+        |  / sqrt((cast(c_a + c_b as double) / cast(n_a + n_b as double))
+        |         * (1.0 - cast(c_a + c_b as double) / cast(n_a + n_b as double))
+        |         * (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double)))
+        |end as z_score""".stripMargin)
+  }
+
   /** Per-group NULL imputation with the exact LOWER-MEDIAN of the
     * group's known values — the feature-engineering fill that is robust
     * to the skew a mean would inherit, chosen as an exact ELEMENT

@@ -423,6 +423,48 @@ class OpsSpec extends AnyFunSuite {
     cal.foreach(c => assert(c._4 === c._3.toDouble / c._2.toDouble && c._1 >= 0 && c._1 <= 10))
   }
 
+  test("quantileElements: exact elements at ceil(q*n/1000); one window serves all quantiles") {
+    import graft.ops.Quality
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val out = Quality.quantileElements(df, "g", "v", Seq(250, 500, 900, 1000))
+      .orderBy("q_permille")
+      .select("q_permille", "n", "v").as[(Int, Long, Double)].collect().toSeq
+    // ceil(q*10/1000): 250->3, 500->5, 900->9, 1000->10 — actual elements
+    assert(out === Seq((250, 10L, 3.0), (500, 10L, 5.0), (900, 10L, 9.0), (1000, 10L, 10.0)))
+    intercept[IllegalArgumentException](Quality.quantileElements(df, "g", "v", Seq(0)))
+    intercept[IllegalArgumentException](Quality.quantileElements(df, "g", "v", Nil))
+  }
+
+  test("abLift: exact counts, rates, lift and pooled z on a hand case; degenerate guards NULL") {
+    import graft.ops.Quality
+    // A: 4 users, 1 converts; B: 4 users, 3 convert (unit dedup: user 20
+    // converts twice but counts once)
+    val df = (Seq((1L, false), (2L, true), (3L, false), (4L, false)).map { case (u, c) => ("A", u, c) } ++
+      Seq((10L, true), (20L, true), (20L, true), (30L, true), (40L, false)).map { case (u, c) => ("B", u, c) })
+      .toDF("variant", "u", "conv")
+    val r = Quality.abLift(df, "variant", "u", "conv").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((4L, 1L, 4L, 3L)))
+    assert(r.getDouble(4) === 0.25 && r.getDouble(5) === 0.75)
+    assert(r.getDouble(6) === 0.5 && r.getDouble(7) === 2.0)
+    val p = 4.0 / 8.0
+    val z = (0.75 - 0.25) / math.sqrt(p * (1.0 - p) * (1.0 / 4.0 + 1.0 / 4.0))
+    assert(r.getDouble(8) === z)
+    // all-converted pool -> z undefined, stays NULL
+    val degen = Quality.abLift(
+      Seq(("A", 1L, true), ("B", 2L, true)).toDF("variant", "u", "conv"),
+      "variant", "u", "conv").head()
+    assert(degen.isNullAt(8))
+  }
+
+  test("clusterStats: size histogram with docs and removable counts") {
+    import graft.ext.Dedup
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("doc_id", "component")
+    val out = Dedup.clusterStats(cc).orderBy("cluster_size")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L, 1L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
+  }
+
   test("imputeMedian: lower-median fill per group; all-NULL groups stay NULL; NULL group key merges") {
     import graft.ops.Quality
     val df = Seq(
