@@ -489,6 +489,10 @@ object SparkEntry {
     "calibration_table" -> ((s, d) => TextOps.langIdCalibration(Tables.documents(s, d))),
     "code_detect" -> ((s, d) => TextOps.codeDetect(Tables.documents(s, d))),
     "feature_hash" -> ((s, d) => TextOps.featureHash(Tables.documents(s, d))),
+    "bounce_rate" -> ((s, d) => Sessionize.bounceRate(Tables.events(s, d))),
+    "conversion_lag" -> ((s, d) =>
+      StateOps.conversionLag(Tables.events(s, d), "click", "purchase")),
+    "vocab_growth" -> ((s, d) => TextOps.vocabGrowth(Tables.documents(s, d))),
     "quantile_elements" -> ((s, d) =>
       graft.ops.Quality.quantileElements(
         Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
@@ -3213,6 +3217,76 @@ object SparkEntry {
          |SELECT doc_id, feature_idx, CAST(COUNT(*) AS BIGINT) AS cnt,
          |       CAST(SUM(sgn) AS BIGINT) AS signed_sum
          |FROM h GROUP BY 1, 2""".stripMargin,
+    "bounce_rate" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS session_start
+        |  FROM g
+        |), sq AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         SUM(session_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s
+        |), fe AS (
+        |  SELECT user_id, session_seq, event_type,
+        |         row_number() OVER (PARTITION BY user_id, session_seq
+        |                            ORDER BY ts, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id, session_seq) AS n_events
+        |  FROM sq
+        |), per AS (
+        |  SELECT user_id, session_seq, CAST(n_events AS BIGINT) AS n_events,
+        |         event_type AS entry_type
+        |  FROM fe WHERE rn = 1
+        |)
+        |SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+        |FROM per GROUP BY 1""".stripMargin,
+    "conversion_lag" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_from,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_to
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), l AS (
+        |  SELECT 'click_to_purchase' AS metric,
+        |         CAST(first_to - first_from AS BIGINT) AS lag_us
+        |  FROM f
+        |  WHERE first_from IS NOT NULL AND first_to IS NOT NULL AND first_to >= first_from
+        |), r AS (
+        |  SELECT metric, lag_us,
+        |         row_number() OVER (PARTITION BY metric ORDER BY lag_us) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY metric) AS BIGINT) AS n
+        |  FROM l
+        |)
+        |SELECT metric, q AS q_permille, n, lag_us
+        |FROM r, (SELECT unnest([250, 500, 750, 900]) AS q)
+        |WHERE rn = (q * n + 999) // 1000""".stripMargin,
+    "vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+        |  FROM documents
+        |), firsts AS (
+        |  SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY 1
+        |), mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+        |b AS (
+        |  SELECT CAST(LEAST((first_doc - 1) * 10 // max_id, 9) AS INT) AS bucket
+        |  FROM firsts, mx
+        |), c AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new_tokens FROM b GROUP BY 1
+        |), axis AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket)
+        |SELECT axis.bucket,
+        |       CAST(COALESCE(c.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+        |       CAST(SUM(COALESCE(c.n_new_tokens, 0)) OVER (ORDER BY axis.bucket
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |FROM axis LEFT JOIN c USING (bucket)""".stripMargin,
     "quantile_elements" ->
       """WITH r AS (
         |  SELECT l_returnflag AS g, l_extendedprice AS v,

@@ -311,6 +311,40 @@ object TextOps {
         s"cast(coalesce(n_symbols * 1000 >= $symbolFracMilli * n_chars and n_chars > 0, false) as boolean) as is_code")
   }
 
+  /** Vocabulary-growth curve (the empirical Heaps'-law check): how many
+    * NEW distinct tokens each tenth of the corpus introduces, and the
+    * cumulative vocabulary. A flattening curve says the corpus stops
+    * teaching the tokenizer; a linear one says it's still novel — the
+    * "is more data still worth it" telemetry. Each token charges its
+    * FIRST document (min doc id), buckets are integer value-ranges of
+    * the id space, the cumulative fold is a ≤`buckets`-row window.
+    */
+  def vocabGrowth(documents: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val firsts = documents
+      .selectExpr("doc_id", "explode(filter(split(text, ' '), x -> x != '')) as token")
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val maxId = documents.agg(max(col("doc_id")).as("max_id"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counts = firsts
+      .crossJoin(broadcast(maxId))
+      .withColumn("bucket",
+        least(expr(s"(first_doc - 1) * ${buckets}L div max_id"), lit(buckets - 1))
+          .cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_new_tokens"))
+    // saturated buckets introduce ZERO tokens — emit them explicitly so
+    // the curve reads as a curve, not a sparse map
+    documents.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_new_tokens"), lit(0L)).cast("bigint").as("n_new_tokens"))
+      .withColumn("cum_vocab", sum(col("n_new_tokens")).over(w).cast("bigint"))
+  }
+
   /** Hashing-trick featurizer (Weinberger et al. 2009) in sparse COO
     * form: token → md5 bucket in [0, dim), per-(doc, bucket) exact
     * count plus the SIGNED sum (sign from an independent hash bit) that

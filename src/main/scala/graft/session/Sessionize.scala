@@ -122,4 +122,29 @@ object Sessionize {
         // trailing zeros ('0.40') where float64 readers print '0.4'.
         sum(when(col(typeCol) === purchaseType, col(valueCol)).otherwise(lit(0.0))
           .cast("decimal(18,2)")).cast("double").as("purchase_value"))
+
+  /** Bounce rate by session ENTRY event type — the landing-quality
+    * metric: of the sessions that START with X, how many end after that
+    * single event. Rides the gap-sessionizer: one per-session aggregate
+    * (entry type = the min (ts, tie, type) struct's type — no second
+    * window), then an entry-type fold; the rate is one IEEE division of
+    * exact counts.
+    */
+  def bounceRate(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      gapMin: Long = 30L): DataFrame =
+    withSessionIds(events, userCol, tsCol, tieCol, gapMin)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col(tsCol), col(tieCol), col(typeCol).as("t")))
+          .getField("t").as("entry_type"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("bigint").as("n_bounces"))
+      .withColumn("bounce_rate",
+        col("n_bounces").cast("double") / col("n_sessions").cast("double"))
 }

@@ -235,4 +235,34 @@ object StateOps {
         col("first_touch_id"), col("last_touch_id"),
         col("last_touch_type"), col("secs_since_last"))
   }
+
+  /** Time-to-convert distribution: for each user with a `fromType` event
+    * followed (or matched at the same instant) by a `toType` event, the
+    * microsecond lag between the FIRST of each, summarized as exact
+    * element quantiles (`Quality.quantileElements` — nothing
+    * interpolates). The funnel-latency number next to `funnelSteps`'
+    * conversion counts: not just HOW MANY convert, but how long they
+    * take. One conditional-min aggregate per user, then the bounded
+    * quantile window.
+    */
+  def conversionLag(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      qPermille: Seq[Int] = Seq(250, 500, 750, 900)): DataFrame = {
+    val lags = events
+      .where(col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(
+        min(when(col(typeCol) === fromType, unix_micros(col(tsCol)))).as("first_from"),
+        min(when(col(typeCol) === toType, unix_micros(col(tsCol)))).as("first_to"))
+      .where(col("first_from").isNotNull && col("first_to").isNotNull &&
+        col("first_to") >= col("first_from"))
+      .select(lit(s"${fromType}_to_$toType").as("metric"),
+        (col("first_to") - col("first_from")).as("lag_us"))
+    graft.ops.Quality.quantileElements(lags, "metric", "lag_us", qPermille)
+  }
 }

@@ -423,6 +423,49 @@ class OpsSpec extends AnyFunSuite {
     cal.foreach(c => assert(c._4 === c._3.toDouble / c._2.toDouble && c._1 >= 0 && c._1 <= 10))
   }
 
+  test("bounceRate: single-event sessions count against their entry type") {
+    import graft.session.Sessionize
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val ev = Seq(
+      // u1 session 1: click -> view (no bounce); session 2 (gap > 30m): click only (bounce)
+      (1L, 1L, "click", t(0)), (1L, 2L, "view", t(5)), (1L, 3L, "click", t(50)),
+      // u2: one single-event session entered via view (bounce)
+      (2L, 4L, "view", t(0)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Sessionize.bounceRate(ev).orderBy("entry_type")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("click", 2L, 1L, 0.5), ("view", 1L, 1L, 1.0)))
+  }
+
+  test("conversionLag: first-from to first-to lag; converters-only; exact quantile elements") {
+    import graft.session.StateOps
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "click", t("2024-01-01 10:00:00")), (1L, "purchase", t("2024-01-01 10:10:00")),
+      (2L, "click", t("2024-01-01 10:00:00")), (2L, "purchase", t("2024-01-01 10:30:00")),
+      (3L, "click", t("2024-01-01 10:00:00")), // never converts
+      (4L, "purchase", t("2024-01-01 09:00:00")), (4L, "click", t("2024-01-01 10:00:00"))) // converted BEFORE clicking
+      .toDF("user_id", "event_type", "ts")
+    val out = StateOps.conversionLag(ev, "click", "purchase", qPermille = Seq(500, 1000))
+      .orderBy("q_permille").as[(String, Int, Long, Long)].collect().toSeq
+    // only u1 (600s) and u2 (1800s) qualify; lower median = 600s
+    assert(out === Seq(
+      ("click_to_purchase", 500, 2L, 600L * 1000000L),
+      ("click_to_purchase", 1000, 2L, 1800L * 1000000L)))
+  }
+
+  test("vocabGrowth: tokens charge their first doc; saturated buckets emit zeros; cum monotone") {
+    import graft.ext.TextOps
+    val docs = (1L to 10L).map { i =>
+      (i, if (i <= 2) s"common tok$i" else "common") // new tokens only in docs 1-2
+    }.toDF("doc_id", "text")
+    val out = TextOps.vocabGrowth(docs, buckets = 5).orderBy("bucket")
+      .as[(Int, Long, Long)].collect().toSeq
+    // doc1 -> bucket 0 introduces {common, tok1}; doc2 -> bucket 0 too
+    // ((2-1)*5 div 10 = 0) introduces tok2; buckets 1-4 introduce nothing
+    assert(out === Seq((0, 3L, 3L), (1, 0L, 3L), (2, 0L, 3L), (3, 0L, 3L), (4, 0L, 3L)))
+  }
+
   test("quantileElements: exact elements at ceil(q*n/1000); one window serves all quantiles") {
     import graft.ops.Quality
     val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "v")
