@@ -489,6 +489,10 @@ object SparkEntry {
     "calibration_table" -> ((s, d) => TextOps.langIdCalibration(Tables.documents(s, d))),
     "code_detect" -> ((s, d) => TextOps.codeDetect(Tables.documents(s, d))),
     "feature_hash" -> ((s, d) => TextOps.featureHash(Tables.documents(s, d))),
+    "sample_fixed_k" -> ((s, d) =>
+      Sampling.sampleFixedK(
+        Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+        "doc_id", k = 100)),
     "bounce_rate" -> ((s, d) => Sessionize.bounceRate(Tables.events(s, d))),
     "conversion_lag" -> ((s, d) =>
       StateOps.conversionLag(Tables.events(s, d), "click", "purchase")),
@@ -3217,6 +3221,11 @@ object SparkEntry {
          |SELECT doc_id, feature_idx, CAST(COUNT(*) AS BIGINT) AS cnt,
          |       CAST(SUM(sgn) AS BIGINT) AS signed_sum
          |FROM h GROUP BY 1, 2""".stripMargin,
+    "sample_fixed_k" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id IS NOT NULL
+         |ORDER BY ${dH("'sfk:' || CAST(doc_id AS VARCHAR)")}, doc_id
+         |LIMIT 100""".stripMargin,
     "bounce_rate" ->
       """WITH g AS (
         |  SELECT event_id, user_id, event_type, ts,

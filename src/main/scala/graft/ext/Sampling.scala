@@ -332,4 +332,23 @@ object Sampling {
           .otherwise(greatest(col("weight"), col("tau"))).as("w_hat"))
       .orderBy(col("key"))
   }
+
+  /** Deterministic FIXED-SIZE uniform sample: the k rows with the
+    * smallest seeded hash of the id (every engine and every retry picks
+    * the same rows — the property `rand()`-based limits lack). The
+    * rate-based twins ([[graft.ext.TextOps]]' sample_hash, the
+    * stratified/weighted forms here) return a size that floats with the
+    * corpus; an eval set or labeling batch needs exactly k. Plans as
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    * never a global sort (PlanSpec-pinned).
+    */
+  def sampleFixedK(df: DataFrame, idCol: String, k: Int, seed: String = "sfk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.where(col(idCol).isNotNull)
+      .withColumn("_h",
+        expr(graft.ext.TextOps.md5Long64(s"concat('$seed:', cast($idCol as string))")))
+      .orderBy(col("_h"), col(idCol))
+      .limit(k)
+      .drop("_h")
+  }
 }

@@ -423,6 +423,20 @@ class OpsSpec extends AnyFunSuite {
     cal.foreach(c => assert(c._4 === c._3.toDouble / c._2.toDouble && c._1 >= 0 && c._1 <= 10))
   }
 
+  test("sampleFixedK: exactly k rows, retry-stable, disjoint seeds give different samples") {
+    import graft.ext.Sampling
+    val df = (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v")
+    val s1 = Sampling.sampleFixedK(df, "id", 20).select("id").as[Long].collect().toSeq.sorted
+    val s2 = Sampling.sampleFixedK(df, "id", 20).select("id").as[Long].collect().toSeq.sorted
+    assert(s1.length === 20 && s1 === s2) // deterministic under re-execution
+    val other = Sampling.sampleFixedK(df, "id", 20, seed = "other")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(other.length === 20 && other != s1) // seed actually steers
+    // k >= n returns everything
+    assert(Sampling.sampleFixedK(df.limit(5), "id", 100).count() === 5L)
+    intercept[IllegalArgumentException](Sampling.sampleFixedK(df, "id", 0))
+  }
+
   test("bounceRate: single-event sessions count against their entry type") {
     import graft.session.Sessionize
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")

@@ -427,6 +427,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition(shingle_hash"), p)
   }
 
+  test("sample_fixed_k: plans as TakeOrderedAndProject — per-partition top-k, never a global sort") {
+    val p = formatted("sample_fixed_k")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!"Exchange rangepartitioning".r.findFirstIn(p).isDefined, p)
+  }
+
   test("dense_ids: the data-side rank window is partitioned — only the offsets frame may single-partition") {
     val p = formatted("dense_ids")
     // the per-partition rank must window over _pid (parallel), and the
