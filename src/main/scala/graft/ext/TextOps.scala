@@ -270,6 +270,82 @@ object TextOps {
         "cast(case when predicted_lang = lang then 1 else 0 end as bigint) as is_correct")
   }
 
+  /** Streaming heavy hitters with BOUNDED state: each micro-batch stores
+    * its ≤`capacity`-row Misra–Gries summary (token, residual count)
+    * plus the batch's item total (whole-dir overwrite ⇒
+    * replay-idempotent), and [[heavyHittersFrom]] folds the summaries by
+    * the mergeable-summaries construction (Agarwal et al., PODS'12): sum
+    * residuals pointwise, subtract the (capacity+1)-th largest, drop
+    * non-positives. The merged estimate undercounts each item by at most
+    * ⌊N/(capacity+1)⌋ over the WHOLE stream, and every item with true
+    * frequency above that bound survives — so the state on disk is
+    * capacity·batches rows however large the vocabulary grows, the
+    * bounded-sketch contract the exact token histogram
+    * ([[corpusStatsSink]]) cannot give.
+    */
+  def heavyHittersSink(
+      documents: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      capacity: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    documents.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        heavyHittersBatch(batch.toDF(), outDir, batchId, capacity)
+      }
+      .start()
+
+  /** One micro-batch's summary store (factored out for replay tests). */
+  def heavyHittersBatch(df: DataFrame, outDir: String, batchId: Long, capacity: Int = 256): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(split(col("text"), " ")).as("token"))
+      .as[String]
+      .select(graft.functions.MisraGriesAggregator.full(capacity).toColumn.name("s"))
+      .select(explode(arrays_zip(col("candidates"), col("counts"))).as("z"), col("n_total"))
+      .select(col("z.candidates").as("token"), col("z.counts").as("cnt"),
+        col("n_total").as("batch_n_total"), lit(batchId).as("bid"))
+      .write.mode("overwrite").parquet(s"$outDir/mg/batch_$batchId")
+    ()
+  }
+
+  /** The merged heavy-hitter summary over everything [[heavyHittersSink]]
+    * committed: (token, est_count, n_total, max_undercount) with
+    * est_count ≤ true ≤ est_count + max_undercount guaranteed. The merge
+    * window runs over ≤ capacity·batches rows — summary-sized, never
+    * vocabulary-sized.
+    */
+  def heavyHittersFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String,
+      capacity: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val committed = committedBatchDirs(spark, s"$outDir/mg")
+    if (committed.isEmpty)
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("token", "est_count", "n_total", "max_undercount")
+    else {
+      val raw = spark.read.parquet(committed.toSeq.sorted.map(b => s"$outDir/mg/$b"): _*)
+      val nTotal = raw.groupBy(col("bid")).agg(max(col("batch_n_total")).as("bn"))
+        .agg(coalesce(sum(col("bn")), lit(0L)).cast("bigint").as("n_total"))
+      val wAll = Window.orderBy(col("c").desc, col("token"))
+      val ranked = raw.groupBy(col("token"))
+        .agg(sum(col("cnt")).as("c"))
+        .withColumn("_rk", row_number().over(wAll))
+      val cutF = ranked.agg(
+        coalesce(max(when(col("_rk") === capacity + 1, col("c"))), lit(0L)).as("cut"))
+      ranked
+        .crossJoin(broadcast(cutF))
+        .where(col("c") > col("cut"))
+        .crossJoin(broadcast(nTotal))
+        .select(col("token"),
+          (col("c") - col("cut")).cast("bigint").as("est_count"),
+          col("n_total"),
+          expr(s"n_total div ${capacity + 1}").cast("bigint").as("max_undercount"))
+    }
+  }
+
   /** Calibration table for the n-gram language classifier — does a
     * winning score of 0.8 actually mean 80%-ish accuracy? Buckets the
     * winning stopword score into tenths and reports exact hit counts

@@ -134,13 +134,45 @@ class MisraGriesAggregator[I](capacity: Int, extract: I => String)
   override def outputEncoder: Encoder[Out] = ExpressionEncoder[Out]()
 }
 
+/** [[MisraGriesAggregator]] with the residual COUNTS exposed alongside
+  * the candidates — what a summary STORE needs (the per-batch streaming
+  * sink persists ≤ capacity (token, residual) rows; the plain form's
+  * finish deliberately drops counts because the batch path re-counts
+  * exactly). Delegates every buffer operation to the proven
+  * implementation.
+  */
+class MisraGriesFullAggregator[I](capacity: Int, extract: I => String)
+    extends Aggregator[I, (Array[String], Array[Long], Long), MisraGriesAggregator.OutFull] {
+  private val inner = new MisraGriesAggregator[I](capacity, extract)
+  override def zero: (Array[String], Array[Long], Long) = inner.zero
+  override def reduce(b: (Array[String], Array[Long], Long), i: I): (Array[String], Array[Long], Long) =
+    inner.reduce(b, i)
+  override def merge(a: (Array[String], Array[Long], Long), b: (Array[String], Array[Long], Long)): (Array[String], Array[Long], Long) =
+    inner.merge(a, b)
+  override def finish(buf: (Array[String], Array[Long], Long)): MisraGriesAggregator.OutFull =
+    MisraGriesAggregator.OutFull(buf._1, buf._2, buf._3)
+  override def bufferEncoder: Encoder[(Array[String], Array[Long], Long)] =
+    ExpressionEncoder[(Array[String], Array[Long], Long)]()
+  override def outputEncoder: Encoder[MisraGriesAggregator.OutFull] =
+    ExpressionEncoder[MisraGriesAggregator.OutFull]()
+}
+
 object MisraGriesAggregator {
   /** Sorted candidate items — a superset of every item with true frequency
     * > n_total/(capacity+1) — and the total item count.
     */
   case class Out(candidates: Array[String], n_total: Long)
 
+  /** Candidates with their residual summary counts (each UNDERCOUNTS its
+    * item's true frequency by at most ⌊n_total/(capacity+1)⌋).
+    */
+  case class OutFull(candidates: Array[String], counts: Array[Long], n_total: Long)
+
   /** The plain string-stream form. */
   def apply(capacity: Int): MisraGriesAggregator[String] =
     new MisraGriesAggregator[String](capacity, identity)
+
+  /** The counts-exposed string-stream form. */
+  def full(capacity: Int): MisraGriesFullAggregator[String] =
+    new MisraGriesFullAggregator[String](capacity, identity)
 }

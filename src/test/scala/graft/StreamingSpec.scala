@@ -714,6 +714,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(Incremental.aggStateFrom(spark, base, s"$dir/nothing")) === canon(base))
   }
 
+  test("heavyHittersSink: merged MG summary honors mergeable-summaries bounds; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_mg").toString
+    val cap = 4
+    // vocabulary of 8 tokens forces residual cuts at capacity 4; 'hot'
+    // dominates across BOTH batches, 'warm' only in batch 2
+    def doc(tokens: Seq[String]) = tokens.mkString(" ")
+    val b1 = Seq((1L, doc(Seq.fill(30)("hot") ++ Seq("a", "b", "c", "d", "e", "f"))))
+    val b2 = Seq((2L, doc(Seq.fill(25)("hot") ++ Seq.fill(12)("warm") ++ Seq("a", "b", "c"))))
+    val ms = MemoryStream[(Long, String)]
+    val q = TextOps.heavyHittersSink(
+      ms.toDS().toDF("doc_id", "text"), s"$dir/out", s"$dir/cp", capacity = cap)
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def summary() = TextOps.heavyHittersFrom(spark, s"$dir/out", capacity = cap)
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val got = summary()
+    // exact truth over the union
+    val exact = (b1 ++ b2).flatMap(_._2.split(" ")).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = exact.values.sum
+    assert(got.forall(_._3 == n))
+    val bound = n / (cap + 1)
+    got.foreach { case (tok, est, _, mu) =>
+      assert(mu === bound)
+      val t = exact(tok)
+      assert(est <= t && t <= est + mu, s"$tok est=$est true=$t bound=$mu")
+    }
+    // superset guarantee: every token with true freq > n/(cap+1) is present
+    exact.filter(_._2 > bound).keys.foreach { tok =>
+      assert(got.exists(_._1 == tok), s"missing guaranteed heavy hitter $tok")
+    }
+    assert(got.exists(_._1 == "hot") && got.exists(_._1 == "warm"))
+    // replay of the last batch converges to the same store
+    TextOps.heavyHittersBatch(b2.toDF("doc_id", "text"), s"$dir/out", 1L, capacity = cap)
+    assert(summary() === got)
+    // empty store: empty frame, not an error
+    assert(TextOps.heavyHittersFrom(spark, s"$dir/none", cap).count() === 0L)
+  }
+
   test("markovSink: cross-batch transitions stitched from bounds; equals the batch matrix; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
