@@ -494,6 +494,9 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
         "doc_id", k = 100)),
     "bounce_rate" -> ((s, d) => Sessionize.bounceRate(Tables.events(s, d))),
+    "session_depth_hist" -> ((s, d) => Sessionize.sessionDepthHist(Tables.events(s, d))),
+    "weekday_profile" -> ((s, d) =>
+      graft.ops.Quality.weekdayProfile(Tables.events(s, d), "event_type", "ts")),
     "conversion_lag" -> ((s, d) =>
       StateOps.conversionLag(Tables.events(s, d), "click", "purchase")),
     "vocab_growth" -> ((s, d) => TextOps.vocabGrowth(Tables.documents(s, d))),
@@ -3258,6 +3261,44 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
         |FROM per GROUP BY 1""".stripMargin,
+    "session_depth_hist" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS session_start
+        |  FROM g
+        |), sq AS (
+        |  SELECT user_id,
+        |         SUM(session_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s
+        |), per AS (
+        |  SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS depth
+        |  FROM sq GROUP BY 1, 2
+        |)
+        |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(depth * COUNT(*) AS BIGINT) AS n_events
+        |FROM per GROUP BY 1""".stripMargin,
+    "weekday_profile" ->
+      """WITH c AS (
+        |  SELECT event_type AS etype, CAST(isodow(ts) AS INT) AS dow,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |), t AS (SELECT etype, CAST(SUM(n) AS BIGINT) AS n_type FROM c GROUP BY 1),
+        |d AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS n_dow FROM c GROUP BY 1),
+        |a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM c)
+        |SELECT c.etype, c.dow, c.n, t.n_type, d.n_dow,
+        |       CAST(t.n_type AS DOUBLE) * CAST(d.n_dow AS DOUBLE)
+        |         / CAST(a.n_all AS DOUBLE) AS expected,
+        |       CAST(c.n AS DOUBLE)
+        |         / (CAST(t.n_type AS DOUBLE) * CAST(d.n_dow AS DOUBLE)
+        |            / CAST(a.n_all AS DOUBLE)) AS ratio
+        |FROM c JOIN t USING (etype) JOIN d USING (dow), a""".stripMargin,
     "conversion_lag" ->
       """WITH f AS (
         |  SELECT user_id,

@@ -195,6 +195,37 @@ object Quality {
       .withColumn("released_n", greatest(col("noisy_n"), lit(0L)))
   }
 
+  /** Weekday seasonality profile: per (type, day-of-week) observed
+    * counts against the independence expectation
+    * E = n_type·n_dow/N, with the ratio observed/expected — the
+    * "is Tuesday weird for purchases" telemetry that separates weekly
+    * rhythm from genuine drift before CUSUM alarms on it. Counts exact;
+    * expected and ratio are fixed two-division IEEE trees over exact
+    * int64s. day-of-week is ISO (1 = Monday), identical cross-engine.
+    */
+  def weekdayProfile(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wType = Window.partitionBy(col("etype"))
+    val wDow = Window.partitionBy(col("dow"))
+    val wAll = Window.partitionBy()
+    df.where(col(typeCol).isNotNull)
+      .groupBy(col(typeCol).as("etype"),
+        dayofweek(col(tsCol)).as("_d")) // 1 = Sunday in Spark
+      .agg(count(lit(1)).as("n"))
+      // ISO dow (1 = Monday): shift Spark's Sunday-first convention
+      .withColumn("dow", expr("case when _d = 1 then 7 else _d - 1 end").cast("int"))
+      .drop("_d")
+      .withColumn("n_type", sum(col("n")).over(wType).cast("bigint"))
+      .withColumn("n_dow", sum(col("n")).over(wDow).cast("bigint"))
+      .withColumn("n_all", sum(col("n")).over(wAll).cast("bigint"))
+      .select(col("etype"), col("dow"), col("n"), col("n_type"), col("n_dow"),
+        (col("n_type").cast("double") * col("n_dow").cast("double") /
+          col("n_all").cast("double")).as("expected"),
+        (col("n").cast("double") /
+          (col("n_type").cast("double") * col("n_dow").cast("double") /
+            col("n_all").cast("double"))).as("ratio"))
+  }
+
   /** CUSUM change-point telemetry over per-day event counts (Page 1954)
     * — the "did the mix shift mid-corpus" alarm for ingest monitoring.
     * Per type, the classic cumulative sum of deviations from the mean is

@@ -130,6 +130,25 @@ object Sessionize {
     * window), then an entry-type fold; the rate is one IEEE division of
     * exact counts.
     */
+  /** Session-depth histogram: how many sessions contain exactly n
+    * events, with the rows they carry — the engagement-shape companion
+    * to [[bounceRate]]'s entry-type cut (depth 1 here IS the total
+    * bounce count). Per-session count then a ≤max-depth-row fold.
+    */
+  def sessionDepthHist(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      gapMin: Long = 30L): DataFrame =
+    withSessionIds(events, userCol, tsCol, tieCol, gapMin)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("depth"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .select(col("depth"), col("n_sessions"),
+        (col("depth") * col("n_sessions")).cast("bigint").as("n_events"))
+
   def bounceRate(
       events: DataFrame,
       userCol: String = "user_id",

@@ -437,6 +437,40 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sampling.sampleFixedK(df, "id", 0))
   }
 
+  test("sessionDepthHist: depth buckets reconcile with sessions and events") {
+    import graft.session.Sessionize
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val ev = Seq(
+      (1L, 1L, t(0)), (1L, 2L, t(5)), (1L, 3L, t(50)), // depths 2, 1
+      (2L, 4L, t(0))) // depth 1
+      .toDF("user_id", "event_id", "ts")
+    val out = Sessionize.sessionDepthHist(ev).orderBy("depth")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 2L), (2L, 1L, 2L)))
+    assert(out.map(_._3).sum === 4L) // every event accounted for
+  }
+
+  test("weekdayProfile: ISO dow, independence expectation, uniform data ratios 1.0") {
+    import graft.ops.Quality
+    // 2024-01-01 is a Monday; two types, each once per day Mon-Sun
+    val rows = for {
+      d <- 1 to 7; ty <- Seq("a", "b")
+    } yield (ty, f"2024-01-$d%02d 12:00:00")
+    val df = rows.toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = Quality.weekdayProfile(df, "t", "ts")
+      .as[(String, Int, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out.length === 14 && out.map(_._2).toSet === (1 to 7).toSet)
+    out.foreach { r =>
+      assert(r._3 === 1L && r._4 === 7L && r._5 === 2L)
+      assert(r._6 === 1.0 && r._7 === 1.0) // perfectly uniform -> ratio 1
+    }
+    // Jan 1 2024 (Monday) must land in dow 1
+    val mon = Quality.weekdayProfile(
+      Seq(("x", "2024-01-01 00:00:00")).toDF("t", "s")
+        .withColumn("ts", col("s").cast("timestamp")), "t", "ts").head()
+    assert(mon.getInt(1) === 1)
+  }
+
   test("bounceRate: single-event sessions count against their entry type") {
     import graft.session.Sessionize
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
