@@ -348,6 +348,10 @@ object SparkEntry {
       graft.ops.Quality.cusumDrift(Tables.events(s, d), "event_type", "ts")),
     "trend_slope" -> ((s, d) =>
       graft.ops.Quality.trendSlope(Tables.events(s, d), "event_type", "ts")),
+    "autocorr" -> ((s, d) =>
+      graft.ops.Quality.autocorrelation(Tables.events(s, d), "event_type", "ts")),
+    "seasonal_decompose" -> ((s, d) =>
+      graft.ops.Quality.seasonalDecompose(Tables.events(s, d), "event_type", "ts")),
     "profile_diff" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val cutoff = lit("1998-01-01").cast("timestamp")
@@ -3284,6 +3288,62 @@ object SparkEntry {
         |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_sessions,
         |       CAST(depth * COUNT(*) AS BIGINT) AS n_events
         |FROM per GROUP BY 1""".stripMargin,
+    "autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype, date_trunc('day', ts) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |), l AS (
+        |  SELECT etype, n,
+        |         row_number() OVER (PARTITION BY etype ORDER BY day) AS t
+        |  FROM daily
+        |), st AS (
+        |  SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS q
+        |  FROM l GROUP BY 1
+        |), lg AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        |pr AS (
+        |  SELECT i.etype, g.lag,
+        |         CAST(SUM(i.n * j.n) AS BIGINT) AS ck,
+        |         CAST(SUM(i.n) AS BIGINT) AS ak,
+        |         CAST(SUM(j.n) AS BIGINT) AS bk
+        |  FROM l i CROSS JOIN lg g
+        |  JOIN l j ON j.etype = i.etype AND j.t = i.t + g.lag
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.etype, CAST(p.lag AS INT) AS lag, st.n_days,
+        |       st.n_days * st.n_days * p.ck - st.n_days * st.s * (p.ak + p.bk)
+        |         + (st.n_days - p.lag) * st.s * st.s AS acf_num,
+        |       st.n_days * (st.n_days * st.q - st.s * st.s) AS acf_den,
+        |       CAST(st.n_days * st.n_days * p.ck - st.n_days * st.s * (p.ak + p.bk)
+        |              + (st.n_days - p.lag) * st.s * st.s AS DOUBLE)
+        |         / CAST(st.n_days * (st.n_days * st.q - st.s * st.s) AS DOUBLE) AS acf
+        |FROM pr p JOIN st USING (etype)
+        |WHERE st.n_days * (st.n_days * st.q - st.s * st.s) > 0""".stripMargin,
+    "seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype, date_trunc('day', ts) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT etype, day, CAST(isodow(day) AS INT) AS dow, n,
+        |         CAST(SUM(n) OVER w AS BIGINT) AS trend_sum7,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY etype ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), f AS (SELECT * FROM t WHERE win_n = 7),
+        |se AS (
+        |  SELECT etype, dow, CAST(SUM(7 * n - trend_sum7) AS BIGINT) AS seas_num,
+        |         CAST(COUNT(*) AS BIGINT) AS seas_den
+        |  FROM f GROUP BY 1, 2
+        |)
+        |SELECT f.etype, f.day, f.dow, f.n, f.trend_sum7, se.seas_num, se.seas_den,
+        |       CAST(f.trend_sum7 AS DOUBLE) / 7.0 AS trend,
+        |       CAST(se.seas_num AS DOUBLE) / CAST(7 * se.seas_den AS DOUBLE) AS seasonal,
+        |       CAST(f.n AS DOUBLE) - CAST(f.trend_sum7 AS DOUBLE) / 7.0
+        |         - CAST(se.seas_num AS DOUBLE) / CAST(7 * se.seas_den AS DOUBLE) AS residual
+        |FROM f JOIN se USING (etype, dow)""".stripMargin,
     "weekday_profile" ->
       """WITH c AS (
         |  SELECT event_type AS etype, CAST(isodow(ts) AS INT) AS dow,

@@ -344,6 +344,111 @@ object Quality {
         (col("num").cast("double") / col("den").cast("double")).as("slope"))
   }
 
+  /** Sample autocorrelation of the per-day count series, lags 1..maxLag
+    * — the seasonality detector behind "is this metric weekly-periodic"
+    * (an ACF spike at lag 7) and "is drift persistent" (slow ACF decay),
+    * the fourth reader over the same [[dailyCounts]] store as
+    * CUSUM/Theil-Sen/weekday. r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+    * is kept cross-engine EXACT by clearing the x̄ = S/n denominators:
+    * with C_k = Σ x_t·x_{t+k}, A_k = Σ_{t≤n−k} x_t, B_k = Σ_{t>k} x_t,
+    *   num·n² = n²·C_k − n·S·(A_k+B_k) + (n−k)·S²
+    *   den·n² = n·(n·Q − S²)
+    * are int64 (emitted as witness columns), and `acf` is their single
+    * IEEE division. Lags over the observed-day INDEX (an absent day is
+    * absent in both engines — zero-filling is `resample_fill`'s job);
+    * lags with no pairs, and constant series (den = 0), yield no row.
+    * Overflow bound: n_days·S·(A+B) stays under 2⁶³ up to ~10⁸ events
+    * per type per year — beyond that, pre-scale the daily counts.
+    *
+    * Scale shape: one shuffle on the type key serves the lead window
+    * AND the per-type aggregate; maxLag leads share one window sort,
+    * the aggregate is map-side combined, and the stack unpivot runs on
+    * |types| rows. Day cardinality bounds every partition.
+    */
+  def autocorrelation(df: DataFrame, typeCol: String, tsCol: String, maxLag: Int = 7): DataFrame =
+    acfFromDaily(dailyCounts(df, typeCol, tsCol), maxLag)
+
+  private[graft] def acfFromDaily(daily: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30, s"maxLag must be in [1,30], got $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("etype")).orderBy(col("day"))
+    val withLeads = (1 to maxLag).foldLeft(daily) { (d, k) =>
+      d.withColumn(s"_l$k", lead(col("n"), k).over(w))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_days"),
+      sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("q")) ++ (1 to maxLag).flatMap { k =>
+      Seq(
+        sum(col("n") * col(s"_l$k")).as(s"c_$k"),
+        sum(when(col(s"_l$k").isNotNull, col("n"))).as(s"a_$k"),
+        sum(col(s"_l$k")).as(s"b_$k"))
+    }
+    val stackArgs =
+      (1 to maxLag).map(k => s"$k, c_$k, a_$k, b_$k").mkString(", ")
+    withLeads.groupBy(col("etype")).agg(aggs.head, aggs.tail: _*)
+      .selectExpr("etype", "n_days", "s", "q",
+        s"stack($maxLag, $stackArgs) as (lag, ck, ak, bk)")
+      .where(col("ck").isNotNull)
+      .select(col("etype"), col("lag").cast("int").as("lag"), col("n_days"),
+        (col("n_days") * col("n_days") * col("ck")
+          - col("n_days") * col("s") * (col("ak") + col("bk"))
+          + (col("n_days") - col("lag")) * col("s") * col("s")).as("acf_num"),
+        (col("n_days") * (col("n_days") * col("q") - col("s") * col("s")))
+          .as("acf_den"))
+      .where(col("acf_den") > 0)
+      .withColumn("acf",
+        col("acf_num").cast("double") / col("acf_den").cast("double"))
+  }
+
+  /** Classical additive seasonal decomposition of the per-day count
+    * series: n = trend + seasonal + residual, the "is the dip real or
+    * just the weekend" separator for ingest monitoring — the decomposed
+    * sibling of [[weekdayProfile]] (which profiles the seasonal factor
+    * alone) over the same [[dailyCounts]] store.
+    *
+    * Cross-engine exactness: the trend is a centered 7-row moving
+    * AVERAGE carried as its integer moving SUM (`trend_sum7`); the
+    * seasonal factor is the per-(type, ISO-dow) mean of the detrended
+    * series carried as the integer pair (`seas_num` = Σ(7·n −
+    * trend_sum7), `seas_den` = row count) — so the only float ops are
+    * three scalar derivations with a fixed expression tree (two
+    * divisions, two subtractions), identical in any IEEE engine. Rows
+    * without a full ±3-day window (series edges) get no decomposition
+    * row: a partial-window trend would bias the seasonal means.
+    * Observed-day index semantics as in [[autocorrelation]].
+    *
+    * Scale shape: one shuffle on the type key for the moving window,
+    * one map-side-combined aggregate on (type, dow) — 7·|types| rows —
+    * broadcast back. Day cardinality bounds every partition.
+    */
+  def seasonalDecompose(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("etype")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val withTrend = dailyCounts(df, typeCol, tsCol)
+      .withColumn("_dow1", dayofweek(col("day")))
+      .withColumn("dow",
+        expr("case when _dow1 = 1 then 7 else _dow1 - 1 end").cast("int"))
+      .withColumn("_win_n", count(lit(1)).over(w))
+      .withColumn("trend_sum7", sum(col("n")).over(w))
+      .where(col("_win_n") === 7)
+      .select(col("etype"), col("day"), col("dow"), col("n"), col("trend_sum7"))
+    val seasonal = withTrend
+      .groupBy(col("etype"), col("dow"))
+      .agg(sum(lit(7L) * col("n") - col("trend_sum7")).as("seas_num"),
+        count(lit(1)).as("seas_den"))
+    withTrend.join(broadcast(seasonal), Seq("etype", "dow"))
+      .withColumn("trend", col("trend_sum7").cast("double") / lit(7.0))
+      .withColumn("seasonal",
+        col("seas_num").cast("double") / (lit(7L) * col("seas_den")).cast("double"))
+      .withColumn("residual",
+        col("n").cast("double") - col("trend") - col("seasonal"))
+      .select(col("etype"), col("day"), col("dow"), col("n"), col("trend_sum7"),
+        col("seas_num"), col("seas_den"), col("trend"), col("seasonal"),
+        col("residual"))
+  }
+
   /** Streaming twin of [[cusumDrift]]: each micro-batch writes its
     * (type, day) count partial to a batch-id directory (whole-dir
     * overwrite ⇒ replay-idempotent), and [[cusumDriftFrom]] folds base +

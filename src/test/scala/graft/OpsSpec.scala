@@ -790,6 +790,57 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Quality.cusumDrift(df, "t", "ts", threshMult = 0))
   }
 
+  test("autocorrelation: integer-exact ACF witnesses; 1..5 gives r1=0.4, r2=-0.1") {
+    import graft.ops.Quality
+    // one event on day d repeated n(d) times: counts 1,2,3,4,5
+    val rows = (1 to 5).flatMap(d =>
+      Seq.fill(d)(("a", f"2024-01-0$d 01:00:00")))
+    val df = rows.toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = Quality.autocorrelation(df, "t", "ts", maxLag = 3)
+      .orderBy("lag")
+      .select("lag", "n_days", "acf_num", "acf_den", "acf")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    // n=5 S=15 Q=55: den = 5*(275-225) = 250
+    // lag1: C=40 A=10 B=14 -> num = 1000-1800+900 = 100 -> 0.4
+    // lag2: C=26 A=6  B=12 -> num = 650-1350+675 = -25 -> -0.1
+    // lag3: C=1*4+2*5=14 A=3 B=9 -> num = 350-900+450 = -100 -> -0.4
+    assert(out === Seq(
+      (1, 5L, 100L, 250L, 0.4),
+      (2, 5L, -25L, 250L, -0.1),
+      (3, 5L, -100L, 250L, -0.4)))
+    // constant series: den = 0 -> no rows
+    val const = Seq.fill(3)("b").zipWithIndex
+      .map { case (t, i) => (t, f"2024-01-0${i + 1} 01:00:00") }
+      .toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    assert(Quality.autocorrelation(const, "t", "ts").count() === 0)
+    intercept[IllegalArgumentException](
+      Quality.autocorrelation(df, "t", "ts", maxLag = 0))
+  }
+
+  test("seasonalDecompose: periodic series decomposes to zero residual") {
+    import graft.ops.Quality
+    // 14 days from Mon 2024-01-01: weekly pattern 10,10,10,10,10,20,30
+    val pattern = Seq(10, 10, 10, 10, 10, 20, 30)
+    val rows = (0 until 14).flatMap { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      Seq.fill(pattern(i % 7))(("a", s"$day 01:00:00"))
+    }
+    val df = rows.toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = Quality.seasonalDecompose(df, "t", "ts")
+      .orderBy("day")
+      .select("dow", "n", "trend_sum7", "seas_num", "seas_den", "seasonal", "residual")
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // full ±3 windows exist for days 4..11 only (8 rows), every window
+    // holds one full period -> trend_sum7 = 100 everywhere
+    assert(out.size === 8)
+    assert(out.forall(_._3 === 100L))
+    // Sunday (dow 7, n=30): detrended 7*30-100 = 110, one observation
+    val sun = out.find(_._1 === 7).get
+    assert(sun._4 === 110L && sun._5 === 1L && sun._6 === 110.0 / 7.0)
+    // a perfectly periodic series has zero residual everywhere
+    assert(out.forall(r => math.abs(r._7) < 1e-12))
+  }
+
   test("profileDiff: exact per-column metrics and integer-exact verdict flags") {
     import graft.ops.Quality
     val before = Seq((Option(1), Option("a")), (Option(2), Option("b")),
