@@ -350,6 +350,19 @@ object SparkEntry {
       graft.ops.Quality.trendSlope(Tables.events(s, d), "event_type", "ts")),
     "autocorr" -> ((s, d) =>
       graft.ops.Quality.autocorrelation(Tables.events(s, d), "event_type", "ts")),
+    "target_encode" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pt = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      graft.ops.Features.targetEncode(
+        li.join(pt, col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            (col("l_returnflag") === "R").as("is_returned"), col("l_orderkey")),
+        "p_brand", "is_returned", "l_orderkey")
+    }),
+    "quantile_normalize" -> ((s, d) =>
+      graft.ops.Features.quantileNormalize(
+        Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", "event_id")),
     "seasonal_decompose" -> ((s, d) =>
       graft.ops.Quality.seasonalDecompose(Tables.events(s, d), "event_type", "ts")),
     "profile_diff" -> ((s, d) => {
@@ -3288,6 +3301,55 @@ object SparkEntry {
         |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_sessions,
         |       CAST(depth * COUNT(*) AS BIGINT) AS n_events
         |FROM per GROUP BY 1""".stripMargin,
+    "target_encode" ->
+      """WITH b AS (
+        |  SELECT p.p_brand AS category,
+        |         l.l_returnflag = 'R' AS y,
+        |         CAST(l.l_orderkey % 5 AS INT) AS fold
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand IS NOT NULL AND l.l_returnflag IS NOT NULL
+        |    AND l.l_orderkey IS NOT NULL
+        |), pf AS (
+        |  SELECT category, fold, CAST(COUNT(*) AS BIGINT) AS cnt_fold,
+        |         CAST(COUNT(CASE WHEN y THEN 1 END) AS BIGINT) AS pos_fold
+        |  FROM b GROUP BY 1, 2
+        |), pc AS (
+        |  SELECT category, CAST(SUM(cnt_fold) AS BIGINT) AS cnt_cat,
+        |         CAST(SUM(pos_fold) AS BIGINT) AS pos_cat
+        |  FROM pf GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(SUM(cnt_fold) AS BIGINT) AS n_total,
+        |         CAST(SUM(pos_fold) AS BIGINT) AS pos_total FROM pf
+        |)
+        |SELECT pf.category, pf.fold, pf.cnt_fold, pf.pos_fold,
+        |       pc.cnt_cat - pf.cnt_fold AS cnt_oof,
+        |       pc.pos_cat - pf.pos_fold AS pos_oof,
+        |       g.n_total, g.pos_total,
+        |       CAST((pc.pos_cat - pf.pos_fold) * g.n_total
+        |              + 20 * g.pos_total AS DOUBLE)
+        |         / CAST((pc.cnt_cat - pf.cnt_fold + 20) * g.n_total AS DOUBLE) AS te
+        |FROM pf JOIN pc USING (category) CROSS JOIN g""".stripMargin,
+    "quantile_normalize" ->
+      """WITH b AS (
+        |  SELECT event_type AS grp, value, event_id AS id
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), r AS (
+        |  SELECT grp, id, value,
+        |         CAST(row_number() OVER (PARTITION BY grp ORDER BY value, id)
+        |              AS BIGINT) AS rank_in_group,
+        |         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_group
+        |  FROM b
+        |), ref AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY value, id) AS BIGINT) AS global_rank,
+        |         value AS normalized
+        |  FROM b
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM b)
+        |SELECT r.grp, r.id, r.value, r.rank_in_group, r.n_group,
+        |       (r.rank_in_group * n.n_all + r.n_group - 1) // r.n_group AS global_rank,
+        |       ref.normalized
+        |FROM r CROSS JOIN n
+        |JOIN ref ON ref.global_rank =
+        |  (r.rank_in_group * n.n_all + r.n_group - 1) // r.n_group""".stripMargin,
     "autocorr" ->
       """WITH daily AS (
         |  SELECT event_type AS etype, date_trunc('day', ts) AS day,

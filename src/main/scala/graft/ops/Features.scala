@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tabular feature engineering for training pipelines: the encodings a
+  * model actually trains on, built leakage-safe and cross-engine exact.
+  * Sibling of [[Functions]] (scalar sweeps) and [[Quality]] (monitoring):
+  * these transforms' outputs FEED a trainer, so their contracts are about
+  * not leaking the label and not drifting between the engine that built
+  * the training set and the engine that serves.
+  */
+object Features {
+
+  /** Leakage-safe k-fold target encoding (mean-of-label with additive
+    * smoothing) of a categorical column — the high-cardinality-category
+    * encoder gradient-boosting pipelines use where one-hot would explode.
+    * The encoding a row sees is computed from the OTHER folds only
+    * (out-of-fold counts = per-category totals minus own-fold counts), so
+    * a row's own label never reaches its own feature — the leak that
+    * makes naive target encoding overfit catastrophically.
+    *
+    * te = (pos_oof + w·prior) / (cnt_oof + w) with the global prior
+    * P/N, cleared of nested divisions into the single IEEE division
+    *   (pos_oof·N + w·P) / ((cnt_oof + w)·N)
+    * of exact int64 products, so the gate holds cross-engine. Categories
+    * absent from every other fold fall back to exactly the prior
+    * (pos_oof = cnt_oof = 0). Output: one row per OBSERVED (category,
+    * fold) with the witness counts; serving joins on (category, fold)
+    * and coalesces unseen categories to the prior. Overflow bound:
+    * pos·N < 2⁶³ holds to ~3·10⁹ rows; shard the encoder by category
+    * beyond that.
+    *
+    * Scale shape: one map-side-combined aggregate on (category, fold),
+    * one on category — the second frame is category-sized and joins the
+    * first on its own key; the global pair is a 1-row broadcast. The fact
+    * table scans once.
+    */
+  def targetEncode(
+      df: DataFrame,
+      catCol: String,
+      labelCol: String,
+      foldKeyCol: String,
+      nFolds: Int = 5,
+      smoothing: Int = 20): DataFrame = {
+    require(nFolds >= 2, s"nFolds must be >= 2, got $nFolds")
+    require(smoothing >= 0, s"smoothing must be >= 0, got $smoothing")
+    val base = df
+      .where(col(catCol).isNotNull && col(labelCol).isNotNull &&
+        col(foldKeyCol).isNotNull)
+      .select(col(catCol).as("category"),
+        col(labelCol).cast("boolean").as("_y"),
+        pmod(col(foldKeyCol), lit(nFolds)).cast("int").as("fold"))
+    val perFold = base.groupBy(col("category"), col("fold")).agg(
+      count(lit(1)).as("cnt_fold"),
+      count(when(col("_y"), 1)).as("pos_fold"))
+    val perCat = perFold.groupBy(col("category")).agg(
+      sum(col("cnt_fold")).as("cnt_cat"),
+      sum(col("pos_fold")).as("pos_cat"))
+    val global = perFold.agg(
+      sum(col("cnt_fold")).as("n_total"),
+      sum(col("pos_fold")).as("pos_total"))
+    perFold.join(perCat, Seq("category"))
+      .crossJoin(broadcast(global))
+      .select(col("category"), col("fold"), col("cnt_fold"), col("pos_fold"),
+        (col("cnt_cat") - col("cnt_fold")).as("cnt_oof"),
+        (col("pos_cat") - col("pos_fold")).as("pos_oof"),
+        col("n_total"), col("pos_total"))
+      .withColumn("te",
+        (col("pos_oof") * col("n_total") + lit(smoothing.toLong) * col("pos_total"))
+          .cast("double") /
+          ((col("cnt_oof") + lit(smoothing.toLong)) * col("n_total")).cast("double"))
+  }
+
+  /** Exact quantile normalization of a numeric feature against the
+    * POOLED distribution — the "make every group's feature comparable"
+    * transform (batch-effect removal in expression data, per-source score
+    * alignment in ranking corpora): a value at within-group rank r of
+    * n_g maps to the pooled element at rank ⌈r·N/n_g⌉, so every group's
+    * normalized distribution is a subsample of the same reference. An
+    * exact ELEMENT, not an interpolated midpoint — no cross-engine float
+    * interpolation exists to drift (the imputeMedian discipline). Ties
+    * break by `idCol` so both rankings are total.
+    *
+    * Scale shape: the within-group rank is one group-keyed window; the
+    * pooled ranking reuses the [[Functions.denseIds]] two-pass (range
+    * partition + per-partition rank + offset broadcast) — NO
+    * single-partition global window; the rank lookup is an equi-join on
+    * the computed global rank. At corpus scale, swap the pooled side for
+    * a sampled reference CDF — same join shape against a small
+    * broadcastable rank table.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).as("value"),
+        col(idCol).as("id"))
+    val wg = Window.partitionBy(col("grp")).orderBy(col("value"), col("id"))
+    val wn = Window.partitionBy(col("grp"))
+    val ranked = base
+      .withColumn("rank_in_group", row_number().over(wg).cast("bigint"))
+      .withColumn("n_group", count(lit(1)).over(wn))
+    val ref = Functions
+      .denseIds(base.select(col("value").as("_rv"), col("id").as("_rid")),
+        "struct(_rv, _rid)", partitions)
+      .select((col("id") + 1L).as("global_rank"), col("_rv").as("normalized"))
+    val nAll = base.agg(count(lit(1)).as("n_all"))
+    ranked.crossJoin(broadcast(nAll))
+      .withColumn("global_rank",
+        expr("(rank_in_group * n_all + n_group - 1) div n_group"))
+      .join(ref, Seq("global_rank"))
+      .select(col("grp"), col("id"), col("value"), col("rank_in_group"),
+        col("n_group"), col("global_rank"), col("normalized"))
+  }
+}

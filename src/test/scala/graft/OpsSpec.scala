@@ -841,6 +841,44 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(r => math.abs(r._7) < 1e-12))
   }
 
+  test("targetEncode: out-of-fold counts exclude own fold; empty OOF falls to prior") {
+    import graft.ops.Features
+    // cat A: fold0 = 2 rows (1 pos), fold1 = 1 row (1 pos); cat B: fold0 only
+    val df = Seq(
+      ("A", true, 0L), ("A", false, 0L), ("A", true, 1L), ("B", false, 0L))
+      .toDF("cat", "y", "k")
+    val out = Features.targetEncode(df, "cat", "y", "k", nFolds = 2, smoothing = 1)
+      .orderBy("category", "fold")
+      .select("category", "fold", "cnt_oof", "pos_oof", "te")
+      .as[(String, Int, Long, Long, Double)].collect().toSeq
+    // N=4 P=2 w=1: te = (pos_oof*4 + 2) / ((cnt_oof+1)*4)
+    assert(out === Seq(
+      ("A", 0, 1L, 1L, 0.75), // (1*4+2)/(2*4)
+      ("A", 1, 2L, 1L, 0.5), // (1*4+2)/(3*4)
+      ("B", 0, 0L, 0L, 0.5))) // empty OOF -> exactly the prior P/N
+    intercept[IllegalArgumentException](
+      Features.targetEncode(df, "cat", "y", "k", nFolds = 1))
+  }
+
+  test("quantileNormalize: maps within-group ranks onto exact pooled elements") {
+    import graft.ops.Features
+    val df = Seq(
+      ("g1", 1.0, 1L), ("g1", 2.0, 2L), ("g1", 3.0, 3L), ("g1", 4.0, 4L),
+      ("g2", 10.0, 5L), ("g2", 20.0, 6L)).toDF("g", "v", "id")
+    val out = Features.quantileNormalize(df, "g", "v", "id", partitions = 2)
+      .orderBy("grp", "rank_in_group")
+      .select("grp", "rank_in_group", "global_rank", "normalized")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // pooled sorted: 1,2,3,4,10,20 (N=6); rank r of n maps to ceil(r*6/n)
+    assert(out === Seq(
+      ("g1", 1L, 2L, 2.0), ("g1", 2L, 3L, 3.0),
+      ("g1", 3L, 5L, 10.0), ("g1", 4L, 6L, 20.0),
+      ("g2", 1L, 3L, 3.0), ("g2", 2L, 6L, 20.0)))
+    // the top of every group maps to the pooled maximum
+    assert(out.filter(r => r._2 == (if (r._1 == "g1") 4L else 2L))
+      .forall(_._4 === 20.0))
+  }
+
   test("profileDiff: exact per-column metrics and integer-exact verdict flags") {
     import graft.ops.Quality
     val before = Seq((Option(1), Option("a")), (Option(2), Option("b")),
