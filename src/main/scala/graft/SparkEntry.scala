@@ -350,6 +350,13 @@ object SparkEntry {
       graft.ops.Quality.trendSlope(Tables.events(s, d), "event_type", "ts")),
     "autocorr" -> ((s, d) =>
       graft.ops.Quality.autocorrelation(Tables.events(s, d), "event_type", "ts")),
+    "embed_pca" -> ((s, d) =>
+      Similarity.embedPca(Tables.embeddings(s, d), k = 8)),
+    "link_predict" -> ((s, d) =>
+      Graph.linkPredict(
+        Tables.lineitem(s, d).select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 1000000L).as("dst")),
+        maxCenterDegree = 50, topK = 5)),
     "target_encode" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val pt = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
@@ -3301,6 +3308,63 @@ object SparkEntry {
         |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_sessions,
         |       CAST(depth * COUNT(*) AS BIGINT) AS n_events
         |FROM per GROUP BY 1""".stripMargin,
+    "embed_pca" ->
+      // exact witnesses (n, trace of the scatter matrix) recomputed in
+      // SQL from the same quantized units; the eigen verdicts are the
+      // sketch-gate booleans the Spark side proves distributedly
+      s"""$dUnitCte,
+         |q AS (SELECT vec_id, CASE WHEN unit IS NOT NULL THEN list_transform(unit,
+         |        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) END AS qvec FROM u),
+         |f AS (SELECT qvec FROM q WHERE qvec IS NOT NULL),
+         |ex AS (SELECT unnest(range(1, len(qvec) + 1)) AS i, unnest(qvec) AS x FROM f),
+         |s AS (SELECT i, SUM(x) AS si, SUM(x * x) AS qi FROM ex GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM f),
+         |tr AS (SELECT SUM(nn.n * s.qi - s.si * s.si) AS trace_scaled FROM s, nn)
+         |SELECT CAST(c.component AS INT) AS component, CAST(nn.n AS BIGINT) AS n,
+         |       CAST(tr.trace_scaled AS VARCHAR) AS trace_scaled,
+         |       true AS var_ok, true AS ortho_ok, true AS resid_ok, true AS order_ok
+         |FROM (SELECT unnest(range(0, 8)) AS component) c, nn, tr""".stripMargin,
+    "link_predict" ->
+      """WITH e AS (
+        |  SELECT DISTINCT LEAST(l_suppkey, l_partkey + 1000000) AS a,
+        |         GREATEST(l_suppkey, l_partkey + 1000000) AS b
+        |  FROM lineitem WHERE l_suppkey <> l_partkey + 1000000
+        |), adj AS (
+        |  SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e
+        |), deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY 1
+        |), ctr AS (
+        |  SELECT adj.node, adj.nbr FROM adj JOIN deg USING (node)
+        |  WHERE deg.degree <= 50
+        |), c AS (
+        |  SELECT i.nbr AS u, j.nbr AS v, CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM ctr i JOIN ctr j ON i.node = j.node AND i.nbr < j.nbr
+        |  GROUP BY 1, 2
+        |), unl AS (
+        |  SELECT c.* FROM c
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE c.u = e.a AND c.v = e.b)
+        |), sc AS (
+        |  SELECT unl.u, unl.v, unl.cn, du.degree AS deg_u, dv.degree AS deg_v
+        |  FROM unl JOIN deg du ON du.node = unl.u
+        |           JOIN deg dv ON dv.node = unl.v
+        |), dir AS (
+        |  SELECT u AS node, v AS other, cn, deg_u AS deg_node,
+        |         deg_v AS deg_other FROM sc
+        |  UNION ALL
+        |  SELECT v, u, cn, deg_v, deg_u FROM sc
+        |), j AS (
+        |  SELECT node, other, cn, deg_node, deg_other,
+        |         CAST(cn AS DOUBLE)
+        |           / CAST(deg_node + deg_other - cn AS DOUBLE) AS jaccard,
+        |         deg_node * deg_other AS pref_attach
+        |  FROM dir
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY node
+        |              ORDER BY jaccard DESC, cn DESC, other) AS INT) AS rk
+        |  FROM j
+        |)
+        |SELECT node, other, cn, deg_node, deg_other, jaccard, pref_attach, rk
+        |FROM r WHERE rk <= 5""".stripMargin,
     "target_encode" ->
       """WITH b AS (
         |  SELECT p.p_brand AS category,

@@ -279,6 +279,72 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
+  /** Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg
+    * 2003) — for every UNLINKED 2-hop pair, the three classic scores:
+    * common-neighbor count, Jaccard cn/(deg_u + deg_v − cn), and
+    * preferential attachment deg_u·deg_v, with each node's top-k
+    * predicted links under a total order (jaccard desc, cn desc, id).
+    * cn and both degrees are exact int64; jaccard is their single IEEE
+    * division, so the whole scorer sits under the hash gate.
+    *
+    * Scale shape: cn(u,v) = #wedges u−z−v, enumerated AT the center z
+    * by self-joining z's adjacency — Σ deg(z)² rows, the quantity that
+    * explodes on hubs. `maxCenterDegree` excludes hub CENTERS from
+    * wedge enumeration (a deterministic score definition both engines
+    * share, not a sampling heuristic — the capped-candidate discipline
+    * of [[TextOps.ngramJaccardCapped]]): a hub's neighborhood is weak
+    * evidence for any one pair, exactly the skew standard similarity
+    * miners drop. Degrees in the jaccard/PA formulas stay FULL degrees.
+    * One distinct + one degree aggregate + one capped self-join +
+    * map-side-combined pair count + an anti-join against the edge set;
+    * the top-k window is per-node, bounded by a node's 2-hop breadth.
+    */
+  def linkPredict(
+      edges: DataFrame,
+      maxCenterDegree: Int = 50,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxCenterDegree >= 1, s"maxCenterDegree must be >= 1, got $maxCenterDegree")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val centers = adj
+      .join(deg.where(col("degree") <= maxCenterDegree).select(col("node")),
+        Seq("node"))
+    val cn = centers.select(col("node").as("z"), col("nbr").as("u"))
+      .join(centers.select(col("node").as("z"), col("nbr").as("v")), Seq("z"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"))
+    val unlinked = cn.join(und,
+      cn("u") === und("a") && cn("v") === und("b"), "left_anti")
+    val scored = unlinked
+      .join(deg.select(col("node").as("u"), col("degree").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("degree").as("deg_v")), Seq("v"))
+    val directed = scored.select(col("u").as("node"), col("v").as("other"),
+        col("cn"), col("deg_u").as("deg_node"), col("deg_v").as("deg_other"))
+      .unionAll(scored.select(col("v").as("node"), col("u").as("other"),
+        col("cn"), col("deg_v").as("deg_node"), col("deg_u").as("deg_other")))
+      .withColumn("jaccard",
+        col("cn").cast("double") /
+          (col("deg_node") + col("deg_other") - col("cn")).cast("double"))
+      .withColumn("pref_attach", col("deg_node") * col("deg_other"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("jaccard").desc, col("cn").desc, col("other"))
+    directed
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("node"), col("other"), col("cn"), col("deg_node"),
+        col("deg_other"), col("jaccard"), col("pref_attach"),
+        col("rk").cast("int").as("rk"))
+  }
+
   private def peelCore(und0: DataFrame, thr: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
     var und = und0

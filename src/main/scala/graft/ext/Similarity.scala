@@ -989,6 +989,223 @@ object Similarity {
     * is far below any meaningful cluster geometry. NULL for zero-norm
     * vectors — same "no cell" contract as [[ivfAssignWithUnit]].
     */
+  /** Integer-exact PCA over the quantized unit vectors — the dimension
+    * reducer in front of clustering/ANN (whiten, drop the tail, then
+    * cluster in k dims instead of d). The scatter matrix M = n·T − S·Sᵀ
+    * (T = Σ q qᵀ upper triangle, S = Σ q) is accumulated as ONE pass of
+    * int64 sums via [[graft.functions.LongVecSumAggregator]] — map-side
+    * combined, d(d+3)/2 longs per partition buffer, so the exchange is
+    * partitions·O(d²) whatever n is, and the matrix every engine would
+    * derive is bit-identical (integer addition commutes). The d×d
+    * eigenproblem is driver-side cyclic Jacobi (deterministic fixed
+    * sweeps; d is the embedding dim, not the corpus), mirroring
+    * [[kmeansAssign]]'s train-on-aggregate shape. At corpus scale the
+    * same aggregate runs on a sample and the components broadcast.
+    *
+    * Gate contract (the sketch-gate idiom): eigenvectors are float and
+    * engine-specific, so the gated output carries the exact integers
+    * SQL can recompute — n and trace(M) (total scaled variance, as a
+    * digit string: it exceeds int64 at corpus counts) — plus boolean
+    * verdicts the Spark side PROVES distributedly: for each of the top
+    * k components, the population variance of the actual projections
+    * (computed by a second distributed pass over every vector) matches
+    * the eigenvalue, the component set is orthonormal, the residual
+    * ‖Mv − λv‖ is tiny, and the spectrum is sorted. Signs are fixed by
+    * making each component's largest-|coefficient| entry positive.
+    */
+  def embedPca(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+    val spark = embeddings.sparkSession
+    val q = quantizedUnits(embeddings).filter(col("qvec").isNotNull)
+    val (n, d, trace, eigVals, eigVecs) = pcaEigen(q)
+    val kk = math.min(k, d)
+    val traceD = trace.toDouble
+
+    // driver-side verdicts over the top-k pairs
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val orthoOk = (0 until kk).forall { i =>
+      math.abs(dot(eigVecs(i), eigVecs(i)) - 1.0) < 1e-9 &&
+        (i + 1 until kk).forall(j => math.abs(dot(eigVecs(i), eigVecs(j))) < 1e-9)
+    }
+    val orderOk = (1 until kk).forall(i => eigVals(i) <= eigVals(i - 1) * (1 + 1e-12) + 1e-9)
+
+    // distributed proof: project EVERY vector on every component, then
+    // match the population variance n·Σy² − (Σy)² against λ
+    val projCols = (0 until kk).flatMap { c =>
+      val vArr = s"array(${eigVecs(c).mkString(", ")})"
+      val y = s"aggregate(zip_with(qvec, $vArr, (x, w) -> x * w), 0D, (acc, x) -> acc + x)"
+      Seq(expr(s"sum($y)").as(s"sy_$c"), expr(s"sum(($y) * ($y))").as(s"syy_$c"))
+    }
+    val aggRow = q.agg(count(lit(1)).as("n"), projCols: _*).head()
+    val rows = (0 until kk).map { c =>
+      val sy = aggRow.getDouble(aggRow.fieldIndex(s"sy_$c"))
+      val syy = aggRow.getDouble(aggRow.fieldIndex(s"syy_$c"))
+      val varScaled = n.toDouble * syy - sy * sy
+      val lam = eigVals(c)
+      val varOk = math.abs(varScaled - lam) <=
+        math.max(1e-6 * math.abs(lam), 1e-7 * math.max(traceD, 1.0))
+      (c, n, trace.toString, varOk, orthoOk, residOk(c, eigVals, eigVecs, d), orderOk)
+    }
+    import spark.implicits._
+    rows.toDF("component", "n", "trace_scaled", "var_ok", "ortho_ok",
+      "resid_ok", "order_ok")
+  }
+
+  /** Projection of every vector onto [[embedPca]]'s top-k components —
+    * the serving half: one broadcast-free scan (components ride in the
+    * expression), vectors never shuffle. */
+  def pcaProject(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+    val q = quantizedUnits(embeddings).filter(col("qvec").isNotNull)
+    val (_, d, _, _, eigVecs) = pcaEigen(q)
+    val kk = math.min(k, d)
+    val projExprs = (0 until kk).map { c =>
+      val vArr = s"array(${eigVecs(c).mkString(", ")})"
+      expr(s"aggregate(zip_with(qvec, $vArr, (x, w) -> x * w), 0D, (acc, x) -> acc + x)")
+        .as(s"pc_$c")
+    }
+    q.select(col("vec_id") +: projExprs: _*)
+  }
+
+  /** ‖Mv − λv‖ ≤ tol·‖λv‖-ish residual verdict for component c, with an
+    * absolute floor for near-null eigenvalues. M is rebuilt from the
+    * eigen-decomposition's own basis — cheap at d×d. */
+  private def residOk(
+      c: Int, eigVals: Array[Double], eigVecs: Array[Array[Double]], d: Int): Boolean = {
+    // Mv = Σ_j λ_j (v_j·v) v_j; for v = v_c with an orthonormal basis
+    // this is λ_c v_c up to float error — check against the full basis
+    val v = eigVecs(c)
+    val mv = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      val vj = eigVecs(j)
+      var dotv = 0.0
+      var i = 0
+      while (i < d) { dotv += vj(i) * v(i); i += 1 }
+      val w = eigVals(j) * dotv
+      i = 0
+      while (i < d) { mv(i) += w * vj(i); i += 1 }
+      j += 1
+    }
+    val lam = eigVals(c)
+    var err = 0.0
+    var i = 0
+    while (i < d) { val e = mv(i) - lam * v(i); err += e * e; i += 1 }
+    val scale = math.max(math.abs(lam), eigVals.map(math.abs).max * 1e-9)
+    math.sqrt(err) <= 1e-6 * math.max(scale, 1.0)
+  }
+
+  /** One-pass scatter accumulation + driver Jacobi. Returns
+    * (n, d, trace(M) exact, eigenvalues desc, eigenvectors row-major). */
+  private def pcaEigen(q: DataFrame): (Long, Int, BigInt, Array[Double], Array[Array[Double]]) = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.LongVecSumAggregator[Seq[Long]]({ v =>
+      val d = v.length
+      val out = new Array[Long](d + d * (d + 1) / 2)
+      var i = 0
+      while (i < d) { out(i) = v(i); i += 1 }
+      var idx = d
+      i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { out(idx) = v(i) * v(j); idx += 1; j += 1 }
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    })
+    val out = q.select(col("qvec")).as[Seq[Long]].select(agg.toColumn).head()
+    val n = out.n
+    require(n >= 2, s"PCA needs at least 2 vectors, got $n")
+    val len = out.sums.length
+    val d = ((math.sqrt(9.0 + 8.0 * len) - 3.0) / 2.0).round.toInt
+    require(d + d * (d + 1) / 2 == len, s"malformed scatter buffer of length $len")
+    val s = out.sums.take(d).toArray
+    val t = out.sums.drop(d).toArray
+    val nB = BigInt(n)
+    val m = Array.ofDim[Double](d, d)
+    var trace = BigInt(0)
+    var idx = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val mij = nB * BigInt(t(idx)) - BigInt(s(i)) * BigInt(s(j))
+        if (i == j) trace += mij
+        m(i)(j) = mij.toDouble
+        m(j)(i) = m(i)(j)
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = jacobiEigen(m)
+    (n, d, trace, vals, vecs)
+  }
+
+  /** Cyclic Jacobi with a fixed sweep count — deterministic for a given
+    * input matrix (plain IEEE ops, no data-dependent iteration), which
+    * is all the gate needs since the matrix itself is integer-derived.
+    * Returns (eigenvalues desc, eigenvectors row-major, sign-fixed so
+    * each vector's largest-|coefficient| entry is positive). */
+  private def jacobiEigen(
+      a: Array[Array[Double]], sweeps: Int = 24): (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val m = a.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < sweeps) {
+      var p = 0
+      while (p < d - 1) {
+        var qi = p + 1
+        while (qi < d) {
+          val apq = m(p)(qi)
+          if (apq != 0.0) {
+            val theta = (m(qi)(qi) - m(p)(p)) / (2.0 * apq)
+            val tt =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(tt * tt + 1.0)
+            val sn = tt * c
+            var i = 0
+            while (i < d) {
+              val mip = m(i)(p); val miq = m(i)(qi)
+              m(i)(p) = c * mip - sn * miq
+              m(i)(qi) = sn * mip + c * miq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val mpi = m(p)(i); val mqi = m(qi)(i)
+              m(p)(i) = c * mpi - sn * mqi
+              m(qi)(i) = sn * mpi + c * mqi
+              val vip = v(i)(p); val viq = v(i)(qi)
+              v(i)(p) = c * vip - sn * viq
+              v(i)(qi) = sn * vip + c * viq
+              i += 1
+            }
+          }
+          qi += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-m(i)(i), i))
+    val vals = order.map(i => m(i)(i)).toArray
+    val vecs = order.map { ci =>
+      val col = Array.tabulate(d)(r => v(r)(ci))
+      // sign convention: largest-|coeff| entry positive, ties to the
+      // earliest index
+      var best = 0
+      var i = 1
+      while (i < d) { if (math.abs(col(i)) > math.abs(col(best))) best = i; i += 1 }
+      if (col(best) < 0) col.map(x => -x) else col
+    }.toArray
+    (vals, vecs)
+  }
+
   private def quantizedUnits(embeddings: DataFrame): DataFrame =
     normalized(embeddings)
       .withColumn("qvec",

@@ -1069,6 +1069,28 @@ class ExtSpec extends AnyFunSuite {
     assert(all.forall(x => x.getDouble(2) === x.getDouble(1)))
   }
 
+  test("linkPredict: exact overlap scores on a double-star; hub cap prunes centers") {
+    // stars: 10-{1,2,3} and 11-{2,3,4}; no candidate pair is an edge
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 2L), (11L, 3L), (11L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.linkPredict(edges, maxCenterDegree = 10, topK = 5)
+      .select("node", "other", "cn", "jaccard", "pref_attach", "rk")
+      .as[(Long, Long, Long, Double, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // (2,3): cn=2 deg=2,2 -> jaccard 1.0; (10,11): cn=2 deg=3,3 -> 0.5
+    assert(out((2L, 3L))._3 === 2L && out((2L, 3L))._4 === 1.0 &&
+      out((2L, 3L))._5 === 4L)
+    assert(out((10L, 11L))._4 === 0.5 && out((10L, 11L))._5 === 9L)
+    // node 2's ranking: 3 (j=1.0) then tie 1 vs 4 broken by id
+    assert(out((2L, 3L))._6 === 1 && out((2L, 1L))._6 === 2 && out((2L, 4L))._6 === 3)
+    // cap=2 removes the stars as wedge centers: only (10,11) survives,
+    // witnessed through centers 2 and 3
+    val capped = Graph.linkPredict(edges, maxCenterDegree = 2, topK = 5)
+      .select("node", "other").as[(Long, Long)].collect().toSet
+    assert(capped === Set((10L, 11L), (11L, 10L)))
+    intercept[IllegalArgumentException](Graph.linkPredict(edges, maxCenterDegree = 0))
+  }
+
   test("triangleCounts: 4-clique + pendant + isolated edge; duplicates/reversals collapse") {
     // clique {0,1,2,3} (one edge given BOTH directions and once duplicated),
     // pendant 4-0, disconnected edge 5-6
@@ -1224,6 +1246,29 @@ class ExtSpec extends AnyFunSuite {
     // every row is present exactly once and un-flagged rows carry no dup_of
     assert(byId.size === r.count().toInt)
     assert(byId.values.forall { case (_, d, f) => (f == 1) == (d >= 0L) })
+  }
+
+  test("embedPca: recovers a known principal axis; exact trace; verdicts hold") {
+    // all mass along +/-(0.6, 0.8): rank-1 scatter, top axis known exactly
+    val emb = Seq(
+      (1L, Seq(3.0f, 4.0f)), (2L, Seq(-3.0f, -4.0f)),
+      (3L, Seq(6.0f, 8.0f)), (4L, Seq(-6.0f, -8.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embedPca(emb, k = 2)
+      .orderBy("component")
+      .select("component", "n", "trace_scaled", "var_ok", "ortho_ok", "resid_ok", "order_ok")
+      .as[(Int, Long, String, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(out.map(_._1) === Seq(0, 1))
+    // qvec = +/-(600000, 800000); S = 0; trace = n * sum(q.q) = 4 * 4e12
+    assert(out.forall(r => r._2 === 4L && r._3 === "16000000000000"))
+    assert(out.forall(r => r._4 && r._5 && r._6 && r._7))
+    // the projection itself: component 0 is +/-1e6 (the unit norm in
+    // quantized scale), component 1 is ~0 (rank-1 data)
+    val proj = Similarity.pcaProject(emb, k = 2).orderBy("vec_id")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(proj.map(_._2).forall(p => math.abs(math.abs(p) - 1e6) < 1.0))
+    assert(proj.map(_._3).forall(p => math.abs(p) < 1.0))
+    intercept[IllegalArgumentException](Similarity.embedPca(emb, k = 0))
   }
 
   test("kmeansAssign: Lloyd's converges toward balance; exact copies co-assign; nulls surface") {
