@@ -352,6 +352,7 @@ object SparkEntry {
       graft.ops.Quality.autocorrelation(Tables.events(s, d), "event_type", "ts")),
     "embed_pca" -> ((s, d) =>
       Similarity.embedPca(Tables.embeddings(s, d), k = 8)),
+    "hll_overlap" -> (Functions.hllOverlap _),
     "link_predict" -> ((s, d) =>
       Graph.linkPredict(
         Tables.lineitem(s, d).select(col("l_suppkey").as("src"),
@@ -3308,6 +3309,22 @@ object SparkEntry {
         |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_sessions,
         |       CAST(depth * COUNT(*) AS BIGINT) AS n_events
         |FROM per GROUP BY 1""".stripMargin,
+    "hll_overlap" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type AS t, user_id AS u
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |), ct AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1
+        |), ex AS (
+        |  SELECT x.t AS etype_a, y.t AS etype_b, CAST(COUNT(*) AS BIGINT) AS exact_both
+        |  FROM tu x JOIN tu y ON x.u = y.u AND x.t < y.t
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a.t AS etype_a, b.t AS etype_b, a.n AS exact_a, b.n AS exact_b,
+        |       COALESCE(ex.exact_both, 0) AS exact_both,
+        |       true AS inter_within_5pct
+        |FROM ct a JOIN ct b ON a.t < b.t
+        |LEFT JOIN ex ON ex.etype_a = a.t AND ex.etype_b = b.t""".stripMargin,
     "embed_pca" ->
       // exact witnesses (n, trace of the scatter matrix) recomputed in
       // SQL from the same quantized units; the eigen verdicts are the

@@ -1022,12 +1022,7 @@ object Similarity {
     val traceD = trace.toDouble
 
     // driver-side verdicts over the top-k pairs
-    def dot(a: Array[Double], b: Array[Double]): Double =
-      a.zip(b).map { case (x, y) => x * y }.sum
-    val orthoOk = (0 until kk).forall { i =>
-      math.abs(dot(eigVecs(i), eigVecs(i)) - 1.0) < 1e-9 &&
-        (i + 1 until kk).forall(j => math.abs(dot(eigVecs(i), eigVecs(j))) < 1e-9)
-    }
+    val orthoOk = orthoVerdict(eigVecs, kk)
     val orderOk = (1 until kk).forall(i => eigVals(i) <= eigVals(i - 1) * (1 + 1e-12) + 1e-9)
 
     // distributed proof: project EVERY vector on every component, then
@@ -1068,6 +1063,85 @@ object Similarity {
     q.select(col("vec_id") +: projExprs: _*)
   }
 
+  /** Streaming twin of the PCA trainer: each micro-batch reduces to ONE
+    * scatter partial — the int64 vector [n, S, triu(T)] — written to a
+    * batch-id directory (whole-dir overwrite ⇒ replay-idempotent), the
+    * [[graft.ops.Quality.cusumDriftSink]] mergeable-partials doctrine
+    * applied to covariance: integer sums merge associatively, so
+    * base + any committed prefix re-derives the EXACT batch-path scatter
+    * matrix, and the model updates from bounded partials, never from
+    * replayed vectors. */
+  def pcaScatterSink(
+      embeddings: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        pcaScatterBatch(batch.toDF(), outDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch's scatter partial (factored out for replay tests).
+    * An all-null batch writes an empty (schema-complete) partial so
+    * replay stays idempotent without poisoning the merge. */
+  def pcaScatterBatch(df: DataFrame, outDir: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = quantizedUnits(df).filter(col("qvec").isNotNull)
+    val out = scatterOut(q)
+    val rows =
+      if (out.n == 0L) Seq.empty[Seq[Long]]
+      else Seq(out.n +: out.sums)
+    rows.toDF("partial")
+      .write.mode("overwrite").parquet(s"$outDir/scatter/batch_$batchId")
+    ()
+  }
+
+  /** PCA over base vectors plus every committed [[pcaScatterSink]]
+    * partial. Same verdict row as [[embedPca]] minus `var_ok`: the
+    * streamed vectors exist only as scatter partials, so the
+    * distributed projection-variance pass has nothing to rescan —
+    * the remaining verdicts (trace witness, orthonormality, residual,
+    * ordering) cover the merged model. */
+  def embedPcaFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame,
+      outDir: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+    import spark.implicits._
+    val baseOut = scatterOut(quantizedUnits(base).filter(col("qvec").isNotNull))
+    val basePartial =
+      if (baseOut.n == 0L) Seq.empty[Seq[Long]] else Seq(baseOut.n +: baseOut.sums)
+    val committed = graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/scatter")
+    val all =
+      if (committed.isEmpty) basePartial.toDF("partial")
+      else basePartial.toDF("partial").unionByName(spark.read.parquet(
+        committed.toSeq.sorted.map(b => s"$outDir/scatter/$b"): _*))
+    val merged = all.select(col("partial")).as[Seq[Long]]
+      .select(new graft.functions.LongVecSumAggregator[Seq[Long]](identity).toColumn)
+      .head()
+    require(merged.sums.nonEmpty, "no vectors in base or committed partials")
+    val (n, d, trace, eigVals, eigVecs) =
+      eigenFromSums(merged.sums.drop(1), merged.sums.head)
+    val kk = math.min(k, d)
+    val orthoOk = orthoVerdict(eigVecs, kk)
+    val orderOk = (1 until kk).forall(i => eigVals(i) <= eigVals(i - 1) * (1 + 1e-12) + 1e-9)
+    (0 until kk).map { c =>
+      (c, n, trace.toString, orthoOk, residOk(c, eigVals, eigVecs, d), orderOk)
+    }.toDF("component", "n", "trace_scaled", "ortho_ok", "resid_ok", "order_ok")
+  }
+
+  private def orthoVerdict(eigVecs: Array[Array[Double]], kk: Int): Boolean = {
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    (0 until kk).forall { i =>
+      math.abs(dot(eigVecs(i), eigVecs(i)) - 1.0) < 1e-9 &&
+        (i + 1 until kk).forall(j => math.abs(dot(eigVecs(i), eigVecs(j))) < 1e-9)
+    }
+  }
+
   /** ‖Mv − λv‖ ≤ tol·‖λv‖-ish residual verdict for component c, with an
     * absolute floor for near-null eigenvalues. M is rebuilt from the
     * eigen-decomposition's own basis — cheap at d×d. */
@@ -1099,6 +1173,12 @@ object Similarity {
   /** One-pass scatter accumulation + driver Jacobi. Returns
     * (n, d, trace(M) exact, eigenvalues desc, eigenvectors row-major). */
   private def pcaEigen(q: DataFrame): (Long, Int, BigInt, Array[Double], Array[Array[Double]]) = {
+    val out = scatterOut(q)
+    eigenFromSums(out.sums, out.n)
+  }
+
+  /** One-pass scatter reduction: Σ over rows of [qvec ++ triu(q·qᵀ)]. */
+  private def scatterOut(q: DataFrame): graft.functions.LongVecSumAggregator.Out = {
     val spark = q.sparkSession
     import spark.implicits._
     val agg = new graft.functions.LongVecSumAggregator[Seq[Long]]({ v =>
@@ -1115,14 +1195,17 @@ object Similarity {
       }
       scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     })
-    val out = q.select(col("qvec")).as[Seq[Long]].select(agg.toColumn).head()
-    val n = out.n
+    q.select(col("qvec")).as[Seq[Long]].select(agg.toColumn).head()
+  }
+
+  private def eigenFromSums(
+      sums: Seq[Long], n: Long): (Long, Int, BigInt, Array[Double], Array[Array[Double]]) = {
     require(n >= 2, s"PCA needs at least 2 vectors, got $n")
-    val len = out.sums.length
+    val len = sums.length
     val d = ((math.sqrt(9.0 + 8.0 * len) - 3.0) / 2.0).round.toInt
     require(d + d * (d + 1) / 2 == len, s"malformed scatter buffer of length $len")
-    val s = out.sums.take(d).toArray
-    val t = out.sums.drop(d).toArray
+    val s = sums.take(d).toArray
+    val t = sums.drop(d).toArray
     val nB = BigInt(n)
     val m = Array.ofDim[Double](d, d)
     var trace = BigInt(0)

@@ -514,6 +514,55 @@ object Functions {
     perOut.unionAll(allOut)
   }
 
+  /** Estimated audience OVERLAP between every pair of event types via
+    * HLL inclusion–exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    * where the union estimate merges the two BINARY sketches
+    * (`hll_union`), never rescanning rows. This is the sketch algebra
+    * that answers "how much do these segments overlap" at 100 TB: one
+    * distinct pass builds |types| sketches; every pairwise union is a
+    * driver-sized sketch merge (intersection has no mergeable sketch —
+    * inclusion–exclusion IS the standard estimator, e.g. the
+    * DataSketches guidance).
+    *
+    * Gate: exact per-type and pairwise-intersection counts (the
+    * pairwise exact is a user-keyed self-join of the distinct
+    * (type, user) frame — ≤|types|² fanout per user), plus a Spark-side
+    * boolean pinning the I–E estimate within 5% of |A|+|B| (the error
+    * scale of the three ≈1.6%-rsd estimates it composes); the oracle
+    * recomputes the exact counts and literal `true`.
+    */
+  def hllOverlap(s: SparkSession, dir: String): DataFrame =
+    hllOverlapFrom(Tables.events(s, dir), "event_type", "user_id")
+
+  /** [[hllOverlap]] over any (segment, member) frame. */
+  def hllOverlapFrom(df: DataFrame, typeCol: String, userCol: String): DataFrame = {
+    val tu = df
+      .where(col(typeCol).isNotNull && col(userCol).isNotNull)
+      .select(col(typeCol).as("t"), col(userCol).as("u"))
+      .distinct()
+    val per = tu.groupBy(col("t")).agg(
+      expr("hll_sketch_agg(u)").as("sk"),
+      count(lit(1)).as("n"))
+    val pairs = per
+      .select(col("t").as("etype_a"), col("sk").as("sk_a"), col("n").as("exact_a"))
+      .join(broadcast(per.select(col("t").as("etype_b"), col("sk").as("sk_b"),
+        col("n").as("exact_b"))), col("etype_a") < col("etype_b"))
+    val exactBoth = tu.alias("x").join(tu.alias("y"), Seq("u"))
+      .where(col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("etype_a"), col("y.t").as("etype_b"))
+      .agg(count(lit(1)).as("exact_both"))
+    pairs.join(exactBoth, Seq("etype_a", "etype_b"), "left")
+      .withColumn("exact_both", coalesce(col("exact_both"), lit(0L)))
+      .withColumn("est_inter",
+        expr("hll_sketch_estimate(sk_a) + hll_sketch_estimate(sk_b)" +
+          " - hll_sketch_estimate(hll_union(sk_a, sk_b))").cast("double"))
+      .select(col("etype_a"), col("etype_b"), col("exact_a"), col("exact_b"),
+        col("exact_both"),
+        (abs(col("est_inter") - col("exact_both"))
+          <= (col("exact_a") + col("exact_b")).cast("double") * 0.05)
+          .as("inter_within_5pct"))
+  }
+
   /** HLL++ approximate distinct — the sketch the exact `countDistinct`
     * path can't afford at 100 TB. The estimate is engine-specific, so the
     * ORACLE GATE emits the exact counts plus Spark-side 5%-accuracy

@@ -302,6 +302,19 @@ object Quality {
       outDir: String): DataFrame =
     trendFromDaily(mergedDaily(spark, base, typeCol, tsCol, outDir))
 
+  /** [[autocorrelation]] over base events plus everything
+    * [[cusumDriftSink]] committed — the fifth reader over the shared
+    * daily-count store (CUSUM, Theil-Sen, weekday, decomposition, ACF
+    * all monitor from the same bounded mergeable partials). */
+  def autocorrelationFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      outDir: String,
+      maxLag: Int = 7): DataFrame =
+    acfFromDaily(mergedDaily(spark, base, typeCol, tsCol, outDir), maxLag)
+
   private def mergedDaily(
       spark: org.apache.spark.sql.SparkSession,
       base: DataFrame,

@@ -104,6 +104,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(p4 >= p1) // wider probe can only improve the k-th neighbor
   }
 
+  test("hllOverlapFrom: exact pairwise intersections; zero-overlap pairs surface; I-E bound holds") {
+    // A = 1..100, B = 51..150 (overlap 50), C = {500} (disjoint)
+    val df = ((1L to 100L).map(("A", _)) ++ (51L to 150L).map(("B", _)) ++
+      Seq(("C", 500L), ("C", 500L))) // duplicate membership collapses
+      .toDF("seg", "member")
+    val out = Functions.hllOverlapFrom(df, "seg", "member")
+      .orderBy("etype_a", "etype_b")
+      .as[(String, String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      ("A", "B", 100L, 100L, 50L, true),
+      ("A", "C", 100L, 1L, 0L, true),
+      ("B", "C", 100L, 1L, 0L, true)))
+  }
+
   test("HLL sketch union: accuracy booleans hold and exact columns are truly exact") {
     val d = "/root/testdata/sf0.001"
     // (o_orderstatus, exact_customers, within_5pct) — the query gates its

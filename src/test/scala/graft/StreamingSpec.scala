@@ -836,6 +836,53 @@ class StreamingSpec extends AnyFunSuite {
       canonT(Quality.trendSlope(
         (baseRows ++ b1 ++ b2).toDF("t", "s").withColumn("ts", col("s").cast("timestamp")),
         "t", "ts")))
+    // ... and the ACF reader — same store, same integer witnesses
+    def canonA(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("etype", "lag")
+      .as[(String, Int, Long, Long, Long, Double)].collect().toSeq
+    val acfMerged = canonA(Quality.autocorrelationFrom(spark, base, "t", "ts", s"$dir/out"))
+    assert(acfMerged === canonA(Quality.autocorrelation(
+      (baseRows ++ b1 ++ b2).toDF("t", "s").withColumn("ts", col("s").cast("timestamp")),
+      "t", "ts")))
+    assert(acfMerged.nonEmpty)
+  }
+
+  test("pcaScatterSink: merged partials re-derive the batch-path model; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    val base = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(-3.0f, -4.0f)))
+      .toDF("vec_id", "embedding")
+    val b1 = Seq((3L, Seq(6.0f, 8.0f)), (4L, Seq(1.0f, 0.0f)))
+    val b2 = Seq((5L, Seq(0.0f, 1.0f)), (6L, Seq(-8.0f, 6.0f)))
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.pcaScatterSink(
+      ms.toDS().toDF("vec_id", "embedding"), s"$dir/out", s"$dir/cp")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("component", "n", "trace_scaled", "ortho_ok", "resid_ok", "order_ok")
+      .orderBy("component")
+      .as[(Int, Long, String, Boolean, Boolean, Boolean)].collect().toSeq
+    val streamed = canon(Similarity.embedPcaFrom(spark, base, s"$dir/out", k = 2))
+    val oneShot = canon(Similarity.embedPca(
+      (Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(-3.0f, -4.0f))) ++ b1 ++ b2)
+        .toDF("vec_id", "embedding"), k = 2))
+    assert(streamed === oneShot)
+    assert(streamed.forall(r => r._2 === 6L && r._4 && r._5 && r._6))
+    // last-batch redelivery converges on the same partial
+    Similarity.pcaScatterBatch(b2.toDF("vec_id", "embedding"), s"$dir/out", 1L)
+    assert(canon(Similarity.embedPcaFrom(spark, base, s"$dir/out", k = 2)) === streamed)
+    // an all-null batch writes an empty partial and changes nothing
+    Similarity.pcaScatterBatch(
+      Seq((7L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding"),
+      s"$dir/out", 2L)
+    assert(canon(Similarity.embedPcaFrom(spark, base, s"$dir/out", k = 2)) === streamed)
+    // empty store = base-only model
+    assert(canon(Similarity.embedPcaFrom(spark, base, s"$dir/nothing", k = 2)) ===
+      canon(Similarity.embedPca(base, k = 2)))
   }
 
   test("lmScoreSink: per-batch scores equal lmScore over the accumulated corpus; replay idempotent") {
