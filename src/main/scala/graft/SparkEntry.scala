@@ -353,6 +353,11 @@ object SparkEntry {
     "embed_pca" -> ((s, d) =>
       Similarity.embedPca(Tables.embeddings(s, d), k = 8)),
     "hll_overlap" -> (Functions.hllOverlap _),
+    "rolling_distinct" -> (Functions.rollingDistinct _),
+    "rank_eval" -> ((s, d) =>
+      graft.ops.Quality.rankEval(
+        Tables.lineitem(s, d), "l_orderkey",
+        col("l_returnflag") === "R", "l_extendedprice", "l_linenumber")),
     "link_predict" -> ((s, d) =>
       Graph.linkPredict(
         Tables.lineitem(s, d).select(col("l_suppkey").as("src"),
@@ -3341,6 +3346,55 @@ object SparkEntry {
          |       CAST(tr.trace_scaled AS VARCHAR) AS trace_scaled,
          |       true AS var_ok, true AS ortho_ok, true AS resid_ok, true AS order_ok
          |FROM (SELECT unnest(range(0, 8)) AS component) c, nn, tr""".stripMargin,
+    "rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+        |  FROM events WHERE user_id IS NOT NULL
+        |), daily AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS exact_dau FROM du GROUP BY 1
+        |), contrib AS (
+        |  SELECT du.day + CAST(g.i AS INTEGER) AS day, du.u
+        |  FROM du CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS i) g
+        |), roll AS (
+        |  SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS exact_rolling7
+        |  FROM contrib GROUP BY 1
+        |)
+        |SELECT CAST(d.day AS TIMESTAMP) AS day, d.exact_dau,
+        |       r.exact_rolling7, true AS within_5pct
+        |FROM daily d JOIN roll r ON d.day = r.day""".stripMargin,
+    "rank_eval" ->
+      """WITH ranked AS (
+        |  SELECT l_orderkey,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS rel,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+        |  FROM lineitem
+        |), per AS (
+        |  SELECT l_orderkey,
+        |         SUM(rel) AS n_rel,
+        |         SUM(CASE WHEN rnk <= 1 THEN rel ELSE 0 END) AS h1,
+        |         SUM(CASE WHEN rnk <= 3 THEN rel ELSE 0 END) AS h3,
+        |         SUM(CASE WHEN rnk <= 5 THEN rel ELSE 0 END) AS h5,
+        |         MIN(CASE WHEN rel = 1 AND rnk <= 10 THEN rnk END) AS first_rel
+        |  FROM ranked GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |         CAST(SUM(n_rel) AS BIGINT) AS sum_relevant,
+        |         CAST(SUM(h1) AS BIGINT) AS s1,
+        |         CAST(SUM(h3) AS BIGINT) AS s3,
+        |         CAST(SUM(h5) AS BIGINT) AS s5,
+        |         CAST(SUM(COALESCE(2520 // first_rel, 0)) AS BIGINT) AS mrr_num
+        |  FROM per
+        |)
+        |SELECT v.k, t.n_queries, t.sum_relevant,
+        |       CASE v.k WHEN 1 THEN t.s1 WHEN 3 THEN t.s3 ELSE t.s5 END AS sum_hits,
+        |       t.mrr_num,
+        |       CAST(CASE v.k WHEN 1 THEN t.s1 WHEN 3 THEN t.s3 ELSE t.s5 END AS DOUBLE)
+        |         / (v.k * t.n_queries) AS precision_at_k,
+        |       CAST(CASE v.k WHEN 1 THEN t.s1 WHEN 3 THEN t.s3 ELSE t.s5 END AS DOUBLE)
+        |         / t.sum_relevant AS recall_at_k,
+        |       CAST(t.mrr_num AS DOUBLE) / (2520.0 * t.n_queries) AS mrr_at_10
+        |FROM tot t CROSS JOIN (SELECT * FROM (VALUES (1), (3), (5)) AS x(k)) v""".stripMargin,
     "link_predict" ->
       """WITH e AS (
         |  SELECT DISTINCT LEAST(l_suppkey, l_partkey + 1000000) AS a,

@@ -563,6 +563,120 @@ object Functions {
           .as("inter_within_5pct"))
   }
 
+  /** Streaming twin of [[hllOverlap]]: each micro-batch reduces to ONE
+    * (segment → HLL sketch) row set written to a batch-id directory
+    * (whole-dir overwrite ⇒ replay-idempotent). This is the mergeable-
+    * partials doctrine applied to distinct-membership: HLL union is a
+    * register-wise max — associative, commutative AND idempotent — so
+    * base + any committed prefix (even with a redelivered batch) merges
+    * to the same audience sketches, with per-batch state bounded at
+    * |segments|·sketch-bytes, never |users|. */
+  def hllOverlapSink(
+      df: DataFrame,
+      typeCol: String,
+      userCol: String,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        hllOverlapBatch(batch.toDF(), typeCol, userCol, outDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch's sketch partial (factored out for replay tests). */
+  def hllOverlapBatch(
+      df: DataFrame, typeCol: String, userCol: String,
+      outDir: String, batchId: Long): Unit = {
+    df.where(col(typeCol).isNotNull && col(userCol).isNotNull)
+      .groupBy(col(typeCol).as("t"))
+      .agg(expr(s"hll_sketch_agg($userCol)").as("sk"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/sketches/batch_$batchId")
+    ()
+  }
+
+  /** Pairwise audience-overlap ESTIMATES from base rows plus every
+    * committed [[hllOverlapSink]] partial. Unlike the batch gate query,
+    * the streamed users exist only as sketches — no exact columns are
+    * derivable (that is the point: bounded state) — so this emits the
+    * three estimates per pair; accuracy is asserted in tests against an
+    * exact recount of the full data. */
+  def hllOverlapEstFrom(
+      spark: SparkSession,
+      base: DataFrame,
+      typeCol: String,
+      userCol: String,
+      outDir: String): DataFrame = {
+    val basePer = base
+      .where(col(typeCol).isNotNull && col(userCol).isNotNull)
+      .groupBy(col(typeCol).as("t"))
+      .agg(expr(s"hll_sketch_agg($userCol)").as("sk"))
+    val committed = graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/sketches")
+    val all =
+      if (committed.isEmpty) basePer
+      else basePer.unionByName(spark.read.parquet(
+        committed.toSeq.sorted.map(b => s"$outDir/sketches/$b"): _*))
+    val per = all.groupBy(col("t")).agg(expr("hll_union_agg(sk)").as("sk"))
+    per.select(col("t").as("etype_a"), col("sk").as("sk_a"))
+      .join(broadcast(per.select(col("t").as("etype_b"), col("sk").as("sk_b"))),
+        col("etype_a") < col("etype_b"))
+      .select(col("etype_a"), col("etype_b"),
+        expr("hll_sketch_estimate(sk_a)").cast("double").as("est_a"),
+        expr("hll_sketch_estimate(sk_b)").cast("double").as("est_b"),
+        expr("hll_sketch_estimate(sk_a) + hll_sketch_estimate(sk_b)" +
+          " - hll_sketch_estimate(hll_union(sk_a, sk_b))").cast("double")
+          .as("est_inter"))
+  }
+
+  /** Daily active users plus a 7-day ROLLING distinct-user count — the
+    * windowed-sketch composition: one distinct pass builds per-day HLL
+    * sketches, then the rolling estimate is a range-frame window union
+    * of ≤7 kilobyte-sized sketches per day. At 100 TB the exact rolling
+    * distinct (a 7× fanout of the distinct (day, user) frame) is the
+    * thing you CAN'T afford daily; the sketch path re-aggregates nothing
+    * — day count is calendar-bounded, so the single-partition window
+    * over the daily frame is a non-issue at any corpus size.
+    *
+    * Gate: exact DAU and exact rolling-7 distinct (both recomputed by
+    * the oracle) plus a Spark-side boolean pinning the window-unioned
+    * estimate within 5% of exact; the oracle emits literal `true`. */
+  def rollingDistinct(s: SparkSession, dir: String): DataFrame =
+    rollingDistinctFrom(Tables.events(s, dir), "user_id", "ts")
+
+  /** [[rollingDistinct]] over any (member, timestamp) frame. */
+  def rollingDistinctFrom(
+      df: DataFrame, userCol: String, tsCol: String, days: Int = 7): DataFrame = {
+    require(days >= 1 && days <= 366, s"days must be in [1,366], got $days")
+    val du = df.where(col(userCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
+      .distinct()
+    val daily = du.groupBy(col("day")).agg(
+      count(lit(1)).as("exact_dau"),
+      expr("hll_sketch_agg(u)").as("sk"))
+    // range frame on day-number so calendar GAPS are honored (a rows
+    // frame would silently widen the window across missing days)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day_num")).rangeBetween(-(days - 1), 0)
+    val est = daily
+      .withColumn("day_num", datediff(col("day"), to_date(lit("1970-01-01"))))
+      .withColumn("roll_sk", expr("hll_union_agg(sk)").over(w))
+      .select(col("day"), col("exact_dau"),
+        expr("hll_sketch_estimate(roll_sk)").cast("double").as("est_rolling"))
+    val rolling = du
+      .select(explode(expr(s"sequence(day, date_add(day, ${days - 1}))")).as("day"),
+        col("u"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("u")).as("exact_rolling7"))
+    est.join(rolling, Seq("day"))
+      // midnight timestamp, the daily-store convention (dates stringify
+      // differently across engines; midnight timestamps don't)
+      .select(col("day").cast("timestamp").as("day"),
+        col("exact_dau"), col("exact_rolling7"),
+        (abs(col("est_rolling") - col("exact_rolling7"))
+          <= col("exact_rolling7").cast("double") * 0.05).as("within_5pct"))
+  }
+
   /** HLL++ approximate distinct — the sketch the exact `countDistinct`
     * path can't afford at 100 TB. The estimate is engine-specific, so the
     * ORACLE GATE emits the exact counts plus Spark-side 5%-accuracy

@@ -653,6 +653,61 @@ object Quality {
     * Three map-side-combined aggregates over one pass each; the
     * marginal product join is on the label vocabulary, not the corpus.
     */
+  /** Offline ranking-quality evaluation — precision@k, recall@k, MRR@10
+    * — the metrics a retrieval / dedup-candidate / recommender pipeline
+    * reports per experiment. Each group in `queryCol` is one "query";
+    * its rows are the ranked list (by `scoreCol` desc, `tieCol` asc for
+    * determinism); `relCol` is the boolean relevance label.
+    *
+    * Every metric stays EXACT and engine-portable: hits@k and the
+    * relevant totals are integer sums; the reciprocal-rank sum is kept
+    * as the integer Σ 2520/first_rank (2520 = lcm(1..10), so every
+    * in-window reciprocal is exact), and each final metric is ONE IEEE
+    * division of two integers — bit-identical in any engine. Shape: one
+    * ranking window partitioned by query + two map-side-combined
+    * aggregates; output is |ks| rows however large the corpus.
+    */
+  def rankEval(
+      df: DataFrame,
+      queryCol: String,
+      relCol: Column,
+      scoreCol: String,
+      tieCol: String,
+      ks: Seq[Int] = Seq(1, 3, 5)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 10),
+      s"ks must be within [1,10] (the lcm-2520 reciprocal window), got $ks")
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val ranked = df.select(
+      col(queryCol).as("q"), relCol.cast("int").as("rel"),
+      col(scoreCol), col(tieCol))
+      .withColumn("rnk", row_number().over(w))
+    val perAggs = ks.map(k =>
+      sum(when(col("rnk") <= k, col("rel")).otherwise(0)).as(s"h$k")) :+
+      min(when(col("rel") === 1 && col("rnk") <= 10, col("rnk"))).as("first_rel")
+    val per = ranked.groupBy(col("q"))
+      .agg(sum(col("rel")).as("n_rel"), perAggs: _*)
+    val totAggs = ks.map(k => sum(col(s"h$k")).as(s"s$k")) :+
+      sum(coalesce(expr("2520 div first_rel"), lit(0L))).as("mrr_num")
+    val tot = per.agg(
+      count(lit(1)).as("n_queries"),
+      sum(col("n_rel")).as("sum_relevant") +: totAggs: _*)
+    val perK = ks.map(k =>
+      struct(lit(k).as("k"), col(s"s$k").cast("bigint").as("sum_hits")))
+    tot.select(col("n_queries"), col("sum_relevant").cast("bigint").as("sum_relevant"),
+      col("mrr_num").cast("bigint").as("mrr_num"),
+      explode(array(perK: _*)).as("kk"))
+      .select(
+        col("kk.k").as("k"), col("n_queries"), col("sum_relevant"),
+        col("kk.sum_hits").as("sum_hits"), col("mrr_num"),
+        (col("kk.sum_hits").cast("double") / (col("kk.k") * col("n_queries")))
+          .as("precision_at_k"),
+        (col("kk.sum_hits").cast("double") / col("sum_relevant")).as("recall_at_k"),
+        (col("mrr_num").cast("double") / (lit(2520.0) * col("n_queries")))
+          .as("mrr_at_10"))
+  }
+
   def labelAgreement(df: DataFrame, colA: String, colB: String): DataFrame = {
     val base = df
       .select(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))

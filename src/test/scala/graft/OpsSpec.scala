@@ -993,6 +993,51 @@ class OpsSpec extends AnyFunSuite {
     assert(degen.isNullAt(5))
   }
 
+  test("rankEval: hand-computed precision/recall@k and MRR; ties broken by tie column; k guard") {
+    import graft.ops.Quality
+    // q1: rel at ranks 1,3,5 (rank 1 decided by tie asc on equal scores);
+    // q2: rel at rank 3; q3: no relevant rows
+    val df = Seq(
+      ("q1", 10.0, 1L, true), ("q1", 10.0, 2L, false), ("q1", 8.0, 3L, true),
+      ("q1", 7.0, 4L, false), ("q1", 6.0, 5L, true),
+      ("q2", 5.0, 1L, false), ("q2", 4.0, 2L, false), ("q2", 3.0, 3L, true),
+      ("q3", 2.0, 1L, false), ("q3", 1.0, 2L, false))
+      .toDF("q", "score", "tie", "rel")
+    val out = Quality.rankEval(df, "q", col("rel"), "score", "tie")
+      .orderBy("k")
+      .as[(Int, Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // totals: n=3 queries, 4 relevant; hits s1=1 s3=3 s5=4;
+    // mrr_num = 2520/1 + 2520/3 + 0 = 3360 -> mrr = 3360/7560 = 4/9
+    val mrr = 3360.0 / 7560.0
+    assert(out === Seq(
+      (1, 3L, 4L, 1L, 3360L, 1.0 / 3.0, 1.0 / 4.0, mrr),
+      (3, 3L, 4L, 3L, 3360L, 3.0 / 9.0, 3.0 / 4.0, mrr),
+      (5, 3L, 4L, 4L, 3360L, 4.0 / 15.0, 1.0, mrr)))
+    intercept[IllegalArgumentException] {
+      Quality.rankEval(df, "q", col("rel"), "score", "tie", ks = Seq(11))
+    }
+  }
+
+  test("rollingDistinctFrom: calendar gaps narrow the window (range frame, not rows)") {
+    import graft.ops.Functions
+    // d1 {a,b}; d2 {b,c}; d5 {a} — with days=3 the d5 window covers
+    // d3..d5 only; a rows frame would wrongly reach back to d2/d1
+    val df = Seq(
+      ("2024-01-01 10:00:00", "a"), ("2024-01-01 11:00:00", "b"),
+      ("2024-01-01 12:00:00", "a"), // same-day duplicate collapses
+      ("2024-01-02 10:00:00", "b"), ("2024-01-02 11:00:00", "c"),
+      ("2024-01-05 10:00:00", "a"))
+      .toDF("s", "u").withColumn("ts", col("s").cast("timestamp"))
+    val out = Functions.rollingDistinctFrom(df, "u", "ts", days = 3)
+      .orderBy("day")
+      .as[(java.sql.Timestamp, Long, Long, Boolean)].collect().toSeq
+    def t(d: String) = java.sql.Timestamp.valueOf(d + " 00:00:00")
+    assert(out === Seq(
+      (t("2024-01-01"), 2L, 2L, true),
+      (t("2024-01-02"), 2L, 3L, true),
+      (t("2024-01-05"), 1L, 1L, true)))
+  }
+
   test("dqReport: exact violation counts per rule; nulls pass range/regex; duplicates count in excess") {
     import graft.ops.Quality
     val dim = Seq(1L, 2L, 3L).toDF("k")

@@ -885,6 +885,46 @@ class StreamingSpec extends AnyFunSuite {
       canon(Similarity.embedPca(base, k = 2)))
   }
 
+  test("hllOverlapSink: merged audience sketches track exact overlaps; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Functions
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val base = (1L to 50L).map(("A", _)).toDF("seg", "member")
+    val b1 = (40L to 80L).map(("A", _)) ++ (1L to 30L).map(("B", _))
+    val b2 = (25L to 60L).map(("B", _)) :+ ("C", 99L)
+    val ms = MemoryStream[(String, Long)]
+    val q = Functions.hllOverlapSink(
+      ms.toDS().toDF("seg", "member"), "seg", "member", s"$dir/out", s"$dir/cp")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // full-data exact overlaps: A = 1..80, B = 1..60, C = {99}
+    val exact = Map(("A", "B") -> (80L, 60L, 60L), ("A", "C") -> (80L, 1L, 0L),
+      ("B", "C") -> (60L, 1L, 0L))
+    def check(df: org.apache.spark.sql.DataFrame, keys: Set[(String, String)]): Unit = {
+      val rows = df.as[(String, String, Double, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      assert(rows.keySet === keys)
+      rows.foreach { case (k, (ea, eb, ei)) =>
+        val (xa, xb, xi) = exact(k)
+        assert(math.abs(ea - xa) <= 0.05 * xa, s"$k est_a $ea vs $xa")
+        assert(math.abs(eb - xb) <= 0.05 * math.max(xb, 1L), s"$k est_b $eb vs $xb")
+        assert(math.abs(ei - xi) <= 0.05 * (xa + xb), s"$k est_inter $ei vs $xi")
+      }
+    }
+    val merged = Functions.hllOverlapEstFrom(spark, base, "seg", "member", s"$dir/out")
+    check(merged, exact.keySet)
+    val firstRun = merged.as[(String, String, Double, Double, Double)].collect().toSet
+    // last-batch redelivery: HLL union is register-wise max — idempotent
+    Functions.hllOverlapBatch(b2.toDF("seg", "member"), "seg", "member", s"$dir/out", 1L)
+    assert(Functions.hllOverlapEstFrom(spark, base, "seg", "member", s"$dir/out")
+      .as[(String, String, Double, Double, Double)].collect().toSet === firstRun)
+    // empty store = base-only pairs (single segment -> no pairs)
+    assert(Functions.hllOverlapEstFrom(spark, base, "seg", "member", s"$dir/nothing")
+      .count() === 0L)
+  }
+
   test("lmScoreSink: per-batch scores equal lmScore over the accumulated corpus; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_lms").toString
