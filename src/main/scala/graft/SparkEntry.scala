@@ -354,6 +354,18 @@ object SparkEntry {
       Similarity.embedPca(Tables.embeddings(s, d), k = 8)),
     "hll_overlap" -> (Functions.hllOverlap _),
     "rolling_distinct" -> (Functions.rollingDistinct _),
+    "ewma_smooth" -> ((s, d) =>
+      graft.ops.Quality.ewmaSmooth(Tables.events(s, d), "event_type", "ts")),
+    "bfs_reach" -> ((s, d) =>
+      Graph.bfsDistances(
+        Tables.lineitem(s, d).select(
+          col("l_suppkey").cast("long").as("src"),
+          (-col("l_partkey")).cast("long").as("dst")).distinct(),
+        Tables.supplier(s, d).where(col("s_nationkey") === 0)
+          .select(col("s_suppkey").cast("long").as("node")),
+        maxHops = 3)),
+    "interval_join_outer" -> ((s, d) =>
+      graft.streaming.StreamJoins.intervalJoinOuter(Tables.events(s, d))),
     "rank_eval" -> ((s, d) =>
       graft.ops.Quality.rankEval(
         Tables.lineitem(s, d), "l_orderkey",
@@ -3362,6 +3374,51 @@ object SparkEntry {
         |SELECT CAST(d.day AS TIMESTAMP) AS day, d.exact_dau,
         |       r.exact_rolling7, true AS within_5pct
         |FROM daily d JOIN roll r ON d.day = r.day""".stripMargin,
+    "ewma_smooth" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype, date_trunc('day', ts) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY etype ORDER BY day)
+        |                 AS INTEGER) AS rn
+        |  FROM daily
+        |), w AS (
+        |  SELECT *, CASE WHEN rn = 1 THEN n
+        |                 ELSE n * (CAST(1 AS BIGINT) << (rn - 2)) END AS wn
+        |  FROM r
+        |)
+        |SELECT etype, day, n,
+        |       CAST(SUM(wn) OVER (PARTITION BY etype ORDER BY rn) AS BIGINT)
+        |         AS ewma_num,
+        |       rn - 1 AS den_log2,
+        |       CAST(SUM(wn) OVER (PARTITION BY etype ORDER BY rn) AS DOUBLE)
+        |         / (CAST(1 AS BIGINT) << (rn - 1)) AS ewma
+        |FROM w""".stripMargin,
+    "bfs_reach" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |         CAST(-l_partkey AS BIGINT) AS dst FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT CAST(-l_partkey AS BIGINT), CAST(l_suppkey AS BIGINT)
+        |  FROM lineitem
+        |), bfs AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS node, 0 AS dist
+        |  FROM supplier WHERE s_nationkey = 0
+        |  UNION
+        |  SELECT e.dst AS node, b.dist + 1 AS dist
+        |  FROM bfs b JOIN e ON e.src = b.node
+        |  WHERE b.dist < 3
+        |)
+        |SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM bfs GROUP BY 1""".stripMargin,
+    "interval_join_outer" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "rank_eval" ->
       """WITH ranked AS (
         |  SELECT l_orderkey,

@@ -315,6 +315,40 @@ object Quality {
       maxLag: Int = 7): DataFrame =
     acfFromDaily(mergedDaily(spark, base, typeCol, tsCol, outDir), maxLag)
 
+  /** Exponentially weighted moving average (α = 1/2) of the per-day
+    * event counts, kept EXACT end to end: with a dyadic α the recursion
+    * s_t = (x_t + s_{t−1})/2 has the closed form s_t = N_t / 2^(t−1)
+    * with N_t = x_1 + Σ_{i=2..t} x_i·2^(i−2) — an integer running sum —
+    * so the gate carries (numerator, exponent) as exact integers and
+    * the smoothed value is ONE IEEE division, bit-identical in any
+    * engine. One bounded-key aggregate plus one partitioned window; no
+    * per-row state, no driver loop.
+    *
+    * Scaled-integer envelope: |N_t| < 2^63 needs
+    * series length ≲ 62 − log2(max daily count) per type — ample for
+    * the calendar-bounded daily series this smooths (≈50 days at 10⁹
+    * events/day). Longer horizons chunk: N and the exponent are a
+    * one-row-per-type mergeable partial, so a new chunk re-seeds from
+    * the previous chunk's (N, t) exactly like the daily-count store.
+    */
+  def ewmaSmooth(df: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    ewmaFromDaily(dailyCounts(df, typeCol, tsCol))
+
+  private[graft] def ewmaFromDaily(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("etype")).orderBy(col("day"))
+    daily
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("wn", when(col("rn") === 1, col("n"))
+        .otherwise(col("n") * expr("shiftleft(1L, rn - 2)")))
+      .withColumn("ewma_num",
+        sum(col("wn")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("etype"), col("day"), col("n"), col("ewma_num"),
+        (col("rn") - 1).as("den_log2"),
+        (col("ewma_num").cast("double") / expr("shiftleft(1L, rn - 1)").cast("double"))
+          .as("ewma"))
+  }
+
   private def mergedDaily(
       spark: org.apache.spark.sql.SparkSession,
       base: DataFrame,

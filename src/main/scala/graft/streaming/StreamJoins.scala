@@ -51,6 +51,42 @@ object StreamJoins {
         col("p.event_id").as("purchase_id"),
         (unix_micros(col("p.ts")) - unix_micros(col("c.ts"))).as("gap_us"))
 
+  /** LEFT-OUTER variant of [[clickToConversion]]: every click appears,
+    * unconverted ones with a NULL purchase — the funnel's drop-off side,
+    * which the inner join silently discards. On streaming frames this is
+    * Spark's watermarked outer stream-stream join: a click's null row is
+    * emitted only once the watermark passes `click.ts + maxGap` (the
+    * point where a match is provably impossible), so correctness and the
+    * state bound come from the same band. Batch frames degrade to a
+    * plain left join with the identical condition.
+    */
+  def clickToConversionOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      maxGap: String = "6 hours"): DataFrame =
+    clicks.alias("c")
+      .join(
+        purchases.alias("p"),
+        expr(s"""c.user_id = p.user_id
+                | and p.ts >= c.ts
+                | and p.ts <= c.ts + interval $maxGap""".stripMargin),
+        "left_outer")
+      .select(
+        col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        (unix_micros(col("p.ts")) - unix_micros(col("c.ts"))).as("gap_us"))
+
+  /** The batch entry for the outer variant: all clicks, converted or not. */
+  def intervalJoinOuter(events: DataFrame, maxGap: String = "6 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    clickToConversionOuter(clicks, purchases, maxGap)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** The batch entry: click→purchase pairs from the events table. */
   def intervalJoinPairs(events: DataFrame, maxGap: String = "6 hours"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")

@@ -1035,6 +1035,27 @@ class ExtSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.lshTuning(docs, configs = Nil))
   }
 
+  test("bfsDistances: min-hop distances, hop cap excludes far nodes, seeds dedup, undirected") {
+    import graft.ext.Graph
+    // path 1-2-3-4 plus disconnected 5-6; edge 3->2 is a back-edge
+    // duplicate that must not change distances
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 5L, 5L).toDF("node")
+    val out = Graph.bfsDistances(edges, seeds, maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0, 5L -> 0, 2L -> 1, 6L -> 1, 3L -> 2))
+    // node 4 is 3 hops away: present at maxHops = 3, not before
+    val out3 = Graph.bfsDistances(edges, seeds, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(out3(4L) === 3)
+    // seed-only graph edge case: a seed with no edges still reports dist 0
+    val lone = Graph.bfsDistances(edges, Seq(99L).toDF("node"), maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(lone === Map(99L -> 0))
+    intercept[IllegalArgumentException](Graph.bfsDistances(edges, seeds, maxHops = 0))
+  }
+
   test("labelPropagation: two cliques joined by a bridge settle on per-clique labels") {
     def clique(ids: Seq[Long]) =
       for (a <- ids; b <- ids if a < b) yield (a, b)

@@ -993,6 +993,23 @@ class OpsSpec extends AnyFunSuite {
     assert(degen.isNullAt(5))
   }
 
+  test("ewmaFromDaily: exact dyadic numerators and one-division smoothing; per-type isolation") {
+    import graft.ops.Quality
+    val daily = Seq(
+      ("a", "2024-01-01", 3L), ("a", "2024-01-02", 5L), ("a", "2024-01-03", 2L),
+      ("b", "2024-01-01", 7L))
+      .toDF("etype", "d", "n")
+      .withColumn("day", col("d").cast("timestamp")).drop("d")
+    val out = Quality.ewmaFromDaily(daily)
+      .select("etype", "n", "ewma_num", "den_log2", "ewma")
+      .orderBy("etype", "day")
+      .as[(String, Long, Long, Int, Double)].collect().toSeq
+    // s1=3; s2=(5+3)/2=4; s3=(2+4)/2=3 — numerators 3, 8, 12 over 2^0,2^1,2^2
+    assert(out === Seq(
+      ("a", 3L, 3L, 0, 3.0), ("a", 5L, 8L, 1, 4.0), ("a", 2L, 12L, 2, 3.0),
+      ("b", 7L, 7L, 0, 7.0)))
+  }
+
   test("rankEval: hand-computed precision/recall@k and MRR; ties broken by tie column; k guard") {
     import graft.ops.Quality
     // q1: rel at ranks 1,3,5 (rank 1 decided by tie asc on equal scores);

@@ -1828,4 +1828,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(!pids.contains(300L))
     } finally q.stop()
   }
+
+  test("stream-stream LEFT OUTER interval join: unmatched click emits NULL row on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mc = MemoryStream[Event]
+    val mp = MemoryStream[Event]
+    def side(ms: MemoryStream[Event]) = ms.toDS()
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+    val joined = graft.streaming.StreamJoins.clickToConversionOuter(
+      side(mc), side(mp), "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    try {
+      val clicks1 = Seq(ev(1, "2024-01-01 10:00:00", 7, "click"),
+        ev(2, "2024-01-01 10:01:00", 8, "click")) // user 8 never converts
+      val buys1 = Seq(ev(100, "2024-01-01 10:05:00", 7, "purchase"))
+      mc.addData(clicks1); mp.addData(buys1); q.processAllAvailable()
+      def got() = spark.table("ssj_outer")
+        .select("click_id", "purchase_id", "gap_us")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      // matched pair emits immediately; the unmatched click must WAIT —
+      // a match is still possible until the watermark passes ts + band
+      assert(got() === Set((1L, Some(100L), Some(300000000L))))
+      // advance both watermarks well past click-2's ts + band + lateness:
+      // its NULL row is now provably unmatchable and must emit
+      mc.addData(ev(3, "2024-01-01 13:00:00", 50, "click"))
+      mp.addData(ev(200, "2024-01-01 13:00:00", 51, "purchase"))
+      q.processAllAvailable()
+      mc.addData(ev(4, "2024-01-01 14:00:00", 60, "click"))
+      mp.addData(ev(201, "2024-01-01 14:00:00", 61, "purchase"))
+      q.processAllAvailable()
+      assert(got().contains((2L, None, None)))
+      // batch parity: the same builder on batch frames left-joins everything
+      val all = (clicks1 ++ Seq(ev(3, "2024-01-01 13:00:00", 50, "click"),
+        ev(4, "2024-01-01 14:00:00", 60, "click")))
+        .toDF().select(col("user_id"), col("event_id"), col("ts"))
+      val buysAll = (buys1 ++ Seq(ev(200, "2024-01-01 13:00:00", 51, "purchase"),
+        ev(201, "2024-01-01 14:00:00", 61, "purchase")))
+        .toDF().select(col("user_id"), col("event_id"), col("ts"))
+      val batch = graft.streaming.StreamJoins.clickToConversionOuter(all, buysAll, "30 minutes")
+        .select("click_id", "purchase_id", "gap_us")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      // every streamed row is a batch row; batch additionally holds clicks
+      // whose horizon the stream's watermark hasn't passed yet
+      assert(got().subsetOf(batch))
+      assert(batch.contains((2L, None, None)) && batch.contains((4L, None, None)))
+    } finally q.stop()
+  }
 }
