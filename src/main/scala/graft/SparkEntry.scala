@@ -366,6 +366,7 @@ object SparkEntry {
         maxHops = 3)),
     "interval_join_outer" -> ((s, d) =>
       graft.streaming.StreamJoins.intervalJoinOuter(Tables.events(s, d))),
+    "record_linkage" -> (Functions.recordLinkage _),
     "rank_eval" -> ((s, d) =>
       graft.ops.Quality.rankEval(
         Tables.lineitem(s, d), "l_orderkey",
@@ -3374,6 +3375,12 @@ object SparkEntry {
         |SELECT CAST(d.day AS TIMESTAMP) AS day, d.exact_dau,
         |       r.exact_rolling7, true AS within_5pct
         |FROM daily d JOIN roll r ON d.day = r.day""".stripMargin,
+    "record_linkage" ->
+      """SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_r6
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8""".stripMargin,
     "ewma_smooth" ->
       """WITH daily AS (
         |  SELECT event_type AS etype, date_trunc('day', ts) AS day,

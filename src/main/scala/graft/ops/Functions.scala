@@ -294,6 +294,33 @@ object Functions {
         levenshtein(col("c_name"), col("next_name")).as("edit_dist"))
   }
 
+  /** Blocked record linkage scored by Jaro–Winkler — the classic
+    * entity-resolution pipeline: a bounded blocking key (p_brand, 25
+    * blocks) turns the quadratic all-pairs into per-block self-joins,
+    * and the compiled [[graft.functions.JaroWinkler]] expression scores
+    * candidates inside whole-stage codegen. At 100 TB the block key is
+    * the scale lever: pairs per block are (block size)², so skewed
+    * blocks fall to the salting playbook, never to a cartesian.
+    *
+    * Gate: raw pairs above 0.8 with the score rounded to 6dp — DuckDB
+    * recomputes with its native `jaro_winkler_similarity`, so the gate
+    * cross-checks two INDEPENDENT implementations of the metric (the
+    * rounding absorbs last-ulp association drift, not algorithmic
+    * divergence — m, t, prefix or threshold differences shift the third
+    * decimal and fail the hash).
+    */
+  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StringSimilarityFunctions.jaro_winkler
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand")).where(col("key_a") < col("key_b"))
+      .withColumn("jw", jaro_winkler(col("name_a"), col("name_b")))
+      .where(col("jw") >= 0.8)
+      .select(col("p_brand"), col("key_a"), col("key_b"),
+        round(col("jw"), 6).as("jw_r6"))
+  }
+
   /** Statistical moments from EXACT decimal accumulators: mean, variance,
     * stddev, and corr(quantity, price) are derived with the textbook
     * formulas from decimal sums (S, S², cross-product). Built-in

@@ -104,6 +104,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(p4 >= p1) // wider probe can only improve the k-th neighbor
   }
 
+  test("jaro_winkler: pinned reference values (incl. floored transpositions), nulls, empties") {
+    import graft.functions.StringSimilarityFunctions.jaro_winkler
+    // every expected value checked against DuckDB's
+    // jaro_winkler_similarity (the oracle's implementation)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // t=1, prefix 3
+      ("DWAYNE", "DUANE", 0.8400000000000001),    // prefix 1
+      ("DIXON", "DICKSONX", 0.8133333333333332),  // prefix 2
+      ("abcdef", "abzzzz", 0.5555555555555555),   // jaro <= 0.7: no boost
+      ("red gear", "large gear", 0.8107142857142856), // odd mismatches FLOOR
+      ("aaaaaabc", "aaaaaacb", 0.975),            // prefix capped at 4
+      ("ab", "ba", 0.0),                          // window 0: no matches
+      ("abc", "abc", 1.0),
+      ("a", "a", 1.0),                            // window clamps to >= 0
+      ("a", "", 0.0), ("", "", 0.0),              // empty scores 0
+      ("café", "cafe", 0.8483333333333334),  // non-ASCII fallback path
+      ("naïve", "naive", 0.8577777777777779))
+    val out = cases.toDF("a", "b", "want")
+      .select(col("want"), jaro_winkler(col("a"), col("b")).as("got"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (want, got) => assert(got === want) }
+    val nulls = Seq((Option("x"), Option.empty[String]),
+      (Option.empty[String], Option("y"))).toDF("a", "b")
+      .select(jaro_winkler(col("a"), col("b"))).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("hllOverlapFrom: exact pairwise intersections; zero-overlap pairs surface; I-E bound holds") {
     // A = 1..100, B = 51..150 (overlap 50), C = {500} (disjoint)
     val df = ((1L to 100L).map(("A", _)) ++ (51L to 150L).map(("B", _)) ++

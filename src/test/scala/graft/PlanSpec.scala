@@ -227,6 +227,17 @@ class PlanSpec extends AnyFunSuite {
     assert(e.contains("*(1) Project"), e)
   }
 
+  test("record_linkage: the compiled JaroWinkler scorer stays inside whole-stage codegen") {
+    val e = executedFinal("record_linkage")
+    // the blocked self-join may exchange on p_brand, but the scoring
+    // filter+projection must sit in a codegen span — a UDF would appear
+    // as BatchEvalPython/ScalaUDF and break the * marker
+    assert(e.contains("isFinalPlan=true"), e)
+    assert(e.contains("*("), e)
+    assert(e.toLowerCase.contains("jarowinkler"), e)
+    assert(!e.contains("ScalaUDF"), e)
+  }
+
   test("cdc_apply: the snapshot streams through a broadcast anti-join — only the changelog exchanges") {
     // the MERGE contract at scale: the changelog is ≪ the snapshot, so
     // the anti-join must be a broadcast (no SortMergeJoin — that would
