@@ -104,6 +104,38 @@ object GenScale {
       else lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(r * idOffset))
     }.reduce(_ unionByName _)
 
+  /** `rep` user-disjoint replicas of the events stream: replica r offsets
+    * event_id AND user_id — the audience grows R× while the calendar
+    * span stays fixed, which is how real traffic scales (more users per
+    * day, not more days). Per-user structure (session gaps, click→
+    * purchase bands, type mix) is invariant per replica, so sessionizer /
+    * interval-join / per-user aggregates scale linearly by construction.
+    */
+  def scaleEvents(events: DataFrame, rep: Int, idOffset: Long): DataFrame =
+    (0 until rep).map { r =>
+      if (r == 0) events
+      else events
+        .withColumn("event_id", col("event_id") + lit(r * idOffset))
+        .withColumn("user_id", col("user_id") + lit(r * idOffset))
+    }.reduce(_ unionByName _)
+
+  /** `rep` replicas of the part dimension with per-replica brand AND
+    * name vocabularies (suffix ·r, the [[scaleDocuments]] trick):
+    * blocking keys grow WITH the corpus, so blocked self-joins
+    * (record_linkage) stay linear — the production growth mode where new
+    * catalog segments arrive with new data. Keeping brands fixed instead
+    * would square the per-block pair count; that regime is documented
+    * analytically, not replicated.
+    */
+  def scalePart(part: DataFrame, rep: Int, idOffset: Long): DataFrame =
+    (0 until rep).map { r =>
+      if (r == 0) part
+      else part
+        .withColumn("p_partkey", col("p_partkey") + lit(r * idOffset))
+        .withColumn("p_brand", concat(col("p_brand"), lit("" + r.toString)))
+        .withColumn("p_name", concat(col("p_name"), lit("" + r.toString)))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outBase = if (args.length > 1) args(1) else "/root/repo/testdata_scale"
@@ -126,6 +158,12 @@ object GenScale {
     val orderOffset = math.max(
       orders.agg(max(col("o_orderkey"))).head().getLong(0),
       lineitem.agg(max(col("l_orderkey"))).head().getLong(0)) + 1
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val part = spark.read.parquet(s"$src/part.parquet")
+    val eventOffset = math.max(
+      events.agg(max(col("event_id"))).head().getLong(0),
+      events.agg(max(col("user_id"))).head().getLong(0)) + 1
+    val partOffset = part.agg(max(col("p_partkey"))).head().getLong(0) + 1
 
     reps.foreach { rep =>
       val out = s"$outBase/x$rep"
@@ -141,9 +179,15 @@ object GenScale {
       scaleLineitem(lineitem, rep, orderOffset)
         .repartition(16)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      scaleEvents(events, rep, eventOffset)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      scalePart(part, rep, partOffset)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
       // dims ride along verbatim so Tables.* resolves against the scaled
       // dir (facts grow, dims don't — the realistic growth mode)
-      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      Seq("region", "nation", "customer", "supplier").foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }

@@ -639,12 +639,7 @@ object Functions {
       .where(col(typeCol).isNotNull && col(userCol).isNotNull)
       .groupBy(col(typeCol).as("t"))
       .agg(expr(s"hll_sketch_agg($userCol)").as("sk"))
-    val committed = graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/sketches")
-    val all =
-      if (committed.isEmpty) basePer
-      else basePer.unionByName(spark.read.parquet(
-        committed.toSeq.sorted.map(b => s"$outDir/sketches/$b"): _*))
-    val per = all.groupBy(col("t")).agg(expr("hll_union_agg(sk)").as("sk"))
+    val per = mergedSegmentSketches(spark, basePer, outDir)
     per.select(col("t").as("etype_a"), col("sk").as("sk_a"))
       .join(broadcast(per.select(col("t").as("etype_b"), col("sk").as("sk_b"))),
         col("etype_a") < col("etype_b"))
@@ -654,6 +649,46 @@ object Functions {
         expr("hll_sketch_estimate(sk_a) + hll_sketch_estimate(sk_b)" +
           " - hll_sketch_estimate(hll_union(sk_a, sk_b))").cast("double")
           .as("est_inter"))
+  }
+
+  /** One (t → unioned sketch) row per segment from base rows plus every
+    * committed [[hllOverlapSink]] partial — the shared merge both sketch
+    * readers sit on. */
+  private def mergedSegmentSketches(
+      spark: SparkSession, basePer: DataFrame, outDir: String): DataFrame = {
+    val committed = graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/sketches")
+    val all =
+      if (committed.isEmpty) basePer
+      else basePer.unionByName(spark.read.parquet(
+        committed.toSeq.sorted.map(b => s"$outDir/sketches/$b"): _*))
+    all.groupBy(col("t")).agg(expr("hll_union_agg(sk)").as("sk"))
+  }
+
+  /** Streaming twin of [[rollingDistinct]], the second reader over a
+    * [[hllOverlapSink]] store keyed by DAY: per-day audience sketches
+    * merge from base plus committed partials (streamed users exist ONLY
+    * as sketches — bounded state is the point, so this emits estimates;
+    * tests pin them within 5% of an exact recount), then the same
+    * gap-honoring range-frame window unions ≤`days` sketches per day. */
+  def rollingDistinctEstFrom(
+      spark: SparkSession,
+      base: DataFrame,
+      dayCol: String,
+      userCol: String,
+      outDir: String,
+      days: Int = 7): DataFrame = {
+    require(days >= 1 && days <= 366, s"days must be in [1,366], got $days")
+    val basePer = base.where(col(userCol).isNotNull && col(dayCol).isNotNull)
+      .groupBy(col(dayCol).cast("date").as("t"))
+      .agg(expr(s"hll_sketch_agg($userCol)").as("sk"))
+    val per = mergedSegmentSketches(spark, basePer, outDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day_num")).rangeBetween(-(days - 1), 0)
+    per.withColumn("day_num", datediff(col("t"), to_date(lit("1970-01-01"))))
+      .withColumn("roll_sk", expr("hll_union_agg(sk)").over(w))
+      .select(col("t").cast("timestamp").as("day"),
+        expr("hll_sketch_estimate(sk)").cast("double").as("est_dau"),
+        expr("hll_sketch_estimate(roll_sk)").cast("double").as("est_rolling"))
   }
 
   /** Daily active users plus a 7-day ROLLING distinct-user count — the

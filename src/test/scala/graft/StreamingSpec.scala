@@ -925,6 +925,46 @@ class StreamingSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("rollingDistinctEstFrom: day-keyed sketch store tracks exact rolling distinct; gaps honored") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Functions
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_rolldau").toString
+    def dayed(rows: Seq[(String, Long)]) =
+      rows.toDF("d", "u").select(col("d").cast("date").as("day"), col("u"))
+    // base: d1 users 1..40; batches add d2 and (gap) d5
+    val base = dayed((1L to 40L).map(("2024-01-01", _)))
+    val b1 = (30L to 70L).map(("2024-01-02", _))
+    val b2 = (1L to 10L).map(("2024-01-05", _))
+    val ms = MemoryStream[(String, Long)]
+    val q = Functions.hllOverlapSink(
+      ms.toDS().toDF("d", "u").select(col("d").cast("date").as("day"), col("u")),
+      "day", "u", s"$dir/out", s"$dir/cp")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val out = Functions.rollingDistinctEstFrom(spark, base, "day", "u", s"$dir/out", days = 3)
+      .orderBy("day")
+      .as[(java.sql.Timestamp, Double, Double)].collect().toSeq
+    def t(d: String) = java.sql.Timestamp.valueOf(d + " 00:00:00")
+    // exact: dau d1=40 d2=41 d5=10; rolling3 d1=40 d2=70 d5=10 (gap:
+    // the d5 window covers d3..d5 only — a rows frame would reach d2)
+    val exact = Map(t("2024-01-01") -> (40.0, 40.0),
+      t("2024-01-02") -> (41.0, 70.0), t("2024-01-05") -> (10.0, 10.0))
+    assert(out.map(_._1).toSet === exact.keySet)
+    out.foreach { case (d, dau, roll) =>
+      val (xd, xr) = exact(d)
+      assert(math.abs(dau - xd) <= 0.05 * xd, s"$d dau $dau vs $xd")
+      assert(math.abs(roll - xr) <= 0.05 * xr, s"$d rolling $roll vs $xr")
+    }
+    // replay of the last batch is a no-op (union is register-wise max)
+    Functions.hllOverlapBatch(dayed(b2), "day", "u", s"$dir/out", 1L)
+    val replayed = Functions.rollingDistinctEstFrom(spark, base, "day", "u", s"$dir/out", days = 3)
+      .orderBy("day").as[(java.sql.Timestamp, Double, Double)].collect().toSeq
+    assert(replayed === out)
+  }
+
   test("lmScoreSink: per-batch scores equal lmScore over the accumulated corpus; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_lms").toString
