@@ -367,6 +367,9 @@ object SparkEntry {
     "interval_join_outer" -> ((s, d) =>
       graft.streaming.StreamJoins.intervalJoinOuter(Tables.events(s, d))),
     "record_linkage" -> (Functions.recordLinkage _),
+    "ols_trend" -> ((s, d) =>
+      graft.ops.Quality.olsTrend(Tables.events(s, d), "event_type", "ts")),
+    "format_roundtrip" -> (graft.io.Sources.formatRoundtrip _),
     "rank_eval" -> ((s, d) =>
       graft.ops.Quality.rankEval(
         Tables.lineitem(s, d), "l_orderkey",
@@ -3375,6 +3378,51 @@ object SparkEntry {
         |SELECT CAST(d.day AS TIMESTAMP) AS day, d.exact_dau,
         |       r.exact_rolling7, true AS within_5pct
         |FROM daily d JOIN roll r ON d.day = r.day""".stripMargin,
+    "ols_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype, date_trunc('day', ts) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |), idx AS (
+        |  SELECT etype, n,
+        |         CAST(datediff('day', MIN(day) OVER (PARTITION BY etype), day)
+        |              AS BIGINT) AS d
+        |  FROM daily
+        |), agg AS (
+        |  SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(n) AS BIGINT) AS sy,
+        |         CAST(SUM(d * d) AS BIGINT) AS sdd,
+        |         CAST(SUM(d * n) AS BIGINT) AS sdy,
+        |         CAST(SUM(n * n) AS BIGINT) AS syy
+        |  FROM idx GROUP BY 1
+        |)
+        |SELECT etype, n_days,
+        |       n_days * sdy - sd * sy AS slope_num,
+        |       n_days * sdd - sd * sd AS slope_den,
+        |       CASE WHEN n_days * sdd <> sd * sd THEN
+        |         CAST(n_days * sdy - sd * sy AS DOUBLE)
+        |           / CAST(n_days * sdd - sd * sd AS DOUBLE) END AS slope,
+        |       CASE WHEN n_days * sdd <> sd * sd AND n_days * syy <> sy * sy THEN
+        |         (CAST(n_days * sdy - sd * sy AS DOUBLE)
+        |           * CAST(n_days * sdy - sd * sy AS DOUBLE))
+        |         / (CAST(n_days * sdd - sd * sd AS DOUBLE)
+        |           * CAST(n_days * syy - sy * sy AS DOUBLE)) END AS r2
+        |FROM agg""".stripMargin,
+    "format_roundtrip" ->
+      """WITH slice AS (
+        |  SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 100 = 0
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |         CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+        |         CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+        |  FROM slice
+        |)
+        |SELECT f.format, s.n_rows, s.sum_qty, s.sum_price, s.sum_key, s.n_flags
+        |FROM s CROSS JOIN (SELECT * FROM (VALUES ('parquet'), ('csv'), ('json'))
+        |                   AS x(format)) f""".stripMargin,
     "record_linkage" ->
       """SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
         |       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_r6

@@ -88,6 +88,41 @@ object Sources {
       .as[Event]
   }
 
+  /** Batch format round-trip: write a deterministic fact slice as CSV
+    * and as JSON-lines, read each back under the EXPLICIT source schema
+    * (never inference — the [[eventWireSchema]] doctrine), and reduce
+    * every copy to the same exact aggregate row. Gates the text-source
+    * plumbing end to end: a parser that drops a row, mangles a quoted
+    * string, or loses double precision shifts an exact decimal sum and
+    * fails the hash (Spark's shortest-round-trip double printing makes
+    * CSV/JSON numerics lossless by construction; sums are taken as
+    * decimal so partition order can't move them). The oracle recomputes
+    * the aggregates straight from parquet — three sources, one truth.
+    */
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val slice = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .where(col("l_orderkey") % 100 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    slice.write.mode("overwrite").json(s"$tmp/json")
+    val schema = slice.schema
+    def summarize(fmt: String, df: DataFrame): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        sum(col("l_orderkey")).as("sum_key"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+        .select(lit(fmt).as("format"), col("n_rows"), col("sum_qty"),
+          col("sum_price"), col("sum_key"), col("n_flags"))
+    summarize("parquet", slice)
+      .unionByName(summarize("csv",
+        spark.read.option("header", "true").schema(schema).csv(s"$tmp/csv")))
+      .unionByName(summarize("json", spark.read.schema(schema).json(s"$tmp/json")))
+  }
+
   /** Kafka envelope → typed events (shared by batch backfill and stream).
     * DROPMALFORMED semantics: `from_json` yields a null struct for corrupt
     * payloads, and the filter drops them — one poisoned message must not

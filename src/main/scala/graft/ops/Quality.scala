@@ -315,6 +315,47 @@ object Quality {
       maxLag: Int = 7): DataFrame =
     acfFromDaily(mergedDaily(spark, base, typeCol, tsCol, outDir), maxLag)
 
+  /** Per-type ordinary-least-squares trend of the daily counts — the
+    * parametric complement to [[trendSlope]]'s Theil–Sen (OLS is the
+    * one dashboards fit; Theil–Sen is the robust check). Kept exact the
+    * integer way: with the day re-indexed to 0..T−1 per type (so sums
+    * stay tiny), slope = (nΣdy − ΣdΣy) / (nΣd² − (Σd)²) is a ratio of
+    * two int64s carried as witness columns, the slope itself ONE IEEE
+    * division, and r² a fixed two-multiply/one-divide expression over
+    * the same exact sums — deterministic in any engine. One daily
+    * aggregate + one per-type fold; output is |types| rows.
+    */
+  def olsTrend(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyCounts(df, typeCol, tsCol)
+    val wT = Window.partitionBy(col("etype"))
+    val d = daily.withColumn(
+      "d", datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+      .withColumn("d", col("d") - min(col("d")).over(wT))
+    val agg = d.groupBy(col("etype")).agg(
+      count(lit(1)).as("n"),
+      sum(col("d")).as("sd"),
+      sum(col("n")).as("sy"),
+      sum(col("d") * col("d")).as("sdd"),
+      sum(col("d") * col("n")).as("sdy"),
+      sum(col("n") * col("n")).as("syy"))
+    agg.select(
+      col("etype"), col("n").as("n_days"),
+      (col("n") * col("sdy") - col("sd") * col("sy")).as("slope_num"),
+      (col("n") * col("sdd") - col("sd") * col("sd")).as("slope_den"),
+      when(col("n") * col("sdd") =!= col("sd") * col("sd"),
+        (col("n") * col("sdy") - col("sd") * col("sy")).cast("double") /
+          (col("n") * col("sdd") - col("sd") * col("sd")).cast("double"))
+        .as("slope"),
+      when((col("n") * col("sdd") =!= col("sd") * col("sd")) &&
+          (col("n") * col("syy") =!= col("sy") * col("sy")),
+        ((col("n") * col("sdy") - col("sd") * col("sy")).cast("double") *
+          (col("n") * col("sdy") - col("sd") * col("sy")).cast("double")) /
+          ((col("n") * col("sdd") - col("sd") * col("sd")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+        .as("r2"))
+  }
+
   /** Exponentially weighted moving average (α = 1/2) of the per-day
     * event counts, kept EXACT end to end: with a dyadic α the recursion
     * s_t = (x_t + s_{t−1})/2 has the closed form s_t = N_t / 2^(t−1)

@@ -26,6 +26,16 @@ class IoSpec extends AnyFunSuite {
   test("json round-trips with explicit schema")(roundTrip("json"))
   test("orc round-trips with explicit schema")(roundTrip("orc"))
 
+  test("formatRoundtrip: parquet, csv and json copies reduce to identical aggregates") {
+    val rows = graft.io.Sources.formatRoundtrip(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSet === Set("parquet", "csv", "json"))
+    // one truth: every format's aggregate row is identical
+    assert(rows.map(t => (t._2, t._3, t._4, t._5, t._6)).toSet.size === 1)
+    assert(rows.head._2 > 0)
+  }
+
   test("compaction: 32 small files collapse to 1, rows and values intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     val src = Tables.events(spark, "/root/testdata/sf0.001")

@@ -993,6 +993,20 @@ class OpsSpec extends AnyFunSuite {
     assert(degen.isNullAt(5))
   }
 
+  test("olsTrend: perfect line gives slope 2 and r2 = 1; single-day group degenerates to NULL") {
+    import graft.ops.Quality
+    // type a: counts 1,3,5 on consecutive days (y = 2d + 1); type b: one day
+    def ev(t: String, day: String, n: Int) = Seq.fill(n)((t, s"$day 01:00:00"))
+    val df = (ev("a", "2024-01-01", 1) ++ ev("a", "2024-01-02", 3) ++
+      ev("a", "2024-01-03", 5) ++ ev("b", "2024-01-01", 4))
+      .toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = Quality.olsTrend(df, "t", "ts").orderBy("etype")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out === Seq(
+      ("a", 3L, 12L, 6L, Some(2.0), Some(1.0)),
+      ("b", 1L, 0L, 0L, None, None)))
+  }
+
   test("ewmaFromDaily: exact dyadic numerators and one-division smoothing; per-type isolation") {
     import graft.ops.Quality
     val daily = Seq(
