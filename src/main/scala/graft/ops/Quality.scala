@@ -325,9 +325,33 @@ object Quality {
     * the same exact sums — deterministic in any engine. One daily
     * aggregate + one per-type fold; output is |types| rows.
     */
-  def olsTrend(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+  def olsTrend(df: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    olsFromDaily(dailyCounts(df, typeCol, tsCol))
+
+  /** [[olsTrend]] over base events plus everything [[cusumDriftSink]]
+    * committed — with [[ewmaSmoothFrom]] the sixth/seventh readers over
+    * the shared daily-count store: one stream of bounded mergeable
+    * partials feeds CUSUM, Theil-Sen, weekday, decomposition, ACF, OLS
+    * and EWMA without ever replaying events. */
+  def olsTrendFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      outDir: String): DataFrame =
+    olsFromDaily(mergedDaily(spark, base, typeCol, tsCol, outDir))
+
+  /** [[ewmaSmooth]] over the same merged store; see [[olsTrendFrom]]. */
+  def ewmaSmoothFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      outDir: String): DataFrame =
+    ewmaFromDaily(mergedDaily(spark, base, typeCol, tsCol, outDir))
+
+  private[graft] def olsFromDaily(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = dailyCounts(df, typeCol, tsCol)
     val wT = Window.partitionBy(col("etype"))
     val d = daily.withColumn(
       "d", datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))

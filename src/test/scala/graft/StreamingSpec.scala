@@ -845,6 +845,21 @@ class StreamingSpec extends AnyFunSuite {
       (baseRows ++ b1 ++ b2).toDF("t", "s").withColumn("ts", col("s").cast("timestamp")),
       "t", "ts")))
     assert(acfMerged.nonEmpty)
+    // ... and the OLS + EWMA readers — same store, same exact witnesses
+    val allDf = (baseRows ++ b1 ++ b2).toDF("t", "s")
+      .withColumn("ts", col("s").cast("timestamp"))
+    def canonO(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("etype")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])].collect().toSeq
+    val olsMerged = canonO(Quality.olsTrendFrom(spark, base, "t", "ts", s"$dir/out"))
+    assert(olsMerged === canonO(Quality.olsTrend(allDf, "t", "ts")))
+    assert(olsMerged.nonEmpty)
+    def canonE(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("etype", "day")
+      .as[(String, java.sql.Timestamp, Long, Long, Int, Double)].collect().toSeq
+    val ewmaMerged = canonE(Quality.ewmaSmoothFrom(spark, base, "t", "ts", s"$dir/out"))
+    assert(ewmaMerged === canonE(Quality.ewmaSmooth(allDf, "t", "ts")))
+    assert(ewmaMerged.nonEmpty)
   }
 
   test("pcaScatterSink: merged partials re-derive the batch-path model; replay idempotent") {
