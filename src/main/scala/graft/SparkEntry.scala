@@ -440,6 +440,8 @@ object SparkEntry {
     }),
     "tumbling_counts" -> ((s, d) => Sessionize.tumblingCounts(Tables.events(s, d))),
     "session_window" -> ((s, d) => Sessionize.sessionWindowStats(Tables.events(s, d))),
+    "session_window_dynamic" -> ((s, d) =>
+      Sessionize.sessionWindowDynamic(Tables.events(s, d))),
     "q4_late_priority" -> (Relational.latePriorityCounts _),
     "q6_forecast" -> (Relational.forecastRevenue _),
     "q7_nation_volume" -> (Relational.nationVolume _),
@@ -2240,6 +2242,28 @@ object SparkEntry {
         |       COUNT(*) AS n_events
         |FROM x
         |GROUP BY user_id, seq""".stripMargin,
+    "session_window_dynamic" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+        |                   ELSE INTERVAL 20 MINUTE END AS win_end
+        |  FROM events
+        |), m AS (
+        |  SELECT *, MAX(win_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end
+        |                 THEN 1 ELSE 0 END AS st
+        |  FROM m
+        |), x AS (
+        |  SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s
+        |)
+        |SELECT user_id, MIN(ts) AS s_start, MAX(win_end) AS s_end,
+        |       COUNT(*) AS n_events
+        |FROM x GROUP BY user_id, sid""".stripMargin,
     "q4_late_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders

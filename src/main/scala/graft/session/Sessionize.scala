@@ -94,6 +94,33 @@ object Sessionize {
         col("session_window.end").as("s_end"),
         col("n_events"))
 
+  /** Native session windows with a DYNAMIC, row-dependent gap — a
+    * purchase keeps the session alive 60 minutes, anything else 20:
+    * the "checkout takes longer than browsing" timeout policy a fixed
+    * gap cannot express. Spark's `session_window(ts, gapExpr)` runs the
+    * same merging-window machinery (streaming-capable, state bounded
+    * per live session); the oracle re-derives the merge with a running
+    * MAX of per-row window ends (a session continues while the next
+    * event starts at or before the furthest end seen — gaps are
+    * per-ROW, so the plain lag-vs-gap test of the fixed variant is no
+    * longer equivalent).
+    */
+  def sessionWindowDynamic(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val gap = when(col(typeCol) === "purchase", lit("60 minutes"))
+      .otherwise(lit("20 minutes"))
+    df.groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(userCol),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"))
+  }
+
   /** Per-session rollup: event count, bounds, duration, purchase revenue.
     * This is the session *analytics* surface the reference only persists
     * for (the pptx shows "Time series" + "Monitors" downstream of

@@ -110,7 +110,11 @@ class ExtSpec extends AnyFunSuite {
       // +3 in round 11: incrementalFuzzyDedupSink's per-batch sig /
       // probe / verdicts pins, each released in a nested finally
       "src/main/scala/graft/ext/Dedup.scala" -> 9,
-      "src/main/scala/graft/ext/Graph.scala" -> 1,
+      // +2 in round 12: bfsDistances' edge cache + per-round frontier
+      // pins, every one released in its finally AFTER the result is
+      // checkpoint-materialized (Dedup.truncated) — the result is
+      // Dedup.release-able, the pageRank contract
+      "src/main/scala/graft/ext/Graph.scala" -> 3,
       "src/main/scala/graft/ext/Similarity.scala" -> 1,
       // +2 in round 11: lmScoreBatch's batch + marginal-histogram pins,
       // each released in a nested finally

@@ -993,6 +993,32 @@ class OpsSpec extends AnyFunSuite {
     assert(degen.isNullAt(5))
   }
 
+  test("sessionWindowDynamic: purchase extends the gap; boundary-equal events merge") {
+    def r(id: Long, t: String, u: Long, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), u, typ)
+    val df = Seq(
+      // user 7: purchase stretches the session to cover a 55-min lull
+      r(1, "2024-01-01 10:00:00", 7, "view"),     // end 10:20
+      r(2, "2024-01-01 10:15:00", 7, "view"),     // merge, end 10:35
+      r(3, "2024-01-01 10:30:00", 7, "purchase"), // merge, end 11:30
+      r(4, "2024-01-01 11:25:00", 7, "view"),     // merge, end 11:45
+      r(5, "2024-01-01 12:30:00", 7, "view"),     // > 11:45 -> new session
+      // user 8: an event AT the window end merges; one second past doesn't
+      r(6, "2024-01-01 10:00:00", 8, "view"),     // end 10:20
+      r(7, "2024-01-01 10:20:00", 8, "view"),     // boundary: merge, end 10:40
+      r(8, "2024-01-01 10:40:01", 8, "view"))     // past the end -> new
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.session.Sessionize.sessionWindowDynamic(df)
+      .orderBy("user_id", "s_start")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    assert(out === Seq(
+      (7L, t("2024-01-01 10:00:00"), t("2024-01-01 11:45:00"), 4L),
+      (7L, t("2024-01-01 12:30:00"), t("2024-01-01 12:50:00"), 1L),
+      (8L, t("2024-01-01 10:00:00"), t("2024-01-01 10:40:00"), 2L),
+      (8L, t("2024-01-01 10:40:01"), t("2024-01-01 11:00:01"), 1L)))
+  }
+
   test("olsTrend: perfect line gives slope 2 and r2 = 1; single-day group degenerates to NULL") {
     import graft.ops.Quality
     // type a: counts 1,3,5 on consecutive days (y = 2d + 1); type b: one day
