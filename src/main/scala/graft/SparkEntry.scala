@@ -837,6 +837,16 @@ object SparkEntry {
     }),
     "scd2_history" -> ((s, d) =>
       Cdc.scdHistory(cdcChangelog(cdcSnapshot(s, d)), "cust_id")),
+    "replica_diff" -> ((s, d) => {
+      val a = Tables.customer(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      // deterministically diverged replica: every 101st key dropped,
+      // every 97th key's balance shifted
+      val b = a.where(col("c_custkey") % 101 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 97 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal")))
+      Cdc.replicaDiff(a, b, "c_custkey")
+    }),
     // asOf = 3031 (custkey 303's first update): keys < 303 fully
     // applied, key 303 at v1-only (latest-wins restricted by time),
     // later keys untouched, all v=1 inserts present
@@ -2242,6 +2252,12 @@ object SparkEntry {
         |       COUNT(*) AS n_events
         |FROM x
         |GROUP BY user_id, seq""".stripMargin,
+    "replica_diff" ->
+      """SELECT c_custkey, 'removed' AS change_type
+        |FROM customer WHERE c_custkey % 101 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'changed' AS change_type
+        |FROM customer WHERE c_custkey % 97 = 0 AND c_custkey % 101 <> 0""".stripMargin,
     "session_window_dynamic" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id,

@@ -210,6 +210,45 @@ object Cdc {
       .where(col("change_type") =!= lit("unchanged"))
   }
 
+  /** Merkle-style replica reconciliation — [[snapshotDiff]]'s answer at
+    * a size where a full-table full-outer join is the thing you cannot
+    * afford. Phase 1 reduces EACH side to `buckets` order-independent
+    * digests (sum of per-row xxhash64, wrapping; plus a row count), an
+    * exchange of |buckets| rows however large the tables. Phase 2
+    * re-reads ONLY the buckets whose (digest, count) disagree and runs
+    * the exact row diff inside them. Two healthy 100 TB replicas
+    * reconcile for the cost of two scans and a kilobyte exchange; the
+    * work scales with the DIVERGENCE, not the table. (A digest
+    * collision — a divergent bucket summing to an equal digest AND
+    * count — needs a 2⁻⁶⁴-scale coincidence; the count guard removes
+    * the easy add+remove case.)
+    *
+    * Output equals [[snapshotDiff]] row for row, which is how the gate
+    * pins it: the oracle recomputes the full diff with no buckets.
+    */
+  def replicaDiff(a: DataFrame, b: DataFrame, key: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(a.columns.sameElements(b.columns), "replicaDiff requires identical schemas")
+    val dataCols = a.columns.toSeq
+    def digests(df: DataFrame): DataFrame =
+      df.select(pmod(xxhash64(col(key)), lit(buckets)).as("bucket"),
+        xxhash64(dataCols.map(col): _*).as("h"))
+        .groupBy(col("bucket"))
+        // decimal(38,0) accumulator: a wrapping int64 sum would be fine
+        // as a digest but trips ANSI overflow; 38 digits absorbs 10¹⁹
+        // rows per bucket
+        .agg(sum(col("h").cast("decimal(38,0)")).as("digest"), count(lit(1)).as("n"))
+    val divergent = digests(a).as("x")
+      .join(digests(b).as("y"), Seq("bucket"), "full_outer")
+      .where(!(col("x.digest") <=> col("y.digest")) || !(col("x.n") <=> col("y.n")))
+      .select(col("bucket"))
+    def slice(df: DataFrame): DataFrame =
+      df.withColumn("bucket", pmod(xxhash64(col(key)), lit(buckets)))
+        .join(divergent, Seq("bucket"), "left_semi")
+        .drop("bucket")
+    snapshotDiff(slice(a), slice(b), key)
+  }
+
   /** Golden-record survivorship: fold every observation of an entity
     * into ONE master row where each field independently takes its
     * latest NON-NULL value (ordered by `orderCols`, which must

@@ -993,6 +993,23 @@ class OpsSpec extends AnyFunSuite {
     assert(degen.isNullAt(5))
   }
 
+  test("replicaDiff: equals snapshotDiff; identical replicas diff empty; bucket count invariant") {
+    import graft.ops.Cdc
+    val a = (1L to 500L).map(k => (k, s"name$k", k * 1.5)).toDF("k", "name", "bal")
+    // replica: drop 7, change 13's balance, add 999
+    val b = a.where(col("k") =!= 7)
+      .withColumn("bal", when(col("k") === 13, col("bal") + 1).otherwise(col("bal")))
+      .unionByName(Seq((999L, "name999", 0.0)).toDF("k", "name", "bal"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().toSet
+    val got = canon(Cdc.replicaDiff(a, b, "k", buckets = 32))
+    assert(got === Set((7L, "removed"), (13L, "changed"), (999L, "added")))
+    assert(got === canon(Cdc.snapshotDiff(a, b, "k")))
+    // bucket granularity cannot change the answer
+    assert(got === canon(Cdc.replicaDiff(a, b, "k", buckets = 1)))
+    assert(canon(Cdc.replicaDiff(a, a, "k", buckets = 32)) === Set.empty)
+  }
+
   test("sessionWindowDynamic: purchase extends the gap; boundary-equal events merge") {
     def r(id: Long, t: String, u: Long, typ: String) =
       (id, java.sql.Timestamp.valueOf(t), u, typ)
