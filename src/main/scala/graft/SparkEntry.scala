@@ -366,6 +366,9 @@ object SparkEntry {
         maxHops = 3)),
     "interval_join_outer" -> ((s, d) =>
       graft.streaming.StreamJoins.intervalJoinOuter(Tables.events(s, d))),
+    "rate_limit" -> ((s, d) =>
+      graft.streaming.RateLimiter.rateLimit(
+        Tables.events(s, d), "user_id", "ts", "event_id", maxPer = 3)),
     "record_linkage" -> (Functions.recordLinkage _),
     "ols_trend" -> ((s, d) =>
       graft.ops.Quality.olsTrend(Tables.events(s, d), "event_type", "ts")),
@@ -2252,6 +2255,11 @@ object SparkEntry {
         |       COUNT(*) AS n_events
         |FROM x
         |GROUP BY user_id, seq""".stripMargin,
+    "rate_limit" ->
+      """SELECT event_id, user_id, ts,
+        |       ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                          ORDER BY ts, event_id) <= 3 AS admitted
+        |FROM events""".stripMargin,
     "replica_diff" ->
       """SELECT c_custkey, 'removed' AS change_type
         |FROM customer WHERE c_custkey % 101 = 0

@@ -1884,6 +1884,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rateLimitStream: quota carries across micro-batches; equals the batch twin in-order") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.RateLimiter
+    val ms = MemoryStream[Event]
+    val out = RateLimiter.rateLimitStream(ms.toDS(), maxPer = 2)
+    val q = out.writeStream.format("memory").queryName("rl_out")
+      .outputMode("append").start()
+    // user 7: 2 admitted in hour 10, the 3rd (arriving in batch 2, same
+    // hour) throttled, hour 11 resets; user 8 under quota throughout
+    val b1 = Seq(ev(1, "2024-01-01 10:00:00", 7), ev(2, "2024-01-01 10:10:00", 7),
+      ev(3, "2024-01-01 10:05:00", 8))
+    val b2 = Seq(ev(4, "2024-01-01 10:20:00", 7), ev(5, "2024-01-01 11:01:00", 7),
+      ev(6, "2024-01-01 10:30:00", 8))
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rl_out").select("event_id", "admitted")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true, 6L -> true))
+    // batch twin agrees row for row on the same (in-order) stream
+    val batch = RateLimiter.rateLimit(
+      (b1 ++ b2).toDF(), "user_id", "ts", "event_id", maxPer = 2)
+      .select("event_id", "admitted")
+      .as[(Long, Boolean)].collect().toMap
+    assert(batch === got)
+  }
+
   test("stream-stream LEFT OUTER interval join: unmatched click emits NULL row on watermark") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
