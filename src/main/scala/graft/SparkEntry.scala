@@ -369,6 +369,19 @@ object SparkEntry {
     "rate_limit" -> ((s, d) =>
       graft.streaming.RateLimiter.rateLimit(
         Tables.events(s, d), "user_id", "ts", "event_id", maxPer = 3)),
+    "plan_lint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // a deliberately pathological plan: unkeyed join × global window ×
+      // un-limited global sort — the linter must flag each exactly once
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      val bad = ev.crossJoin(Tables.region(s, d).select(col("r_regionkey")))
+        .withColumn("rn", row_number().over(Window.orderBy(col("event_id"))))
+        .orderBy(col("value"))
+      val clean = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.plans.PlanLint.lintDF("bad", bad)
+        .unionByName(graft.plans.PlanLint.lintDF("clean", clean))
+    }),
     "record_linkage" -> (Functions.recordLinkage _),
     "ols_trend" -> ((s, d) =>
       graft.ops.Quality.olsTrend(Tables.events(s, d), "event_type", "ts")),
@@ -2255,6 +2268,13 @@ object SparkEntry {
         |       COUNT(*) AS n_events
         |FROM x
         |GROUP BY user_id, seq""".stripMargin,
+    "plan_lint" ->
+      """SELECT * FROM (VALUES
+        |  ('bad', 'cartesian_join', 1), ('bad', 'single_partition_window', 1),
+        |  ('bad', 'global_sort', 1), ('bad', 'scala_udf', 0),
+        |  ('clean', 'cartesian_join', 0), ('clean', 'single_partition_window', 0),
+        |  ('clean', 'global_sort', 0), ('clean', 'scala_udf', 0))
+        |AS t(plan_label, rule, hits)""".stripMargin,
     "rate_limit" ->
       """SELECT event_id, user_id, ts,
         |       ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)

@@ -227,6 +227,32 @@ class PlanSpec extends AnyFunSuite {
     assert(e.contains("*(1) Project"), e)
   }
 
+  test("PlanLint: flags cartesian/global-window/unlimited-sort/udf; top-k and keyed plans pass") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, expr, row_number, udf}
+    import graft.plans.PlanLint
+    val df = spark.range(10).toDF("id")
+    val bad = df.crossJoin(spark.range(2).toDF("x"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("id"))))
+      .orderBy(col("x"))
+    val m = PlanLint.lint(bad).toMap
+    assert(m("cartesian_join") === 1, m)
+    assert(m("single_partition_window") === 1, m)
+    assert(m("global_sort") === 1, m)
+    assert(m("scala_udf") === 0, m)
+    // ORDER BY under a LIMIT plans as top-k — not a finding
+    assert(PlanLint.lint(df.orderBy(col("id").desc).limit(5)).toMap.apply("global_sort") === 0)
+    // keyed join + keyed window: all clear
+    val clean = df.alias("a").join(df.alias("b"), expr("a.id = b.id"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("a.id")).orderBy(col("b.id"))))
+    assert(PlanLint.lint(clean).toMap.values.sum === 0)
+    // a Scala UDF black-box is flagged (the lint fixture lives here, not
+    // in the library — the engine itself ships zero UDFs)
+    val f = udf((x: Long) => x + 1)
+    assert(PlanLint.lint(df.select(f(col("id")))).toMap.apply("scala_udf") === 1)
+  }
+
   test("record_linkage: the compiled JaroWinkler scorer stays inside whole-stage codegen") {
     val e = executedFinal("record_linkage")
     // the blocked self-join may exchange on p_brand, but the scoring
