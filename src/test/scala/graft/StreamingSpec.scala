@@ -1884,6 +1884,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Monitors: per-batch progress persists to the store; health rollup; dedup on redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Monitors
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_mon").toString
+    val listener = Monitors.attach(spark, s"$dir/store")
+    val ms = MemoryStream[Event]
+    val q = ms.toDS().groupBy("event_type").count()
+      .writeStream.format("memory").queryName("mon_probe")
+      .outputMode("complete").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 7), ev(2, "2024-01-01 10:01:00", 8))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 10:02:00", 7))
+      q.processAllAvailable()
+      // listener delivery is async — poll until both batches landed
+      def rows() =
+        try Monitors.progress(spark, s"$dir/store")
+          .where(col("query_name") === "mon_probe" && col("num_input_rows") > 0)
+          .as[graft.streaming.BatchProgress].collect().toSeq
+        catch { case _: Throwable => Seq.empty }
+      var tries = 0
+      while (rows().size < 2 && tries < 100) { Thread.sleep(100); tries += 1 }
+      val got = rows()
+      assert(got.size >= 2, s"expected >=2 data batches, got $got")
+      assert(got.map(_.num_input_rows).sum === 3L)
+      assert(got.forall(_.batch_duration_ms >= 0L))
+      val h = Monitors.health(spark, s"$dir/store")
+        .where(col("query_name") === "mon_probe")
+        .select("total_rows").as[Long].head()
+      // health counts every monitored row exactly once (idle batches add 0)
+      assert(h === 3L)
+      // redelivery of a progress row is deduped by (query, batch)
+      val dup = got.head
+      Seq(dup).toDS().write.mode("append").parquet(s"$dir/store")
+      assert(Monitors.progress(spark, s"$dir/store")
+        .where(col("query_name") === "mon_probe" && col("num_input_rows") > 0)
+        .count() === got.size.toLong)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("rateLimitStream: quota carries across micro-batches; equals the batch twin in-order") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.RateLimiter
