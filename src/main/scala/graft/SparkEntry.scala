@@ -540,6 +540,15 @@ object SparkEntry {
       Skew.saltedJoin(ev.select("event_id", "user_id"), dim, "user_id", "event_id")
         .select("event_id", "user_id", "user_total")
     }),
+    "skew_autosplit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+      // threshold chosen to split: the busiest users ride the broadcast
+      // path, the long tail the keyed join — result == the plain join
+      Skew.autoSkewJoin(ev.select(col("event_id"), col("user_id")), dim,
+        "user_id", hotThreshold = 12L)
+        .select(col("event_id"), col("user_id"), col("user_total"))
+    }),
     "rollup_status" -> (Relational.rollupStatusPriority _),
     "cube_flags" -> (Relational.cubeFlags _),
     "pivot_status" -> (Relational.pivotStatus _),
@@ -2888,6 +2897,12 @@ object SparkEntry {
         |       reverse(c_name) AS name_rev,
         |       repeat('*', CAST(c_custkey % 5 AS INTEGER)) AS stars
         |FROM customer""".stripMargin,
+    "skew_autosplit" ->
+      """WITH dim AS (
+        |  SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY 1
+        |)
+        |SELECT e.event_id, e.user_id, d.user_total
+        |FROM events e JOIN dim d ON e.user_id = d.user_id""".stripMargin,
     "salted_join" ->
       """WITH dim AS (
         |  SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY 1

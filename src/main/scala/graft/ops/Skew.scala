@@ -79,6 +79,35 @@ object Skew {
     * combines map-side, so the diagnosis never suffers the skew it
     * measures.
     */
+  /** Self-tuning skew-split join: measure, split, join — the composed
+    * form of what [[joinAdvisor]] recommends and [[saltedJoin]] fixes by
+    * hand. One exact map-side-combined count pass finds the fact keys
+    * above `hotThreshold` rows (at most |fact|/threshold keys — bounded
+    * by construction, so the hot-key list broadcasts); the join then
+    * splits: hot fact rows meet ONLY their (tiny, hot-restricted) dim
+    * slice via a broadcast hash join — no hot key ever crosses a hash
+    * exchange — while the cold remainder takes the normal keyed join.
+    * The union is EXACTLY the plain inner join (the oracle is the
+    * unsalted formulation), which is the whole point: same answer, no
+    * stalled reducer. AQE's runtime skew split covers sort-merge cases;
+    * this is the deterministic plan-level form that also composes with
+    * bucketing and AQE-off.
+    */
+  def autoSkewJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      hotThreshold: Long = 100000L): DataFrame = {
+    require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
+    val hot = broadcast(
+      fact.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+        .where(col("_n") >= hotThreshold).select(col(key)))
+    val cold = fact.join(hot, Seq(key), "left_anti").join(dim, Seq(key))
+    val hotSide = fact.join(hot, Seq(key), "left_semi")
+      .join(broadcast(dim.join(hot, Seq(key), "left_semi")), Seq(key))
+    cold.unionByName(hotSide)
+  }
+
   def skewReport(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
       .selectExpr("c", "cast(length(bin(c)) - 1 as int) as freq_mag")

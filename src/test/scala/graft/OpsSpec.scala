@@ -993,6 +993,26 @@ class OpsSpec extends AnyFunSuite {
     assert(degen.isNullAt(5))
   }
 
+  test("autoSkewJoin: equals the plain join at every threshold; degenerate splits included") {
+    import graft.ops.Skew
+    // user 1 is hot (50 rows), users 2..20 have 2 rows each
+    val fact = ((1 to 50).map(i => (100L + i, 1L)) ++
+      (2L to 20L).flatMap(u => Seq((1000 + u * 2, u), (1001 + u * 2, u))))
+      .toDF("event_id", "user_id")
+    val dim = fact.groupBy("user_id").count().withColumnRenamed("count", "user_total")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "user_total")
+        .as[(Long, Long, Long)].collect().toSet
+    val plain = canon(fact.join(dim, "user_id"))
+    // split threshold between the hot and cold populations
+    assert(canon(Skew.autoSkewJoin(fact, dim, "user_id", hotThreshold = 10)) === plain)
+    // everything cold (threshold above the hottest key)
+    assert(canon(Skew.autoSkewJoin(fact, dim, "user_id", hotThreshold = 1000)) === plain)
+    // everything hot (threshold at the minimum multiplicity)
+    assert(canon(Skew.autoSkewJoin(fact, dim, "user_id", hotThreshold = 2)) === plain)
+    intercept[IllegalArgumentException](Skew.autoSkewJoin(fact, dim, "user_id", 1))
+  }
+
   test("replicaDiff: equals snapshotDiff; identical replicas diff empty; bucket count invariant") {
     import graft.ops.Cdc
     val a = (1L to 500L).map(k => (k, s"name$k", k * 1.5)).toDF("k", "name", "bal")

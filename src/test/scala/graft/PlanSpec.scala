@@ -227,6 +227,16 @@ class PlanSpec extends AnyFunSuite {
     assert(e.contains("*(1) Project"), e)
   }
 
+  test("skew_autosplit: hot keys ride a broadcast join — never a hash exchange") {
+    val p = executedFinal("skew_autosplit")
+    assert(p.contains("isFinalPlan=true"), p)
+    // the hot branch: hot-restricted dim broadcasts into the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the split itself: anti (cold) + semi (hot) against the hot-key list
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("PlanLint: flags cartesian/global-window/unlimited-sort/udf; top-k and keyed plans pass") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, expr, row_number, udf}
