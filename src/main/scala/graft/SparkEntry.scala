@@ -361,7 +361,7 @@ object SparkEntry {
         Tables.lineitem(s, d).select(
           col("l_suppkey").cast("long").as("src"),
           (-col("l_partkey")).cast("long").as("dst")).distinct(),
-        Tables.supplier(s, d).where(col("s_nationkey") === 0)
+        Tables.supplier(s, d).where(col("s_nationkey") === 3)
           .select(col("s_suppkey").cast("long").as("node")),
         maxHops = 3)),
     "interval_join_outer" -> ((s, d) =>
@@ -3542,7 +3542,7 @@ object SparkEntry {
         |  FROM lineitem
         |), bfs AS (
         |  SELECT CAST(s_suppkey AS BIGINT) AS node, 0 AS dist
-        |  FROM supplier WHERE s_nationkey = 0
+        |  FROM supplier WHERE s_nationkey = 3
         |  UNION
         |  SELECT e.dst AS node, b.dist + 1 AS dist
         |  FROM bfs b JOIN e ON e.src = b.node
