@@ -3504,8 +3504,8 @@ object SparkEntry {
         |  FROM slice
         |)
         |SELECT f.format, s.n_rows, s.sum_qty, s.sum_price, s.sum_key, s.n_flags
-        |FROM s CROSS JOIN (SELECT * FROM (VALUES ('parquet'), ('csv'), ('json'))
-        |                   AS x(format)) f""".stripMargin,
+        |FROM s CROSS JOIN (SELECT * FROM (VALUES ('parquet'), ('csv'), ('json'),
+        |                    ('orc')) AS x(format)) f""".stripMargin,
     "record_linkage" ->
       """SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
         |       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_r6

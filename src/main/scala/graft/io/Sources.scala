@@ -88,8 +88,8 @@ object Sources {
       .as[Event]
   }
 
-  /** Batch format round-trip: write a deterministic fact slice as CSV
-    * and as JSON-lines, read each back under the EXPLICIT source schema
+  /** Batch format round-trip: write a deterministic fact slice as CSV,
+    * JSON-lines and ORC, read each back under the EXPLICIT source schema
     * (never inference — the [[eventWireSchema]] doctrine), and reduce
     * every copy to the same exact aggregate row. Gates the text-source
     * plumbing end to end: a parser that drops a row, mangles a quoted
@@ -97,7 +97,7 @@ object Sources {
     * fails the hash (Spark's shortest-round-trip double printing makes
     * CSV/JSON numerics lossless by construction; sums are taken as
     * decimal so partition order can't move them). The oracle recomputes
-    * the aggregates straight from parquet — three sources, one truth.
+    * the aggregates straight from parquet — four sources, one truth.
     */
   def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val slice = graft.Tables.lineitem(spark, dir)
@@ -107,6 +107,7 @@ object Sources {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
     slice.write.mode("overwrite").json(s"$tmp/json")
+    slice.write.mode("overwrite").orc(s"$tmp/orc")
     val schema = slice.schema
     def summarize(fmt: String, df: DataFrame): DataFrame =
       df.agg(
@@ -121,6 +122,7 @@ object Sources {
       .unionByName(summarize("csv",
         spark.read.option("header", "true").schema(schema).csv(s"$tmp/csv")))
       .unionByName(summarize("json", spark.read.schema(schema).json(s"$tmp/json")))
+      .unionByName(summarize("orc", spark.read.schema(schema).orc(s"$tmp/orc")))
   }
 
   /** Kafka envelope → typed events (shared by batch backfill and stream).

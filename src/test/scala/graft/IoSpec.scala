@@ -30,7 +30,7 @@ class IoSpec extends AnyFunSuite {
     val rows = graft.io.Sources.formatRoundtrip(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getLong(4), r.getLong(5)))
-    assert(rows.map(_._1).toSet === Set("parquet", "csv", "json"))
+    assert(rows.map(_._1).toSet === Set("parquet", "csv", "json", "orc"))
     // one truth: every format's aggregate row is identical
     assert(rows.map(t => (t._2, t._3, t._4, t._5, t._6)).toSet.size === 1)
     assert(rows.head._2 > 0)
