@@ -2146,35 +2146,42 @@ object Similarity {
     * ([[pqAdcTopKJoin]]) against the EXACT integer top-k: the measurement
     * every ANN deployment needs before trusting an index (recall losses
     * come from the coarse-cell restriction AND code quantization; this
-    * observes both at once). Queries are the deterministic
-    * `vec_id % queryMod == 0` corpus slice, so the exact side costs
-    * O(n·q) with q ≈ n/queryMod, not O(n²).
+    * observes both at once). Queries are a deterministic FIXED-COUNT
+    * sample — the `qCount` corpus vectors with the smallest
+    * `md5(vec_id)` (tie-broken by vec_id), a hash-ordered draw that is
+    * identical across engines and, crucially, does NOT grow with the
+    * corpus: the exact-truth arm costs O(n·qCount) at ANY scale, where
+    * a modulus slice (q ≈ n/mod) would quietly turn it into O(n²/mod).
     *
     * Emits (query_id, n_exact, n_adc, hits) — integers only, no float
     * division, so the whole measurement sits under the DuckDB hash gate;
     * recall@k = hits / n_exact is one trivial division away for the
     * consumer. Self-pairs count on both sides (the serving contract).
     *
-    * Scale shape: the query slice broadcasts (q rows of one qvec each);
-    * the exact side is one pass over the corpus per batch of queries
-    * with a per-query window bounded by the corpus — the honest cost of
-    * ground truth, paid on a SLICE by construction. The ADC side is the
-    * serving plan itself, unchanged.
+    * Scale shape: the sample ids come from a distributed top-k
+    * (TakeOrderedAndProject over (md5, vec_id) — one scan, a qCount-row
+    * heap per partition, never a global sort) and broadcast everywhere
+    * they are used; the exact side is one corpus pass against the
+    * broadcast qCount-row query batch. The ADC side is the serving plan
+    * itself, unchanged.
     */
   def pqRecall(
       corpus: DataFrame,
       codebook: DataFrame,
       kNbrs: Int = 3,
-      queryMod: Long = 25,
+      qCount: Int = 100,
       cells: Int = 16,
       m: Int = 8,
       k: Int = 8): DataFrame = {
-    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
-    val queries = corpus.filter(col("vec_id") % queryMod === 0)
+    require(qCount >= 1, s"qCount must be >= 1, got $qCount")
+    val q = quantizedUnits(corpus).filter(col("qvec").isNotNull)
+    val qIds = q.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(qCount)
+    val queries = corpus.join(broadcast(qIds), Seq("vec_id"))
     val adc = pqAdcTopKJoin(queries, corpus, codebook, kNbrs, cells, m, k)
       .select(col("query_id"), col("nbr_id"))
-    val q = quantizedUnits(corpus).filter(col("qvec").isNotNull)
-    val qs = q.filter(col("vec_id") % queryMod === 0)
+    val qs = q.join(broadcast(qIds), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

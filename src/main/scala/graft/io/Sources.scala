@@ -104,10 +104,18 @@ object Sources {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_returnflag"))
       .where(col("l_orderkey") % 100 === 0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
-    slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
-    slice.write.mode("overwrite").json(s"$tmp/json")
-    slice.write.mode("overwrite").orc(s"$tmp/orc")
+    // scratch under the session checkpoint root when one is set — the
+    // shared-filesystem location every executor can already reach on a
+    // real cluster (a java.nio driver-local path silently assumes driver
+    // and executors share a disk); Hadoop FS API for create/delete so the
+    // same code lands on HDFS/S3 paths, local tmp only as the fallback
+    // for checkpoint-less sessions. Deleted in the finally — the copies
+    // exist only to be re-read and reduced, so nothing leaks per run.
+    val tmp = spark.sparkContext.getCheckpointDir
+      .map(c => s"$c/graft_fmt_roundtrip")
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_fmt").toString)
+    val hPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = slice.schema
     def summarize(fmt: String, df: DataFrame): DataFrame =
       df.agg(
@@ -118,11 +126,25 @@ object Sources {
         countDistinct(col("l_returnflag")).as("n_flags"))
         .select(lit(fmt).as("format"), col("n_rows"), col("sum_qty"),
           col("sum_price"), col("sum_key"), col("n_flags"))
-    summarize("parquet", slice)
-      .unionByName(summarize("csv",
-        spark.read.option("header", "true").schema(schema).csv(s"$tmp/csv")))
-      .unionByName(summarize("json", spark.read.schema(schema).json(s"$tmp/json")))
-      .unionByName(summarize("orc", spark.read.schema(schema).orc(s"$tmp/orc")))
+    try {
+      slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      slice.write.mode("overwrite").json(s"$tmp/json")
+      slice.write.mode("overwrite").orc(s"$tmp/orc")
+      val out = summarize("parquet", slice)
+        .unionByName(summarize("csv",
+          spark.read.option("header", "true").schema(schema).csv(s"$tmp/csv")))
+        .unionByName(summarize("json", spark.read.schema(schema).json(s"$tmp/json")))
+        .unionByName(summarize("orc", spark.read.schema(schema).orc(s"$tmp/orc")))
+      // force the aggregates BEFORE the finally deletes their input files
+      // (the result is one row per format — a bounded driver action), and
+      // hand back a self-contained frame with the same schema
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      fs.delete(hPath, true)
+      ()
+    }
   }
 
   /** Kafka envelope → typed events (shared by batch backfill and stream).

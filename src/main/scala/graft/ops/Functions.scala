@@ -315,10 +315,13 @@ object Functions {
     val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
     val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
     a.join(b, Seq("p_brand")).where(col("key_a") < col("key_b"))
-      .withColumn("jw", jaro_winkler(col("name_a"), col("name_b")))
-      .where(col("jw") >= 0.8)
-      .select(col("p_brand"), col("key_a"), col("key_b"),
-        round(col("jw"), 6).as("jw_r6"))
+      // threshold on the ROUNDED score: set membership must be as
+      // rounding-stable as the emitted value — a pair within 1 ulp of
+      // 0.8 on the raw score could otherwise be admitted by exactly one
+      // engine (the oracle thresholds on round(jw, 6) identically)
+      .withColumn("jw_r6", round(jaro_winkler(col("name_a"), col("name_b")), 6))
+      .where(col("jw_r6") >= 0.8)
+      .select(col("p_brand"), col("key_a"), col("key_b"), col("jw_r6"))
   }
 
   /** Statistical moments from EXACT decimal accumulators: mean, variance,

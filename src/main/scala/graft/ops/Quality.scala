@@ -404,7 +404,17 @@ object Quality {
     val wOrd = Window.partitionBy(col("etype")).orderBy(col("day"))
     daily
       .withColumn("rn", row_number().over(wOrd))
-      .withColumn("wn", when(col("rn") === 1, col("n"))
+      // loud failure, not silent wraparound: Spark's shiftleft wraps the
+      // shift amount mod 64, so past 62 observations per type the dyadic
+      // weights would silently diverge instead of erroring — the guard
+      // rides INSIDE the live wn expression (a detached assert_true
+      // column would be pruned by the optimizer)
+      .withColumn("wn",
+        when(col("rn") > 62, expr(
+          "raise_error('ewmaSmooth: more than 62 observations per type — " +
+            "dyadic weights would wrap mod 64; chunk-reseed from the " +
+            "(ewma_num, den_log2) partial as documented')"))
+        .when(col("rn") === 1, col("n"))
         .otherwise(col("n") * expr("shiftleft(1L, rn - 2)")))
       .withColumn("ewma_num",
         sum(col("wn")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -1548,9 +1548,16 @@ class ExtSpec extends AnyFunSuite {
       .selectExpr("vec_id",
         "transform(dv, x -> cast(floor(x / sqrt(ss) * 1000000.0 + 0.5) as bigint)) as qvec")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    assert(rec.keySet === qv.keySet.filter(_ % 25 == 0))
+    // the declared sample: 100 smallest md5(vec_id) among quantizable rows
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expQ = qv.keySet.toSeq
+      .sortBy(v => (md5hex(v.toString), v)).take(100).toSet
+    assert(rec.keySet === expQ)
     val adc = Similarity.pqAdcTopKJoin(
-        emb.filter(org.apache.spark.sql.functions.col("vec_id") % 25 === 0), emb, cb)
+        emb.filter(org.apache.spark.sql.functions.col("vec_id")
+          .isInCollection(expQ)), emb, cb)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     rec.foreach { case (qid, (ne, na, h)) =>
