@@ -2940,7 +2940,9 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "try_ops" ->
       """SELECT o_orderkey,
-        |       TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+        |       TRY_CAST(CASE WHEN o_orderkey % 1000 = 7 THEN o_orderpriority
+        |                ELSE split_part(o_orderpriority, '-', 1) END AS INTEGER)
+        |         AS pri_int,
         |       TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS pri_num,
         |       o_totalprice / CAST(o_custkey % 3 AS DOUBLE) AS per_bucket,
         |       CASE WHEN o_orderkey % 1000 = 0 AND o_orderkey > 0 THEN CAST(NULL AS BIGINT)

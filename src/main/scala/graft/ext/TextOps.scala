@@ -753,7 +753,7 @@ object TextOps {
     * join-back key is AQE-skew-splittable. Only (doc_id, start, hash)
     * triples ever shuffle — never window text.
     */
-  private def dupWindows(documents: DataFrame, window: Int): DataFrame = {
+  private[graft] def dupWindows(documents: DataFrame, window: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens, got $window")
     val wins = documents
       .withColumn("toks", split(col("text"), " "))

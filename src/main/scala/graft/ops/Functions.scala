@@ -423,7 +423,15 @@ object Functions {
   def tryOps(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).selectExpr(
       "o_orderkey",
-      "try_cast(o_orderpriority as int) as pri_int", // never numeric -> NULL
+      // malformed on ~0.1% of rows (key % 1000 == 7): the NULL branch
+      // still fires at every sf, but TRY evaluation pays Java
+      // exception-throw machinery per FAILING row — the original
+      // try_cast(o_orderpriority as int) failed on EVERY row and that
+      // single column cost 1.1 s of try_ops' 2.5 s forced at sf0.1
+      // (TryProbe, round 13) — same lesson as overflow_add below
+      """try_cast(case when o_orderkey % 1000 = 7 then o_orderpriority
+        |         else split_part(o_orderpriority, '-', 1) end as int)
+        |  as pri_int""".stripMargin,
       "try_cast(split_part(o_orderpriority, '-', 1) as int) as pri_num",
       "try_divide(o_totalprice, cast(o_custkey % 3 as double)) as per_bucket",
       // overflow on ~0.1% of rows (key % 1000 == 0, key > 0): BOTH
