@@ -34,6 +34,12 @@ object SparkEntry {
 
   private val Cutoff = "2024-01-15 00:00:00"
 
+  /** The keyword_tag gate dictionary (see the query declaration for why
+    * these exact shapes); mirrored literally in the oracle's VALUES. */
+  private val KeywordDict: Seq[String] = Seq(
+    "table", "fast merge", "scan slow", "spark",
+    "agg", "agg row", "value table", "a a")
+
   /** CDC gate fixtures: a compact customer snapshot plus a changelog
     * DERIVED deterministically from it (the oracle rebuilds the same
     * rows in SQL), exercising every MERGE case — two-version
@@ -499,6 +505,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_within_hour"))
     }),
     "token_count" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
+    // dictionary chosen to exercise every Aho–Corasick edge at once:
+    // shared prefixes (scan slow/spark via 's'), a pattern that is a
+    // proper prefix of another (agg ⊂ agg row — the fail-closed output
+    // union must report both on "agg row"), and a self-overlapping
+    // pattern ("a a" in "a a a" hits twice — regex/split counting can't)
+    "keyword_tag" -> ((s, d) =>
+      TextOps.keywordTag(Tables.documents(s, d), KeywordDict)
+        .orderBy(col("doc_id"), col("pattern"))),
+    "html_extract" -> ((s, d) =>
+      TextOps.htmlExtract(TextOps.synthesizeHtml(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
     "ivf_topk_probe4" -> ((s, d) => Similarity.ivfTopKProbe(Tables.embeddings(s, d))),
     // k pinned to 16: the DuckDB oracle hard-codes the first-16-vectors
     // codebook (vec_id < 16); the library default is the adaptive k ≈ √n
@@ -2987,6 +3004,53 @@ object SparkEntry {
         |         / nullif(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE), 0)
         |         AS chars_per_subtoken
         |FROM documents""".stripMargin,
+    "keyword_tag" ->
+      // the brute-force definition the automaton must equal: for every
+      // (doc, pattern), the number of start positions i with
+      // text[i, i+|p|) = p — ALL occurrences, overlapping included
+      """WITH pats AS (
+        |  SELECT * FROM (VALUES ('table'), ('fast merge'), ('scan slow'),
+        |                        ('spark'), ('agg'), ('agg row'),
+        |                        ('value table'), ('a a')) p(pattern)
+        |), d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, pattern, n_hits FROM (
+        |  SELECT d.doc_id, p.pattern,
+        |         CAST(len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+        |           i -> substr(d.text, CAST(i AS INTEGER), len(p.pattern)) = p.pattern))
+        |           AS BIGINT) AS n_hits
+        |  FROM d CROSS JOIN pats p) t
+        |WHERE n_hits > 0
+        |ORDER BY doc_id, pattern""".stripMargin,
+    "html_extract" ->
+      // identical synthesis and the IDENTICAL RE2∩Java regex patterns —
+      // the gate cross-checks two regex engines byte-for-byte
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || ' &amp; friends</title>'
+        |    || '<style>body { color: #000; }</style>'
+        |    || '<script>var d = ' || doc_id || '; if (d > 0) { d = d - 1; }</script>'
+        |    || '</head><body><nav><a href="/">home</a> | <a href="/about">about</a></nav>'
+        |    || '<h1>Doc ' || doc_id || '</h1><p>' || text
+        |    || '</p><a href="/doc/' || doc_id || '">permalink</a>'
+        |    || '<footer>&copy; corpus</footer></body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL
+        |), x AS (
+        |  SELECT doc_id,
+        |    replace(regexp_extract(html, '<title>(.*?)</title>', 1), '&amp;', '&') AS title,
+        |    CAST(len(regexp_extract_all(html, '<a ')) AS INTEGER) AS n_links,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&amp;', '&'), '&copy;', '(c)'), '&nbsp;', ' '),
+        |      '[ \t\r\n]+', ' ', 'g')) AS clean_text
+        |  FROM h)
+        |SELECT doc_id, title, n_links, clean_text,
+        |       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+        |FROM x ORDER BY doc_id""".stripMargin,
     "ivf_topk_probe4" ->
       s"""$dUnitCte, c AS (
          |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u

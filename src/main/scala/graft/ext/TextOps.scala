@@ -1955,4 +1955,85 @@ object TextOps {
       .select(col("grp").as(groupCol), col("token"), col("cnt"))
       .orderBy(col(groupCol), col("cnt").desc, col("token"))
   }
+
+  /** Dictionary tagging — per-document occurrence counts of a fixed
+    * pattern list via ONE Aho–Corasick pass over the text
+    * ([[graft.functions.AcAutomaton]]): the blocklist / PII-keyword /
+    * topic-gazetteer screen every ingest pipeline runs. Emits
+    * (doc_id, pattern, n_hits) for patterns that hit; counts are ALL
+    * occurrences, overlapping included, byte-level (the automaton's
+    * pinned contract — equal to counting every start position i with
+    * text[i, i+|p|) = p).
+    *
+    * Scale shape: a pure projection — the automaton is a plan-time
+    * constant riding inside the serialized expression, the text is read
+    * once per row whatever the dictionary size (the naive form is |P|
+    * `contains` rescans; a regex alternation backtracks and cannot
+    * count). The posexplode fans out to ≤ |P| rows per doc BEFORE the
+    * hit filter; with blocklist-sized dictionaries the surviving rows
+    * are match-telemetry-sized.
+    */
+  /** Deterministic HTML wrapper around each document — the fixture for
+    * [[htmlExtract]] (the multimodal `synthesizeMedia` discipline: the
+    * container is REAL, the payload derives from the row, so the gate
+    * can recompute it byte-for-byte in SQL). Every boilerplate class the
+    * extractor must handle is present: head/title (with an entity),
+    * style and script blocks (the script BODY contains a bare `>` — tag
+    * stripping before block removal would tear it), nav/footer chrome,
+    * anchors, and the document text as the lone content paragraph.
+    */
+  def synthesizeHtml(documents: DataFrame): DataFrame =
+    documents.where(col("text").isNotNull).selectExpr(
+      "doc_id",
+      """'<html><head><title>Doc ' || doc_id || ' &amp; friends</title>'
+        | || '<style>body { color: #000; }</style>'
+        | || '<script>var d = ' || doc_id || '; if (d > 0) { d = d - 1; }</script>'
+        | || '</head><body><nav><a href="/">home</a> | <a href="/about">about</a></nav>'
+        | || '<h1>Doc ' || doc_id || '</h1><p>' || text
+        | || '</p><a href="/doc/' || doc_id || '">permalink</a>'
+        | || '<footer>&copy; corpus</footer></body></html>' as html""".stripMargin)
+
+  /** HTML boilerplate removal — the body-text extraction step in front
+    * of every web-corpus pipeline (the concern trafilatura/jusText
+    * exist for, reduced to a deterministic, cross-engine-exact core):
+    * script/style blocks go first (their bodies may contain bare `<`/`>`
+    * — stripping tags first would tear them), then tags, then a FIXED
+    * entity-decode set (&amp; &copy; &nbsp;), then whitespace collapse.
+    * Also emits the title (entity-decoded) and the anchor count — the
+    * link-density numerator boilerplate classifiers use.
+    *
+    * The regex subset is deliberately RE2∩Java-safe ((?s), non-greedy
+    * `.*?`, `[^>]` classes — no backreferences, no lookaround), so the
+    * DuckDB oracle runs the IDENTICAL patterns: the gate cross-checks
+    * two regex engines byte-for-byte. A pure projection — zero
+    * exchanges, scan speed at any corpus size.
+    */
+  def htmlExtract(pages: DataFrame): DataFrame =
+    pages.selectExpr(
+      "doc_id",
+      "replace(regexp_extract(html, '<title>(.*?)</title>', 1), '&amp;', '&') as title",
+      "cast(size(regexp_extract_all(html, '<a ', 0)) as int) as n_links",
+      """trim(regexp_replace(
+        |  replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' '),
+        |        '(?s)<style[^>]*>.*?</style>', ' '),
+        |      '<[^>]*>', ' '),
+        |    '&amp;', '&'), '&copy;', '(c)'), '&nbsp;', ' '),
+        |  '[ \\t\\r\\n]+', ' ')) as clean_text""".stripMargin)
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("bigint"))
+
+  def keywordTag(documents: DataFrame, patterns: Seq[String]): DataFrame = {
+    import graft.functions.MultiMatchFunctions.multi_match_counts
+    documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), multi_match_counts(col("text"), patterns).as("_cnts"))
+      .select(col("doc_id"), posexplode(col("_cnts")).as(Seq("_p", "n_hits")))
+      .where(col("n_hits") > 0)
+      .select(col("doc_id"),
+        element_at(array(patterns.map(lit): _*), col("_p").cast("int") + 1)
+          .as("pattern"),
+        col("n_hits"))
+  }
 }

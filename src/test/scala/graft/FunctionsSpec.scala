@@ -260,4 +260,88 @@ class FunctionsSpec extends AnyFunSuite {
       (3L, "de\u00e9p", 5L, 4L, 1),
       (4L, "already clean", 13L, 13L, 0)))
   }
+
+  // brute-force spec the automaton must equal: every start position i
+  // with text[i, i+|p|) = p, overlapping included (byte-level)
+  private def naiveCounts(text: String, pats: Seq[String]): Seq[Long] = {
+    val tb = text.getBytes("UTF-8")
+    pats.map { p =>
+      val pb = p.getBytes("UTF-8")
+      (0 to tb.length - pb.length).count { i =>
+        var j = 0
+        while (j < pb.length && tb(i + j) == pb(j)) j += 1
+        j == pb.length
+      }.toLong
+    }
+  }
+
+  test("AcAutomaton: hand-built edge cases \u2014 overlap, prefix-of-another, fail-link chains") {
+    import graft.functions.AcAutomaton
+    def run(text: String, pats: Seq[String]): Seq[Long] = {
+      val a = new AcAutomaton(pats.map(_.getBytes("UTF-8")).toArray)
+      a.countAll(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toLongArray().toSeq
+    }
+    // self-overlapping pattern: "aa" in "aaaa" = 3 (regex non-overlap says 2)
+    assert(run("aaaa", Seq("aa")) === Seq(3L))
+    // a pattern that is a proper prefix of another: both must fire at the
+    // long match's end (output fail-closure)
+    assert(run("agg row", Seq("agg", "agg row")) === Seq(1L, 1L))
+    // classic fail-link chain: "bab" is found only via the fail
+    // transition out of the "ab" spine
+    assert(run("ababab", Seq("ab", "bab", "abab")) === Seq(3L, 2L, 2L))
+    // multibyte UTF-8: no false hit from a suffix byte of another
+    // code point's encoding
+    assert(run("caf\u00e9 cafe", Seq("caf\u00e9", "cafe", "af")) === Seq(1L, 1L, 2L))
+    // pattern longer than the text
+    assert(run("ab", Seq("abc")) === Seq(0L))
+  }
+
+  test("multi_match_counts: randomized parity against the brute-force definition") {
+    import graft.functions.MultiMatchFunctions.multi_match_counts
+    val pats = Seq("ab", "ba", "aab", "bb", "aba a", "a a")
+    val rnd = new scala.util.Random(4242)
+    val texts = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ =>
+        "ab ".charAt(rnd.nextInt(3))).mkString)
+    }
+    val df = texts.toDF("id", "text")
+      .select(col("id"), multi_match_counts(col("text"), pats).as("c"))
+    val got = df.as[(Long, Seq[Long])].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) === naiveCounts(t, pats), s"text '$t'")
+    }
+    // null text -> null counts (nullSafeEval contract)
+    val nullRow = Seq((9L, null: String)).toDF("id", "text")
+      .select(multi_match_counts(col("text"), pats).as("c")).collect()
+    assert(nullRow.head.isNullAt(0))
+  }
+
+  test("htmlExtract: block removal precedes tag stripping; fixed entity set; missing title") {
+    val pages = Seq(
+      // script body contains bare < and > — stripping tags first would
+      // tear it and leak "c) { x(); }" into the clean text
+      (1L, "<html><head><title>T &amp; U</title>" +
+        "<script>if (a<b && b>c) { x(); }</script></head>" +
+        "<body><p>keep me</p><a href=\"x\">l</a></body></html>"),
+      (2L, "<p>no title &copy; here&nbsp;ok</p>"),
+      (3L, "<style>a > b { }</style><p>styled</p>")
+    ).toDF("doc_id", "html")
+    val out = graft.ext.TextOps.htmlExtract(pages)
+      .as[(Long, String, Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "T & U", 1, "T & U keep me l", 15L),
+      (2L, "", 0, "no title (c) here ok", 20L),
+      (3L, "", 0, "styled", 6L)))
+  }
+
+  test("keywordTag: only hit rows survive, pattern labels align with the dictionary") {
+    val docs = Seq(
+      (1L, "agg row agg"),
+      (2L, "nothing here"),
+      (3L, null: String)).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.keywordTag(docs, Seq("agg", "agg row", "zz"))
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq((1L, "agg", 2L), (1L, "agg row", 1L)))
+  }
 }

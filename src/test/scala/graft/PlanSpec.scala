@@ -274,6 +274,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!e.contains("ScalaUDF"), e)
   }
 
+  test("keyword_tag: the Aho–Corasick scan stays inside whole-stage codegen") {
+    val e = executedFinal("keyword_tag")
+    // the dictionary scan is a pure projection: the automaton call must
+    // sit inside a codegen span (a UDF would break the * marker), and
+    // the only post-scan operators are the posexplode fan-out + filter
+    assert(e.contains("*("), e)
+    assert(e.toLowerCase.contains("multimatchcounts") ||
+      e.toLowerCase.contains("multi_match_counts"), e)
+    assert(!e.contains("ScalaUDF") && !e.contains("BatchEvalPython"), e)
+  }
+
   test("cdc_apply: the snapshot streams through a broadcast anti-join — only the changelog exchanges") {
     // the MERGE contract at scale: the changelog is ≪ the snapshot, so
     // the anti-join must be a broadcast (no SortMergeJoin — that would
