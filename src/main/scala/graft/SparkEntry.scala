@@ -516,6 +516,9 @@ object SparkEntry {
     "html_extract" -> ((s, d) =>
       TextOps.htmlExtract(TextOps.synthesizeHtml(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
+    "keyword_redact" -> ((s, d) =>
+      TextOps.keywordRedact(Tables.documents(s, d), KeywordDict)
+        .orderBy(col("doc_id"))),
     "ivf_topk_probe4" -> ((s, d) => Similarity.ivfTopKProbe(Tables.embeddings(s, d))),
     // k pinned to 16: the DuckDB oracle hard-codes the first-16-vectors
     // codebook (vec_id < 16); the library default is the adaptive k ≈ √n
@@ -882,6 +885,9 @@ object SparkEntry {
     "k_anonymity" -> ((s, d) =>
       graft.ops.Quality.kAnonymize(Tables.customer(s, d),
         Seq("c_nationkey", "c_mktsegment"), k = 8)),
+    "l_diversity" -> ((s, d) =>
+      graft.ops.Quality.lDiversity(Tables.customer(s, d),
+        Seq("c_nationkey"), "c_mktsegment", l = 3, c = 2)),
     // gate shape: the driver's oracle harness hashes via pandas sort and
     // cannot order an array-typed column, so the gated entry flattens
     // failed_rules to a '|'-joined string (the library API keeps the array)
@@ -3021,6 +3027,40 @@ object SparkEntry {
         |  FROM d CROSS JOIN pats p) t
         |WHERE n_hits > 0
         |ORDER BY doc_id, pattern""".stripMargin,
+    "keyword_redact" ->
+      // brute-force redaction the automaton must equal: the union of all
+      // match spans masked char-by-char (chars = bytes on this ASCII
+      // corpus), rebuilt with an ordered string_agg
+      """WITH pats AS (
+        |  SELECT * FROM (VALUES ('table'), ('fast merge'), ('scan slow'),
+        |                        ('spark'), ('agg'), ('agg row'),
+        |                        ('value table'), ('a a')) p(pattern)
+        |), d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |st AS (
+        |  SELECT d.doc_id, CAST(u.s AS INTEGER) AS s, len(p.pattern) AS lp
+        |  FROM d CROSS JOIN pats p
+        |  CROSS JOIN UNNEST(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+        |    i -> substr(d.text, CAST(i AS INTEGER), len(p.pattern)) = p.pattern)) AS u(s)
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, s + CAST(r.o AS INTEGER) AS pos
+        |  FROM st CROSS JOIN UNNEST(range(0, lp)) AS r(o)
+        |), chars AS (
+        |  SELECT d.doc_id, CAST(g.i AS INTEGER) AS pos,
+        |         substr(d.text, CAST(g.i AS INTEGER), 1) AS ch
+        |  FROM d CROSS JOIN UNNEST(range(1, len(d.text) + 1)) AS g(i)
+        |), red AS (
+        |  SELECT c.doc_id,
+        |         string_agg(CASE WHEN cov.pos IS NOT NULL THEN '*' ELSE c.ch END,
+        |                    '' ORDER BY c.pos) AS redacted
+        |  FROM chars c
+        |  LEFT JOIN cov ON cov.doc_id = c.doc_id AND cov.pos = c.pos
+        |  GROUP BY c.doc_id)
+        |SELECT d.doc_id, COALESCE(r.redacted, '') AS redacted,
+        |       CAST(len(COALESCE(r.redacted, ''))
+        |            - len(replace(COALESCE(r.redacted, ''), '*', '')) AS BIGINT)
+        |         AS n_masked
+        |FROM d LEFT JOIN red r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "html_extract" ->
       // identical synthesis and the IDENTICAL RE2∩Java regex patterns —
       // the gate cross-checks two regex engines byte-for-byte
@@ -4659,6 +4699,28 @@ object SparkEntry {
         |) t
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "l_diversity" ->
+      """WITH b AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS n,
+        |         CAST(c_mktsegment AS VARCHAR) AS s
+        |  FROM customer
+        |), cnts AS (
+        |  SELECT n, s, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY n
+        |                               ORDER BY cnt DESC, s) AS rn
+        |  FROM cnts
+        |)
+        |SELECT n AS c_nationkey,
+        |       CAST(SUM(cnt) AS BIGINT) AS class_size,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive,
+        |       CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_count,
+        |       CAST(COALESCE(SUM(CASE WHEN rn >= 3 THEN cnt END), 0) AS BIGINT) AS tail_sum,
+        |       CAST(COUNT(*) >= 3 AS INT) AS distinct_l_ok,
+        |       CAST(MAX(CASE WHEN rn = 1 THEN cnt END)
+        |            < 2 * COALESCE(SUM(CASE WHEN rn >= 3 THEN cnt END), 0) AS INT)
+        |         AS recursive_cl_ok
+        |FROM r GROUP BY n ORDER BY n""".stripMargin,
     "dq_quarantine" ->
       """WITH dec0 AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

@@ -2024,6 +2024,27 @@ object TextOps {
         |  '[ \\t\\r\\n]+', ' ')) as clean_text""".stripMargin)
       .withColumn("n_chars_clean", length(col("clean_text")).cast("bigint"))
 
+  /** Dictionary REDACTION — the action half of [[keywordTag]]: every
+    * byte covered by any dictionary match is replaced by `*` (the union
+    * of all match spans, so overlapping and nested matches merge into
+    * one redacted run — exactly the semantics a blocklist scrub needs;
+    * leftmost-longest would leave the tail of a nested hit exposed).
+    * Emits (doc_id, redacted, n_masked); n_masked is computed from the
+    * redacted string itself (`len − len(without '*')`) so the oracle
+    * recomputes it with the identical formula. Same single-pass
+    * compiled-kernel shape as [[keywordTag]] — a pure projection.
+    */
+  def keywordRedact(documents: DataFrame, patterns: Seq[String]): DataFrame = {
+    import graft.functions.MultiMatchFunctions.multi_match_mask
+    documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        multi_match_mask(col("text"), patterns).as("redacted"))
+      .withColumn("n_masked",
+        (length(col("redacted")) -
+          length(translate(col("redacted"), "*", ""))).cast("bigint"))
+  }
+
   def keywordTag(documents: DataFrame, patterns: Seq[String]): DataFrame = {
     import graft.functions.MultiMatchFunctions.multi_match_counts
     documents

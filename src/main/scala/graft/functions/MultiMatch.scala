@@ -112,6 +112,44 @@ final class AcAutomaton(patterns: Array[Array[Byte]]) extends Serializable {
     }
     new GenericArrayData(counts)
   }
+
+  private val patLens: Array[Int] = patterns.map(_.length)
+
+  /** The text with every byte covered by ANY match replaced by `mask`
+    * (the union of all match spans — overlapping and nested matches
+    * merge into one redacted run). Byte-level like [[countAll]]; the
+    * replaced bytes are exactly a matched pattern's bytes, so a valid
+    * UTF-8 input stays valid whenever patterns are whole code-point
+    * sequences (always true for ASCII dictionaries). One automaton pass
+    * plus one output pass.
+    */
+  def maskAll(text: UTF8String, mask: Byte): UTF8String = {
+    val n = text.numBytes
+    val bytes = text.getBytes
+    val covered = new Array[Boolean](n)
+    var any = false
+    var s = 0
+    var i = 0
+    while (i < n) {
+      s = next(s * 256 + (bytes(i) & 0xff))
+      val o = outs(s)
+      if (o.length > 0) {
+        var j = 0
+        while (j < o.length) {
+          var p = i - patLens(o(j)) + 1
+          while (p <= i) { covered(p) = true; p += 1 }
+          j += 1
+        }
+        any = true
+      }
+      i += 1
+    }
+    if (!any) return text
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) { out(i) = if (covered(i)) mask else bytes(i); i += 1 }
+    UTF8String.fromBytes(out)
+  }
 }
 
 /** `multi_match_counts(text, patterns)`: per-pattern occurrence counts
@@ -153,9 +191,50 @@ case class MultiMatchCounts(child: Expression, patterns: Seq[String])
     copy(child = newChild)
 }
 
+/** `multi_match_mask(text, patterns)`: the redaction half — every byte
+  * covered by any dictionary match replaced by `'*'` (overlapping and
+  * nested matches merge into one redacted run); see
+  * [[AcAutomaton.maskAll]]. Same plan-time-constant dictionary and
+  * single-pass contract as [[MultiMatchCounts]].
+  */
+case class MultiMatchMask(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with Serializable {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "multi_match_mask needs a non-empty dictionary of non-empty patterns")
+  require(patterns.distinct.length == patterns.length,
+    "multi_match_mask dictionary has duplicate patterns")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"multi_match_mask expects string, got $other")
+  }
+
+  @transient private lazy val automaton =
+    new AcAutomaton(patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray)
+
+  override def nullSafeEval(input: Any): Any =
+    automaton.maskAll(input.asInstanceOf[UTF8String], '*'.toByte)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val auto = ctx.addReferenceObj("acAutomaton", automaton,
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $auto.maskAll($c, (byte) '*');")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiMatchMask =
+    copy(child = newChild)
+}
+
 object MultiMatchFunctions {
   /** Column API: per-pattern occurrence counts (array<bigint>, dictionary
     * order) of `patterns` in `text`. */
   def multi_match_counts(text: Column, patterns: Seq[String]): Column =
     GraftShim.column(MultiMatchCounts(GraftShim.expression(text), patterns))
+
+  /** Column API: `text` with every dictionary match masked by `'*'`. */
+  def multi_match_mask(text: Column, patterns: Seq[String]): Column =
+    GraftShim.column(MultiMatchMask(GraftShim.expression(text), patterns))
 }

@@ -335,6 +335,36 @@ class FunctionsSpec extends AnyFunSuite {
       (3L, "", 0, "styled", 6L)))
   }
 
+  test("multi_match_mask: union-of-spans redaction — overlap merges, nesting masks fully") {
+    import graft.functions.MultiMatchFunctions.multi_match_mask
+    def mask(text: String, pats: Seq[String]): String =
+      Seq(Tuple1(text)).toDF("t")
+        .select(multi_match_mask(col("t"), pats)).as[String].head()
+    // overlapping self-matches merge into one run
+    assert(mask("aaaa", Seq("aa")) === "****")
+    // nested: "agg" inside "agg row" — the union masks the whole long hit
+    // (leftmost-longest would expose nothing here either, but the short
+    // pattern alone must also mask inside an unrelated tail)
+    assert(mask("agg rows", Seq("agg", "agg row")) === "*******s")
+    // fail-link hit masks mid-spine: "bab" sits at offset 2 only
+    assert(mask("xababy", Seq("bab")) === "xa***y")
+    // two patterns whose hits abut: spans fuse seamlessly
+    assert(mask("ababab", Seq("ab", "bab")) === "******")
+    // no hits: the input comes back unchanged (same instance semantics)
+    assert(mask("clean text", Seq("zz")) === "clean text")
+    // redaction keeps byte length
+    assert(mask("a a a", Seq("a a")) === "*****")
+  }
+
+  test("keywordRedact: n_masked counts masked chars; null text dropped") {
+    val docs = Seq(
+      (1L, "agg row and a table"),
+      (2L, null: String)).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.keywordRedact(docs, Seq("agg row", "table"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "******* and a *****", 12L)))
+  }
+
   test("keywordTag: only hit rows survive, pattern labels align with the dictionary") {
     val docs = Seq(
       (1L, "agg row agg"),

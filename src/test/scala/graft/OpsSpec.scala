@@ -144,6 +144,27 @@ class OpsSpec extends AnyFunSuite {
     r.foreach { case ((c, s), n) => if (c != "*") assert(n >= 5L) }
   }
 
+  test("lDiversity: recursive (c,l) arithmetic pinned on a hand-built class mix") {
+    import graft.ops.Quality
+    val df = (
+      // class X: counts 6/3/2/1 desc — r1=6, tail(l=3)=2+1=3 ⇒ 6 < 2·3
+      // is FALSE (strict), distinct=4 ≥ 3 ⇒ distinct ok, recursive not
+      Seq.fill(6)(("X", "a")) ++ Seq.fill(3)(("X", "b")) ++
+        Seq.fill(2)(("X", "c")) ++ Seq(("X", "d")) ++
+      // class Y: 2/2/2 — r1=2, tail=2, 2 < 4 ⇒ both ok
+      Seq.fill(2)(("Y", "a")) ++ Seq.fill(2)(("Y", "b")) ++ Seq.fill(2)(("Y", "c")) ++
+      // class Z: homogeneous — k-large yet zero diversity, both fail
+      Seq.fill(8)(("Z", "a"))
+    ).toDF("qi", "sens")
+    val r = Quality.lDiversity(df, Seq("qi"), "sens", l = 3, c = 2).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getInt(5), x.getInt(6))).toMap
+    assert(r("X") === ((12L, 4L, 6L, 3L, 1, 0)))
+    assert(r("Y") === ((6L, 3L, 2L, 2L, 1, 1)))
+    assert(r("Z") === ((8L, 1L, 8L, 0L, 0, 0)))
+  }
+
   test("dqQuarantine: failing rows carry ALL their violated rules; clean rows never appear") {
     import graft.ops.Quality
     val dim = Seq(1L, 2L).toDF("k")
