@@ -888,6 +888,9 @@ object SparkEntry {
     "l_diversity" -> ((s, d) =>
       graft.ops.Quality.lDiversity(Tables.customer(s, d),
         Seq("c_nationkey"), "c_mktsegment", l = 3, c = 2)),
+    "t_closeness" -> ((s, d) =>
+      graft.ops.Quality.tCloseness(Tables.customer(s, d),
+        Seq("c_nationkey"), "c_mktsegment", tNum = 2, tDen = 5)),
     // gate shape: the driver's oracle harness hashes via pandas sort and
     // cannot order an array-typed column, so the gated entry flattens
     // failed_rules to a '|'-joined string (the library API keeps the array)
@@ -4721,6 +4724,32 @@ object SparkEntry {
         |            < 2 * COALESCE(SUM(CASE WHEN rn >= 3 THEN cnt END), 0) AS INT)
         |         AS recursive_cl_ok
         |FROM r GROUP BY n ORDER BY n""".stripMargin,
+    "t_closeness" ->
+      // total-variation EMD as exact integers: numerator as a digit
+      // string (HUGEINT here, decimal(38,0) in Spark — identical
+      // digits), verdict compared before any division
+      """WITH b AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS n,
+        |         CAST(c_mktsegment AS VARCHAR) AS s
+        |  FROM customer
+        |), g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS gc FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM b),
+        |c AS (SELECT n, s, CAST(COUNT(*) AS BIGINT) AS cc FROM b GROUP BY 1, 2),
+        |nc AS (SELECT n, CAST(SUM(cc) AS BIGINT) AS class_size FROM c GROUP BY 1),
+        |x AS (
+        |  SELECT nc.n, nc.class_size, tt.nn, g.s, g.gc,
+        |         COALESCE(c.cc, 0) AS cc
+        |  FROM nc CROSS JOIN g CROSS JOIN tt
+        |  LEFT JOIN c ON c.n = nc.n AND c.s = g.s
+        |)
+        |SELECT n AS c_nationkey, class_size,
+        |       CAST(SUM(ABS(CAST(cc AS HUGEINT) * nn
+        |                    - CAST(gc AS HUGEINT) * class_size)) AS VARCHAR)
+        |         AS emd_num,
+        |       CAST(SUM(ABS(CAST(cc AS HUGEINT) * nn
+        |                    - CAST(gc AS HUGEINT) * class_size)) * 5
+        |            <= CAST(class_size AS HUGEINT) * nn * 4 AS INT) AS t_ok
+        |FROM x GROUP BY n, class_size, nn ORDER BY n""".stripMargin,
     "dq_quarantine" ->
       """WITH dec0 AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

@@ -166,6 +166,65 @@ object Quality {
       .orderBy(qi: _*)
   }
 
+  /** t-closeness audit — the third of the release-audit trio (Li, Li &
+    * Venkatasubramanian 2007, "t-Closeness: privacy beyond k-anonymity
+    * and l-diversity"): a class can be l-diverse yet still leak when
+    * its sensitive DISTRIBUTION skews far from the table's. For a
+    * categorical sensitive attribute under the equal-distance ground
+    * metric, the paper's Earth Mover's Distance reduces to total
+    * variation: EMD = ½ Σ_v |c_v/n − g_v/N|.
+    *
+    * Gate contract (the [[graft.ext.Similarity.embedPca]] sketch-gate
+    * idiom): the distance is carried as the EXACT integer numerator
+    * Σ_v |c_v·N − g_v·n| over denominator 2·n·N — emitted as a digit
+    * STRING (it exceeds int64 at corpus counts; decimal(38,0)
+    * accumulation, both engines print identical digits) — plus the
+    * boolean verdict tDen·num ≤ 2·tNum·n·N compared in exact integers,
+    * so no float division ever reaches the hash.
+    *
+    * Scale shape: one bounded (QI, sensitive) aggregate, the global
+    * histogram broadcast back over the class × domain crossing (both
+    * bounded), one class rollup — the table itself crosses the wire
+    * once, as counts.
+    */
+  def tCloseness(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      tNum: Int = 2,
+      tDen: Int = 5): DataFrame = {
+    require(qiCols.nonEmpty && tNum >= 0 && tDen >= 1 && tNum <= tDen,
+      s"need QI columns and t = tNum/tDen in [0, 1]; got $tNum/$tDen")
+    val dec = "decimal(38,0)"
+    val qi = qiCols.map(col)
+    val base = df.select(
+      (qiCols :+ sensitiveCol).map(x => col(x).cast("string").as(x)): _*)
+    val global = base.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("_g"))
+    val total = base.agg(count(lit(1)).as("_N"))
+    val cls = base.groupBy((qi :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("_c"))
+    val nCls = cls.groupBy(qi: _*).agg(sum(col("_c")).as("class_size"))
+    nCls
+      .crossJoin(broadcast(global.crossJoin(total)))
+      .join(cls, qiCols :+ sensitiveCol, "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+      .withColumn("_term",
+        abs(col("_c").cast(dec) * col("_N") - col("_g").cast(dec) * col("class_size")))
+      .groupBy(qi: _*)
+      .agg(
+        first(col("class_size")).as("class_size"),
+        first(col("_N")).as("_N"),
+        sum(col("_term")).as("_num"))
+      .select(
+        (qi :+
+          col("class_size") :+
+          col("_num").cast("string").as("emd_num") :+
+          (col("_num") * tDen <=
+            col("class_size").cast(dec) * col("_N") * (2 * tNum))
+            .cast("int").as("t_ok")): _*)
+      .orderBy(qi: _*)
+  }
+
   /** Row-level quarantine routing — the complement of [[dqReport]]'s
     * aggregates: every failing row comes back with `failed_rules`, the
     * sorted list of rules it violates, ready to write to a quarantine

@@ -165,6 +165,25 @@ class OpsSpec extends AnyFunSuite {
     assert(r("Z") === ((8L, 1L, 8L, 0L, 0, 0)))
   }
 
+  test("tCloseness: exact total-variation numerators; mirror class scores 0") {
+    import graft.ops.Quality
+    // global: a=20, b=2, c=2, N=24 (classes contribute to it!).
+    // R (10a,1b,1c, n=12) mirrors the global mix exactly -> num 0.
+    // P (2a,1b,1c, n=4): |2·24−20·4|+|1·24−2·4|+|1·24−2·4| = 32+16+16
+    //   = 64, EMD = 64/(2·4·24) = 1/3 > 1/4 -> fails at t = 1/4.
+    // Q (8a, n=8): 32+16+16 = 64, EMD = 64/384 = 1/6 <= 1/4 -> passes.
+    val df = (Seq.fill(2)(("P", "a")) ++ Seq(("P", "b"), ("P", "c")) ++
+      Seq.fill(8)(("Q", "a")) ++
+      Seq.fill(10)(("R", "a")) ++ Seq(("R", "b"), ("R", "c")))
+      .toDF("qi", "sens")
+    val r = Quality.tCloseness(df, Seq("qi"), "sens", tNum = 1, tDen = 4)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getString(2), x.getInt(3))).toMap
+    assert(r("P") === ((4L, "64", 0)))
+    assert(r("Q") === ((8L, "64", 1)))
+    assert(r("R") === ((12L, "0", 1)))
+  }
+
   test("dqQuarantine: failing rows carry ALL their violated rules; clean rows never appear") {
     import graft.ops.Quality
     val dim = Seq(1L, 2L).toDF("k")
