@@ -392,6 +392,7 @@ object SparkEntry {
     "ols_trend" -> ((s, d) =>
       graft.ops.Quality.olsTrend(Tables.events(s, d), "event_type", "ts")),
     "format_roundtrip" -> (graft.io.Sources.formatRoundtrip _),
+    "schema_evolution" -> (graft.io.Sources.schemaEvolution _),
     "rank_eval" -> ((s, d) =>
       graft.ops.Quality.rankEval(
         Tables.lineitem(s, d), "l_orderkey",
@@ -444,6 +445,7 @@ object SparkEntry {
     }),
     "interval_join_pairs" -> ((s, d) =>
       graft.streaming.StreamJoins.intervalJoinPairs(Tables.events(s, d))),
+    "peak_concurrency" -> ((s, d) => Relational.peakConcurrency(s, d)),
     "asof_join_fwd" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val w = org.apache.spark.sql.expressions.Window
@@ -2211,6 +2213,30 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY user_id""".stripMargin,
+    "peak_concurrency" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+        |         CAST(o_orderdate AS DATE)
+        |           + CAST(o_orderkey % 14 + 1 AS INTEGER) AS e
+        |  FROM orders
+        |), pts AS (
+        |  SELECT o_custkey, s AS d, 1 AS delta FROM o
+        |  UNION ALL
+        |  SELECT o_custkey, e AS d, -1 AS delta FROM o
+        |), daily AS (
+        |  SELECT o_custkey, d, CAST(SUM(delta) AS BIGINT) AS net
+        |  FROM pts GROUP BY 1, 2
+        |), run AS (
+        |  SELECT *, SUM(net) OVER (PARTITION BY o_custkey ORDER BY d) AS open
+        |  FROM daily
+        |), pk AS (
+        |  SELECT *, MAX(open) OVER (PARTITION BY o_custkey) AS peak_open
+        |  FROM run
+        |)
+        |SELECT o_custkey, CAST(peak_open AS BIGINT) AS peak_open,
+        |       CAST(MIN(d) AS TIMESTAMP) AS peak_date
+        |FROM pk WHERE open = peak_open GROUP BY o_custkey, peak_open
+        |HAVING peak_open >= 2 ORDER BY o_custkey""".stripMargin,
     "interval_join_pairs" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
@@ -3703,6 +3729,24 @@ object SparkEntry {
         |         / (CAST(n_days * sdd - sd * sd AS DOUBLE)
         |           * CAST(n_days * syy - sy * sy AS DOUBLE)) END AS r2
         |FROM agg""".stripMargin,
+    "schema_evolution" ->
+      // the merged read's contract spelled out: v=1 rows surface the
+      // added column as NULL; per-generation exact aggregates
+      """WITH v1 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |         CAST(NULL AS DOUBLE) AS l_extendedprice, 1 AS v
+        |  FROM lineitem WHERE l_orderkey % 100 = 0
+        |), v2 AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, 2 AS v
+        |  FROM lineitem WHERE l_orderkey % 100 = 50
+        |), m AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT CAST(v AS INTEGER) AS v,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS BIGINT)
+        |         AS n_null_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM m GROUP BY v ORDER BY v""".stripMargin,
     "format_roundtrip" ->
       """WITH slice AS (
         |  SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag

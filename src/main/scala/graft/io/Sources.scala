@@ -147,6 +147,53 @@ object Sources {
     }
   }
 
+  /** Schema-evolution round-trip: write two parquet GENERATIONS of the
+    * same table — v=1 with the original 3 columns, v=2 with a column
+    * added — then read the directory back with `mergeSchema` and reduce
+    * per generation to exact aggregates. Gates the two mechanisms a
+    * long-lived dataset depends on: schema UNION with null backfill
+    * (v=1 rows must surface the added column as NULL, not fail or
+    * misalign) and partition-column discovery (the `v=N` directory key
+    * becomes a readable column). The oracle recomputes the same
+    * aggregates from the source table with the union-with-null
+    * semantics spelled out — four generations of writers, one truth
+    * (the [[formatRoundtrip]] doctrine applied to time instead of
+    * format). Same scratch discipline too: checkpoint-root allocation,
+    * aggregates forced, directory deleted in the finally.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+    val v1 = li.where(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val v2 = li.where(col("l_orderkey") % 100 === 50)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+    val tmp = spark.sparkContext.getCheckpointDir
+      .map(c => s"$c/graft_schema_evolution")
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_evo").toString)
+    val hPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      v1.write.mode("overwrite").parquet(s"$tmp/v=1")
+      v2.write.mode("overwrite").parquet(s"$tmp/v=2")
+      val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+      val out = merged
+        .groupBy(col("v").cast("int").as("v"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_extendedprice").isNull, 1L)).as("n_null_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("v"))
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      fs.delete(hPath, true)
+      ()
+    }
+  }
+
   /** Kafka envelope → typed events (shared by batch backfill and stream).
     * DROPMALFORMED semantics: `from_json` yields a null struct for corrupt
     * payloads, and the filter drops them — one poisoned message must not

@@ -863,4 +863,44 @@ object Relational {
       .agg(count(lit(1)).as("numcust"),
         sum(money(col("c_acctbal"))).cast("double").as("totacctbal"))
   }
+
+  /** Peak concurrency per key by sweep line — the interval-stabbing
+    * question ops asks constantly (max simultaneous open orders /
+    * sessions / connections) answered WITHOUT expanding intervals to
+    * their covered days: each interval contributes +1 at its start and
+    * −1 at its (exclusive) end, a per-(key, day) net collapses the
+    * events, and a running sum over the ordered days is the live count
+    * — 2 rows per interval whatever its length (the day-explode
+    * alternative is O(Σ duration)). Emits each key's peak and the
+    * FIRST day it is reached, keys with peak ≥ `minPeak`.
+    *
+    * Intervals derive deterministically from the row (orderkey-modulo
+    * duration, the decoration convention) since the schema carries only
+    * the start. Scale shape: one bounded (key, day) aggregate + one
+    * window PARTITIONED BY KEY (per-customer series, never a global
+    * sort) + the per-key max/first rollup on the same partitioning.
+    */
+  def peakConcurrency(s: SparkSession, dir: String, minPeak: Long = 2L): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey"),
+      to_date(col("o_orderdate")).as("start_d"),
+      date_add(to_date(col("o_orderdate")),
+        (col("o_orderkey") % 14 + 1).cast("int")).as("end_d"))
+    val pts = o.select(col("o_custkey"), col("start_d").as("d"), lit(1L).as("delta"))
+      .unionAll(o.select(col("o_custkey"), col("end_d").as("d"), lit(-1L).as("delta")))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("d"))
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+    pts
+      .groupBy(col("o_custkey"), col("d"))
+      .agg(sum(col("delta")).as("net"))
+      .withColumn("open", sum(col("net")).over(wRun))
+      .withColumn("peak_open", max(col("open")).over(wKey))
+      .filter(col("open") === col("peak_open") && col("peak_open") >= minPeak)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("peak_open")).as("peak_open"),
+        min(col("d")).cast("timestamp").as("peak_date"))
+      .orderBy(col("o_custkey"))
+  }
 }
