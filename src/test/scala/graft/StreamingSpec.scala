@@ -2005,4 +2005,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.contains((2L, None, None)) && batch.contains((4L, None, None)))
     } finally q.stop()
   }
+
+  test("observe on a stream: per-batch audit metrics surface in progress, exactly once per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val cols = graft.ops.Observe.auditMetrics("user_id", "value")
+    val q = ms.toDS().toDF()
+      .where(org.apache.spark.sql.functions.col("event_type").isNotNull)
+      .observe("audit", cols.head, cols.tail: _*)
+      .writeStream.format("memory").queryName("observe_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, "2024-01-01 00:00:00", 7, v = 1.5),
+        ev(2, "2024-01-01 00:01:00", 8, v = 2.25),
+        Event(3, ts("2024-01-01 00:02:00"), 9, null, 4.0, "{}")))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(4, "2024-01-01 00:03:00", 7, v = 10.0)))
+      q.processAllAvailable()
+      val audits = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .flatMap(p => Option(p.observedMetrics.get("audit")))
+      assert(audits.size === 2, audits.mkString("; "))
+      def triple(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null_keys"),
+          r.getAs[java.math.BigDecimal]("sum_measure").doubleValue())
+      // batch 1: the null event_type row is filtered BEFORE the observe
+      // node, so the audit sees exactly what the sink saw
+      assert(triple(audits.head) === ((2L, 0L, 3.75)))
+      assert(triple(audits(1)) === ((1L, 0L, 10.0)))
+    } finally q.stop()
+  }
 }
