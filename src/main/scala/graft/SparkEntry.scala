@@ -3796,7 +3796,7 @@ object SparkEntry {
         |       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_r6
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8""".stripMargin,
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8""".stripMargin,
     "ewma_smooth" ->
       """WITH daily AS (
         |  SELECT event_type AS etype, date_trunc('day', ts) AS day,

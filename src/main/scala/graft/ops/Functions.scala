@@ -315,13 +315,26 @@ object Functions {
     val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
     val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
     a.join(b, Seq("p_brand")).where(col("key_a") < col("key_b"))
-      // threshold on the ROUNDED score: set membership must be as
-      // rounding-stable as the emitted value — a pair within 1 ulp of
-      // 0.8 on the raw score could otherwise be admitted by exactly one
-      // engine (the oracle thresholds on round(jw, 6) identically)
-      .withColumn("jw_r6", round(jaro_winkler(col("name_a"), col("name_b")), 6))
-      .where(col("jw_r6") >= 0.8)
-      .select(col("p_brand"), col("key_a"), col("key_b"), col("jw_r6"))
+      // Membership thresholds on the RAW score — a deliberate, MEASURED
+      // rejection of the round-the-predicate suggestion: any filter on
+      // round(jw, 6) is substituted and pushed into the join condition
+      // by Catalyst (a post-projection Filter does not stay above the
+      // join), and Spark's round() on a double allocates a BigDecimal
+      // per evaluation — paying it on EVERY candidate pair doubled the
+      // whole query (2.9 → 5.2 s at sf0.1; a two-stage
+      // raw-prefilter-then-rounded-filter form was pushed down and
+      // re-merged identically). Raw-threshold membership is already
+      // rounding-stable here because BOTH engines evaluate the SAME
+      // bit-identical scorer ([[graft.functions.JaroWinkler]] mirrors
+      // DuckDB's byte-level floored-transposition form, fuzz-verified
+      // over 8k random pairs in HashProperties) — the two sides compare
+      // the same double against the same literal, so no pair can be
+      // admitted by exactly one engine. The 6dp rounding protects only
+      // the EMITTED value, computed once for survivors.
+      .withColumn("jw", jaro_winkler(col("name_a"), col("name_b")))
+      .where(col("jw") >= 0.8)
+      .select(col("p_brand"), col("key_a"), col("key_b"),
+        round(col("jw"), 6).as("jw_r6"))
   }
 
   /** Statistical moments from EXACT decimal accumulators: mean, variance,
