@@ -362,6 +362,19 @@ object SparkEntry {
     "rolling_distinct" -> (Functions.rollingDistinct _),
     "ewma_smooth" -> ((s, d) =>
       graft.ops.Quality.ewmaSmooth(Tables.events(s, d), "event_type", "ts")),
+    // weights are a pure function of the collapsed pair so the oracle
+    // recomputes them; multi-hop relaxation genuinely fires (a cheap
+    // 2-hop path can undercut a heavy direct edge under %9+1 weights)
+    "sssp_bounded" -> ((s, d) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, d)
+        .selectExpr("l_suppkey % 100 as src", "l_partkey % 100 as dst")
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .withColumn("w", (col("src") * 7 + col("dst") * 13) % 9 + 1)
+      Graph.ssspBounded(edges, Seq(0L, 1L).toDF("node"), rounds = 3)
+        .orderBy(col("node"))
+    }),
     "bfs_reach" -> ((s, d) =>
       Graph.bfsDistances(
         Tables.lineitem(s, d).select(
@@ -3818,6 +3831,40 @@ object SparkEntry {
         |       CAST(SUM(wn) OVER (PARTITION BY etype ORDER BY rn) AS DOUBLE)
         |         / (CAST(1 AS BIGINT) << (rn - 1)) AS ewma
         |FROM w""".stripMargin,
+    "sssp_bounded" ->
+      // 3 Bellman-Ford relaxation rounds unrolled as CTEs (the
+      // kmeans-unroll discipline); dist after round r = exact min cost
+      // over paths of <= r hops
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_suppkey % 100 AS src, l_partkey % 100 AS dst
+        |  FROM lineitem WHERE l_suppkey % 100 <> l_partkey % 100
+        |), ew AS (
+        |  SELECT src, dst, (src * 7 + dst * 13) % 9 + 1 AS w FROM e0
+        |), und AS (
+        |  SELECT src, dst, MIN(w) AS w FROM (
+        |    SELECT src, dst, w FROM ew
+        |    UNION ALL SELECT dst AS src, src AS dst, w FROM ew) u
+        |  GROUP BY 1, 2
+        |), d0 AS (
+        |  SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |                        (CAST(1 AS BIGINT), CAST(0 AS BIGINT))) t(node, dist)
+        |), d1 AS (
+        |  SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM d0
+        |    UNION ALL SELECT e.dst, d.dist + e.w FROM d0 d
+        |    JOIN und e ON e.src = d.node) u GROUP BY node
+        |), d2 AS (
+        |  SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM d1
+        |    UNION ALL SELECT e.dst, d.dist + e.w FROM d1 d
+        |    JOIN und e ON e.src = d.node) u GROUP BY node
+        |), d3 AS (
+        |  SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM d2
+        |    UNION ALL SELECT e.dst, d.dist + e.w FROM d2 d
+        |    JOIN und e ON e.src = d.node) u GROUP BY node
+        |)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY node""".stripMargin,
     "bfs_reach" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,

@@ -191,6 +191,69 @@ object Graph {
     }
   }
 
+  /** Bounded-round weighted single-source shortest paths — Bellman–Ford
+    * in the Pregel delta form (Malewicz et al. 2010 §5.2's SSSP is this
+    * exact shape): per round only the nodes whose distance IMPROVED
+    * last round relax their out-edges, candidates min-combine per
+    * target, and the settled map replaces just the improved keys. After
+    * R rounds every distance achievable in ≤ R hops is exact — the
+    * bounded-horizon answer ("cheapest path within R legs") that is
+    * also the anytime approximation of full SSSP, with [[bfsDistances]]
+    * the unit-weight special case.
+    *
+    * Determinism: distances are integer sums min-combined — no float,
+    * no tie-break needed (ties collapse to the same value). The oracle
+    * unrolls the same R relaxation rounds as nested CTEs (the
+    * kmeans-unroll discipline).
+    *
+    * Scale shape per round: |changed ⋈ E| + a min-combine on the
+    * candidate keys + one anti-join replace — the frontier contraction
+    * that makes round cost track convergence, not |V|·|E| (classic
+    * Bellman–Ford's invariant re-relaxation of every edge). Storage
+    * hygiene is the [[bfsDistances]] contract: per-round persists
+    * released in the finally, result checkpoint-backed via
+    * [[graft.ext.Dedup.truncated]].
+    *
+    * @param edges (src, dst, w) — treated undirected, min weight per
+    *              direction-collapsed pair; w must be a non-negative
+    *              integral column
+    * @param seeds (node) — distance-0 sources, deduplicated
+    */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 6, s"rounds must be in [1,6], got $rounds")
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val und = edges.select(col("src"), col("dst"), col("w"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist()
+    var pins: List[DataFrame] = List(und)
+    try {
+      var dist = seeds.select(col("node")).distinct()
+        .withColumn("dist", lit(0L))
+      var changed = dist
+      for (_ <- 1 to rounds) {
+        val cand = changed.alias("d")
+          .join(und.alias("e"), expr("d.node = e.src"))
+          .selectExpr("e.dst as node", "d.dist + e.w as cd")
+          .groupBy(col("node")).agg(min(col("cd")).as("cd"))
+        val improved = cand
+          .join(dist, Seq("node"), "left")
+          .where(col("dist").isNull || col("cd") < col("dist"))
+          .select(col("node"), col("cd").as("dist"))
+          .persist()
+        val newDist = dist.join(improved, Seq("node"), "left_anti")
+          .unionAll(improved)
+          .persist()
+        pins = improved :: newDist :: pins
+        dist = newDist
+        changed = improved
+      }
+      Dedup.truncated(dist, reliable)
+    } finally {
+      pins.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) with a FIXED
     * iteration count and a deterministic tie-break — community detection
     * as the fourth member of the iterative-join graph family (PageRank,

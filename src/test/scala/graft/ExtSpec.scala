@@ -114,7 +114,10 @@ class ExtSpec extends AnyFunSuite {
       // pins, every one released in its finally AFTER the result is
       // checkpoint-materialized (Dedup.truncated) — the result is
       // Dedup.release-able, the pageRank contract
-      "src/main/scala/graft/ext/Graph.scala" -> 3,
+      // +3 in round 13: ssspBounded's symmetrized-edge cache + per-round
+      // improved/newDist pins, same finally-release + truncated-result
+      // contract as bfsDistances
+      "src/main/scala/graft/ext/Graph.scala" -> 6,
       "src/main/scala/graft/ext/Similarity.scala" -> 1,
       // +2 in round 11: lmScoreBatch's batch + marginal-histogram pins,
       // each released in a nested finally
@@ -1058,6 +1061,30 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     assert(lone === Map(99L -> 0))
     intercept[IllegalArgumentException](Graph.bfsDistances(edges, seeds, maxHops = 0))
+  }
+
+  test("ssspBounded: relaxation beats the direct edge; horizon bounds the answer; undirected min-weight") {
+    import graft.ext.Graph
+    // direct 1->4 costs 10; 1->2->3->4 costs 1+1+1 = 3 — only visible
+    // after 3 relaxation rounds. Parallel edges 1->2 keep the MIN
+    // weight; 9->1 back-edge makes weight asymmetric pre-symmetrize.
+    val edges = Seq(
+      (1L, 4L, 10L), (1L, 2L, 1L), (1L, 2L, 5L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (9L, 1L, 2L), (7L, 8L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L, 1L).toDF("node")
+    def run(r: Int) = Graph.ssspBounded(edges, seeds, rounds = r)
+      .as[(Long, Long)].collect().toMap
+    // 1 round: only direct edges
+    assert(run(1) === Map(1L -> 0L, 4L -> 10L, 2L -> 1L, 9L -> 2L))
+    // 3 rounds: the 3-hop path undercuts the direct edge; 7/8 stay
+    // unreachable from the seed component
+    val r3 = run(3)
+    assert(r3(4L) === 3L && r3(3L) === 2L && r3(2L) === 1L && r3(9L) === 2L)
+    assert(!r3.contains(7L) && !r3.contains(8L))
+    // converged: round 4 adds nothing on this graph
+    assert(run(4) === r3)
+    intercept[IllegalArgumentException](Graph.ssspBounded(edges, seeds, rounds = 0))
   }
 
   test("labelPropagation: two cliques joined by a bridge settle on per-clique labels") {
