@@ -2024,6 +2024,59 @@ object TextOps {
         |  '[ \\t\\r\\n]+', ' ')) as clean_text""".stripMargin)
       .withColumn("n_chars_clean", length(col("clean_text")).cast("bigint"))
 
+  /** Streaming twin of [[keywordTag]] — blocklist-hit telemetry as an
+    * accumulating store (the [[corpusStatsSink]] mergeable-partials
+    * doctrine): each micro-batch reduces to ONE row per dictionary
+    * pattern (total hits + docs hit — bounded by the dictionary
+    * whatever the batch size) written to a `batch_N` dir with
+    * whole-dir overwrite, so foreachBatch redelivery replays
+    * idempotently and no raw text is ever retained. [[keywordTagFrom]]
+    * folds the committed partials; per-pattern sums are associative,
+    * so the store equals `keywordTag(union of all batches)` rolled up,
+    * by construction.
+    */
+  def keywordTagSink(
+      documents: DataFrame,
+      patterns: Seq[String],
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    documents.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        keywordTagBatch(batch.toDF(), patterns, outDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch's per-pattern partial — factored out for composite
+    * sinks and for replay tests to drive directly. */
+  def keywordTagBatch(
+      df: DataFrame, patterns: Seq[String], outDir: String, batchId: Long): Unit = {
+    keywordTag(df, patterns)
+      .groupBy(col("pattern"))
+      .agg(sum(col("n_hits")).as("hits"), count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$outDir/hits/batch_$batchId")
+    ()
+  }
+
+  /** The accumulated per-pattern hit telemetry over everything
+    * [[keywordTagSink]] has committed — one fold over ≤ |dictionary|
+    * rows per batch. Zero committed batches yield the empty report (the
+    * empty-store contract). */
+  def keywordTagFrom(
+      spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    val committed = committedBatchDirs(spark, s"$outDir/hits")
+    if (committed.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(String, Long, Long)].toDF("pattern", "hits", "n_docs")
+    } else {
+      spark.read
+        .parquet(committed.toSeq.sorted.map(b => s"$outDir/hits/$b"): _*)
+        .groupBy(col("pattern"))
+        .agg(sum(col("hits")).as("hits"), sum(col("n_docs")).as("n_docs"))
+        .orderBy(col("pattern"))
+    }
+  }
+
   /** Link graph from markup — the companion consumer of
     * [[synthesizeHtml]] pages: every `<a href="...">` target extracted
     * (the same RE2∩Java-safe regex subset as [[htmlExtract]], so the

@@ -2006,6 +2006,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("keywordTagSink: cross-batch accumulation, replay idempotence, empty store, stream drive") {
+    import graft.ext.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_kwtag").toString
+    val pats = Seq("agg", "agg row", "zz")
+    val docsA = Seq((1L, "agg row agg"), (2L, "plain")).toDF("doc_id", "text")
+    val docsB = Seq((3L, "agg")).toDF("doc_id", "text")
+    // empty store: the report of zero batches is the empty report
+    assert(TextOps.keywordTagFrom(spark, dir).collect().isEmpty)
+    // manual ids far from 0: the stream-driven leg below starts its own
+    // checkpoint at batch 0, and ids must not collide in the shared store
+    TextOps.keywordTagBatch(docsA, pats, dir, 10L)
+    TextOps.keywordTagBatch(docsB, pats, dir, 11L)
+    def got() = TextOps.keywordTagFrom(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    // doc1: "agg row agg" -> agg x2 (closure fires inside "agg row"),
+    // agg row x1; doc3: agg x1
+    assert(got() === Set(("agg", 3L, 2L), ("agg row", 1L, 1L)))
+    // last-batch redelivery converges (whole-dir overwrite)
+    TextOps.keywordTagBatch(docsB, pats, dir, 11L)
+    assert(got() === Set(("agg", 3L, 2L), ("agg row", 1L, 1L)))
+    // equals the batch twin rolled up over the union
+    val twin = TextOps.keywordTag(docsA.unionAll(docsB), pats)
+      .groupBy(org.apache.spark.sql.functions.col("pattern"))
+      .agg(org.apache.spark.sql.functions.sum("n_hits").as("hits"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got() === twin)
+    // the real writeStream front: one more batch through the sink
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kwtag_ckpt").toString
+    val q = TextOps.keywordTagSink(
+      ms.toDS().toDF("doc_id", "text"), pats, dir, ckpt)
+    try {
+      ms.addData(Seq((9L, "zz and agg")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got() === Set(("agg", 4L, 3L), ("agg row", 1L, 1L), ("zz", 1L, 1L)))
+  }
+
   test("observe on a stream: per-batch audit metrics surface in progress, exactly once per batch") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
