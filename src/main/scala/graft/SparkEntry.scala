@@ -218,6 +218,27 @@ object SparkEntry {
           sum(size(split(col("text"), " ")).cast("bigint")).as("total_tokens"))
         .orderBy(col("lang"))
     }),
+    "pipeline_curate4" -> ((s, d) => {
+      // the WEB-INGEST chain end-to-end, composing the round-13 ops:
+      // markup -> boilerplate removal (htmlExtract) -> blocklist
+      // redaction (Aho-Corasick union-of-spans) -> mask-ratio floor
+      // (drop docs that are mostly blocklist hits: 5*masked < chars,
+      // an integer compare) -> per-lang rollup with masked-chars
+      // telemetry. Every stage a pure projection until the final
+      // bounded-key aggregate.
+      val docs = Tables.documents(s, d)
+      val clean = TextOps.htmlExtract(TextOps.synthesizeHtml(docs))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val red = TextOps.keywordRedact(clean, KeywordDict)
+      red
+        .where(col("n_masked") * 5 < length(col("redacted")))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_masked")).as("total_masked"),
+          sum(length(col("redacted")).cast("bigint")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
     "pipeline_curate2" -> ((s, d) => {
       // the modern curation chain end-to-end: drop eval-set docs ->
       // repetition filter -> decontaminate -> exact dedup (deterministic
@@ -2872,6 +2893,68 @@ object SparkEntry {
          |SELECT source, lang, COUNT(*) AS n_docs,
          |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
          |FROM samp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipeline_curate4" ->
+      // synthesis -> extraction -> redaction -> mask-ratio floor ->
+      // per-lang rollup, every stage the same SQL the standalone
+      // html_extract / keyword_redact oracles run
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || ' &amp; friends</title>'
+        |    || '<style>body { color: #000; }</style>'
+        |    || '<script>var d = ' || doc_id || '; if (d > 0) { d = d - 1; }</script>'
+        |    || '</head><body><nav><a href="/">home</a> | <a href="/about">about</a></nav>'
+        |    || '<h1>Doc ' || doc_id || '</h1><p>' || text
+        |    || '</p><a href="/doc/' || doc_id || '">permalink</a>'
+        |    || '<footer>&copy; corpus</footer></body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL
+        |), x AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&amp;', '&'), '&copy;', '(c)'), '&nbsp;', ' '),
+        |      '[ \t\r\n]+', ' ', 'g')) AS t
+        |  FROM h
+        |), pats AS (
+        |  SELECT * FROM (VALUES ('table'), ('fast merge'), ('scan slow'),
+        |                        ('spark'), ('agg'), ('agg row'),
+        |                        ('value table'), ('a a')) p(pattern)
+        |), st AS (
+        |  SELECT x.doc_id, CAST(u.s AS INTEGER) AS s, len(p.pattern) AS lp
+        |  FROM x CROSS JOIN pats p
+        |  CROSS JOIN UNNEST(list_filter(range(1, len(x.t) - len(p.pattern) + 2),
+        |    i -> substr(x.t, CAST(i AS INTEGER), len(p.pattern)) = p.pattern)) AS u(s)
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, s + CAST(r.o AS INTEGER) AS pos
+        |  FROM st CROSS JOIN UNNEST(range(0, lp)) AS r(o)
+        |), chars AS (
+        |  SELECT x.doc_id, CAST(g.i AS INTEGER) AS pos,
+        |         substr(x.t, CAST(g.i AS INTEGER), 1) AS ch
+        |  FROM x CROSS JOIN UNNEST(range(1, len(x.t) + 1)) AS g(i)
+        |), red0 AS (
+        |  SELECT c.doc_id,
+        |         string_agg(CASE WHEN cov.pos IS NOT NULL THEN '*' ELSE c.ch END,
+        |                    '' ORDER BY c.pos) AS r
+        |  FROM chars c
+        |  LEFT JOIN cov ON cov.doc_id = c.doc_id AND cov.pos = c.pos
+        |  GROUP BY c.doc_id
+        |), red AS (
+        |  SELECT x.doc_id, COALESCE(red0.r, '') AS r,
+        |         CAST(len(COALESCE(red0.r, ''))
+        |              - len(replace(COALESCE(red0.r, ''), '*', '')) AS BIGINT)
+        |           AS n_masked
+        |  FROM x LEFT JOIN red0 USING (doc_id)
+        |)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(red.n_masked) AS BIGINT) AS total_masked,
+        |       CAST(SUM(len(red.r)) AS BIGINT) AS total_chars
+        |FROM red JOIN documents d ON d.doc_id = red.doc_id
+        |WHERE red.n_masked * 5 < len(red.r)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "pipeline_curate3" ->
       s"""$dUnitCte, c AS (
          |  SELECT vec_id AS cent_id, unit AS cent_unit FROM u
