@@ -117,6 +117,23 @@ object SparkEntry {
     "state_snapshot" -> (qStateSnapshot _),
     "funnel_steps" -> ((s, d) =>
       graft.session.StateOps.funnelSteps(Tables.events(s, d))),
+    // top user journeys: the event-type PATH of each (user, day),
+    // ordered by (ts, event_id), counted across sessions — the classic
+    // product-analytics path report. The per-session path builds with
+    // the substring_dedup rebuild idiom (collect_list of a sortable
+    // struct, array_sort, transform-join — bounded by the session's own
+    // events, never a corpus-wide window); the top-100 is a distributed
+    // TakeOrdered with a deterministic (count desc, path) order.
+    "session_paths" -> ((s, d) =>
+      Tables.events(s, d).where(col("event_type").isNotNull)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type), '>')")
+          .as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(100)),
     "cohort_retention" -> ((s, d) =>
       graft.session.StateOps.cohortRetention(Tables.events(s, d))),
     "rfm_segments" -> ((s, d) =>
@@ -1594,6 +1611,20 @@ object SparkEntry {
         |                            ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1""".stripMargin,
+    "session_paths" ->
+      // string_agg ORDER BY (ts, event_id) = array_sort over the same
+      // struct key (event_id unique ⇒ identical order); day = CAST DATE
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type
+        |  FROM events WHERE event_type IS NOT NULL
+        |), p AS (
+        |  SELECT user_id, day,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 100""".stripMargin,
     "funnel_steps" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS view_ts FROM events
