@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Dedup, Graph, IndexCache, Multimodal, Sampling, Similarity, TextOps}
-import graft.ops.{Cdc, Enrich, Functions, Incremental, Mining, Relational, Skew}
+import graft.ext.{Bpe, Classify, Dedup, Graph, IndexCache, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Audit, Cdc, Enrich, Functions, Incremental, Mining, Relational, Skew}
 import graft.session.{ClickstreamPipeline, Sessionize, StateOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1138,8 +1138,92 @@ object SparkEntry {
     "video_keyframes" -> ((s, d) =>
       Multimodal.keyframes(
         Multimodal.synthesizeVideos(Tables.documents(s, d))).toDF()
-        .orderBy(col("media_id"), col("frame_idx")))
+        .orderBy(col("media_id"), col("frame_idx"))),
+    // categorical-dependence audit (lang × source): per-cell PMI and
+    // chi-square components from exact integer counts
+    "mutual_info" -> ((s, d) =>
+      Audit.mutualInfo(Tables.documents(s, d), "lang", "source")),
+    // Benford first-digit DQ screen over the price column
+    "benford_audit" -> ((s, d) =>
+      Audit.benfordAudit(Tables.lineitem(s, d), "l_extendedprice")),
+    // deterministic Poisson-bootstrap replicate means (hash-seeded, one
+    // pass, B replicates as aggregate columns — never a B× row blowup)
+    "bootstrap_ci" -> ((s, d) =>
+      Audit.bootstrapCi(Tables.orders(s, d), "o_orderkey", "o_totalprice")),
+    // per-doc character-entropy junk screen (integer-log2 magnitudes)
+    "char_entropy" -> ((s, d) => Classify.charEntropy(Tables.documents(s, d))),
+    // TRAINED multinomial NB language classifier over hashed token
+    // buckets, scored on the held-out doc_id % 5 == 0 slice
+    "nb_classify" -> ((s, d) => Classify.nbClassify(Tables.documents(s, d))),
+    // per-class precision/recall/F1 of nb_classify's held-out predictions
+    "nb_metrics" -> ((s, d) => Classify.nbMetrics(Tables.documents(s, d))),
+    // URL canonicalization over a deterministic doc_id-derived messy-URL
+    // decoration (the pii_scrub convention: the synthetic corpus has no
+    // URL column, so the gate decorates one with every rule provably
+    // firing — case folding, default-port strip, fragment drop, utm_*
+    // strip with order-preserved survivors, and an unparsable passthrough)
+    "url_canonical" -> ((s, d) =>
+      graft.ext.WebOps.urlCanonical(
+        Tables.documents(s, d).select(col("doc_id"), expr(urlDecorSql).as("url")),
+        "url", Seq("doc_id"))),
+    // JSON key/type profile over a deterministic event_id-derived props
+    // decoration carrying every value shape (number, string, bool, null,
+    // array) at different key frequencies
+    "json_profile" -> ((s, d) =>
+      graft.ext.WebOps.jsonProfile(
+        Tables.events(s, d).select(expr(jsonDecorSql).as("props2")), "props2")),
+    // discrete-time survival table (first→second event gap per user,
+    // right-censored at the observation end)
+    "hazard_table" -> ((s, d) =>
+      Audit.hazardTable(Tables.events(s, d), "user_id", "ts", "event_id")),
+    // the composition the canonicalizer exists for: canonical-URL exact
+    // dedup — clusters invisible to raw-string dedup (case, default
+    // ports, fragments, utm params all erased before grouping)
+    "url_dedup" -> ((s, d) =>
+      graft.ext.WebOps.urlCanonical(
+        Tables.documents(s, d).select(col("doc_id"), expr(urlDecorSql).as("url")),
+        "url", Seq("doc_id"))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .where(col("n_docs") > 1)
+        .orderBy(col("canon_url")))
   )
+
+  /** Deterministic messy-URL decoration, shared VERBATIM with the DuckDB
+    * oracle (the `Sampling.sourceRateSql` discipline — one string, two
+    * engines, so the input can never drift): mixed-case scheme/host,
+    * default and non-default ports, utm params in leading and middle
+    * positions, fragments, and a % 11 unparsable row.
+    */
+  private val urlDecorSql: String =
+    """CASE WHEN doc_id % 11 = 0 THEN 'not a url ' || CAST(doc_id AS STRING)
+      |ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'Http' END) || '://'
+      |  || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+      |           WHEN doc_id % 3 = 1 THEN 'cdn.Site.org'
+      |           ELSE 'blog.example.com' END)
+      |  || (CASE WHEN doc_id % 4 = 0 THEN ''
+      |           WHEN doc_id % 4 = 1 THEN ':80'
+      |           WHEN doc_id % 4 = 2 THEN ':443'
+      |           ELSE ':8080' END)
+      |  || '/p/' || CAST(doc_id % 7 AS STRING)
+      |  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || CAST(doc_id AS STRING)
+      |           WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS STRING) || '&utm_campaign=y&ref=z'
+      |           ELSE '' END)
+      |  || (CASE WHEN doc_id % 5 = 0 THEN '#Sec' || CAST(doc_id AS STRING) ELSE '' END)
+      |END""".stripMargin
+
+  /** Deterministic JSON decoration for the profile gate — every value
+    * shape present, keys at staggered frequencies; shared verbatim with
+    * the oracle like [[urlDecorSql]].
+    */
+  private val jsonDecorSql: String =
+    """'{"id": ' || CAST(event_id AS STRING)
+      |  || (CASE WHEN event_id % 2 = 0 THEN ', "tag": "t' || CAST(event_id % 7 AS STRING) || '"' ELSE '' END)
+      |  || (CASE WHEN event_id % 3 = 0 THEN ', "score": ' || CAST(event_id % 100 AS STRING) || '.5' ELSE '' END)
+      |  || (CASE WHEN event_id % 5 = 0 THEN ', "ok": true' ELSE '' END)
+      |  || (CASE WHEN event_id % 7 = 0 THEN ', "note": null' ELSE '' END)
+      |  || (CASE WHEN event_id % 11 = 0 THEN ', "tags": [1,2]' ELSE '' END)
+      |  || '}'""".stripMargin
 
   // ---- DuckDB oracle fragments (mirror the Spark expressions exactly) ----
 
@@ -1512,6 +1596,116 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** DuckDB twin of Audit.bootstrapCi's Poisson(1) weight for replicate
+    * r — ONE md5-derived h per row, the same universal-hash mix and the
+    * same inverse-CDF integer thresholds (scaled to the modulus).
+    */
+  private def dBsW(r: Int): String = {
+    val u = s"((${Dedup.minhashA(r)} * h + ${Dedup.minhashB(r)}) % ${Dedup.MinhashP})"
+    s"(CASE WHEN $u < 395007529 THEN 0 WHEN $u < 790015058 THEN 1" +
+      s" WHEN $u < 987518823 THEN 2 WHEN $u < 1053353411 THEN 3" +
+      s" WHEN $u < 1069812058 THEN 4 WHEN $u < 1073103787 THEN 5 ELSE 6 END)"
+  }
+
+  private val dBootstrapSql: String = {
+    val aggs = (0 until 32).map { r =>
+      s"CAST(SUM(${dBsW(r)}) AS BIGINT) AS n_$r,\n" +
+        s"       CAST(SUM(vc * ${dBsW(r)}) AS BIGINT) AS s_$r"
+    }.mkString(",\n       ")
+    val reps = (0 until 32).map { r =>
+      s"SELECT $r AS rep, n_$r AS n_eff," +
+        s" round(CAST(s_$r AS DOUBLE) / (100.0 * CAST(n_$r AS DOUBLE)), 6) AS mean_value FROM a"
+    }.mkString("\n  UNION ALL ")
+    s"WITH hh AS (\n  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS vc," +
+      s" ${dH("'bs:' || CAST(o_orderkey AS VARCHAR)")} % 1073741824 AS h\n  FROM orders\n)," +
+      s" a AS (\n  SELECT $aggs\n  FROM hh\n)\n$reps\nORDER BY rep"
+  }
+
+  /** Shared CTE pipeline of the NB classifier oracle up to the per-doc
+    * arg-max (nb_classify emits it; nb_metrics re-aggregates it).
+    */
+  private val dNbPick: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, ${dH("t")} % 4096 AS b
+       |  FROM (SELECT doc_id, lang,
+       |               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+       |        FROM documents)
+       |), cnt AS (
+       |  SELECT lang AS cls, b, COUNT(*) AS c
+       |  FROM tok WHERE doc_id % 5 <> 0 GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT cls, CAST(SUM(c) AS BIGINT) AS tc FROM cnt GROUP BY 1
+       |), prior AS (
+       |  SELECT lang AS cls, COUNT(*) AS pc
+       |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+       |), dense AS (
+       |  SELECT p.cls, g.b,
+       |         (length(bin(COALESCE(c.c, 0) + 1)) - 1)
+       |           - (length(bin(t.tc + 4096)) - 1) AS w
+       |  FROM prior p
+       |  CROSS JOIN (SELECT unnest(range(0, 4096)) AS b) g
+       |  JOIN tot t ON t.cls = p.cls
+       |  LEFT JOIN cnt c ON c.cls = p.cls AND c.b = g.b
+       |), sc AS (
+       |  SELECT e.doc_id, e.lang, d.cls,
+       |         CAST(SUM(d.w) AS BIGINT) + (length(bin(p.pc + 1)) - 1) AS score
+       |  FROM tok e JOIN dense d USING (b) JOIN prior p ON p.cls = d.cls
+       |  WHERE e.doc_id % 5 = 0
+       |  GROUP BY e.doc_id, e.lang, d.cls, p.pc
+       |), pick AS (
+       |  SELECT doc_id, lang, cls, score,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, cls ASC) AS rn
+       |  FROM sc
+       |)""".stripMargin
+
+  /** DuckDB twin of WebOps.urlCanonical over the decorated documents —
+    * shared (sans ORDER BY) by url_canonical and url_dedup. DuckDB
+    * string literals do not process backslash escapes, so the regex
+    * carries a single \? where the Spark side passes the pattern through
+    * the (non-SQL-parsed) function API; the decor SQL is flattened to
+    * one line because its leading '||' continuation lines would be eaten
+    * by this template's stripMargin.
+    */
+  private val dUrlCanonSql: String = {
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\\?[^#]*)?(#.*)?$"
+    s"""WITH u AS (
+       |  SELECT doc_id, ${urlDecorSql.replace('\n', ' ')} AS url FROM documents
+       |), p AS (
+       |  SELECT doc_id, url,
+       |         regexp_extract(url, '$re', 1) AS u_scheme,
+       |         regexp_extract(url, '$re', 2) AS u_host,
+       |         regexp_extract(url, '$re', 3) AS u_port,
+       |         regexp_extract(url, '$re', 4) AS u_path,
+       |         regexp_extract(url, '$re', 5) AS u_query,
+       |         regexp_extract(url, '$re', 6) AS u_frag
+       |  FROM u
+       |), k AS (
+       |  SELECT *, CASE WHEN u_query = '' THEN []
+       |                 ELSE list_filter(string_split(substring(u_query, 2), '&'),
+       |                                  q -> substring(q, 1, 4) <> 'utm_') END AS kept
+       |  FROM p
+       |)
+       |SELECT doc_id, url,
+       |       CASE WHEN u_scheme = '' THEN url
+       |            ELSE lower(u_scheme) || '://' || lower(u_host)
+       |                 || (CASE WHEN (lower(u_scheme) = 'http'  AND u_port = ':80')
+       |                            OR (lower(u_scheme) = 'https' AND u_port = ':443')
+       |                     THEN '' ELSE u_port END)
+       |                 || u_path
+       |                 || (CASE WHEN u_query = '' OR len(kept) = 0 THEN ''
+       |                     ELSE '?' || array_to_string(kept, '&') END)
+       |       END AS canon_url,
+       |       CASE WHEN u_query = '' THEN 0
+       |            ELSE len(string_split(substring(u_query, 2), '&')) - len(kept)
+       |       END AS dropped_utm,
+       |       CAST(u_frag <> '' AS INT) AS had_fragment,
+       |       CAST((lower(u_scheme) = 'http' AND u_port = ':80')
+       |         OR (lower(u_scheme) = 'https' AND u_port = ':443') AS INT) AS port_stripped,
+       |       CAST(u_scheme = '' AS INT) AS unparsed
+       |FROM k""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "sess_assign" ->
@@ -6403,6 +6597,153 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS n_xy FROM documents GROUP BY 1, 2
+        |), mx AS (
+        |  SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1
+        |), my AS (
+        |  SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells
+        |)
+        |SELECT c.lang, c.source, c.n_xy, m.n_x, y.n_y, t.n,
+        |       round(CAST(m.n_x * y.n_y AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS expected,
+        |       round(ln(CAST(c.n_xy * t.n AS DOUBLE)
+        |                / CAST(m.n_x * y.n_y AS DOUBLE)), 6) AS pmi,
+        |       round((CAST(c.n_xy * t.n - m.n_x * y.n_y AS DOUBLE)
+        |              * CAST(c.n_xy * t.n - m.n_x * y.n_y AS DOUBLE))
+        |             / (CAST(t.n AS DOUBLE) * CAST(m.n_x * y.n_y AS DOUBLE)), 6) AS chi_comp
+        |FROM cells c JOIN mx m USING (lang) JOIN my y USING (source) CROSS JOIN tot t
+        |ORDER BY lang, source""".stripMargin,
+    "benford_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem WHERE l_extendedprice >= 1
+        |), c AS (
+        |  SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS total FROM c
+        |)
+        |SELECT digit, n, total,
+        |       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_freq,
+        |       round((ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 6) AS benford_freq,
+        |       round(((CAST(n AS DOUBLE) - CAST(total AS DOUBLE)
+        |                * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+        |              * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE)
+        |                * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))))
+        |             / (CAST(total AS DOUBLE)
+        |                * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 6) AS chi_comp
+        |FROM c CROSS JOIN t
+        |ORDER BY digit""".stripMargin,
+    "bootstrap_ci" -> dBootstrapSql,
+    "char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, lang, substring(text, CAST(i AS INT), 1) AS ch
+        |  FROM (SELECT doc_id, lang, text, unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents WHERE length(text) > 0)
+        |), cc AS (
+        |  SELECT doc_id, lang, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2, 3
+        |), d AS (
+        |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n,
+        |         COUNT(*) AS distinct_chars,
+        |         CAST(SUM(c * (length(bin(c)) - 1)) AS BIGINT) AS clog
+        |  FROM cc GROUP BY 1, 2
+        |)
+        |SELECT doc_id, lang, n, distinct_chars,
+        |       n * (length(bin(n)) - 1) - clog AS ent_mag,
+        |       round(CAST(n * (length(bin(n)) - 1) - clog AS DOUBLE)
+        |             / CAST(n AS DOUBLE), 6) AS entropy_q,
+        |       CAST((n * (length(bin(n)) - 1) - clog) * 2 < n * 3 AS INT) AS low_entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "nb_classify" ->
+      s"""$dNbPick
+         |SELECT doc_id, lang, cls AS pred, score, CAST(lang = cls AS INT) AS correct
+         |FROM pick WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "nb_metrics" ->
+      s"""$dNbPick, res AS (
+         |  SELECT doc_id, lang, cls AS pred FROM pick WHERE rn = 1
+         |), classes AS (
+         |  SELECT DISTINCT lang FROM documents WHERE doc_id % 5 <> 0
+         |), bt AS (
+         |  SELECT lang, COUNT(*) AS n_true FROM res GROUP BY 1
+         |), bp AS (
+         |  SELECT pred AS lang, COUNT(*) AS n_pred FROM res GROUP BY 1
+         |), tpx AS (
+         |  SELECT lang, COUNT(*) AS tp FROM res WHERE lang = pred GROUP BY 1
+         |), j AS (
+         |  SELECT c.lang,
+         |         COALESCE(n_true, 0) AS n_true,
+         |         COALESCE(n_pred, 0) AS n_pred,
+         |         COALESCE(tp, 0) AS tp
+         |  FROM classes c
+         |  LEFT JOIN bt USING (lang) LEFT JOIN bp USING (lang) LEFT JOIN tpx USING (lang)
+         |)
+         |SELECT lang, n_true, n_pred, tp,
+         |       CASE WHEN n_pred = 0 THEN NULL
+         |            ELSE round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS prec,
+         |       CASE WHEN n_true = 0 THEN NULL
+         |            ELSE round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS rec,
+         |       CASE WHEN n_pred + n_true = 0 THEN NULL
+         |            ELSE round(CAST(2 * tp AS DOUBLE) / CAST(n_pred + n_true AS DOUBLE), 6) END AS f1
+         |FROM j ORDER BY lang""".stripMargin,
+    "url_canonical" -> s"$dUrlCanonSql\nORDER BY doc_id",
+    "url_dedup" ->
+      // flattened before embedding (the stripMargin-vs-'||' rule again)
+      s"""WITH base AS (
+         |  ${dUrlCanonSql.replace('\n', ' ')}
+         |)
+         |SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+         |FROM base GROUP BY 1 HAVING COUNT(*) > 1
+         |ORDER BY canon_url""".stripMargin,
+    "json_profile" ->
+      s"""WITH j AS (
+         |  SELECT ${jsonDecorSql.replace('\n', ' ')} AS props2 FROM events
+         |), kv AS (
+         |  SELECT k, json_extract_string(props2, '$$.' || k) AS v
+         |  FROM (SELECT props2, unnest(json_keys(props2)) AS k FROM j)
+         |)
+         |SELECT k, COUNT(*) AS n_present,
+         |       CAST(SUM(CAST(v IS NULL AS INT)) AS BIGINT) AS n_null,
+         |       CAST(SUM(CAST(v IS NOT NULL AND try_cast(v AS DOUBLE) IS NOT NULL AS INT)) AS BIGINT) AS n_number,
+         |       CAST(SUM(CAST(v IS NOT NULL AND v IN ('true', 'false') AS INT)) AS BIGINT) AS n_bool,
+         |       CAST(SUM(CAST(v IS NOT NULL AND substring(v, 1, 1) IN ('[', '{') AS INT)) AS BIGINT) AS n_nested,
+         |       CAST(SUM(CAST(v IS NOT NULL AND try_cast(v AS DOUBLE) IS NULL
+         |                     AND v NOT IN ('true', 'false')
+         |                     AND substring(v, 1, 1) NOT IN ('[', '{') AS INT)) AS BIGINT) AS n_string,
+         |       COUNT(DISTINCT v) AS n_distinct
+         |FROM kv GROUP BY k ORDER BY k""".stripMargin,
+    "hazard_table" ->
+      """WITH r AS (
+        |  SELECT user_id AS u, ts, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), ft AS (
+        |  SELECT u,
+        |         MIN(CASE WHEN rn = 1 THEN ts END) AS t1,
+        |         MIN(CASE WHEN rn = 2 THEN ts END) AS t2
+        |  FROM r WHERE rn <= 2 GROUP BY u
+        |), oe AS (
+        |  SELECT MAX(ts) AS obs_end FROM events
+        |), sp AS (
+        |  SELECT CASE WHEN t2 IS NOT NULL
+        |              THEN datediff('day', CAST(t1 AS DATE), CAST(t2 AS DATE))
+        |              ELSE datediff('day', CAST(t1 AS DATE), CAST(obs_end AS DATE)) END AS t_day,
+        |         CAST(t2 IS NOT NULL AS INT) AS is_event
+        |  FROM ft CROSS JOIN oe
+        |), pd AS (
+        |  SELECT t_day, CAST(SUM(is_event) AS BIGINT) AS d,
+        |         CAST(SUM(1 - is_event) AS BIGINT) AS c
+        |  FROM sp GROUP BY t_day
+        |)
+        |SELECT t_day,
+        |       CAST(SUM(d + c) OVER (ORDER BY t_day DESC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+        |       d, c,
+        |       round(CAST(d AS DOUBLE)
+        |             / CAST(SUM(d + c) OVER (ORDER BY t_day DESC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS hazard
+        |FROM pd ORDER BY t_day""".stripMargin
   )
 }

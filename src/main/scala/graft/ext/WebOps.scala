@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Web-ingest hygiene operators: URL canonicalization (the crawl-dedup
+  * prerequisite — the same page under `HTTP://WWW.Example.COM:80/a?utm_x=1#f`
+  * and `http://www.example.com/a` must hash identically before any exact
+  * or fuzzy dedup can see it) and semi-structured JSON profiling (the
+  * schema-discovery report a pipeline runs before trusting a props blob).
+  *
+  * Portability discipline (the piiScrub rule): regexes stay in the
+  * construct subset Java regex and RE2/DuckDB share; JSON values are
+  * compared as EXTRACTED STRINGS with shape-based type classification,
+  * never engine-specific JSON type introspection, so the DuckDB oracle
+  * classifies with literally the same predicates.
+  */
+object WebOps {
+
+  /** One capture-group parse of an absolute URL:
+    * scheme :// host [:port] [path] [?query] [#fragment].
+    * Groups: 1=scheme 2=host 3=:port 4=path 5=?query 6=#fragment.
+    */
+  private val UrlRe =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\\?[^#]*)?(#.*)?$"
+
+  /** Canonicalize an absolute-URL column. Rules (the conservative,
+    * loss-bounded subset of RFC 3986 §6 normalization plus the utm strip
+    * every crawl pipeline applies):
+    *   1. scheme and host lowercased (case-insensitive by spec);
+    *   2. default port stripped (:80 for http, :443 for https);
+    *   3. fragment dropped (never sent to the server);
+    *   4. `utm_*` tracking params dropped, remaining params kept in
+    *      ORIGINAL order (sorting would merge URLs whose servers are
+    *      order-sensitive); an emptied query drops its `?`;
+    *   5. path preserved byte-for-byte (dot-segment and percent-encoding
+    *      normalization are deliberately out of scope — they can change
+    *      which resource is addressed on non-conforming servers).
+    * Rows that do not parse as absolute URLs pass through unchanged with
+    * all flags 0 (a canonicalizer must never destroy what it cannot
+    * parse).
+    *
+    * Emits the original, the canonical form, and per-rule observability
+    * flags so the gate proves every rule fires. Pure projection — zero
+    * exchanges, whole-stage codegen; at 100 TB this runs at scan speed
+    * ahead of the dedup hash.
+    */
+  def urlCanonical(df: DataFrame, urlCol: String, keyCols: Seq[String]): DataFrame = {
+    // regexp_extract via the function API: the pattern is passed as a
+    // plain string literal, not re-parsed as a SQL string, so the \?
+    // escape needs no dialect-specific double-escaping here
+    val parse = Seq(
+      regexp_extract(col(urlCol), UrlRe, 1).as("u_scheme"),
+      regexp_extract(col(urlCol), UrlRe, 2).as("u_host"),
+      regexp_extract(col(urlCol), UrlRe, 3).as("u_port"),
+      regexp_extract(col(urlCol), UrlRe, 4).as("u_path"),
+      regexp_extract(col(urlCol), UrlRe, 5).as("u_query"),
+      regexp_extract(col(urlCol), UrlRe, 6).as("u_frag"))
+    df.select((keyCols :+ urlCol).map(col) ++ parse: _*)
+      .selectExpr(
+        (keyCols :+ urlCol) ++ Seq(
+          "u_scheme", "u_host", "u_port", "u_path", "u_query", "u_frag",
+          // kept query params: split the non-'?' remainder, drop utm_*
+          """CASE WHEN u_query = '' THEN array()
+            |     ELSE filter(split(substring(u_query, 2), '&'),
+            |                 p -> substring(p, 1, 4) <> 'utm_') END AS kept""".stripMargin): _*)
+      .selectExpr(
+        (keyCols ++ Seq(
+          urlCol,
+          s"""CASE WHEN u_scheme = '' THEN $urlCol
+             |     ELSE lower(u_scheme) || '://' || lower(u_host)
+             |          || (CASE WHEN (lower(u_scheme) = 'http'  AND u_port = ':80')
+             |                     OR (lower(u_scheme) = 'https' AND u_port = ':443')
+             |              THEN '' ELSE u_port END)
+             |          || u_path
+             |          || (CASE WHEN u_query = '' OR size(kept) = 0 THEN ''
+             |              ELSE '?' || array_join(kept, '&') END)
+             |END AS canon_url""".stripMargin,
+          """CASE WHEN u_query = ''
+            |     THEN 0
+            |     ELSE size(split(substring(u_query, 2), '&')) - size(kept)
+            |END AS dropped_utm""".stripMargin,
+          "CAST(u_frag <> '' AS INT) AS had_fragment",
+          """CAST((lower(u_scheme) = 'http' AND u_port = ':80')
+            |  OR (lower(u_scheme) = 'https' AND u_port = ':443') AS INT) AS port_stripped""".stripMargin,
+          "CAST(u_scheme = '' AS INT) AS unparsed")): _*)
+      .orderBy(keyCols.map(col): _*)
+  }
+
+  /** Key/type profile of a JSON string column — the report that answers
+    * "what keys exist, how often, and holding what" before anyone writes
+    * `props.user_id` into a join. One row per TOP-LEVEL key: presence
+    * count, and value-shape counts (null / number / boolean / array-or-
+    * object / string) plus the distinct-value cardinality.
+    *
+    * Values are compared as strings from the engine's JSON-to-string-map
+    * conversion; a value's TYPE is classified by its string SHAPE
+    * (castable-to-double ⇒ number, literal true/false ⇒ boolean, leading
+    * '[' / '{' ⇒ nested, else string) — identical predicates in both
+    * engines, where native JSON type introspection differs. A string
+    * value that LOOKS like a number (`"69"`) therefore counts as a
+    * number: this is the documented trade for a portable profile, and it
+    * is the answer a CSV-roundtripped consumer would experience anyway.
+    *
+    * Scale shape: one explode to (row, key) pairs — linear in total keys
+    * — then one map-side-combined groupBy on the key (distinct values
+    * via a per-key count_distinct; at pathological per-key cardinality
+    * swap in approx_count_distinct). Malformed JSON rows yield no keys
+    * and simply do not profile (from_json returns NULL).
+    */
+  def jsonProfile(df: DataFrame, jsonCol: String): DataFrame =
+    df
+      .select(explode(expr(s"from_json($jsonCol, 'map<string,string>')")).as(Seq("k", "v")))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_present"),
+        sum(expr("CAST(v IS NULL AS INT)")).as("n_null"),
+        sum(expr("CAST(v IS NOT NULL AND try_cast(v AS DOUBLE) IS NOT NULL AS INT)")).as("n_number"),
+        sum(expr("CAST(v IS NOT NULL AND v IN ('true', 'false') AS INT)")).as("n_bool"),
+        sum(expr("CAST(v IS NOT NULL AND substring(v, 1, 1) IN ('[', '{') AS INT)")).as("n_nested"),
+        sum(expr(
+          """CAST(v IS NOT NULL AND try_cast(v AS DOUBLE) IS NULL
+            |     AND v NOT IN ('true', 'false')
+            |     AND substring(v, 1, 1) NOT IN ('[', '{') AS INT)""".stripMargin)).as("n_string"),
+        count_distinct(col("v")).as("n_distinct"))
+      .orderBy(col("k"))
+}

@@ -129,6 +129,9 @@ class ExtSpec extends AnyFunSuite {
       // pins (the quarantine frame feeds both the dead-letter write and
       // the clean-side anti-join), each released in a nested finally
       "src/main/scala/graft/io/Sinks.scala" -> 3,
+      // round 13: nbModelBatch's per-batch input pin (the batch feeds
+      // both the cnt and prior partial writes), released in its finally
+      "src/main/scala/graft/ext/Classify.scala" -> 1,
       // dev measurement instrument, not library code: pins the prebuilt
       // PqIndex for the serve-regime timing and unpersists in-run
       "src/main/scala/graft/AdcServeProbe.scala" -> 2)
