@@ -1186,7 +1186,17 @@ object SparkEntry {
         .groupBy(col("canon_url"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
         .where(col("n_docs") > 1)
-        .orderBy(col("canon_url")))
+        .orderBy(col("canon_url"))),
+    // exact-rational binary-segmentation first split of each type's
+    // daily-count series (the change-point CUSUM localizes)
+    "change_point" -> ((s, d) =>
+      Audit.changePoint(Tables.events(s, d), "event_type", "ts")),
+    // out-of-order arrival telemetry per user (watermark sizing input)
+    "order_audit" -> ((s, d) =>
+      Audit.orderAudit(Tables.events(s, d), "user_id", "ts", "event_id")),
+    // Shewhart c-chart of daily counts with integer-exact breach flags
+    "control_chart" -> ((s, d) =>
+      Audit.controlChart(Tables.events(s, d), "event_type", "ts"))
   )
 
   /** Deterministic messy-URL decoration, shared VERBATIM with the DuckDB
@@ -6744,6 +6754,68 @@ object SparkEntry {
         |       round(CAST(d AS DOUBLE)
         |             / CAST(SUM(d + c) OVER (ORDER BY t_day DESC
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS hazard
-        |FROM pd ORDER BY t_day""".stripMargin
+        |FROM pd ORDER BY t_day""".stripMargin,
+    "change_point" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype, date_trunc('day', ts) AS day, COUNT(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT etype, day,
+        |         ROW_NUMBER() OVER (PARTITION BY etype ORDER BY day) AS k,
+        |         CAST(SUM(n) OVER (PARTITION BY etype ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+        |         COUNT(*) OVER (PARTITION BY etype) AS d_days,
+        |         CAST(SUM(n) OVER (PARTITION BY etype) AS BIGINT) AS total
+        |  FROM daily
+        |), cand AS (
+        |  SELECT etype, day AS split_day, k AS n1, d_days - k AS n2,
+        |         s1, total - s1 AS s2,
+        |         abs(s1 * (d_days - k) - (total - s1) * k) AS num,
+        |         k * (d_days - k) AS den
+        |  FROM cum WHERE k < d_days
+        |), pick AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY etype
+        |              ORDER BY (num * 1000000) // den DESC, num DESC, den ASC, n1 ASC) AS rn
+        |  FROM cand
+        |)
+        |SELECT etype, split_day, n1, n2, s1, s2,
+        |       round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |             - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS mean_gap
+        |FROM pick WHERE rn = 1 ORDER BY etype""".stripMargin,
+    "order_audit" ->
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events
+        |), b AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev IS NOT NULL AND prev > tus THEN prev - tus ELSE 0 END AS back_us
+        |  FROM s
+        |)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(back_us > 0 AS INT)) AS BIGINT) AS n_inversions,
+        |       CAST(MAX(back_us) AS BIGINT) AS max_backstep_us
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "control_chart" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype, date_trunc('day', ts) AS day, COUNT(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT etype, CAST(SUM(n) AS BIGINT) AS s_total, COUNT(*) AS n_days
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT d.etype, d.day, d.n, t.s_total, t.n_days,
+        |       round((CAST(s_total AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |             + 3.0 * sqrt((CAST(s_total AS DOUBLE) / CAST(n_days AS DOUBLE))), 6) AS ucl,
+        |       round(greatest(0.0, (CAST(s_total AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |             - 3.0 * sqrt((CAST(s_total AS DOUBLE) / CAST(n_days AS DOUBLE)))), 6) AS lcl,
+        |       CASE WHEN n * n_days > s_total
+        |             AND (n * n_days - s_total) * (n * n_days - s_total) > 9 * s_total * n_days
+        |            THEN 1 ELSE 0 END AS breach_hi,
+        |       CASE WHEN n * n_days < s_total
+        |             AND (s_total - n * n_days) * (s_total - n * n_days) > 9 * s_total * n_days
+        |            THEN 1 ELSE 0 END AS breach_lo
+        |FROM daily d JOIN tot t USING (etype)
+        |ORDER BY etype, day""".stripMargin
   )
 }

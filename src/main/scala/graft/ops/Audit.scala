@@ -241,4 +241,143 @@ object Audit {
         expr("round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)").as("hazard"))
       .orderBy(col("t_day"))
   }
+
+  /** Exact single change-point per event type over its daily counts —
+    * binary segmentation's first split (Scott & Knott 1974 lineage):
+    * the day boundary maximizing the between-segment mean gap. The
+    * score |S₁n₂ − S₂n₁| / (n₁n₂) stays an EXACT RATIONAL (int64
+    * numerator/denominator); the arg-max is taken under the total
+    * order (⌊10⁶·num/den⌋, num, den desc, k) — the first key is one
+    * integer floor-division (identical cross-engine), the tie-breaks
+    * make the order total, so both engines pick the same split (the
+    * `trendSlope` median discipline). Means are over OBSERVED days;
+    * types with a single observed day have no interior split and are
+    * not emitted.
+    *
+    * Scale shape: one (type, day) aggregate, then windows over the
+    * ≤span-days per-type frames — the candidate set is D−1 rows per
+    * type, never the event count; types parallelize freely.
+    */
+  def changePoint(events: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    changePointFromDaily(Quality.dailyCounts(events, typeCol, tsCol))
+
+  /** [[changePoint]] over base events plus everything
+    * [[Quality.cusumDriftSink]] committed — the sixth reader over the
+    * shared streaming daily-count store (CUSUM detects drift, this
+    * localizes WHEN it started; one bounded store, k monitoring views).
+    */
+  def changePointFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      outDir: String): DataFrame =
+    changePointFromDaily(Quality.mergedDaily(spark, base, typeCol, tsCol, outDir))
+
+  private def changePointFromDaily(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("etype")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("etype"))
+    val cand = daily
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("s1",
+        sum(col("n")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("d_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .where(col("k") < col("d_days"))
+      .select(
+        col("etype"), col("day").as("split_day"),
+        col("k").as("n1"), (col("d_days") - col("k")).as("n2"),
+        col("s1"), (col("total") - col("s1")).as("s2"))
+      .withColumn("num", expr("abs(s1 * n2 - s2 * n1)"))
+      .withColumn("den", expr("n1 * n2"))
+    cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("etype")).orderBy(
+          expr("num * 1000000 div den").desc, col("num").desc,
+          col("den").asc, col("n1").asc)))
+      .where(col("rn") === 1)
+      .select(
+        col("etype"), col("split_day"), col("n1"), col("n2"), col("s1"), col("s2"),
+        expr("round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)")
+          .as("mean_gap"))
+      .orderBy(col("etype"))
+  }
+
+  /** Out-of-order-arrival telemetry per user — the event-pipeline DQ
+    * check every watermark/session design silently assumes was done:
+    * with `idCol` as the ingestion sequence, count the adjacent steps
+    * whose event time goes BACKWARD and the worst backward skew. A
+    * pipeline seeing nonzero inversions needs its watermark delay at
+    * least `max_backstep_us`; one seeing none can tighten it. All
+    * integers (unix-microsecond deltas).
+    *
+    * Scale shape: one user-keyed window (lag) + one user-keyed
+    * aggregate — the same single shuffle every sessionization already
+    * pays.
+    */
+  def orderAudit(events: DataFrame, userCol: String, tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(idCol))
+    events
+      .select(col(userCol).as("user_id"),
+        expr(s"unix_micros($tsCol)").as("tus"), col(idCol).as("id"))
+      .withColumn("prev", lag(col("tus"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("id"))))
+      .select(col("user_id"),
+        expr("CASE WHEN prev IS NOT NULL AND prev > tus THEN prev - tus ELSE 0 END")
+          .as("back_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(back_us > 0 AS INT)")).as("n_inversions"),
+        max(col("back_us")).as("max_backstep_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Shewhart c-chart of daily event counts per type — the SPC monitor
+    * a pipeline dashboard runs over arrival volumes: center c̄ = S/D,
+    * limits c̄ ± 3√c̄ (counts are Poisson-ish; √ of the mean is the
+    * textbook sigma). The printed limits are single IEEE expressions
+    * (sqrt is correctly rounded by IEEE 754 in both engines) rounded
+    * 6dp, but the BREACH FLAGS are pure integer comparisons —
+    * (yD − S)² > 9SD on the matching side — so a point on the line
+    * can never flip between engines.
+    *
+    * Scale shape: one (type, day) aggregate plus a per-type 2-column
+    * re-aggregate broadcast back; the chart frame is span-bounded.
+    */
+  def controlChart(events: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    controlChartFromDaily(Quality.dailyCounts(events, typeCol, tsCol))
+
+  /** [[controlChart]] over the same merged store; see
+    * [[changePointFrom]] — the seventh reader over the shared
+    * daily-count partials.
+    */
+  def controlChartFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      outDir: String): DataFrame =
+    controlChartFromDaily(Quality.mergedDaily(spark, base, typeCol, tsCol, outDir))
+
+  private def controlChartFromDaily(daily: DataFrame): DataFrame = {
+    val tot = daily.groupBy(col("etype"))
+      .agg(sum(col("n")).as("s_total"), count(lit(1)).as("n_days"))
+    val m = "(CAST(s_total AS DOUBLE) / CAST(n_days AS DOUBLE))"
+    daily
+      .join(broadcast(tot), Seq("etype"))
+      .select(
+        col("etype"), col("day"), col("n"), col("s_total"), col("n_days"),
+        expr(s"round($m + 3.0 * sqrt($m), 6)").as("ucl"),
+        expr(s"round(greatest(0.0, $m - 3.0 * sqrt($m)), 6)").as("lcl"),
+        expr("""CASE WHEN n * n_days > s_total
+               |      AND (n * n_days - s_total) * (n * n_days - s_total) > 9 * s_total * n_days
+               |     THEN 1 ELSE 0 END""".stripMargin).as("breach_hi"),
+        expr("""CASE WHEN n * n_days < s_total
+               |      AND (s_total - n * n_days) * (s_total - n * n_days) > 9 * s_total * n_days
+               |     THEN 1 ELSE 0 END""".stripMargin).as("breach_lo"))
+      .orderBy(col("etype"), col("day"))
+  }
 }

@@ -530,7 +530,7 @@ object Quality {
           .as("ewma"))
   }
 
-  private def mergedDaily(
+  private[ops] def mergedDaily(
       spark: org.apache.spark.sql.SparkSession,
       base: DataFrame,
       typeCol: String,

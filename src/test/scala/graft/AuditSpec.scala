@@ -155,6 +155,54 @@ class AuditSpec extends AnyFunSuite {
       ("cc", 0L, 0L, 0L, None, None, None)))
   }
 
+  test("changePoint: the exact-rational arg-max picks the step boundary; single-day types absent") {
+    val ts = (d: Int, h: Int) => java.sql.Timestamp.valueOf(f"2024-02-${1 + d}%02d $h%02d:00:00")
+    // type X: daily counts 1,1,9,9 — the true step is after day 2
+    val x = for {
+      (cnt, d) <- Seq(1, 1, 9, 9).zipWithIndex
+      i <- 0 until cnt
+    } yield (ts(d, 1 + i % 20), "X")
+    val y = Seq((ts(0, 5), "Y"))  // single observed day: no interior split
+    val ev = (x ++ y).zipWithIndex
+      .map { case ((t, ty), i) => (i.toLong, t, ty) }
+      .toDF("event_id", "ts", "event_type")
+    val out = graft.ops.Audit.changePoint(ev, "event_type", "ts")
+      .select("etype", "n1", "n2", "s1", "s2", "mean_gap")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("X", 2L, 2L, 2L, 18L, -8.0)))
+  }
+
+  test("orderAudit: backward steps counted with the worst skew; in-order users read zero") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s"2024-03-01 $s")
+    val ev = Seq(
+      (1L, t("10:00:00"), 7L), (2L, t("09:59:00"), 7L), (3L, t("10:05:00"), 7L),
+      (4L, t("08:00:00"), 8L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = graft.ops.Audit.orderAudit(ev, "user_id", "ts", "event_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((7L, 3L, 1L, 60000000L), (8L, 1L, 0L, 0L)))
+  }
+
+  test("controlChart: integer breach flags and IEEE limits pinned on a 3-day series") {
+    val ts = (d: Int, i: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-04-${1 + d}%02d ${1 + i % 22}%02d:${i % 60}%02d:00")
+    // daily counts 100, 100, 196: mean 132, UCL = 132 + 3*sqrt(132) ≈ 166.47
+    val ev = (for {
+      (cnt, d) <- Seq(100, 100, 196).zipWithIndex
+      i <- 0 until cnt
+    } yield (ts(d, i), "Z")).zipWithIndex
+      .map { case ((t, ty), i) => (i.toLong, t, ty) }
+      .toDF("event_id", "ts", "event_type")
+    val out = graft.ops.Audit.controlChart(ev, "event_type", "ts")
+      .select("n", "ucl", "lcl", "breach_hi", "breach_lo")
+      .as[(Long, Double, Double, Int, Int)].collect().toSeq
+    val m = 396.0 / 3.0
+    val ucl = math.rint((m + 3.0 * math.sqrt(m)) * 1e6) / 1e6
+    val lcl = math.rint((m - 3.0 * math.sqrt(m)) * 1e6) / 1e6
+    assert(out === Seq(
+      (100L, ucl, lcl, 0, 0), (100L, ucl, lcl, 0, 0), (196L, ucl, lcl, 1, 0)))
+  }
+
   test("urlCanonical: every rule pinned — case fold, default-port strip, fragment drop, utm strip, passthrough") {
     val urls = Seq(
       (1L, "HTTP://WWW.Ex.COM:80/A/b?utm_source=x&id=3#Frag"),
