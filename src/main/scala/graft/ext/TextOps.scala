@@ -2127,4 +2127,48 @@ object TextOps {
           .as("pattern"),
         col("n_hits"))
   }
+
+  /** Class-distinctive terms — c-TF-IDF (the BERTopic topic-description
+    * statistic, Grootendorst 2022): treat each class (language, source,
+    * cluster) as ONE concatenated pseudo-document and score its terms by
+    * tf_class × idf_global, surfacing what a class says that the corpus
+    * at large does not. This is the corpus-exploration report a curation
+    * run prints per source/cluster before deciding quotas.
+    *
+    * Exactness: the [[tfidfTop]] doctrine — rational idf
+    * (total_tokens / tf_global, a monotone transform of the usual
+    * log(1 + avg/tf)) keeps every score two IEEE ops from exact int64
+    * counts, bit-identical cross-engine, and ranking is what top-k
+    * consumes anyway. Ties break on the token string.
+    *
+    * Shape: one explode → (class, token) aggregate (map-side combined;
+    * near-unique keys), global term counts re-aggregated from THAT
+    * bounded frame (vocabulary-sized, never a second corpus pass),
+    * total_tokens a 1-row broadcast, top-k per class over the
+    * vocabulary-sized scored frame. Raw token streams shuffle once.
+    */
+  def ctfidfTerms(documents: DataFrame, classCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1,100], got $k")
+    val tfc = documents
+      .where(col("text").isNotNull && col(classCol).isNotNull)
+      .select(col(classCol).as("cls"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("cls"), col("token"))
+      .agg(count(lit(1)).as("tf_class"))
+    // global stats from the (class, token) frame — vocabulary-sized input
+    val tfg = tfc.where(col("tf_class") > 0) // consume tf_class: keep the
+      // aggregate's exchange canonical-equal to the probe side (the
+      // tfidfTop stage-reuse idiom) so the corpus explodes only once
+      .groupBy(col("token")).agg(sum(col("tf_class")).as("tf_global"))
+    val tot = tfg.agg(sum(col("tf_global")).as("total_tokens"))
+    tfc.join(tfg, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("cls", "token", "tf_class", "tf_global",
+        "tf_class * (cast(total_tokens as double) / tf_global) as score")
+      .selectExpr("cls", "token", "tf_class", "tf_global", "score",
+        "row_number() over (partition by cls order by score desc, token) as rk")
+      .where(col("rk") <= k)
+      .selectExpr("cls", "token", "tf_class", "tf_global", "score",
+        "cast(rk as bigint) as rank")
+  }
 }

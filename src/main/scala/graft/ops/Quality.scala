@@ -941,4 +941,130 @@ object Quality {
         (col("n") * col("n_agree") - col("pe_num")).cast("double") /
           (col("n") * col("n") - col("pe_num")).cast("double")).as("kappa"))
   }
+
+  /** nDCG@k (binary relevance) — the graded complement to [[rankEval]]:
+    * precision@k ignores WHERE in the window a hit lands, nDCG pays
+    * rank 1 more than rank 10, which is what a retrieval experiment
+    * actually optimizes.
+    *
+    * Exactness: the discount 1/log2(r+1) is irrational, so instead of
+    * trusting two libm implementations to round identically, both
+    * engines share one literal table of nano-scaled integer discounts
+    * D_r = round(1e9/log2(r+1)) for r = 1..10 (the lcm-2520 doctrine
+    * generalized to a fixed-point table). DCG and ideal-DCG are then
+    * EXACT int64 sums of rel_r·D_r (ideal DCG for m relevant items is
+    * the prefix sum P[min(m,k)] — binary relevance makes the ideal
+    * ordering "all hits first"), and the corpus micro-nDCG is ONE
+    * terminal IEEE division Σdcg/Σidcg. Queries with zero relevant
+    * rows are excluded (nDCG is undefined there, and including them
+    * would let an engine's 0/0 convention leak into the gate).
+    *
+    * Shape: one ranking window partitioned by query + one map-side-
+    * combined aggregate; the discount lookup is `element_at` on a
+    * 10-element array literal — no join. Output is |ks| rows however
+    * large the corpus.
+    */
+  def ndcgEval(
+      df: DataFrame,
+      queryCol: String,
+      relCol: Column,
+      scoreCol: String,
+      tieCol: String,
+      ks: Seq[Int] = Seq(5, 10)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 10),
+      s"ks must be within [1,10] (the fixed-point discount table), got $ks")
+    // round(1e9 / log2(r+1)), r = 1..10 — shared verbatim with the oracle
+    val disc = Seq(1000000000L, 630929754L, 500000000L, 430676558L,
+      386852807L, 356207187L, 333333333L, 315464877L, 301029996L, 289064826L)
+    val prefix = disc.scanLeft(0L)(_ + _) // P(0)=0, P(m)=Σ_{r≤m} D_r
+    val dArr = array(disc.map(lit): _*)
+    val pArr = array(prefix.map(lit): _*)
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val ranked = df.select(
+      col(queryCol).as("q"), relCol.cast("int").as("rel"),
+      col(scoreCol), col(tieCol))
+      .withColumn("rnk", row_number().over(w))
+    val perAggs = ks.map(k =>
+      sum(when(col("rnk") <= k && col("rel") === 1,
+        element_at(dArr, col("rnk"))).otherwise(0L)).as(s"dcg$k"))
+    val per = ranked.groupBy(col("q"))
+      .agg(sum(col("rel")).as("n_rel"), perAggs: _*)
+      .where(col("n_rel") > 0)
+    val totAggs = ks.flatMap(k => Seq(
+      sum(col(s"dcg$k")).as(s"sd$k"),
+      // ideal DCG: m = min(n_rel, k) hits at the top → prefix sum P[m];
+      // element_at is 1-indexed so P[m] lives at position m+1
+      sum(element_at(pArr, least(col("n_rel"), lit(k)).cast("int") + 1))
+        .as(s"si$k")))
+    val tot = per.agg(count(lit(1)).as("n_queries"), totAggs: _*)
+    val perK = ks.map(k =>
+      struct(lit(k).as("k"),
+        col(s"sd$k").cast("bigint").as("sum_dcg_scaled"),
+        col(s"si$k").cast("bigint").as("sum_idcg_scaled")))
+    tot.select(col("n_queries"), explode(array(perK: _*)).as("kk"))
+      .select(
+        col("kk.k").as("k"), col("n_queries").cast("bigint").as("n_queries"),
+        col("kk.sum_dcg_scaled").as("sum_dcg_scaled"),
+        col("kk.sum_idcg_scaled").as("sum_idcg_scaled"),
+        (col("kk.sum_dcg_scaled").cast("double") /
+          col("kk.sum_idcg_scaled").cast("double")).as("ndcg_micro"))
+  }
+
+  /** Rolling-window anomaly flags over daily counts — the complement to
+    * [[controlChart]]'s GLOBAL Shewhart limits: a slow seasonal drift
+    * moves the global mean and masks local spikes, while a trailing
+    * 7-day window adapts. Flags |z| > 3 against the trailing window's
+    * own mean/variance.
+    *
+    * Exactness: with m prior days of sum S and sum-of-squares Q,
+    * z² > 9  ⟺  (m·y − S)² > 9·(m·Q − S²)  — every term an exact
+    * int64 product of daily counts (spike_flag is PURE-INTEGER, so a
+    * day exactly on the 3σ line can never flip engines; the printed z
+    * is one terminal division pair for humans). Zero-variance windows
+    * flag any deviation (a constant series then a jump IS anomalous).
+    * Warm-up days (m < window) are emitted unflagged with m as the
+    * witness — silently dropping them would hide the first week of a
+    * new event type.
+    *
+    * Shape: daily counts are one map-side-combined aggregate (≤ types ×
+    * days rows); the trailing window runs over THAT bounded frame,
+    * partitioned by type — never over raw events.
+    */
+  def rollingAnomaly(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      window: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2 && window <= 60, s"window must be in [2,60], got $window")
+    // the shared daily-count frame (date_trunc day — the idiom every
+    // drift reader gates on), renamed to y for the z-witness algebra
+    val daily = dailyCounts(events, typeCol, tsCol)
+      .select(col("etype"), col("day"), col("n").as("y"))
+    val w = Window.partitionBy(col("etype")).orderBy(col("day"))
+      .rowsBetween(-window, -1)
+    val stats = daily
+      .withColumn("m", count(col("y")).over(w))
+      .withColumn("s", coalesce(sum(col("y")).over(w), lit(0L)))
+      .withColumn("qq", coalesce(sum(col("y") * col("y")).over(w), lit(0L)))
+    stats.select(
+      col("etype"), col("day"), col("y").cast("bigint").as("y"),
+      col("m").cast("bigint").as("m_window"),
+      // integer z²-witness: z² > 9 ⟺ (my−S)² > 9(mQ−S²); the common m
+      // factor is cancelled to keep the envelope inside int64 up to
+      // ~1e8 events/day/type
+      when(col("m") === window,
+        ((col("m") * col("y") - col("s")) * (col("m") * col("y") - col("s"))) >
+          (lit(9L) * (col("m") * col("qq") - col("s") * col("s"))))
+        .otherwise(lit(false)).as("spike_flag"),
+      // human-facing z (terminal divisions only; NULL in warm-up)
+      when(col("m") === window && (col("m") * col("qq") > col("s") * col("s")),
+        (col("y").cast("double") - col("s").cast("double") / col("m")) /
+          sqrt((col("m") * col("qq") - col("s") * col("s")).cast("double") /
+            (col("m").cast("double") * col("m").cast("double"))))
+        .as("z"))
+      .orderBy(col("etype"), col("day"))
+  }
 }

@@ -1,0 +1,189 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, TextOps}
+import graft.ops.{Cdc, Integrity, Quality}
+
+/** Round-13 additions: schema-wide FK audit, incremental view
+  * maintenance, nDCG, rolling anomaly flags, windowed dedup, c-TF-IDF.
+  */
+class IntegritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- fkAudit -------------------------------------------------------
+
+  test("fkAudit: orphans, null FKs, and the erasure dry-run are counted per edge") {
+    // parent keys 1,2,7,17; child rows: 3×1, 1×2, 2×7, 1×99 (orphan),
+    // 2×null. Erasure mod 10 rem 7 removes parents 7 and 17.
+    val child = Seq[java.lang.Long](1L, 1L, 1L, 2L, 7L, 7L, 99L, null, null)
+      .toDF("fk_col")
+    val parent = Seq(1L, 2L, 7L, 17L).toDF("pk_col")
+    val out = Integrity.fkAudit(
+      Seq(Integrity.FkEdge("child->parent", child, "fk_col", parent, "pk_col")),
+      erasedMod = 10L, erasedRem = 7L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 1)
+    val (edge, fkRows, nullFk, distinctFk, orphanRows, orphanKeys, eRows, eKeys) = out.head
+    assert(edge === "child->parent")
+    assert(fkRows === 7L)       // non-null child rows
+    assert(nullFk === 2L)
+    assert(distinctFk === 4L)   // 1, 2, 7, 99
+    assert(orphanRows === 1L)   // the 99 row
+    assert(orphanKeys === 1L)
+    assert(eRows === 3L)        // 99 + the two 7-rows
+    assert(eKeys === 2L)        // {99, 7}
+  }
+
+  test("fkAudit: a clean edge reports zero orphans and unions across edges") {
+    val child = Seq(1L, 2L, 2L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("k")
+    val out = Integrity.fkAudit(Seq(
+      Integrity.FkEdge("e1", child, "k", parent, "k"),
+      Integrity.FkEdge("e2", parent, "k", child, "k")))
+      .orderBy("edge")
+      .select("edge", "orphan_rows").as[(String, Long)].collect()
+    assert(out === Array(("e1", 0L), ("e2", 1L))) // parent's 3 has no child
+  }
+
+  // ---- maintainCountView ---------------------------------------------
+
+  test("maintainCountView equals a full recompute over the merged table, at every op mix") {
+    val snap = Seq(
+      (1L, "g1"), (2L, "g1"), (3L, "g2"), (4L, "g2"), (5L, "g3"))
+      .toDF("id", "grp")
+    // 1: update g1→g2 (two versions, latest wins); 3: delete;
+    // 5: delete then revive into g1; 9: brand-new insert into g2;
+    // 4: update that keeps its group
+    val chg = Seq(
+      (1L, "g9", "U", 10L), (1L, "g2", "U", 11L),
+      (3L, "g2", "D", 10L),
+      (5L, "g3", "D", 10L), (5L, "g1", "U", 12L),
+      (9L, "g2", "I", 1L),
+      (4L, "g2", "U", 10L))
+      .toDF("id", "grp", "op", "version")
+    val maintained = Cdc.maintainCountView(snap, chg, "id", Seq("grp"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val recomputed = Cdc.applyChangelog(snap, chg, "id")
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(maintained === recomputed)
+    // and the merged table here is: 1→g2, 2→g1, 4→g2, 5→g1, 9→g2
+    assert(maintained === Array(("g1", 2L), ("g2", 3L)))
+  }
+
+  test("maintainCountView drops groups whose count reaches zero") {
+    val snap = Seq((1L, "only")).toDF("id", "grp")
+    val chg = Seq((1L, "only", "D", 1L)).toDF("id", "grp", "op", "version")
+    assert(Cdc.maintainCountView(snap, chg, "id", Seq("grp")).count() === 0L)
+  }
+
+  // ---- ndcgEval ------------------------------------------------------
+
+  test("ndcgEval: fixed-point DCG against hand-computed discounts; zero-rel queries excluded") {
+    // q1: rel at ranks 1 and 3 (scores 9 > 8 > 7); q2: no relevant rows
+    val df = Seq(
+      ("q1", true, 9.0, 1L), ("q1", false, 8.0, 2L), ("q1", true, 7.0, 3L),
+      ("q2", false, 5.0, 1L))
+      .toDF("q", "rel", "score", "tie")
+    val out = Quality.ndcgEval(df, "q", col("rel"), "score", "tie", ks = Seq(5))
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(out.length === 1)
+    val (k, nq, dcg, idcg, ndcg) = out.head
+    assert(k === 5 && nq === 1L)
+    assert(dcg === 1000000000L + 500000000L)   // D1 + D3
+    assert(idcg === 1000000000L + 630929754L)  // P(2): both hits ideal-first
+    assert(ndcg === 1500000000.0 / 1630929754.0)
+  }
+
+  test("ndcgEval: hits beyond k gain nothing but still raise the ideal, capped at k") {
+    // 12 rows, all relevant: dcg@10 = idcg@10 = P(10) → ndcg exactly 1;
+    // dcg@5 = P(5) while idcg@5 is capped at P(5) → also 1
+    val df = (1 to 12).map(i => ("q", true, 100.0 - i, i.toLong))
+      .toDF("q", "rel", "score", "tie")
+    val out = Quality.ndcgEval(df, "q", col("rel"), "score", "tie")
+      .select("k", "ndcg_micro").as[(Int, Double)].collect().sortBy(_._1)
+    assert(out === Array((5, 1.0), (10, 1.0)))
+  }
+
+  // ---- rollingAnomaly ------------------------------------------------
+
+  test("rollingAnomaly: a spike after a varied week flags with the exact z") {
+    // counts 1..7 then 20: window mean 4, population var 4 ⇒ z = 8
+    val rows = (1 to 7).flatMap(d =>
+      (1 to d).map(_ => ("t", ts(f"2024-01-0$d%01d 10:00:00")))) ++
+      (1 to 20).map(_ => ("t", ts("2024-01-08 10:00:00")))
+    val out = Quality.rollingAnomaly(rows.toDF("event_type", "ts"),
+      "event_type", "ts", window = 7)
+      .select("day", "y", "m_window", "spike_flag", "z")
+      .as[(Timestamp, Long, Long, Boolean, Option[Double])]
+      .collect().sortBy(_._1.getTime)
+    assert(out.length === 8)
+    // warm-up days (m < 7) never flag
+    out.init.foreach { case (_, _, m, flag, _) =>
+      assert(m < 7L && !flag)
+    }
+    val (_, y, m, flag, z) = out.last
+    assert(y === 20L && m === 7L && flag)
+    assert(z === Some(8.0))
+  }
+
+  test("rollingAnomaly: zero-variance window flags any deviation, with NULL z") {
+    val rows = (1 to 7).map(d => ("t", ts(f"2024-01-0$d%01d 10:00:00"))) ++
+      Seq.fill(5)(("t", ts("2024-01-08 10:00:00")))
+    val out = Quality.rollingAnomaly(rows.toDF("event_type", "ts"),
+      "event_type", "ts", window = 7)
+      .where(col("m_window") === 7)
+      .select("spike_flag", "z").as[(Boolean, Option[Double])].collect()
+    assert(out === Array((true, None)))
+  }
+
+  // ---- windowDedup ---------------------------------------------------
+
+  test("windowDedup keeps the first (ts, tie) per key per hour and counts the duplicates") {
+    val events = Seq(
+      ("u1", "click", ts("2024-01-01 10:05:00"), "e2"),
+      ("u1", "click", ts("2024-01-01 10:05:00"), "e1"), // same ts: tie wins
+      ("u1", "click", ts("2024-01-01 10:40:00"), "e3"),
+      ("u1", "click", ts("2024-01-01 11:00:00"), "e4"), // next bucket
+      ("u2", "click", ts("2024-01-01 10:59:59"), "e5"))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Dedup.windowDedup(events, Seq("user_id", "event_type"),
+      "ts", "event_id")
+      .select("user_id", "win_start_sec", "tie", "n_dups")
+      .as[(String, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val h10 = ts("2024-01-01 10:00:00").getTime / 1000
+    val h11 = h10 + 3600
+    assert(out === Array(
+      ("u1", h10, "e1", 2L), ("u1", h11, "e4", 0L), ("u2", h10, "e5", 0L)))
+  }
+
+  // ---- ctfidfTerms ---------------------------------------------------
+
+  test("ctfidfTerms: class-distinctive terms score tf_class * total/tf_global, ties on token") {
+    val docs = Seq(
+      (1L, "apple apple pear", "en"),
+      (2L, "apple banane", "fr"),
+      (3L, "", "en")) // empty text contributes no tokens
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.ctfidfTerms(docs, "lang", k = 2)
+      .select("cls", "token", "tf_class", "tf_global", "score", "rank")
+      .as[(String, String, Long, Long, Double, Long)]
+      .collect().sortBy(r => (r._1, r._6))
+    // totals: apple=3, pear=1, banane=1 → total_tokens=5
+    val en = out.filter(_._1 == "en")
+    assert(en.map(_._2).toSeq === Seq("pear", "apple"))
+    assert(en.head._5 === 1 * (5.0 / 1)) // pear: tf 1, global 1 → 5.0
+    assert(en.last._5 === 2 * (5.0 / 3)) // apple: tf 2, global 3
+    val fr = out.filter(_._1 == "fr")
+    // banane 1×(5/1)=5 beats apple 1×(5/3); tie impossible here but rank
+    // order must be deterministic
+    assert(fr.map(_._2).toSeq === Seq("banane", "apple"))
+  }
+}
