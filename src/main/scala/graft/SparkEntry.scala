@@ -470,6 +470,25 @@ object SparkEntry {
     }),
     "ctfidf_terms" -> ((s, d) =>
       graft.ext.TextOps.ctfidfTerms(Tables.documents(s, d), "lang", k = 5)),
+    // external validity of the trained k-means clustering against the
+    // embeddings' ground-truth labels
+    "cluster_purity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Audit.clusterPurity(
+        Similarity.kmeansAssign(emb, k = 8, iters = 2), "vec_id", "cell",
+        emb, "vec_id", "label")
+    }),
+    "edit_linkage" -> ((s, d) => Functions.editLinkage(s, d)),
+    "sorted_neighborhood" -> ((s, d) => Functions.sortedNeighborhood(s, d)),
+    // order-value drift between the pre- and post-1998 eras, 10 bins of
+    // 50k — the deployed-monitor shape (fixed bins, add-one smoothing)
+    "psi_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      graft.ops.Audit.psiDrift(
+        o.where(col("o_orderdate") < lit("1998-01-01")),
+        o.where(col("o_orderdate") >= lit("1998-01-01")),
+        "o_totalprice", binWidth = 50000.0)
+    }),
     "fk_audit" -> ((s, d) => {
       import graft.ops.Integrity.{FkEdge, fkAudit}
       fkAudit(Seq(
@@ -864,6 +883,15 @@ object SparkEntry {
     "pagerank_top" -> ((s, d) =>
       Graph.pageRank(Graph.lineitemGraph(Tables.lineitem(s, d)))
         .orderBy(col("rank").desc, col("id")).limit(20)),
+    // trust propagation from the id%10==0 seed set (entity expansion)
+    "ppr_seeds" -> ((s, d) => {
+      val g = Graph.lineitemGraph(Tables.lineitem(s, d))
+      val seedIds = g.select(col("src").as("id"))
+        .unionAll(g.select(col("dst").as("id"))).distinct()
+        .where(col("id") % 10 === 0)
+      Graph.personalizedPageRank(g, seedIds)
+        .orderBy(col("rank").desc, col("id")).limit(20)
+    }),
     "triangle_count" -> ((s, d) =>
       Graph.triangleCounts(Graph.lineitemGraph(Tables.lineitem(s, d)))),
     "label_propagation" -> ((s, d) =>
@@ -1476,6 +1504,47 @@ object SparkEntry {
          |    FROM r${k - 1} p JOIN edges e ON p.id = e.src JOIN ow ON ow.src = e.src
          |    GROUP BY e.dst
          |  ) c ON c.dst = nodes.id
+         |)""".stripMargin
+    }.mkString
+    head + steps +
+      s"\nSELECT id, round(r, 6) AS rank FROM r$iters ORDER BY rank DESC, id LIMIT 20"
+  }
+
+  /** [[pagerankSql]] with the teleport restricted to the id%10==0 seed
+    * set — the oracle twin of Graph.personalizedPageRank over the same
+    * lineitem graph.
+    */
+  private def pprSql(iters: Int): String = {
+    val head =
+      """WITH edges AS (
+        |  SELECT l_suppkey % 100 AS src, l_partkey % 100 AS dst, COUNT(*) AS weight
+        |  FROM lineitem WHERE l_suppkey % 100 <> l_partkey % 100
+        |  GROUP BY 1, 2
+        |), nodes AS (
+        |  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+        |), ow AS (
+        |  SELECT src, SUM(weight) AS out_w FROM edges GROUP BY 1
+        |), seeds AS (
+        |  SELECT id FROM nodes WHERE id % 10 = 0
+        |), ns AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_seeds FROM seeds
+        |), tele AS (
+        |  SELECT nodes.id,
+        |         CASE WHEN seeds.id IS NOT NULL THEN 1.0 / ns.n_seeds
+        |              ELSE 0.0 END AS t
+        |  FROM nodes LEFT JOIN seeds ON seeds.id = nodes.id CROSS JOIN ns
+        |), r0 AS (
+        |  SELECT id, t AS r FROM tele
+        |)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""", r$k AS (
+         |  SELECT tele.id, (1.0 - 0.85) * tele.t + 0.85 * COALESCE(c.c, 0.0) AS r
+         |  FROM tele
+         |  LEFT JOIN (
+         |    SELECT e.dst, SUM(p.r * e.weight / ow.out_w) AS c
+         |    FROM r${k - 1} p JOIN edges e ON p.id = e.src JOIN ow ON ow.src = e.src
+         |    GROUP BY e.dst
+         |  ) c ON c.dst = tele.id
          |)""".stripMargin
     }.mkString
     head + steps +
@@ -4167,6 +4236,65 @@ object SparkEntry {
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8""".stripMargin,
+    "edit_linkage" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, string_split(p_name, ' ')[1] AS w1, p_name
+        |  FROM part
+        |), pr AS (
+        |  SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |         levenshtein(a.p_name, b.p_name) AS d,
+        |         a.p_name AS na, b.p_name AS nb
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.w1 = b.w1
+        |   AND a.p_partkey < b.p_partkey
+        |)
+        |SELECT p_brand, key_a, key_b, CAST(d AS BIGINT) AS dist,
+        |       1.0 - CAST(d AS DOUBLE) / CAST(GREATEST(len(na), len(nb)) AS DOUBLE)
+        |         AS sim
+        |FROM pr WHERE d <= 4""".stripMargin,
+    "psi_drift" ->
+      """WITH rb AS (
+        |  SELECT CAST(LEAST(GREATEST(floor(o_totalprice / 50000.0), 0), 9) AS BIGINT) AS bin,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ref
+        |  FROM orders
+        |  WHERE o_orderdate < DATE '1998-01-01' AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), cb AS (
+        |  SELECT CAST(LEAST(GREATEST(floor(o_totalprice / 50000.0), 0), 9) AS BIGINT) AS bin,
+        |         CAST(COUNT(*) AS BIGINT) AS n_cur
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1998-01-01' AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), t AS (
+        |  SELECT (SELECT CAST(SUM(n_ref) AS BIGINT) FROM rb) AS t_ref,
+        |         (SELECT CAST(SUM(n_cur) AS BIGINT) FROM cb) AS t_cur
+        |), j AS (
+        |  SELECT COALESCE(rb.bin, cb.bin) AS bin,
+        |         CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+        |         CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+        |)
+        |SELECT j.bin, j.n_ref, j.n_cur, t.t_ref, t.t_cur,
+        |       round((CAST(j.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + 10 AS DOUBLE)
+        |              - CAST(j.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + 10 AS DOUBLE))
+        |             * ln((CAST(j.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + 10 AS DOUBLE))
+        |                  / (CAST(j.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + 10 AS DOUBLE))), 6)
+        |         AS psi_term
+        |FROM j CROSS JOIN t""".stripMargin,
+    "sorted_neighborhood" ->
+      """WITH pos AS (
+        |  SELECT p_partkey, p_brand, p_name,
+        |         ROW_NUMBER() OVER (PARTITION BY p_brand
+        |           ORDER BY p_name, p_partkey) AS pos
+        |  FROM part
+        |), off AS (
+        |  SELECT CAST(k AS BIGINT) AS gap
+        |  FROM (VALUES (1), (2)) AS x(k)
+        |)
+        |SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b, o.gap,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM pos a CROSS JOIN off o
+        |JOIN pos b ON a.p_brand = b.p_brand AND a.pos + o.gap = b.pos""".stripMargin,
     "ewma_smooth" ->
       """WITH daily AS (
         |  SELECT event_type AS etype, date_trunc('day', ts) AS day,
@@ -6162,6 +6290,7 @@ object SparkEntry {
          |FROM f JOIN fo USING (shingle_hash)
          |GROUP BY f.doc_id""".stripMargin,
     "pagerank_top" -> pagerankSql(8),
+    "ppr_seeds" -> pprSql(8),
     "label_propagation" -> {
       val head =
         """WITH e0 AS (
@@ -6342,6 +6471,32 @@ object SparkEntry {
          |a2 AS (${dKmAssign("q", "c2")})
          |SELECT e.vec_id, a.cell, CAST(a.dot AS BIGINT) AS qdot
          |FROM embeddings e LEFT JOIN a2 a USING (vec_id)""".stripMargin,
+    // same trained assignment, judged against the ground-truth labels
+    "cluster_purity" ->
+      s"""$dUnitCte,
+         |q AS (SELECT vec_id, CASE WHEN unit IS NOT NULL THEN list_transform(unit,
+         |        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) END AS qvec FROM u),
+         |c0 AS (SELECT vec_id AS cidx, qvec AS qcent FROM q WHERE qvec IS NOT NULL
+         |       ORDER BY vec_id LIMIT 8),
+         |a0 AS (${dKmAssign("q", "c0")}),
+         |c1 AS (${dKmUpdate("a0")}),
+         |a1 AS (${dKmAssign("q", "c1")}),
+         |c2 AS (${dKmUpdate("a1")}),
+         |a2 AS (${dKmAssign("q", "c2")}),
+         |pur AS (
+         |  SELECT a.cell AS cluster, CAST(e.label AS VARCHAR) AS label,
+         |         CAST(COUNT(*) AS BIGINT) AS n_lab
+         |  FROM a2 a JOIN embeddings e USING (vec_id)
+         |  WHERE a.cell IS NOT NULL GROUP BY 1, 2
+         |), r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+         |           ORDER BY n_lab DESC, label) AS rn,
+         |         CAST(SUM(n_lab) OVER (PARTITION BY cluster) AS BIGINT) AS n
+         |  FROM pur
+         |)
+         |SELECT cluster, n, label AS majority_label, n_lab AS n_majority,
+         |       CAST(n_lab AS DOUBLE) / CAST(n AS DOUBLE) AS purity
+         |FROM r WHERE rn = 1""".stripMargin,
     "pq_codes" ->
       // trained multi-subspace PQ, unrolled exactly like kmeans_assign;
       // every (vec_id, subspace) surfaces — NULL code for zero-norm rows

@@ -129,6 +129,95 @@ object Graph {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("weight"))
 
+  /** Personalized PageRank (Jeh & Widom, WWW 2003): [[pageRank]] with
+    * the teleport mass restricted to a SEED set — the entity-expansion
+    * primitive ("given these known-good domains/authors, rank everything
+    * by proximity to them") a curation pipeline uses to grow an
+    * allowlist or propagate trust from a small labeled set.
+    *
+    * r₀ = t;  rₖ₊₁(v) = (1−d)·t(v) + d·Σ rₖ(u)·w/W(u), where t is
+    * uniform over the seeds and zero elsewhere. Unreached nodes score
+    * exactly 0 (their every term is 0·x — no float fuzz), so the output
+    * naturally concentrates near the seeds. Dangling mass is dropped,
+    * the [[pageRank]] contract, mirrored in the oracle.
+    *
+    * Same plan shape and lineage discipline as [[pageRank]]: per
+    * iteration one rank⋈edges equi-join + map-side-combined aggregate;
+    * the teleport frame is node-sized and rides the same join; lineage
+    * truncates every `checkpointEvery` rounds. Parity: double
+    * contribution sums under a terminal round(_, 6), the pageRank
+    * doctrine.
+    *
+    * @param seeds one `id` column; duplicates are tolerated (distinct
+    *              applied), ids not present in the graph get teleport
+    *              mass but no edges — they keep (1−d)/|seeds| forever,
+    *              which is the honest answer for an isolated seed
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 8,
+      damping: Double = 0.85,
+      checkpointEvery: Int = 10): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val sc = edges.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    val nodes = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id")))
+      .distinct()
+      // isolated seeds join in so their teleport mass is accounted
+      .unionByName(seeds.select(col("id"))).distinct()
+    val outW = edges.groupBy(col("src"))
+      .agg(sum(col("weight")).as("out_w"))
+    val truncating = iters > checkpointEvery
+    val e = {
+      val joined = edges.join(outW, "src")
+        .select(col("src"), col("dst"), col("weight"), col("out_w"))
+      if (truncating) joined.persist() else joined
+    }
+    val seedSet = seeds.select(col("id")).distinct()
+    val nSeeds = broadcast(seedSet.agg(count(lit(1)).cast("double").as("n_seeds")))
+    val tele = nodes
+      .join(seedSet.withColumn("is_seed", lit(true)), Seq("id"), "left")
+      .crossJoin(nSeeds)
+      .select(col("id"),
+        when(col("is_seed"), lit(1.0) / col("n_seeds")).otherwise(lit(0.0)).as("t"))
+    var r = tele.select(col("id"), col("t").as("r"))
+    var pins = List.empty[DataFrame]
+    try {
+      for (i <- 1 to iters) {
+        val contrib = r.join(e, col("id") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("r") * col("weight") / col("out_w")).as("c"))
+        r = tele
+          .join(contrib, col("id") === col("dst"), "left")
+          .select(col("id"),
+            ((lit(1.0) - lit(damping)) * col("t")
+              + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
+        if (i % checkpointEvery == 0 && i < iters) {
+          val c = Dedup.truncated(r, reliable)
+          pins.foreach(Dedup.release)
+          pins = List(c)
+          r = c
+        }
+      }
+      val out = r.select(col("id"), round(col("r"), 6).as("rank"))
+      if (pins.isEmpty) out
+      else {
+        val res = Dedup.truncated(out, reliable)
+        pins.foreach(Dedup.release)
+        pins = Nil
+        res
+      }
+    } catch {
+      case t: Throwable =>
+        pins.foreach(Dedup.release)
+        throw t
+    } finally {
+      if (truncating) e.unpersist(blocking = false)
+    }
+  }
+
   /** Multi-source BFS: exact min-hop distance from a seed set, bounded
     * to `maxHops` — reachability with provenance ("how far is every
     * node from the compromised/flagged set"), the frontier-expansion

@@ -380,4 +380,105 @@ object Audit {
                |     THEN 1 ELSE 0 END""".stripMargin).as("breach_lo"))
       .orderBy(col("etype"), col("day"))
   }
+
+  /** Population Stability Index per bin — THE production drift metric
+    * for a numeric feature between a reference window and the current
+    * one (scorecards, feature stores, model monitors all alarm on
+    * PSI > 0.1/0.25). Complements [[graft.ext.Similarity]]'s
+    * embedding-space drift with the single-column tabular form.
+    *
+    * Both sides bin by the same fixed-width rule (floor(v / width),
+    * capped into [0, bins−1]; fixed bins are the deployed-monitor shape
+    * — quantile bins recomputed per window would move the goalposts the
+    * metric is supposed to detect). Counts are exact integers with
+    * add-one smoothing (PSI is undefined on an empty bin; +1 is the
+    * standard fix and is VISIBLE in the emitted formula, not hidden).
+    * The per-bin term (p−q)·ln(p/q) is one IEEE expression over exact
+    * integer witnesses under the [[mutualInfo]] 6dp-rounding discipline
+    * (libm's ln may differ in the last ulp across engines; 6dp absorbs
+    * it). Per-bin rows only — the corpus PSI is the sum of a bounded
+    * handful of rounded terms, left to the caller so no float-sum order
+    * enters the gate.
+    *
+    * Shape: two map-side-combined bin aggregates (≤ bins keys each),
+    * one bounded join, 1-row totals broadcast. Scan-bound at any scale.
+    */
+  def psiDrift(
+      reference: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      binWidth: Double,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, as: String): DataFrame = df
+      .where(col(valueCol).isNotNull)
+      .select(least(greatest(floor(col(valueCol) / binWidth), lit(0)), lit(bins - 1))
+        .cast("bigint").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    val r = binned(reference, "n_ref")
+    val c = binned(current, "n_cur")
+    val totals = broadcast(
+      r.agg(sum(col("n_ref")).as("t_ref")).crossJoin(c.agg(sum(col("n_cur")).as("t_cur"))))
+    r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .crossJoin(totals)
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        col("t_ref").cast("bigint").as("t_ref"),
+        col("t_cur").cast("bigint").as("t_cur"),
+        expr(s"""round((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + $bins AS DOUBLE)
+                |        - CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + $bins AS DOUBLE))
+                |       * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + $bins AS DOUBLE))
+                |            / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + $bins AS DOUBLE))), 6)"""
+          .stripMargin).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  /** Clustering-vs-labels purity — the external-validity eval for a
+    * trained clustering (k-means cells, LSH buckets, dedup clusters):
+    * per cluster, how dominated is it by one ground-truth label? The
+    * pre-training question this answers: "do my embedding clusters
+    * track the taxonomy I'm about to balance quotas over?"
+    *
+    * Per-cluster output: size, the majority label (ties broken on the
+    * label value so both engines elect the same winner), its count, and
+    * purity = n_majority / n as the one terminal division. Corpus
+    * purity is Σ n_majority / Σ n — both witnesses are emitted, so the
+    * caller (or the gate) recomputes it exactly.
+    *
+    * Shape: one (cluster, label) aggregate — map-side combined,
+    * cells × labels keys — then a ranking window over THAT bounded
+    * frame, never over assignments. Assignment and label frames join on
+    * the id; at corpus scale both sides are id-partitioned and the
+    * label side is usually a projection of the same table the
+    * clustering read, so AQE reuses the exchange.
+    */
+  def clusterPurity(
+      assignments: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      labels: DataFrame,
+      labelIdCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = assignments
+      .where(col(clusterCol).isNotNull)
+      .select(col(idCol).as("_id"), col(clusterCol).as("cluster"))
+      .join(labels.select(col(labelIdCol).as("_id"),
+        col(labelCol).cast("string").as("label")), Seq("_id"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n_lab"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_lab").desc, col("label"))
+    cl.withColumn("rn", row_number().over(w))
+      .withColumn("n", sum(col("n_lab")).over(Window.partitionBy(col("cluster"))))
+      .where(col("rn") === 1)
+      .select(
+        col("cluster"), col("n").cast("bigint").as("n"),
+        col("label").as("majority_label"),
+        col("n_lab").cast("bigint").as("n_majority"),
+        (col("n_lab").cast("double") / col("n").cast("double")).as("purity"))
+  }
 }

@@ -347,4 +347,34 @@ object Cdc {
           .as("n_rows"): _*)
       .where(col("n_rows") > 0)
   }
+
+  /** [[maintainCountView]] over everything [[applyChangelogSink]]
+    * committed — the streaming face of the IVM contract. The store holds
+    * raw changelog rows per batch (the mergeable representation: a
+    * per-batch GROUP delta would be wrong, because batch N's "old group"
+    * for a key is the state after batch N−1, not the snapshot — deltas
+    * only compose once latest-wins has resolved across ALL batches, which
+    * is exactly the one aggregate maintainCountView starts with). Cost is
+    * O(changelog-so-far) + the changed-key join, never a base rescan —
+    * same merge-on-read doctrine as [[cdcTableFrom]], for the view
+    * instead of the table. Torn/uncommitted batch dirs are excluded by
+    * the `_SUCCESS` rule; an empty store returns the base view unchanged.
+    */
+  def maintainCountViewFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      snapshot: DataFrame,
+      outDir: String,
+      key: String,
+      groupCols: Seq[String],
+      opCol: String = "op",
+      versionCol: String = "version"): DataFrame = {
+    val committed = graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/chg")
+    if (committed.isEmpty)
+      snapshot.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    else {
+      val changes = spark.read.parquet(
+        committed.toSeq.sorted.map(b => s"$outDir/chg/$b"): _*)
+      maintainCountView(snapshot, changes, key, groupCols, opCol, versionCol)
+    }
+  }
 }

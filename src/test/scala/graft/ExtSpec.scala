@@ -117,7 +117,9 @@ class ExtSpec extends AnyFunSuite {
       // +3 in round 13: ssspBounded's symmetrized-edge cache + per-round
       // improved/newDist pins, same finally-release + truncated-result
       // contract as bfsDistances
-      "src/main/scala/graft/ext/Graph.scala" -> 6,
+      // +1 later in round 13: personalizedPageRank's truncating-run edge
+      // cache, unpersisted in its finally — the exact pageRank contract
+      "src/main/scala/graft/ext/Graph.scala" -> 7,
       "src/main/scala/graft/ext/Similarity.scala" -> 1,
       // +2 in round 11: lmScoreBatch's batch + marginal-histogram pins,
       // each released in a nested finally

@@ -164,6 +164,75 @@ class IntegritySpec extends AnyFunSuite {
       ("u1", h10, "e1", 2L), ("u1", h11, "e4", 0L), ("u2", h10, "e5", 0L)))
   }
 
+  // ---- personalizedPageRank --------------------------------------------
+
+  test("personalizedPageRank: teleport only to seeds; unreached nodes score exactly 0; isolated seeds hold (1-d)·t") {
+    // chain 1→2→3 plus isolated seed 99; seeds {1, 99} split teleport .5/.5
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "weight")
+    val seeds = Seq(1L, 99L).toDF("id")
+    val out = graft.ext.Graph.personalizedPageRank(edges, seeds, iters = 2)
+      .as[(Long, Double)].collect().toMap
+    // hand-rolled: r1 = [.075, .425, 0, .075]; r2 = [.075, .06375, .36125, .075]
+    assert(out === Map(
+      1L -> 0.075, 2L -> 0.06375, 3L -> 0.36125, 99L -> 0.075))
+    // non-seed-reachable component scores exactly zero (no float fuzz)
+    val twoComp = Seq((1L, 2L, 1L), (10L, 11L, 1L)).toDF("src", "dst", "weight")
+    val out2 = graft.ext.Graph.personalizedPageRank(
+      twoComp, Seq(1L).toDF("id"), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(out2(10L) === 0.0 && out2(11L) === 0.0)
+    assert(out2(1L) > 0 && out2(2L) > 0)
+  }
+
+  // ---- clusterPurity ---------------------------------------------------
+
+  test("clusterPurity: majority label per cluster, deterministic ties, null clusters excluded") {
+    val assign = Seq(
+      (1L, Some(0)), (2L, Some(0)), (3L, Some(0)),
+      (4L, Some(1)), (5L, Some(1)),
+      (6L, None)) // unassigned: excluded
+      .toDF("vec_id", "cell")
+    val labels = Seq(
+      (1L, "x"), (2L, "x"), (3L, "y"),
+      (4L, "z"), (5L, "y"),
+      (6L, "x"))
+      .toDF("vec_id", "label")
+    val out = graft.ops.Audit.clusterPurity(
+      assign, "vec_id", "cell", labels, "vec_id", "label")
+      .as[(Int, Long, String, Long, Double)].collect().sortBy(_._1)
+    // cluster 0: x dominates 2/3; cluster 1: y/z tie 1-1 → label asc wins
+    assert(out === Array(
+      (0, 3L, "x", 2L, 2.0 / 3.0),
+      (1, 2L, "y", 1L, 0.5)))
+  }
+
+  // ---- psiDrift --------------------------------------------------------
+
+  test("psiDrift: identical distributions give all-zero terms; a shifted bin drives both affected terms positive") {
+    val ref = Seq(10.0, 10.0, 60.0, 110.0).toDF("v")
+    val same = graft.ops.Audit.psiDrift(ref, ref, "v", binWidth = 50.0, bins = 3)
+      .select("psi_term").as[Double].collect()
+    assert(same.forall(_ === 0.0))
+    // current loses the bin-2 row to bin 0: PSI terms are a divergence —
+    // (p−q) and ln(p/q) always share sign, so BOTH moved bins go positive
+    val cur = Seq(10.0, 10.0, 60.0, 10.0).toDF("v")
+    val out = graft.ops.Audit.psiDrift(ref, cur, "v", binWidth = 50.0, bins = 3)
+      .select("bin", "n_ref", "n_cur", "psi_term")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      Array((0L, 2L, 3L), (1L, 1L, 1L), (2L, 1L, 0L)))
+    // smoothed p=(n+1)/(N+bins): bin0 3/7 vs 4/7, bin2 2/7 vs 1/7,
+    // bin1 equal → 0
+    assert(out(0)._4 > 0.0 && out(1)._4 === 0.0 && out(2)._4 > 0.0)
+    val expected2 = math.rint((2.0 / 7 - 1.0 / 7) * math.log(2.0) * 1e6) / 1e6
+    assert(out(2)._4 === expected2)
+    // out-of-range values clamp into the edge bins rather than vanish
+    val clamped = graft.ops.Audit.psiDrift(
+      Seq(-5.0, 999.0).toDF("v"), Seq(-5.0, 999.0).toDF("v"), "v", 50.0, 3)
+      .select("bin").as[Long].collect().sorted
+    assert(clamped === Array(0L, 2L))
+  }
+
   // ---- ctfidfTerms ---------------------------------------------------
 
   test("ctfidfTerms: class-distinctive terms score tf_class * total/tf_global, ties on token") {

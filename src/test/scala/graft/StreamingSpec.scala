@@ -679,6 +679,42 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("maintainCountViewFrom: streamed IVM view equals full recompute across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{count, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+    val snap = Seq((1L, "g1"), (2L, "g1"), (3L, "g2"), (4L, "g2"))
+      .toDF("id", "grp")
+    // key 2 moves g1->g2 in batch 1, then g2->g3 in batch 2: a per-batch
+    // GROUP delta against the snapshot would subtract its g1 seat twice —
+    // the store must hold raw changelog rows and let latest-wins resolve
+    // across the union before any delta math (the maintainCountViewFrom
+    // scaladoc contract)
+    val b1 = Seq((2L, "g2", "U", 10L), (3L, "g2", "D", 11L))
+    val b2 = Seq((2L, "g3", "U", 20L), (5L, "g1", "I", 21L))
+    val ms = MemoryStream[(Long, String, String, Long)]
+    val q = graft.ops.Cdc.applyChangelogSink(
+      ms.toDS().toDF("id", "grp", "op", "version"), s"$dir/out", s"$dir/cp")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val view = graft.ops.Cdc.maintainCountViewFrom(
+      spark, snap, s"$dir/out", "id", Seq("grp"))
+      .orderBy("grp").as[(String, Long)].collect().toSeq
+    val recomputed = graft.ops.Cdc.cdcTableFrom(spark, snap, s"$dir/out", "id")
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+      .orderBy("grp").as[(String, Long)].collect().toSeq
+    assert(view === recomputed)
+    // merged table: 1->g1, 2->g3, 4->g2, 5->g1 (3 deleted)
+    assert(view === Seq(("g1", 2L), ("g2", 1L), ("g3", 1L)))
+    // empty store: the base view, unchanged
+    val emptyView = graft.ops.Cdc.maintainCountViewFrom(
+      spark, snap, s"$dir/none", "id", Seq("grp"))
+      .orderBy("grp").as[(String, Long)].collect().toSeq
+    assert(emptyView === Seq(("g1", 2L), ("g2", 2L)))
+  }
+
   test("aggStateSink: merged state equals one-shot aggState over base+stream; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Incremental
