@@ -480,6 +480,42 @@ object SparkEntry {
     }),
     "edit_linkage" -> ((s, d) => Functions.editLinkage(s, d)),
     "sorted_neighborhood" -> ((s, d) => Functions.sortedNeighborhood(s, d)),
+    // declared FD candidates across the schema: keys must hold, the
+    // behavioral ones must report their violation worklists
+    "fd_audit" -> ((s, d) => {
+      import graft.ops.Integrity.{FdCandidate, fdAudit}
+      fdAudit(Seq(
+        FdCandidate("orders: o_orderkey -> o_orderdate",
+          Tables.orders(s, d), Seq("o_orderkey"), "o_orderdate"),
+        FdCandidate("orders: o_custkey -> o_orderpriority",
+          Tables.orders(s, d), Seq("o_custkey"), "o_orderpriority"),
+        FdCandidate("customer: c_nationkey -> c_mktsegment",
+          Tables.customer(s, d), Seq("c_nationkey"), "c_mktsegment"),
+        FdCandidate("nation: n_nationkey -> n_regionkey",
+          Tables.nation(s, d), Seq("n_nationkey"), "n_regionkey"),
+        FdCandidate("lineitem: (l_orderkey, l_linenumber) -> l_partkey",
+          Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+        FdCandidate("lineitem: l_partkey -> l_suppkey",
+          Tables.lineitem(s, d), Seq("l_partkey"), "l_suppkey")))
+    }),
+    // dead-letter routing: a deterministic 1-in-7 slice of props loses
+    // its final byte, exactly the truncated-upload failure mode
+    "json_ingest" -> ((s, d) => {
+      val mangled = Tables.events(s, d).withColumn("props2",
+        when(col("event_id") % 7 === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+          .otherwise(col("props")))
+      graft.ext.WebOps.jsonIngest(mangled, "event_id", "props2")
+    }),
+    // does any customer nation receive URGENT handling at < 4/5 the
+    // global rate — the 80%-rule fairness screen over the order stream
+    "parity_audit" -> ((s, d) =>
+      graft.ops.Audit.disparateImpact(
+        Tables.orders(s, d).join(
+          broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey")),
+        "c_nationkey", col("o_orderpriority") === "1-URGENT")),
     // order-value drift between the pre- and post-1998 eras, 10 bins of
     // 50k — the deployed-monitor shape (fixed bins, add-one smoothing)
     "psi_drift" -> ((s, d) => {
@@ -4252,6 +4288,63 @@ object SparkEntry {
         |       1.0 - CAST(d AS DOUBLE) / CAST(GREATEST(len(na), len(nb)) AS DOUBLE)
         |         AS sim
         |FROM pr WHERE d <= 4""".stripMargin,
+    "fd_audit" -> {
+      def fd(name: String, table: String, det: String, dep: String): String =
+        s"""SELECT '$name' AS fd,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_violating_keys,
+           |  CAST(COALESCE(MAX(nd), 0) AS BIGINT) AS max_distinct,
+           |  CAST(COUNT(CASE WHEN n_null_dep > 0 THEN 1 END) AS BIGINT) AS n_null_keys,
+           |  COUNT(CASE WHEN nd > 1 THEN 1 END) = 0 AS holds
+           |FROM (SELECT $det, COUNT(DISTINCT $dep) AS nd,
+           |             COUNT(CASE WHEN $dep IS NULL THEN 1 END) AS n_null_dep
+           |      FROM $table GROUP BY $det) t""".stripMargin
+      Seq(
+        fd("orders: o_orderkey -> o_orderdate", "orders", "o_orderkey", "o_orderdate"),
+        fd("orders: o_custkey -> o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+        fd("customer: c_nationkey -> c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+        fd("nation: n_nationkey -> n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+        fd("lineitem: (l_orderkey, l_linenumber) -> l_partkey", "lineitem",
+          "l_orderkey, l_linenumber", "l_partkey"),
+        fd("lineitem: l_partkey -> l_suppkey", "lineitem", "l_partkey", "l_suppkey"))
+        .mkString("\nUNION ALL\n")
+    },
+    "json_ingest" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 1)
+        |              ELSE props END AS p
+        |  FROM events
+        |), f AS (
+        |  SELECT event_id AS id, json_valid(p) AS ok FROM m
+        |)
+        |SELECT CASE WHEN ok THEN 'clean' ELSE 'corrupt' END AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids,
+        |       MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM f GROUP BY ok""".stripMargin,
+    "parity_audit" ->
+      """WITH per AS (
+        |  SELECT c.c_nationkey AS grp,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(COUNT(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 END)
+        |              AS BIGINT) AS n_pos
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey IS NOT NULL
+        |  GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |         CAST(SUM(n_pos) AS BIGINT) AS p_total
+        |  FROM per
+        |)
+        |SELECT per.grp, per.n, per.n_pos, g.n_total, g.p_total,
+        |       CAST(per.n_pos AS DOUBLE) / CAST(per.n AS DOUBLE) AS rate,
+        |       CASE WHEN g.p_total > 0 THEN
+        |         CAST(per.n_pos * g.n_total AS DOUBLE)
+        |           / CAST(per.n * g.p_total AS DOUBLE) END AS impact_ratio,
+        |       5 * per.n_pos * g.n_total < 4 * per.n * g.p_total
+        |         AS below_four_fifths
+        |FROM per CROSS JOIN g""".stripMargin,
     "psi_drift" ->
       """WITH rb AS (
         |  SELECT CAST(LEAST(GREATEST(floor(o_totalprice / 50000.0), 0), 9) AS BIGINT) AS bin,

@@ -124,4 +124,38 @@ object WebOps {
             |     AND substring(v, 1, 1) NOT IN ('[', '{') AS INT)""".stripMargin)).as("n_string"),
         count_distinct(col("v")).as("n_distinct"))
       .orderBy(col("k"))
+
+  /** Corrupt-record routing for a JSON ingest — the dead-letter split
+    * every schema-on-read boundary needs: rows whose JSON column fails
+    * to parse must be COUNTED and quarantined, never silently nulled
+    * into the clean stream (the classic ingest bug: a truncated upload
+    * turns into a column of NULLs and the pipeline "succeeds").
+    *
+    * Validity predicate: `from_json(col, map) IS NOT NULL` — Spark's
+    * PERMISSIVE parser yields NULL for malformed input, which is the
+    * engine-portable subset (the oracle's `json_valid` agrees on
+    * clearly-broken documents; exotic edge cases like trailing garbage
+    * are pinned by test, not assumed). Emits one row per route with
+    * exact counts and min/max id witnesses — enough to locate the bad
+    * byte range in the source without shipping the payloads anywhere.
+    *
+    * Shape: one projection + one 2-key aggregate. Scan-bound; the
+    * dead-letter WRITE (ids + raw payloads) is the caller's second
+    * consumer of the same flagged frame.
+    */
+  def jsonIngest(df: DataFrame, idCol: String, jsonCol: String): DataFrame =
+    df
+      .select(col(idCol).cast("bigint").as("id"),
+        expr(s"from_json($jsonCol, 'map<string,string>') IS NOT NULL").as("ok"))
+      .groupBy(col("ok"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("id")).as("n_ids"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .select(
+        when(col("ok"), lit("clean")).otherwise(lit("corrupt")).as("status"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        col("n_ids").cast("bigint").as("n_ids"),
+        col("min_id"), col("max_id"))
 }

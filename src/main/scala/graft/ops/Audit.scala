@@ -436,6 +436,48 @@ object Audit {
       .orderBy(col("bin"))
   }
 
+  /** Disparate-impact (80%-rule) audit — per-group positive rate vs the
+    * global rate, the fairness screen an ML-governance review runs over
+    * any scored/filtered dataset ("does the quality filter pass
+    * documents from source X at < 4/5 the global rate?"). The four-
+    * fifths rule is the EEOC's and the standard first-line metric.
+    *
+    * Exactness: rates and the impact ratio are terminal divisions of
+    * exact int64 counts; the `below_four_fifths` FLAG is pure integer —
+    * rate_g < (4/5)·rate_global  ⟺  5·n_pos·N < 4·n·P — so a group
+    * exactly on the line can never flip engines (the controlChart
+    * breach-flag discipline). Groups with n = 0 cannot occur (groupBy
+    * only emits observed groups); a global P = 0 leaves ratios NULL
+    * rather than dividing by zero.
+    *
+    * Shape: ONE map-side-combined aggregate over the fact table plus a
+    * broadcast 1-row global frame. Scan-bound at any scale.
+    */
+  def disparateImpact(
+      df: DataFrame,
+      groupCol: String,
+      positive: org.apache.spark.sql.Column): DataFrame = {
+    val per = df
+      .where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        count(when(positive, 1)).as("n_pos"))
+    val glob = broadcast(per.agg(
+      sum(col("n")).as("n_total"), sum(col("n_pos")).as("p_total")))
+    per.crossJoin(glob)
+      .select(
+        col("grp"), col("n").cast("bigint").as("n"),
+        col("n_pos").cast("bigint").as("n_pos"),
+        col("n_total").cast("bigint").as("n_total"),
+        col("p_total").cast("bigint").as("p_total"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("rate"),
+        when(col("p_total") > 0,
+          (col("n_pos") * col("n_total")).cast("double") /
+            (col("n") * col("p_total")).cast("double")).as("impact_ratio"),
+        (lit(5L) * col("n_pos") * col("n_total") <
+          lit(4L) * col("n") * col("p_total")).as("below_four_fifths"))
+  }
+
   /** Clustering-vs-labels purity — the external-validity eval for a
     * trained clustering (k-means cells, LSH buckets, dedup clusters):
     * per cluster, how dominated is it by one ground-truth label? The

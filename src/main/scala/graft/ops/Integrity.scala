@@ -74,4 +74,54 @@ object Integrity {
     }
     audited.reduce(_ unionByName _)
   }
+
+  /** One functional-dependency candidate: do `detCols` determine
+    * `depCol` in `df`? */
+  final case class FdCandidate(
+      name: String,
+      df: DataFrame,
+      detCols: Seq[String],
+      depCol: String)
+
+  /** Functional-dependency audit — the data-profiling classic (Metanome
+    * / HoloClean territory): for each declared candidate "X → Y", count
+    * the determinant keys that map to MORE than one dependent value.
+    * Zero violations means the FD holds — the evidence a modeler needs
+    * before normalizing a table, declaring a natural key, or trusting a
+    * dimension join to be row-preserving; a violation count is the size
+    * of the cleanup worklist.
+    *
+    * NULL discipline: distinct dependents are counted over NON-null
+    * values (both engines' count(DISTINCT) semantics), and keys whose
+    * dependents include a NULL are reported separately (`n_null_keys`)
+    * — a NULL neither violates nor confirms an FD, and hiding it would
+    * overstate the dependency's health.
+    *
+    * Shape per candidate: one (det, dep) map-side-combined aggregate,
+    * then one det-keyed aggregate, then a 1-row rollup — the
+    * determinant's cardinality bounds every exchange. Output is
+    * |candidates| rows at any scale.
+    */
+  def fdAudit(candidates: Seq[FdCandidate]): DataFrame = {
+    require(candidates.nonEmpty, "candidates must be non-empty")
+    val audited = candidates.map { c =>
+      require(c.detCols.nonEmpty, s"${c.name}: detCols must be non-empty")
+      val perKey = c.df
+        .groupBy(c.detCols.map(col): _*)
+        .agg(countDistinct(col(c.depCol)).as("nd"),
+          count(when(col(c.depCol).isNull, 1)).as("n_null_dep"))
+      perKey.agg(
+        count(lit(1)).as("n_keys"),
+        count(when(col("nd") > 1, 1)).as("n_violating_keys"),
+        coalesce(max(col("nd")), lit(0L)).as("max_distinct"),
+        count(when(col("n_null_dep") > 0, 1)).as("n_null_keys"))
+        .select(lit(c.name).as("fd"),
+          col("n_keys").cast("bigint").as("n_keys"),
+          col("n_violating_keys").cast("bigint").as("n_violating_keys"),
+          col("max_distinct").cast("bigint").as("max_distinct"),
+          col("n_null_keys").cast("bigint").as("n_null_keys"),
+          (col("n_violating_keys") === 0).as("holds"))
+    }
+    audited.reduce(_ unionByName _)
+  }
 }

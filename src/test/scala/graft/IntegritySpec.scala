@@ -52,6 +52,46 @@ class IntegritySpec extends AnyFunSuite {
     assert(out === Array(("e1", 0L), ("e2", 1L))) // parent's 3 has no child
   }
 
+  // ---- fdAudit ---------------------------------------------------------
+
+  test("fdAudit: violations counted per key, composite determinants, nulls reported not judged") {
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "x"),       // key 1: one dependent → fine
+      (2L, "a", "x"), (2L, "a", "y"),       // key 2: two → violation
+      (3L, "b", null.asInstanceOf[String]), // key 3: null only → 0 distinct
+      (3L, "b", "z"))                       // ... plus z → still 1 distinct
+      .toDF("k", "k2", "dep")
+    val out = graft.ops.Integrity.fdAudit(Seq(
+      graft.ops.Integrity.FdCandidate("k -> dep", df, Seq("k"), "dep"),
+      graft.ops.Integrity.FdCandidate("(k, k2) -> dep", df, Seq("k", "k2"), "dep")))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // both candidate key sets coincide here (k determines k2): 3 keys,
+    // key 2 violates, max distinct 2, key 3 carries a null dependent
+    out.foreach { case (_, nKeys, nViol, maxD, nNull, holds) =>
+      assert((nKeys, nViol, maxD, nNull, holds) === ((3L, 1L, 2L, 1L, false)))
+    }
+    // a held FD: the key column determines itself trivially
+    val held = graft.ops.Integrity.fdAudit(Seq(
+      graft.ops.Integrity.FdCandidate("k -> k2", df, Seq("k"), "k2")))
+      .select("holds").as[Boolean].collect()
+    assert(held === Array(true))
+  }
+
+  // ---- jsonIngest --------------------------------------------------------
+
+  test("jsonIngest: malformed and NULL payloads route to corrupt with id witnesses") {
+    val df = Seq(
+      (1L, """{"k": 1}"""), (2L, """{"k": 2}"""),
+      (3L, """{"k": 3"""),             // truncated → corrupt
+      (4L, null.asInstanceOf[String])) // null → corrupt
+      .toDF("event_id", "props")
+    val out = graft.ext.WebOps.jsonIngest(df, "event_id", "props")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      ("clean", 2L, 2L, 1L, 2L),
+      ("corrupt", 2L, 2L, 3L, 4L)))
+  }
+
   // ---- maintainCountView ---------------------------------------------
 
   test("maintainCountView equals a full recompute over the merged table, at every op mix") {
@@ -204,6 +244,34 @@ class IntegritySpec extends AnyFunSuite {
     assert(out === Array(
       (0, 3L, "x", 2L, 2.0 / 3.0),
       (1, 2L, "y", 1L, 0.5)))
+  }
+
+  // ---- disparateImpact --------------------------------------------------
+
+  test("disparateImpact: integer 80%-rule flag — strictly below fires, exactly on the line does not") {
+    // A: 6/10 positive, B: 4/10 → global 10/20 = 0.5; B's rate 0.4 is
+    // EXACTLY 4/5 of global → must NOT flag (strict <)
+    val onLine = (Seq.fill(6)(("A", true)) ++ Seq.fill(4)(("A", false)) ++
+      Seq.fill(4)(("B", true)) ++ Seq.fill(6)(("B", false)))
+      .toDF("g", "pos")
+    val out = graft.ops.Audit.disparateImpact(onLine, "g", col("pos"))
+      .select("grp", "rate", "impact_ratio", "below_four_fifths")
+      .as[(String, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(out === Array(("A", 0.6, 1.2, false), ("B", 0.4, 0.8, false)))
+    // one positive fewer in B → strictly below, flag fires
+    val below = (Seq.fill(6)(("A", true)) ++ Seq.fill(4)(("A", false)) ++
+      Seq.fill(3)(("B", true)) ++ Seq.fill(7)(("B", false)))
+      .toDF("g", "pos")
+    val out2 = graft.ops.Audit.disparateImpact(below, "g", col("pos"))
+      .select("grp", "below_four_fifths")
+      .as[(String, Boolean)].collect().sortBy(_._1)
+    assert(out2 === Array(("A", false), ("B", true)))
+    // zero positives anywhere: ratios NULL, nothing flags (0 < 0 is false)
+    val none = Seq(("A", false), ("B", false)).toDF("g", "pos")
+    val out3 = graft.ops.Audit.disparateImpact(none, "g", col("pos"))
+      .select("impact_ratio", "below_four_fifths")
+      .as[(Option[Double], Boolean)].collect()
+    assert(out3.forall(r => r._1.isEmpty && !r._2))
   }
 
   // ---- psiDrift --------------------------------------------------------
