@@ -480,6 +480,7 @@ object SparkEntry {
     }),
     "edit_linkage" -> ((s, d) => Functions.editLinkage(s, d)),
     "sorted_neighborhood" -> ((s, d) => Functions.sortedNeighborhood(s, d)),
+    "blocking_eval" -> ((s, d) => Functions.blockingEval(s, d)),
     // declared FD candidates across the schema: keys must hold, the
     // behavioral ones must report their violation worklists
     "fd_audit" -> ((s, d) => {
@@ -4374,6 +4375,63 @@ object SparkEntry {
         |                  / (CAST(j.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + 10 AS DOUBLE))), 6)
         |         AS psi_term
         |FROM j CROSS JOIN t""".stripMargin,
+    "blocking_eval" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, string_split(p_name, ' ')[1] AS w1, p_name
+        |  FROM part
+        |), smp AS (
+        |  SELECT * FROM p WHERE p_brand LIKE '%3'
+        |), truth AS (
+        |  SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b
+        |  FROM smp a JOIN smp b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        |cb AS (
+        |  SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b
+        |  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |), ct AS (
+        |  SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b
+        |  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+        |   AND a.p_partkey < b.p_partkey
+        |), pos AS (
+        |  SELECT p_partkey, p_brand, p_name,
+        |         ROW_NUMBER() OVER (PARTITION BY p_brand
+        |           ORDER BY p_name, p_partkey) AS pos
+        |  FROM p
+        |), cs AS (
+        |  SELECT a.p_brand,
+        |         LEAST(a.p_partkey, b.p_partkey) AS key_a,
+        |         GREATEST(a.p_partkey, b.p_partkey) AS key_b
+        |  FROM pos a CROSS JOIN (SELECT CAST(k AS BIGINT) AS gap
+        |                         FROM (VALUES (1), (2)) AS x(k)) o
+        |  JOIN pos b ON a.p_brand = b.p_brand AND a.pos + o.gap = b.pos
+        |), stats AS (
+        |  SELECT 'brand' AS strategy,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS n_candidates,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+        |      WHERE EXISTS (SELECT 1 FROM cb c WHERE c.p_brand = t.p_brand
+        |        AND c.key_a = t.key_a AND c.key_b = t.key_b)) AS n_found
+        |  UNION ALL
+        |  SELECT 'brand_token',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ct),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+        |      WHERE EXISTS (SELECT 1 FROM ct c WHERE c.p_brand = t.p_brand
+        |        AND c.key_a = t.key_a AND c.key_b = t.key_b))
+        |  UNION ALL
+        |  SELECT 'sorted_neighborhood',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cs),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+        |      WHERE EXISTS (SELECT 1 FROM cs c WHERE c.p_brand = t.p_brand
+        |        AND c.key_a = t.key_a AND c.key_b = t.key_b))
+        |)
+        |SELECT s.strategy, s.n_candidates, nt.n_truth, s.n_found,
+        |       CASE WHEN nt.n_truth > 0 THEN
+        |         CAST(s.n_found AS DOUBLE) / CAST(nt.n_truth AS DOUBLE) END AS recall,
+        |       CASE WHEN nt.n_truth > 0 THEN
+        |         CAST(s.n_candidates AS DOUBLE) / CAST(nt.n_truth AS DOUBLE) END
+        |         AS candidates_per_truth
+        |FROM stats s CROSS JOIN nt""".stripMargin,
     "sorted_neighborhood" ->
       """WITH pos AS (
         |  SELECT p_partkey, p_brand, p_name,

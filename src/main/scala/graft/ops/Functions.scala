@@ -413,6 +413,89 @@ object Functions {
         levenshtein(col("name_a"), col("name_b")).cast("bigint").as("dist"))
   }
 
+  /** Blocking-strategy evaluation — the "measure your blocker" harness
+    * (the [[graft.ext.Dedup.lshTuning]] idea applied to entity
+    * resolution): every blocker trades candidates for recall, and the
+    * only honest way to pick one is to COUNT both against a ground
+    * truth. Truth here is the exact in-brand Levenshtein-≤2 pair set
+    * over a DETERMINISTIC brand sample (brands whose tag ends in '3',
+    * ~1/10 of the catalog) — sampled truth is how production evaluates
+    * blockers too, because exhaustive truth is the quadratic cost the
+    * blocker exists to avoid; the sample is exact, not approximate,
+    * within its slice.
+    *
+    * Three strategies, one row each: `brand` (coarse equi-block — by
+    * construction it CONTAINS all in-brand truth, so its recall is the
+    * definitional 1.0 and its candidate count is the cost ceiling),
+    * `brand_token` ([[editLinkage]]'s two-level key), and
+    * `sorted_neighborhood` (w = 2 sort-neighbors). Emitted per
+    * strategy: global candidate count, truth size, truth found, recall
+    * and candidates-per-truth-pair as terminal divisions of exact
+    * int64s.
+    *
+    * Shape: candidate counts are aggregates over the same equi-joins
+    * the production blockers run (never materialized wide); the truth
+    * join is bounded by the brand sample. Output is 3 rows at any
+    * corpus size.
+    */
+  def blockingEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"),
+        split(col("p_name"), " ").getItem(0).as("w1"), col("p_name"))
+    // endsWith/LIKE '%3' — the one suffix predicate both engines share
+    // verbatim (negative substr starts differ cross-engine)
+    val sampled = p.where(col("p_brand").endsWith("3"))
+    // exact truth on the sampled brands: in-brand pairs at lev <= 2
+    val ta = sampled.select(col("p_brand"), col("p_partkey").as("key_a"),
+      col("p_name").as("name_a"))
+    val tb = sampled.select(col("p_brand"), col("p_partkey").as("key_b"),
+      col("p_name").as("name_b"))
+    val truth = ta.join(tb, Seq("p_brand")).where(col("key_a") < col("key_b"))
+      .where(levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("p_brand"), col("key_a"), col("key_b"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+
+    def strategyRow(name: String, cand: DataFrame): DataFrame = {
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val found = truth.join(cand, Seq("p_brand", "key_a", "key_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+      nCand.crossJoin(broadcast(nTruth)).crossJoin(broadcast(found))
+        .select(lit(name).as("strategy"),
+          col("n_candidates").cast("bigint").as("n_candidates"),
+          col("n_truth").cast("bigint").as("n_truth"),
+          col("n_found").cast("bigint").as("n_found"),
+          when(col("n_truth") > 0,
+            col("n_found").cast("double") / col("n_truth").cast("double"))
+            .as("recall"),
+          when(col("n_truth") > 0,
+            col("n_candidates").cast("double") / col("n_truth").cast("double"))
+            .as("candidates_per_truth"))
+    }
+
+    def pairs(blockCols: Seq[String]): DataFrame = {
+      val a = p.select((blockCols.map(col) :+ col("p_partkey").as("key_a")): _*)
+      val b = p.select((blockCols.map(col) :+ col("p_partkey").as("key_b")): _*)
+      a.join(b, blockCols).where(col("key_a") < col("key_b"))
+        .select(col("p_brand"), col("key_a"), col("key_b"))
+    }
+    val posW = Window.partitionBy(col("p_brand")).orderBy(col("p_name"), col("p_partkey"))
+    val pos = p.withColumn("pos", row_number().over(posW))
+    val snPairs = (1 to 2).map { k =>
+      pos.select(col("p_brand"), (col("pos") + k).as("pos"),
+        col("p_partkey").as("kl"))
+        .join(pos.select(col("p_brand"), col("pos"),
+          col("p_partkey").as("kr")), Seq("p_brand", "pos"))
+        .select(col("p_brand"),
+          least(col("kl"), col("kr")).as("key_a"),
+          greatest(col("kl"), col("kr")).as("key_b"))
+    }.reduce(_ unionByName _)
+
+    strategyRow("brand", pairs(Seq("p_brand")))
+      .unionByName(strategyRow("brand_token", pairs(Seq("p_brand", "w1"))))
+      .unionByName(strategyRow("sorted_neighborhood", snPairs))
+  }
+
   /** Statistical moments from EXACT decimal accumulators: mean, variance,
     * stddev, and corr(quantity, price) are derived with the textbook
     * formulas from decimal sums (S, S², cross-product). Built-in
