@@ -931,6 +931,13 @@ object SparkEntry {
     }),
     "triangle_count" -> ((s, d) =>
       Graph.triangleCounts(Graph.lineitemGraph(Tables.lineitem(s, d)))),
+    // reproducible link-prediction negatives: hash-strided non-edges.
+    // mod-1000 graph — the mod-100 one is near-complete at sf>=0.01,
+    // which leaves no non-edges to sample
+    "graph_negatives" -> ((s, d) =>
+      Graph.graphNegatives(
+        Graph.lineitemGraph(Tables.lineitem(s, d), srcMod = 1000, dstMod = 1000)
+          .select("src", "dst"))),
     "label_propagation" -> ((s, d) =>
       Graph.labelPropagation(Graph.lineitemGraph(Tables.lineitem(s, d)))),
     "dedup_clusters" -> ((s, d) =>
@@ -6442,6 +6449,43 @@ object SparkEntry {
          |GROUP BY f.doc_id""".stripMargin,
     "pagerank_top" -> pagerankSql(8),
     "ppr_seeds" -> pprSql(8),
+    "graph_negatives" ->
+      s"""WITH e0 AS (
+         |  SELECT l_suppkey % 1000 AS src, l_partkey % 1000 AS dst
+         |  FROM lineitem WHERE l_suppkey % 1000 <> l_partkey % 1000
+         |), und AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0
+         |), nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT a AS node FROM und UNION ALL SELECT b FROM und) t
+         |), dn AS (
+         |  SELECT node, CAST(ROW_NUMBER() OVER (ORDER BY node) - 1 AS BIGINT) AS idx
+         |  FROM nodes
+         |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dn),
+         |cand AS (
+         |  SELECT d.node, CAST(j.j AS BIGINT) AS j,
+         |         (d.idx + 1 + (${dH("(CAST(d.node AS VARCHAR) || ':' || CAST(j.j AS VARCHAR))")}
+         |                       % (nn.n - 1))) % nn.n AS pidx
+         |  FROM dn d
+         |  CROSS JOIN (SELECT * FROM (VALUES (1), (2), (3), (4), (5)) AS x(j)) j
+         |  CROSS JOIN nn
+         |), cp AS (
+         |  SELECT c.node, c.j, p.node AS partner
+         |  FROM cand c JOIN dn p ON p.idx = c.pidx
+         |), ne AS (
+         |  SELECT cp.node, cp.partner, MIN(cp.j) AS j
+         |  FROM cp
+         |  WHERE NOT EXISTS (SELECT 1 FROM und
+         |    WHERE und.a = LEAST(cp.node, cp.partner)
+         |      AND und.b = GREATEST(cp.node, cp.partner))
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT node, partner,
+         |         ROW_NUMBER() OVER (PARTITION BY node ORDER BY j) AS rk
+         |  FROM ne
+         |)
+         |SELECT node, CAST(rk AS BIGINT) AS neg_rank, partner
+         |FROM r WHERE rk <= 3""".stripMargin,
     "label_propagation" -> {
       val head =
         """WITH e0 AS (

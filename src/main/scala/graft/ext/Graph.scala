@@ -129,6 +129,61 @@ object Graph {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("weight"))
 
+  /** Deterministic negative sampling for link-prediction training — the
+    * other half of the dataset [[linkPredict]] scores: a ranker needs
+    * NON-edges as negatives, and sampling them by `rand()` is
+    * irreproducible across retries/engines. Here candidate j for a node
+    * at dense index i is the node at index
+    * (i + 1 + (md5(node:j) mod (n−1))) mod n — a hash-strided partner
+    * that is never the node itself, uniform over the id space, and
+    * bit-reproducible anywhere. Candidates that turn out to be REAL
+    * edges are anti-joined away (so high-degree nodes honestly yield
+    * fewer than k negatives rather than silently including positives);
+    * duplicate partners from colliding strides keep their smallest j.
+    *
+    * Shape: the dense index is [[graft.ops.Functions.denseIds]]' range-
+    * partition + offset idiom (NO single-partition global window); the
+    * candidate frame is exactly n·(k+2) rows joined back by index
+    * equi-join; the per-node top-k window ranks ≤ k+2 rows per node.
+    * Nothing quadratic exists at any corpus size.
+    */
+  def graphNegatives(edges: DataFrame, k: Int = 3, slack: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 20, s"k must be in [1,20], got $k")
+    import org.apache.spark.sql.expressions.Window
+    import graft.ext.TextOps.md5Long64
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val nodes = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node"))).distinct()
+    val dense = graft.ops.Functions.denseIds(nodes, "node")
+      .select(col("node"), col("id").as("idx"))
+    val n = broadcast(dense.agg(count(lit(1)).as("n")))
+    val js = (1 to (k + slack)).map(j => lit(j.toLong)).toIndexedSeq
+    val cand = dense.crossJoin(n)
+      .select(col("node"), col("idx"), col("n"),
+        explode(array(js: _*)).as("j"))
+      .select(col("node"), col("j"),
+        pmod(col("idx") + 1L +
+          pmod(expr(md5Long64("concat(cast(node as string), ':', cast(j as string))")),
+            col("n") - 1L),
+          col("n")).as("pidx"))
+    val paired = cand
+      .join(dense.select(col("idx").as("pidx"), col("node").as("partner")), Seq("pidx"))
+      .select(col("node"), col("j"), col("partner"))
+    val nonEdges = paired.join(und,
+      least(col("node"), col("partner")) === col("a") &&
+        greatest(col("node"), col("partner")) === col("b"), "left_anti")
+    val w = Window.partitionBy(col("node")).orderBy(col("j"))
+    nonEdges
+      .groupBy(col("node"), col("partner")).agg(min(col("j")).as("j"))
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= k)
+      .select(col("node"), col("neg_rank").cast("bigint").as("neg_rank"),
+        col("partner"))
+  }
+
   /** Personalized PageRank (Jeh & Widom, WWW 2003): [[pageRank]] with
     * the teleport mass restricted to a SEED set — the entity-expansion
     * primitive ("given these known-good domains/authors, rank everything

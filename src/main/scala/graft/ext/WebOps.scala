@@ -143,6 +143,92 @@ object WebOps {
     * dead-letter WRITE (ids + raw payloads) is the caller's second
     * consumer of the same flagged frame.
     */
+  /** Streaming twin of [[jsonIngest]] — the dead-letter split as a
+    * long-running ingest: each micro-batch routes its rows and writes
+    * BOTH legs as per-batch stores (`clean/batch_N` carries the parsed
+    * map, `dead/batch_N` carries id + raw payload for replay after the
+    * producer is fixed). Whole-dir overwrite keyed by batch id — the
+    * [[graft.io.Sinks]] idempotent-redelivery contract; a reader folds
+    * committed batches only (both-`_SUCCESS` torn-overwrite rule via
+    * the shared committedBatchDirs).
+    */
+  def jsonIngestSink(
+      df: DataFrame,
+      idCol: String,
+      jsonCol: String,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        jsonIngestBatch(batch.toDF(), idCol, jsonCol, outDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch's routing — factored out so redelivery (same batch
+    * id, same rows) is directly testable: the whole-dir overwrite makes
+    * a replay converge to the same stores.
+    */
+  def jsonIngestBatch(
+      df: DataFrame,
+      idCol: String,
+      jsonCol: String,
+      outDir: String,
+      batchId: Long): Unit = {
+    val flagged = df
+      .select(col(idCol).cast("bigint").as("id"), col(jsonCol).as("raw"),
+        expr(s"from_json($jsonCol, 'map<string,string>')").as("parsed"))
+      .persist()
+    try {
+      flagged.where(col("parsed").isNotNull)
+        .select(col("id"), col("parsed"))
+        .write.mode("overwrite").parquet(s"$outDir/clean/batch_$batchId")
+      flagged.where(col("parsed").isNull)
+        .select(col("id"), col("raw"))
+        .write.mode("overwrite").parquet(s"$outDir/dead/batch_$batchId")
+    } finally {
+      flagged.unpersist()
+      ()
+    }
+  }
+
+  /** [[jsonIngest]]'s report over everything [[jsonIngestSink]]
+    * committed: fold both per-batch stores into the same
+    * status/count/witness rows the batch operator emits. Only batches
+    * with BOTH legs committed count (a crash between the two writes
+    * must not let a half-routed batch skew the report); an empty store
+    * reports nothing rather than erroring.
+    */
+  def jsonIngestFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame = {
+    import graft.ext.TextOps.committedBatchDirs
+    val both = committedBatchDirs(spark, s"$outDir/clean")
+      .intersect(committedBatchDirs(spark, s"$outDir/dead"))
+    if (both.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "status string, n_rows bigint, n_ids bigint, min_id bigint, max_id bigint"))
+    } else {
+      val dirs = both.toSeq.sorted
+      val clean = spark.read.parquet(dirs.map(b => s"$outDir/clean/$b"): _*)
+        .select(col("id"), lit(true).as("ok"))
+      val dead = spark.read.parquet(dirs.map(b => s"$outDir/dead/$b"): _*)
+        .select(col("id"), lit(false).as("ok"))
+      clean.unionByName(dead)
+        .groupBy(col("ok"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("id")).as("n_ids"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .select(
+          when(col("ok"), lit("clean")).otherwise(lit("corrupt")).as("status"),
+          col("n_rows").cast("bigint").as("n_rows"),
+          col("n_ids").cast("bigint").as("n_ids"),
+          col("min_id"), col("max_id"))
+    }
+  }
+
   def jsonIngest(df: DataFrame, idCol: String, jsonCol: String): DataFrame =
     df
       .select(col(idCol).cast("bigint").as("id"),

@@ -134,6 +134,9 @@ class ExtSpec extends AnyFunSuite {
       // round 13: nbModelBatch's per-batch input pin (the batch feeds
       // both the cnt and prior partial writes), released in its finally
       "src/main/scala/graft/ext/Classify.scala" -> 1,
+      // round 13: jsonIngestBatch's per-batch flagged pin (one parse
+      // feeds both the clean and dead-letter writes), finally-released
+      "src/main/scala/graft/ext/WebOps.scala" -> 1,
       // dev measurement instrument, not library code: pins the prebuilt
       // PqIndex for the serve-regime timing and unpersists in-run
       "src/main/scala/graft/AdcServeProbe.scala" -> 2)

@@ -224,6 +224,29 @@ class IntegritySpec extends AnyFunSuite {
     assert(out2(1L) > 0 && out2(2L) > 0)
   }
 
+  // ---- graphNegatives ----------------------------------------------------
+
+  test("graphNegatives: no sampled negative is a real edge; at most k per node; deterministic") {
+    // path graph over 6 nodes: plenty of non-edges
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val out = graft.ext.Graph.graphNegatives(edges, k = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val edgeSet = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    out.foreach { case (node, rank, partner) =>
+      val norm = (math.min(node, partner), math.max(node, partner))
+      assert(!edgeSet.contains(norm), s"sampled a real edge $norm")
+      assert(node !== partner)
+      assert(rank >= 1L && rank <= 2L)
+    }
+    assert(out.groupBy(_._1).values.forall(_.length <= 2))
+    // bit-reproducible: a second run yields the identical set
+    val again = graft.ext.Graph.graphNegatives(edges, k = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)) === again.sortBy(r => (r._1, r._2)))
+  }
+
   // ---- clusterPurity ---------------------------------------------------
 
   test("clusterPurity: majority label per cluster, deterministic ties, null clusters excluded") {

@@ -715,6 +715,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(emptyView === Seq(("g1", 2L), ("g2", 2L)))
   }
 
+  test("jsonIngestSink: dead-letter routing across batches equals the batch report; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsoningest").toString
+    val b1 = Seq((1L, """{"k": 1}"""), (2L, """{"k": 2""")) // 2 truncated
+    val b2 = Seq((3L, """{"k": 3}"""), (4L, null.asInstanceOf[String]))
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.ext.WebOps.jsonIngestSink(
+      ms.toDS().toDF("event_id", "props"), "event_id", "props",
+      s"$dir/out", s"$dir/cp")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.ext.WebOps.jsonIngestFrom(spark, s"$dir/out")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val batch = graft.ext.WebOps.jsonIngest(
+      (b1 ++ b2).toDF("event_id", "props"), "event_id", "props")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(streamed === batch)
+    assert(streamed === Array(
+      ("clean", 2L, 2L, 1L, 3L), ("corrupt", 2L, 2L, 2L, 4L)))
+    // replayed last batch (same id, same rows) converges, not doubles
+    graft.ext.WebOps.jsonIngestBatch(
+      b2.toDF("event_id", "props"), "event_id", "props", s"$dir/out", 1L)
+    val replayed = graft.ext.WebOps.jsonIngestFrom(spark, s"$dir/out")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(replayed === streamed)
+    // the dead-letter leg holds the RAW payloads for replay
+    val dead = spark.read.parquet(s"$dir/out/dead/batch_0", s"$dir/out/dead/batch_1")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(dead === Array((2L, """{"k": 2"""), (4L, null)))
+    // empty store: truthful empty frame with the report schema
+    assert(graft.ext.WebOps.jsonIngestFrom(spark, s"$dir/none").count() === 0L)
+  }
+
   test("aggStateSink: merged state equals one-shot aggState over base+stream; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Incremental
