@@ -943,6 +943,9 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id"))),
+    // chaining audit: member-to-representative exact jaccard per cluster
+    "cluster_diameter" -> ((s, d) =>
+      Dedup.clusterDiameter(Tables.documents(s, d))),
     // the END-TO-END fuzzy dedup a production corpus runs: LSH candidates
     // → signature-estimate verify (≥4 of 8 minhash components ⇒ est
     // Jaccard ≥ 0.5, the standard LSH accept rule) → connected components
@@ -1094,6 +1097,18 @@ object SparkEntry {
     }),
     "leakage_safe_split" -> ((s, d) =>
       Sampling.leakageSafeSplit(Tables.documents(s, d))),
+    // what the 500→1200 version range changed in the merged table
+    // (bounds chosen inside every SF's version span: versions are cust_id*10+k)
+    "cdc_version_diff" -> ((s, d) => {
+      val snap = cdcSnapshot(s, d)
+      Cdc.versionDiff(snap, cdcChangelog(snap), "cust_id", v1 = 500L, v2 = 1200L)
+    }),
+    // is the 10% hash sample representative per language (|z| > 3 flags)
+    "sample_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Audit.sampleAudit(docs,
+        Sampling.hashSample(docs, "doc_id", 10), "lang", 10L, 100L)
+    }),
     // distribution-shift telemetry: even/odd vec_id halves stand in for
     // reference vs current crawl snapshots
     "embedding_drift" -> ((s, d) => {
@@ -5756,6 +5771,61 @@ object SparkEntry {
          |WHERE cust_id NOT IN (SELECT cust_id FROM latest_asof)
          |UNION ALL
          |SELECT cust_id, name, nation, segment FROM latest_asof WHERE op <> 'D'""".stripMargin,
+    "cdc_version_diff" ->
+      s"""$dCdcCtes, la1 AS (
+         |  SELECT cust_id, name, nation, segment, op FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cust_id
+         |                                 ORDER BY version DESC) AS rn
+         |    FROM chg WHERE version <= 500) t
+         |  WHERE rn = 1
+         |), t1 AS (
+         |  SELECT cust_id, name, nation, segment FROM snap
+         |  WHERE cust_id NOT IN (SELECT cust_id FROM la1)
+         |  UNION ALL
+         |  SELECT cust_id, name, nation, segment FROM la1 WHERE op <> 'D'
+         |), la2 AS (
+         |  SELECT cust_id, name, nation, segment, op FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cust_id
+         |                                 ORDER BY version DESC) AS rn
+         |    FROM chg WHERE version <= 1200) t
+         |  WHERE rn = 1
+         |), t2 AS (
+         |  SELECT cust_id, name, nation, segment FROM snap
+         |  WHERE cust_id NOT IN (SELECT cust_id FROM la2)
+         |  UNION ALL
+         |  SELECT cust_id, name, nation, segment FROM la2 WHERE op <> 'D'
+         |)
+         |SELECT cust_id, change_type FROM (
+         |  SELECT COALESCE(b.cust_id, a.cust_id) AS cust_id,
+         |         CASE WHEN b.cust_id IS NULL THEN 'added'
+         |              WHEN a.cust_id IS NULL THEN 'removed'
+         |              WHEN NOT (b.name IS NOT DISTINCT FROM a.name
+         |                        AND b.nation IS NOT DISTINCT FROM a.nation
+         |                        AND b.segment IS NOT DISTINCT FROM a.segment)
+         |                THEN 'changed'
+         |              ELSE 'unchanged' END AS change_type
+         |  FROM t1 b FULL OUTER JOIN t2 a ON b.cust_id = a.cust_id) t
+         |WHERE change_type <> 'unchanged'""".stripMargin,
+    "sample_audit" ->
+      s"""WITH f AS (
+         |  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_full
+         |  FROM documents GROUP BY 1
+         |), sm AS (
+         |  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_sample
+         |  FROM documents
+         |  WHERE ${dH("CAST(doc_id AS VARCHAR)")} % 100 < 10
+         |  GROUP BY 1
+         |)
+         |SELECT f.stratum, f.n_full,
+         |       CAST(COALESCE(sm.n_sample, 0) AS BIGINT) AS n_sample,
+         |       CAST(COALESCE(sm.n_sample, 0) AS DOUBLE)
+         |         / CAST(f.n_full AS DOUBLE) AS rate,
+         |       (100 * COALESCE(sm.n_sample, 0) - 10 * f.n_full)
+         |         * (100 * COALESCE(sm.n_sample, 0) - 10 * f.n_full)
+         |         > 9 * 10 * 90 * f.n_full AS dev_flag,
+         |       CAST(100 * COALESCE(sm.n_sample, 0) - 10 * f.n_full AS DOUBLE)
+         |         / sqrt(CAST(10 * 90 * f.n_full AS DOUBLE)) AS z
+         |FROM f LEFT JOIN sm ON sm.stratum = f.stratum""".stripMargin,
     "scd2_history" ->
       s"""$dCdcCtes
          |SELECT cust_id, name, nation, segment,
@@ -5904,6 +5974,47 @@ object SparkEntry {
          |ORDER BY jaccard DESC, a_id, b_id
          |LIMIT 50""".stripMargin,
     "dedup_clusters" -> dCcSql,
+    "cluster_diameter" -> {
+      // dCcSql with its terminal SELECT folded into a `cc` CTE, then the
+      // star-distance jaccard over the same hashed-shingle lists
+      val ccCtes = dCcSql.replace(
+        "\nSELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1",
+        ", cc AS (\n  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1\n)")
+      s"""$ccCtes, mem AS (
+         |  SELECT component, doc_id FROM cc WHERE doc_id <> component
+         |), shd AS (
+         |  SELECT DISTINCT doc_id, h
+         |  FROM (SELECT doc_id, unnest(hs) AS h FROM h2) z
+         |), ssz AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shd GROUP BY 1
+         |), mm AS (
+         |  SELECT m.component, m.doc_id, x.h
+         |  FROM mem m JOIN shd x ON x.doc_id = m.doc_id
+         |), rr AS (
+         |  SELECT k.component, x.h
+         |  FROM (SELECT DISTINCT component FROM mem) k
+         |  JOIN shd x ON x.doc_id = k.component
+         |), itr AS (
+         |  SELECT mm.component, mm.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM mm JOIN rr ON rr.component = mm.component AND rr.h = mm.h
+         |  GROUP BY 1, 2
+         |)
+         |SELECT m.component, m.doc_id,
+         |       CAST(COALESCE(za.sz, 0) AS BIGINT) AS sz_rep,
+         |       CAST(COALESCE(zb.sz, 0) AS BIGINT) AS sz_member,
+         |       CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+         |       CASE WHEN COALESCE(za.sz, 0) + COALESCE(zb.sz, 0)
+         |                 - COALESCE(i.n_shared, 0) > 0 THEN
+         |         CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+         |           / CAST(COALESCE(za.sz, 0) + COALESCE(zb.sz, 0)
+         |                  - COALESCE(i.n_shared, 0) AS DOUBLE) END AS jaccard,
+         |       3 * COALESCE(i.n_shared, 0)
+         |         < 1 * (COALESCE(za.sz, 0) + COALESCE(zb.sz, 0)) AS chain_flag
+         |FROM mem m
+         |LEFT JOIN ssz za ON za.doc_id = m.component
+         |LEFT JOIN ssz zb ON zb.doc_id = m.doc_id
+         |LEFT JOIN itr i ON i.component = m.component AND i.doc_id = m.doc_id""".stripMargin
+    },
     // dedup_stats extends the SAME recursive-CC oracle with a size
     // histogram — one truth construction, two views
     "dedup_stats" -> dCcSql.replace(

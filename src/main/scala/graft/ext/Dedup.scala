@@ -1279,6 +1279,69 @@ object Dedup {
           col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
   }
 
+  /** Cluster-diameter audit — the transitive-chaining check for
+    * connected-component dedup: CC merges A~B and B~C into one cluster
+    * even when A and C share nothing (the classic fuzzy-dedup failure:
+    * a chain of borderline pairs welds unrelated documents, and
+    * keep-one-per-cluster then DELETES unique content). This audit
+    * measures, for every non-representative member, its EXACT shingle
+    * Jaccard to the cluster representative and flags members below the
+    * threshold — the size of that flag set is the chaining damage a
+    * keep-first policy would do.
+    *
+    * Star distances (member ↔ rep), deliberately not all pairs: the
+    * representative IS the survivor under keep-first, so member-to-rep
+    * similarity is the question that matters, and the join cost is
+    * cluster CONTENT, never cluster size squared. The flag is pure
+    * integer — j < tNum/tDen ⟺ (tDen+tNum)·shared < tNum·(szA+szB) —
+    * so a member exactly on the threshold can never flip engines;
+    * jaccard itself is the one terminal division.
+    *
+    * Shape: CC over the LSH candidate pairs (the dedup_clusters path),
+    * then shingle-hash frames joined by (component, hash) — bounded by
+    * the shingle mass of clustered docs, a vanishing fraction of the
+    * corpus.
+    */
+  def clusterDiameter(
+      documents: DataFrame,
+      tNum: Int = 1,
+      tDen: Int = 2): DataFrame = {
+    require(tNum >= 1 && tDen > tNum, s"threshold must be in (0,1): $tNum/$tDen")
+    val cc = connectedComponents(
+      minhashCandidatePairs(documents).select("a_id", "b_id"))
+    val mem = cc.where(col("doc_id") =!= col("component"))
+    val sh = shingleHashes(documents, outer = false).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val memSh = mem.join(sh, "doc_id")
+      .select(col("component"), col("doc_id"), col("shingle_hash"))
+    val repSh = mem.select(col("component")).distinct()
+      .join(sh.withColumnRenamed("doc_id", "component"), "component")
+      .select(col("component"), col("shingle_hash"))
+    val inter = memSh.join(repSh, Seq("component", "shingle_hash"))
+      .groupBy(col("component"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    mem
+      .join(sizes.select(col("doc_id").as("component"), col("sz").as("sz_rep")),
+        Seq("component"), "left")
+      .join(sizes.select(col("doc_id"), col("sz").as("sz_member")),
+        Seq("doc_id"), "left")
+      .join(inter, Seq("component", "doc_id"), "left")
+      .select(
+        col("component"), col("doc_id"),
+        coalesce(col("sz_rep"), lit(0L)).cast("bigint").as("sz_rep"),
+        coalesce(col("sz_member"), lit(0L)).cast("bigint").as("sz_member"),
+        coalesce(col("n_shared"), lit(0L)).cast("bigint").as("n_shared"))
+      .select(col("component"), col("doc_id"), col("sz_rep"), col("sz_member"),
+        col("n_shared"),
+        when(col("sz_rep") + col("sz_member") - col("n_shared") > 0,
+          col("n_shared").cast("double") /
+            (col("sz_rep") + col("sz_member") - col("n_shared")).cast("double"))
+          .as("jaccard"),
+        (lit((tDen + tNum).toLong) * col("n_shared") <
+          lit(tNum.toLong) * (col("sz_rep") + col("sz_member")))
+          .as("chain_flag"))
+  }
+
   /** Time-windowed event dedup — keep the FIRST event per
     * (key, tumbling window). This is the batch twin of Structured
     * Streaming's `dropDuplicatesWithinWatermark`: an at-least-once

@@ -436,6 +436,53 @@ object Audit {
       .orderBy(col("bin"))
   }
 
+  /** Sample-representativeness audit — did the deterministic hash
+    * sample preserve each stratum's share? Every sampling operator in
+    * the suite (hashSample, stratifiedSample, the curation pipelines)
+    * assumes its membership hash is unbiased per stratum; this audit
+    * CHECKS it, per stratum, with a binomial z² test at nominal rate
+    * pctNum/pctDen.
+    *
+    * Exactness: with n_f stratum rows and n_s sampled, p = num/den,
+    * z² = (n_s − n_f·p)² / (n_f·p·(1−p))
+    *    = (den·n_s − num·n_f)² / (n_f·num·(den−num))  — every witness
+    * an exact int64, the deviation FLAG pure integer
+    * ((den·n_s − num·n_f)² > 9·n_f·num·(den−num), i.e. |z| > 3), and
+    * the printed rate/z terminal divisions. A stratum exactly at 3σ
+    * can never flip engines.
+    *
+    * Shape: two map-side-combined stratum aggregates + one bounded
+    * join. Scan-bound at any scale.
+    */
+  def sampleAudit(
+      full: DataFrame,
+      sampled: DataFrame,
+      stratCol: String,
+      pctNum: Long,
+      pctDen: Long): DataFrame = {
+    require(pctNum >= 1 && pctNum < pctDen,
+      s"nominal rate must be in (0,1): $pctNum/$pctDen")
+    val f = full.groupBy(col(stratCol).as("stratum"))
+      .agg(count(lit(1)).as("n_full"))
+    val sm = sampled.groupBy(col(stratCol).as("stratum"))
+      .agg(count(lit(1)).as("n_sample"))
+    f.join(sm, Seq("stratum"), "left")
+      .select(col("stratum"),
+        col("n_full").cast("bigint").as("n_full"),
+        coalesce(col("n_sample"), lit(0L)).cast("bigint").as("n_sample"))
+      .select(col("stratum"), col("n_full"), col("n_sample"),
+        (col("n_sample").cast("double") / col("n_full").cast("double"))
+          .as("rate"),
+        ((lit(pctDen) * col("n_sample") - lit(pctNum) * col("n_full")) *
+          (lit(pctDen) * col("n_sample") - lit(pctNum) * col("n_full")) >
+          lit(9L * pctNum * (pctDen - pctNum)) * col("n_full"))
+          .as("dev_flag"),
+        ((lit(pctDen) * col("n_sample") - lit(pctNum) * col("n_full"))
+          .cast("double") /
+          sqrt((lit(pctNum * (pctDen - pctNum)) * col("n_full")).cast("double")))
+          .as("z"))
+  }
+
   /** Disparate-impact (80%-rule) audit — per-group positive rate vs the
     * global rate, the fairness screen an ML-governance review runs over
     * any scored/filtered dataset ("does the quality filter pass

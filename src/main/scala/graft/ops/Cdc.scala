@@ -165,6 +165,32 @@ object Cdc {
     applyChangelog(snapshot, changes.where(col(versionCol) <= asOf),
       key, opCol, versionCol)
 
+  /** What changed between two VERSIONS of the merged table — the
+    * time-travel diff real CDC tooling ships ("show me everything the
+    * Tuesday batch changed"): [[snapshotDiff]] over two
+    * [[applyChangelogAsOf]] states. Cost is two version-filtered merges
+    * (the filter pushes to the changelog scan) plus the keyed diff
+    * join — the base snapshot scans twice, never more; at lakehouse
+    * scale both arms would share the snapshot read through a cached
+    * view, and the diff is still proportional to the table, which is
+    * why [[replicaDiff]]'s digest form exists for the
+    * divergence-is-rare case.
+    */
+  def versionDiff(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      key: String,
+      v1: Long,
+      v2: Long,
+      opCol: String = "op",
+      versionCol: String = "version"): DataFrame = {
+    require(v1 <= v2, s"v1 must be <= v2, got $v1 > $v2")
+    snapshotDiff(
+      applyChangelogAsOf(snapshot, changes, key, v1, opCol, versionCol),
+      applyChangelogAsOf(snapshot, changes, key, v2, opCol, versionCol),
+      key)
+  }
+
   /** The point-in-time state from an SCD2 history — the lookup the
     * history exists for: rows whose validity interval covers `asOf`
     * (valid_from ≤ asOf < valid_to, open intervals unbounded). Keys

@@ -224,6 +224,60 @@ class IntegritySpec extends AnyFunSuite {
     assert(out2(1L) > 0 && out2(2L) > 0)
   }
 
+  // ---- versionDiff -------------------------------------------------------
+
+  test("versionDiff: the diff between two as-of states classifies adds/changes/removes") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val chg = Seq(
+      (2L, "b2", "U", 10L),  // inside [v1, v2]: changed
+      (3L, "c", "D", 11L),   // inside: removed
+      (9L, "i", "I", 12L),   // inside: added
+      (1L, "a9", "U", 99L))  // beyond v2: invisible to the diff
+      .toDF("id", "v", "op", "version")
+    val out = Cdc.versionDiff(snap, chg, "id", v1 = 5L, v2 = 20L)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out === Array((2L, "changed"), (3L, "removed"), (9L, "added")))
+    // equal versions → empty diff
+    assert(Cdc.versionDiff(snap, chg, "id", 10L, 10L).count() === 0L)
+  }
+
+  // ---- sampleAudit -------------------------------------------------------
+
+  test("sampleAudit: exact z witnesses; over-sampled stratum flags, on-rate stratum is z = 0") {
+    val full = (Seq.fill(10)("a") ++ Seq.fill(10)("b")).toDF("lang")
+    val sampled = (Seq.fill(1)("a") ++ Seq.fill(8)("b")).toDF("lang")
+    val out = graft.ops.Audit.sampleAudit(full, sampled, "lang", 10L, 100L)
+      .as[(String, Long, Long, Double, Boolean, Double)].collect().sortBy(_._1)
+    val (_, nfA, nsA, rateA, flagA, zA) = out(0)
+    assert((nfA, nsA, rateA, flagA, zA) === ((10L, 1L, 0.1, false, 0.0)))
+    val (_, nfB, nsB, _, flagB, zB) = out(1)
+    assert((nfB, nsB, flagB) === ((10L, 8L, true)))
+    assert(zB === 700.0 / math.sqrt(9000.0))
+    // a stratum absent from the sample still reports (n_sample = 0)
+    val none = graft.ops.Audit.sampleAudit(
+      full, Seq.empty[String].toDF("lang"), "lang", 10L, 100L)
+      .select("n_sample").as[Long].collect()
+    assert(none === Array(0L, 0L))
+  }
+
+  // ---- clusterDiameter ---------------------------------------------------
+
+  test("clusterDiameter: identical-doc clusters report jaccard 1 and never flag") {
+    val t1 = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val t2 = (1 to 12).map(i => s"beta$i").mkString(" ")
+    val docs = Seq((1L, t1), (2L, t1), (3L, t1), (4L, t2), (5L, t2))
+      .toDF("doc_id", "text")
+    val out = Dedup.clusterDiameter(docs)
+      .as[(Long, Long, Long, Long, Long, Option[Double], Boolean)]
+      .collect().sortBy(_._2)
+    // members 2, 3 (rep 1) and 5 (rep 4): full overlap, no chaining
+    assert(out.map(r => (r._1, r._2)) === Array((1L, 2L), (1L, 3L), (4L, 5L)))
+    out.foreach { case (_, _, szR, szM, shared, j, flag) =>
+      assert(szR === 10L && szM === 10L && shared === 10L)
+      assert(j === Some(1.0) && !flag)
+    }
+  }
+
   // ---- graphNegatives ----------------------------------------------------
 
   test("graphNegatives: no sampled negative is a real edge; at most k per node; deterministic") {
