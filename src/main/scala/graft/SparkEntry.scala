@@ -1103,6 +1103,13 @@ object SparkEntry {
       val snap = cdcSnapshot(s, d)
       Cdc.versionDiff(snap, cdcChangelog(snap), "cust_id", v1 = 500L, v2 = 1200L)
     }),
+    // robust per-brand price center, size-weighted (integer 2W >= T rule)
+    "weighted_median" -> ((s, d) =>
+      Functions.weightedMedian(Tables.part(s, d),
+        "p_brand", "p_retailprice", "p_size", "p_partkey")),
+    // half-life-per-day engagement value per user (dyadic-exact decay)
+    "decayed_value" -> ((s, d) =>
+      graft.ops.Features.decayedValue(Tables.events(s, d), "user_id", "ts", "value")),
     // is the 10% hash sample representative per language (|z| > 3 flags)
     "sample_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -5806,6 +5813,46 @@ object SparkEntry {
          |              ELSE 'unchanged' END AS change_type
          |  FROM t1 b FULL OUTER JOIN t2 a ON b.cust_id = a.cust_id) t
          |WHERE change_type <> 'unchanged'""".stripMargin,
+    "weighted_median" ->
+      """WITH c AS (
+        |  SELECT p_brand AS g, p_retailprice AS v,
+        |         CAST(p_size AS BIGINT) AS wt, p_partkey AS tie
+        |  FROM part WHERE p_size > 0
+        |), w AS (
+        |  SELECT g, v, tie, wt,
+        |         SUM(wt) OVER (PARTITION BY g ORDER BY v, tie
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |         SUM(wt) OVER (PARTITION BY g) AS tw
+        |  FROM c
+        |), m AS (
+        |  SELECT g, v, tie, CAST(tw AS BIGINT) AS tw FROM w WHERE 2 * cw >= tw
+        |), r AS (
+        |  SELECT g, v, tw,
+        |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, tie) AS rn
+        |  FROM m
+        |)
+        |SELECT g AS p_brand, v AS weighted_median, tw AS total_weight
+        |FROM r WHERE rn = 1""".stripMargin,
+    "decayed_value" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |              AS BIGINT) AS day,
+        |         CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS day_cents
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), md AS (SELECT MAX(day) AS max_day FROM daily)
+        |SELECT user_id,
+        |       CAST(SUM(day_cents * (CAST(1 AS BIGINT)
+        |            << CAST(32 - (md.max_day - day) AS INTEGER))) AS BIGINT)
+        |         AS num_scaled,
+        |       CAST(SUM(day_cents) AS BIGINT) AS raw_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       CAST(CAST(SUM(day_cents * (CAST(1 AS BIGINT)
+        |            << CAST(32 - (md.max_day - day) AS INTEGER))) AS BIGINT)
+        |            AS DOUBLE) / 4294967296.0 / 100.0 AS decayed_value
+        |FROM daily CROSS JOIN md GROUP BY user_id""".stripMargin,
     "sample_audit" ->
       s"""WITH f AS (
          |  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_full

@@ -118,4 +118,60 @@ object Features {
       .select(col("grp"), col("id"), col("value"), col("rank_in_group"),
         col("n_group"), col("global_rank"), col("normalized"))
   }
+
+  /** Recency-decayed per-user value — the "engagement score that
+    * forgets" feature (RFM's monetary axis with a half-life): each
+    * event's value decays by half per day of age, so a purchase last
+    * week outweighs the same purchase last quarter. The standard
+    * trainer feature for churn/LTV models.
+    *
+    * Exactness is the [[Quality.ewmaSmooth]] dyadic doctrine turned
+    * per-user: values quantize to integer cents, each event contributes
+    * cents · 2^(maxAge − age) to an int64 numerator, and the score is
+    * ONE terminal division by 2^maxAge — no float sum exists, so
+    * partition order can't move it. The int64 envelope is
+    * maxAge + log2(Σcents) < 63: with the 32-day guard below, a user can
+    * accumulate 2^31 cents (~$21M) before the envelope tightens, and a
+    * longer span fails loudly instead of overflowing silently (the
+    * shiftleft-wraps-mod-64 failure ewmaSmooth documents).
+    *
+    * Shape: one (user, day) pre-aggregate (map-side combined) then one
+    * user-keyed aggregate — the decay factor is a column expression, so
+    * the whole thing is two scan-bound aggregates; no windows, no
+    * self-joins.
+    */
+  def decayedValue(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = events
+      .where(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(userCol).as("user_id"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("bigint").as("day"),
+        // integer cents: floor(v * 100 + 0.5) — exact on both engines
+        floor(col(valueCol) * 100.0 + 0.5).cast("bigint").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("day_cents"))
+    val maxDay = broadcast(daily.agg(max(col("day")).as("max_day")))
+    daily.crossJoin(maxDay)
+      .withColumn("age", col("max_day") - col("day"))
+      // loud failure before the 2^k envelope can wrap (ewmaSmooth rule)
+      .withColumn("age", when(col("age") > 32, expr(
+        "raise_error('decayedValue: event span exceeds 32 days — chunk-reseed " +
+          "the decay epoch before the dyadic envelope overflows')"))
+        .otherwise(col("age")))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("day_cents") * expr("shiftleft(1L, cast(32 - age as int))"))
+          .as("num_scaled"),
+        sum(col("day_cents")).as("raw_cents"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"),
+        col("num_scaled").cast("bigint").as("num_scaled"),
+        col("raw_cents").cast("bigint").as("raw_cents"),
+        col("n_days").cast("bigint").as("n_days"),
+        (col("num_scaled").cast("double") / math.pow(2.0, 32) / 100.0)
+          .as("decayed_value"))
+  }
 }

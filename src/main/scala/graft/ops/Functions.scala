@@ -496,6 +496,43 @@ object Functions {
       .unionByName(strategyRow("sorted_neighborhood", snPairs))
   }
 
+  /** Exact weighted median per group — the robust center a mean-based
+    * report can't give when weights are lopsided (median part price
+    * weighted by size/volume, median latency weighted by traffic). The
+    * selection rule is the integer form: the weighted median is the
+    * first value in sort order whose running weight W_i satisfies
+    * 2·W_i ≥ W_total — no floats anywhere until the value itself is
+    * emitted, and ties in the value column break on the tiebreak column
+    * so both engines walk the same order.
+    *
+    * Shape: one ranking window per group (cumulative weight over the
+    * group's sort order) + a 1-row-per-group reduction. Groups are the
+    * bounded dimension key; the window never spans more than a group.
+    */
+  def weightedMedian(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("v"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.select(col(groupCol).as("g"), col(valueCol).as("v"),
+      col(weightCol).cast("bigint").as("wt"), col(tieCol).as("tie"))
+      .where(col("wt") > 0)
+      .withColumn("cw", sum(col("wt")).over(w))
+      .withColumn("tw", sum(col("wt")).over(Window.partitionBy(col("g"))))
+    cum.where(lit(2L) * col("cw") >= col("tw"))
+      .groupBy(col("g"))
+      .agg(min_by(struct(col("v"), col("tie")), struct(col("v"), col("tie")))
+        .getField("v").as("weighted_median"),
+        max(col("tw")).as("total_weight"))
+      .select(col("g").as(groupCol), col("weighted_median"),
+        col("total_weight").cast("bigint").as("total_weight"))
+  }
+
   /** Statistical moments from EXACT decimal accumulators: mean, variance,
     * stddev, and corr(quantity, price) are derived with the textbook
     * formulas from decimal sums (S, S², cross-product). Built-in

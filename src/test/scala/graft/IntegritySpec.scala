@@ -260,6 +260,34 @@ class IntegritySpec extends AnyFunSuite {
     assert(none === Array(0L, 0L))
   }
 
+  // ---- weightedMedian ----------------------------------------------------
+
+  test("weightedMedian: first value where 2W >= total; heavy weights pull it; even split takes the lower") {
+    val df = Seq(
+      ("g", 1.0, 1L, 1L), ("g", 2.0, 1L, 2L), ("g", 3.0, 5L, 3L),
+      ("h", 1.0, 1L, 4L), ("h", 2.0, 1L, 5L))
+      .toDF("grp", "v", "w", "id")
+    val out = graft.ops.Functions.weightedMedian(df, "grp", "v", "w", "id")
+      .as[(String, Double, Long)].collect().sortBy(_._1)
+    // g: weights 1,1,5 → total 7, cum 1,2,7 → median 3.0
+    // h: even 1,1 → 2*1 >= 2 already at the first value → lower median
+    assert(out === Array(("g", 3.0, 7L), ("h", 1.0, 2L)))
+  }
+
+  // ---- decayedValue ------------------------------------------------------
+
+  test("decayedValue: exact half-life decay — today full, yesterday halved") {
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 2.0),   // today: 2.00
+      (1L, ts("2024-01-01 10:00:00"), 1.0),   // yesterday: 0.50 after decay
+      (2L, ts("2024-01-02 11:00:00"), 0.10))
+      .toDF("user_id", "ts", "value")
+    val out = graft.ops.Features.decayedValue(events, "user_id", "ts", "value")
+      .select("user_id", "raw_cents", "n_days", "decayed_value")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out === Array((1L, 300L, 2L, 2.5), (2L, 10L, 1L, 0.1)))
+  }
+
   // ---- clusterDiameter ---------------------------------------------------
 
   test("clusterDiameter: identical-doc clusters report jaccard 1 and never flag") {
