@@ -1257,6 +1257,9 @@ object SparkEntry {
     // interpretation all sit under the hash gate.
     "audio_decode" -> ((s, d) =>
       Multimodal.decodeAudio(Multimodal.synthesizeAudio(Tables.documents(s, d))).toDF()),
+    // windowed RMS + clip telemetry over the REAL PCM decode path
+    "audio_loudness" -> ((s, d) =>
+      Multimodal.audioLoudness(Multimodal.synthesizeAudio(Tables.documents(s, d))).toDF()),
     // REAL video (multi-frame) codec path: animated GIF encode via the
     // JDK writer's sequence API → per-frame-indexed decode of every 3rd
     // frame only (decode cost scales with frames KEPT) → exact per-frame
@@ -7190,6 +7193,27 @@ object SparkEntry {
          |       CAST($z AS BIGINT) AS zval
          |FROM b""".stripMargin
     },
+    "audio_loudness" ->
+      // same closed-form sample spec, re-windowed: the oracle never
+      // touches a codec, so a decode that mangles one sample moves a
+      // window's exact sum_sq and fails the hash
+      """WITH d AS (
+        |  SELECT doc_id, 50 + doc_id % 100 AS n
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |), s AS (
+        |  SELECT doc_id, unnest(range(0, n)) AS i FROM d
+        |), v AS (
+        |  SELECT doc_id, CAST(i // 16 AS BIGINT) AS win,
+        |         (doc_id * 31 + i * 17) % 65536 - 32768 AS smp
+        |  FROM s
+        |)
+        |SELECT doc_id AS media_id, win,
+        |       CAST(COUNT(*) AS BIGINT) AS n_in_win,
+        |       CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+        |       CAST(COUNT(CASE WHEN abs(smp) >= 32767 THEN 1 END) AS BIGINT)
+        |         AS n_clipped,
+        |       sqrt(CAST(SUM(smp * smp) AS DOUBLE) / COUNT(*)) AS rms
+        |FROM v GROUP BY 1, 2""".stripMargin,
     "audio_decode" ->
       // closed-form sample spec (Multimodal.sampleSpec), recomputed
       // independently of the Scala encoder/decoder pair

@@ -743,6 +743,98 @@ object Multimodal {
       }
     }
 
+  /** One loudness window: exact integer energy witnesses + clip count,
+    * RMS as the one terminal sqrt-of-division (sqrt is IEEE
+    * correctly-rounded, so no rounding discipline is needed). */
+  case class AudioLoudness(
+      media_id: Long,
+      win: Long,
+      n_in_win: Long,
+      sum_sq: Long,
+      n_clipped: Long,
+      rms: Double)
+
+  /** Windowed loudness + clipping telemetry — the audio-QA screen a
+    * speech-corpus pipeline runs before transcription: near-silent
+    * windows (low RMS) flag dead air / broken capture, clipped samples
+    * (|s| at the 16-bit rail) flag gain damage that degrades ASR. One
+    * row per `window`-sample window per decodable payload.
+    *
+    * Same REAL decode path as [[decodeAudio]] (magic-dispatched cached
+    * reader, PCM folded in the file's own byte order); undecodable or
+    * non-16-bit-mono payloads emit no rows — the decode GATE is
+    * [[decodeAudio]]'s job, this operator assumes its contract. Energy
+    * stays exact: sum of squares of 16-bit samples is ≤ 2³⁰ per sample,
+    * so a window overflows int64 only past ~2³³ samples — unreachable.
+    * Scale shape: mapPartitions projection; payloads never shuffle, the
+    * output is (windows per clip) rows.
+    */
+  def audioLoudness(
+      audio: Dataset[AudioRecord],
+      window: Int = 16): Dataset[AudioLoudness] = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.flatMap { rec =>
+        def open(c: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+          val in = () => new java.io.ByteArrayInputStream(c)
+          val direct =
+            if (c.length >= 4 && c(0) == 'R'.toByte && c(1) == 'I'.toByte &&
+              c(2) == 'F'.toByte && c(3) == 'F'.toByte) AudioCodecs.wavReader
+            else if (c.length >= 4 && c(0) == 'F'.toByte && c(1) == 'O'.toByte &&
+              c(2) == 'R'.toByte && c(3) == 'M'.toByte) AudioCodecs.aiffReader
+            else None
+          direct match {
+            case Some(r) => r.getAudioInputStream(in())
+            case None =>
+              AudioCodecs.readers.iterator.flatMap { r =>
+                try Iterator.single(r.getAudioInputStream(in()))
+                catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+              }.nextOption().getOrElse(
+                throw new javax.sound.sampled.UnsupportedAudioFileException())
+          }
+        }
+        val parsed =
+          if (rec.content == null) None
+          else
+            try {
+              val ais = open(rec.content)
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+              else {
+                val bos = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](8192)
+                var k = ais.read(buf)
+                while (k >= 0) { bos.write(buf, 0, k); k = ais.read(buf) }
+                val data = bos.toByteArray
+                if (data.length % 2 != 0) None else Some((fmt.isBigEndian, data))
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case None => Iterator.empty
+          case Some((big, data)) =>
+            val n = data.length / 2
+            (0 until n).iterator
+              .map { i =>
+                val hi = if (big) data(2 * i) else data(2 * i + 1)
+                val lo = if (big) data(2 * i + 1) else data(2 * i)
+                (i / window, ((hi << 8) | (lo & 0xff)).toShort.toInt)
+              }
+              .toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator
+              .map { case (w, ss) =>
+                val sumSq = ss.map { case (_, s) => s.toLong * s }.sum
+                val clipped = ss.count { case (_, s) => math.abs(s) >= 32767 }
+                AudioLoudness(rec.media_id, w.toLong, ss.length.toLong,
+                  sumSq, clipped.toLong,
+                  math.sqrt(sumSq.toDouble / ss.length))
+              }
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Real VIDEO codec path: multi-frame animated GIF (the JDK's
   // `javax.imageio` GIF plugin supports image SEQUENCES both ways). The

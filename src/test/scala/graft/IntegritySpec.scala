@@ -406,6 +406,25 @@ class IntegritySpec extends AnyFunSuite {
     assert(clamped === Array(0L, 2L))
   }
 
+  // ---- audioLoudness -----------------------------------------------------
+
+  test("audioLoudness: window energies match the sample spec exactly; corrupt payloads emit no rows") {
+    import graft.ext.Multimodal
+    val good = Multimodal.AudioRecord(5L, Multimodal.encodeWav(5L, 20, 8000), 8000, 20)
+    val bad = Multimodal.AudioRecord(6L, Array[Byte](1, 2, 3), 8000, 20)
+    val out = Multimodal.audioLoudness(
+      Seq(good, bad).toDS(), window = 16)
+      .collect().sortBy(_.win)
+    assert(out.length === 2 && out.forall(_.media_id === 5L))
+    def smp(i: Int): Long = (5L * 31 + i * 17) % 65536 - 32768
+    val w0 = (0 until 16).map(i => smp(i) * smp(i)).sum
+    val w1 = (16 until 20).map(i => smp(i) * smp(i)).sum
+    assert(out(0).n_in_win === 16L && out(0).sum_sq === w0)
+    assert(out(1).n_in_win === 4L && out(1).sum_sq === w1)
+    assert(out(0).rms === math.sqrt(w0.toDouble / 16))
+    assert(out.forall(_.n_clipped === 0L))
+  }
+
   // ---- ctfidfTerms ---------------------------------------------------
 
   test("ctfidfTerms: class-distinctive terms score tf_class * total/tf_global, ties on token") {
