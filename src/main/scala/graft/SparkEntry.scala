@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Classify, Dedup, Graph, IndexCache, Multimodal, Sampling, Similarity, TextOps}
+import graft.ext.{Bpe, Classify, Dedup, Geo, Graph, IndexCache, Multimodal, Sampling, Similarity, TextOps}
 import graft.ops.{Audit, Cdc, Enrich, Functions, Incremental, Mining, Relational, Skew}
 import graft.session.{ClickstreamPipeline, Sessionize, StateOps}
 
@@ -1110,6 +1110,34 @@ object SparkEntry {
     // half-life-per-day engagement value per user (dyadic-exact decay)
     "decayed_value" -> ((s, d) =>
       graft.ops.Features.decayedValue(Tables.events(s, d), "user_id", "ts", "value")),
+    // grid-bucketed spatial radius join: customers to their in-range
+    // suppliers on a deterministic integer map (LCG placement from the
+    // keys so the oracle reproduces the coordinates bit-for-bit); the
+    // oracle is the brute-force cross join — the semantic spec the grid
+    // must match exactly, candidate geometry and all
+    "geo_cell_join" -> ((s, d) => {
+      val probe = Tables.customer(s, d).selectExpr(
+        "c_custkey as id",
+        "(cast(c_custkey as bigint) * 48271 + 7) % 36000 as x",
+        "(cast(c_custkey as bigint) * 69621 + 13) % 18000 as y")
+      val build = Tables.supplier(s, d).selectExpr(
+        "s_suppkey as id",
+        "(cast(s_suppkey as bigint) * 40503 + 3) % 36000 as x",
+        "(cast(s_suppkey as bigint) * 69427 + 17) % 18000 as y")
+      Geo.radiusJoinNearest(probe, build, radius = 1000L)
+    }),
+    // CUPED variance reduction: pre-period (before Cutoff) engagement as
+    // the covariate, post-period as the metric, pooled theta
+    "cuped_adjust" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")))
+      graft.ops.Quality.cupedAdjust(ev, "variant", "user_id", "value", "ts", Cutoff)
+    }),
+    // consistent-placement audit: balance per shard + keys ceded when the
+    // fleet grows 32 -> 33 (the minimal-disruption property, proven)
+    "rendezvous_shard" -> ((s, d) =>
+      Sampling.rendezvousShards(Tables.documents(s, d), "doc_id", 32)),
     // is the 10% hash sample representative per language (|z| > 3 flags)
     "sample_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -5856,6 +5884,100 @@ object SparkEntry {
         |            << CAST(32 - (md.max_day - day) AS INTEGER))) AS BIGINT)
         |            AS DOUBLE) / 4294967296.0 / 100.0 AS decayed_value
         |FROM daily CROSS JOIN md GROUP BY user_id""".stripMargin,
+    "geo_cell_join" ->
+      // brute-force reference: every (customer, supplier) pair scored —
+      // the grid join must reproduce this set EXACTLY (a candidate lost
+      // to a mis-bucketed cell drops a row; a doubled candidate breaks
+      // n_in_range). Integer-only distance, so no float enters the gate.
+      """WITH p AS (
+        |  SELECT c_custkey AS pid,
+        |         (CAST(c_custkey AS BIGINT) * 48271 + 7) % 36000 AS px,
+        |         (CAST(c_custkey AS BIGINT) * 69621 + 13) % 18000 AS py
+        |  FROM customer
+        |), b AS (
+        |  SELECT s_suppkey AS bid,
+        |         (CAST(s_suppkey AS BIGINT) * 40503 + 3) % 36000 AS bx,
+        |         (CAST(s_suppkey AS BIGINT) * 69427 + 17) % 18000 AS by
+        |  FROM supplier
+        |), j AS (
+        |  SELECT pid, bid,
+        |         (px - bx) * (px - bx) + (py - by) * (py - by) AS d2
+        |  FROM p CROSS JOIN b
+        |  WHERE (px - bx) * (px - bx) + (py - by) * (py - by) <= 1000000
+        |), r AS (
+        |  SELECT pid, bid, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, bid) AS rn,
+        |         COUNT(*) OVER (PARTITION BY pid) AS n
+        |  FROM j
+        |)
+        |SELECT pid AS p_id, CAST(n AS BIGINT) AS n_in_range,
+        |       bid AS nearest_id, CAST(d2 AS BIGINT) AS nearest_d2
+        |FROM r WHERE rn = 1""".stripMargin,
+    "cuped_adjust" ->
+      // exact int64 cross-moments per variant; every float below is the
+      // SAME fixed IEEE expression tree the Spark side evaluates
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |              THEN CAST(floor(value + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |              THEN CAST(floor(value + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), v AS (
+        |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM u GROUP BY 1
+        |), p AS (
+        |  SELECT SUM(n) AS pn, SUM(sx) AS psx, SUM(sy) AS psy,
+        |         SUM(sxx) AS psxx, SUM(sxy) AS psxy
+        |  FROM v
+        |), t AS (
+        |  SELECT v.*,
+        |         (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+        |           / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)) AS theta,
+        |         CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) AS x_bar,
+        |         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y
+        |  FROM v CROSS JOIN p
+        |), f AS (
+        |  SELECT variant, n, sx, sy, sxy, theta, mean_y,
+        |         mean_y - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - x_bar) AS mean_y_adj,
+        |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_y,
+        |         ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |           - 2.0 * theta * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |           + theta * theta * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_y_adj
+        |  FROM t
+        |)
+        |SELECT variant, n, sx, sy, sxy, theta, mean_y, mean_y_adj, var_y, var_y_adj,
+        |       CASE WHEN var_y > 0.0 THEN 100.0 * (1.0 - var_y_adj / var_y) END AS var_reduction_pct
+        |FROM f""".stripMargin,
+    "rendezvous_shard" ->
+      // the oracle recomputes both fleets' argmax from the same md5
+      // weights; lexicographic (wt, sh) max ties are impossible (60-bit)
+      """WITH w AS (
+        |  SELECT doc_id, sh,
+        |         CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 15)) AS BIGINT) AS wt
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 33)) AS sh) s
+        |  WHERE doc_id IS NOT NULL
+        |), a AS (
+        |  SELECT doc_id,
+        |         arg_max(sh, wt) FILTER (WHERE sh < 32) AS shard,
+        |         arg_max(sh, wt) AS shard_plus
+        |  FROM w GROUP BY 1
+        |), per AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |         CAST(COUNT(CASE WHEN shard_plus = 32 THEN 1 END) AS BIGINT) AS n_moving
+        |  FROM a GROUP BY 1
+        |), t AS (SELECT SUM(n_keys) AS tot FROM per)
+        |SELECT CAST(shard AS INT) AS shard, n_keys, n_moving,
+        |       CAST((n_keys * 32 * 1000000) // tot AS BIGINT) AS fill_ppm
+        |FROM per CROSS JOIN t""".stripMargin,
     "sample_audit" ->
       s"""WITH f AS (
          |  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_full

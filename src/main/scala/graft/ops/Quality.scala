@@ -784,6 +784,80 @@ object Quality {
         |end as z_score""".stripMargin)
   }
 
+  /** CUPED-adjusted A/B metric (Deng, Xu, Kohavi, Walker, "Improving the
+    * Sensitivity of Online Controlled Experiments by Utilizing
+    * Pre-Experiment Data", WSDM 2013): per unit, Y is the in-experiment
+    * metric and X the same metric over the PRE-experiment window;
+    * Y' = Y − θ(X − X̄) with the pooled θ = cov(X,Y)/var(X) strips the
+    * between-user variance X explains, shrinking the experiment's
+    * variance by exactly the X–Y correlation² — the single most widely
+    * deployed variance-reduction trick in large-scale experimentation.
+    *
+    * Determinism discipline (the [[graft.ops.Functions.statsMoments]]
+    * doctrine): per-unit metrics are rounded to integer units up front,
+    * all five cross-moments are EXACT int64 sums, and every emitted
+    * float is one fixed IEEE expression tree over those integers —
+    * order-independent, hash-gatable. int64 envelope: with per-unit
+    * totals ≤ U and n units, |Σxy| ≤ n·U² (n·U² < 2⁶³ holds past 10⁹
+    * units at U = 10⁵; the sums also stay under 2⁵³ there, so the
+    * double conversion is exact). Shapes: one pre/post conditional
+    * aggregate per unit (one shuffle on the unit key), a 2-row variant
+    * rollup, and a broadcast of the pooled moments — nothing scales
+    * with events except the first aggregate.
+    */
+  def cupedAdjust(
+      df: DataFrame,
+      variantCol: String,
+      unitCol: String,
+      valueCol: String,
+      tsCol: String,
+      cutoff: String): DataFrame = {
+    val units = df
+      .where(col(unitCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("unit"), col(variantCol).as("variant"))
+      .agg(
+        sum(when(col(tsCol) < lit(cutoff).cast("timestamp"),
+          expr(s"cast(floor($valueCol + 0.5d) as bigint)")).otherwise(0L)).as("x"),
+        sum(when(col(tsCol) >= lit(cutoff).cast("timestamp"),
+          expr(s"cast(floor($valueCol + 0.5d) as bigint)")).otherwise(0L)).as("y"))
+    val perVariant = units
+      .groupBy(col("variant"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val pooled = perVariant
+      .agg(sum(col("n")).as("pn"), sum(col("sx")).as("psx"),
+        sum(col("sy")).as("psy"), sum(col("sxx")).as("psxx"),
+        sum(col("sxy")).as("psxy"))
+    perVariant.crossJoin(broadcast(pooled)).selectExpr(
+      "variant", "n", "sx", "sy", "sxy", "sxx", "syy",
+      // pooled θ: ONE division over double products of exact int64 sums
+      """(cast(pn as double) * cast(psxy as double) - cast(psx as double) * cast(psy as double))
+        | / (cast(pn as double) * cast(psxx as double) - cast(psx as double) * cast(psx as double))
+        | as theta""".stripMargin,
+      "cast(psx as double) / cast(pn as double) as x_bar",
+      "cast(sy as double) / cast(n as double) as mean_y")
+      .selectExpr(
+        "variant", "n", "sx", "sy", "sxy", "sxx", "syy", "theta", "mean_y",
+        // mean of Y' = mean_y − θ(mean_x − x̄): fixed expression tree
+        "mean_y - theta * (cast(sx as double) / cast(n as double) - x_bar) as mean_y_adj",
+        // population variances per variant, then the CUPED identity
+        // var(Y−θX) = var(Y) − 2θcov(X,Y) + θ²var(X)
+        """(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))
+          | / (cast(n as double) * cast(n as double)) as var_y""".stripMargin,
+        """((cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))
+          |  - 2.0d * theta * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+          |  + theta * theta * (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)))
+          | / (cast(n as double) * cast(n as double)) as var_y_adj""".stripMargin)
+      .selectExpr(
+        "variant", "n", "sx", "sy", "sxy", "theta", "mean_y", "mean_y_adj",
+        "var_y", "var_y_adj",
+        "case when var_y > 0.0d then 100.0d * (1.0d - var_y_adj / var_y) end as var_reduction_pct")
+  }
+
   /** Per-group NULL imputation with the exact LOWER-MEDIAN of the
     * group's known values — the feature-engineering fill that is robust
     * to the skew a mean would inherit, chosen as an exact ELEMENT
