@@ -1138,6 +1138,13 @@ object SparkEntry {
     // fleet grows 32 -> 33 (the minimal-disruption property, proven)
     "rendezvous_shard" -> ((s, d) =>
       Sampling.rendezvousShards(Tables.documents(s, d), "doc_id", 32)),
+    // RAKE keyphrases: stopword-delimited candidate runs, deg/freq word
+    // scores kept integer (×10^6) so phrase sums are order-independent
+    "rake_keywords" -> ((s, d) =>
+      TextOps.rakeKeywords(Tables.documents(s, d), k = 50, maxLen = 4)),
+    // Allen's 13-relation interval algebra over per-order ship→receipt
+    // windows; the ELSE arm raises, so non-exhaustiveness fails loudly
+    "interval_relations" -> (Relational.allenRelations _),
     // is the 10% hash sample representative per language (|z| > 3 flags)
     "sample_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -5978,6 +5985,66 @@ object SparkEntry {
         |SELECT CAST(shard AS INT) AS shard, n_keys, n_moving,
         |       CAST((n_keys * 32 * 1000000) // tot AS BIGINT) AS fill_ppm
         |FROM per CROSS JOIN t""".stripMargin,
+    "rake_keywords" ->
+      // same segmentation (0-based positions, gaps-and-islands), same
+      // integer (deg·10⁶) div freq word scores, same total top-50 order
+      """WITH toks0 AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |         unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+        |  FROM documents WHERE text IS NOT NULL
+        |), ns AS (
+        |  SELECT doc_id, tok, pos,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM toks0
+        |  WHERE tok NOT IN ('a','the','and','of','to','is','in','on','for','with')
+        |), ph AS (
+        |  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |         CAST(COUNT(*) AS BIGINT) AS plen
+        |  FROM ns GROUP BY 1, 2 HAVING COUNT(*) <= 4
+        |), ws AS (
+        |  SELECT tok AS w, (SUM(plen) * 1000000) // COUNT(*) AS wscore
+        |  FROM ns JOIN ph USING (doc_id, grp)
+        |  GROUP BY 1
+        |), inst AS (
+        |  SELECT ph.doc_id, ph.grp, ph.phrase, SUM(ws.wscore) AS inst_score
+        |  FROM ns JOIN ph USING (doc_id, grp) JOIN ws ON ns.tok = ws.w
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |       CAST(MAX(inst_score) AS BIGINT) AS score_scaled,
+        |       CAST(CAST(MAX(inst_score) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+        |FROM inst GROUP BY 1
+        |ORDER BY score_scaled DESC, phrase LIMIT 50""".stripMargin,
+    "interval_relations" ->
+      // the same cascade, literally: a single flipped < vs <= in any
+      // branch shifts counts between adjacent relations and fails the
+      // hash
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |         CAST(l_shipdate AS DATE) AS st,
+        |         CAST(l_shipdate AS DATE) + CAST((l_partkey + l_suppkey) % 30 AS INTEGER) AS en
+        |  FROM lineitem
+        |)
+        |SELECT CASE
+        |         WHEN a.st = b.st AND a.en = b.en THEN 'equals'
+        |         WHEN a.en < b.st THEN 'before'
+        |         WHEN b.en < a.st THEN 'after'
+        |         WHEN a.en = b.st THEN 'meets'
+        |         WHEN b.en = a.st THEN 'met_by'
+        |         WHEN a.st = b.st AND a.en < b.en THEN 'starts'
+        |         WHEN a.st = b.st AND a.en > b.en THEN 'started_by'
+        |         WHEN a.en = b.en AND a.st > b.st THEN 'finishes'
+        |         WHEN a.en = b.en AND a.st < b.st THEN 'finished_by'
+        |         WHEN a.st > b.st AND a.en < b.en THEN 'during'
+        |         WHEN a.st < b.st AND a.en > b.en THEN 'contains'
+        |         WHEN a.st < b.st AND a.en >= b.st AND a.en < b.en THEN 'overlaps'
+        |         WHEN b.st < a.st AND b.en >= a.st AND b.en < a.en THEN 'overlapped_by'
+        |         ELSE error('allenRelations: non-exhaustive classification')
+        |       END AS relation,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.ln < b.ln
+        |GROUP BY 1""".stripMargin,
     "sample_audit" ->
       s"""WITH f AS (
          |  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_full

@@ -2171,4 +2171,75 @@ object TextOps {
       .selectExpr("cls", "token", "tf_class", "tf_global", "score",
         "cast(rk as bigint) as rank")
   }
+
+  /** The RAKE stopword delimiters — shared literally with the oracle SQL
+    * (function words the corpus actually contains plus the common set, so
+    * the candidate segmentation provably fires). */
+  val RakeStopwords: Seq[String] =
+    Seq("a", "the", "and", "of", "to", "is", "in", "on", "for", "with")
+
+  /** RAKE keyphrase extraction (Rose, Engel, Cramer, Cowley, "Automatic
+    * Keyword Extraction from Individual Documents", 2010): candidate
+    * phrases are the maximal runs of non-stopword tokens (stopwords and
+    * text boundaries delimit), each word is scored deg(w)/freq(w) over
+    * the candidate set — deg counts co-occurring phrase length, so words
+    * that appear inside LONG multi-word phrases outrank equally-frequent
+    * loners — and a phrase scores the sum of its words' scores. The one
+    * deviation from the paper, for the hash gate: the word score is kept
+    * as the INTEGER (deg·10⁶) div freq, so phrase scores are exact int64
+    * sums — order-independent where an IEEE Σ(deg/freq) would depend on
+    * reduction order (the double emitted at the end is derived from the
+    * integer, not summed). Phrases longer than `maxLen` tokens are
+    * dropped (the paper's own cap).
+    *
+    * Shapes at 100 TB: tokenization and the gaps-and-islands run
+    * numbering are one doc-keyed window; word stats and phrase scores
+    * are (token)- and (doc, run)-keyed aggregates — everything keys on
+    * unbounded-cardinality columns, nothing collects. The final top-k is
+    * a TakeOrdered k-row merge, never a global sort.
+    */
+  def rakeKeywords(
+      documents: DataFrame,
+      k: Int = 50,
+      maxLen: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    require(maxLen >= 1 && maxLen <= 8, s"maxLen must be in [1,8], got $maxLen")
+    import org.apache.spark.sql.expressions.Window
+
+    val toks = documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "tok")))
+      .where(!col("tok").isInCollection(RakeStopwords))
+    // gaps-and-islands: consecutive positions share (pos − row_number)
+    val runs = toks
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val phrases = runs
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)")
+        .as("words"))
+      .where(size(col("words")) <= maxLen)
+      .select(col("doc_id"), col("grp"), col("words"), size(col("words")).as("plen"))
+    val wordScores = phrases
+      .select(explode(col("words")).as("w"), col("plen"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).cast("long").as("deg"))
+      .select(col("w"), expr("(deg * 1000000L) div freq").as("wscore"))
+    phrases
+      .select(col("doc_id"), col("grp"),
+        array_join(col("words"), " ").as("phrase"), explode(col("words")).as("w"))
+      .join(wordScores, "w")
+      .groupBy(col("doc_id"), col("grp"), col("phrase"))
+      .agg(sum(col("wscore")).as("inst_score"))
+      // identical phrases score identically (corpus-global word scores),
+      // so max == the common value; count = occurrences
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("inst_score")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("phrase"))
+      .limit(k)
+      .selectExpr("phrase", "n_occ", "score_scaled",
+        "cast(score_scaled as double) / 1000000.0d as score")
+  }
 }

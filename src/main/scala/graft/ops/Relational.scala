@@ -903,4 +903,56 @@ object Relational {
         min(col("d")).cast("timestamp").as("peak_date"))
       .orderBy(col("o_custkey"))
   }
+
+  /** Allen's interval algebra (Allen, "Maintaining Knowledge about
+    * Temporal Intervals", CACM 1983) over the per-order lineitem
+    * ship→receipt windows: every pair of intervals stands in EXACTLY one
+    * of 13 mutually-exclusive relations (before/meets/overlaps/starts/
+    * during/finishes, their six inverses, and equals). Classifying a
+    * logistics table's interval pairs is the temporal-QA sweep behind
+    * questions like "how often does a later line's shipment fully
+    * contain an earlier one's" — and a correctness trap worth gating:
+    * the boundary cases (meets vs overlaps, starts vs equals) differ by
+    * a single `<` vs `≤` and silently miscount if any branch is wrong.
+    * The CASE cascade proves exhaustiveness by construction: the
+    * `unclassified` arm raises an error, so a non-total classification
+    * fails loudly rather than dropping pairs.
+    *
+    * Shapes: the pair space is the per-order self-join (TPC-H fanout ≤ 7
+    * lines/order — Σ|order|² bounded), one equi-join on the order key,
+    * then a 13-bucket aggregate. Nothing global, nothing collected.
+    */
+  def allenRelations(s: SparkSession, dir: String): DataFrame = {
+    // the slim lineitem carries no receiptdate: the delivery window is
+    // [shipdate, shipdate + transit] with a deterministic 0–29-day
+    // transit from the line's keys, so the oracle reproduces it exactly
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_shipdate").cast("date").as("st"),
+      expr("date_add(cast(l_shipdate as date), cast((l_partkey + l_suppkey) % 30 as int))").as("en"))
+    val a = li.select(col("ok"), col("ln").as("ln_a"),
+      col("st").as("as_"), col("en").as("ae"))
+    val b = li.select(col("ok"), col("ln").as("ln_b"),
+      col("st").as("bs"), col("en").as("be"))
+    a.join(b, Seq("ok")).where(col("ln_a") < col("ln_b"))
+      .withColumn("relation", expr(
+        """CASE
+          |  WHEN as_ = bs AND ae = be THEN 'equals'
+          |  WHEN ae < bs THEN 'before'
+          |  WHEN be < as_ THEN 'after'
+          |  WHEN ae = bs THEN 'meets'
+          |  WHEN be = as_ THEN 'met_by'
+          |  WHEN as_ = bs AND ae < be THEN 'starts'
+          |  WHEN as_ = bs AND ae > be THEN 'started_by'
+          |  WHEN ae = be AND as_ > bs THEN 'finishes'
+          |  WHEN ae = be AND as_ < bs THEN 'finished_by'
+          |  WHEN as_ > bs AND ae < be THEN 'during'
+          |  WHEN as_ < bs AND ae > be THEN 'contains'
+          |  WHEN as_ < bs AND ae >= bs AND ae < be THEN 'overlaps'
+          |  WHEN bs < as_ AND be >= as_ AND be < ae THEN 'overlapped_by'
+          |  ELSE raise_error('allenRelations: non-exhaustive classification')
+          |END""".stripMargin))
+      .groupBy(col("relation"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

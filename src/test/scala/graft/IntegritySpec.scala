@@ -523,6 +523,84 @@ class IntegritySpec extends AnyFunSuite {
     assert(solo === crowdShard)
   }
 
+  // ---- TextOps.rakeKeywords -----------------------------------------
+
+  test("rakeKeywords: stopword segmentation, deg/freq scoring, and the maxLen cap") {
+    // doc 1: "deep learning of deep neural networks" →
+    //   phrases: [deep learning], [deep neural networks]
+    // doc 2: "the deep learning is great" → [deep learning], [great]
+    // deep: 3 occurrences, deg 2+3+2=7 → (7e6) div 3 = 2333333
+    // learning: freq 2, deg 4 → 2000000; neural/networks: freq 1, deg 3 → 3000000
+    // great: freq 1, deg 1 → 1000000
+    // "deep neural networks" = 2333333+3000000+3000000 = 8333333
+    // "deep learning" = 2333333+2000000 = 4333333 (×2 occurrences)
+    val docs = Seq(
+      (1L, "deep learning of deep neural networks"),
+      (2L, "the deep learning is great"),
+      (3L, "a b c d e f g h i j")) // 10-token run > maxLen → dropped entirely
+      .toDF("doc_id", "text")
+    val out = TextOps.rakeKeywords(docs, k = 10, maxLen = 4)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("deep neural networks", 1L, 8333333L, 8.333333),
+      ("deep learning", 2L, 4333333L, 4.333333),
+      ("great", 1L, 1000000L, 1.0)))
+  }
+
+  test("rakeKeywords: top-k cut is total-ordered (score desc, then phrase asc)") {
+    // two phrases with identical score at the k boundary: alphabetic wins
+    val docs = Seq((1L, "zz the aa the zz the aa")).toDF("doc_id", "text")
+    // aa and zz each: freq 2, deg 2 → wscore 1000000; both phrases score 1000000
+    val out = TextOps.rakeKeywords(docs, k = 1, maxLen = 4)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("aa", 2L, 1000000L, 1.0)))
+  }
+
+  // ---- Relational.allenRelations ------------------------------------
+
+  test("allenRelations: the 13-way cascade is exhaustive and boundary-exact") {
+    // brute-force cross-check on a dense micro-space: all intervals with
+    // 0 <= s <= e <= 5 paired both ways — every relation and boundary
+    // (meets-vs-overlaps, starts-vs-equals, point intervals) occurs
+    val iv = for { s <- 0 to 5; e <- s to 5 } yield (s, e)
+    def rel(a: (Int, Int), b: (Int, Int)): String = {
+      val (as_, ae) = a; val (bs, be) = b
+      if (as_ == bs && ae == be) "equals"
+      else if (ae < bs) "before"
+      else if (be < as_) "after"
+      else if (ae == bs) "meets"
+      else if (be == as_) "met_by"
+      else if (as_ == bs && ae < be) "starts"
+      else if (as_ == bs && ae > be) "started_by"
+      else if (ae == be && as_ > bs) "finishes"
+      else if (ae == be && as_ < bs) "finished_by"
+      else if (as_ > bs && ae < be) "during"
+      else if (as_ < bs && ae > be) "contains"
+      else if (as_ < bs && ae >= bs && ae < be) "overlaps"
+      else if (bs < as_ && be >= as_ && be < ae) "overlapped_by"
+      else sys.error(s"unclassified: $a $b")
+    }
+    val expected = (for {
+      (a, i) <- iv.zipWithIndex; (b, j) <- iv.zipWithIndex if i < j
+    } yield rel(a, b)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // run the SAME pair set through the operator's CASE expression by
+    // shaping it as single-"order" lineitem-like input
+    val base = java.sql.Date.valueOf("2024-01-01").toLocalDate
+    val rows = iv.zipWithIndex.map { case ((s0, e0), i) =>
+      // encode transit via (partkey + suppkey) % 30 = e0 - s0
+      (1L, (i + 1).toLong, java.sql.Timestamp.valueOf(base.plusDays(s0).atStartOfDay()),
+        (e0 - s0).toLong, 0L)
+    }
+    val df = rows.toDF("l_orderkey", "l_linenumber", "l_shipdate", "l_partkey", "l_suppkey")
+    val tmp = java.nio.file.Files.createTempDirectory("allen").toString
+    df.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = graft.ops.Relational.allenRelations(spark, tmp)
+      .as[(String, Long)].collect().toMap
+    assert(out === expected)
+    val nPairs = iv.size.toLong * (iv.size - 1) / 2
+    assert(out.values.sum === nPairs) // total classification: no pair dropped
+  }
+
   // ---- Quality.cupedAdjust ------------------------------------------
 
   test("cupedAdjust: a perfectly predictive covariate removes ~all variance; theta recovers the slope") {
