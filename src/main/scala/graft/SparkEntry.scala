@@ -1145,6 +1145,36 @@ object SparkEntry {
     // Allen's 13-relation interval algebra over per-order ship→receipt
     // windows; the ELSE arm raises, so non-exhaustiveness fails loudly
     "interval_relations" -> (Relational.allenRelations _),
+    // left join with the null-key stratum routed AROUND the exchange
+    // (~20% of FKs deterministically nulled so the path provably fires);
+    // result is bit-identical to the plain left join the oracle runs
+    "null_skew_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).withColumn("o_custkey",
+        when(expr(s"${TextOps.md5Long64("concat('nsj:', cast(o_orderkey as string))")} % 5") === 0,
+          lit(null)).otherwise(col("o_custkey")))
+      Skew.nullSafeLeftJoin(o, Tables.customer(s, d).select(
+        col("c_custkey").as("o_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        "o_custkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("c_mktsegment")).as("n_matched"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+    }),
+    // hive-partitioned write → partition-pruned join read-back: the dim
+    // filter (count ≡ 0 mod 3 — NOT derivable from the join key, so
+    // static pushdown can't subsume it) survives as a runtime pruning
+    // subquery on the fact scan; PlanSpec pins the dynamicpruning node
+    "dpp_prune" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_month"))
+      val dim = o.groupBy(col("o_month")).agg(count(lit(1)).as("mcnt"))
+        .where(col("mcnt") % 3 === 0).select(col("o_month"))
+      graft.io.Maintenance.dppRoundtrip(o, dim, "o_month", Seq(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price")))
+    }),
     // is the 10% hash sample representative per language (|z| > 3 flags)
     "sample_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -6044,6 +6074,37 @@ object SparkEntry {
         |       END AS relation,
         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
         |FROM li a JOIN li b ON a.ok = b.ok AND a.ln < b.ln
+        |GROUP BY 1""".stripMargin,
+    "null_skew_join" ->
+      // the oracle is the PLAIN left join — the null-routing rewrite
+      // must be invisible in the result
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |         CASE WHEN ${dH("'nsj:' || CAST(o_orderkey AS VARCHAR)")} % 5 = 0
+         |              THEN NULL ELSE o_custkey END AS o_custkey
+         |  FROM orders
+         |)
+         |SELECT o.o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(COUNT(c.c_mktsegment) AS BIGINT) AS n_matched,
+         |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         |FROM o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1""".stripMargin,
+    "dpp_prune" ->
+      // the oracle joins unpartitioned — layout must not change results
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |         strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS o_month
+        |  FROM orders
+        |), dim AS (
+        |  SELECT o_month FROM (
+        |    SELECT o_month, COUNT(*) AS mcnt FROM o GROUP BY 1
+        |  ) WHERE mcnt % 3 = 0
+        |)
+        |SELECT o.o_month,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM o JOIN dim USING (o_month)
         |GROUP BY 1""".stripMargin,
     "sample_audit" ->
       s"""WITH f AS (

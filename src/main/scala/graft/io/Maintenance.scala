@@ -194,6 +194,49 @@ object Maintenance {
     (written, (xW, yW))
   }
 
+  /** Dynamic-partition-pruning round trip: write the fact frame
+    * HIVE-PARTITIONED on `partCol`, read it back, and join it to a
+    * filtered small dimension on that column — the layout under which
+    * Catalyst injects a `dynamicpruning` subquery into the fact scan, so
+    * only the partitions the dim filter survives are ever LISTED, let
+    * alone read. This is THE scan-elimination mechanism for a
+    * date-partitioned 100 TB fact table ("join last week's dim slice"
+    * reads 7 directories, not 3,000); zOrder/bloom skip within files,
+    * DPP skips whole partitions before I/O starts. The partitioned copy
+    * is scratch under the session checkpoint root (the formatRoundtrip
+    * convention: shared-FS path, Hadoop FS API, deleted in the finally);
+    * `PlanSpec` pins the `dynamicpruning` expression into the executed
+    * plan, this entry gates the RESULT — write → partition discovery →
+    * pruned scan → join, end to end.
+    */
+  def dppRoundtrip(
+      fact: DataFrame,
+      dim: DataFrame,
+      partCol: String,
+      aggExprs: Seq[Column]): DataFrame = {
+    val spark = fact.sparkSession
+    val tmp = spark.sparkContext.getCheckpointDir
+      .map(c => s"$c/graft_dpp")
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_dpp").toString)
+    val hPath = new Path(tmp)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      fact.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+      val out = spark.read.parquet(tmp)
+        .join(broadcast(dim), Seq(partCol))
+        .groupBy(col(partCol))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+      // bounded driver action (one row per surviving partition) so the
+      // finally can delete the scratch copy the plan reads from
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      fs.delete(hPath, true)
+      ()
+    }
+  }
+
   /** Compaction PLANNER over a (partition, file, bytes) metadata frame —
     * which small files merge into which target-sized output, decided
     * from bounded listing metadata BEFORE any data moves (the expensive

@@ -235,4 +235,35 @@ object Skew {
             lit("salted_join"))
           .otherwise(lit("shuffle_join")).as("strategy"))
   }
+
+  /** LEFT join that never shuffles its NULL-key rows — the classic
+    * production skew bug made structural: in a plain left join every
+    * null-keyed left row still enters the exchange, and since
+    * `hash(null)` is one value, ALL of them land on ONE reducer. A fact
+    * table where 20% of the FK is null (unattributed traffic, pre-launch
+    * rows, opted-out users) turns that reducer into the job's straggler
+    * — at 100 TB, a task holding 20% of the table. Nulls can never
+    * MATCH, so the fix costs nothing semantically: route the null
+    * stratum around the join entirely (filter → union with
+    * null-extended right columns) and let only the matchable rows
+    * exchange. Output is bit-identical to the plain left join; the spec
+    * asserts equality and the no-null/all-null edges.
+    *
+    * (AQE's skew-join split does NOT rescue the plain form: it splits
+    * SORTED partitions of skewed size, but every null hashes to the one
+    * partition AND the one key — a split cannot separate equal keys for
+    * a join that must co-locate them. Routing around the exchange can.)
+    */
+  def nullSafeLeftJoin(left: DataFrame, right: DataFrame, key: String): DataFrame = {
+    require(left.columns.contains(key), s"left side lacks join key '$key'")
+    require(right.columns.contains(key), s"right side lacks join key '$key'")
+    val matched = left.where(col(key).isNotNull).join(right, Seq(key), "left")
+    val rightCols = right.columns.filterNot(_ == key)
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val nulls = left.where(col(key).isNull)
+      .select(col(key) +: left.columns.filterNot(_ == key).map(col) ++:
+        rightCols.map(c => lit(null).cast(rightTypes(c)).as(c)): _*)
+    // join output column order is key, left-rest, right-rest — mirror it
+    matched.unionByName(nulls)
+  }
 }
