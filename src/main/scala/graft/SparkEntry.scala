@@ -1175,6 +1175,10 @@ object SparkEntry {
         count(lit(1)).as("n_rows"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price")))
     }),
+    // greedy max-coverage pick of 3 docs over word-3-gram shingles; the
+    // oracle unrolls the 3 submodular rounds literally
+    "coverage_select" -> ((s, d) =>
+      Sampling.coverageSelect(Tables.documents(s, d), k = 3)),
     // is the 10% hash sample representative per language (|z| > 3 flags)
     "sample_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -6106,6 +6110,44 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM o JOIN dim USING (o_month)
         |GROUP BY 1""".stripMargin,
+    "coverage_select" ->
+      // the greedy recursion unrolled: each round's argmax (gain desc,
+      // doc_id asc) over shingles not covered by earlier picks
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(text), ' ')) AS tok,
+        |         unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        |), w AS (
+        |  SELECT doc_id,
+        |         tok || ' ' || lead(tok, 1) OVER win || ' ' || lead(tok, 2) OVER win AS s
+        |  FROM tk WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, s FROM w WHERE s IS NOT NULL
+        |), p1 AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM sh
+        |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1
+        |), c1 AS (
+        |  SELECT DISTINCT s.s FROM sh s JOIN p1 ON s.doc_id = p1.doc_id
+        |), p2 AS (
+        |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM sh s
+        |  WHERE s.s NOT IN (SELECT s FROM c1)
+        |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1
+        |), c2 AS (
+        |  SELECT s FROM c1
+        |  UNION SELECT s.s FROM sh s JOIN p2 ON s.doc_id = p2.doc_id
+        |), p3 AS (
+        |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM sh s
+        |  WHERE s.s NOT IN (SELECT s FROM c2)
+        |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1
+        |)
+        |SELECT CAST(1 AS INT) AS round, p1.doc_id, p1.gain,
+        |       p1.gain AS covered_total FROM p1
+        |UNION ALL
+        |SELECT 2, p2.doc_id, p2.gain, p1.gain + p2.gain FROM p1, p2
+        |UNION ALL
+        |SELECT 3, p3.doc_id, p3.gain, p1.gain + p2.gain + p3.gain
+        |FROM p1, p2, p3""".stripMargin,
     "sample_audit" ->
       s"""WITH f AS (
          |  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_full

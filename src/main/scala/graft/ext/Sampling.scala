@@ -370,6 +370,64 @@ object Sampling {
     * `shards + 1` md5s and one lexicographic array_max, zero shuffle —
     * then one aggregate on the (bounded) shard id.
     */
+  /** Greedy maximum-coverage subset selection over word-3-gram shingles —
+    * the submodular "pick the k docs that together cover the most
+    * distinct content" selector (the greedy algorithm carries the
+    * classic (1−1/e) guarantee; facility-location/coverage objectives
+    * are the standard diversity-aware alternative to score-threshold
+    * corpus selection). Round r scores every document by how many of its
+    * shingles are NOT yet covered by rounds 1..r−1, picks the argmax
+    * (ties to the smaller doc_id — total order), and adds its shingles
+    * to the covered set.
+    *
+    * Scale shape: the shingle frame is (doc, shingle)-keyed and persisted
+    * once; each round is one anti-join against the covered set (k·|picked
+    * docs'| shingles — bounded by k·max-doc, broadcastable) plus one
+    * aggregate; the only driver action is the 1-row argmax per round, k
+    * rows total. k is required small (≤ 8) because the GATE oracle
+    * unrolls the recursion; a production selector would loop further.
+    */
+  def coverageSelect(documents: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sh = documents
+      .where(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(expr(TextOps.shingleExpr("split(lower(text), ' ')"))).as("sh"))
+      .persist()
+    try {
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+      var pickedIds = Seq.empty[Long]
+      var total = 0L
+      var r = 1
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        val covered = sh.where(col("doc_id").isInCollection(pickedIds))
+          .select(col("sh")).distinct()
+        val remaining =
+          if (pickedIds.isEmpty) sh
+          else sh.join(covered, Seq("sh"), "left_anti")
+        val best = remaining.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true // everything covered: stop
+        else {
+          val (id, gain) = (best.head.getLong(0), best.head.getLong(1))
+          total += gain
+          picks += ((r, id, gain, total))
+          pickedIds :+= id
+          r += 1
+        }
+      }
+      picks.toSeq.toDF("round", "doc_id", "gain", "covered_total")
+    } finally {
+      sh.unpersist()
+      ()
+    }
+  }
+
   def rendezvousShards(df: DataFrame, keyExpr: String, shards: Int): DataFrame = {
     require(shards >= 2 && shards <= 1024, s"shards must be in [2,1024], got $shards")
     val wt = TextOps.md5Long64(

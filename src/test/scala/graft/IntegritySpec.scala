@@ -601,6 +601,34 @@ class IntegritySpec extends AnyFunSuite {
     assert(out.values.sum === nPairs) // total classification: no pair dropped
   }
 
+  // ---- Sampling.coverageSelect --------------------------------------
+
+  test("coverageSelect: greedy prefers NEW coverage over raw size and stops when exhausted") {
+    import graft.ext.Sampling
+    // doc 1: 4 shingles; doc 2: 3 shingles, ALL inside doc 1's; doc 3:
+    // 2 fresh shingles. Greedy must pick 1 then 3 (doc 2 gains nothing
+    // despite being bigger than doc 3) and STOP — round 3 has no
+    // uncovered shingle left, so k=3 yields only 2 rows.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e"),
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val out = Sampling.coverageSelect(docs, k = 3)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1, 1L, 4L, 4L), (2, 3L, 2L, 6L)))
+  }
+
+  test("coverageSelect: equal-gain tie goes to the smaller doc_id") {
+    import graft.ext.Sampling
+    val docs = Seq(
+      (7L, "p q r s"), // 2 shingles
+      (4L, "t u v w")) // 2 shingles, disjoint
+      .toDF("doc_id", "text")
+    val out = Sampling.coverageSelect(docs, k = 1)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1, 4L, 2L, 2L)))
+  }
+
   // ---- Quality.cupedAdjust ------------------------------------------
 
   test("cupedAdjust: a perfectly predictive covariate removes ~all variance; theta recovers the slope") {
