@@ -1179,6 +1179,54 @@ object SparkEntry {
     // oracle unrolls the 3 submodular rounds literally
     "coverage_select" -> ((s, d) =>
       Sampling.coverageSelect(Tables.documents(s, d), k = 3)),
+    // Spark 4 VARIANT end to end over the shared jsonDecorSql fixture:
+    // parse_json → typed variant_get extractions → per-tag rollup. The
+    // oracle never parses JSON — every field is a closed-form function
+    // of event_id, so a parse/extract/type-coercion bug anywhere in the
+    // variant path moves an aggregate and fails the hash. Gates the
+    // null-vs-MISSING distinction too: `note` is present-but-null only
+    // on %7 ids (is_variant_null), absent otherwise (variant_get null).
+    "variant_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), expr(jsonDecorSql).as("js"))
+        .select(expr("parse_json(js)").as("v"), col("event_id"))
+        .select(
+          expr("variant_get(v, '$.id', 'bigint')").as("vid"),
+          expr("variant_get(v, '$.tag', 'string')").as("tag"),
+          expr("variant_get(v, '$.score', 'double')").as("score"),
+          expr("variant_get(v, '$.ok', 'boolean')").as("ok"),
+          expr("variant_get(v, '$.tags[0]', 'bigint')").as("tag0"),
+          expr("is_variant_null(variant_get(v, '$.note'))").as("note_null"))
+        .groupBy(col("tag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("vid")).as("sum_id"),
+          // scores are exact multiples of 0.5 — IEEE sums are
+          // order-independent here, no decimal detour needed
+          sum(col("score")).as("sum_score"),
+          count(when(col("ok"), 1)).as("n_ok"),
+          count(when(col("note_null"), 1)).as("n_note_null"),
+          sum(col("tag0")).as("sum_tag0"))),
+    // Spark 4 native XML: synthesize a per-event record (attribute +
+    // elements + a missing-element arm), from_xml with an explicit
+    // schema, roll up — oracle again closed-form from event_id, so the
+    // XML parser/coercion path is gated without an oracle-side parser
+    "xml_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), expr(
+          """concat('<e id="', cast(event_id as string), '">',
+            |  case when event_id % 2 = 0
+            |       then concat('<tag>t', cast(event_id % 7 as string), '</tag>') else '' end,
+            |  case when event_id % 3 = 0
+            |       then concat('<score>', cast(event_id % 100 as string), '.5</score>') else '' end,
+            |'</e>')""".stripMargin).as("x"))
+        .select(expr(
+          "from_xml(x, 'struct<_id: bigint, tag: string, score: double>')").as("p"))
+        .groupBy(col("p.tag").as("tag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("p._id")).as("sum_id"),
+          sum(col("p.score")).as("sum_score"))),
     // is the 10% hash sample representative per language (|z| > 3 flags)
     "sample_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -6148,6 +6196,29 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, p3.doc_id, p3.gain, p1.gain + p2.gain + p3.gain
         |FROM p1, p2, p3""".stripMargin,
+    "variant_extract" ->
+      // closed-form recomputation from event_id — no JSON parser on the
+      // oracle side, so the two engines share NOTHING but the spec
+      """SELECT CASE WHEN event_id % 2 = 0
+        |            THEN 't' || CAST(event_id % 7 AS VARCHAR) END AS tag,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+        |       SUM(CASE WHEN event_id % 3 = 0
+        |           THEN CAST(event_id % 100 AS DOUBLE) + 0.5 END) AS sum_score,
+        |       CAST(COUNT(CASE WHEN event_id % 5 = 0 THEN 1 END) AS BIGINT) AS n_ok,
+        |       CAST(COUNT(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_note_null,
+        |       CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 END) AS BIGINT) AS sum_tag0
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    "xml_extract" ->
+      """SELECT CASE WHEN event_id % 2 = 0
+        |            THEN 't' || CAST(event_id % 7 AS VARCHAR) END AS tag,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+        |       SUM(CASE WHEN event_id % 3 = 0
+        |           THEN CAST(event_id % 100 AS DOUBLE) + 0.5 END) AS sum_score
+        |FROM events
+        |GROUP BY 1""".stripMargin,
     "sample_audit" ->
       s"""WITH f AS (
          |  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_full

@@ -601,6 +601,26 @@ class IntegritySpec extends AnyFunSuite {
     assert(out.values.sum === nPairs) // total classification: no pair dropped
   }
 
+  // ---- VARIANT null-vs-missing pin ----------------------------------
+
+  test("variant path: present-but-null and absent fields are distinguishable (the variant_extract contract)") {
+    // `{"a": null}`: $.a is a VARIANT NULL (is_variant_null = true);
+    // $.b is MISSING (variant_get returns SQL NULL, is_variant_null
+    // false-or-null). The variant_extract gate counts on this split —
+    // pin it so an engine upgrade that collapses the two fails here,
+    // not in a hash mismatch downstream.
+    val r = spark.sql(
+      """SELECT is_variant_null(variant_get(parse_json('{"a": null}'), '$.a')) AS a_null,
+        |       variant_get(parse_json('{"a": null}'), '$.b') IS NULL AS b_missing,
+        |       coalesce(is_variant_null(variant_get(parse_json('{"a": null}'), '$.b')), false) AS b_not_vnull,
+        |       variant_get(parse_json('{"a": 3}'), '$.a', 'bigint') AS a_typed
+        |""".stripMargin).head()
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === true)
+    assert(r.getBoolean(2) === false)
+    assert(r.getLong(3) === 3L)
+  }
+
   // ---- Sampling.coverageSelect --------------------------------------
 
   test("coverageSelect: greedy prefers NEW coverage over raw size and stops when exhausted") {
