@@ -2195,4 +2195,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(empty.columns.toSeq === Seq("doc_id", "lang", "pred", "score", "correct"))
     assert(empty.count() === 0L)
   }
+
+  test("state-store batch reader: a live aggregation's checkpoint state is inspectable as a DataFrame") {
+    // the ops surface for "what is this pipeline holding right now":
+    // Spark's `statestore` batch source reads a streaming checkpoint's
+    // state directly — no sink, no code in the job itself. Run a keyed
+    // count, then audit the checkpoint: per-key state must equal what
+    // the stream has seen, and the reader must see it WITHOUT the query
+    // being stopped first (it reads committed snapshots).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_statestore").toString
+    val ms = MemoryStream[(String, Long)]
+    val counts = ms.toDS().toDF("k", "v")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val q = counts.writeStream
+      .format("noop")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .start()
+    try {
+      ms.addData(Seq(("a", 1L), ("a", 2L), ("b", 10L)))
+      q.processAllAvailable()
+      ms.addData(Seq(("a", 4L), ("c", 7L)))
+      q.processAllAvailable()
+      val state = spark.read.format("statestore").load(ckpt)
+      // schema: key struct, value struct (the AGG BUFFER fields — named
+      // for the physical aggregates, not the output aliases), partition_id
+      val rows = state
+        .select(col("key.k").as("k"), col("value.count").as("n"), col("value.sum").as("sv"))
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(rows === Seq(("a", 3L, 7L), ("b", 1L, 10L), ("c", 1L, 7L)))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
 }
