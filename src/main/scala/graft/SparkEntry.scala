@@ -1207,6 +1207,20 @@ object SparkEntry {
           count(when(col("ok"), 1)).as("n_ok"),
           count(when(col("note_null"), 1)).as("n_note_null"),
           sum(col("tag0")).as("sum_tag0"))),
+    // per-(type, day) supervised forecasting matrix: value-ranged lags
+    // (gaps break adjacency — no leakage, no fabricated zeros)
+    "lag_features" -> ((s, d) =>
+      graft.ops.Features.lagFeatures(Tables.events(s, d), "event_type", "ts")),
+    // hierarchical subtree rollup of deterministic doc-derived paths:
+    // every row counts into every prefix; exact-hit counts split out
+    "path_rollup" -> ((s, d) =>
+      graft.ext.WebOps.pathRollup(
+        Tables.documents(s, d).select(expr(pathDecorSql).as("path")), "path")),
+    // concentration audit: exact discrete Gini of per-customer spend
+    // within each order status (skew forecasting + inequality report)
+    "lorenz_gini" -> ((s, d) =>
+      Audit.lorenzGini(Tables.orders(s, d), "o_orderstatus", "o_custkey",
+        "cast(floor(o_totalprice + 0.5d) as bigint)")),
     // Spark 4 native XML: synthesize a per-event record (attribute +
     // elements + a missing-element arm), from_xml with an explicit
     // schema, roll up — oracle again closed-form from event_id, so the
@@ -1479,6 +1493,15 @@ object SparkEntry {
     * shape present, keys at staggered frequencies; shared verbatim with
     * the oracle like [[urlDecorSql]].
     */
+  /** The path_rollup fixture: 1–4-deep site paths from doc_id mods —
+    * heavy shared prefixes (5 roots) with varied subtree shapes, so the
+    * rollup provably aggregates across depths; mirrored in the oracle. */
+  private val pathDecorSql: String =
+    """concat('/s', cast(doc_id % 5 as string),
+      |  case when doc_id % 4 >= 1 then concat('/t', cast(doc_id % 3 as string)) else '' end,
+      |  case when doc_id % 4 >= 2 then concat('/u', cast(doc_id % 2 as string)) else '' end,
+      |  case when doc_id % 4 >= 3 then concat('/v', cast(doc_id % 7 as string)) else '' end)""".stripMargin
+
   private val jsonDecorSql: String =
     """'{"id": ' || CAST(event_id AS STRING)
       |  || (CASE WHEN event_id % 2 = 0 THEN ', "tag": "t' || CAST(event_id % 7 AS STRING) || '"' ELSE '' END)
@@ -6210,6 +6233,69 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 END) AS BIGINT) AS sum_tag0
         |FROM events
         |GROUP BY 1""".stripMargin,
+    "lag_features" ->
+      // DuckDB's integer-RANGE windows mirror the Spark frames; QUALIFY
+      // drops rows whose label day is unobserved, same as the IS NOT
+      // NULL filter
+      """WITH daily AS (
+        |  SELECT event_type AS key,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT key, day, n,
+        |       MAX(n) OVER (PARTITION BY key ORDER BY day
+        |         RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag1,
+        |       MAX(n) OVER (PARTITION BY key ORDER BY day
+        |         RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag7,
+        |       CAST(SUM(n) OVER (PARTITION BY key ORDER BY day
+        |         RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS roll7,
+        |       CAST((day + 4) % 7 AS INTEGER) AS dow,
+        |       MAX(n) OVER (PARTITION BY key ORDER BY day
+        |         RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS label
+        |FROM daily
+        |QUALIFY label IS NOT NULL""".stripMargin,
+    "path_rollup" ->
+      // the same prefix expansion via zipped unnests of equal-length
+      // lists; depth is the prefix's own level
+      """WITH p AS (
+        |  SELECT list_filter(string_split(
+        |           '/s' || CAST(doc_id % 5 AS VARCHAR)
+        |           || (CASE WHEN doc_id % 4 >= 1 THEN '/t' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+        |           || (CASE WHEN doc_id % 4 >= 2 THEN '/u' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END)
+        |           || (CASE WHEN doc_id % 4 >= 3 THEN '/v' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END),
+        |           '/'), s -> s != '') AS segs
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), pref AS (
+        |  SELECT unnest(list_transform(range(1, len(segs) + 1),
+        |           i -> '/' || array_to_string(segs[1:i], '/'))) AS prefix,
+        |         unnest(range(1, len(segs) + 1)) AS lvl,
+        |         len(segs) AS full_depth
+        |  FROM p WHERE len(segs) > 0
+        |)
+        |SELECT prefix, CAST(lvl AS INTEGER) AS depth,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(CASE WHEN lvl = full_depth THEN 1 END) AS BIGINT) AS n_exact
+        |FROM pref GROUP BY 1, 2""".stripMargin,
+    "lorenz_gini" ->
+      """WITH pk AS (
+        |  SELECT o_orderstatus AS grp, o_custkey AS key,
+        |         CAST(SUM(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderstatus IS NOT NULL AND o_custkey IS NOT NULL
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT grp, c,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c, key) AS BIGINT) AS i,
+        |         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM pk
+        |)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |       CAST(SUM(c) AS BIGINT) AS total,
+        |       CAST(SUM((i * 2 - n - 1) * c) AS BIGINT) AS gini_num,
+        |       CAST(CAST(SUM((i * 2 - n - 1) * c) AS BIGINT) AS DOUBLE)
+        |         / CAST(COUNT(*) * CAST(SUM(c) AS BIGINT) AS DOUBLE) AS gini
+        |FROM r GROUP BY 1""".stripMargin,
     "xml_extract" ->
       """SELECT CASE WHEN event_id % 2 = 0
         |            THEN 't' || CAST(event_id % 7 AS VARCHAR) END AS tag,

@@ -244,4 +244,42 @@ object WebOps {
         col("n_rows").cast("bigint").as("n_rows"),
         col("n_ids").cast("bigint").as("n_ids"),
         col("min_id"), col("max_id"))
+
+  /** Hierarchical path rollup: every row contributes one count to EVERY
+    * prefix of its path — `/a/b/c` increments `/a`, `/a/b`, and
+    * `/a/b/c` — the "traffic by site subtree" report a flat groupBy on
+    * the full path cannot produce (a parent's total must include all
+    * descendants, not just exact hits). Emits each prefix with its
+    * depth, total row count, and exact-hit count (rows whose FULL path
+    * is that prefix).
+    *
+    * Shapes: one in-row prefix expansion (a row of depth d explodes to
+    * d rows — bounded by the path depth cap, guarded loudly) and one
+    * aggregate keyed on the prefix string. The explosion factor is the
+    * mean path depth, not a join; counts combine map-side. Rows with
+    * no '/'-segments (empty path) are dropped.
+    */
+  def pathRollup(df: DataFrame, pathCol: String, maxDepth: Int = 16): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64, s"maxDepth must be in [1,64], got $maxDepth")
+    df
+      .where(col(pathCol).isNotNull)
+      .select(expr(s"filter(split($pathCol, '/'), s -> s != '')").as("segs"))
+      .where(size(col("segs")) > 0)
+      .withColumn("segs",
+        when(size(col("segs")) <= maxDepth, col("segs"))
+          .otherwise(expr(
+            s"raise_error('pathRollup: path deeper than maxDepth=$maxDepth')")))
+      .select(
+        posexplode(expr(
+          "transform(sequence(1, size(segs)), i -> concat('/', array_join(slice(segs, 1, i), '/')))"))
+          .as(Seq("p0", "prefix")),
+        size(col("segs")).as("full_depth"))
+      .groupBy(col("prefix"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("p0") + 1 === col("full_depth"), 1)).as("n_exact"))
+      .withColumn("depth",
+        (size(split(col("prefix"), "/")) - 1).cast("int"))
+      .select(col("prefix"), col("depth"), col("n_rows"), col("n_exact"))
+  }
 }

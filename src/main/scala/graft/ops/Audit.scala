@@ -570,4 +570,57 @@ object Audit {
         col("n_lab").cast("bigint").as("n_majority"),
         (col("n_lab").cast("double") / col("n").cast("double")).as("purity"))
   }
+
+  /** Per-group Gini concentration of an integer measure — the "10% of
+    * keys carry 80% of the load" audit that decides whether a dataset
+    * needs skew handling BEFORE a job hits it (a high-Gini key column is
+    * tomorrow's hot-partition incident) and doubles as the standard
+    * inequality report over spend/traffic/tokens-per-doc.
+    *
+    * Exact discrete form: with per-key totals c₁ ≤ … ≤ c_n (ties broken
+    * by key — a total order, so ranks are unique), G = Σ(2i − n − 1)·cᵢ
+    * / (n·Σc). Numerator and denominator are exact int64 witnesses; the
+    * quotient is the ONE IEEE division. int64 envelope: |num| < n²·max c
+    * — guarded loudly at n²·maxc > 4·10¹⁸ rather than silently wrapping
+    * (the ewmaSmooth doctrine).
+    *
+    * Shapes: one key aggregate, one group-bounded rank window, one group
+    * rollup — |groups| rows out, nothing global.
+    */
+  def lorenzGini(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      measureExpr: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perKey = df
+      .where(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(keyCol).as("key"))
+      .agg(sum(expr(measureExpr)).cast("long").as("c"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("c"), col("key"))
+    val wg = Window.partitionBy(col("grp"))
+    perKey
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("maxc", max(col("c")).over(wg))
+      .withColumn("_guard",
+        // divide, don't multiply: n²·maxc would itself overflow before
+        // the comparison could catch it
+        when(col("maxc") > expr("4000000000000000000L div (n * n)"),
+          expr("raise_error('lorenzGini: n^2 * max(c) exceeds the int64 envelope — scale the measure down')"))
+          .otherwise(lit(0)))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("total"),
+        // + max(guard): the guard term is always 0, but folding it into
+        // an EMITTED value keeps column pruning from eliminating the
+        // raise_error branch entirely
+        (sum((col("i") * 2 - col("n") - 1) * col("c"))
+          + max(col("_guard")).cast("long")).as("gini_num"))
+      .select(
+        col("grp"), col("n_keys"), col("total"), col("gini_num"),
+        (col("gini_num").cast("double") /
+          (col("n_keys") * col("total")).cast("double")).as("gini"))
+  }
 }

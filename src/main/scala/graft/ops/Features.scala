@@ -174,4 +174,46 @@ object Features {
         (col("num_scaled").cast("double") / math.pow(2.0, 32) / 100.0)
           .as("decayed_value"))
   }
+
+  /** Supervised lag-feature matrix for per-key daily-count forecasting —
+    * the feature-engineering step every demand/traffic model starts
+    * from: for each (key, day), yesterday's count (`lag1`), the
+    * same-weekday-last-week count (`lag7`), the trailing-7-day sum
+    * (`roll7`, the CURRENT day excluded — a feature computed from the
+    * label's own day is leakage), the day-of-week, and the NEXT day's
+    * count as the label. Rows whose label day is past the observed
+    * range are dropped (no fabricated zeros: absence of data is not a
+    * zero count). Counts are exact int64 end to end; day arithmetic is
+    * integer epoch-days, so every engine agrees bit-for-bit.
+    *
+    * Shapes: one (key, day) count aggregate, then key-partitioned
+    * RANGE windows over the integer day — day gaps are honored (a
+    * missing day contributes nothing to `roll7` and breaks `lag1`
+    * adjacency), which is why the windows range over the day VALUE,
+    * not row position. Nothing global; |keys|·|days| rows out.
+    */
+  def lagFeatures(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"datediff(cast($tsCol as date), date'1970-01-01')").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy(col("key")).orderBy(col("day"))
+    // RANGE windows keyed on the integer day: adjacency by VALUE
+    val lag1W = byDay.rangeBetween(-1, -1)
+    val lag7W = byDay.rangeBetween(-7, -7)
+    val roll7W = byDay.rangeBetween(-7, -1)
+    val nextW = byDay.rangeBetween(1, 1)
+    daily
+      .withColumn("lag1", max(col("n")).over(lag1W))
+      .withColumn("lag7", max(col("n")).over(lag7W))
+      .withColumn("roll7", sum(col("n")).over(roll7W))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)).cast("int")) // 1970-01-01 = Thursday
+      .withColumn("label", max(col("n")).over(nextW))
+      .where(col("label").isNotNull)
+  }
 }

@@ -601,6 +601,86 @@ class IntegritySpec extends AnyFunSuite {
     assert(out.values.sum === nPairs) // total classification: no pair dropped
   }
 
+  // ---- Features.lagFeatures -----------------------------------------
+
+  test("lagFeatures: day gaps break lag adjacency and stay out of roll7; last day carries no label") {
+    // key 'a': days 10, 11, 13 (12 missing), counts 2, 3, 5
+    def t(day: Int, i: Int) = ts(f"2024-01-$day%02d 0$i:00:00")
+    val rows = Seq.fill(2)(("a", t(10, 1))) ++ Seq.fill(3)(("a", t(11, 1))) ++
+      Seq.fill(5)(("a", t(13, 1)))
+    val out = graft.ops.Features.lagFeatures(
+      rows.zipWithIndex.map { case ((k, s), i) => (k, s, i.toLong) }
+        .toDF("event_type", "ts", "event_id"), "event_type", "ts")
+      .select("key", "day", "n", "lag1", "lag7", "roll7", "label")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long], Long)]
+      .collect().sortBy(_._2).toSeq
+    // label exists only where day+1 is observed: day 10 (label=n(11)=3).
+    // day 11's label day 12 is MISSING → dropped, NOT zero-filled;
+    // day 13 is last → dropped. (days are epoch days)
+    val d10 = java.time.LocalDate.of(2024, 1, 10).toEpochDay
+    assert(out.map(_._2) === Seq(d10))
+    val r10 = out.head
+    assert(r10._3 === 2L && r10._7 === 3L)
+    assert(r10._4.isEmpty && r10._5.isEmpty && r10._6.isEmpty) // no history before day 10
+  }
+
+  test("lagFeatures: roll7 sums exactly the 7 prior days by VALUE, not row position") {
+    def t(day: Int) = ts(f"2024-01-$day%02d 01:00:00")
+    // days 1..9, 1 event each → at day 9: roll7 = days 2..8 = 7;
+    // at day 8: days 1..7 = 7; at day 5: days 1..4 (only 4 rows) = 4
+    val rows = (1 to 9).map(d => ("a", t(d)))
+    val out = graft.ops.Features.lagFeatures(
+      rows.zipWithIndex.map { case ((k, s), i) => (k, s, i.toLong) }
+        .toDF("event_type", "ts", "event_id"), "event_type", "ts")
+      .select("day", "roll7", "lag7")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    val base = out.map(_._1).min
+    val byDay = out.map(r => (r._1 - base + 1) -> ((r._2, r._3))).toMap
+    assert(byDay(5L)._1 === Some(4L))
+    assert(byDay(8L)._1 === Some(7L) && byDay(8L)._2 === Some(1L))
+  }
+
+  // ---- WebOps.pathRollup --------------------------------------------
+
+  test("pathRollup: parents absorb descendants; exact hits split out; depth guard raises") {
+    import graft.ext.WebOps
+    val paths = Seq("/a/b/c", "/a/b", "/a/x", "/d").toDF("path")
+    val out = WebOps.pathRollup(paths, "path")
+      .as[(String, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      ("/a", 1, 3L, 0L),       // 3 rows pass through /a, none ends there
+      ("/a/b", 2, 2L, 1L),     // /a/b/c + /a/b; one exact
+      ("/a/b/c", 3, 1L, 1L),
+      ("/a/x", 2, 1L, 1L),
+      ("/d", 1, 1L, 1L)))
+    val deep = Seq("/" + (1 to 17).map(_.toString).mkString("/")).toDF("path")
+    val e = intercept[Exception] { WebOps.pathRollup(deep, "path").collect() }
+    assert(e.getMessage.contains("deeper than maxDepth"))
+  }
+
+  // ---- Audit.lorenzGini ---------------------------------------------
+
+  test("lorenzGini: uniform → 0, total concentration → (n−1)/n, envelope guard raises") {
+    import graft.ops.Audit
+    val uniform = (1L to 10L).map(k => ("g", k, 50L)).toDF("grp", "key", "v")
+    val g0 = Audit.lorenzGini(uniform, "grp", "key", "v")
+      .select("gini").as[Double].head()
+    assert(g0 === 0.0)
+    // one key holds everything: G = Σ(2i−n−1)c over n·total with only
+    // i = n contributing → (n−1)/n
+    val conc = (1L to 10L).map(k => ("g", k, if (k == 10L) 1000L else 0L))
+      .toDF("grp", "key", "v")
+    val g1 = Audit.lorenzGini(conc, "grp", "key", "v")
+      .select("gini").as[Double].head()
+    assert(g1 === 0.9)
+    val huge = Seq(("g", 1L, 3000000000000000000L), ("g", 2L, 1L))
+      .toDF("grp", "key", "v")
+    val e = intercept[Exception] {
+      Audit.lorenzGini(huge, "grp", "key", "v").collect()
+    }
+    assert(e.getMessage.contains("int64 envelope"))
+  }
+
   // ---- VARIANT null-vs-missing pin ----------------------------------
 
   test("variant path: present-but-null and absent fields are distinguishable (the variant_extract contract)") {
