@@ -1207,6 +1207,9 @@ object SparkEntry {
           count(when(col("ok"), 1)).as("n_ok"),
           count(when(col("note_null"), 1)).as("n_note_null"),
           sum(col("tag0")).as("sum_tag0"))),
+    // one-pass dynamic column profiler (catalog/contract bootstrap);
+    // metrics fan out inside a single agg whatever the column count
+    "table_profile" -> ((s, d) => Audit.tableProfile(Tables.orders(s, d))),
     // per-(type, day) supervised forecasting matrix: value-ranged lags
     // (gaps break adjacency — no leakage, no fabricated zeros)
     "lag_features" -> ((s, d) =>
@@ -6233,6 +6236,39 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 END) AS BIGINT) AS sum_tag0
         |FROM events
         |GROUP BY 1""".stripMargin,
+    "table_profile" ->
+      // the profile unrolled: one aggregate CTE, one SELECT per column
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    COUNT(o_orderkey) AS c1, COUNT(DISTINCT o_orderkey) AS d1,
+        |      CAST(MIN(o_orderkey) AS DOUBLE) AS mn1, CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+        |    COUNT(o_custkey) AS c2, COUNT(DISTINCT o_custkey) AS d2,
+        |      CAST(MIN(o_custkey) AS DOUBLE) AS mn2, CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+        |    COUNT(o_orderstatus) AS c3, COUNT(DISTINCT o_orderstatus) AS d3,
+        |      MIN(o_orderstatus) AS ms3, MAX(o_orderstatus) AS xs3,
+        |    COUNT(o_totalprice) AS c4, COUNT(DISTINCT o_totalprice) AS d4,
+        |      CAST(MIN(o_totalprice) AS DOUBLE) AS mn4, CAST(MAX(o_totalprice) AS DOUBLE) AS mx4,
+        |    COUNT(o_orderdate) AS c5, COUNT(DISTINCT o_orderdate) AS d5,
+        |      CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS ms5,
+        |      CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS xs5,
+        |    COUNT(o_orderpriority) AS c6, COUNT(DISTINCT o_orderpriority) AS d6,
+        |      MIN(o_orderpriority) AS ms6, MAX(o_orderpriority) AS xs6
+        |  FROM orders
+        |)
+        |SELECT 'o_orderkey' AS "column", 'numeric' AS dtype, n,
+        |       CAST(n - c1 AS BIGINT) AS n_null, CAST(d1 AS BIGINT) AS n_distinct,
+        |       d1 = n AS is_unique, mn1 AS min_num, mx1 AS max_num,
+        |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+        |UNION ALL SELECT 'o_custkey', 'numeric', n, CAST(n - c2 AS BIGINT),
+        |       CAST(d2 AS BIGINT), d2 = n, mn2, mx2, NULL, NULL FROM a
+        |UNION ALL SELECT 'o_orderstatus', 'string', n, CAST(n - c3 AS BIGINT),
+        |       CAST(d3 AS BIGINT), d3 = n, NULL, NULL, ms3, xs3 FROM a
+        |UNION ALL SELECT 'o_totalprice', 'numeric', n, CAST(n - c4 AS BIGINT),
+        |       CAST(d4 AS BIGINT), d4 = n, mn4, mx4, NULL, NULL FROM a
+        |UNION ALL SELECT 'o_orderdate', 'timestamp', n, CAST(n - c5 AS BIGINT),
+        |       CAST(d5 AS BIGINT), d5 = n, NULL, NULL, ms5, xs5 FROM a
+        |UNION ALL SELECT 'o_orderpriority', 'string', n, CAST(n - c6 AS BIGINT),
+        |       CAST(d6 AS BIGINT), d6 = n, NULL, NULL, ms6, xs6 FROM a""".stripMargin,
     "lag_features" ->
       // DuckDB's integer-RANGE windows mirror the Spark frames; QUALIFY
       // drops rows whose label day is unobserved, same as the IS NOT

@@ -571,6 +571,76 @@ object Audit {
         (col("n_lab").cast("double") / col("n").cast("double")).as("purity"))
   }
 
+  /** One-pass column profiler — the data-catalog / data-contract
+    * bootstrap (what Deequ's profiler and every warehouse "analyze
+    * table" job compute): per column, row count, null count, EXACT
+    * distinct count, uniqueness verdict, and typed min/max (numerics as
+    * doubles; strings and day-granularity timestamps as strings). The
+    * whole profile is ONE aggregate pass whatever the column count —
+    * metrics fan out as expressions inside a single agg, then pivot to
+    * long (column, metric…) rows via an in-row explode; a per-column
+    * job loop would scan the table C times.
+    *
+    * Notes for the gate: dtype is a engine-neutral class label
+    * (numeric/string/timestamp/other), not a type NAME; timestamp
+    * min/max are emitted at DATE granularity (engine-identical
+    * rendering), numerics as exact doubles.
+    */
+  def tableProfile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.toSeq
+    def cls(dt: DataType): String = dt match {
+      case _: NumericType => "numeric"
+      case StringType => "string"
+      case TimestampType | TimestampNTZType | DateType => "timestamp"
+      case _ => "other"
+    }
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        count(c).as(s"__c_${f.name}"),
+        count_distinct(c).as(s"__d_${f.name}"))
+      val typed = cls(f.dataType) match {
+        case "numeric" => Seq(
+          min(c).cast("double").as(s"__mn_${f.name}"),
+          max(c).cast("double").as(s"__mx_${f.name}"),
+          lit(null).cast("string").as(s"__ms_${f.name}"),
+          lit(null).cast("string").as(s"__xs_${f.name}"))
+        case "string" => Seq(
+          lit(null).cast("double").as(s"__mn_${f.name}"),
+          lit(null).cast("double").as(s"__mx_${f.name}"),
+          min(c).as(s"__ms_${f.name}"),
+          max(c).as(s"__xs_${f.name}"))
+        case "timestamp" => Seq(
+          lit(null).cast("double").as(s"__mn_${f.name}"),
+          lit(null).cast("double").as(s"__mx_${f.name}"),
+          min(c.cast("date")).cast("string").as(s"__ms_${f.name}"),
+          max(c.cast("date")).cast("string").as(s"__xs_${f.name}"))
+        case _ => Seq(
+          lit(null).cast("double").as(s"__mn_${f.name}"),
+          lit(null).cast("double").as(s"__mx_${f.name}"),
+          lit(null).cast("string").as(s"__ms_${f.name}"),
+          lit(null).cast("string").as(s"__xs_${f.name}"))
+      }
+      base ++ typed
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = fields.map { f =>
+      struct(
+        lit(f.name).as("column"),
+        lit(cls(f.dataType)).as("dtype"),
+        col("__n").as("n"),
+        (col("__n") - col(s"__c_${f.name}")).as("n_null"),
+        col(s"__d_${f.name}").as("n_distinct"),
+        (col(s"__d_${f.name}") === col("__n")).as("is_unique"),
+        col(s"__mn_${f.name}").as("min_num"),
+        col(s"__mx_${f.name}").as("max_num"),
+        col(s"__ms_${f.name}").as("min_str"),
+        col(s"__xs_${f.name}").as("max_str"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Per-group Gini concentration of an integer measure — the "10% of
     * keys carry 80% of the load" audit that decides whether a dataset
     * needs skew handling BEFORE a job hits it (a high-Gini key column is

@@ -658,6 +658,35 @@ class IntegritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("deeper than maxDepth"))
   }
 
+  // ---- Audit.tableProfile -------------------------------------------
+
+  test("tableProfile: per-column nulls/distincts/typed min-max in one pass") {
+    import graft.ops.Audit
+    val df = Seq(
+      (1L, Option("x"), Option(2.5), Option(ts("2024-03-01 10:00:00"))),
+      (2L, Option("y"), None, Option(ts("2024-03-05 10:00:00"))),
+      (2L, None, Option(7.5), None))
+      .toDF("id", "s", "v", "t")
+    val out = Audit.tableProfile(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert(id.getString(1) === "numeric" && id.getLong(2) === 3L &&
+      id.getLong(3) === 0L && id.getLong(4) === 2L && !id.getBoolean(5))
+    assert(id.getDouble(6) === 1.0 && id.getDouble(7) === 2.0)
+    val s = out("s")
+    assert(s.getString(1) === "string" && s.getLong(3) === 1L &&
+      s.getLong(4) === 2L && s.getString(8) === "x" && s.getString(9) === "y")
+    val v = out("v")
+    assert(v.getLong(3) === 1L && v.getDouble(6) === 2.5 && v.getDouble(7) === 7.5)
+    val t = out("t")
+    assert(t.getString(1) === "timestamp" && t.getString(8) === "2024-03-01" &&
+      t.getString(9) === "2024-03-05")
+    // the one-pass claim: a single aggregate over the input — no
+    // per-column scan loop (plan holds exactly one scan of the frame)
+    val plan = Audit.tableProfile(df).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"))
+  }
+
   // ---- Audit.lorenzGini ---------------------------------------------
 
   test("lorenzGini: uniform → 0, total concentration → (n−1)/n, envelope guard raises") {
