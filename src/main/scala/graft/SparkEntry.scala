@@ -6257,18 +6257,18 @@ object SparkEntry {
         |)
         |SELECT 'o_orderkey' AS "column", 'numeric' AS dtype, n,
         |       CAST(n - c1 AS BIGINT) AS n_null, CAST(d1 AS BIGINT) AS n_distinct,
-        |       d1 = n AS is_unique, mn1 AS min_num, mx1 AS max_num,
+        |       d1 = c1 AS is_unique, mn1 AS min_num, mx1 AS max_num,
         |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
         |UNION ALL SELECT 'o_custkey', 'numeric', n, CAST(n - c2 AS BIGINT),
-        |       CAST(d2 AS BIGINT), d2 = n, mn2, mx2, NULL, NULL FROM a
+        |       CAST(d2 AS BIGINT), d2 = c2, mn2, mx2, NULL, NULL FROM a
         |UNION ALL SELECT 'o_orderstatus', 'string', n, CAST(n - c3 AS BIGINT),
-        |       CAST(d3 AS BIGINT), d3 = n, NULL, NULL, ms3, xs3 FROM a
+        |       CAST(d3 AS BIGINT), d3 = c3, NULL, NULL, ms3, xs3 FROM a
         |UNION ALL SELECT 'o_totalprice', 'numeric', n, CAST(n - c4 AS BIGINT),
-        |       CAST(d4 AS BIGINT), d4 = n, mn4, mx4, NULL, NULL FROM a
+        |       CAST(d4 AS BIGINT), d4 = c4, mn4, mx4, NULL, NULL FROM a
         |UNION ALL SELECT 'o_orderdate', 'timestamp', n, CAST(n - c5 AS BIGINT),
-        |       CAST(d5 AS BIGINT), d5 = n, NULL, NULL, ms5, xs5 FROM a
+        |       CAST(d5 AS BIGINT), d5 = c5, NULL, NULL, ms5, xs5 FROM a
         |UNION ALL SELECT 'o_orderpriority', 'string', n, CAST(n - c6 AS BIGINT),
-        |       CAST(d6 AS BIGINT), d6 = n, NULL, NULL, ms6, xs6 FROM a""".stripMargin,
+        |       CAST(d6 AS BIGINT), d6 = c6, NULL, NULL, ms6, xs6 FROM a""".stripMargin,
     "lag_features" ->
       // DuckDB's integer-RANGE windows mirror the Spark frames; QUALIFY
       // drops rows whose label day is unobserved, same as the IS NOT

@@ -391,10 +391,23 @@ object Sampling {
     require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
     val spark = documents.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // shingles via posexplode + window leads, NOT the array-transform
+    // shingleExpr: project collapsing re-inlines the split() into every
+    // element_at of the transform (the quadratic-tokenize trap
+    // ext/Dedup.scala documents — its fix is a compiled hash Expression,
+    // but HERE the oracle needs the shingle STRINGS, so the window form
+    // is the codegen-friendly equivalent; measured 7.4 s → ~1 s at sf0.1)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val sh = documents
       .where(col("text").isNotNull && col("doc_id").isNotNull)
       .select(col("doc_id"),
-        explode(expr(TextOps.shingleExpr("split(lower(text), ' ')"))).as("sh"))
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .withColumn("sh", concat(col("tok"), lit(" "),
+        lead(col("tok"), 1).over(w), lit(" "), lead(col("tok"), 2).over(w)))
+      .where(col("sh").isNotNull)
+      .select(col("doc_id"), col("sh"))
+      .distinct()
       .persist()
     try {
       val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]

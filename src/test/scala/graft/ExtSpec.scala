@@ -137,6 +137,9 @@ class ExtSpec extends AnyFunSuite {
       // round 13: jsonIngestBatch's per-batch flagged pin (one parse
       // feeds both the clean and dead-letter writes), finally-released
       "src/main/scala/graft/ext/WebOps.scala" -> 1,
+      // round 13 continuation: coverageSelect's shingle-frame pin (k
+      // greedy rounds each re-aggregate it), unpersisted in its finally
+      "src/main/scala/graft/ext/Sampling.scala" -> 1,
       // dev measurement instrument, not library code: pins the prebuilt
       // PqIndex for the serve-regime timing and unpersists in-run
       "src/main/scala/graft/AdcServeProbe.scala" -> 2)

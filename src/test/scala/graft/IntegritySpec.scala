@@ -672,6 +672,9 @@ class IntegritySpec extends AnyFunSuite {
     val id = out("id")
     assert(id.getString(1) === "numeric" && id.getLong(2) === 3L &&
       id.getLong(3) === 0L && id.getLong(4) === 2L && !id.getBoolean(5))
+    // uniqueness is among non-nulls: s and t each have 2 non-null,
+    // 2 distinct → unique despite the null
+    assert(out("s").getBoolean(5) && out("t").getBoolean(5))
     assert(id.getDouble(6) === 1.0 && id.getDouble(7) === 2.0)
     val s = out("s")
     assert(s.getString(1) === "string" && s.getLong(3) === 1L &&
@@ -685,6 +688,14 @@ class IntegritySpec extends AnyFunSuite {
     // per-column scan loop (plan holds exactly one scan of the frame)
     val plan = Audit.tableProfile(df).queryExecution.optimizedPlan.toString
     assert(!plan.contains("Union"))
+    // the production arm: approx distincts skip the multi-distinct
+    // Expand entirely (the 6× row-replication the exact arm pays) and
+    // still call the unique/non-unique columns correctly here
+    val approx = Audit.tableProfile(df, exactDistinct = false)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(Audit.tableProfile(df).queryExecution.executedPlan.toString.contains("Expand"))
+    val av = approx.collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(!av("id") && av("t")) // t's 2 non-null values are distinct
   }
 
   // ---- Audit.lorenzGini ---------------------------------------------
