@@ -1207,6 +1207,16 @@ object SparkEntry {
           count(when(col("ok"), 1)).as("n_ok"),
           count(when(col("note_null"), 1)).as("n_note_null"),
           sum(col("tag0")).as("sum_tag0"))),
+    // percentile_cont-convention interpolated quantiles: element picks
+    // and interpolate-or-not decided in int64, one IEEE lerp at the end
+    "quantile_interp" -> ((s, d) =>
+      graft.ops.Quality.quantileInterp(Tables.events(s, d), "event_type", "value")),
+    // exact two-sample KS: is the purchase value distribution the same
+    // as the click one — unbinned D with integer witnesses, computed
+    // with two-level prefix sums (no global-order window)
+    "ks_test" -> ((s, d) =>
+      graft.ops.Quality.ksTest(Tables.events(s, d), "event_type", "value",
+        "purchase", "click")),
     // one-pass dynamic column profiler (catalog/contract bootstrap);
     // metrics fan out inside a single agg whatever the column count
     "table_profile" -> ((s, d) => Audit.tableProfile(Tables.orders(s, d))),
@@ -6236,6 +6246,47 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 END) AS BIGINT) AS sum_tag0
         |FROM events
         |GROUP BY 1""".stripMargin,
+    "quantile_interp" ->
+      // same construction, not quantile_cont(): the gate needs the
+      // IDENTICAL expression tree, not an engine's internal convention
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), r AS (
+        |  SELECT g, v,
+        |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |         COUNT(*) OVER (PARTITION BY g) AS n,
+        |         LEAD(v, 1) OVER (PARTITION BY g ORDER BY v) AS hi
+        |  FROM v
+        |)
+        |SELECT g AS event_type, q AS q_permille, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN (q * (n - 1)) % 1000 = 0 THEN v
+        |            ELSE v + (CAST((q * (n - 1)) % 1000 AS DOUBLE) / 1000.0) * (hi - v)
+        |       END AS value
+        |FROM r CROSS JOIN (SELECT CAST(unnest([500, 900, 990]) AS INTEGER) AS q) qs
+        |WHERE rn = (q * (n - 1)) // 1000 + 1""".stripMargin,
+    "ks_test" ->
+      // the oracle's cumulative is a plain ordered window — value
+      // cardinality is DuckDB-sized at the gate SF; the Spark side's
+      // two-level scan must land on the identical integer witness
+      """WITH c AS (
+        |  SELECT value AS v,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+        |  GROUP BY 1
+        |), w AS (
+        |  SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM c
+        |), t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM c)
+        |SELECT t.n_a, t.n_b,
+        |       CAST(MAX(abs(w.cuma * t.n_b - w.cumb * t.n_a)) AS BIGINT) AS d_num,
+        |       CAST(CAST(MAX(abs(w.cuma * t.n_b - w.cumb * t.n_a)) AS BIGINT) AS DOUBLE)
+        |         / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)) AS d
+        |FROM w CROSS JOIN t
+        |GROUP BY t.n_a, t.n_b""".stripMargin,
     "table_profile" ->
       // the profile unrolled: one aggregate CTE, one SELECT per column
       """WITH a AS (

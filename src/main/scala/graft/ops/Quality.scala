@@ -746,6 +746,54 @@ object Quality {
     }.reduce(_ unionAll _)
   }
 
+  /** Linearly-INTERPOLATED per-group quantiles (SQL `percentile_cont`
+    * semantics, the convention dashboards and numpy default to) — the
+    * continuous twin of [[quantileElements]]' exact-element form. At
+    * permille q over n values, the target rank is r = q·(n−1)/1000: the
+    * result is element ⌊r⌋ when r is integral, else the ONE IEEE lerp
+    * lo + frac·(hi − lo) between the two neighboring exact elements.
+    * The fractional part is carried as an exact integer remainder
+    * (q·(n−1) mod 1000), so which elements interpolate — and whether
+    * interpolation happens at all — is decided in int64; only the final
+    * lerp is float, making the row hash-gatable against any engine with
+    * the same convention.
+    *
+    * Shapes: identical to [[quantileElements]] — one group-bounded rank
+    * window, then a filter per requested quantile; |groups|·|q| rows.
+    */
+  def quantileInterp(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qPermille: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 0 && q <= 1000),
+      s"qPermille values must be in [0,1000], got $qPermille")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+    val wN = Window.partitionBy(col("_g"))
+    val ranked = df
+      .select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wN))
+      .withColumn("_hi", lead(col("_v"), 1).over(w))
+    qPermille.distinct.sorted.map { q =>
+      ranked
+        // target rank r = q(n−1)/1000 (0-based): keep the row at ⌊r⌋,
+        // i.e. 1-based _rn = ⌊r⌋+1 = (q(n−1)) div 1000 + 1
+        .where(col("_rn") === expr(s"(${q}L * (_n - 1)) div 1000 + 1"))
+        .select(
+          col("_g").as(groupCol), lit(q).as("q_permille"),
+          col("_n").cast("bigint").as("n"),
+          // frac = (q(n−1) mod 1000)/1000, exactly 0 ⇔ no interpolation
+          when(expr(s"(${q}L * (_n - 1)) % 1000") === 0L, col("_v"))
+            .otherwise(col("_v") +
+              (expr(s"cast((${q}L * (_n - 1)) % 1000 as double) / 1000.0d") *
+                (col("_hi") - col("_v"))))
+            .as("value"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Two-proportion A/B comparison: per-variant exposed/converted counts,
     * exact-ratio conversion rates, absolute and relative lift, and the
     * pooled two-proportion z statistic. Counts are exact int64; every
@@ -856,6 +904,67 @@ object Quality {
         "variant", "n", "sx", "sy", "sxy", "theta", "mean_y", "mean_y_adj",
         "var_y", "var_y_adj",
         "case when var_y > 0.0d then 100.0d * (1.0d - var_y_adj / var_y) end as var_reduction_pct")
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic, distributed — the
+    * unbinned complement to [[psiDrift]]'s binned PSI: D = max over the
+    * pooled support of |F_a − F_b|, computed as the integer witness
+    * D_num = max |n_b·cum_a(v) − n_a·cum_b(v)| with ONE terminal
+    * division by n_a·n_b, so threshold decisions are exact (int64
+    * envelope: n_a·n_b < 2⁶³ holds to ~3·10⁹ rows per side).
+    *
+    * The cumulative sums deliberately do NOT use a global-ORDER window
+    * (the scale-killer [[graft.plans.PlanLint]] exists to flag): the
+    * per-value counts are range-partitioned on the value, each
+    * partition computes LOCAL running sums, and the 32 per-partition
+    * totals broadcast back as prefix offsets — the classic two-level
+    * scan that keeps exact order statistics parallel. The per-partition
+    * ROWS window is partition-bounded; results are independent of where
+    * the range boundaries land, so the (sampling-based, internally
+    * nondeterministic) range partitioner cannot move the answer.
+    */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .where(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val parts = counts
+      .repartitionByRange(32, col("v"))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy(col("pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts
+      .withColumn("lca", sum(col("ca")).over(localW))
+      .withColumn("lcb", sum(col("cb")).over(localW))
+    val offW = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // 32 rows — the "global" window here is over partition TOTALS, a
+    // constant-size frame, not the data
+    val offsets = parts.groupBy(col("pid"))
+      .agg(sum(col("ca")).as("pa"), sum(col("cb")).as("pb"))
+      .withColumn("oa", coalesce(sum(col("pa")).over(offW), lit(0L)))
+      .withColumn("ob", coalesce(sum(col("pb")).over(offW), lit(0L)))
+      .select(col("pid"), col("oa"), col("ob"))
+    val cums = local.join(broadcast(offsets), "pid")
+      .select(
+        (col("lca") + col("oa")).as("cuma"),
+        (col("lcb") + col("ob")).as("cumb"))
+    val tot = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cums.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))).as("d_num"))
+      .selectExpr("n_a", "n_b", "d_num",
+        "cast(d_num as double) / (cast(n_a as double) * cast(n_b as double)) as d")
   }
 
   /** Per-group NULL imputation with the exact LOWER-MEDIAN of the

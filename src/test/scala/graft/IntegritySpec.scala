@@ -658,6 +658,42 @@ class IntegritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("deeper than maxDepth"))
   }
 
+  // ---- Quality.quantileInterp ---------------------------------------
+
+  test("quantileInterp: exact-hit ranks skip the lerp; fractional ranks interpolate the neighbors") {
+    // n=5, values 10..50: p500 → r=2.0 exact → 30; p900 → r=3.6 →
+    // 40 + 0.6·10 = 46; p990 → r=3.96 → 40 + 0.96·10 = 49.6
+    val df = Seq(10.0, 20.0, 30.0, 40.0, 50.0).map(("g", _)).toDF("k", "v")
+    val out = Quality.quantileInterp(df, "k", "v")
+      .select("q_permille", "value").as[(Int, Double)].collect().toMap
+    assert(out(500) === 30.0)
+    assert(out(900) === 40.0 + 0.6 * 10.0)
+    assert(out(990) === 40.0 + 0.96 * 10.0)
+    // numpy parity (default 'linear'): percentile([10..50], 99) = 49.6
+    assert(math.abs(out(990) - 49.6) < 1e-12)
+    // duplicate values: interpolation between equal elements is exact
+    val dup = Seq(1.0, 1.0, 2.0).map(("g", _)).toDF("k", "v")
+    val d = Quality.quantileInterp(dup, "k", "v", Seq(500))
+      .select("value").as[Double].head()
+    assert(d === 1.0) // r = 1.0 exact → middle element
+  }
+
+  // ---- Quality.ksTest -----------------------------------------------
+
+  test("ksTest: separation → D=1, identity → D=0, interleave → exact fraction") {
+    def run(a: Seq[Double], b: Seq[Double]): (Long, Long, Long, Double) =
+      Quality.ksTest(
+        (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v"),
+        "g", "v", "A", "B")
+        .as[(Long, Long, Long, Double)].head()
+    assert(run(Seq(1, 2, 3), Seq(4, 5, 6)) === ((3L, 3L, 9L, 1.0)))
+    assert(run(Seq(1, 2, 3), Seq(1, 2, 3)) === ((3L, 3L, 0L, 0.0)))
+    // A={1,3}, B={2,4}: max gap is 1/2 at v=1 and v=3
+    assert(run(Seq(1, 3), Seq(2, 4)) === ((2L, 2L, 2L, 0.5)))
+    // duplicated values collapse to one support point with weight
+    assert(run(Seq(1, 1, 1, 2), Seq(1, 2, 2, 2)) === ((4L, 4L, 8L, 0.5)))
+  }
+
   // ---- Audit.tableProfile -------------------------------------------
 
   test("tableProfile: per-column nulls/distincts/typed min-max in one pass") {
