@@ -1207,6 +1207,14 @@ object SparkEntry {
           count(when(col("ok"), 1)).as("n_ok"),
           count(when(col("note_null"), 1)).as("n_note_null"),
           sum(col("tag0")).as("sum_tag0"))),
+    // exact tie-aware ROC-AUC: does spend value rank purchases above
+    // other events — Mann-Whitney with integer witnesses
+    "roc_auc" -> ((s, d) =>
+      graft.ops.Quality.rocAuc(
+        Tables.events(s, d).where(col("value").isNotNull)
+          .select(expr("cast(floor(value) as bigint)").as("sc"),
+            (col("event_type") === "purchase").as("y")),
+        "sc", "y")),
     // percentile_cont-convention interpolated quantiles: element picks
     // and interpolate-or-not decided in int64, one IEEE lerp at the end
     "quantile_interp" -> ((s, d) =>
@@ -6246,6 +6254,30 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 END) AS BIGINT) AS sum_tag0
         |FROM events
         |GROUP BY 1""".stripMargin,
+    "roc_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS sc,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT sc, CAST(SUM(y) AS BIGINT) AS cp, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM s GROUP BY 1
+        |), w AS (
+        |  SELECT sc, cp, ct,
+        |         COALESCE(SUM(ct) OVER (ORDER BY sc
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+        |  FROM g
+        |), t AS (
+        |  SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |         CAST(SUM(ct) - SUM(cp) AS BIGINT) AS n_neg
+        |  FROM g
+        |)
+        |SELECT t.n_pos, t.n_neg,
+        |       CAST(SUM(cp * (2 * b + ct + 1)) - t.n_pos * (t.n_pos + 1) AS BIGINT) AS auc_num2,
+        |       CAST(CAST(SUM(cp * (2 * b + ct + 1)) - t.n_pos * (t.n_pos + 1) AS BIGINT) AS DOUBLE)
+        |         / (2.0 * CAST(t.n_pos AS DOUBLE) * CAST(t.n_neg AS DOUBLE)) AS auc
+        |FROM w CROSS JOIN t
+        |GROUP BY t.n_pos, t.n_neg""".stripMargin,
     "quantile_interp" ->
       // same construction, not quantile_cont(): the gate needs the
       // IDENTICAL expression tree, not an engine's internal convention

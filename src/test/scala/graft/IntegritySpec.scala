@@ -658,6 +658,23 @@ class IntegritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("deeper than maxDepth"))
   }
 
+  // ---- Quality.rocAuc -----------------------------------------------
+
+  test("rocAuc: perfect separation → 1, reversal → 0, all-tied → 0.5, mixed ties exact") {
+    def run(rows: Seq[(Long, Boolean)]): (Long, Long, Long, Double) =
+      Quality.rocAuc(rows.toDF("sc", "y"), "sc", "y")
+        .as[(Long, Long, Long, Double)].head()
+    assert(run(Seq((1L, false), (2L, false), (3L, true), (4L, true))) ===
+      ((2L, 2L, 8L, 1.0)))
+    assert(run(Seq((4L, false), (5L, false), (1L, true), (2L, true))) ===
+      ((2L, 2L, 0L, 0.0)))
+    assert(run(Seq((7L, true), (7L, false), (7L, true), (7L, false))) ===
+      ((2L, 2L, 4L, 0.5)))
+    // hand case with a mixed tie: scores pos {2, 3}, neg {1, 3}.
+    // pairs: (2>1)=1, (2vs3)=0, (3>1)=1, (3=3)=0.5 → AUC = 2.5/4
+    assert(run(Seq((2L, true), (3L, true), (1L, false), (3L, false)))._4 === 0.625)
+  }
+
   // ---- Quality.quantileInterp ---------------------------------------
 
   test("quantileInterp: exact-hit ranks skip the lerp; fractional ranks interpolate the neighbors") {
