@@ -1207,6 +1207,20 @@ object SparkEntry {
           count(when(col("ok"), 1)).as("n_ok"),
           count(when(col("note_null"), 1)).as("n_note_null"),
           sum(col("tag0")).as("sum_tag0"))),
+    // schema-contract diff between the real orders schema and a v2 with
+    // a drop, an add, a widening, and a narrowing — the oracle is the
+    // expected worklist spelled out (metadata op: the VALUES are the
+    // spec)
+    "schema_diff" -> ((s, d) => {
+      val v1 = Tables.orders(s, d).schema
+      val v2 = Tables.orders(s, d)
+        .drop("o_orderpriority")
+        .withColumn("o_shippriority", lit(1))
+        .withColumn("o_custkey", col("o_custkey").cast("int"))
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        .schema
+      Audit.schemaDiff(s, v1, v2)
+    }),
     // exact tie-aware ROC-AUC: does spend value rank purchases above
     // other events — Mann-Whitney with integer witnesses
     "roc_auc" -> ((s, d) =>
@@ -6254,6 +6268,16 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 END) AS BIGINT) AS sum_tag0
         |FROM events
         |GROUP BY 1""".stripMargin,
+    "schema_diff" ->
+      // metadata op: the expected contract-review worklist IS the spec.
+      // Note the two deliberate verdicts: ntz→ltz is a SEMANTIC change
+      // (breaking), and the added column is non-nullable (breaking)
+      """SELECT * FROM (VALUES
+        |  ('o_custkey', 'type_changed', 'bigint', 'int', true),
+        |  ('o_orderdate', 'type_changed', 'timestamp_ntz', 'timestamp', true),
+        |  ('o_orderpriority', 'removed', 'string', CAST(NULL AS VARCHAR), true),
+        |  ('o_shippriority', 'added', CAST(NULL AS VARCHAR), 'int', true)
+        |) AS t("column", change, old_type, new_type, breaking)""".stripMargin,
     "roc_auc" ->
       """WITH s AS (
         |  SELECT CAST(floor(value) AS BIGINT) AS sc,

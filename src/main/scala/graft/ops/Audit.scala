@@ -571,6 +571,53 @@ object Audit {
         (col("n_lab").cast("double") / col("n").cast("double")).as("purity"))
   }
 
+  /** Schema-contract diff — the breaking-change classifier a data
+    * contract check runs before a producer ships a new table version:
+    * every column-level difference between two schemas, each tagged
+    * `breaking` by the reader-compatibility rules (a REMOVED column
+    * breaks readers; a type change breaks unless it is a lossless
+    * widening; nullability TIGHTENING is safe for readers while
+    * LOOSENING breaks consumers that assumed non-null; an added
+    * nullable column is the one always-safe evolution). Unchanged
+    * columns emit nothing — the diff is the contract review's
+    * worklist, not a schema dump. Pure metadata: zero jobs, zero scans.
+    */
+  def schemaDiff(
+      spark: org.apache.spark.sql.SparkSession,
+      old: org.apache.spark.sql.types.StructType,
+      neu: org.apache.spark.sql.types.StructType): DataFrame = {
+    val widenings = Set(
+      "tinyint->smallint", "tinyint->int", "tinyint->bigint",
+      "smallint->int", "smallint->bigint", "int->bigint",
+      "float->double", "date->timestamp")
+    val o = old.fields.map(f => f.name -> f).toMap
+    val n = neu.fields.map(f => f.name -> f).toMap
+    val rows = (old.fieldNames ++ neu.fieldNames).distinct.toSeq.flatMap { name =>
+      (o.get(name), n.get(name)) match {
+        case (Some(f), None) =>
+          Seq((name, "removed", f.dataType.simpleString, null: String, true))
+        case (None, Some(f)) =>
+          Seq((name, "added", null: String, f.dataType.simpleString, !f.nullable))
+        case (Some(a), Some(b)) =>
+          val t =
+            if (a.dataType != b.dataType)
+              Seq((name, "type_changed", a.dataType.simpleString, b.dataType.simpleString,
+                !widenings.contains(s"${a.dataType.simpleString}->${b.dataType.simpleString}")))
+            else Nil
+          val nl =
+            if (a.nullable != b.nullable)
+              Seq((name,
+                if (b.nullable) "nullability_loosened" else "nullability_tightened",
+                a.dataType.simpleString, b.dataType.simpleString, b.nullable))
+            else Nil
+          t ++ nl
+        case (None, None) => Nil
+      }
+    }
+    import spark.implicits._
+    rows.toDF("column", "change", "old_type", "new_type", "breaking")
+  }
+
   /** One-pass column profiler — the data-catalog / data-contract
     * bootstrap (what Deequ's profiler and every warehouse "analyze
     * table" job compute): per column, row count, null count, EXACT

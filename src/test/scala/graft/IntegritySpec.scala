@@ -658,6 +658,34 @@ class IntegritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("deeper than maxDepth"))
   }
 
+  // ---- Audit.schemaDiff ---------------------------------------------
+
+  test("schemaDiff: widenings pass, narrowings/removals break, nullability direction matters") {
+    import org.apache.spark.sql.types._
+    val v1 = StructType(Seq(
+      StructField("a", IntegerType, nullable = true),
+      StructField("b", LongType, nullable = true),
+      StructField("c", StringType, nullable = true),
+      StructField("d", StringType, nullable = false),
+      StructField("same", DoubleType, nullable = true)))
+    val v2 = StructType(Seq(
+      StructField("a", LongType, nullable = true), // widened: safe
+      StructField("b", IntegerType, nullable = true), // narrowed: breaking
+      StructField("c", StringType, nullable = false), // tightened: safe
+      StructField("d", StringType, nullable = true), // loosened: breaking
+      StructField("same", DoubleType, nullable = true), // unchanged: silent
+      StructField("e", StringType, nullable = true))) // added nullable: safe
+    val out = graft.ops.Audit.schemaDiff(spark, v1, v2)
+      .as[(String, String, String, String, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(out === Map(
+      ("a", "type_changed") -> false,
+      ("b", "type_changed") -> true,
+      ("c", "nullability_tightened") -> false,
+      ("d", "nullability_loosened") -> true,
+      ("e", "added") -> false))
+  }
+
   // ---- Quality.rocAuc -----------------------------------------------
 
   test("rocAuc: perfect separation → 1, reversal → 0, all-tied → 0.5, mixed ties exact") {
