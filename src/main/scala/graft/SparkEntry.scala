@@ -1207,6 +1207,10 @@ object SparkEntry {
           count(when(col("ok"), 1)).as("n_ok"),
           count(when(col("note_null"), 1)).as("n_note_null"),
           sum(col("tag0")).as("sum_tag0"))),
+    // seasonal-naive vs naive MASE backtest over per-type daily counts:
+    // the baseline bar any trained forecaster must beat
+    "forecast_backtest" -> ((s, d) =>
+      graft.ops.Features.forecastBacktest(Tables.events(s, d), "event_type", "ts")),
     // schema-contract diff between the real orders schema and a v2 with
     // a drop, an add, a widening, and a narrowing — the oracle is the
     // expected worklist spelled out (metadata op: the VALUES are the
@@ -6268,6 +6272,31 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 END) AS BIGINT) AS sum_tag0
         |FROM events
         |GROUP BY 1""".stripMargin,
+    "forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), l AS (
+        |  SELECT key, n,
+        |         MAX(n) OVER (PARTITION BY key ORDER BY day
+        |           RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag1,
+        |         MAX(n) OVER (PARTITION BY key ORDER BY day
+        |           RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag7
+        |  FROM daily
+        |)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       CAST(COUNT(lag7) AS BIGINT) AS pairs_seasonal,
+        |       CAST(COUNT(lag1) AS BIGINT) AS pairs_naive,
+        |       CAST(SUM(abs(n - lag7)) AS BIGINT) AS sae_seasonal,
+        |       CAST(SUM(abs(n - lag1)) AS BIGINT) AS sae_naive,
+        |       CASE WHEN SUM(abs(n - lag1)) > 0 AND COUNT(lag7) > 0 THEN
+        |         CAST(CAST(SUM(abs(n - lag7)) AS BIGINT) * CAST(COUNT(lag1) AS BIGINT) AS DOUBLE)
+        |           / CAST(CAST(SUM(abs(n - lag1)) AS BIGINT) * CAST(COUNT(lag7) AS BIGINT) AS DOUBLE)
+        |       END AS mase
+        |FROM l GROUP BY 1""".stripMargin,
     "schema_diff" ->
       // metadata op: the expected contract-review worklist IS the spec.
       // Note the two deliberate verdicts: ntz→ltz is a SEMANTIC change

@@ -192,6 +192,48 @@ object Features {
     * adjacency), which is why the windows range over the day VALUE,
     * not row position. Nothing global; |keys|·|days| rows out.
     */
+  /** Seasonal-naive forecast backtest with the MASE verdict (Hyndman &
+    * Koehler, "Another look at measures of forecast accuracy", 2006):
+    * before anyone trains a model on [[lagFeatures]]' matrix, this is
+    * the bar it must beat — predict day t by day t−7 (seasonal naive)
+    * and score it against the one-step naive (predict by t−1), as the
+    * scaled error ratio MASE = MAE_seasonal / MAE_naive. MASE < 1 ⇒
+    * weekly seasonality carries real signal for this key; a trained
+    * model that can't beat BOTH baselines is noise. Absolute errors
+    * over integer daily counts are exact int64 sums; each arm's pair
+    * count is carried (gapped days drop pairs, same no-fabricated-zeros
+    * rule as lagFeatures) and the ratio is ONE division of int64
+    * cross-products. One (key, day) aggregate + two RANGE lags.
+    */
+  def forecastBacktest(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"datediff(cast($tsCol as date), date'1970-01-01')").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy(col("key")).orderBy(col("day"))
+    daily
+      .withColumn("lag1", max(col("n")).over(byDay.rangeBetween(-1, -1)))
+      .withColumn("lag7", max(col("n")).over(byDay.rangeBetween(-7, -7)))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        count(col("lag7")).as("pairs_seasonal"),
+        count(col("lag1")).as("pairs_naive"),
+        sum(abs(col("n") - col("lag7"))).as("sae_seasonal"),
+        sum(abs(col("n") - col("lag1"))).as("sae_naive"))
+      .selectExpr("key", "n_days", "pairs_seasonal", "pairs_naive",
+        "sae_seasonal", "sae_naive",
+        """case when sae_naive > 0 and pairs_seasonal > 0 then
+          |  cast(sae_seasonal * pairs_naive as double)
+          |    / cast(sae_naive * pairs_seasonal as double)
+          |end as mase""".stripMargin)
+  }
+
   def lagFeatures(
       df: DataFrame,
       keyCol: String,

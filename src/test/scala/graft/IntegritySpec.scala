@@ -658,6 +658,30 @@ class IntegritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("deeper than maxDepth"))
   }
 
+  // ---- Features.forecastBacktest ------------------------------------
+
+  test("forecastBacktest: weekly-periodic series → MASE 0; constant series → NULL (0/0 guarded)") {
+    def series(counts: Seq[Int], key: String): Seq[(String, Timestamp)] =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)((key, ts(f"2024-01-${d + 1}%02d 01:00:00")))
+      }
+    // 14 days, exact period 7 (counts repeat) → every lag7 pair exact;
+    // naive errors nonzero → MASE 0
+    val periodic = series(Seq(5, 2, 7, 3, 9, 4, 6, 5, 2, 7, 3, 9, 4, 6), "p")
+    // constant → both arms zero error → NULL verdict, not a 0/0 crash
+    val const = series(Seq.fill(10)(3), "c")
+    val out = graft.ops.Features.forecastBacktest(
+      (periodic ++ const).zipWithIndex
+        .map { case ((k, t0), i) => (k, t0, i.toLong) }
+        .toDF("event_type", "ts", "event_id"), "event_type", "ts")
+      .select("key", "pairs_seasonal", "sae_seasonal", "sae_naive", "mase")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("p")._2 === 7L && out("p")._3 === 0L && out("p")._5 === Some(0.0))
+    assert(out("p")._4 > 0L)
+    assert(out("c")._5 === None)
+  }
+
   // ---- Audit.schemaDiff ---------------------------------------------
 
   test("schemaDiff: widenings pass, narrowings/removals break, nullability direction matters") {
