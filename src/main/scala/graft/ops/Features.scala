@@ -175,37 +175,12 @@ object Features {
           .as("decayed_value"))
   }
 
-  /** Supervised lag-feature matrix for per-key daily-count forecasting —
-    * the feature-engineering step every demand/traffic model starts
-    * from: for each (key, day), yesterday's count (`lag1`), the
-    * same-weekday-last-week count (`lag7`), the trailing-7-day sum
-    * (`roll7`, the CURRENT day excluded — a feature computed from the
-    * label's own day is leakage), the day-of-week, and the NEXT day's
-    * count as the label. Rows whose label day is past the observed
-    * range are dropped (no fabricated zeros: absence of data is not a
-    * zero count). Counts are exact int64 end to end; day arithmetic is
-    * integer epoch-days, so every engine agrees bit-for-bit.
-    *
-    * Shapes: one (key, day) count aggregate, then key-partitioned
-    * RANGE windows over the integer day — day gaps are honored (a
-    * missing day contributes nothing to `roll7` and breaks `lag1`
-    * adjacency), which is why the windows range over the day VALUE,
-    * not row position. Nothing global; |keys|·|days| rows out.
-    */
-  /** Seasonal-naive forecast backtest with the MASE verdict (Hyndman &
-    * Koehler, "Another look at measures of forecast accuracy", 2006):
-    * before anyone trains a model on [[lagFeatures]]' matrix, this is
-    * the bar it must beat — predict day t by day t−7 (seasonal naive)
-    * and score it against the one-step naive (predict by t−1), as the
-    * scaled error ratio MASE = MAE_seasonal / MAE_naive. MASE < 1 ⇒
-    * weekly seasonality carries real signal for this key; a trained
-    * model that can't beat BOTH baselines is noise. Absolute errors
-    * over integer daily counts are exact int64 sums; each arm's pair
-    * count is carried (gapped days drop pairs, same no-fabricated-zeros
-    * rule as lagFeatures) and the ratio is ONE division of int64
-    * cross-products. One (key, day) aggregate + two RANGE lags.
-    */
-  def forecastBacktest(
+  /** The shared prelude of [[lagFeatures]] and [[forecastBacktest]]:
+    * per-(key, epoch-day) exact counts plus the value-RANGE lag1/lag7
+    * columns (gaps break adjacency by construction — the windows range
+    * over the day VALUE, not row position, so a missing day contributes
+    * nothing and yields NULL lags, never fabricated zeros). */
+  private def dailyLagged(
       df: DataFrame,
       keyCol: String,
       tsCol: String): DataFrame = {
@@ -219,6 +194,55 @@ object Features {
     daily
       .withColumn("lag1", max(col("n")).over(byDay.rangeBetween(-1, -1)))
       .withColumn("lag7", max(col("n")).over(byDay.rangeBetween(-7, -7)))
+  }
+
+  /** Supervised lag-feature matrix for per-key daily-count forecasting —
+    * the feature-engineering step every demand/traffic model starts
+    * from: for each (key, day), yesterday's count (`lag1`), the
+    * same-weekday-last-week count (`lag7`), the trailing-7-day sum
+    * (`roll7`, the CURRENT day excluded — a feature computed from the
+    * label's own day is leakage), the day-of-week, and the NEXT day's
+    * count as the label. Rows whose label day is past the observed
+    * range are dropped (no fabricated zeros: absence of data is not a
+    * zero count). Counts are exact int64 end to end; day arithmetic is
+    * integer epoch-days, so every engine agrees bit-for-bit.
+    *
+    * Shapes: one (key, day) count aggregate, then key-partitioned
+    * RANGE windows over the integer day (the [[dailyLagged]] prelude,
+    * shared with the backtest so the two can never desynchronize).
+    * Nothing global; |keys|·|days| rows out.
+    */
+  def lagFeatures(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Window.partitionBy(col("key")).orderBy(col("day"))
+    dailyLagged(df, keyCol, tsCol)
+      .withColumn("roll7", sum(col("n")).over(byDay.rangeBetween(-7, -1)))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)).cast("int")) // 1970-01-01 = Thursday
+      .withColumn("label", max(col("n")).over(byDay.rangeBetween(1, 1)))
+      .where(col("label").isNotNull)
+  }
+
+  /** Seasonal-naive forecast backtest with the MASE verdict (Hyndman &
+    * Koehler, "Another look at measures of forecast accuracy", 2006):
+    * before anyone trains a model on [[lagFeatures]]' matrix, this is
+    * the bar it must beat — predict day t by day t−7 (seasonal naive)
+    * and score it against the one-step naive (predict by t−1), as the
+    * scaled error ratio MASE = MAE_seasonal / MAE_naive. MASE < 1 ⇒
+    * weekly seasonality carries real signal for this key; a trained
+    * model that can't beat BOTH baselines is noise. Absolute errors
+    * over integer daily counts are exact int64 sums; each arm's pair
+    * count is carried (gapped days drop pairs — the shared
+    * [[dailyLagged]] prelude) and the ratio is ONE division of int64
+    * cross-products.
+    */
+  def forecastBacktest(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame =
+    dailyLagged(df, keyCol, tsCol)
       .groupBy(col("key"))
       .agg(
         count(lit(1)).as("n_days"),
@@ -232,30 +256,4 @@ object Features {
           |  cast(sae_seasonal * pairs_naive as double)
           |    / cast(sae_naive * pairs_seasonal as double)
           |end as mase""".stripMargin)
-  }
-
-  def lagFeatures(
-      df: DataFrame,
-      keyCol: String,
-      tsCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = df
-      .where(col(keyCol).isNotNull)
-      .groupBy(col(keyCol).as("key"),
-        expr(s"datediff(cast($tsCol as date), date'1970-01-01')").cast("long").as("day"))
-      .agg(count(lit(1)).as("n"))
-    val byDay = Window.partitionBy(col("key")).orderBy(col("day"))
-    // RANGE windows keyed on the integer day: adjacency by VALUE
-    val lag1W = byDay.rangeBetween(-1, -1)
-    val lag7W = byDay.rangeBetween(-7, -7)
-    val roll7W = byDay.rangeBetween(-7, -1)
-    val nextW = byDay.rangeBetween(1, 1)
-    daily
-      .withColumn("lag1", max(col("n")).over(lag1W))
-      .withColumn("lag7", max(col("n")).over(lag7W))
-      .withColumn("roll7", sum(col("n")).over(roll7W))
-      .withColumn("dow", pmod(col("day") + 4, lit(7)).cast("int")) // 1970-01-01 = Thursday
-      .withColumn("label", max(col("n")).over(nextW))
-      .where(col("label").isNotNull)
-  }
 }
