@@ -161,4 +161,50 @@ class BucketingSpec extends AnyFunSuite {
     assert(zRead * 2 < sRead,
       s"executed scan: z layout read $zRead rows, 1-D sort $sRead — no actual skipping")
   }
+
+  test("AQE skew join: a hot key's sorted partition is split at runtime (isSkewJoin pinned)") {
+    // the lever ops/Skew's scaladocs point non-null hot keys at: Spark's
+    // own runtime skew-split. Build a join where ONE key holds ~90% of
+    // the left side, force SMJ (no broadcast), set the skew thresholds
+    // low enough for local data, and pin that the executed
+    // SortMergeJoin actually ran in skew mode — the difference between
+    // "AQE would handle it" and "AQE handled it".
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("pad-"), col("id")).as("payload"))
+      val right = spark.range(500).select(col("id").as("k"), (col("id") * 2).as("v"))
+      // sum(length(payload)) keeps the payload ALIVE through the
+      // exchange — column pruning would otherwise shrink the hot
+      // partition's shuffle bytes under the skew threshold
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(length(col("payload"))).as("sp"))
+      val row = joined.collect().head
+      // correctness first: 180k rows hit k=7 (v=14), plus ids 0,10,…,490
+      // that fall in [0,500) ∧ %10==0 → 50 rows
+      assert(row.getLong(0) === 180000L + 50L)
+      val exec = joined.queryExecution.executedPlan
+      val smjs = exec.toString
+      assert(smjs.contains("isSkewJoin=true") || smjs.contains("skew=true"),
+        s"no skew-mode SMJ in executed plan:\n${smjs.take(4000)}")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
