@@ -6311,7 +6311,7 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT CAST(floor(value) AS BIGINT) AS sc,
         |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |  FROM events WHERE value IS NOT NULL
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
         |), g AS (
         |  SELECT sc, CAST(SUM(y) AS BIGINT) AS cp, CAST(COUNT(*) AS BIGINT) AS ct
         |  FROM s GROUP BY 1

@@ -643,6 +643,47 @@ object Multimodal {
       }
   }
 
+  /** Shared container-open + PCM-drain for [[decodeAudio]] and
+    * [[audioLoudness]]: magic-dispatched cached reader (never
+    * AudioSystem's static path — it re-runs provider discovery per call,
+    * see [[AudioCodecs]]), falling back to probing every cached provider
+    * for other/ambiguous containers; the full frame stream drained to a
+    * byte array in the FILE's own byte order. Any failure — bad magic,
+    * lying chunk sizes, truncation — collapses to None so a corrupt
+    * payload becomes a ROW, not a task death (NonFatal, not just
+    * UnsupportedAudioFileException: malformed headers with valid magic
+    * can surface as runtime exceptions). ONE definition so the two
+    * consumers can never decode differently.
+    */
+  private def openPcm(
+      content: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    if (content == null) None
+    else
+      try {
+        val in = () => new java.io.ByteArrayInputStream(content)
+        val direct =
+          if (content.length >= 4 && content(0) == 'R'.toByte && content(1) == 'I'.toByte &&
+            content(2) == 'F'.toByte && content(3) == 'F'.toByte) AudioCodecs.wavReader
+          else if (content.length >= 4 && content(0) == 'F'.toByte && content(1) == 'O'.toByte &&
+            content(2) == 'R'.toByte && content(3) == 'M'.toByte) AudioCodecs.aiffReader
+          else None
+        val ais = direct match {
+          case Some(r) => r.getAudioInputStream(in())
+          case None =>
+            AudioCodecs.readers.iterator.flatMap { r =>
+              try Iterator.single(r.getAudioInputStream(in()))
+              catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+            }.nextOption().getOrElse(
+              throw new javax.sound.sampled.UnsupportedAudioFileException())
+        }
+        val fmt = ais.getFormat
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var k = ais.read(buf)
+        while (k >= 0) { bos.write(buf, 0, k); k = ais.read(buf) }
+        Some((fmt, bos.toByteArray))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
   /** REAL decode: `AudioSystem.getAudioInputStream` parses the container
     * and hands back PCM frames in the FILE's own byte order (the stream
     * is not re-encoded), so the sample fold honors
@@ -652,46 +693,7 @@ object Multimodal {
   def decodeAudio(audio: Dataset[AudioRecord]): Dataset[DecodedAudio] =
     audio.mapPartitions { rows =>
       rows.map { rec =>
-        // magic-dispatched cached reader, falling back to probing every
-        // cached provider for other/ambiguous containers; never
-        // AudioSystem's static path (re-runs provider discovery per
-        // call — see AudioCodecs)
-        def open(c: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-          val in = () => new java.io.ByteArrayInputStream(c)
-          val direct =
-            if (c.length >= 4 && c(0) == 'R'.toByte && c(1) == 'I'.toByte &&
-              c(2) == 'F'.toByte && c(3) == 'F'.toByte) AudioCodecs.wavReader
-            else if (c.length >= 4 && c(0) == 'F'.toByte && c(1) == 'O'.toByte &&
-              c(2) == 'R'.toByte && c(3) == 'M'.toByte) AudioCodecs.aiffReader
-            else None
-          direct match {
-            case Some(r) => r.getAudioInputStream(in())
-            case None =>
-              AudioCodecs.readers.iterator.flatMap { r =>
-                try Iterator.single(r.getAudioInputStream(in()))
-                catch { case scala.util.control.NonFatal(_) => Iterator.empty }
-              }.nextOption().getOrElse(
-                throw new javax.sound.sampled.UnsupportedAudioFileException())
-          }
-        }
-        val parsed =
-          if (rec.content == null) None
-          else
-            try {
-              val ais = open(rec.content)
-              val fmt = ais.getFormat
-              val data = {
-                val bos = new java.io.ByteArrayOutputStream()
-                val buf = new Array[Byte](8192)
-                var k = ais.read(buf)
-                while (k >= 0) { bos.write(buf, 0, k); k = ais.read(buf) }
-                bos.toByteArray
-              }
-              Some((fmt, data))
-            } // NonFatal, not just UnsupportedAudioFileException: malformed
-              // headers (valid magic, garbage chunk sizes) can surface as
-              // runtime exceptions — a corrupt object must become a row
-            catch { case scala.util.control.NonFatal(_) => None }
+        val parsed = openPcm(rec.content)
         parsed match {
           case None =>
             DecodedAudio(rec.media_id, decode_ok = false, None, None, None,
@@ -776,60 +778,40 @@ object Multimodal {
     import audio.sparkSession.implicits._
     audio.mapPartitions { rows =>
       rows.flatMap { rec =>
-        def open(c: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-          val in = () => new java.io.ByteArrayInputStream(c)
-          val direct =
-            if (c.length >= 4 && c(0) == 'R'.toByte && c(1) == 'I'.toByte &&
-              c(2) == 'F'.toByte && c(3) == 'F'.toByte) AudioCodecs.wavReader
-            else if (c.length >= 4 && c(0) == 'F'.toByte && c(1) == 'O'.toByte &&
-              c(2) == 'R'.toByte && c(3) == 'M'.toByte) AudioCodecs.aiffReader
-            else None
-          direct match {
-            case Some(r) => r.getAudioInputStream(in())
-            case None =>
-              AudioCodecs.readers.iterator.flatMap { r =>
-                try Iterator.single(r.getAudioInputStream(in()))
-                catch { case scala.util.control.NonFatal(_) => Iterator.empty }
-              }.nextOption().getOrElse(
-                throw new javax.sound.sampled.UnsupportedAudioFileException())
-          }
-        }
-        val parsed =
-          if (rec.content == null) None
-          else
-            try {
-              val ais = open(rec.content)
-              val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-                fmt.getEncoding !=
-                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
-              else {
-                val bos = new java.io.ByteArrayOutputStream()
-                val buf = new Array[Byte](8192)
-                var k = ais.read(buf)
-                while (k >= 0) { bos.write(buf, 0, k); k = ais.read(buf) }
-                val data = bos.toByteArray
-                if (data.length % 2 != 0) None else Some((fmt.isBigEndian, data))
-              }
-            } catch { case scala.util.control.NonFatal(_) => None }
-        parsed match {
-          case None => Iterator.empty
-          case Some((big, data)) =>
+        openPcm(rec.content) match {
+          case Some((fmt, data))
+              if fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+                fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                data.length % 2 == 0 =>
+            // single pass over the PCM bytes with per-window accumulators
+            // — O(1) extra space per window, no boxed per-sample tuples
+            // (minutes of 16 kHz audio are millions of samples/record)
+            val big = fmt.isBigEndian
             val n = data.length / 2
-            (0 until n).iterator
-              .map { i =>
+            val nWin = (n + window - 1) / window
+            (0 until nWin).iterator.map { w =>
+              val start = w * window
+              val end = math.min(n, start + window)
+              var sumSq = 0L
+              var clipped = 0L
+              var i = start
+              while (i < end) {
                 val hi = if (big) data(2 * i) else data(2 * i + 1)
                 val lo = if (big) data(2 * i + 1) else data(2 * i)
-                (i / window, ((hi << 8) | (lo & 0xff)).toShort.toInt)
+                val sVal = ((hi << 8) | (lo & 0xff)).toShort.toInt
+                sumSq += sVal.toLong * sVal
+                if (math.abs(sVal) >= 32767) clipped += 1
+                i += 1
               }
-              .toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator
-              .map { case (w, ss) =>
-                val sumSq = ss.map { case (_, s) => s.toLong * s }.sum
-                val clipped = ss.count { case (_, s) => math.abs(s) >= 32767 }
-                AudioLoudness(rec.media_id, w.toLong, ss.length.toLong,
-                  sumSq, clipped.toLong,
-                  math.sqrt(sumSq.toDouble / ss.length))
-              }
+              val cnt = end - start
+              AudioLoudness(rec.media_id, w.toLong, cnt.toLong, sumSq,
+                clipped, math.sqrt(sumSq.toDouble / cnt))
+            }
+          // undecodable or non-16-bit-mono payloads emit no rows — the
+          // decode GATE is decodeAudio's job, this operator assumes its
+          // contract
+          case _ => Iterator.empty
         }
       }
     }

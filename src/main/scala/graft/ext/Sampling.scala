@@ -352,24 +352,6 @@ object Sampling {
       .drop("_h")
   }
 
-  /** Rendezvous (highest-random-weight) shard assignment audit
-    * (Thaler & Ravishankar, "Using Name-Based Mappings to Increase Hit
-    * Rates", IEEE/ACM ToN 1998): each key lands on the shard with the
-    * max of `shards` keyed hashes. Unlike `key % shards`, growing the
-    * fleet to `shards + 1` moves ONLY the keys whose new-shard hash
-    * beats their current max — an expected 1/(shards+1) of the corpus —
-    * instead of reshuffling nearly everything, which is why it is the
-    * placement function of choice for caches, shard maps and stateful
-    * stream repartitioning at 100 TB.
-    *
-    * Output: one row per shard with its key count, its fill in ppm of a
-    * perfectly even spread (exact integer division — balance proof),
-    * and `n_moving`, the keys this shard cedes when shard `shards` is
-    * added (the minimal-disruption proof; Σ n_moving ≈ n/(shards+1)).
-    * Both assignments are computed in the SAME projection — per row,
-    * `shards + 1` md5s and one lexicographic array_max, zero shuffle —
-    * then one aggregate on the (bounded) shard id.
-    */
   /** Greedy maximum-coverage subset selection over word-3-gram shingles —
     * the submodular "pick the k docs that together cover the most
     * distinct content" selector (the greedy algorithm carries the
@@ -441,17 +423,39 @@ object Sampling {
     }
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment audit
+    * (Thaler & Ravishankar, "Using Name-Based Mappings to Increase Hit
+    * Rates", IEEE/ACM ToN 1998): each key lands on the shard with the
+    * max of `shards` keyed hashes. Unlike `key % shards`, growing the
+    * fleet to `shards + 1` moves ONLY the keys whose new-shard hash
+    * beats their current max — an expected 1/(shards+1) of the corpus —
+    * instead of reshuffling nearly everything, which is why it is the
+    * placement function of choice for caches, shard maps and stateful
+    * stream repartitioning at 100 TB.
+    *
+    * Output: one row per shard with its key count, its fill in ppm of a
+    * perfectly even spread (exact integer division — balance proof),
+    * and `n_moving`, the keys this shard cedes when shard `shards` is
+    * added (the minimal-disruption proof; Σ n_moving ≈ n/(shards+1)).
+    * Both assignments are computed in the SAME projection — per row,
+    * `shards + 1` md5s and one lexicographic array_max, zero shuffle —
+    * then one aggregate on the (bounded) shard id.
+    */
   def rendezvousShards(df: DataFrame, keyExpr: String, shards: Int): DataFrame = {
     require(shards >= 2 && shards <= 1024, s"shards must be in [2,1024], got $shards")
     val wt = TextOps.md5Long64(
       s"concat('shard:', cast($keyExpr as string), ':', cast(sh as string))")
+    // ONE hash sweep: both fleets read the same (shards+1)-entry weight
+    // array — the base fleet as its length-`shards` prefix slice. The
+    // two references are IDENTICAL subtrees, so codegen subexpression
+    // elimination evaluates the transform (and its shards+1 md5s) once
+    // per row; the earlier two-array form paid the sweep twice.
+    val wts = s"transform(sequence(0, $shards), sh -> struct($wt as wt, sh as sh))"
     val assigned = df
       .where(expr(keyExpr).isNotNull)
       .select(
-        expr(s"array_max(transform(sequence(0, ${shards - 1}), sh -> struct($wt as wt, sh as sh))).sh")
-          .as("shard"),
-        expr(s"array_max(transform(sequence(0, $shards), sh -> struct($wt as wt, sh as sh))).sh")
-          .as("shard_plus"))
+        expr(s"array_max(slice($wts, 1, $shards)).sh").as("shard"),
+        expr(s"array_max($wts).sh").as("shard_plus"))
     val per = assigned
       .groupBy(col("shard"))
       .agg(

@@ -773,7 +773,10 @@ object Quality {
     val wN = Window.partitionBy(col("_g"))
     val ranked = df
       .select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
-      .where(col("_v").isNotNull)
+      // null GROUPS drop too (Window.partitionBy would otherwise rank a
+      // NULL-key partition the oracle never produces) — the dailyLagged
+      // / lorenzGini null-key convention
+      .where(col("_v").isNotNull && col("_g").isNotNull)
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(wN))
       .withColumn("_hi", lead(col("_v"), 1).over(w))
@@ -906,22 +909,69 @@ object Quality {
         "case when var_y > 0.0d then 100.0d * (1.0d - var_y_adj / var_y) end as var_reduction_pct")
   }
 
+  /** Deterministic two-level prefix sums over a (value, counts…) frame —
+    * the shared scaffolding of [[ksTest]] and [[rocAuc]]: cumulative
+    * order statistics WITHOUT a global-ORDER window (the scale-killer
+    * [[graft.plans.PlanLint]] exists to flag). Values bucket by a FIXED
+    * affine rule derived from the collected (min, max) — a 2-value
+    * driver action, the [[graft.ops.Mining]] precedent — so bucket
+    * assignment is a pure function of the value: unlike
+    * `repartitionByRange` (whose sampled boundaries differ per
+    * evaluation, making a twice-consumed exchange correct ONLY while
+    * Spark happens to reuse it), the two consumers below (local running
+    * sums; per-bucket offset totals) agree under ANY physical plan,
+    * exchange reuse on or off. Each bucket's ROWS window is
+    * bucket-bounded; the offset window runs over `buckets` rows — a
+    * constant-size frame, not the data.
+    *
+    * Adds `cum_<c>` (INCLUSIVE running sum in value order) per
+    * requested count column. Empty input → empty output.
+    */
+  private def bucketedPrefixSums(
+      counts: DataFrame,
+      valueCol: String,
+      sumCols: Seq[String],
+      buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mm = counts
+      .agg(min(col(valueCol).cast("double")), max(col(valueCol).cast("double")))
+      .head()
+    val (mn, mx) =
+      if (mm.isNullAt(0)) (0.0, 0.0)
+      else (mm.getDouble(0), mm.getDouble(1))
+    val width = (mx - mn) / buckets
+    val bucket =
+      if (width <= 0.0) lit(0)
+      else least(lit(buckets - 1), greatest(lit(0),
+        floor((col(valueCol).cast("double") - lit(mn)) / lit(width)).cast("int")))
+    val parts = counts.withColumn("_bkt", bucket)
+    val localW = Window.partitionBy(col("_bkt")).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("_bkt"))
+      .agg(sum(col(sumCols.head)).as(s"_t_${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(c)).as(s"_t_$c")): _*)
+      .select(col("_bkt") +: sumCols.map(c =>
+        coalesce(sum(col(s"_t_$c")).over(offW), lit(0L)).as(s"_o_$c")): _*)
+    sumCols.foldLeft(parts) { (acc, c) =>
+      acc.withColumn(s"_l_$c", sum(col(c)).over(localW))
+    }
+      .join(broadcast(offsets), "_bkt")
+      .select(counts.columns.map(col) ++ sumCols.map(c =>
+        (col(s"_l_$c") + col(s"_o_$c")).as(s"cum_$c")): _*)
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic, distributed — the
     * unbinned complement to [[psiDrift]]'s binned PSI: D = max over the
     * pooled support of |F_a − F_b|, computed as the integer witness
     * D_num = max |n_b·cum_a(v) − n_a·cum_b(v)| with ONE terminal
     * division by n_a·n_b, so threshold decisions are exact (int64
-    * envelope: n_a·n_b < 2⁶³ holds to ~3·10⁹ rows per side).
-    *
-    * The cumulative sums deliberately do NOT use a global-ORDER window
-    * (the scale-killer [[graft.plans.PlanLint]] exists to flag): the
-    * per-value counts are range-partitioned on the value, each
-    * partition computes LOCAL running sums, and the 32 per-partition
-    * totals broadcast back as prefix offsets — the classic two-level
-    * scan that keeps exact order statistics parallel. The per-partition
-    * ROWS window is partition-bounded; results are independent of where
-    * the range boundaries land, so the (sampling-based, internally
-    * nondeterministic) range partitioner cannot move the answer.
+    * envelope: n_a·n_b < 2⁶³ holds to ~3·10⁹ rows per side). Cumulative
+    * distributions come from [[bucketedPrefixSums]] (deterministic
+    * buckets, no global-order window). Output: one row — or ZERO rows
+    * when no input row qualifies, matching the oracle's empty grouped
+    * aggregate rather than emitting an all-NULL row.
     */
   def ksTest(
       df: DataFrame,
@@ -929,40 +979,20 @@ object Quality {
       valueCol: String,
       groupA: String,
       groupB: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df
       .where(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("v"))
       .agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
-    val parts = counts
-      .repartitionByRange(32, col("v"))
-      .withColumn("pid", spark_partition_id())
-    val localW = Window.partitionBy(col("pid")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parts
-      .withColumn("lca", sum(col("ca")).over(localW))
-      .withColumn("lcb", sum(col("cb")).over(localW))
-    val offW = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // 32 rows — the "global" window here is over partition TOTALS, a
-    // constant-size frame, not the data
-    val offsets = parts.groupBy(col("pid"))
-      .agg(sum(col("ca")).as("pa"), sum(col("cb")).as("pb"))
-      .withColumn("oa", coalesce(sum(col("pa")).over(offW), lit(0L)))
-      .withColumn("ob", coalesce(sum(col("pb")).over(offW), lit(0L)))
-      .select(col("pid"), col("oa"), col("ob"))
-    val cums = local.join(broadcast(offsets), "pid")
-      .select(
-        (col("lca") + col("oa")).as("cuma"),
-        (col("lcb") + col("ob")).as("cumb"))
+    val cums = bucketedPrefixSums(counts, "v", Seq("ca", "cb"))
     val tot = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     cums.crossJoin(broadcast(tot))
       .agg(
         max(col("n_a")).as("n_a"),
         max(col("n_b")).as("n_b"),
-        max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))).as("d_num"))
+        max(abs(col("cum_ca") * col("n_b") - col("cum_cb") * col("n_a"))).as("d_num"))
+      .where(col("n_a").isNotNull)
       .selectExpr("n_a", "n_b", "d_num",
         "cast(d_num as double) / (cast(n_a as double) * cast(n_b as double)) as d")
   }
@@ -975,43 +1005,29 @@ object Quality {
     * 2·ΣR_pos = Σ cp·(2B + ct + 1), and
     * AUC = (2ΣR_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg) — integer
     * witnesses, ONE terminal division. Envelope: 2ΣR ≤ 2n² (safe past
-    * 10⁹ rows).
-    *
-    * Cumulative-below counts use the same two-level scan as [[ksTest]]
-    * (range-partition the per-score counts, partition-local running
-    * sums, 32-row offset broadcast) — no global-order window.
+    * 10⁹ rows). Cumulative-below counts come from
+    * [[bucketedPrefixSums]] (B = inclusive cum − own count). Zero rows
+    * out on empty input, like [[ksTest]].
     */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = df
       .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(scoreCol).cast("long").as("sc"))
       .agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("cp"),
         count(lit(1)).as("ct"))
-    val parts = g.repartitionByRange(32, col("sc"))
-      .withColumn("pid", spark_partition_id())
-    val localW = Window.partitionBy(col("pid")).orderBy(col("sc"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = parts
-      .withColumn("lb", coalesce(sum(col("ct")).over(localW), lit(0L)))
-    val offW = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parts.groupBy(col("pid"))
-      .agg(sum(col("ct")).as("pt"))
-      .withColumn("ob", coalesce(sum(col("pt")).over(offW), lit(0L)))
-      .select(col("pid"), col("ob"))
     val tot = g.agg(
       sum(col("cp")).as("n_pos"),
       (sum(col("ct")) - sum(col("cp"))).as("n_neg"))
-    local.join(broadcast(offsets), "pid")
-      .select(col("cp"), col("ct"), (col("lb") + col("ob")).as("b"))
+    bucketedPrefixSums(g, "sc", Seq("ct"))
+      .select(col("cp"), col("ct"), (col("cum_ct") - col("ct")).as("b"))
       .crossJoin(broadcast(tot))
       .agg(
         max(col("n_pos")).as("n_pos"),
         max(col("n_neg")).as("n_neg"),
         (sum(col("cp") * (col("b") * 2 + col("ct") + 1)) -
           max(col("n_pos") * (col("n_pos") + 1))).as("auc_num2"))
+      .where(col("n_pos").isNotNull)
       .selectExpr("n_pos", "n_neg", "auc_num2",
         "cast(auc_num2 as double) / (2.0d * cast(n_pos as double) * cast(n_neg as double)) as auc")
   }
