@@ -1233,6 +1233,20 @@ object SparkEntry {
           .select(expr("cast(floor(value) as bigint)").as("sc"),
             (col("event_type") === "purchase").as("y")),
         "sc", "y")),
+    // CSV dead-letter routing: ~1% of lines carry an unparseable price
+    // (deterministic %97 mangling) and must surface as routed corrupt
+    // rows with identity kept on the OUTER id, never dropped
+    "csv_dead_letter" -> ((s, d) => {
+      val lines = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        expr(
+          """concat(cast(o_orderkey as string), ',', cast(o_custkey as string), ',',
+            |  case when o_orderkey % 97 = 0
+            |       then concat('x', cast(o_totalprice as string))
+            |       else cast(o_totalprice as string) end)""".stripMargin).as("line"))
+      graft.ext.WebOps.csvDeadLetter(lines, "o_orderkey", "line",
+        "k BIGINT, c BIGINT, price DOUBLE", "price")
+    }),
     // percentile_cont-convention interpolated quantiles: element picks
     // and interpolate-or-not decided in int64, one IEEE lerp at the end
     "quantile_interp" -> ((s, d) =>
@@ -6331,6 +6345,19 @@ object SparkEntry {
         |         / (2.0 * CAST(t.n_pos AS DOUBLE) * CAST(t.n_neg AS DOUBLE)) AS auc
         |FROM w CROSS JOIN t
         |GROUP BY t.n_pos, t.n_neg""".stripMargin,
+    "csv_dead_letter" ->
+      // closed form: corrupt ⟺ %97 — the parser's routing must land
+      // exactly on the mangling rule; sums recomputed from the source
+      // doubles (string round-trip is lossless by shortest-repr)
+      """SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'corrupt' ELSE 'clean' END AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_ids,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_id,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_id,
+        |       CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
     "quantile_interp" ->
       // same construction, not quantile_cont(): the gate needs the
       // IDENTICAL expression tree, not an engine's internal convention

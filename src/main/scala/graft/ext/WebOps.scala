@@ -245,6 +245,40 @@ object WebOps {
         col("n_ids").cast("bigint").as("n_ids"),
         col("min_id"), col("max_id"))
 
+  /** CSV ingest with dead-letter routing — the delimited-file twin of
+    * the JSON dead-letter pipeline: each line parses under PERMISSIVE
+    * mode with a corrupt-record column, so a malformed row (here: a
+    * type-conversion failure) becomes a ROUTED row, never a dropped one
+    * and never a job death. Identity and row accounting key on the
+    * caller's OUTER id column, deliberately not on parsed fields — how
+    * much of a corrupt row the parser salvages is a parser detail the
+    * audit must not depend on. One parse projection + one 2-group
+    * aggregate; nothing shuffles but the 2-row rollup.
+    */
+  def csvDeadLetter(
+      df: DataFrame,
+      idCol: String,
+      lineCol: String,
+      schemaDdl: String,
+      priceField: String): DataFrame =
+    df
+      .select(col(idCol).cast("bigint").as("id"),
+        expr(s"""from_csv($lineCol, '$schemaDdl, _corrupt STRING',
+                 map('mode', 'PERMISSIVE', 'columnNameOfCorruptRecord', '_corrupt'))""")
+          .as("p"))
+      .groupBy(col("p._corrupt").isNull.as("ok"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("id")).as("n_ids"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        sum(col(s"p.$priceField").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .select(
+        when(col("ok"), lit("clean")).otherwise(lit("corrupt")).as("status"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        col("n_ids").cast("bigint").as("n_ids"),
+        col("min_id"), col("max_id"), col("sum_price"))
+
   /** Hierarchical path rollup: every row contributes one count to EVERY
     * prefix of its path — `/a/b/c` increments `/a`, `/a/b`, and
     * `/a/b/c` — the "traffic by site subtree" report a flat groupBy on

@@ -710,6 +710,27 @@ class IntegritySpec extends AnyFunSuite {
       ("e", "added") -> false))
   }
 
+  // ---- WebOps.csvDeadLetter -----------------------------------------
+
+  test("csvDeadLetter: type failures route to the dead letter; identity keys on the outer id") {
+    import graft.ext.WebOps
+    val lines = Seq(
+      (1L, "1,10,5.5"), // clean
+      (2L, "2,20,bad"), // unparseable double → corrupt
+      (3L, "3,30,7.25"), // clean
+      (4L, "4,,9.0")) // missing middle field parses as null — CLEAN (absence ≠ corruption)
+      .toDF("id", "line")
+    val out = WebOps.csvDeadLetter(lines, "id", "line",
+      "k BIGINT, c BIGINT, price DOUBLE", "price")
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val clean = out("clean")
+    assert(clean._2 === 3L && clean._3 === 3L && clean._6 === Some(5.5 + 7.25 + 9.0))
+    val bad = out("corrupt")
+    assert(bad._2 === 1L && bad._3 === 1L && bad._4 === 2L && bad._5 === 2L)
+    assert(bad._6.isEmpty) // no salvaged price folds into the corrupt sum
+  }
+
   // ---- Quality.rocAuc -----------------------------------------------
 
   test("rocAuc: perfect separation → 1, reversal → 0, all-tied → 0.5, mixed ties exact") {
