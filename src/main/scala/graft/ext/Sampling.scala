@@ -20,15 +20,6 @@ object Sampling {
     df.filter(
       expr(s"pmod(${TextOps.md5Long64(s"cast($keyExpr as string)")}, 100) < $pct"))
 
-  /** Domain-mixing report: per-source keep rates applied as a
-    * deterministic hash sample, with the achieved counts per source — the
-    * "re-weight web vs curated sources" step of corpus assembly. The
-    * rates table is broadcast-joined (in practice it is a small config
-    * table; here it is derived deterministically from the source name so
-    * the oracle can reproduce it). Shapes: one broadcast join + one
-    * aggregate shuffle on the low-cardinality source key — membership is
-    * pure per-row hashing, stable under retries and repartitioning.
-    */
   /** The per-source keep rate, as SQL shared verbatim by BOTH engines —
     * `weightedBySource`, `pipeline_curate2`, and their DuckDB oracles all
     * interpolate THIS string, so the membership predicate can never drift
@@ -42,6 +33,15 @@ object Sampling {
   val sourceRateSql: String =
     "10 + ((coalesce(try_cast(substring(source, 4, 8) as int), 0) * 7) % 80)"
 
+  /** Domain-mixing report: per-source keep rates applied as a
+    * deterministic hash sample, with the achieved counts per source — the
+    * "re-weight web vs curated sources" step of corpus assembly. The
+    * rates table is broadcast-joined (in practice it is a small config
+    * table; here it is derived deterministically from the source name so
+    * the oracle can reproduce it). Shapes: one broadcast join + one
+    * aggregate shuffle on the low-cardinality source key — membership is
+    * pure per-row hashing, stable under retries and repartitioning.
+    */
   def weightedBySource(documents: DataFrame): DataFrame = {
     val rates = documents.select(col("source")).distinct()
       .withColumn("rate", expr(sourceRateSql))
@@ -115,11 +115,6 @@ object Sampling {
       .orderBy(col("source"))
   }
 
-  /** Deterministic stratified sample: the `k` rows with the smallest key
-    * hash per stratum — every engine picks the same rows. One shuffle on
-    * the stratum key; the window prunes partition-locally first under
-    * AQE's rank pushdown.
-    */
   /** Per-source document cap — the anti-domination step of crawl curation
     * (no single domain may contribute more than `cap` documents). Keeps
     * each source's `cap` smallest (hash, doc_id) pairs: hash order makes
