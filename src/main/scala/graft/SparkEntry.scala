@@ -6103,19 +6103,21 @@ object SparkEntry {
         |  FROM v
         |), t AS (
         |  SELECT v.*,
-        |         (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
-        |           / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)) AS theta,
+        |         CASE WHEN pn * psxx <> psx * psx THEN
+        |           (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+        |             / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE))
+        |         END AS theta,
         |         CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) AS x_bar,
         |         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y
         |  FROM v CROSS JOIN p
         |), f AS (
         |  SELECT variant, n, sx, sy, sxy, theta, mean_y,
-        |         mean_y - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - x_bar) AS mean_y_adj,
+        |         mean_y - COALESCE(theta, 0.0) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - x_bar) AS mean_y_adj,
         |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
         |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_y,
         |         ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
-        |           - 2.0 * theta * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |           + theta * theta * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |           - 2.0 * COALESCE(theta, 0.0) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |           + COALESCE(theta, 0.0) * COALESCE(theta, 0.0) * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
         |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_y_adj
         |  FROM t
         |)
@@ -6181,7 +6183,7 @@ object SparkEntry {
       """WITH li AS (
         |  SELECT l_orderkey AS ok, l_linenumber AS ln,
         |         CAST(l_shipdate AS DATE) AS st,
-        |         CAST(l_shipdate AS DATE) + CAST((l_partkey + l_suppkey) % 30 AS INTEGER) AS en
+        |         CAST(l_shipdate AS DATE) + CAST((l_partkey + l_suppkey) % 30 + 1 AS INTEGER) AS en
         |  FROM lineitem
         |)
         |SELECT CASE

@@ -466,8 +466,12 @@ object Audit {
       .agg(count(lit(1)).as("n_full"))
     val sm = sampled.groupBy(col(stratCol).as("stratum"))
       .agg(count(lit(1)).as("n_sample"))
-    f.join(sm, Seq("stratum"), "left")
-      .select(col("stratum"),
+    // Null-safe join: a NULL stratum is a real stratum (unlabeled rows
+    // sample like any other) — plain equality would report n_sample=0
+    // for it and fire a spurious |z|>3 flag.
+    f.alias("f").join(sm.alias("sm"),
+        col("f.stratum") <=> col("sm.stratum"), "left")
+      .select(col("f.stratum").as("stratum"),
         col("n_full").cast("bigint").as("n_full"),
         coalesce(col("n_sample"), lit(0L)).cast("bigint").as("n_sample"))
       .select(col("stratum"), col("n_full"), col("n_sample"),

@@ -366,9 +366,16 @@ object Cdc {
     val baseView = snapshot
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("base_n"))
-    baseView
-      .join(deltas, groupCols, "full_outer")
-      .select(groupCols.map(col) :+
+    // Null-safe (<=>) on every group col: a NULL group value must merge
+    // its base count with its delta on ONE row, or the maintained view
+    // diverges from the full-recompute invariant the moment a changed
+    // key carries a NULL group (e.g. deleting the only NULL-group row
+    // would otherwise leave the stale base count in place).
+    baseView.alias("bv")
+      .join(deltas.alias("dv"),
+        groupCols.map(c => col(s"bv.$c") <=> col(s"dv.$c")).reduce(_ && _),
+        "full_outer")
+      .select(groupCols.map(c => coalesce(col(s"bv.$c"), col(s"dv.$c")).as(c)) :+
         (coalesce(col("base_n"), lit(0L)) + coalesce(col("delta"), lit(0L)))
           .as("n_rows"): _*)
       .where(col("n_rows") > 0)

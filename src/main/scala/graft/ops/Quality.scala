@@ -885,23 +885,28 @@ object Quality {
         sum(col("sxy")).as("psxy"))
     perVariant.crossJoin(broadcast(pooled)).selectExpr(
       "variant", "n", "sx", "sy", "sxy", "sxx", "syy",
-      // pooled θ: ONE division over double products of exact int64 sums
-      """(cast(pn as double) * cast(psxy as double) - cast(psx as double) * cast(psy as double))
-        | / (cast(pn as double) * cast(psxx as double) - cast(psx as double) * cast(psx as double))
-        | as theta""".stripMargin,
+      // pooled θ: ONE division over double products of exact int64 sums,
+      // guarded by the INTEGER var(X) witness — pooled var(X) = 0 (no
+      // pre-period events, or constant X) means no covariate signal:
+      // θ is NULL and the adjustment below is a no-op, never NaN/Inf
+      """case when pn * psxx <> psx * psx then
+        |  (cast(pn as double) * cast(psxy as double) - cast(psx as double) * cast(psy as double))
+        |  / (cast(pn as double) * cast(psxx as double) - cast(psx as double) * cast(psx as double))
+        |end as theta""".stripMargin,
       "cast(psx as double) / cast(pn as double) as x_bar",
       "cast(sy as double) / cast(n as double) as mean_y")
       .selectExpr(
         "variant", "n", "sx", "sy", "sxy", "sxx", "syy", "theta", "mean_y",
-        // mean of Y' = mean_y − θ(mean_x − x̄): fixed expression tree
-        "mean_y - theta * (cast(sx as double) / cast(n as double) - x_bar) as mean_y_adj",
+        // mean of Y' = mean_y − θ(mean_x − x̄): fixed expression tree;
+        // NULL θ (zero pooled var(X)) applies a zero adjustment
+        "mean_y - coalesce(theta, 0.0d) * (cast(sx as double) / cast(n as double) - x_bar) as mean_y_adj",
         // population variances per variant, then the CUPED identity
         // var(Y−θX) = var(Y) − 2θcov(X,Y) + θ²var(X)
         """(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))
           | / (cast(n as double) * cast(n as double)) as var_y""".stripMargin,
         """((cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))
-          |  - 2.0d * theta * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))
-          |  + theta * theta * (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)))
+          |  - 2.0d * coalesce(theta, 0.0d) * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+          |  + coalesce(theta, 0.0d) * coalesce(theta, 0.0d) * (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)))
           | / (cast(n as double) * cast(n as double)) as var_y_adj""".stripMargin)
       .selectExpr(
         "variant", "n", "sx", "sy", "sxy", "theta", "mean_y", "mean_y_adj",
@@ -1005,14 +1010,16 @@ object Quality {
     * 2·ΣR_pos = Σ cp·(2B + ct + 1), and
     * AUC = (2ΣR_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg) — integer
     * witnesses, ONE terminal division. Envelope: 2ΣR ≤ 2n² (safe past
-    * 10⁹ rows). Cumulative-below counts come from
-    * [[bucketedPrefixSums]] (B = inclusive cum − own count). Zero rows
-    * out on empty input, like [[ksTest]].
+    * 10⁹ rows). Ties group on the RAW score value — fractional
+    * classifier probabilities rank exactly; no cast ever collapses
+    * distinct scores into accidental ties. Cumulative-below counts come
+    * from [[bucketedPrefixSums]] (B = inclusive cum − own count). Zero
+    * rows out on empty input, like [[ksTest]].
     */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val g = df
       .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .groupBy(col(scoreCol).cast("long").as("sc"))
+      .groupBy(col(scoreCol).as("sc"))
       .agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("cp"),
         count(lit(1)).as("ct"))

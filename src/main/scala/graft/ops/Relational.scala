@@ -918,18 +918,30 @@ object Relational {
     * `unclassified` arm raises an error, so a non-total classification
     * fails loudly rather than dropping pairs.
     *
+    * Mutual exclusivity holds for PROPER intervals (start < end) — the
+    * fixture guarantees it with a 1–30-day transit. For degenerate
+    * point intervals (start = end, which a caller-supplied table may
+    * contain) Allen's 13 relations are not mutually exclusive and the
+    * CASE order IS the tie-break, applied first-match-wins in the
+    * written order (equals ≺ before ≺ after ≺ meets ≺ met_by ≺ starts ≺
+    * … — e.g. point [5,5] vs [5,8] classifies as 'meets', not
+    * 'starts'). The spec brute-force-pins this order over the full
+    * dense micro-space including point intervals, so the degenerate
+    * behavior is deterministic and oracle-mirrored, not accidental.
+    *
     * Shapes: the pair space is the per-order self-join (TPC-H fanout ≤ 7
     * lines/order — Σ|order|² bounded), one equi-join on the order key,
     * then a 13-bucket aggregate. Nothing global, nothing collected.
     */
   def allenRelations(s: SparkSession, dir: String): DataFrame = {
     // the slim lineitem carries no receiptdate: the delivery window is
-    // [shipdate, shipdate + transit] with a deterministic 0–29-day
-    // transit from the line's keys, so the oracle reproduces it exactly
+    // [shipdate, shipdate + transit] with a deterministic 1–30-day
+    // transit from the line's keys (≥ 1 so every interval is PROPER and
+    // the 13 relations are mutually exclusive), oracle-reproduced exactly
     val li = Tables.lineitem(s, dir).select(
       col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
       col("l_shipdate").cast("date").as("st"),
-      expr("date_add(cast(l_shipdate as date), cast((l_partkey + l_suppkey) % 30 as int))").as("en"))
+      expr("date_add(cast(l_shipdate as date), cast((l_partkey + l_suppkey) % 30 + 1 as int))").as("en"))
     val a = li.select(col("ok"), col("ln").as("ln_a"),
       col("st").as("as_"), col("en").as("ae"))
     val b = li.select(col("ok"), col("ln").as("ln_b"),

@@ -124,6 +124,28 @@ class IntegritySpec extends AnyFunSuite {
     assert(Cdc.maintainCountView(snap, chg, "id", Seq("grp")).count() === 0L)
   }
 
+  test("maintainCountView: NULL group keys merge null-safely with their deltas") {
+    // base: two NULL-group rows + one g1; delete one NULL-group row and
+    // move the other into g1. Plain-equality join would leave the stale
+    // NULL base count (2) on its own row; null-safe must net it to 0.
+    val snap = Seq((1L, null: String), (2L, null: String), (3L, "g1"))
+      .toDF("id", "grp")
+    val chg = Seq((1L, null: String, "D", 1L), (2L, "g1", "U", 1L))
+      .toDF("id", "grp", "op", "version")
+    val maintained = Cdc.maintainCountView(snap, chg, "id", Seq("grp"))
+      .as[(Option[String], Long)].collect().sortBy(_._1)
+    val recomputed = Cdc.applyChangelog(snap, chg, "id")
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+      .as[(Option[String], Long)].collect().sortBy(_._1)
+    assert(maintained === recomputed)
+    assert(maintained === Array((Some("g1"), 2L)))
+    // and a delete INTO a surviving NULL group maintains its count too
+    val chg2 = Seq((3L, "g1", "D", 1L)).toDF("id", "grp", "op", "version")
+    assert(Cdc.maintainCountView(snap, chg2, "id", Seq("grp"))
+      .as[(Option[String], Long)].collect().sortBy(_._1) ===
+      Array((None, 2L)))
+  }
+
   // ---- ndcgEval ------------------------------------------------------
 
   test("ndcgEval: fixed-point DCG against hand-computed discounts; zero-rel queries excluded") {
@@ -258,6 +280,19 @@ class IntegritySpec extends AnyFunSuite {
       full, Seq.empty[String].toDF("lang"), "lang", 10L, 100L)
       .select("n_sample").as[Long].collect()
     assert(none === Array(0L, 0L))
+  }
+
+  test("sampleAudit: a NULL stratum joins null-safely — on-rate NULLs don't false-flag") {
+    // 10 unlabeled rows sampled at exactly the nominal 1/10 rate: the
+    // null-safe join must land the sampled NULL row on the full NULL
+    // stratum (plain equality would report n_sample = 0, z = -3.33, flag)
+    val full = (Seq.fill(10)(null: String) ++ Seq.fill(10)("b")).toDF("lang")
+    val sampled = (Seq.fill(1)(null: String) ++ Seq.fill(1)("b")).toDF("lang")
+    val out = graft.ops.Audit.sampleAudit(full, sampled, "lang", 10L, 100L)
+      .select("stratum", "n_full", "n_sample", "dev_flag")
+      .as[(Option[String], Long, Long, Boolean)].collect()
+    val nullRow = out.find(_._1.isEmpty).get
+    assert((nullRow._2, nullRow._3, nullRow._4) === ((10L, 1L, false)))
   }
 
   // ---- weightedMedian ----------------------------------------------------
@@ -587,9 +622,13 @@ class IntegritySpec extends AnyFunSuite {
     // shaping it as single-"order" lineitem-like input
     val base = java.sql.Date.valueOf("2024-01-01").toLocalDate
     val rows = iv.zipWithIndex.map { case ((s0, e0), i) =>
-      // encode transit via (partkey + suppkey) % 30 = e0 - s0
+      // encode transit via (partkey + suppkey) % 30 + 1 = e0 - s0:
+      // partkey = e0 - s0 - 1, exploiting Spark's dividend-signed `%`
+      // (-1 % 30 = -1 → transit 0) to reach the point intervals the
+      // gated fixture excludes — this test pins the degenerate
+      // tie-break order the scaladoc documents
       (1L, (i + 1).toLong, java.sql.Timestamp.valueOf(base.plusDays(s0).atStartOfDay()),
-        (e0 - s0).toLong, 0L)
+        (e0 - s0 - 1).toLong, 0L)
     }
     val df = rows.toDF("l_orderkey", "l_linenumber", "l_shipdate", "l_partkey", "l_suppkey")
     val tmp = java.nio.file.Files.createTempDirectory("allen").toString
@@ -746,6 +785,22 @@ class IntegritySpec extends AnyFunSuite {
     // hand case with a mixed tie: scores pos {2, 3}, neg {1, 3}.
     // pairs: (2>1)=1, (2vs3)=0, (3>1)=1, (3=3)=0.5 → AUC = 2.5/4
     assert(run(Seq((2L, true), (3L, true), (1L, false), (3L, false)))._4 === 0.625)
+  }
+
+  test("rocAuc: fractional scores rank on the raw value — no cast collapses them into ties") {
+    // classifier probabilities in [0,1]: 0.9/0.8 positives above
+    // 0.2/0.1 negatives = perfect separation (AUC 1). A long-cast would
+    // collapse all four to 0 and report the 0.5 of an all-tied pool.
+    val df = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("sc", "y")
+    val (nPos, nNeg, _, auc) = Quality.rocAuc(df, "sc", "y")
+      .as[(Long, Long, Long, Double)].head()
+    assert((nPos, nNeg, auc) === ((2L, 2L, 1.0)))
+    // fractional ties are still exact: pos {0.5}, neg {0.5, 0.1} →
+    // pairs (0.5 vs 0.5) = 0.5, (0.5 > 0.1) = 1 → AUC = 1.5/2
+    val tied = Seq((0.5, true), (0.5, false), (0.1, false)).toDF("sc", "y")
+    assert(Quality.rocAuc(tied, "sc", "y")
+      .as[(Long, Long, Long, Double)].head()._4 === 0.75)
   }
 
   // ---- Quality.quantileInterp ---------------------------------------
@@ -919,6 +974,32 @@ class IntegritySpec extends AnyFunSuite {
       assert(varY > 0.0)
       assert(math.abs(varAdj) < 1e-9 * varY)
       assert(red > 99.999)
+    }
+  }
+
+  test("cupedAdjust: zero pooled var(X) → NULL theta, zero adjustment, no NaN contamination") {
+    // every user has the SAME pre-period value (constant X): the theta
+    // division is 0/0 — the integer witness guard must yield NULL theta
+    // and pass mean/var through unadjusted instead of NaN everywhere
+    val pre = ts("2024-01-10 00:00:00")
+    val post = ts("2024-01-20 00:00:00")
+    val rows = (1L to 20L).flatMap { u =>
+      Seq((u, pre, 5.0), (u, post, (u % 4 + 1).toDouble))
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+      .withColumn("variant",
+        when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")))
+    val out = Quality.cupedAdjust(df, "variant", "user_id", "value", "ts",
+      "2024-01-15 00:00:00")
+      .select("variant", "theta", "mean_y", "mean_y_adj", "var_y", "var_y_adj")
+      .as[(String, Option[Double], Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(out.length === 2)
+    out.foreach { case (_, theta, meanY, meanAdj, varY, varAdj) =>
+      assert(theta.isEmpty)              // NULL, not NaN/Inf
+      assert(meanAdj === meanY)          // zero adjustment
+      assert(varAdj === varY)
+      assert(!meanAdj.isNaN && !varAdj.isNaN)
     }
   }
 }
