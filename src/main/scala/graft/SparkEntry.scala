@@ -782,8 +782,7 @@ object SparkEntry {
       graft.ops.Quality.abLift(ev, "variant", "user_id", "converted")
     }),
     "dedup_stats" -> ((s, d) =>
-      Dedup.clusterStats(Dedup.connectedComponents(
-        Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id")))),
+      Dedup.clusterStats(IndexCache.ccClusters(Tables.documents(s, d), d))),
     "impute_values" -> ((s, d) => {
       // deterministically knock out ~10% of values so the imputation
       // path provably fires (the dq-family corruption idiom)
@@ -809,7 +808,9 @@ object SparkEntry {
       Dedup.keepFirstByText(Tables.documents(s, d))
         .select("doc_id", "lang", "source", "n_chars")),
     "minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(Tables.documents(s, d))),
-    "minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
+    // the candidate-pair stage is a corpus-level artifact shared by the
+    // whole CC family (IndexCache train/compute-once contract)
+    "minhash_pairs" -> ((s, d) => IndexCache.minhashPairs(Tables.documents(s, d), d)),
     "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(Tables.documents(s, d))),
     "incremental_fuzzy_dedup" -> ((s, d) => Dedup.incrementalFuzzyDedup(Tables.documents(s, d))),
     // ~8 bits/item at the test corpus scale (fpp ≈ 2%); output is exact
@@ -941,11 +942,12 @@ object SparkEntry {
     "label_propagation" -> ((s, d) =>
       Graph.labelPropagation(Graph.lineitemGraph(Tables.lineitem(s, d)))),
     "dedup_clusters" -> ((s, d) =>
-      Dedup.connectedComponents(
-        Dedup.minhashCandidatePairs(Tables.documents(s, d)).select("a_id", "b_id"))),
-    // chaining audit: member-to-representative exact jaccard per cluster
+      IndexCache.ccClusters(Tables.documents(s, d), d)),
+    // chaining audit: member-to-representative exact jaccard per cluster,
+    // over the family's shared CC assignment
     "cluster_diameter" -> ((s, d) =>
-      Dedup.clusterDiameter(Tables.documents(s, d))),
+      Dedup.clusterDiameterWith(Tables.documents(s, d),
+        IndexCache.ccClusters(Tables.documents(s, d), d))),
     // the END-TO-END fuzzy dedup a production corpus runs: LSH candidates
     // → signature-estimate verify (≥4 of 8 minhash components ⇒ est
     // Jaccard ≥ 0.5, the standard LSH accept rule) → connected components
@@ -954,10 +956,7 @@ object SparkEntry {
     // this query gates their COMPOSITION.
     "fuzzy_dedup_survivors" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val verified = Dedup.minhashCandidatePairs(docs)
-        .filter(col("est_jaccard") >= 0.5)
-        .select("a_id", "b_id")
-      val losers = Dedup.connectedComponents(verified)
+      val losers = IndexCache.ccClusters(docs, d, minEst = Some(0.5))
         .filter(col("doc_id") =!= col("component"))
         .select(col("doc_id"))
       docs.join(losers, Seq("doc_id"), "left_anti")
@@ -969,10 +968,7 @@ object SparkEntry {
     // choice is gateable; untouched docs ride through
     "fuzzy_dedup_best" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val verified = Dedup.minhashCandidatePairs(docs)
-        .filter(col("est_jaccard") >= 0.5)
-        .select("a_id", "b_id")
-      val cc = Dedup.connectedComponents(verified)
+      val cc = IndexCache.ccClusters(docs, d, minEst = Some(0.5))
       val scored = cc.join(
         TextOps.classifierScore(docs).select(col("doc_id"), col("score_milli")),
         Seq("doc_id"))

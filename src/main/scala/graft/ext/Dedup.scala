@@ -1305,10 +1305,23 @@ object Dedup {
   def clusterDiameter(
       documents: DataFrame,
       tNum: Int = 1,
+      tDen: Int = 2): DataFrame =
+    clusterDiameterWith(documents,
+      connectedComponents(
+        minhashCandidatePairs(documents).select("a_id", "b_id")),
+      tNum, tDen)
+
+  /** [[clusterDiameter]] over a caller-supplied CC assignment — the
+    * shared-stage form: the suite computes the corpus's candidate-pair
+    * CC once ([[IndexCache.ccClusters]]) and every family member reads
+    * it, instead of each re-running the LSH join + contraction loop.
+    */
+  def clusterDiameterWith(
+      documents: DataFrame,
+      cc: DataFrame,
+      tNum: Int = 1,
       tDen: Int = 2): DataFrame = {
     require(tNum >= 1 && tDen > tNum, s"threshold must be in (0,1): $tNum/$tDen")
-    val cc = connectedComponents(
-      minhashCandidatePairs(documents).select("a_id", "b_id"))
     val mem = cc.where(col("doc_id") =!= col("component"))
     val sh = shingleHashes(documents, outer = false).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))

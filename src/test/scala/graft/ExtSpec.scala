@@ -1026,6 +1026,40 @@ class ExtSpec extends AnyFunSuite {
     assert(hit === fresh && !built)
   }
 
+  test("IndexCache.ccClusters: cached CC is bit-identical to fresh; hit runs zero CC rounds") {
+    import graft.ext.IndexCache
+    // docs 1≈2 near-dup (one cluster), 3 disjoint; the verified variant
+    // (minEst) must produce its own independent cache entry
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+      .toDF("doc_id", "text")
+    val key = s"ccclusters-spec-${System.nanoTime()}"
+    val fresh = Dedup.connectedComponents(
+      Dedup.minhashCandidatePairs(docs).select("a_id", "b_id"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val cached = IndexCache.ccClusters(docs, key)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(cached === fresh)
+    // a hit must not construct the corpus frame (by-name contract) and
+    // must not re-enter the CC loop (telemetry untouched)
+    val telBefore = Dedup.lastCcTelemetry
+    var built = false
+    val hit = IndexCache.ccClusters({ built = true; docs }, key)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(hit === fresh && !built)
+    assert(Dedup.lastCcTelemetry === telBefore)
+    // the verified-graph variant keys separately and filters before CC
+    val verified = IndexCache.ccClusters(docs, key, minEst = Some(0.5))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val verifiedFresh = Dedup.connectedComponents(
+      Dedup.minhashCandidatePairs(docs)
+        .filter(col("est_jaccard") >= 0.5).select("a_id", "b_id"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(verified === verifiedFresh)
+  }
+
   test("lshTuning: exact duplicates are candidates AND truth in every config; counts reconcile") {
     // doc 1 == doc 2 (identical signatures -> same band hash in EVERY
     // config), doc 3 disjoint (deterministic md5 minhashes -> no shared
