@@ -488,9 +488,11 @@ object Graph {
       .select(col("u"), col("v"), col("w"))
     val closing = oriented.select(col("u").as("v"), col("v").as("w"))
     val tris = wedges.join(closing, Seq("v", "w"))
-    val perNode = tris.select(col("u").as("node"))
-      .unionAll(tris.select(col("v").as("node")))
-      .unionAll(tris.select(col("w").as("node")))
+    // one pass: each triangle credits its three corners via explode —
+    // the union-of-three form re-executed the wedge/close join once per
+    // branch (TriProbe attributed ~half the forced time to exactly that)
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     deg.join(perNode, Seq("node"), "left")
       .select(
