@@ -1256,6 +1256,25 @@ object SparkEntry {
     // one-pass dynamic column profiler (catalog/contract bootstrap);
     // metrics fan out inside a single agg whatever the column count
     "table_profile" -> ((s, d) => Audit.tableProfile(Tables.orders(s, d))),
+    // the DECLARED production/bench arm (knn_join_adaptive precedent):
+    // HLL sketches instead of the exact-distinct Expand (12.2× at 100×,
+    // TpProbe). The sketch estimate is engine-specific, so the gate
+    // replaces the raw n_distinct with exact-reproducible fields plus a
+    // plausibility boolean (sketch within [1, 1.2·non-null + 16]) and
+    // the 0.9-tolerant uniqueness verdict, which the oracle computes
+    // from DuckDB's cheap exact distinct (no Expand there) — the two
+    // verdicts agree whenever no column sits in the [0.9, 1) uniqueness
+    // band, which this fixture pins (d/c is 1 or ≪ 0.9 per column)
+    "table_profile_approx" -> ((s, d) => {
+      val p = Audit.tableProfile(Tables.orders(s, d), exactDistinct = false)
+      val nonNull = col("n") - col("n_null")
+      p.select(col("column"), col("dtype"), col("n"), col("n_null"),
+        (col("n_distinct") >= least(lit(1L), nonNull) &&
+          col("n_distinct").cast("double") <= nonNull.cast("double") * 1.2 + 16.0)
+          .as("distinct_bounded"),
+        col("is_unique"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    }),
     // per-(type, day) supervised forecasting matrix: value-ranged lags
     // (gaps break adjacency — no leakage, no fabricated zeros)
     "lag_features" -> ((s, d) =>
@@ -6430,6 +6449,47 @@ object SparkEntry {
         |       CAST(d5 AS BIGINT), d5 = c5, NULL, NULL, ms5, xs5 FROM a
         |UNION ALL SELECT 'o_orderpriority', 'string', n, CAST(n - c6 AS BIGINT),
         |       CAST(d6 AS BIGINT), d6 = c6, NULL, NULL, ms6, xs6 FROM a""".stripMargin,
+    "table_profile_approx" ->
+      // sketch-gate twin of table_profile: exact columns compare
+      // exactly; the sketch's plausibility boolean is literal true; the
+      // uniqueness verdict applies the SAME 0.9-tolerant rule to
+      // DuckDB's exact distinct (cheap there — no Expand), so the two
+      // engines agree unless the sketch errs > 10% at a 0.9-band edge,
+      // far outside the 2σ envelope of the default 5% rsd
+      // (o_totalprice sits at d/c = 0.9999 — an exact-equality verdict
+      // would diverge, the 0.9-rule one cannot)
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    COUNT(o_orderkey) AS c1, COUNT(DISTINCT o_orderkey) AS d1,
+        |      CAST(MIN(o_orderkey) AS DOUBLE) AS mn1, CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+        |    COUNT(o_custkey) AS c2, COUNT(DISTINCT o_custkey) AS d2,
+        |      CAST(MIN(o_custkey) AS DOUBLE) AS mn2, CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+        |    COUNT(o_orderstatus) AS c3, COUNT(DISTINCT o_orderstatus) AS d3,
+        |      MIN(o_orderstatus) AS ms3, MAX(o_orderstatus) AS xs3,
+        |    COUNT(o_totalprice) AS c4, COUNT(DISTINCT o_totalprice) AS d4,
+        |      CAST(MIN(o_totalprice) AS DOUBLE) AS mn4, CAST(MAX(o_totalprice) AS DOUBLE) AS mx4,
+        |    COUNT(o_orderdate) AS c5, COUNT(DISTINCT o_orderdate) AS d5,
+        |      CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS ms5,
+        |      CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS xs5,
+        |    COUNT(o_orderpriority) AS c6, COUNT(DISTINCT o_orderpriority) AS d6,
+        |      MIN(o_orderpriority) AS ms6, MAX(o_orderpriority) AS xs6
+        |  FROM orders
+        |)
+        |SELECT 'o_orderkey' AS "column", 'numeric' AS dtype, n,
+        |       CAST(n - c1 AS BIGINT) AS n_null, true AS distinct_bounded,
+        |       CAST(d1 AS DOUBLE) >= CAST(c1 AS DOUBLE) * 0.9 AS is_unique,
+        |       mn1 AS min_num, mx1 AS max_num,
+        |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+        |UNION ALL SELECT 'o_custkey', 'numeric', n, CAST(n - c2 AS BIGINT),
+        |       true, CAST(d2 AS DOUBLE) >= CAST(c2 AS DOUBLE) * 0.9, mn2, mx2, NULL, NULL FROM a
+        |UNION ALL SELECT 'o_orderstatus', 'string', n, CAST(n - c3 AS BIGINT),
+        |       true, CAST(d3 AS DOUBLE) >= CAST(c3 AS DOUBLE) * 0.9, NULL, NULL, ms3, xs3 FROM a
+        |UNION ALL SELECT 'o_totalprice', 'numeric', n, CAST(n - c4 AS BIGINT),
+        |       true, CAST(d4 AS DOUBLE) >= CAST(c4 AS DOUBLE) * 0.9, mn4, mx4, NULL, NULL FROM a
+        |UNION ALL SELECT 'o_orderdate', 'timestamp', n, CAST(n - c5 AS BIGINT),
+        |       true, CAST(d5 AS DOUBLE) >= CAST(c5 AS DOUBLE) * 0.9, NULL, NULL, ms5, xs5 FROM a
+        |UNION ALL SELECT 'o_orderpriority', 'string', n, CAST(n - c6 AS BIGINT),
+        |       true, CAST(d6 AS DOUBLE) >= CAST(c6 AS DOUBLE) * 0.9, NULL, NULL, ms6, xs6 FROM a""".stripMargin,
     "lag_features" ->
       // DuckDB's integer-RANGE windows mirror the Spark frames; QUALIFY
       // drops rows whose label day is unobserved, same as the IS NOT
