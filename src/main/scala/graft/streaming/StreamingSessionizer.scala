@@ -63,7 +63,7 @@ object StreamingSessionizer {
     * Returns the per-event outputs and the final state (null iff no
     * events).
     */
-  private[streaming] def transition(
+  private[graft] def transition(
       gapMinutes: Long,
       userId: Long,
       events: Iterator[Event],

@@ -2232,4 +2232,129 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
     }
   }
+
+  test("transformWithState schema evolution: V2 state with an added Option field resumes a V1 checkpoint") {
+    // Upgrade day: the shipped SessionProcessor wrote SessionState rows
+    // into a checkpoint; the next release adds an optional field to the
+    // state class. The reference's Redis hash survived such pushes
+    // trivially (external schemaless store); Spark-managed state must
+    // prove it under transformWithState's Avro state encoding (the
+    // unsaferow default has no evolution story). The resumed V2 query
+    // must DECODE the V1 rows (user 5's >30-min gap in the post-restart
+    // batch opens session 2 only if sessionSeq/lastTs were recovered)
+    // and the merged output must equal the never-upgraded reference.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws_evolve").toString
+    val b1 = Seq(ev(1, "2024-01-01 00:00:00", 5, "purchase", 42.5),
+      ev(2, "2024-01-01 00:10:00", 5))
+    val b2 = Seq(ev(3, "2024-01-01 00:20:00", 5))
+    val b3 = Seq(ev(4, "2024-01-01 01:30:00", 5), ev(5, "2024-01-01 01:31:00", 6))
+    val ref = run(Seq(b1, b2, b3)) // uninterrupted v1 reference
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val encKey = "spark.sql.streaming.stateStore.encodingFormat"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevEnc = spark.conf.getOption(encKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(encKey, "avro")
+    try {
+      val ms = MemoryStream[Event]
+      val outEnc = org.apache.spark.sql.Encoders.product[SessionizedEvent]
+      def sink(df: org.apache.spark.sql.Dataset[SessionizedEvent]) = df
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+      // leg 1: the SHIPPED (V1) processor writes SessionState
+      val q1 = sink(StreamingSessionizer.sessionizeTws(ms.toDS())).start()
+      ms.addData(b1); q1.processAllAvailable()
+      ms.addData(b2); q1.processAllAvailable()
+      q1.stop()
+      // data arrives during the deploy; the V2 processor resumes the
+      // SAME checkpoint and state column family
+      ms.addData(b3)
+      val v2 = ms.toDS()
+        .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+        .transformWithState(
+          new SessionProcessorV2(30L),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())(outEnc)
+      val q2 = sink(v2).start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val got = spark.read.parquet(s"$dir/out").as[SessionizedEvent]
+        .collect().sortBy(_.event_id).toSeq
+      assert(got === ref)
+      assert(got.map(_.session_id) === Seq("5-1", "5-1", "5-1", "5-2", "6-1"))
+      // carry-forward proves the Option field decode path too: batch-1's
+      // purchase survives into the V2-resumed session
+      assert(got.map(_.last_purchase_value) ===
+        Seq(Some(42.5), Some(42.5), Some(42.5), Some(42.5), None))
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p); case None => spark.conf.unset(provKey)
+      }
+      prevEnc match {
+        case Some(p) => spark.conf.set(encKey, p); case None => spark.conf.unset(encKey)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
+
+/** Upgrade-day twin of [[graft.model.SessionState]]: the same fields plus
+  * an appended OPTIONAL rollup — the evolution shape transformWithState's
+  * Avro encoding supports (new nullable field, defaulting NULL when a
+  * pre-upgrade row is decoded).
+  */
+case class SessionStateV2(
+    userId: Long,
+    sessionSeq: Long,
+    lastTs: Long,
+    lastEventType: String,
+    lastPurchaseValue: Option[Double],
+    eventsInSession: Long,
+    totalValue: Option[Double])
+
+/** V2 of [[graft.streaming.SessionProcessor]]: reads whatever schema the
+  * store holds into [[SessionStateV2]] (old rows surface totalValue =
+  * None), runs the same shared transition, and writes V2 rows with the
+  * new rollup populated — the exact code shape a production upgrade
+  * ships.
+  */
+class SessionProcessorV2(gapMinutes: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, SessionizedEvent] {
+
+  @transient private var session: org.apache.spark.sql.streaming.ValueState[SessionStateV2] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    session = getHandle.getValueState[SessionStateV2](
+      "session", org.apache.spark.sql.Encoders.product[SessionStateV2],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[Event],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionizedEvent] = {
+    val initial =
+      if (session.exists()) {
+        val v2 = session.get()
+        graft.model.SessionState(v2.userId, v2.sessionSeq, v2.lastTs,
+          v2.lastEventType, v2.lastPurchaseValue, v2.eventsInSession)
+      } else null
+    val prevTotal =
+      if (session.exists()) session.get().totalValue.getOrElse(0.0) else 0.0
+    val rowSeq = rows.toSeq
+    val (out, st) = StreamingSessionizer.transition(
+      gapMinutes, userId, rowSeq.iterator, initial)
+    if (st != null)
+      session.update(SessionStateV2(st.userId, st.sessionSeq, st.lastTs,
+        st.lastEventType, st.lastPurchaseValue, st.eventsInSession,
+        Some(prevTotal + rowSeq.map(_.value).sum)))
+    out.iterator
+  }
 }
