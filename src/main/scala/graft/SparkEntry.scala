@@ -2064,7 +2064,9 @@ object SparkEntry {
     * by this template's stripMargin.
     */
   private val dUrlCanonSql: String = {
-    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\\?[^#]*)?(#.*)?$"
+    // identical to WebOps.UrlRe incl. the '/'-anchored path group (the
+    // malformed-port passthrough contract)
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?((?:/[^?#]*)?)(\\?[^#]*)?(#.*)?$"
     s"""WITH u AS (
        |  SELECT doc_id, ${urlDecorSql.replace('\n', ' ')} AS url FROM documents
        |), p AS (

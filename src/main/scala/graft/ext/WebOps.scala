@@ -21,8 +21,14 @@ object WebOps {
     * scheme :// host [:port] [path] [?query] [#fragment].
     * Groups: 1=scheme 2=host 3=:port 4=path 5=?query 6=#fragment.
     */
+  /** Group 4 requires the path to be EMPTY or '/'-anchored: without it,
+    * a malformed port like `http://h:80x/` full-matches with port `:80`
+    * and path `x/`, and default-port stripping then MERGES host and
+    * path into `http://hx/` — a canonicalizer feeding dedup must fail
+    * such rows into passthrough, never fuse two different resources.
+    */
   private val UrlRe =
-    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\\?[^#]*)?(#.*)?$"
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?((?:/[^?#]*)?)(\\?[^#]*)?(#.*)?$"
 
   /** Canonicalize an absolute-URL column. Rules (the conservative,
     * loss-bounded subset of RFC 3986 §6 normalization plus the utm strip
