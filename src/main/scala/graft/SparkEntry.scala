@@ -468,6 +468,36 @@ object SparkEntry {
       Cdc.maintainCountView(snap, cdcChangelog(snap), "cust_id",
         Seq("nation", "segment"))
     }),
+    // IVM for a JOIN view: unchanged rows read from the materialized
+    // view, only the changelog's surviving keys re-join the dim —
+    // gate-asserted equal to the full recompute over the applied table
+    "ivm_join" -> ((s, d) => {
+      val snap = cdcSnapshot(s, d)
+      val dim = Tables.nation(s, d).select(
+        col("n_nationkey").cast("bigint").as("nation"),
+        col("n_name").as("nation_name"))
+      Cdc.maintainJoinView(
+        Cdc.joinView(snap, dim, "nation"),
+        cdcChangelog(snap), dim, "cust_id", "nation")
+    }),
+    // experiment trust: sample-ratio-mismatch chi-square on the A/B
+    // unit split, integer witnesses, flag never engine-flippable
+    "srm_check" -> ((s, d) =>
+      Audit.srmCheck(
+        Tables.events(s, d).withColumn("variant",
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B"))),
+        "variant", "user_id")),
+    // feature selection: WOE/IV of event_type against the high-value
+    // outcome — per-category rows, ln rounded 6dp (psi_term precedent)
+    "woe_iv" -> ((s, d) =>
+      graft.ops.Quality.woeIv(
+        Tables.events(s, d).where(col("value").isNotNull)
+          .withColumn("y", col("value") > 50.0),
+        "event_type", "y")),
+    // internal clustering validity over the trained k-means cells —
+    // centroid-based simplified silhouette, integer-exact distances
+    "silhouette" -> ((s, d) =>
+      Similarity.silhouetteSimplified(Tables.embeddings(s, d), k = 8, iters = 2)),
     "ctfidf_terms" -> ((s, d) =>
       graft.ext.TextOps.ctfidfTerms(Tables.documents(s, d), "lang", k = 5)),
     // external validity of the trained k-means clustering against the
@@ -4883,6 +4913,56 @@ object SparkEntry {
       s"""$dCdcCtes
          |SELECT nation, segment, CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM applied GROUP BY 1, 2""".stripMargin,
+    // full recompute of the JOIN view over the merged table — the
+    // invariant the incremental join maintenance must reproduce
+    "ivm_join" ->
+      s"""$dCdcCtes
+         |SELECT a.cust_id, a.name, a.nation, a.segment, n.n_name AS nation_name
+         |FROM applied a
+         |LEFT JOIN nation n ON a.nation = CAST(n.n_nationkey AS BIGINT)""".stripMargin,
+    "srm_check" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_units
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |         CAST(SUM(n_units) AS BIGINT) AS n_total
+        |  FROM v
+        |), w AS (
+        |  SELECT t.k, t.n_total,
+        |         CAST(SUM((t.k * n_units - t.n_total) * (t.k * n_units - t.n_total)) AS BIGINT) AS w2
+        |  FROM v CROSS JOIN t GROUP BY t.k, t.n_total
+        |)
+        |SELECT k, n_total, w2,
+        |       CAST(w2 AS DOUBLE) / CAST(k * n_total AS DOUBLE) AS chi2,
+        |       100 * w2 > 384 * k * n_total AS srm_flag
+        |FROM w""".stripMargin,
+    "woe_iv" ->
+      """WITH s AS (
+        |  SELECT event_type AS category,
+        |         CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT category, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+        |  FROM s GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n_pos) AS BIGINT) AS p_tot,
+        |         CAST(SUM(n_neg) AS BIGINT) AS n_tot
+        |  FROM g
+        |)
+        |SELECT category, n_pos, n_neg,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0 AND p_tot > 0 AND n_tot > 0
+        |            THEN round(ln(CAST(n_pos * n_tot AS DOUBLE)
+        |                          / CAST(n_neg * p_tot AS DOUBLE)), 6) END AS woe,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0 AND p_tot > 0 AND n_tot > 0
+        |            THEN round((CAST(n_pos AS DOUBLE) / CAST(p_tot AS DOUBLE)
+        |                        - CAST(n_neg AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |                       * ln(CAST(n_pos * n_tot AS DOUBLE)
+        |                            / CAST(n_neg * p_tot AS DOUBLE)), 6) END AS iv_term
+        |FROM g CROSS JOIN t
+        |ORDER BY category""".stripMargin,
     "ctfidf_terms" ->
       """WITH tfc AS (
         |  SELECT lang AS cls, t.token, CAST(COUNT(*) AS BIGINT) AS tf_class
@@ -7535,6 +7615,42 @@ object SparkEntry {
          |a2 AS (${dKmAssign("q", "c2")})
          |SELECT e.vec_id, a.cell, CAST(a.dot AS BIGINT) AS qdot
          |FROM embeddings e LEFT JOIN a2 a USING (vec_id)""".stripMargin,
+    // centroid-based simplified silhouette over the same trained cells:
+    // integer-exact squared distances, IEEE sqrt (correctly rounded in
+    // both engines), fixed-point micro-unit accumulation
+    "silhouette" ->
+      s"""$dUnitCte,
+         |q AS (SELECT vec_id, CASE WHEN unit IS NOT NULL THEN list_transform(unit,
+         |        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) END AS qvec FROM u),
+         |c0 AS (SELECT vec_id AS cidx, qvec AS qcent FROM q WHERE qvec IS NOT NULL
+         |       ORDER BY vec_id LIMIT 8),
+         |a0 AS (${dKmAssign("q", "c0")}),
+         |c1 AS (${dKmUpdate("a0")}),
+         |a1 AS (${dKmAssign("q", "c1")}),
+         |c2 AS (${dKmUpdate("a1")}),
+         |a2 AS (${dKmAssign("q", "c2")}),
+         |dd AS (
+         |  SELECT a.vec_id, a.cell, kc.cidx AS cell2,
+         |         CAST(list_sum(list_transform(range(1, len(a.qvec) + 1),
+         |           i -> (a.qvec[i] - kc.qcent[i]) * (a.qvec[i] - kc.qcent[i]))) AS BIGINT) AS d2
+         |  FROM a2 a, c2 kc
+         |), ab AS (
+         |  SELECT vec_id, cell,
+         |         MIN(CASE WHEN cell2 = cell THEN d2 END) AS a2d,
+         |         MIN(CASE WHEN cell2 <> cell THEN d2 END) AS b2d
+         |  FROM dd GROUP BY vec_id, cell
+         |), sv AS (
+         |  SELECT cell,
+         |         CASE WHEN greatest(a2d, b2d) = 0 THEN 0.0
+         |              ELSE (sqrt(CAST(b2d AS DOUBLE)) - sqrt(CAST(a2d AS DOUBLE)))
+         |                   / greatest(sqrt(CAST(a2d AS DOUBLE)), sqrt(CAST(b2d AS DOUBLE))) END AS s
+         |  FROM ab WHERE b2d IS NOT NULL
+         |)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_points,
+         |       CAST(SUM(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_s_mil,
+         |       CAST(SUM(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |         / (COUNT(*) * 1000000.0) AS mean_silhouette
+         |FROM sv GROUP BY cell ORDER BY cell""".stripMargin,
     // same trained assignment, judged against the ground-truth labels
     "cluster_purity" ->
       s"""$dUnitCte,

@@ -1378,6 +1378,60 @@ object Similarity {
     assignQCells(q, cents).select(col("vec_id"), col("cell"), col("qdot"))
   }
 
+  /** Simplified (centroid-based) silhouette of the trained k-means
+    * clustering — the INTERNAL validity twin of
+    * [[graft.ops.Audit.clusterPurity]]'s external one: per point,
+    * a = distance to its OWN centroid, b = distance to the NEAREST OTHER
+    * centroid, s = (b − a) / max(a, b) ∈ [−1, 1]; the per-cell mean says
+    * which clusters are tight and which bleed. The simplified form
+    * (Hruschka et al.'s centroid variant of Rousseeuw 1987) replaces the
+    * classic all-pairs a/b (O(n²) — a scale-killer) with distances to k
+    * centroids: O(n·k), one broadcast of the trained codebook, zero
+    * exchanges past the training.
+    *
+    * Exactness: squared distances are exact int64 sums over the
+    * quantized integer units (Σ(x−c)², envelope 64·(2·10⁶)² ≈ 2.6·10¹⁴);
+    * sqrt is IEEE-correctly-rounded in every engine, so s is a fixed
+    * expression tree over exact witnesses, accumulated in fixed-point
+    * micro-units (the ndcgEval discipline — float sums are
+    * order-dependent, integer sums are not). Points with NULL cells
+    * (zero-norm) or no other cell (k effectively 1) are excluded as
+    * undefined rather than defaulted.
+    */
+  def silhouetteSimplified(
+      embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    require(iters >= 0 && iters <= 8, s"iters must be in [0, 8], got $iters")
+    val q = quantizedUnits(embeddings)
+    val cents = kmeansCentroids(q, k, iters)
+    val centsRow = cents
+      .agg(collect_list(struct(col("cidx"), col("qcent"))).as("cents"))
+    assignQCells(q, cents)
+      .filter(col("cell").isNotNull)
+      .crossJoin(broadcast(centsRow))
+      .withColumn("dists", expr(
+        """transform(cents, c -> named_struct(
+          |  'cell2', c.cidx,
+          |  'd2', aggregate(zip_with(qvec, c.qcent, (x, y) -> (x - y) * (x - y)),
+          |                  0L, (a, x) -> a + x)))""".stripMargin))
+      .withColumn("a2", expr("element_at(filter(dists, d -> d.cell2 = cell), 1).d2"))
+      .withColumn("b2", expr(
+        "array_min(transform(filter(dists, d -> d.cell2 != cell), d -> d.d2))"))
+      .where(col("b2").isNotNull)
+      .withColumn("s", expr(
+        """CASE WHEN greatest(a2, b2) = 0 THEN 0.0d
+          |     ELSE (sqrt(cast(b2 as double)) - sqrt(cast(a2 as double)))
+          |          / greatest(sqrt(cast(a2 as double)), sqrt(cast(b2 as double))) END""".stripMargin))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(expr("cast(floor(s * 1000000.0d + 0.5d) as bigint)")).as("sum_s_mil"))
+      .select(col("cell"), col("n_points"), col("sum_s_mil"),
+        (col("sum_s_mil").cast("double") /
+          (col("n_points").cast("double") * 1000000.0)).as("mean_silhouette"))
+      .orderBy(col("cell"))
+  }
+
   /** The trained codebook in [[codebook]]'s broadcastable one-row format
     * (centroids back to unit doubles), so IVF search, semantic dedup and
     * the STREAMING dedup twin can run against trained centroids instead

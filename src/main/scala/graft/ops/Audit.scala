@@ -487,6 +487,57 @@ object Audit {
           .as("z"))
   }
 
+  /** Sample-ratio-mismatch check — the FIRST thing a trustworthy
+    * experiment readout verifies (Fabijan et al., "Diagnosing Sample
+    * Ratio Mismatch", KDD 2019): does the realized unit split across
+    * variants match the designed equal split? A biased assignment hash,
+    * a crash path that drops one variant's logs, or a bot filter that
+    * fires asymmetrically all surface here before any metric is read.
+    *
+    * χ² against the equal-split expectation, kept integer-exact: with k
+    * variants, N units and per-variant n_i, χ² = Σ(n_i − N/k)²/(N/k)
+    * = W/(k·N) where W = Σ(k·n_i − N)² — an exact int64 witness
+    * (envelope: k·n_i ≤ k·N < 2⁶³ at any realistic scale), ONE terminal
+    * division, and the srm_flag is the pure-integer comparison
+    * 100·W > crit_centi·k·N, so a split exactly on the critical value
+    * can never flip engines. `critCenti` defaults to 384 (χ²₀.₀₅ for
+    * df=1, the two-variant experiment); callers with k>2 pass the df=k−1
+    * critical value in hundredths.
+    *
+    * Shape: one map-side-combined count per variant, then a k-row
+    * rollup. Units, not events: the unit key is counted DISTINCT per
+    * variant (an SRM check over raw events would double-count chatty
+    * users — the standard mistake).
+    */
+  def srmCheck(
+      df: DataFrame,
+      variantCol: String,
+      unitCol: String,
+      critCenti: Long = 384L): DataFrame = {
+    require(critCenti > 0, s"critCenti must be positive, got $critCenti")
+    val perVariant = df
+      .where(col(variantCol).isNotNull && col(unitCol).isNotNull)
+      .groupBy(col(variantCol).as("variant"))
+      .agg(count_distinct(col(unitCol)).as("n_units"))
+    // the window frame is the VARIANT table — k rows, a constant-size
+    // frame, not the data (the bucketedPrefixSums offset-window rule)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perVariant
+      .withColumn("k", count(lit(1)).over(w).cast("bigint"))
+      .withColumn("n_total", sum(col("n_units")).over(w))
+      .withColumn("dev", col("k") * col("n_units") - col("n_total"))
+      .groupBy(col("k"), col("n_total"))
+      .agg(sum(col("dev") * col("dev")).as("w2"))
+      .select(col("k"), col("n_total"), col("w2"),
+        (col("w2").cast("double") / (col("k") * col("n_total")).cast("double"))
+          .as("chi2"),
+        (lit(100L) * col("w2") > lit(critCenti) * col("k") * col("n_total"))
+          .as("srm_flag"))
+  }
+
   /** Disparate-impact (80%-rule) audit — per-group positive rate vs the
     * global rate, the fairness screen an ML-governance review runs over
     * any scored/filtered dataset ("does the quality filter pass

@@ -381,6 +381,59 @@ object Cdc {
       .where(col("n_rows") > 0)
   }
 
+  /** A JOIN view V = fact ⟕ dim, materialized once — the build half of
+    * the [[maintainJoinView]] contract. `joinCol` is the shared column
+    * name (rename the dim key to it first); LEFT join so fact rows with
+    * no dim match (or a NULL fk) survive with NULL dim columns, exactly
+    * as the full recompute would keep them.
+    */
+  def joinView(fact: DataFrame, dim: DataFrame, joinCol: String): DataFrame =
+    fact.join(dim, Seq(joinCol), "left")
+
+  /** Incrementally maintain the JOIN view under the fact side's
+    * changelog — the materialized-join sibling of [[maintainCountView]]
+    * (Gupta–Mumick delta rules, the Δfact ⋈ dim case): unchanged rows
+    * are read from the MATERIALIZED view (no dim join re-runs for
+    * them), rows whose key appears in the changelog are dropped from
+    * it, and only the latest-wins SURVIVORS of the changed keys join
+    * the dim — a delta-sized join, never a base-table rescan. At 100 TB
+    * this is the difference between re-joining the corpus nightly and
+    * joining the day's changed keys: cost = O(view scan) +
+    * O(|Δ| ⋈ dim).
+    *
+    * Invariant (spec-asserted at every op mix, NULL fks included):
+    * maintainJoinView(joinView(fact, dim), chg, dim, …) ≡
+    * joinView(applyChangelog(fact, chg), dim). Dim-side changes are out
+    * of scope by design — a dim update invalidates every referencing
+    * row, which is a view rebuild (or a dim-versioned join), not a
+    * delta.
+    */
+  def maintainJoinView(
+      baseView: DataFrame,
+      changes: DataFrame,
+      dim: DataFrame,
+      key: String,
+      joinCol: String,
+      opCol: String = "op",
+      versionCol: String = "version"): DataFrame = {
+    require(baseView.columns.contains(key), s"key '$key' missing from baseView")
+    require(changes.columns.contains(joinCol),
+      s"joinCol '$joinCol' missing from changes")
+    val latest = changes
+      .groupBy(col(key))
+      .agg(max_by(
+        struct(changes.columns.filter(_ != key).map(col).toIndexedSeq: _*),
+        col(versionCol)).as("c"))
+      .select(col(key) +: changes.columns.filter(_ != key)
+        .map(c => col(s"c.$c").as(c)).toIndexedSeq: _*)
+    val untouched = baseView.join(latest.select(col(key)), Seq(key), "left_anti")
+    val refreshed = latest
+      .where(col(opCol) =!= lit("D"))
+      .drop(opCol, versionCol)
+      .join(dim, Seq(joinCol), "left")
+    untouched.unionByName(refreshed)
+  }
+
   /** [[maintainCountView]] over everything [[applyChangelogSink]]
     * committed — the streaming face of the IVM contract. The store holds
     * raw changelog rows per batch (the mergeable representation: a

@@ -1039,6 +1039,46 @@ object Quality {
         "cast(auc_num2 as double) / (2.0d * cast(n_pos as double) * cast(n_neg as double)) as auc")
   }
 
+  /** Weight-of-Evidence and Information Value per category — THE
+    * credit-scoring / feature-selection screen for a categorical feature
+    * against a binary outcome (Siddiqi, "Credit Risk Scorecards"):
+    * WOE_c = ln((pos_c/P)/(neg_c/N)), IV contribution
+    * (pos_c/P − neg_c/N)·WOE_c; categories with an IV sum ≥ 0.3 are
+    * strong predictors, ≤ 0.02 useless. Emitted per category so the gate
+    * hashes each row; callers sum iv_term for the feature's IV.
+    *
+    * Exactness: counts are exact int64; WOE's argument is ONE division
+    * of exact int64 products (pos·N / neg·P); ln() may differ in the
+    * last ulp across libm implementations, so WOE and the IV term are
+    * rounded to 6 dp — the [[psiDrift]] precedent. Zero-cell categories
+    * (no positives or no negatives) emit NULL WOE/term rather than ±Inf
+    * (the standard fix is a smoothing constant; an audit must show the
+    * raw degenerate cell, not hide it). A NULL category is a real
+    * category (the [[graft.ops.Audit.sampleAudit]] convention).
+    */
+  def woeIv(df: DataFrame, catCol: String, labelCol: String): DataFrame = {
+    val g = df
+      .where(col(labelCol).isNotNull)
+      .groupBy(col(catCol).as("category"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        count(lit(1)).as("n_all"))
+      .select(col("category"), col("n_pos"),
+        (col("n_all") - col("n_pos")).as("n_neg"))
+    val tot = g.agg(sum(col("n_pos")).as("p_tot"), sum(col("n_neg")).as("n_tot"))
+    g.crossJoin(broadcast(tot))
+      .selectExpr("category", "n_pos", "n_neg",
+        """CASE WHEN n_pos > 0 AND n_neg > 0 AND p_tot > 0 AND n_tot > 0
+          |     THEN round(ln(cast(n_pos * n_tot as double)
+          |                   / cast(n_neg * p_tot as double)), 6) END AS woe""".stripMargin,
+        """CASE WHEN n_pos > 0 AND n_neg > 0 AND p_tot > 0 AND n_tot > 0
+          |     THEN round((cast(n_pos as double) / cast(p_tot as double)
+          |                 - cast(n_neg as double) / cast(n_tot as double))
+          |                * ln(cast(n_pos * n_tot as double)
+          |                     / cast(n_neg * p_tot as double)), 6) END AS iv_term""".stripMargin)
+      .orderBy(col("category"))
+  }
+
   /** Per-group NULL imputation with the exact LOWER-MEDIAN of the
     * group's known values — the feature-engineering fill that is robust
     * to the skew a mean would inherit, chosen as an exact ELEMENT

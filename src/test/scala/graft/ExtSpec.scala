@@ -1368,6 +1368,29 @@ class ExtSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Similarity.embedPca(emb, k = 0))
   }
 
+  test("silhouetteSimplified: points at their centroids score 1; k=1-effective rows are excluded") {
+    // two tight clusters on orthogonal axes: duplicate points train
+    // centroids exactly onto themselves -> a = 0, b = inter-centroid
+    // distance > 0 -> s = 1 for every point
+    def vec(axis: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(axis) = 1.0f; a
+    }
+    // ids interleave the clusters so the first-k seeds (smallest two
+    // vec_ids) start one centroid in each cluster
+    val emb = Seq(
+      (1L, vec(0), 0), (2L, vec(1), 1),
+      (3L, vec(0), 0), (4L, vec(1), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.silhouetteSimplified(emb, k = 2, iters = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.length === 2)
+    out.foreach { case (_, n, sumMil, mean) =>
+      assert(n === 2L && sumMil === 2000000L && mean === 1.0)
+    }
+    intercept[IllegalArgumentException](
+      Similarity.silhouetteSimplified(emb, k = 1))
+  }
+
   test("kmeansAssign: Lloyd's converges toward balance; exact copies co-assign; nulls surface") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.kmeansAssign(emb, k = 8, iters = 2).collect()

@@ -124,6 +124,67 @@ class IntegritySpec extends AnyFunSuite {
     assert(Cdc.maintainCountView(snap, chg, "id", Seq("grp")).count() === 0L)
   }
 
+  test("maintainJoinView equals the full join recompute at every op mix, NULL fks included") {
+    val snap = Seq((1L, "n1", java.lang.Long.valueOf(10L)),
+      (2L, "n2", null: java.lang.Long), (3L, "n3", java.lang.Long.valueOf(10L)))
+      .toDF("id", "name", "fk")
+    val dim = Seq((10L, "D10"), (20L, "D20")).toDF("fk", "dim_name")
+    // update 1's fk, delete 3, insert 4 with a NULL fk, update 2 into a
+    // real fk — every delta class crosses the dim join
+    val chg = Seq(
+      (1L, "n1", java.lang.Long.valueOf(20L), "U", 1L),
+      (3L, "n3", java.lang.Long.valueOf(10L), "D", 1L),
+      (4L, "n4", null: java.lang.Long, "I", 1L),
+      (2L, "n2b", java.lang.Long.valueOf(10L), "U", 2L))
+      .toDF("id", "name", "fk", "op", "version")
+    val maintained = Cdc.maintainJoinView(
+      Cdc.joinView(snap, dim, "fk"), chg, dim, "id", "fk")
+      .select("id", "name", "fk", "dim_name")
+      .as[(Long, String, Option[Long], Option[String])].collect().sortBy(_._1)
+    val recomputed = Cdc.joinView(Cdc.applyChangelog(snap, chg, "id"), dim, "fk")
+      .select("id", "name", "fk", "dim_name")
+      .as[(Long, String, Option[Long], Option[String])].collect().sortBy(_._1)
+    assert(maintained === recomputed)
+    assert(maintained === Array(
+      (1L, "n1", Some(20L), Some("D20")),
+      (2L, "n2b", Some(10L), Some("D10")),
+      (4L, "n4", None, None)))
+  }
+
+  test("srmCheck: imbalanced split flags, balanced split is chi2 = 0; units count distinct") {
+    // 30 vs 70 units: W = (2*30-100)^2 + (2*70-100)^2 = 3200,
+    // chi2 = 3200/200 = 16 >> 3.84 -> flag
+    val bad = ((1 to 30).map(i => ("A", i.toLong)) ++
+      (31 to 100).map(i => ("B", i.toLong))).toDF("variant", "unit")
+    val b = graft.ops.Audit.srmCheck(bad, "variant", "unit")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(b === ((2L, 100L, 3200L, 16.0, true)))
+    // balanced, with unit 1 logged 5 times in A — distinct units keep it
+    val good = ((1 to 50).map(i => ("A", i.toLong)) ++ Seq.fill(4)(("A", 1L)) ++
+      (51 to 100).map(i => ("B", i.toLong))).toDF("variant", "unit")
+    val g = graft.ops.Audit.srmCheck(good, "variant", "unit")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(g === ((2L, 100L, 0L, 0.0, false)))
+  }
+
+  test("woeIv: exact ratios round-trip; zero-cell categories emit NULL instead of Inf") {
+    val rows = Seq(("a", true), ("a", true), ("a", false),
+      ("b", true), ("b", false), ("b", false),
+      ("z", true)) // zero negatives -> degenerate cell
+    val out = Quality.woeIv(rows.toDF("cat", "y"), "cat", "y")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // P = 4, N = 3; woe_a = ln((2/4)/(1/3)) = ln(1.5)
+    val woeA = r6(math.log(1.5))
+    val ivA = r6((2.0 / 4.0 - 1.0 / 3.0) * math.log(2.0 * 3.0 / (1.0 * 4.0)))
+    assert(out(0) === (("a", 2L, 1L, Some(woeA), Some(ivA))))
+    // woe_b = ln((1/4)/(2/3)) = ln(3/8), symmetric-ish negative
+    assert(out(1)._4.get === r6(math.log(1.0 * 3.0 / (2.0 * 4.0))))
+    assert(out(2) === (("z", 1L, 0L, None, None)))
+  }
+
   test("maintainCountView: NULL group keys merge null-safely with their deltas") {
     // base: two NULL-group rows + one g1; delete one NULL-group row and
     // move the other into g1. Plain-equality join would leave the stale

@@ -405,7 +405,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("minhash_pairs: the four band-join sides share ONE signature exchange at runtime") {
-    val p = executedFinal("minhash_pairs")
+    // the DECLARED query serves the IndexCache-materialized frame (a
+    // checkpoint scan — no joins to audit); the plan contract under
+    // audit is the builder's, so drive it directly
+    val df = graft.ext.Dedup.minhashCandidatePairs(Tables.documents(spark, sf))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("isFinalPlan=true"), p)
     // exactly one MATERIALIZED signature exchange: the corpus is scanned,
     // shingled and min-hashed once; every other side reads reused shuffle
