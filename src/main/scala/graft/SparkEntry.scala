@@ -498,6 +498,30 @@ object SparkEntry {
     // centroid-based simplified silhouette, integer-exact distances
     "silhouette" -> ((s, d) =>
       Similarity.silhouetteSimplified(Tables.embeddings(s, d), k = 8, iters = 2)),
+    // leakage-safe fit/transform: scaler stats FIT on the hash-train
+    // slice only, applied everywhere; zero-variance fit -> NULL z
+    "scaler_fit" -> ((s, d) =>
+      graft.ops.Features.scalerFitApply(
+        Tables.events(s, d).select(col("event_id"), col("value")),
+        "event_id", "value")
+        .orderBy(col("event_id"))),
+    // referentially-consistent keyed pseudonymization: same salt ->
+    // same token across tables, per-token rollup proves cardinality
+    // and join keys survive the transform
+    "pseudonymize" -> ((s, d) => {
+      val ev = graft.ops.Quality.pseudonymize(
+        Tables.events(s, d).select(col("user_id"), col("event_type")),
+        "user_id", "release24")
+      ev.groupBy(col("user_id_pseudo"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("event_type")).as("n_types"))
+        .orderBy(col("user_id_pseudo"))
+    }),
+    // temporal split with an embargo band excluded from BOTH sides —
+    // the lookback-leak control a plain cutoff split misses
+    "time_split_embargo" -> ((s, d) =>
+      Sampling.timeSplitEmbargo(Tables.events(s, d), "ts",
+        "2024-01-15 00:00:00", embargoDays = 2)),
     "ctfidf_terms" -> ((s, d) =>
       graft.ext.TextOps.ctfidfTerms(Tables.documents(s, d), "lang", k = 5)),
     // external validity of the trained k-means clustering against the
@@ -1122,7 +1146,8 @@ object SparkEntry {
       Cdc.applyChangelogAsOf(snap, cdcChangelog(snap), "cust_id", asOf = 3031L)
     }),
     "leakage_safe_split" -> ((s, d) =>
-      Sampling.leakageSafeSplit(Tables.documents(s, d))),
+      Sampling.leakageSafeSplitWith(Tables.documents(s, d),
+        IndexCache.ccClusters(Tables.documents(s, d), d))),
     // what the 500→1200 version range changed in the merged table
     // (bounds chosen inside every SF's version span: versions are cust_id*10+k)
     "cdc_version_diff" -> ((s, d) => {
@@ -4963,6 +4988,43 @@ object SparkEntry {
         |                            / CAST(n_neg * p_tot AS DOUBLE)), 6) END AS iv_term
         |FROM g CROSS JOIN t
         |ORDER BY category""".stripMargin,
+    "scaler_fit" ->
+      s"""WITH b AS (
+         |  SELECT event_id, value,
+         |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         |         ${dH("'scale:' || CAST(event_id AS VARCHAR)")} % 100 < 80 AS is_train
+         |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+         |), f AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+         |         CAST(SUM(cents) AS BIGINT) AS sx,
+         |         SUM(cents * cents) AS sxx,
+         |         MIN(cents) AS mnc, MAX(cents) AS mxc
+         |  FROM b WHERE is_train
+         |)
+         |SELECT event_id, value, is_train, n_train,
+         |       CASE WHEN n_train > 0 AND mnc <> mxc
+         |            THEN round((CAST(cents AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_train AS DOUBLE))
+         |                       / sqrt((CAST(n_train AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |                              / (CAST(n_train AS DOUBLE) * CAST(n_train AS DOUBLE))), 6)
+         |       END AS z
+         |FROM b CROSS JOIN f
+         |ORDER BY event_id""".stripMargin,
+    "pseudonymize" ->
+      """SELECT md5('release24:' || CAST(user_id AS VARCHAR)) AS user_id_pseudo,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "time_split_embargo" ->
+      """SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'train'
+        |            WHEN ts < TIMESTAMP '2024-01-15 00:00:00' + INTERVAL 2 DAY THEN 'embargo'
+        |            ELSE 'test' END AS split,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MIN(CAST(ts AS DATE)) AS VARCHAR) AS min_day,
+        |       CAST(MAX(CAST(ts AS DATE)) AS VARCHAR) AS max_day
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ctfidf_terms" ->
       """WITH tfc AS (
         |  SELECT lang AS cls, t.token, CAST(COUNT(*) AS BIGINT) AS tf_class

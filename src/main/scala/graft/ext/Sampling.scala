@@ -185,11 +185,24 @@ object Sampling {
   def leakageSafeSplit(
       documents: DataFrame,
       valPct: Int = 10,
+      testPct: Int = 10): DataFrame =
+    leakageSafeSplitWith(documents,
+      Dedup.connectedComponents(
+        Dedup.minhashCandidatePairs(documents).select("a_id", "b_id")),
+      valPct, testPct)
+
+  /** [[leakageSafeSplit]] over a caller-supplied CC assignment — the
+    * shared-stage form ([[IndexCache.ccClusters]]): the split shares the
+    * corpus's one candidate-pair/CC materialization with the dedup
+    * family instead of re-running the LSH join + contraction.
+    */
+  def leakageSafeSplitWith(
+      documents: DataFrame,
+      clusters: DataFrame,
+      valPct: Int = 10,
       testPct: Int = 10): DataFrame = {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
       s"invalid split percentages: val=$valPct test=$testPct")
-    val clusters = Dedup.connectedComponents(
-      Dedup.minhashCandidatePairs(documents).select("a_id", "b_id"))
     documents.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .selectExpr("doc_id", "coalesce(component, doc_id) as rep")
@@ -199,6 +212,38 @@ object Sampling {
         s"""case when bucket < $testPct then 'test'
            |     when bucket < ${testPct + valPct} then 'val'
            |     else 'train' end as split""".stripMargin)
+  }
+
+  /** Temporal split with an EMBARGO gap — the time-series leakage
+    * control (López de Prado's purged/embargoed split, reduced to the
+    * deterministic core): train is everything before the cutoff, test
+    * everything after cutoff + embargo, and the embargo band between
+    * them is EXCLUDED from both — so features computed with lookback
+    * windows on train rows cannot overlap the test period (the leak a
+    * plain temporal split still carries). Returns the three-row summary
+    * (split, n_rows, day-granular min/max) the gate hashes — the
+    * straddle audit (train max and test min bracket the full embargo
+    * width) reads directly off those bounds.
+    *
+    * Shape: one pure-projection labeling pass + one 3-key
+    * map-side-combined aggregate. Nothing shuffles but three rows.
+    */
+  def timeSplitEmbargo(
+      df: DataFrame,
+      tsCol: String,
+      cutoff: String,
+      embargoDays: Int): DataFrame = {
+    require(embargoDays >= 0, s"embargoDays must be >= 0, got $embargoDays")
+    df.where(col(tsCol).isNotNull)
+      .selectExpr(tsCol,
+        s"""case when $tsCol < timestamp'$cutoff' then 'train'
+           |     when $tsCol < timestamp'$cutoff' + interval $embargoDays days then 'embargo'
+           |     else 'test' end as split""".stripMargin)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(tsCol).cast("date")).cast("string").as("min_day"),
+        max(col(tsCol).cast("date")).cast("string").as("max_day"))
+      .orderBy(col("split"))
   }
 
   /** Per-epoch data-loader order: a fresh deterministic permutation per

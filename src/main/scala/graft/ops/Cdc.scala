@@ -463,4 +463,31 @@ object Cdc {
       maintainCountView(snapshot, changes, key, groupCols, opCol, versionCol)
     }
   }
+
+  /** [[maintainJoinView]] over everything [[applyChangelogSink]]
+    * committed — the streaming face of the join-IVM contract, on the
+    * same raw-changelog-store doctrine as [[maintainCountViewFrom]]
+    * (per-batch deltas only compose after latest-wins resolves across
+    * ALL batches, which is the one aggregate maintainJoinView starts
+    * with). Cost: O(changelog-so-far) + the delta ⋈ dim join; the
+    * materialized base view is read, never re-joined. An empty store
+    * returns the base view unchanged.
+    */
+  def maintainJoinViewFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      baseView: DataFrame,
+      outDir: String,
+      dim: DataFrame,
+      key: String,
+      joinCol: String,
+      opCol: String = "op",
+      versionCol: String = "version"): DataFrame = {
+    val committed = graft.ext.TextOps.committedBatchDirs(spark, s"$outDir/chg")
+    if (committed.isEmpty) baseView
+    else {
+      val changes = spark.read.parquet(
+        committed.toSeq.sorted.map(b => s"$outDir/chg/$b"): _*)
+      maintainJoinView(baseView, changes, dim, key, joinCol, opCol, versionCol)
+    }
+  }
 }

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ext.TextOps
+
 /** Tabular feature engineering for training pipelines: the encodings a
   * model actually trains on, built leakage-safe and cross-engine exact.
   * Sibling of [[Functions]] (scalar sweeps) and [[Quality]] (monitoring):
@@ -36,6 +38,58 @@ object Features {
     * first on its own key; the global pair is a 1-row broadcast. The fact
     * table scans once.
     */
+  /** Leakage-safe standardization — the fit/transform contract every ML
+    * feature pipeline needs done right: μ and σ are FIT on the
+    * deterministic train split only (md5 hash of the unit id, the
+    * [[graft.ext.Sampling]] convention), then APPLIED to every row — so
+    * validation/test values never leak into the scaler, and re-runs,
+    * retries and engines all derive the identical split.
+    *
+    * Exactness: values are carried as integer cents
+    * (floor(v·100 + 0.5) — the [[graft.ops.Audit.bootstrapMeans]]
+    * trade); sx is an exact int64 sum, Σcents² accumulates in
+    * decimal(38,0) (int64 overflows it past ~10⁹ six-figure rows —
+    * MEASURED at the 100× probe, hence the lift; a decimal sum is
+    * order-free like an integer one); μ = sx/n and n²σ² = n·sxx − sx²
+    * are fixed IEEE expressions over those witnesses; z = (v − μ)/σ is
+    * rounded 6dp (the ln-rounding precedent). A zero-variance fit
+    * (constant train column) is the exact MIN ≠ MAX witness — no
+    * product to overflow — and yields NULL z, not ±Inf.
+    *
+    * Shape: one map-side-combined aggregate over the train slice (the
+    * fit is ONE broadcastable row), then one pure projection over the
+    * full table. The fact table scans twice at most; nothing shuffles.
+    */
+  def scalerFitApply(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      trainPct: Int = 80): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 100,
+      s"trainPct must be in [1,100], got $trainPct")
+    val h = TextOps.md5Long64(s"concat('scale:', cast($idCol as string))")
+    val base = df
+      .where(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .selectExpr(idCol, valueCol,
+        s"cast(floor($valueCol * 100.0d + 0.5d) as bigint) as _cents",
+        s"pmod($h, 100) < $trainPct as is_train")
+    val fit = base.where(col("is_train"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(col("_cents")).as("sx"),
+        sum((col("_cents") * col("_cents")).cast("decimal(38,0)")).as("sxx"),
+        min(col("_cents")).as("_mnc"),
+        max(col("_cents")).as("_mxc"))
+    base.crossJoin(broadcast(fit))
+      .selectExpr(idCol, valueCol, "is_train", "n_train",
+        // cents units cancel in (v − μ)/σ, so z is scale-free
+        """case when n_train > 0 and _mnc <> _mxc
+          |     then round((cast(_cents as double) - cast(sx as double) / cast(n_train as double))
+          |                / sqrt((cast(n_train as double) * cast(sxx as double)
+          |                        - cast(sx as double) * cast(sx as double))
+          |                       / (cast(n_train as double) * cast(n_train as double))), 6)
+          |end as z""".stripMargin)
+  }
+
   def targetEncode(
       df: DataFrame,
       catCol: String,

@@ -1039,6 +1039,37 @@ object Quality {
         "cast(auc_num2 as double) / (2.0d * cast(n_pos as double) * cast(n_neg as double)) as auc")
   }
 
+  /** Keyed pseudonymization with referential integrity — the privacy
+    * transform between raw IDs and the release-audit trio
+    * ([[lDiversity]]/[[tCloseness]]): every occurrence of an ID, in ANY
+    * table pseudonymized with the SAME salt, maps to the same opaque
+    * token (md5(salt:id)), so joins, session grouping, and per-user
+    * aggregates still work downstream while the raw identifier never
+    * leaves the boundary. Deterministic and stateless — no mapping
+    * table to store, leak, or replay (the mapping-table alternative is
+    * itself PII); rotation = a new salt. 128-bit md5 makes accidental
+    * collisions (two users merging) negligible to ~2⁶⁴ ids, and the
+    * gate's distinct-preservation check would catch one.
+    *
+    * NOT encryption: md5 here is a keyed one-way label, and a
+    * low-entropy ID space (user_id ∈ [1, 10⁶]) is enumerable by anyone
+    * who learns the salt — treat the salt as a secret with the same
+    * handling as a key, exactly as HMAC-based tokenization deployments
+    * do (a compiled HMAC-SHA256 expression is the drop-in hardening;
+    * md5 keeps the gate cross-engine here).
+    *
+    * Shape: a pure projection — zero exchanges, scan speed; the
+    * downstream join keys change bytes, not cardinality or partitioning.
+    */
+  def pseudonymize(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    require(salt.nonEmpty, "pseudonymize needs a non-empty salt")
+    require(!salt.contains("'"), "salt must not contain quotes")
+    df.withColumn(s"${idCol}_pseudo",
+      when(col(idCol).isNotNull,
+        md5(concat(lit(s"$salt:"), col(idCol).cast("string")))))
+      .drop(idCol)
+  }
+
   /** Weight-of-Evidence and Information Value per category — THE
     * credit-scoring / feature-selection screen for a categorical feature
     * against a binary outcome (Siddiqi, "Credit Risk Scorecards"):

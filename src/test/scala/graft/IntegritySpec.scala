@@ -185,6 +185,78 @@ class IntegritySpec extends AnyFunSuite {
     assert(out(2) === (("z", 1L, 0L, None, None)))
   }
 
+  test("scalerFitApply: stats fit on train only; test outliers cannot shift the scaler; zero-variance guards") {
+    // ids 1..100; the md5 split puts ~80 in train. A huge outlier is
+    // planted on a TEST id: if it leaked into the fit, every train z
+    // would shrink. We find a test id first, then assert the fit equals
+    // the train-only hand computation.
+    val base = (1L to 100L).map(i => (i, (i % 10).toDouble + 1.0))
+    val probe = graft.ops.Features.scalerFitApply(base.toDF("id", "v"), "id", "v")
+      .select("id", "is_train").as[(Long, Boolean)].collect().toMap
+    val testId = probe.collect { case (id, false) => id }.min
+    val spiked = base.map { case (i, v) => if (i == testId) (i, 1e9) else (i, v) }
+    val out = graft.ops.Features.scalerFitApply(spiked.toDF("id", "v"), "id", "v")
+      .select("id", "is_train", "n_train", "z")
+      .as[(Long, Boolean, Long, Option[Double])].collect()
+    val trainVals = spiked.filter(p => probe(p._1)).map(_._2)
+    val n = trainVals.length.toLong
+    assert(out.forall(_._3 === n)) // outlier row did NOT join the fit
+    // hand z for one train row, in cents fixed-point
+    val cents = trainVals.map(v => math.floor(v * 100.0 + 0.5).toLong)
+    val sx = cents.sum; val sxx = cents.map(c => c * c).sum
+    val mu = sx.toDouble / n
+    val sd = math.sqrt((n.toDouble * sxx - sx.toDouble * sx) / (n.toDouble * n))
+    val someTrain = out.find(_._2).get
+    val vc = math.floor(spiked.find(_._1 == someTrain._1).get._2 * 100.0 + 0.5)
+    val expected = BigDecimal((vc - mu) / sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(someTrain._4.get === expected)
+    // constant train column -> integer zero-variance witness -> NULL z
+    val flat = graft.ops.Features.scalerFitApply(
+      (1L to 20L).map((_, 7.0)).toDF("id", "v"), "id", "v")
+      .select("z").as[Option[Double]].collect()
+    assert(flat.forall(_.isEmpty))
+  }
+
+  test("pseudonymize: same salt is referentially consistent across tables; new salt rotates; distincts preserved") {
+    val evs = Seq((7L, "click"), (7L, "view"), (8L, "click")).toDF("uid", "et")
+    val users = Seq((7L, "NA"), (8L, "EU"), (9L, "EU")).toDF("uid", "region")
+    val pe = Quality.pseudonymize(evs, "uid", "s1")
+    val pu = Quality.pseudonymize(users, "uid", "s1")
+    // the pseudonymized join reproduces the raw join exactly
+    val joined = pe.join(pu, Seq("uid_pseudo"))
+      .select("et", "region").as[(String, String)].collect().sorted
+    assert(joined.toSeq === Seq(("click", "EU"), ("click", "NA"), ("view", "NA")))
+    // cardinality preserved; raw ids gone from the schema
+    assert(pu.select("uid_pseudo").distinct().count() === 3L)
+    assert(!pe.columns.contains("uid"))
+    // rotation: a different salt shares no tokens with the first
+    val rotated = Quality.pseudonymize(users, "uid", "s2")
+      .select("uid_pseudo").as[String].collect().toSet
+    assert(rotated.intersect(
+      pu.select("uid_pseudo").as[String].collect().toSet).isEmpty)
+    // NULL ids stay NULL, not md5-of-empty
+    val withNull = Quality.pseudonymize(
+      Seq((null: java.lang.Long, "x")).toDF("uid", "et"), "uid", "s1")
+      .select("uid_pseudo").as[Option[String]].head()
+    assert(withNull.isEmpty)
+  }
+
+  test("timeSplitEmbargo: the embargo band is excluded from both sides and the bounds straddle it") {
+    val rows = Seq(
+      ("2024-01-10 00:00:00", 1), ("2024-01-14 23:59:59", 2), // train
+      ("2024-01-15 00:00:00", 3), ("2024-01-16 23:59:59", 4), // embargo
+      ("2024-01-17 00:00:00", 5), ("2024-01-20 12:00:00", 6)) // test
+      .map { case (t, i) => (i.toLong, ts(t)) }
+    val out = graft.ext.Sampling.timeSplitEmbargo(
+      rows.toDF("id", "ts"), "ts", "2024-01-15 00:00:00", embargoDays = 2)
+      .as[(String, Long, String, String)].collect().sortBy(_._1)
+    assert(out === Array(
+      ("embargo", 2L, "2024-01-15", "2024-01-16"),
+      ("test", 2L, "2024-01-17", "2024-01-20"),
+      ("train", 2L, "2024-01-10", "2024-01-14")))
+  }
+
   test("maintainCountView: NULL group keys merge null-safely with their deltas") {
     // base: two NULL-group rows + one g1; delete one NULL-group row and
     // move the other into g1. Plain-equality join would leave the stale

@@ -715,6 +715,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(emptyView === Seq(("g1", 2L), ("g2", 2L)))
   }
 
+  test("maintainJoinViewFrom: streamed join-IVM equals full recompute; delta re-joins the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivmj").toString
+    val snap = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "fk")
+    val dim = Seq((10L, "D10"), (20L, "D20"), (30L, "D30")).toDF("fk", "dim_name")
+    val base = graft.ops.Cdc.joinView(snap, dim, "fk")
+    // key 2 moves fk 10 -> 20 in batch 1 then 20 -> 30 in batch 2 (only
+    // latest-wins across ALL batches lands it on D30); 3 deletes
+    val b1 = Seq((2L, 20L, "U", 10L), (3L, 20L, "D", 11L))
+    val b2 = Seq((2L, 30L, "U", 20L), (4L, 10L, "I", 21L))
+    val ms = MemoryStream[(Long, Long, String, Long)]
+    val q = graft.ops.Cdc.applyChangelogSink(
+      ms.toDS().toDF("id", "fk", "op", "version"), s"$dir/out", s"$dir/cp")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val view = graft.ops.Cdc.maintainJoinViewFrom(
+      spark, base, s"$dir/out", dim, "id", "fk")
+      .select("id", "fk", "dim_name")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val recomputed = graft.ops.Cdc.joinView(
+      graft.ops.Cdc.cdcTableFrom(spark, snap, s"$dir/out", "id"), dim, "fk")
+      .select("id", "fk", "dim_name")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(view === recomputed)
+    assert(view === Seq((1L, 10L, "D10"), (2L, 30L, "D30"), (4L, 10L, "D10")))
+    // empty store: the base view, byte for byte
+    assert(graft.ops.Cdc.maintainJoinViewFrom(
+      spark, base, s"$dir/none", dim, "id", "fk")
+      .select("id", "fk", "dim_name")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq ===
+      base.select("id", "fk", "dim_name")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq)
+  }
+
   test("jsonIngestSink: dead-letter routing across batches equals the batch report; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_jsoningest").toString
