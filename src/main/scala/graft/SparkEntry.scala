@@ -522,6 +522,20 @@ object SparkEntry {
     "time_split_embargo" -> ((s, d) =>
       Sampling.timeSplitEmbargo(Tables.events(s, d), "ts",
         "2024-01-15 00:00:00", embargoDays = 2)),
+    // distribution-free prediction intervals: per-type train-mean
+    // predictor, calibration-band order-statistic q-hat (all-integer),
+    // realized test coverage ~ 90%
+    "conformal_interval" -> ((s, d) =>
+      graft.ops.Quality.conformalInterval(
+        Tables.events(s, d), "event_id", "event_type", "value")),
+    // reliability diagram: per score bucket, mean score vs realized
+    // positive rate — catches well-ranked but miscalibrated scores
+    "calibration_curve" -> ((s, d) =>
+      graft.ops.Quality.calibrationCurve(
+        Tables.events(s, d).where(col("value").isNotNull)
+          .select(expr("cast(floor(value) as bigint)").as("sc"),
+            (col("event_type") === "purchase").as("y")),
+        "sc", "y")),
     "ctfidf_terms" -> ((s, d) =>
       graft.ext.TextOps.ctfidfTerms(Tables.documents(s, d), "lang", k = 5)),
     // external validity of the trained k-means clustering against the
@@ -5015,6 +5029,54 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
         |       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
         |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "conformal_interval" ->
+      s"""WITH b AS (
+         |  SELECT event_id, event_type,
+         |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         |         ${dH("'conf:' || CAST(event_id AS VARCHAR)")} % 100 AS band
+         |  FROM events
+         |  WHERE value IS NOT NULL AND event_id IS NOT NULL AND event_type IS NOT NULL
+         |), t AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
+         |         CAST(SUM(cents) AS BIGINT) AS sx
+         |  FROM b WHERE band < 50 GROUP BY 1
+         |), cr AS (
+         |  SELECT b.event_type, abs(b.cents * t.n_train - t.sx) AS resid,
+         |         row_number() OVER (PARTITION BY b.event_type
+         |           ORDER BY abs(b.cents * t.n_train - t.sx), b.event_id) AS rk,
+         |         COUNT(*) OVER (PARTITION BY b.event_type) AS n_cal
+         |  FROM b JOIN t USING (event_type) WHERE band >= 50 AND band < 75
+         |), q AS (
+         |  SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal,
+         |         CAST(resid AS BIGINT) AS qhat_scaled
+         |  FROM cr WHERE rk = LEAST(n_cal, (90 * (n_cal + 1) + 99) // 100)
+         |)
+         |SELECT b.event_type, t.n_train, q.n_cal,
+         |       CAST(COUNT(*) AS BIGINT) AS n_test, q.qhat_scaled,
+         |       CAST(SUM(CASE WHEN abs(b.cents * t.n_train - t.sx) <= q.qhat_scaled
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         |       CAST(SUM(CASE WHEN abs(b.cents * t.n_train - t.sx) <= q.qhat_scaled
+         |                     THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+         |FROM b JOIN t USING (event_type) JOIN q USING (event_type)
+         |WHERE band >= 75
+         |GROUP BY 1, 2, 3, 5
+         |ORDER BY 1""".stripMargin,
+    "calibration_curve" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS sc,
+        |         event_type = 'purchase' AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), m AS (SELECT MIN(sc) AS mn, MAX(sc) AS mx FROM s)
+        |SELECT CAST((sc - mn) * 10 // (mx - mn + 1) AS INT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       CAST(MIN(sc) AS BIGINT) AS bucket_lo,
+        |       CAST(MAX(sc) AS BIGINT) AS bucket_hi,
+        |       CAST(SUM(sc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_score,
+        |       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+        |FROM s CROSS JOIN m
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "time_split_embargo" ->
       """SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'train'

@@ -1039,6 +1039,136 @@ object Quality {
         "cast(auc_num2 as double) / (2.0d * cast(n_pos as double) * cast(n_neg as double)) as auc")
   }
 
+  /** Split-conformal prediction intervals (Vovk; Lei et al. 2018, the
+    * distribution-free coverage guarantee every production regressor
+    * should ship with): fit a point predictor on the TRAIN hash-band,
+    * take q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest absolute residual on the
+    * disjoint CALIBRATION band, and the interval ŷ ± q̂ then covers a
+    * fresh row's value with probability ≥ 1−α — no distributional
+    * assumption. The TEST band reports the realized coverage, which the
+    * guarantee says lands at ≈ 1−α.
+    *
+    * Fully integer-exact: the predictor is the per-group train mean
+    * carried as the RATIONAL sx/n (never divided), so the residual
+    * |y − sx/n| scales to the exact int64 |cents·n_train − sx|; q̂ is a
+    * k-th order statistic of integers (a group-bounded rank window, no
+    * global sort); the coverage test |cents·n − sx| ≤ q̂ is a pure
+    * integer comparison — a row exactly on the interval edge can never
+    * flip engines. Envelope: cents·n_train < 2⁶³ to ~10⁹ train rows of
+    * 6-figure values per group.
+    *
+    * `alphaPct` is the miscoverage in percent (10 → 90% intervals); the
+    * rank k = ⌈(1−α)(n_cal+1)⌉ is computed in integers.
+    *
+    * Shape: three hash-band filters of ONE scan, a per-group train
+    * aggregate (broadcast-sized), a group-partitioned rank window over
+    * calibration rows, and one integer-compare aggregate over test
+    * rows. Nothing global.
+    */
+  def conformalInterval(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valueCol: String,
+      alphaPct: Int = 10): DataFrame = {
+    require(alphaPct >= 1 && alphaPct < 100,
+      s"alphaPct must be in [1, 100), got $alphaPct")
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.ext.TextOps.md5Long64(s"concat('conf:', cast($idCol as string))")
+    val base = df
+      .where(col(valueCol).isNotNull && col(idCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .selectExpr(idCol, groupCol, valueCol,
+        s"cast(floor($valueCol * 100.0d + 0.5d) as bigint) as _cents",
+        s"pmod($h, 100) as _band")
+    val train = base.where(col("_band") < 50)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_train"), sum(col("_cents")).as("sx"))
+    val cal = base.where(col("_band") >= 50 && col("_band") < 75)
+      .join(broadcast(train), Seq(groupCol))
+      .withColumn("_resid", abs(col("_cents") * col("n_train") - col("sx")))
+    // k-th order statistic WITHOUT ranking raw rows: with ~|groups|
+    // window partitions, a per-row rank sorts the whole calibration
+    // band inside a handful of tasks (measured 5.2 s at the 100× probe).
+    // Collapse to per-(group, residual) counts first — map-side
+    // combined, support-sized — and select the residual whose
+    // cumulative-count range covers k (identical to the rank-k row:
+    // ties collapse onto one support row). The window now runs over the
+    // residual SUPPORT per group, not the data.
+    val calCounts = cal
+      .groupBy(col(groupCol), col("_resid"))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_resid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGrp = Window.partitionBy(col(groupCol))
+    val calRanked = calCounts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("n_cal", sum(col("_c")).over(wGrp))
+      // k = ceil((1-α)(n_cal+1)) via the positive-operand form
+      // (a + b - 1) div b — safe under BOTH truncating and flooring
+      // integer division, so the two engines cannot disagree
+      .withColumn("_k",
+        least(col("n_cal"),
+          expr(s"(${100 - alphaPct} * (n_cal + 1) + 99) div 100")))
+      .where(col("_cum") - col("_c") < col("_k") && col("_k") <= col("_cum"))
+      .select(col(groupCol), col("n_cal"), col("_resid").as("qhat_scaled"))
+    val test = base.where(col("_band") >= 75)
+      .join(broadcast(train), Seq(groupCol))
+      .join(broadcast(calRanked), Seq(groupCol))
+      .groupBy(col(groupCol), col("n_train"), col("n_cal"), col("qhat_scaled"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(abs(col("_cents") * col("n_train") - col("sx")) <=
+          col("qhat_scaled"), 1L).otherwise(0L)).as("n_covered"))
+    test
+      .select(col(groupCol), col("n_train"), col("n_cal"), col("n_test"),
+        col("qhat_scaled"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Calibration curve (reliability diagram) of a score against a binary
+    * outcome — the eval that catches a model whose RANKING is fine
+    * (high AUC) but whose probabilities lie: per equal-width score
+    * bucket, the mean score vs the realized positive rate. Perfectly
+    * calibrated ⇒ the two track each other; the table IS the diagram.
+    *
+    * Bucketing is the pure-integer affine rule
+    * (score − min)·buckets div (max − min + 1) over the score's
+    * observed range — min/max come from the same aggregate-and-broadcast
+    * idiom as [[bucketedPrefixSums]]' bounds, so bucket identity is
+    * exact and engine-independent (never a sampled/ntile boundary).
+    * Counts are exact int64; mean score and positive rate are terminal
+    * divisions.
+    */
+  def calibrationCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val base = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("bigint").as("sc"), col(labelCol).as("y"))
+    val bounds = base.agg(min(col("sc")).as("mn"), max(col("sc")).as("mx"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"((sc - mn) * $buckets) div (mx - mn + 1)").cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("sc")).as("sum_score"),
+        min(col("sc")).as("bucket_lo"),
+        max(col("sc")).as("bucket_hi"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        col("bucket_lo"), col("bucket_hi"),
+        (col("sum_score").cast("double") / col("n").cast("double")).as("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+      .orderBy(col("bucket"))
+  }
+
   /** Keyed pseudonymization with referential integrity — the privacy
     * transform between raw IDs and the release-audit trio
     * ([[lDiversity]]/[[tCloseness]]): every occurrence of an ID, in ANY

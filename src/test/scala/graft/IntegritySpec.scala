@@ -257,6 +257,57 @@ class IntegritySpec extends AnyFunSuite {
       ("train", 2L, "2024-01-10", "2024-01-14")))
   }
 
+  test("conformalInterval: brute-force parity on the exact integer pipeline; edge rows count as covered") {
+    // 600 rows, 2 groups, values cycle 0..6 — recompute the whole split
+    // conformal pipeline in plain Scala from the SAME md5 bands and
+    // demand bit-equality
+    val rows = (1L to 600L).map(i => (i, if (i % 2 == 0) "g" else "h", (i % 7).toDouble))
+    val df = rows.toDF("id", "grp", "v")
+    val bandOf = df.selectExpr("id",
+      s"pmod(${graft.ext.TextOps.md5Long64("concat('conf:', cast(id as string))")}, 100) as band")
+      .as[(Long, Long)].collect().toMap
+    def expected(grp: String): Option[(Long, Long, Long, Long, Long)] = {
+      val g = rows.filter(_._2 == grp).map { case (i, _, v) =>
+        (i, math.floor(v * 100.0 + 0.5).toLong, bandOf(i)) }
+      val train = g.filter(_._3 < 50)
+      val (n, sx) = (train.length.toLong, train.map(_._2).sum)
+      val cal = g.filter(r => r._3 >= 50 && r._3 < 75)
+        .map(r => (math.abs(r._2 * n - sx), r._1)).sorted
+      if (train.isEmpty || cal.isEmpty) None
+      else {
+        val k = math.min(cal.length, (90 * (cal.length + 1) + 99) / 100)
+        val qhat = cal(k - 1)._1
+        val test = g.filter(_._3 >= 75)
+        val covered = test.count(r => math.abs(r._2 * n - sx) <= qhat)
+        Some((n, cal.length.toLong, test.length.toLong, qhat, covered.toLong))
+      }
+    }
+    val out = Quality.conformalInterval(df, "id", "grp", "v")
+      .select("grp", "n_train", "n_cal", "n_test", "qhat_scaled", "n_covered")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    Seq("g", "h").foreach { grp =>
+      assert(out.get(grp) === expected(grp), s"group $grp")
+    }
+    // the guarantee: realized coverage >= 1 - alpha - slack on this
+    // well-behaved fixture
+    out.values.foreach { case (_, _, nTest, _, nCov) =>
+      assert(nCov.toDouble / nTest >= 0.8)
+    }
+  }
+
+  test("calibrationCurve: equal-width integer buckets; a perfectly separable score calibrates 0/1") {
+    val rows = (0L until 100L).map(sc => (sc, sc >= 50L))
+    val out = Quality.calibrationCurve(rows.toDF("sc", "y"), "sc", "y")
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.length === 10)
+    out.zipWithIndex.foreach { case ((b, n, nPos, lo, hi, mean, rate), i) =>
+      assert(b === i && n === 10L && lo === 10L * i && hi === 10L * i + 9)
+      assert(mean === 10.0 * i + 4.5)
+      assert(nPos === (if (i < 5) 0L else 10L) && rate === (if (i < 5) 0.0 else 1.0))
+    }
+  }
+
   test("maintainCountView: NULL group keys merge null-safely with their deltas") {
     // base: two NULL-group rows + one g1; delete one NULL-group row and
     // move the other into g1. Plain-equality join would leave the stale
