@@ -598,10 +598,15 @@ object Graph {
     val scored = unlinked
       .join(deg.select(col("node").as("u"), col("degree").as("deg_u")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("degree").as("deg_v")), Seq("v"))
-    val directed = scored.select(col("u").as("node"), col("v").as("other"),
-        col("cn"), col("deg_u").as("deg_node"), col("deg_v").as("deg_other"))
-      .unionAll(scored.select(col("v").as("node"), col("u").as("other"),
-        col("cn"), col("deg_v").as("deg_node"), col("deg_u").as("deg_other")))
+    // one pass: each candidate pair emits both orientations via explode —
+    // the union-of-two form re-executed the wedge/anti-join/degree
+    // pipeline once per branch (the triangle_count rollup defect)
+    val directed = scored.select(explode(array(
+        struct(col("u").as("node"), col("v").as("other"), col("cn"),
+          col("deg_u").as("deg_node"), col("deg_v").as("deg_other")),
+        struct(col("v").as("node"), col("u").as("other"), col("cn"),
+          col("deg_v").as("deg_node"), col("deg_u").as("deg_other")))).as("p"))
+      .select(col("p.*"))
       .withColumn("jaccard",
         col("cn").cast("double") /
           (col("deg_node") + col("deg_other") - col("cn")).cast("double"))
