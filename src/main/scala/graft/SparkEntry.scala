@@ -80,6 +80,12 @@ object SparkEntry {
   private def qEnrich(s: SparkSession, dir: String): DataFrame =
     Enrich.enrichEvents(Tables.events(s, dir))
 
+  /** The (order, brand) basket frame the basket-mining family shares. */
+  private def brandBaskets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+
   private def qChangeDetect(s: SparkSession, dir: String): DataFrame =
     StateOps
       .changeDetect(Tables.events(s, dir), "event_type")
@@ -335,18 +341,18 @@ object SparkEntry {
         ev.filter(col("event_type") === "purchase"),
         "user_id", "user_id")
     }),
-    "freq_itemsets" -> ((s, d) =>
-      Mining.freqItemsets(
-        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-          .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
-            col("l_partkey") === col("p_partkey")),
-        "l_orderkey", "p_brand", 0.02)),
-    "assoc_rules" -> ((s, d) =>
-      Mining.assocRules(
-        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-          .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
-            col("l_partkey") === col("p_partkey")),
-        "l_orderkey", "p_brand", 0.02)),
+    // freq_itemsets and assoc_rules read ONE cached basket model per
+    // (corpus, ratio) — stats/items/pairs are vocabulary-bounded files
+    "freq_itemsets" -> ((s, d) => {
+      val (stats, _, pairs) = IndexCache.basketModel(
+        brandBaskets(s, d), s"$d|brand", "l_orderkey", "p_brand", 0.02)
+      Mining.freqItemsetsWith(stats, pairs)
+    }),
+    "assoc_rules" -> ((s, d) => {
+      val (stats, items, pairs) = IndexCache.basketModel(
+        brandBaskets(s, d), s"$d|brand", "l_orderkey", "p_brand", 0.02)
+      Mining.assocRulesWith(stats, items, pairs)
+    }),
     "markov_transitions" -> ((s, d) =>
       Mining.markovTransitions(Tables.events(s, d),
         "user_id", "event_type", "ts", "event_id")),

@@ -156,6 +156,33 @@ object IndexCache {
       Dedup.connectedComponents(graph.select("a_id", "b_id"))
     })
 
+  private val basketCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
+
+  /** [[graft.ops.Mining.basketModel]] (support stats, item supports,
+    * pair counts), computed at most once per (corpus key, basket/item
+    * spec, support ratio) — the basket-mining stage `freq_itemsets` and
+    * `assoc_rules` each rebuilt at the same ratio. Checkpoint-file tier
+    * like [[minhashPairs]]: the transaction distinct and the per-basket
+    * pair explode are data-proportional work, but the RESULTS are
+    * vocabulary-bounded (1 row / |items| / ≤ |items|²) — tiny files,
+    * one producing job.
+    */
+  def basketModel(
+      df: => DataFrame,
+      key: String,
+      basketCol: String,
+      itemCol: String,
+      ratio: Double): (DataFrame, DataFrame, DataFrame) =
+    basketCache.getOrElseUpdate(s"$key|b=$basketCol|i=$itemCol|r=$ratio", {
+      val (stats, items, pairs) =
+        graft.ops.Mining.basketModel(df, basketCol, itemCol, ratio)
+      val reliable = stats.sparkSession.sparkContext.getCheckpointDir.isDefined
+      (Dedup.truncated(stats, reliable),
+        Dedup.truncated(items, reliable),
+        Dedup.truncated(pairs, reliable))
+    })
+
   /** Drop every cached index (corpus rotation / tests). Frame-backed
     * entries release their checkpoint storage (blocks AND files) — the
     * cache owns them, so nothing else may call [[Dedup.release]] on a
@@ -165,5 +192,9 @@ object IndexCache {
     pqCbCache.clear(); ivfPqCache.clear(); prefixPairsCache.clear()
     pairsCache.values.foreach(Dedup.release); pairsCache.clear()
     ccCache.values.foreach(Dedup.release); ccCache.clear()
+    basketCache.values.foreach { case (a, b, c) =>
+      Dedup.release(a); Dedup.release(b); Dedup.release(c)
+    }
+    basketCache.clear()
   }
 }

@@ -70,21 +70,44 @@ object Mining {
       .agg(count(lit(1)).as("pair_n"))
   }
 
+  /** The basket-mining model — ONE corpus-level artifact (stats: 1 row;
+    * item supports: vocabulary-sized; pair counts: ≤ vocabulary²) that
+    * [[freqItemsetsWith]], [[assocRulesWith]] and
+    * [[itemCooccurrenceWith]] all read. Computed once and shared via
+    * [[graft.ext.IndexCache.basketModel]] (the write-the-intermediate-
+    * once doctrine, DESIGN.md round 14): before the share,
+    * freq_itemsets + assoc_rules each re-ran the transaction distinct
+    * and the per-basket pair explode from scratch at the same support
+    * ratio.
+    */
+  def basketModel(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupportRatio: Double): (DataFrame, DataFrame, DataFrame) = {
+    require(minSupportRatio > 0 && minSupportRatio <= 1,
+      s"minSupportRatio must be in (0,1], got $minSupportRatio")
+    val tx = transactions(df, basketCol, itemCol)
+    val stats = basketStats(tx, minSupportRatio)
+    (stats, frequentItems(tx, stats), basketPairCounts(df, basketCol, itemCol, stats))
+  }
+
   /** Frequent item pairs: (item_a < item_b, pair support count, support
     * ratio). `supp` is one IEEE division of two exact int64s — identical
     * across engines.
     */
   def freqItemsets(df: DataFrame, basketCol: String, itemCol: String, minSupportRatio: Double = 0.01): DataFrame = {
-    require(minSupportRatio > 0 && minSupportRatio <= 1,
-      s"minSupportRatio must be in (0,1], got $minSupportRatio")
-    val tx = transactions(df, basketCol, itemCol)
-    val stats = basketStats(tx, minSupportRatio)
-    basketPairCounts(df, basketCol, itemCol, stats)
+    val (stats, _, pairs) = basketModel(df, basketCol, itemCol, minSupportRatio)
+    freqItemsetsWith(stats, pairs)
+  }
+
+  /** [[freqItemsets]] over a prebuilt [[basketModel]]. */
+  def freqItemsetsWith(stats: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
       .crossJoin(broadcast(stats))
       .where(col("pair_n") >= col("min_n"))
       .select(col("item_a"), col("item_b"), col("pair_n"),
         (col("pair_n").cast("double") / col("n_baskets").cast("double")).as("supp"))
-  }
 
   /** Association rules antecedent → consequent from frequent pairs, both
     * directions, with confidence = supp(ab)/supp(a) and
@@ -92,12 +115,13 @@ object Mining {
     * Both ratios are single IEEE divisions of exact int64 products.
     */
   def assocRules(df: DataFrame, basketCol: String, itemCol: String, minSupportRatio: Double = 0.01): DataFrame = {
-    require(minSupportRatio > 0 && minSupportRatio <= 1,
-      s"minSupportRatio must be in (0,1], got $minSupportRatio")
-    val tx = transactions(df, basketCol, itemCol)
-    val stats = basketStats(tx, minSupportRatio)
-    val items = frequentItems(tx, stats)
-    val pairs = basketPairCounts(df, basketCol, itemCol, stats)
+    val (stats, items, pairs) = basketModel(df, basketCol, itemCol, minSupportRatio)
+    assocRulesWith(stats, items, pairs)
+  }
+
+  /** [[assocRules]] over a prebuilt [[basketModel]]. */
+  def assocRulesWith(stats: DataFrame, items: DataFrame, pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0
       .crossJoin(broadcast(stats.select("min_n")))
       .where(col("pair_n") >= col("min_n"))
       .drop("min_n")
@@ -133,12 +157,13 @@ object Mining {
       minSupportRatio: Double = 0.001,
       topK: Int = 5): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    require(minSupportRatio > 0 && minSupportRatio <= 1,
-      s"minSupportRatio must be in (0,1], got $minSupportRatio")
-    val tx = transactions(df, basketCol, itemCol)
-    val stats = basketStats(tx, minSupportRatio)
-    val items = frequentItems(tx, stats)
-    val pairs = basketPairCounts(df, basketCol, itemCol, stats)
+    val (_, items, pairs) = basketModel(df, basketCol, itemCol, minSupportRatio)
+    itemCooccurrenceWith(items, pairs, topK)
+  }
+
+  /** [[itemCooccurrence]] over a prebuilt [[basketModel]]. */
+  def itemCooccurrenceWith(items: DataFrame, pairs: DataFrame, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
     val directed = pairs
       .select(col("item_a").as("item"), col("item_b").as("neighbor"), col("pair_n"))
       .unionAll(pairs.select(col("item_b").as("item"), col("item_a").as("neighbor"), col("pair_n")))

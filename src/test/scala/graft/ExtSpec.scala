@@ -1060,6 +1060,26 @@ class ExtSpec extends AnyFunSuite {
     assert(verified === verifiedFresh)
   }
 
+  test("IndexCache.basketModel: cached triple bit-identical to fresh; corpus never rebuilt on hit") {
+    import graft.ext.IndexCache
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"))
+      .toDF("basket", "item")
+    val key = s"basket-spec-${System.nanoTime()}"
+    val (fs, fi, fp) = graft.ops.Mining.basketModel(df, "basket", "item", 0.5)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val (cs, ci, cp) = IndexCache.basketModel(df, key, "basket", "item", 0.5)
+    assert(rows(cs) === rows(fs) && rows(ci) === rows(fi) && rows(cp) === rows(fp))
+    var built = false
+    val (hs, hi, hp) = IndexCache.basketModel(
+      { built = true; df }, key, "basket", "item", 0.5)
+    assert(!built)
+    assert(rows(hs) === rows(fs) && rows(hi) === rows(fi) && rows(hp) === rows(fp))
+    // a different ratio is a different model, not a stale hit
+    val (s2, _, _) = IndexCache.basketModel(df, key, "basket", "item", 0.9)
+    assert(rows(s2) !== rows(fs)) // min_n differs (2 -> 3)
+  }
+
   test("lshTuning: exact duplicates are candidates AND truth in every config; counts reconcile") {
     // doc 1 == doc 2 (identical signatures -> same band hash in EVERY
     // config), doc 3 disjoint (deterministic md5 minhashes -> no shared
