@@ -5801,20 +5801,26 @@ object SparkEntry {
         |HAVING COUNT(*) * 40 > n.n_total
         |ORDER BY cnt DESC, token""".stripMargin,
     "cms_counts" ->
-      // count-min sketch: depth=4 md5-hashed rows × width=512 cells;
-      // estimate = min over the probe token's cells; over_ok pins the
-      // CMS one-sided guarantee (collisions only add)
-      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      // count-min sketch: depth=4 rows × width=512 cells, the row hashes
+      // and the probe membership all affine maps of ONE md5 per token
+      // (the MinHash universal family — 75437+2r, 13007·(r+1), mod the
+      // <2^30 prime; probe uses index depth=4); estimate = min over the
+      // probe token's cells; over_ok pins the CMS one-sided guarantee
+      s"""WITH tok AS (SELECT token, ${dH("token")} AS h
+         |            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)),
          |rws AS (SELECT unnest(generate_series(0, 3)) AS r),
-         |sk AS (SELECT r, ${dH("r || ':' || token")} % 512 AS bucket,
+         |sk AS (SELECT r,
+         |              ((75437 + 2 * r) * (h % 1073741824) + 13007 * (r + 1)) % 1073741789 % 512 AS bucket,
          |              COUNT(*) AS c
          |       FROM tok CROSS JOIN rws GROUP BY 1, 2),
          |probes AS (SELECT token, COUNT(*) AS exact_c FROM tok
-         |           WHERE ${dH("'p:' || token")} % 7 = 0 GROUP BY token),
+         |           WHERE (75445 * (h % 1073741824) + 65035) % 1073741789 % 7 = 0
+         |           GROUP BY token),
          |est AS (SELECT p.token, p.exact_c, MIN(sk.c) AS est_c
          |        FROM probes p CROSS JOIN rws
          |        JOIN sk ON sk.r = rws.r
-         |               AND sk.bucket = ${dH("rws.r || ':' || p.token")} % 512
+         |               AND sk.bucket = ((75437 + 2 * rws.r) * (${dH("p.token")} % 1073741824)
+         |                                + 13007 * (rws.r + 1)) % 1073741789 % 512
          |        GROUP BY p.token, p.exact_c)
          |SELECT token, exact_c, est_c, est_c - exact_c AS err,
          |       CAST(CASE WHEN est_c >= exact_c THEN 1 ELSE 0 END AS INT) AS over_ok

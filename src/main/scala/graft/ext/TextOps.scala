@@ -918,17 +918,33 @@ object TextOps {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
     require(probeMod >= 1, s"probeMod must be >= 1, got $probeMod")
-    val toks = documents.select(explode(split(col("text"), " ")).as("token"))
+    // ONE md5 per token occurrence; the depth row hashes and the probe
+    // membership derive from it through the MinHash universal family
+    // (u_r = (a_r·h + b_r) mod P over the md5's low 30 bits — the
+    // bootstrapMeans precedent, measured 8× faster there than hashing
+    // md5(r, token) per row; here the md5(r:token)-per-cell form cost
+    // 5 md5 evaluations per occurrence)
+    def rowBucket(r: Int): String =
+      s"((${graft.ext.Dedup.minhashA(r)}L * (h % 1073741824L) + ${graft.ext.Dedup.minhashB(r)}L)" +
+        s" % ${graft.ext.Dedup.MinhashP}L) % $width"
+    val toks = documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(col("token"), expr(s"${md5Long64("token")}").as("h"))
     // sketch build: depth cells per occurrence, ≤ depth·width after combine
     val sketch = toks
-      .select(col("token"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
-      .select(col("r"),
-        expr(s"${md5Long64("concat(r, ':', token)")} % $width").as("bucket"))
+      .select(explode(expr(
+        s"array(${(0 until depth).map(r => s"named_struct('r', $r, 'bucket', ${rowBucket(r)})").mkString(", ")})"))
+        .as("p"))
+      .select(col("p.r").as("r"), col("p.bucket").as("bucket"))
       .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    // probe slice: exact counts for a deterministic 1/probeMod vocabulary cut
+    // probe slice: exact counts for a deterministic 1/probeMod vocabulary
+    // cut (its own affine map of the same h — index `depth`, so it is
+    // independent of every row hash in use)
+    val probeA = graft.ext.Dedup.minhashA(depth)
+    val probeB = graft.ext.Dedup.minhashB(depth)
     val exact = toks
-      .where(expr(s"${md5Long64("concat('p:', token)")} % $probeMod = 0"))
+      .where(expr(s"(${probeA}L * (h % 1073741824L) + ${probeB}L) % ${graft.ext.Dedup.MinhashP}L % $probeMod = 0"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("exact_c"))
     // estimate: min over the token's depth cells; sketch is ≤ depth·width
@@ -936,8 +952,12 @@ object TextOps {
     val est = exact
       .select(col("token"), col("exact_c"),
         explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
-      .withColumn("bucket",
-        expr(s"${md5Long64("concat(r, ':', token)")} % $width"))
+      .withColumn("h", expr(md5Long64("token")))
+      // the SAME family by construction: minhashA(r) = 75437 + 2r,
+      // minhashB(r) = 13007·(r+1) — r is a column here, so the constants
+      // unroll arithmetically instead of per-index
+      .withColumn("bucket", expr(
+        s"(((75437L + 2L * r) * (h % 1073741824L) + 13007L * (r + 1)) % ${graft.ext.Dedup.MinhashP}L) % $width"))
       .join(broadcast(sketch), Seq("r", "bucket"))
       .groupBy(col("token"), col("exact_c"))
       .agg(min(col("c")).as("est_c"))
