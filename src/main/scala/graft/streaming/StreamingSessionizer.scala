@@ -164,6 +164,116 @@ object StreamingSessionizer {
         new SessionProcessor(gapMinutes),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())(outEnc)
+
+  implicit private val closedEnc: Encoder[ClosedSession] =
+    Encoders.product[ClosedSession]
+
+  /** Session FINALIZATION — the output the per-event fronts cannot give:
+    * one record per session, emitted exactly when the session is KNOWN
+    * closed. Two closure paths, both exercised:
+    *  - an in-batch gap (the next event opens a later session) closes
+    *    the superseded one immediately;
+    *  - inactivity is closed by an EVENT-TIME TIMER at
+    *    lastTs + gap — the transformWithState v2 timer API
+    *    (registerTimer/handleExpiredTimer), which fires when the
+    *    watermark passes the expiry and also EVICTS the key's state, so
+    *    total state stays O(active users) — the contract the
+    *    reference's Redis TTL only approximated. A user returning after
+    *    eviction restarts at session 1 by design: the closure record is
+    *    the durable artifact, not the in-store counter.
+    */
+  def sessionizeTwsClosed(
+      events: Dataset[Event],
+      gapMinutes: Long = DefaultGapMinutes,
+      watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(
+        new SessionCloseProcessor(gapMinutes),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())(closedEnc)
+}
+
+/** One finalized session: identity, how many events it absorbed, and
+  * when it last saw one.
+  */
+case class ClosedSession(
+    user_id: Long,
+    session_seq: Long,
+    session_id: String,
+    n_events: Long,
+    last_ts: Timestamp)
+
+/** `StatefulProcessor` emitting [[ClosedSession]] records — in-batch gap
+  * closures from the shared [[StreamingSessionizer.transition]] walk,
+  * inactivity closures from event-time timers. At most ONE live timer
+  * per key (superseded expiries are deleted on every update), so a
+  * stale timer can never close a session that new events have extended.
+  */
+class SessionCloseProcessor(gapMinutes: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, ClosedSession] {
+
+  @transient private var session: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+  override def init(
+      outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    session = getHandle.getValueState[SessionState](
+      "session", Encoders.product[SessionState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  private def closed(userId: Long, seq: Long, n: Long, lastTsMicros: Long): ClosedSession =
+    ClosedSession(userId, seq, s"$userId-$seq", n,
+      new Timestamp(lastTsMicros / 1000L))
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[Event],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[ClosedSession] = {
+    val initial = if (session.exists()) session.get() else null
+    val (out, st) = StreamingSessionizer.transition(
+      gapMinutes, userId, rows, initial)
+    val closures = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+    if (out.nonEmpty) {
+      if (initial != null && out.head.session_seq > initial.sessionSeq)
+        closures += closed(userId, initial.sessionSeq,
+          initial.eventsInSession, initial.lastTs)
+      var i = 1
+      while (i < out.length) {
+        if (out(i).session_seq > out(i - 1).session_seq)
+          closures += closed(userId, out(i - 1).session_seq,
+            out(i - 1).events_in_session,
+            out(i - 1).ts.toInstant.getEpochSecond * 1000000L +
+              out(i - 1).ts.toInstant.getNano / 1000L)
+        i += 1
+      }
+    }
+    if (st != null) {
+      session.update(st)
+      // exactly one live timer per key: the gap deadline of the LATEST
+      // event; every superseded deadline dies here
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(st.lastTs / 1000L + gapMinutes * 60L * 1000L)
+    }
+    closures.iterator
+  }
+
+  override def handleExpiredTimer(
+      userId: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+    if (!session.exists()) Iterator.empty
+    else {
+      val st = session.get()
+      // the one-live-timer discipline makes any firing timer the LATEST
+      // deadline; the session is closed and the key's state evicted
+      session.clear()
+      Iterator.single(closed(userId, st.sessionSeq,
+        st.eventsInSession, st.lastTs))
+    }
+  }
 }
 
 /** `StatefulProcessor` holding the per-user [[SessionState]] in a typed

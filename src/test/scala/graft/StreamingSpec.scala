@@ -2269,6 +2269,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeTwsClosed: event-time timers close idle sessions and evict state; in-batch gaps close inline") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamingSessionizer.sessionizeTwsClosed(ms.toDS())
+        .writeStream.format("memory").queryName("tws_closed")
+        .outputMode("append").start()
+      def rows: Seq[(Long, Long, String, Long)] =
+        spark.table("tws_closed")
+          .select("user_id", "session_seq", "session_id", "n_events")
+          .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      try {
+        // user 7's IN-BATCH >30-min gap closes session 7-1 inline; the
+        // batch also advances the watermark to 01:00 − 10 min = 00:50,
+        // past user 5's 00:40 deadline — its timer fires in the no-data
+        // follow-up batch processAllAvailable drains, so 5-1 closes too
+        // (and 7-2's 01:30 deadline does not)
+        ms.addData(Seq(
+          ev(1, "2024-01-01 00:00:00", 5), ev(2, "2024-01-01 00:10:00", 5),
+          ev(3, "2024-01-01 00:00:00", 7), ev(4, "2024-01-01 01:00:00", 7)))
+        q.processAllAvailable()
+        assert(rows === Seq((5L, 1L, "5-1", 2L), (7L, 1L, "7-1", 1L)))
+        // a new user's event pushes the watermark (02:00 − 10 min =
+        // 01:50) past user 5's 00:40 deadline AND user 7's 01:30 one:
+        // both idle sessions close via the TIMER path and evict
+        ms.addData(Seq(ev(5, "2024-01-01 02:00:00", 6)))
+        q.processAllAvailable()
+        assert(rows === Seq(
+          (5L, 1L, "5-1", 2L), (7L, 1L, "7-1", 1L), (7L, 2L, "7-2", 1L)))
+        // user 5 returns AFTER eviction: state is gone, numbering
+        // restarts at session 1 by design (the closure record is the
+        // durable artifact); this event also closes user 6's session
+        // (watermark 03:20 − 10 min = 03:10 > 02:30)
+        ms.addData(Seq(ev(6, "2024-01-01 03:20:00", 5)))
+        q.processAllAvailable()
+        assert(rows === Seq(
+          (5L, 1L, "5-1", 2L), (6L, 1L, "6-1", 1L),
+          (7L, 1L, "7-1", 1L), (7L, 2L, "7-2", 1L)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p); case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState schema evolution: V2 state with an added Option field resumes a V1 checkpoint") {
     // Upgrade day: the shipped SessionProcessor wrote SessionState rows
     // into a checkpoint; the next release adds an optional field to the
