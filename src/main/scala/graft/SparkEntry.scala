@@ -528,6 +528,12 @@ object SparkEntry {
     "time_split_embargo" -> ((s, d) =>
       Sampling.timeSplitEmbargo(Tables.events(s, d), "ts",
         "2024-01-15 00:00:00", embargoDays = 2)),
+    // finalized sessions: superseded OR gap-deadline past the corpus
+    // horizon — the batch twin of the streaming timer closures
+    "session_close" -> ((s, d) =>
+      graft.session.Sessionize.closedSessions(Tables.events(s, d))
+        .withColumn("last_ts_us", unix_micros(col("last_ts")))
+        .drop("last_ts")),
     // distribution-free prediction intervals: per-type train-mean
     // predictor, calibration-band order-statistic q-hat (all-integer),
     // realized test coverage ~ 90%
@@ -5084,6 +5090,35 @@ object SparkEntry {
         |         / CAST(COUNT(*) AS DOUBLE) AS pos_rate
         |FROM s CROSS JOIN m
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "session_close" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS st
+        |  FROM g
+        |), q AS (
+        |  SELECT user_id, ts,
+        |         CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM s
+        |), per AS (
+        |  SELECT user_id, session_seq,
+        |         CAST(user_id AS VARCHAR) || '-' || CAST(session_seq AS VARCHAR) AS session_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         MAX(ts) AS last_ts,
+        |         MAX(CAST(session_seq AS BIGINT)) OVER (PARTITION BY user_id) AS max_seq
+        |  FROM q GROUP BY user_id, session_seq
+        |), h AS (SELECT MAX(epoch_us(ts)) - 600000000 AS wm_us FROM events)
+        |SELECT user_id, session_seq, session_id, n_events,
+        |       epoch_us(last_ts) AS last_ts_us
+        |FROM per CROSS JOIN h
+        |WHERE session_seq < max_seq
+        |   OR epoch_us(last_ts) + 1800000000 < wm_us""".stripMargin,
     "time_split_embargo" ->
       """SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'train'
         |            WHEN ts < TIMESTAMP '2024-01-15 00:00:00' + INTERVAL 2 DAY THEN 'embargo'

@@ -150,6 +150,40 @@ object Sessionize {
         sum(when(col(typeCol) === purchaseType, col(valueCol)).otherwise(lit(0.0))
           .cast("decimal(18,2)")).cast("double").as("purchase_value"))
 
+  /** CLOSED sessions — the batch twin of
+    * [[graft.streaming.SessionCloseProcessor]]'s timer-driven
+    * finalization (the batch-twin-per-streaming-operator doctrine):
+    * a session is closed if it was SUPERSEDED (a later session of the
+    * same user exists — the stream's inline-closure path) or its gap
+    * deadline (last event + gap) lies before the corpus horizon
+    * (max ts − the watermark delay — the stream's timer path). Sessions
+    * matching neither are OPEN and not emitted — exactly the rows the
+    * streaming form has not closed yet. Rides [[withSessionIds]] + one
+    * per-session aggregate with a user-bounded max; the horizon is a
+    * 1-row broadcast.
+    */
+  def closedSessions(
+      df: DataFrame,
+      gapMin: Long = 30L,
+      watermarkDelayMin: Long = 10L,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val perSession = withSessionIds(df, userCol, tsCol, tieCol, gapMin)
+      .groupBy(col(userCol).as("user_id"), col("session_seq"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), max(col(tsCol)).as("last_ts"))
+      .withColumn("_max_seq",
+        max(col("session_seq")).over(Window.partitionBy(col("user_id"))))
+    val horizon = df.agg(
+      (unix_micros(max(col(tsCol))) - watermarkDelayMin * MicrosPerMinute)
+        .as("wm_us"))
+    perSession.crossJoin(broadcast(horizon))
+      .where(col("session_seq") < col("_max_seq") ||
+        unix_micros(col("last_ts")) + gapMin * MicrosPerMinute < col("wm_us"))
+      .select(col("user_id"), col("session_seq"), col("session_id"),
+        col("n_events"), col("last_ts"))
+  }
+
   /** Bounce rate by session ENTRY event type — the landing-quality
     * metric: of the sessions that START with X, how many end after that
     * single event. Rides the gap-sessionizer: one per-session aggregate

@@ -2319,6 +2319,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeTwsClosed equals the batch twin on (user, n_events, last_ts); seq diverges after eviction by design") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // user 5 reopens AFTER its first session is timer-evicted; the
+      // final sentinel event closes everything still open
+      val batches = Seq(
+        Seq(ev(1, "2024-01-01 00:00:00", 5), ev(2, "2024-01-01 00:10:00", 5),
+          ev(3, "2024-01-01 00:20:00", 8)),
+        Seq(ev(4, "2024-01-01 02:00:00", 6)),
+        Seq(ev(5, "2024-01-01 03:20:00", 5)),
+        Seq(ev(6, "2024-01-01 10:00:00", 99)))
+      val ms = MemoryStream[Event]
+      val q = StreamingSessionizer.sessionizeTwsClosed(ms.toDS())
+        .writeStream.format("memory").queryName("tws_closed_eq")
+        .outputMode("append").start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val streamed = spark.table("tws_closed_eq")
+        .select("user_id", "n_events", "last_ts")
+        .as[(Long, Long, Timestamp)].collect()
+        .map(r => (r._1, r._2, r._3.getTime)).sorted.toSeq
+      val batch = graft.session.Sessionize.closedSessions(
+        batches.flatten.toDF())
+        .select("user_id", "n_events", "last_ts")
+        .as[(Long, Long, Timestamp)].collect()
+        .map(r => (r._1, r._2, r._3.getTime)).sorted.toSeq
+      assert(streamed === batch)
+      // every session except the sentinel's own is closed
+      assert(streamed.map(r => (r._1, r._2)) ===
+        Seq((5L, 2L), (5L, 1L), (6L, 1L), (8L, 1L)).sorted)
+      // the documented divergence: the stream restarts an evicted user at
+      // seq 1 (two closures labeled 5-1); the batch twin numbers 5-2
+      val streamedIds = spark.table("tws_closed_eq")
+        .where(org.apache.spark.sql.functions.col("user_id") === 5L).select("session_id")
+        .as[String].collect().sorted.toSeq
+      assert(streamedIds === Seq("5-1", "5-1"))
+      assert(graft.session.Sessionize.closedSessions(batches.flatten.toDF())
+        .where(org.apache.spark.sql.functions.col("user_id") === 5L).select("session_id")
+        .as[String].collect().sorted.toSeq === Seq("5-1", "5-2"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p); case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState schema evolution: V2 state with an added Option field resumes a V1 checkpoint") {
     // Upgrade day: the shipped SessionProcessor wrote SessionState rows
     // into a checkpoint; the next release adds an optional field to the
