@@ -987,6 +987,30 @@ class IntegritySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].head()._4 === 0.75)
   }
 
+  test("rocAuc: randomized brute-force parity — auc_num2 equals 2*wins + ties over all pos/neg pairs") {
+    // fixed-seed fuzz over tie-heavy fractional scores: the integer
+    // witness 2*sum(R_pos) - P(P+1) must equal the pair-counting
+    // definition exactly, case by case
+    val rnd = new scala.util.Random(14)
+    (1 to 12).foreach { case_ =>
+      val n = 5 + rnd.nextInt(60)
+      // small discrete score support forces ties; quarter steps force
+      // fractional values through the raw-score path
+      val rows = Seq.fill(n)((rnd.nextInt(8) * 0.25, rnd.nextBoolean()))
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val expectedNum2 = (for (p <- pos; q <- neg) yield
+          if (p > q) 2L else if (p == q) 1L else 0L).sum
+        val (nP, nN, num2, auc) = Quality.rocAuc(rows.toDF("sc", "y"), "sc", "y")
+          .as[(Long, Long, Long, Double)].head()
+        assert((nP, nN, num2) === ((pos.size.toLong, neg.size.toLong, expectedNum2)),
+          s"case $case_: $rows")
+        assert(auc === expectedNum2.toDouble / (2.0 * pos.size * neg.size))
+      }
+    }
+  }
+
   // ---- Quality.quantileInterp ---------------------------------------
 
   test("quantileInterp: exact-hit ranks skip the lerp; fractional ranks interpolate the neighbors") {
