@@ -436,7 +436,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("freq_itemsets: pairs generate per basket (explode), never a corpus self-join on basket") {
-    val p = executedFinal("freq_itemsets")
+    // the DECLARED query serves the IndexCache-materialized basket model
+    // (checkpoint scans — no pair generation to audit); the plan
+    // contract under audit is the builder's, so drive it directly
+    // (the minhash_pairs precedent)
+    val baskets = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .join(Tables.part(spark, sf)
+        .select(org.apache.spark.sql.functions.col("p_partkey"),
+          org.apache.spark.sql.functions.col("p_brand")),
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+    val df = graft.ops.Mining.freqItemsets(baskets, "l_orderkey", "p_brand", 0.02)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("isFinalPlan=true"), p)
     // the pair candidates come from exploding each basket's bounded sorted
     // item array — a Generate over the per-basket aggregate
