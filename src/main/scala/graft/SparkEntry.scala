@@ -1118,6 +1118,11 @@ object SparkEntry {
     "bm25_top" -> ((s, d) => TextOps.bm25Top(Tables.documents(s, d))),
     "rank_fusion" -> ((s, d) => TextOps.rrfFusion(Tables.documents(s, d),
       Seq("spark", "query", "join"), Seq("stream", "window", "batch"))),
+    // hybrid retrieval: BM25 lexical arm + vector cosine arm, RRF-fused
+    // (doc_id and vec_id share the corpus id space)
+    "hybrid_search" -> ((s, d) => TextOps.hybridSearch(
+      Tables.documents(s, d), Tables.embeddings(s, d),
+      Seq("spark", "query", "join"))),
     "contamination" -> ((s, d) => Dedup.contamination(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => Sampling.weightedBySource(Tables.documents(s, d))),
     "mixture_sample" -> ((s, d) => Sampling.mixtureSample(Tables.documents(s, d))),
@@ -5932,6 +5937,53 @@ object SparkEntry {
          |       COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_a), CAST(0.0 AS DOUBLE))
          |         + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_b), CAST(0.0 AS DOUBLE)) AS rrf_score
          |FROM qark FULL OUTER JOIN qbrk ON qark.doc_id = qbrk.doc_id
+         |ORDER BY rrf_score DESC, doc_id
+         |LIMIT 20""".stripMargin
+    },
+    // hybrid retrieval: the rank_fusion lexical arm + the cosine_topk
+    // vector arm, identical RRF combine
+    "hybrid_search" -> {
+      val terms = Seq("spark", "query", "join")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val score = terms.indices.map { i =>
+        s"""(ln((CAST(n_docs AS DOUBLE) - df$i + 0.5) / (df$i + 0.5) + 1.0)
+           | * (CAST(tf$i AS DOUBLE) * 2.2)
+           | / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))""".stripMargin
+      }.mkString("\n           + ")
+      s"""$dUnitCte,
+         |qv AS (SELECT unit AS q_unit FROM u WHERE vec_id = 0),
+         |vsc AS (
+         |  SELECT vec_id AS doc_id,
+         |         round(${dUnitDot("unit", "q_unit")}, 6) AS cosine_sim
+         |  FROM u, qv WHERE vec_id <> 0
+         |  ORDER BY cosine_sim DESC, vec_id LIMIT 20
+         |), vrk AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS rank_vec
+         |  FROM vsc
+         |), lf AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |), lst AS (
+         |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, $dfs FROM lf
+         |), lsc AS (
+         |  SELECT doc_id, score FROM (
+         |    SELECT f.doc_id, round($score, 6) AS score
+         |    FROM lf f CROSS JOIN lst
+         |  ) WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20
+         |), lrk AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+         |  FROM lsc
+         |)
+         |SELECT COALESCE(lrk.doc_id, vrk.doc_id) AS doc_id, rank_lex, rank_vec,
+         |       COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_lex), CAST(0.0 AS DOUBLE))
+         |         + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_vec), CAST(0.0 AS DOUBLE)) AS rrf_score
+         |FROM lrk FULL OUTER JOIN vrk ON lrk.doc_id = vrk.doc_id
          |ORDER BY rrf_score DESC, doc_id
          |LIMIT 20""".stripMargin
     },

@@ -1054,6 +1054,48 @@ object TextOps {
     * fixed order — bit-reproducible in the oracle with no rounding
     * escape hatch.
     */
+  /** HYBRID retrieval — the modern search composition: a LEXICAL arm
+    * ([[bm25Top]]) and a VECTOR arm
+    * ([[graft.ext.Similarity.cosineTopK]] against a query embedding)
+    * fused by reciprocal-rank fusion. RRF is the standard hybrid
+    * combiner precisely because the two arms' scores are incomparable
+    * (BM25 mass vs cosine) — only ranks fuse safely. Composition of
+    * three already-gated operators; this query gates the composition
+    * (the pipeline_curate4 doctrine).
+    *
+    * Scale shape: each arm is its own bounded top-k (BM25: one scan +
+    * TakeOrdered; cosine: one scan against a broadcast query vector +
+    * TakeOrdered); the fuse is a ≤ 2·listN-row full-outer join and the
+    * rank windows run over listN rows — constant frames, never data.
+    */
+  def hybridSearch(
+      documents: DataFrame,
+      embeddings: DataFrame,
+      terms: Seq[String],
+      queryVecId: Long = 0L,
+      rrfK: Int = 60,
+      listN: Int = 20,
+      topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rrfK >= 1 && listN >= 1 && topN >= 1)
+    val lex = bm25Top(documents, terms, topN = listN)
+      .select(col("doc_id"), col("score"))
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .drop("score")
+    val vec = graft.ext.Similarity.cosineTopK(embeddings, queryVecId, k = listN)
+      .select(col("vec_id").as("doc_id"), col("cosine_sim"))
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(col("cosine_sim").desc, col("doc_id"))))
+      .drop("cosine_sim")
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0)))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   def rrfFusion(
       documents: DataFrame,
       termsA: Seq[String],
