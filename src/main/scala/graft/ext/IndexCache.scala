@@ -25,6 +25,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * driver's harness) plus every training parameter — two corpora or two
   * parameterizations never share an entry. Entries are a few KB; an
   * unbounded process would call [[clear]] on corpus rotation.
+  *
+  * Concurrency: `TrieMap.getOrElseUpdate` is not atomic — two threads
+  * racing a cold key may BOTH compute before one wins the publish.
+  * That is deliberate slack, not a bug: every cached computation here
+  * is deterministic (bit-identical results), so a duplicate build costs
+  * only time, never correctness — and the harness drives queries
+  * sequentially, so the race does not occur in practice. A server
+  * embedding would wrap the loader in a per-key future if the duplicate
+  * build cost mattered.
   */
 object IndexCache {
   private val pqCbCache =
