@@ -137,6 +137,64 @@ class IoSpec extends AnyFunSuite {
     assert(wrapped.head.columns.toSeq === Seq("value"))
   }
 
+  test("binaryFile source: media files on disk decode identically to the parquet-column path") {
+    // the media pipeline stores payloads as binary COLUMNS; a real crawl
+    // lands them as FILES first. This drives Spark's binaryFile source —
+    // glob filtering, recursive lookup, content+length columns — and
+    // pins that the file route feeds the SAME decoder to the SAME
+    // features as the column route.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    import graft.ext.Multimodal
+    val docs = (0L until 20L).toDF("doc_id")
+    val recs = Multimodal.synthesizeImages(docs).collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft_binfiles")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("nested"))
+    recs.foreach { r =>
+      val ext = if (r.media_id % 2 == 0) "bmp" else "png"
+      val target = (if (r.media_id % 5 == 0) sub else dir)
+        .resolve(s"img_${r.media_id}.$ext")
+      java.nio.file.Files.write(target, r.content)
+    }
+    val files = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dir.toString)
+    // length column matches the payload; every written file surfaces
+    val byId = files.select("path", "length", "content").collect()
+      .map { row =>
+        val id = row.getString(0).replaceAll(".*img_(\\d+)\\..*", "$1").toLong
+        id -> (row.getLong(1), row.getAs[Array[Byte]](2))
+      }.toMap
+    assert(byId.keySet === recs.map(_.media_id).toSet)
+    recs.foreach { r =>
+      assert(byId(r.media_id)._1 === r.content.length.toLong)
+      assert(java.util.Arrays.equals(byId(r.media_id)._2, r.content))
+    }
+    // glob filter: only PNGs (odd ids at the top level + nested odd ids)
+    val pngs = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.png")
+      .load(dir.toString)
+      .select("path").as[String].collect()
+    assert(pngs.forall(_.endsWith(".png")))
+    assert(pngs.length === recs.count(_.media_id % 2 == 1))
+    // file route -> the SAME decode features as the column route
+    val fromFiles = files.select(
+      expr("cast(regexp_extract(path, 'img_(\\\\d+)\\\\.', 1) as bigint)").as("media_id"),
+      col("content"),
+      lit(0).as("meta_width"), lit(0).as("meta_height"))
+      .as[Multimodal.ImageRecord]
+    val fileFeatures = Multimodal.decodeImages(fromFiles)
+      .select("media_id", "pixel_sum", "img_width", "img_height")
+      .as[(Long, Option[Long], Option[Int], Option[Int])].collect().sortBy(_._1).toSeq
+    val colFeatures = Multimodal.decodeImages(
+      Multimodal.synthesizeImages(docs))
+      .select("media_id", "pixel_sum", "img_width", "img_height")
+      .as[(Long, Option[Long], Option[Int], Option[Int])].collect().sortBy(_._1).toSeq
+    assert(fileFeatures === colFeatures)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("kafka boundary: option surface is exhaustive — connector defaults not silently overridden") {
     // The reader must set EXACTLY the documented keys and nothing else:
     // the connector's own defaults are part of the contract we rely on
