@@ -1061,9 +1061,11 @@ object Quality {
     * rank k = ⌈(1−α)(n_cal+1)⌉ is computed in integers.
     *
     * Shape: three hash-band filters of ONE scan, a per-group train
-    * aggregate (broadcast-sized), a group-partitioned rank window over
-    * calibration rows, and one integer-compare aggregate over test
-    * rows. Nothing global.
+    * aggregate (broadcast-sized), a support-sized cumulative window for
+    * the order statistic, and one integer-compare aggregate over test
+    * rows. Nothing global. Groups with no train or no calibration rows
+    * emit NOTHING (inner joins — conformal coverage is undefined
+    * without both bands; the oracle mirrors the drop).
     */
   def conformalInterval(
       df: DataFrame,
