@@ -542,11 +542,13 @@ object SparkEntry {
       graft.ops.Quality.conformalInterval(
         Tables.events(s, d), "event_id", "event_type", "value")),
     // reliability diagram: per score bucket, mean score vs realized
-    // positive rate — catches well-ranked but miscalibrated scores
+    // positive rate — catches well-ranked but miscalibrated scores.
+    // The score is fed RAW (fractional dollars) — the fixture that
+    // pins the fixed-point bucketing against integer-cast collapse
     "calibration_curve" -> ((s, d) =>
       graft.ops.Quality.calibrationCurve(
-        Tables.events(s, d).where(col("value").isNotNull)
-          .select(expr("cast(floor(value) as bigint)").as("sc"),
+        Tables.events(s, d)
+          .select(col("value").as("sc"),
             (col("event_type") === "purchase").as("y")),
         "sc", "y")),
     "ctfidf_terms" -> ((s, d) =>
@@ -4992,8 +4994,15 @@ object SparkEntry {
         |  FROM v CROSS JOIN t GROUP BY t.k, t.n_total
         |)
         |SELECT k, n_total, w2,
+        |       CAST(CASE k WHEN 2 THEN 384 WHEN 3 THEN 599 WHEN 4 THEN 781
+        |                   WHEN 5 THEN 949 WHEN 6 THEN 1107 WHEN 7 THEN 1259
+        |                   WHEN 8 THEN 1407 WHEN 9 THEN 1551 WHEN 10 THEN 1692
+        |                   WHEN 11 THEN 1831 END AS BIGINT) AS crit_centi,
         |       CAST(w2 AS DOUBLE) / CAST(k * n_total AS DOUBLE) AS chi2,
-        |       100 * w2 > 384 * k * n_total AS srm_flag
+        |       100 * w2 > CASE k WHEN 2 THEN 384 WHEN 3 THEN 599 WHEN 4 THEN 781
+        |                         WHEN 5 THEN 949 WHEN 6 THEN 1107 WHEN 7 THEN 1259
+        |                         WHEN 8 THEN 1407 WHEN 9 THEN 1551 WHEN 10 THEN 1692
+        |                         WHEN 11 THEN 1831 END * k * n_total AS srm_flag
         |FROM w""".stripMargin,
     "woe_iv" ->
       """WITH s AS (
@@ -5082,16 +5091,17 @@ object SparkEntry {
          |ORDER BY 1""".stripMargin,
     "calibration_curve" ->
       """WITH s AS (
-        |  SELECT CAST(floor(value) AS BIGINT) AS sc,
+        |  SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS sc_fp,
         |         event_type = 'purchase' AS y
         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
-        |), m AS (SELECT MIN(sc) AS mn, MAX(sc) AS mx FROM s)
-        |SELECT CAST((sc - mn) * 10 // (mx - mn + 1) AS INT) AS bucket,
+        |), m AS (SELECT MIN(sc_fp) AS mn, MAX(sc_fp) AS mx FROM s)
+        |SELECT CAST((sc_fp - mn) * 10 // (mx - mn + 1) AS INT) AS bucket,
         |       CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-        |       CAST(MIN(sc) AS BIGINT) AS bucket_lo,
-        |       CAST(MAX(sc) AS BIGINT) AS bucket_hi,
-        |       CAST(SUM(sc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_score,
+        |       CAST(MIN(sc_fp) AS DOUBLE) / 1000000.0 AS bucket_lo,
+        |       CAST(MAX(sc_fp) AS DOUBLE) / 1000000.0 AS bucket_hi,
+        |       CAST(SUM(sc_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |         / 1000000.0 AS mean_score,
         |       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
         |         / CAST(COUNT(*) AS DOUBLE) AS pos_rate
         |FROM s CROSS JOIN m

@@ -28,12 +28,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Concurrency: `TrieMap.getOrElseUpdate` is not atomic — two threads
   * racing a cold key may BOTH compute before one wins the publish.
-  * That is deliberate slack, not a bug: every cached computation here
-  * is deterministic (bit-identical results), so a duplicate build costs
-  * only time, never correctness — and the harness drives queries
-  * sequentially, so the race does not occur in practice. A server
-  * embedding would wrap the loader in a per-key future if the duplicate
-  * build cost mattered.
+  * For the driver-row tiers that is deliberate slack, not a bug: every
+  * cached computation here is deterministic (bit-identical results), so
+  * a duplicate build costs only time, never correctness — and the
+  * harness drives queries sequentially, so the race does not occur in
+  * practice. The CHECKPOINT-FILE tiers (pair/CC/basket frames) cannot
+  * afford even that slack: a losing thread's eagerly-checkpointed frame
+  * would strand its files for the application lifetime
+  * (`cleanCheckpoints` defaults to false), so those tiers publish via
+  * `putIfAbsent` and [[Dedup.release]] the loser's frame immediately.
   */
 object IndexCache {
   private val pqCbCache =
@@ -113,6 +116,23 @@ object IndexCache {
   private val ccCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** putIfAbsent publish for the checkpoint-file tiers: if another
+    * thread won the race, release the loser's checkpoint files instead
+    * of stranding them (see the object scaladoc's concurrency note).
+    */
+  private def publishFileTier[V](
+      cache: scala.collection.concurrent.TrieMap[String, V],
+      key: String)(compute: => V)(releaseLoser: V => Unit): V =
+    cache.get(key) match {
+      case Some(v) => v
+      case None =>
+        val v = compute
+        cache.putIfAbsent(key, v) match {
+          case Some(winner) => releaseLoser(v); winner
+          case None         => v
+        }
+    }
+
   /** [[Dedup.minhashCandidatePairs]], computed at most once per (corpus
     * key, k) — the LSH candidate stage that six gated queries
     * (`minhash_pairs`, `dedup_clusters`, `dedup_stats`,
@@ -132,10 +152,10 @@ object IndexCache {
     * hash-matches.
     */
   def minhashPairs(documents: => DataFrame, key: String, k: Int = 8): DataFrame =
-    pairsCache.getOrElseUpdate(s"$key|k=$k", {
+    publishFileTier(pairsCache, s"$key|k=$k") {
       val p = Dedup.minhashCandidatePairs(documents, k)
       Dedup.truncated(p, p.sparkSession.sparkContext.getCheckpointDir.isDefined)
-    })
+    }(Dedup.release)
 
   /** [[Dedup.connectedComponents]] over the corpus's cached LSH
     * candidate pairs, computed at most once per (corpus key, k,
@@ -156,14 +176,14 @@ object IndexCache {
       key: String,
       minEst: Option[Double] = None,
       k: Int = 8): DataFrame =
-    ccCache.getOrElseUpdate(s"$key|k=$k|min=${minEst.getOrElse(-1.0)}", {
+    publishFileTier(ccCache, s"$key|k=$k|min=${minEst.getOrElse(-1.0)}") {
       val pairs = minhashPairs(documents, key, k)
       val graph = minEst match {
         case Some(t) => pairs.filter(org.apache.spark.sql.functions.col("est_jaccard") >= t)
         case None    => pairs
       }
       Dedup.connectedComponents(graph.select("a_id", "b_id"))
-    })
+    }(Dedup.release)
 
   private val basketCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
@@ -183,14 +203,14 @@ object IndexCache {
       basketCol: String,
       itemCol: String,
       ratio: Double): (DataFrame, DataFrame, DataFrame) =
-    basketCache.getOrElseUpdate(s"$key|b=$basketCol|i=$itemCol|r=$ratio", {
+    publishFileTier(basketCache, s"$key|b=$basketCol|i=$itemCol|r=$ratio") {
       val (stats, items, pairs) =
         graft.ops.Mining.basketModel(df, basketCol, itemCol, ratio)
       val reliable = stats.sparkSession.sparkContext.getCheckpointDir.isDefined
       (Dedup.truncated(stats, reliable),
         Dedup.truncated(items, reliable),
         Dedup.truncated(pairs, reliable))
-    })
+    } { case (a, b, c) => Dedup.release(a); Dedup.release(b); Dedup.release(c) }
 
   /** Drop every cached index (corpus rotation / tests). Frame-backed
     * entries release their checkpoint storage (blocks AND files) — the

@@ -234,6 +234,11 @@ object Sampling {
       cutoff: String,
       embargoDays: Int): DataFrame = {
     require(embargoDays >= 0, s"embargoDays must be >= 0, got $embargoDays")
+    // cutoff is interpolated into SQL text — validate the shape so a
+    // quote or malformed literal fails loudly here, not as expression
+    // injection or a confusing parse error (the pseudonymize salt rule)
+    require(cutoff.matches("""\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2})?"""),
+      s"cutoff must be 'yyyy-MM-dd' or 'yyyy-MM-dd HH:mm:ss', got '$cutoff'")
     df.where(col(tsCol).isNotNull)
       .selectExpr(tsCol,
         s"""case when $tsCol < timestamp'$cutoff' then 'train'

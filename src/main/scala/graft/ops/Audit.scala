@@ -500,9 +500,17 @@ object Audit {
     * (envelope: k·n_i ≤ k·N < 2⁶³ at any realistic scale), ONE terminal
     * division, and the srm_flag is the pure-integer comparison
     * 100·W > crit_centi·k·N, so a split exactly on the critical value
-    * can never flip engines. `critCenti` defaults to 384 (χ²₀.₀₅ for
-    * df=1, the two-variant experiment); callers with k>2 pass the df=k−1
-    * critical value in hundredths.
+    * can never flip engines.
+    *
+    * The critical value is DERIVED FROM k by default: with k variants
+    * the statistic has df = k−1, and a fixed df=1 value of 3.84 would
+    * over-flag any experiment with ≥ 3 arms (χ²₀.₀₅ at df=2 is already
+    * 5.99). The default (`critCenti = 0`) looks up χ²₀.₀₅ in hundredths
+    * for df 1–10 — an integer table, keeping the integer-witness
+    * discipline — and emits a NULL `crit_centi`/`srm_flag` for k > 11
+    * (loud, never a silently-wrong threshold; pass an explicit value).
+    * A positive `critCenti` overrides the lookup for non-5% levels or
+    * df > 10.
     *
     * Shape: one map-side-combined count per variant, then a k-row
     * rollup. Units, not events: the unit key is counted DISTINCT per
@@ -513,8 +521,11 @@ object Audit {
       df: DataFrame,
       variantCol: String,
       unitCol: String,
-      critCenti: Long = 384L): DataFrame = {
-    require(critCenti > 0, s"critCenti must be positive, got $critCenti")
+      critCenti: Long = 0L): DataFrame = {
+    require(critCenti >= 0, s"critCenti must be >= 0 (0 = derive from k), got $critCenti")
+    // χ²₀.₀₅ in hundredths for df = 1..10 (k = 2..11)
+    val chi2Crit05Centi = Seq(384L, 599L, 781L, 949L, 1107L,
+      1259L, 1407L, 1551L, 1692L, 1831L)
     val perVariant = df
       .where(col(variantCol).isNotNull && col(unitCol).isNotNull)
       .groupBy(col(variantCol).as("variant"))
@@ -531,10 +542,17 @@ object Audit {
       .withColumn("dev", col("k") * col("n_units") - col("n_total"))
       .groupBy(col("k"), col("n_total"))
       .agg(sum(col("dev") * col("dev")).as("w2"))
-      .select(col("k"), col("n_total"), col("w2"),
+      .withColumn("crit_centi",
+        if (critCenti > 0) lit(critCenti)
+        // lookup at the df=k−1 index; NULL outside the table, by design
+        // (when() guards the ANSI out-of-bounds error)
+        else when(col("k").between(2, chi2Crit05Centi.length + 1),
+          element_at(
+            array(chi2Crit05Centi.map(lit): _*), (col("k") - 1).cast("int"))))
+      .select(col("k"), col("n_total"), col("w2"), col("crit_centi"),
         (col("w2").cast("double") / (col("k") * col("n_total")).cast("double"))
           .as("chi2"),
-        (lit(100L) * col("w2") > lit(critCenti) * col("k") * col("n_total"))
+        (lit(100L) * col("w2") > col("crit_centi") * col("k") * col("n_total"))
           .as("srm_flag"))
   }
 

@@ -845,7 +845,12 @@ object Quality {
     * deployed variance-reduction trick in large-scale experimentation.
     *
     * Determinism discipline (the [[graft.ops.Functions.statsMoments]]
-    * doctrine): per-unit metrics are rounded to integer units up front,
+    * doctrine): per-EVENT values are rounded to integer units up front
+    * (floor(v + 0.5) — so a metric whose per-event values are mostly
+    * SUB-unit, e.g. rates in [0,1], collapses toward 0/1 and loses the
+    * CUPED correlation: pre-scale such metrics to an integer unit —
+    * cents, basis points — before calling; this rounding is the
+    * operator's contract, not an accident),
     * all five cross-moments are EXACT int64 sums, and every emitted
     * float is one fixed IEEE expression tree over those integers —
     * order-independent, hash-gatable. int64 envelope: with per-unit
@@ -1136,13 +1141,22 @@ object Quality {
     * bucket, the mean score vs the realized positive rate. Perfectly
     * calibrated ⇒ the two track each other; the table IS the diagram.
     *
-    * Bucketing is the pure-integer affine rule
-    * (score − min)·buckets div (max − min + 1) over the score's
-    * observed range — min/max come from the same aggregate-and-broadcast
-    * idiom as [[bucketedPrefixSums]]' bounds, so bucket identity is
-    * exact and engine-independent (never a sampled/ntile boundary).
-    * Counts are exact int64; mean score and positive rate are terminal
-    * divisions.
+    * Scores are carried as MICRO-UNIT fixed point —
+    * floor(score·10⁶ + 0.5), the [[conformalInterval]] cents idiom at
+    * 1e-6 resolution — so fractional classifier probabilities in [0,1]
+    * (the operator's primary input) spread across every bucket instead
+    * of silently collapsing under an integer cast, the rocAuc defect
+    * class this operator must not repeat. Bucketing is then the
+    * pure-integer affine rule (sc_fp − min)·buckets div (max − min + 1)
+    * over the OBSERVED fixed-point range — min/max come from the same
+    * aggregate-and-broadcast idiom as [[bucketedPrefixSums]]' bounds,
+    * the numerator is non-negative so truncating and flooring division
+    * agree, and bucket identity is exact and engine-independent (never
+    * a sampled/ntile boundary). Counts are exact int64; the score sum
+    * is lifted to decimal(38,0) (micro-units × corpus rows outgrow
+    * int64 near 10¹² rows of unit-scale scores — the scalerFitApply
+    * lesson); mean score, bucket bounds and positive rate are terminal
+    * divisions back to score units.
     */
   def calibrationCurve(
       df: DataFrame,
@@ -1152,21 +1166,25 @@ object Quality {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val base = df
       .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .select(col(scoreCol).cast("bigint").as("sc"), col(labelCol).as("y"))
-    val bounds = base.agg(min(col("sc")).as("mn"), max(col("sc")).as("mx"))
+      .select(
+        expr(s"cast(floor($scoreCol * 1000000.0d + 0.5d) as bigint)").as("sc_fp"),
+        col(labelCol).as("y"))
+    val bounds = base.agg(min(col("sc_fp")).as("mn"), max(col("sc_fp")).as("mx"))
     base.crossJoin(broadcast(bounds))
       .withColumn("bucket",
-        expr(s"((sc - mn) * $buckets) div (mx - mn + 1)").cast("int"))
+        expr(s"((sc_fp - mn) * $buckets) div (mx - mn + 1)").cast("int"))
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
-        sum(col("sc")).as("sum_score"),
-        min(col("sc")).as("bucket_lo"),
-        max(col("sc")).as("bucket_hi"))
+        sum(col("sc_fp").cast("decimal(38,0)")).as("sum_fp"),
+        min(col("sc_fp")).as("lo_fp"),
+        max(col("sc_fp")).as("hi_fp"))
       .select(col("bucket"), col("n"), col("n_pos"),
-        col("bucket_lo"), col("bucket_hi"),
-        (col("sum_score").cast("double") / col("n").cast("double")).as("mean_score"),
+        (col("lo_fp").cast("double") / 1000000.0d).as("bucket_lo"),
+        (col("hi_fp").cast("double") / 1000000.0d).as("bucket_hi"),
+        (col("sum_fp").cast("double") / col("n").cast("double") / 1000000.0d)
+          .as("mean_score"),
         (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
       .orderBy(col("bucket"))
   }
@@ -1248,19 +1266,33 @@ object Quality {
     * (row_number = ⌈n/2⌉ under value order) rather than an interpolated
     * midpoint, so no cross-engine float interpolation exists to drift.
     * Rows in groups with NO known value stay NULL (flagged, not
-    * invented). One group-bounded window over the non-null values plus
-    * one broadcast-sized join-back.
+    * invented).
+    *
+    * The median is SELECTED OVER THE VALUE SUPPORT, not ranked over raw
+    * rows (the [[conformalInterval]] order-statistic doctrine): rows
+    * collapse to per-(group, value) counts first, the cumulative window
+    * then runs over the support — bounded by the number of DISTINCT
+    * values per group, not the row count — and the k-th element
+    * (k = (n+1) div 2, the lower median) is the support row whose
+    * cumulative range straddles k. Identical result to a raw-row
+    * row_number at any scale, without ever sorting a data-sized window
+    * partition. One aggregate, one support-sized window, one
+    * broadcast-sized join-back.
     */
   def imputeMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
-    val wN = Window.partitionBy(col("_g"))
-    val med = df
+    val counts = df
       .select(col(groupCol).as("_g"), col(valueCol).as("_v"))
       .where(col("_v").isNotNull)
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_cnt", count(lit(1)).over(wN))
-      .where(col("_rn") === expr("(_cnt + 1) div 2"))
+      .groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = counts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col("_g"))))
+      .withColumn("_k", expr("(_n + 1) div 2"))
+      .where(col("_cum") - col("_c") < col("_k") && col("_k") <= col("_cum"))
       .select(col("_g"), col("_v").as("_med"))
     df.join(med, col(groupCol) <=> col("_g"), "left")
       .select(df.columns.map(col) :+

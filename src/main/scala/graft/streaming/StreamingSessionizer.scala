@@ -224,9 +224,14 @@ class SessionCloseProcessor(gapMinutes: Long)
       "session", Encoders.product[SessionState],
       org.apache.spark.sql.streaming.TTLConfig.NONE)
 
-  private def closed(userId: Long, seq: Long, n: Long, lastTsMicros: Long): ClosedSession =
-    ClosedSession(userId, seq, s"$userId-$seq", n,
-      new Timestamp(lastTsMicros / 1000L))
+  private def closed(userId: Long, seq: Long, n: Long, lastTsMicros: Long): ClosedSession = {
+    // reconstruct the FULL microsecond value — a millisecond-only
+    // Timestamp would break the streamed-equals-batch contract on
+    // last_ts for sub-millisecond event times (batch emits exact max(ts))
+    val t = new Timestamp(Math.floorDiv(lastTsMicros, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(lastTsMicros, 1000000L) * 1000L).toInt)
+    ClosedSession(userId, seq, s"$userId-$seq", n, t)
+  }
 
   override def handleInputRows(
       userId: Long,

@@ -157,14 +157,39 @@ class IntegritySpec extends AnyFunSuite {
     val bad = ((1 to 30).map(i => ("A", i.toLong)) ++
       (31 to 100).map(i => ("B", i.toLong))).toDF("variant", "unit")
     val b = graft.ops.Audit.srmCheck(bad, "variant", "unit")
-      .as[(Long, Long, Long, Double, Boolean)].head()
-    assert(b === ((2L, 100L, 3200L, 16.0, true)))
+      .as[(Long, Long, Long, Long, Double, Boolean)].head()
+    assert(b === ((2L, 100L, 3200L, 384L, 16.0, true)))
     // balanced, with unit 1 logged 5 times in A — distinct units keep it
     val good = ((1 to 50).map(i => ("A", i.toLong)) ++ Seq.fill(4)(("A", 1L)) ++
       (51 to 100).map(i => ("B", i.toLong))).toDF("variant", "unit")
     val g = graft.ops.Audit.srmCheck(good, "variant", "unit")
-      .as[(Long, Long, Long, Double, Boolean)].head()
-    assert(g === ((2L, 100L, 0L, 0.0, false)))
+      .as[(Long, Long, Long, Long, Double, Boolean)].head()
+    assert(g === ((2L, 100L, 0L, 384L, 0.0, false)))
+  }
+
+  test("srmCheck: critical value derives from k — a 3-arm equalish split " +
+    "that a df=1 threshold would over-flag stays green at df=2") {
+    // 325/300/275 over 900: W = (3n_i - 900)^2 summed = 75^2+0+75^2 =
+    // 11250, chi2 = 11250/2700 = 4.1667 — flags at df=1 (3.84) but NOT
+    // at the correct df=2 threshold (5.99)
+    val arms = ((1 to 325).map(i => ("A", i.toLong)) ++
+      (326 to 625).map(i => ("B", i.toLong)) ++
+      (626 to 900).map(i => ("C", i.toLong))).toDF("variant", "unit")
+    val chi2 = 11250.0 / 2700.0
+    val r = graft.ops.Audit.srmCheck(arms, "variant", "unit")
+      .as[(Long, Long, Long, Long, Double, Boolean)].head()
+    assert(r === ((3L, 900L, 11250L, 599L, chi2, false)))
+    // explicit override still wins: df=1 threshold flags the same split
+    val o = graft.ops.Audit.srmCheck(arms, "variant", "unit", critCenti = 384L)
+      .as[(Long, Long, Long, Long, Double, Boolean)].head()
+    assert(o === ((3L, 900L, 11250L, 384L, chi2, true)))
+    // beyond the df table (k = 12): NULL crit and NULL flag, never a
+    // silently-wrong threshold
+    val many = (1 to 120).map(i => (s"V${i % 12}", i.toLong)).toDF("variant", "unit")
+    val m = graft.ops.Audit.srmCheck(many, "variant", "unit")
+      .select("crit_centi", "srm_flag")
+      .as[(Option[Long], Option[Boolean])].head()
+    assert(m === ((None, None)))
   }
 
   test("woeIv: exact ratios round-trip; zero-cell categories emit NULL instead of Inf") {
@@ -296,16 +321,38 @@ class IntegritySpec extends AnyFunSuite {
     }
   }
 
-  test("calibrationCurve: equal-width integer buckets; a perfectly separable score calibrates 0/1") {
+  test("calibrationCurve: equal-width buckets over the observed range; a perfectly separable score calibrates 0/1") {
     val rows = (0L until 100L).map(sc => (sc, sc >= 50L))
     val out = Quality.calibrationCurve(rows.toDF("sc", "y"), "sc", "y")
-      .as[(Int, Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect().sortBy(_._1)
     assert(out.length === 10)
     out.zipWithIndex.foreach { case ((b, n, nPos, lo, hi, mean, rate), i) =>
-      assert(b === i && n === 10L && lo === 10L * i && hi === 10L * i + 9)
+      assert(b === i && n === 10L && lo === 10.0 * i && hi === 10.0 * i + 9)
       assert(mean === 10.0 * i + 4.5)
       assert(nPos === (if (i < 5) 0L else 10L) && rate === (if (i < 5) 0.0 else 1.0))
     }
+  }
+
+  test("calibrationCurve: fractional classifier probabilities in [0,1] spread " +
+    "across all buckets — the integer-cast collapse regression") {
+    // under the r14 cast-to-bigint defect every probability truncated to 0
+    // and the diagram degenerated to ONE bucket; fixed-point must keep 10
+    val rows = (0 until 100).map(i => (i / 100.0, i >= 50))
+    val out = Quality.calibrationCurve(rows.toDF("p", "y"), "p", "y")
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.length === 10)
+    out.zipWithIndex.foreach { case ((b, n, nPos, lo, hi, mean, rate), i) =>
+      assert(b === i && n === 10L)
+      assert(math.abs(lo - 0.1 * i) < 1e-9 && math.abs(hi - (10 * i + 9) / 100.0) < 1e-9)
+      assert(math.abs(mean - (10 * i + 4.5) / 100.0) < 1e-9)
+      assert(nPos === (if (i < 5) 0L else 10L) && rate === (if (i < 5) 0.0 else 1.0))
+    }
+    // negative fractional scores bucket by value order, never truncate
+    // toward zero: -0.95..+0.95 must put the most-negative score in b0
+    val neg = Seq((-0.95, false), (-0.5, false), (0.5, true), (0.95, true))
+    val nOut = Quality.calibrationCurve(neg.toDF("p", "y"), "p", "y", buckets = 2)
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(nOut.map(r => (r._1, r._2, r._7)).toSeq === Seq((0, 2L, 0.0), (1, 2L, 1.0)))
   }
 
   test("maintainCountView: NULL group keys merge null-safely with their deltas") {

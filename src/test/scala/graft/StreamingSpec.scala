@@ -2369,6 +2369,63 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeTwsClosed: a registered event-time timer survives a checkpoint " +
+    "restart and fires exactly once") {
+    // the schema-evolution case proves STATE survives an upgrade; this
+    // one proves TIMERS do — register an inactivity deadline, stop the
+    // query BEFORE any watermark can reach it, resume from the
+    // checkpoint, advance the watermark, and the restored timer must
+    // close the session exactly once
+    implicit val sqlCtx = spark.sqlContext
+    import scala.jdk.CollectionConverters._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_timer").toString
+    // foreachBatch is at-least-once; keying by batchId makes the buffer
+    // exactly-once under any replay (the standard idempotent-sink shape)
+    val seen = new java.util.concurrent.ConcurrentHashMap[
+      Long, Seq[(Long, Long, Long, Long)]]()
+    val sink: (org.apache.spark.sql.Dataset[graft.streaming.ClosedSession], Long) => Unit =
+      (b, id) => seen.put(id,
+        b.collect().toSeq.map(c => (c.user_id, c.session_seq, c.n_events, c.last_ts.getTime)))
+    def start(ms: MemoryStream[Event]) =
+      StreamingSessionizer.sessionizeTwsClosed(ms.toDS())
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch(sink)
+        .start()
+    try {
+      val ms = MemoryStream[Event]
+      val q1 = start(ms)
+      try {
+        // registers user 5's 00:40 inactivity deadline; the watermark
+        // only reaches 00:10 − 10 min = 00:00, so it cannot fire yet
+        ms.addData(Seq(
+          ev(1, "2024-01-01 00:00:00", 5), ev(2, "2024-01-01 00:10:00", 5)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(seen.values.asScala.flatten.isEmpty, "nothing may close before the restart")
+      // resume from the checkpoint: timer + state must both come back
+      val q2 = start(ms)
+      try {
+        // watermark → 02:00 − 10 min = 01:50, past the restored 00:40
+        // deadline; the timer fires in the no-data follow-up batch
+        ms.addData(Seq(ev(3, "2024-01-01 02:00:00", 6)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(seen.values.asScala.flatten.toSeq ===
+        Seq((5L, 1L, 2L, ts("2024-01-01 00:10:00").getTime)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p); case None => spark.conf.unset(key)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("transformWithState schema evolution: V2 state with an added Option field resumes a V1 checkpoint") {
     // Upgrade day: the shipped SessionProcessor wrote SessionState rows
     // into a checkpoint; the next release adds an optional field to the
