@@ -1026,6 +1026,11 @@ object SparkEntry {
       Graph.labelPropagation(Graph.lineitemGraph(Tables.lineitem(s, d)))),
     "dedup_clusters" -> ((s, d) =>
       IndexCache.ccClusters(Tables.documents(s, d), d)),
+    // corpus-mixing readout: per source pair, how many near-dup clusters
+    // and member pairs span both — rides the family's shared CC stage
+    "dedup_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d),
+        IndexCache.ccClusters(Tables.documents(s, d), d))),
     // chaining audit: member-to-representative exact jaccard per cluster,
     // over the family's shared CC assignment
     "cluster_diameter" -> ((s, d) =>
@@ -7046,6 +7051,28 @@ object SparkEntry {
          |ORDER BY jaccard DESC, a_id, b_id
          |LIMIT 50""".stripMargin,
     "dedup_clusters" -> dCcSql,
+    "dedup_source_overlap" -> {
+      // dCcSql folded into a `cc` CTE (the cluster_diameter pattern),
+      // then the per-(cluster, source) counts and the pair matrix
+      val ccCtes = dCcSql.replace(
+        "\nSELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1",
+        ", cc AS (\n  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY 1\n)")
+      s"""$ccCtes, mem AS (
+         |  SELECT c.component, c.doc_id, d.source
+         |  FROM cc c JOIN documents d USING (doc_id)
+         |), ps AS (
+         |  SELECT component, source, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM mem GROUP BY 1, 2
+         |)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |       CAST(SUM(CASE WHEN a.source = b.source
+         |                     THEN a.n * (a.n - 1) // 2
+         |                     ELSE a.n * b.n END) AS BIGINT) AS n_doc_pairs
+         |FROM ps a JOIN ps b ON a.component = b.component
+         |                   AND a.source <= b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "cluster_diameter" -> {
       // dCcSql with its terminal SELECT folded into a `cc` CTE, then the
       // star-distance jaccard over the same hashed-shingle lists

@@ -1355,6 +1355,53 @@ object Dedup {
           .as("chain_flag"))
   }
 
+  /** Cross-source near-duplicate overlap matrix — the corpus-mixing
+    * readout a multi-source pipeline runs BEFORE choosing mixture
+    * weights: "how much of source A is already inside source B?"
+    * Mixing two sources that near-duplicate each other (the classic
+    * CommonCrawl-contains-Wikipedia case) silently up-weights the
+    * shared mass; this table quantifies it from the SAME connected-
+    * component assignment the dedup family already computes.
+    *
+    * One row per unordered source pair (source_a ≤ source_b, the
+    * diagonal included): `n_clusters` = near-dup clusters containing
+    * BOTH sources (on the diagonal: clusters containing the source at
+    * all), and `n_doc_pairs` = cross-source member pairs inside those
+    * clusters (Σ n_a·n_b per cluster; diagonal: Σ n·(n−1) div 2 —
+    * always even product, so truncating and flooring division agree).
+    * All counts exact int64.
+    *
+    * Scale shape: the input is the CC assignment — near-dup cluster
+    * members, a vanishing fraction of the corpus — joined once to the
+    * doc→source projection; per-(cluster, source) counts are tiny
+    * (≤ clusters × sources rows) and the pair matrix self-join runs on
+    * THAT frame, bounded by sources-per-cluster², never by docs². The
+    * corpus itself contributes one column-pruned scan.
+    */
+  def sourceOverlap(
+      documents: DataFrame,
+      cc: DataFrame,
+      sourceCol: String = "source"): DataFrame = {
+    val members = cc.select(col("doc_id"), col("component"))
+      .join(documents.select(col("doc_id"), col(sourceCol).as("_src")), "doc_id")
+    val perSrc = members
+      .groupBy(col("component"), col("_src"))
+      .agg(count(lit(1)).as("_n"))
+    val a = perSrc.select(col("component"),
+      col("_src").as("source_a"), col("_n").as("_na"))
+    val b = perSrc.select(col("component"),
+      col("_src").as("source_b"), col("_n").as("_nb"))
+    a.join(b, Seq("component"))
+      .where(col("source_a") <= col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("source_a") === col("source_b"),
+          expr("_na * (_na - 1) div 2"))
+          .otherwise(col("_na") * col("_nb"))).as("n_doc_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Time-windowed event dedup — keep the FIRST event per
     * (key, tumbling window). This is the batch twin of Structured
     * Streaming's `dropDuplicatesWithinWatermark`: an at-least-once

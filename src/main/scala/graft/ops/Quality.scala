@@ -719,8 +719,17 @@ object Quality {
   /** Exact ELEMENT quantiles per group — for each requested q, the value
     * at row ⌈q·n⌉ of the group's sort order (percentile-disc semantics:
     * an actual data element, never an interpolated midpoint, so nothing
-    * floats between engines). One group-bounded window pass serves every
-    * requested quantile; emits (group, q_permille, n, value).
+    * floats between engines). Emits (group, q_permille, n, value).
+    *
+    * Selected OVER THE VALUE SUPPORT (the [[conformalInterval]] /
+    * [[imputeMedian]] order-statistic doctrine): rows collapse to
+    * per-(group, value) counts, ONE cumulative window runs over the
+    * support — bounded by distinct values per group, not rows — and
+    * every requested quantile is served by ONE pass (the q list
+    * explodes per support row; the row whose cumulative range straddles
+    * ⌈q·n/1000⌉ wins). The first form ranked raw rows AND re-executed
+    * the window once per quantile via a 5-way union — measured 5.6 s
+    * standalone at x10 where this form is scan-bound.
     */
   def quantileElements(
       df: DataFrame,
@@ -730,20 +739,23 @@ object Quality {
     require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
       s"qPermille values must be in [1,1000], got $qPermille")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
-    val wN = Window.partitionBy(col("_g"))
-    val ranked = df
+    val counts = df
       .select(col(groupCol).as("_g"), col(valueCol).as("_v"))
       .where(col("_v").isNotNull)
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(wN))
-    qPermille.distinct.sorted.map { q =>
-      ranked
-        // ⌈q·n/1000⌉ in pure int64: (q*n + 999) div 1000
-        .where(col("_rn") === expr(s"(${q}L * _n + 999) div 1000"))
-        .select(col("_g").as(groupCol), lit(q).as("q_permille"),
-          col("_n").cast("bigint").as("n"), col("_v").as(valueCol))
-    }.reduce(_ unionAll _)
+      .groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col("_g"))))
+      .select(col("_g"), col("_v"), col("_c"), col("_cum"), col("_n"),
+        explode(array(qPermille.distinct.sorted.map(lit): _*)).as("q_permille"))
+      // ⌈q·n/1000⌉ in pure int64: (q*n + 999) div 1000
+      .withColumn("_k", expr("(q_permille * _n + 999) div 1000"))
+      .where(col("_cum") - col("_c") < col("_k") && col("_k") <= col("_cum"))
+      .select(col("_g").as(groupCol), col("q_permille"),
+        col("_n").cast("bigint").as("n"), col("_v").as(valueCol))
   }
 
   /** Linearly-INTERPOLATED per-group quantiles (SQL `percentile_cont`
@@ -758,8 +770,13 @@ object Quality {
     * lerp is float, making the row hash-gatable against any engine with
     * the same convention.
     *
-    * Shapes: identical to [[quantileElements]] — one group-bounded rank
-    * window, then a filter per requested quantile; |groups|·|q| rows.
+    * Shape: the [[quantileElements]] support-selection form — one
+    * per-(group, value) aggregate, one support-sized cumulative window,
+    * every quantile served in one exploded pass. The raw-row neighbor
+    * `lead(value)` becomes: the SAME support value when rank ⌊r⌋+2
+    * still falls inside the current value's run (lerp between equal
+    * elements — exactly the duplicate-handling percentile_cont
+    * requires), else the next support value. |groups|·|q| rows out.
     */
   def quantileInterp(
       df: DataFrame,
@@ -769,32 +786,38 @@ object Quality {
     require(qPermille.nonEmpty && qPermille.forall(q => q >= 0 && q <= 1000),
       s"qPermille values must be in [0,1000], got $qPermille")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
-    val wN = Window.partitionBy(col("_g"))
-    val ranked = df
+    val counts = df
       .select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
-      // null GROUPS drop too (Window.partitionBy would otherwise rank a
-      // NULL-key partition the oracle never produces) — the dailyLagged
-      // / lorenzGini null-key convention
+      // null GROUPS drop too (a NULL-key partition would produce rows
+      // the oracle never does) — the dailyLagged / lorenzGini convention
       .where(col("_v").isNotNull && col("_g").isNotNull)
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(wN))
-      .withColumn("_hi", lead(col("_v"), 1).over(w))
-    qPermille.distinct.sorted.map { q =>
-      ranked
-        // target rank r = q(n−1)/1000 (0-based): keep the row at ⌊r⌋,
-        // i.e. 1-based _rn = ⌊r⌋+1 = (q(n−1)) div 1000 + 1
-        .where(col("_rn") === expr(s"(${q}L * (_n - 1)) div 1000 + 1"))
-        .select(
-          col("_g").as(groupCol), lit(q).as("q_permille"),
-          col("_n").cast("bigint").as("n"),
-          // frac = (q(n−1) mod 1000)/1000, exactly 0 ⇔ no interpolation
-          when(expr(s"(${q}L * (_n - 1)) % 1000") === 0L, col("_v"))
-            .otherwise(col("_v") +
-              (expr(s"cast((${q}L * (_n - 1)) % 1000 as double) / 1000.0d") *
-                (col("_hi") - col("_v"))))
-            .as("value"))
-    }.reduce(_ unionAll _)
+      .groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wOrd = Window.partitionBy(col("_g")).orderBy(col("_v"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col("_g"))))
+      .withColumn("_next", lead(col("_v"), 1).over(wOrd))
+      .select(col("_g"), col("_v"), col("_c"), col("_cum"), col("_n"),
+        col("_next"),
+        explode(array(qPermille.distinct.sorted.map(lit): _*)).as("q_permille"))
+      // target rank r = q(n−1)/1000 (0-based): keep the support row
+      // containing 1-based rank ⌊r⌋+1 = (q(n−1)) div 1000 + 1
+      .withColumn("_k", expr("(q_permille * (_n - 1)) div 1000 + 1"))
+      .where(col("_cum") - col("_c") < col("_k") && col("_k") <= col("_cum"))
+      // the raw-row lead: rank ⌊r⌋+2 inside this value's run ⇒ same value
+      .withColumn("_hi",
+        when(col("_k") + 1 <= col("_cum"), col("_v")).otherwise(col("_next")))
+      .select(
+        col("_g").as(groupCol), col("q_permille"),
+        col("_n").cast("bigint").as("n"),
+        // frac = (q(n−1) mod 1000)/1000, exactly 0 ⇔ no interpolation
+        when(expr("(q_permille * (_n - 1)) % 1000") === 0L, col("_v"))
+          .otherwise(col("_v") +
+            (expr("cast((q_permille * (_n - 1)) % 1000 as double) / 1000.0d") *
+              (col("_hi") - col("_v"))))
+          .as("value"))
   }
 
   /** Two-proportion A/B comparison: per-variant exposed/converted counts,

@@ -159,6 +159,24 @@ class ExtSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"unaudited storage pinning:\n${bad.mkString("\n")}")
   }
 
+  test("sourceOverlap: pair matrix over a hand-built CC assignment, diagonal " +
+    "counts within-source pairs") {
+    // cluster 1: docs 1,2 (web) + 3 (wiki)  -> web/web 1 pair, web/wiki 2 pairs
+    // cluster 10: docs 10,11 (wiki)         -> wiki/wiki 1 pair
+    // doc 99 (books) unclustered            -> books appears nowhere
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component")
+    val docs = Seq((1L, "web"), (2L, "web"), (3L, "wiki"),
+      (10L, "wiki"), (11L, "wiki"), (99L, "books"))
+      .toDF("doc_id", "source")
+    val out = Dedup.sourceOverlap(docs, cc)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("web", "web", 1L, 1L),     // cluster 1: C(2,2)=1 within-web pair
+      ("web", "wiki", 1L, 2L),    // cluster 1: 2 web x 1 wiki
+      ("wiki", "wiki", 2L, 1L)))  // clusters 1 (n=1, 0 pairs) and 10 (1 pair)
+  }
+
   test("connectedComponents with a checkpoint dir leaves no files after release") {
     // the reliable-checkpoint branch: iteration checkpoints must be
     // deleted by the operator (Spark never reclaims checkpoint FILES on
