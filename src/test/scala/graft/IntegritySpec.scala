@@ -1076,6 +1076,14 @@ class IntegritySpec extends AnyFunSuite {
     val d = Quality.quantileInterp(dup, "k", "v", Seq(500))
       .select("value").as[Double].head()
     assert(d === 1.0) // r = 1.0 exact → middle element
+    // the support-selection neighbor branches: with (1,1,1,5),
+    // p500 → r=1.5, both neighbors INSIDE the 1-run → exactly 1.0;
+    // p750 → r=2.25, lo is the run's LAST rank, hi crosses to the next
+    // support value → 1 + 0.25·(5−1) = 2.0
+    val runs = Seq(1.0, 1.0, 1.0, 5.0).map(("g", _)).toDF("k", "v")
+    val r2 = Quality.quantileInterp(runs, "k", "v", Seq(500, 750))
+      .select("q_permille", "value").as[(Int, Double)].collect().toMap
+    assert(r2(500) === 1.0 && r2(750) === 2.0)
   }
 
   // ---- Quality.ksTest -----------------------------------------------
