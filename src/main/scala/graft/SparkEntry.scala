@@ -401,6 +401,10 @@ object SparkEntry {
       graft.ops.Quality.trendSlope(Tables.events(s, d), "event_type", "ts")),
     "autocorr" -> ((s, d) =>
       graft.ops.Quality.autocorrelation(Tables.events(s, d), "event_type", "ts")),
+    // cross-series Pearson over the zero-filled daily counts: which
+    // event streams move together (integer witnesses, one IEEE tree)
+    "series_correlation" -> ((s, d) =>
+      graft.ops.Quality.seriesCorrelation(Tables.events(s, d), "event_type", "ts")),
     "embed_pca" -> ((s, d) =>
       Similarity.embedPca(Tables.embeddings(s, d), k = 8)),
     "hll_overlap" -> (Functions.hllOverlap _),
@@ -2861,6 +2865,39 @@ object SparkEntry {
         |SELECT etype, day, n, n_days, total, cusum_scaled,
         |       abs(cusum_scaled) > 1 * total AS drift_flag
         |FROM c""".stripMargin,
+    "series_correlation" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype, date_trunc('day', ts) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |), days AS (SELECT DISTINCT day FROM daily),
+        |types AS (SELECT DISTINCT etype FROM daily),
+        |g AS (
+        |  SELECT t.etype, dd.day, COALESCE(x.n, 0) AS n
+        |  FROM types t CROSS JOIN days dd
+        |  LEFT JOIN daily x ON x.etype = t.etype AND x.day = dd.day
+        |), p AS (
+        |  SELECT a.etype AS type_a, b.etype AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(a.n) AS BIGINT) AS sx,
+        |         CAST(SUM(b.n) AS BIGINT) AS sy,
+        |         CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+        |         CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+        |         CAST(SUM(b.n * b.n) AS BIGINT) AS syy
+        |  FROM g a JOIN g b ON a.day = b.day AND a.etype < b.etype
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, n_days,
+        |       n_days * sxy - sx * sy AS corr_num,
+        |       n_days * sxx - sx * sx AS var_a,
+        |       n_days * syy - sy * sy AS var_b,
+        |       CASE WHEN n_days * sxx - sx * sx > 0
+        |             AND n_days * syy - sy * sy > 0 THEN
+        |         round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |               / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |                      * CAST(n_days * syy - sy * sy AS DOUBLE)), 6)
+        |       END AS pearson_r
+        |FROM p ORDER BY 1, 2""".stripMargin,
     "trend_slope" ->
       """WITH daily AS (
         |  SELECT event_type AS etype, date_trunc('day', ts) AS day,

@@ -629,6 +629,78 @@ object Quality {
         col("acf_num").cast("double") / col("acf_den").cast("double"))
   }
 
+  /** CROSS-series Pearson correlation matrix over the per-type daily
+    * counts — the time-series-similarity complement to
+    * [[autocorrelation]]'s within-series lags: "which event streams
+    * move together" is the readout behind shared-incident detection
+    * (two metrics dip the same day), leading-indicator hunting, and
+    * redundant-monitor pruning. The eighth reader over the same
+    * [[dailyCounts]] store as CUSUM / Theil-Sen / weekday /
+    * decomposition / ACF / OLS / EWMA.
+    *
+    * Alignment: each series is ZERO-FILLED over the union of observed
+    * corpus days (a day where one type logged nothing is a real 0 in
+    * its series — inner-joining only common days would correlate
+    * presence, not volume; the grid is |types|·|days|, a vocabulary
+    * frame). Exactness is the [[olsTrend]] discipline with the x̄,ȳ
+    * denominators cleared: per pair, num = n·Σxy − Σx·Σy and
+    * var_a/var_b = n·Σx² − (Σx)², all EXACT int64 witnesses (emitted),
+    * and r = num / sqrt(var_a·var_b) is one fixed IEEE tree — the
+    * variance product multiplies as DOUBLES (the int64 product would
+    * overflow first) and sqrt is an exactly-rounded IEEE op, so the
+    * value cannot drift engines; rounded 6dp like every emitted
+    * irrational. Constant series (var = 0) emit NULL r, never a 0/0.
+    * Envelope: n_days·Σxy < 2⁶³ to ~10⁸ events/type/day-year — the
+    * ACF bound; pre-scale beyond.
+    *
+    * Scale shape: ONE map-side-combined daily aggregate over the
+    * corpus; everything after (distinct days, the fill grid, the
+    * day-aligned self-join, the pair rollup) runs on vocabulary-bounded
+    * frames — |types|·|days| rows, |types|² output. Nothing downstream
+    * of the first aggregate ever sees an event row.
+    */
+  def seriesCorrelation(df: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    corrFromDaily(dailyCounts(df, typeCol, tsCol))
+
+  private[graft] def corrFromDaily(daily: DataFrame): DataFrame = {
+    val days = daily.select(col("day")).distinct()
+    val types = daily.select(col("etype")).distinct()
+    val filled = types.crossJoin(days)
+      .join(daily, Seq("etype", "day"), "left")
+      .select(col("etype"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val a = filled.select(col("day"), col("etype").as("type_a"), col("n").as("x"))
+    val b = filled.select(col("day"), col("etype").as("type_b"), col("n").as("y"))
+    a.join(b, Seq("day"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("corr_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("var_a"),
+        (col("n_days") * col("syy") - col("sy") * col("sy")).as("var_b"))
+      .withColumn("pearson_r",
+        when(col("var_a") > 0 && col("var_b") > 0,
+          round(col("corr_num").cast("double") /
+            sqrt(col("var_a").cast("double") * col("var_b").cast("double")), 6)))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** [[seriesCorrelation]] over base events plus everything
+    * [[cusumDriftSink]] committed — see [[olsTrendFrom]]; same store,
+    * same bounded partials. */
+  def seriesCorrelationFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      outDir: String): DataFrame =
+    corrFromDaily(mergedDaily(spark, base, typeCol, tsCol, outDir))
+
   /** Classical additive seasonal decomposition of the per-day count
     * series: n = trend + seasonal + residual, the "is the dip real or
     * just the weekend" separator for ingest monitoring — the decomposed

@@ -830,6 +830,33 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Quality.cusumDrift(df, "t", "ts", threshMult = 0))
   }
 
+  test("seriesCorrelation: hand-computed pair matrix; zero-fill makes a " +
+    "partial series correlate by volume; constant series gives NULL r") {
+    import graft.ops.Quality
+    // daily counts over 3 days: a=(1,2,3) b=(2,4,6) c=(3,2,1)
+    // d=(2,2,2) constant, e=(5,0,0) via zero-fill (day-1-only type)
+    def mk(t: String, perDay: Seq[Int]) = perDay.zipWithIndex.flatMap {
+      case (n, i) => Seq.fill(n)((t, f"2024-01-0${i + 1} 01:00:00"))
+    }
+    val df = (mk("a", Seq(1, 2, 3)) ++ mk("b", Seq(2, 4, 6)) ++
+      mk("c", Seq(3, 2, 1)) ++ mk("d", Seq(2, 2, 2)) ++ mk("e", Seq(5)))
+      .toDF("t", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = Quality.seriesCorrelation(df, "t", "ts")
+      .select("type_a", "type_b", "n_days", "corr_num", "var_a", "var_b", "pearson_r")
+      .as[(String, String, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => ((r._1, r._2), r)).toMap
+    assert(out.size === 10) // C(5,2) pairs, all emitted
+    // a vs b: perfectly proportional -> r = 1 exactly
+    assert(out(("a", "b"))._7 === Some(1.0))
+    // a vs c: mirrored -> r = -1
+    assert(out(("a", "c"))._7 === Some(-1.0))
+    // constant d: var_b = 0 -> NULL r, row still present
+    assert(out(("a", "d"))._6 === 0L && out(("a", "d"))._7 === None)
+    // e zero-fills to (5,0,0): num = 3*5-6*5 = -15, var_a = 6, var_e = 50,
+    // r = -15/sqrt(300) = -0.866025 (6dp)
+    assert(out(("a", "e")) === (("a", "e", 3L, -15L, 6L, 50L, Some(-0.866025))))
+  }
+
   test("autocorrelation: integer-exact ACF witnesses; 1..5 gives r1=0.4, r2=-0.1") {
     import graft.ops.Quality
     // one event on day d repeated n(d) times: counts 1,2,3,4,5
