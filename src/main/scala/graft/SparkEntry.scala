@@ -1493,18 +1493,13 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.synthesizeMedia(Tables.documents(s, d)))),
     "media_dedup" -> ((s, d) =>
       Multimodal.mediaDedup(Multimodal.synthesizeMedia(Tables.documents(s, d)))),
-    // the stubbed codec's byte stats aren't SQL-expressible (exactness is
-    // covered by MultimodalSpec), but the PLUMBING is gateable: ids,
-    // modality and payload length compare exactly, and the stub outputs
-    // gate on a Spark-side range-consistency boolean vs the oracle's
-    // literal `true`
+    // unified REAL-codec dispatch over a MIXED corpus: per doc_id % 3 the
+    // payload is a genuine BMP/PNG, WAV/AIFF, or animated GIF, and the
+    // extractor picks the codec by magic bytes — pixel, sample and frame
+    // sums all land under ONE closed-form hash gate
     "media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.synthesizeMedia(Tables.documents(s, d))).toDF()
-        .select(col("media_id"), col("modality"), col("n_bytes"),
-          (col("mean_byte") >= 0D && col("mean_byte") <= 255D &&
-            col("max_byte") >= 0 && col("max_byte") <= 255 &&
-            (col("n_bytes") === 0L ||
-              col("mean_byte") <= col("max_byte").cast("double"))).as("features_in_range"))),
+      Multimodal.extractRealFeatures(
+        Multimodal.synthesizeRealMedia(Tables.documents(s, d))).toDF()),
     // Per-file Bloom sidecar index end-to-end: scatter the docs across 16
     // hash-partitioned files (min/max useless by construction), build the
     // sidecar, probe a fixed key set through the pruned read. No false
@@ -8252,15 +8247,59 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1""".stripMargin,
     "media_features" ->
-      // COALESCE mirrors the decode stub's null-payload guard (a missing
-      // payload decodes as empty, so the Spark side reports n_bytes = 0).
-      """SELECT doc_id AS media_id,
-        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |            WHEN doc_id % 3 = 1 THEN 'audio'
-        |            ELSE 'video' END AS modality,
-        |       COALESCE(CAST(octet_length(encode(text)) AS BIGINT), 0) AS n_bytes,
-        |       true AS features_in_range
-        |FROM documents""".stripMargin,
+      // one closed-form leg per modality (pixelChannels / sampleSpec /
+      // frameGray), recomputed independently of every Scala codec
+      """WITH base AS (
+        |  SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |), img AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |  FROM base WHERE doc_id % 3 = 0
+        |), iys AS (
+        |  SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM img
+        |), ipx AS (
+        |  SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM iys
+        |), isum AS (
+        |  SELECT doc_id, CAST(MIN(w) * MIN(h) AS BIGINT) AS n_units,
+        |    CAST(SUM((doc_id + 3*x + 7*y) % 256
+        |           + (2*doc_id + 5*x + 11*y) % 256
+        |           + (3*doc_id + 13*x + y) % 256) AS BIGINT) AS unit_sum
+        |  FROM ipx GROUP BY doc_id
+        |), aud AS (
+        |  SELECT doc_id, 50 + doc_id % 100 AS n FROM base WHERE doc_id % 3 = 1
+        |), asm AS (
+        |  SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud
+        |), asum AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM((doc_id * 31 + i * 17) % 65536 - 32768) AS BIGINT) AS unit_sum
+        |  FROM asm GROUP BY doc_id
+        |), vid AS (
+        |  SELECT doc_id, 6 + doc_id % 9 AS w, 5 + doc_id % 7 AS h,
+        |         4 + doc_id % 9 AS nf
+        |  FROM base WHERE doc_id % 3 = 2
+        |), vfr AS (
+        |  SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM vid
+        |), vys AS (
+        |  SELECT doc_id, w, h, nf, f, unnest(range(0, h)) AS y FROM vfr
+        |), vpx AS (
+        |  SELECT doc_id, w, h, nf, f, y, unnest(range(0, w)) AS x FROM vys
+        |), vsum AS (
+        |  SELECT doc_id, CAST(MIN(nf) AS BIGINT) AS n_units,
+        |    CAST(SUM((doc_id + 5*f + 3*x + 7*y) % 256) AS BIGINT) AS unit_sum
+        |  FROM vpx GROUP BY doc_id
+        |)
+        |SELECT i.doc_id AS media_id, 'image' AS modality, true AS decode_ok,
+        |       CASE WHEN i.doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END
+        |         AS detected_format,
+        |       s.n_units, s.unit_sum
+        |FROM img i JOIN isum s ON i.doc_id = s.doc_id
+        |UNION ALL
+        |SELECT a.doc_id, 'audio', true,
+        |       CASE WHEN a.doc_id % 2 = 0 THEN 'wav' ELSE 'aiff' END,
+        |       s.n_units, s.unit_sum
+        |FROM aud a JOIN asum s ON a.doc_id = s.doc_id
+        |UNION ALL
+        |SELECT v.doc_id, 'video', true, 'gif', s.n_units, s.unit_sum
+        |FROM vid v JOIN vsum s ON v.doc_id = s.doc_id""".stripMargin,
     "media_decode" ->
       // closed-form pixel spec (Multimodal.pixelChannels), recomputed
       // independently of the Scala encoder/decoder pair

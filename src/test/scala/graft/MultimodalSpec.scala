@@ -37,6 +37,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.view.mapValues(_.byte_entropy_proxy).toMap === again)
   }
 
+  test("extractRealFeatures dispatches every modality to its real codec") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(id => (id, "x"))
+    val feats = Multimodal.extractRealFeatures(
+      Multimodal.synthesizeRealMedia(ids.toDF("doc_id", "text")))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.values.forall(_.decode_ok))
+    // spec-recomputed expectations, one per (modality, codec) arm
+    def pixSum(id: Long, w: Int, h: Int): Long =
+      (for { y <- 0 until h; x <- 0 until w } yield {
+        val (r, g, b) = Multimodal.pixelChannels(id, x, y); (r + g + b).toLong
+      }).sum
+    def smpSum(id: Long): Long =
+      (0 until Multimodal.specSamples(id)).map(i => Multimodal.sampleSpec(id, i).toLong).sum
+    def graySum(id: Long): Long =
+      (for {
+        f <- 0 until Multimodal.specVideoFrames(id)
+        y <- 0 until Multimodal.specVideoH(id)
+        x <- 0 until Multimodal.specVideoW(id)
+      } yield Multimodal.frameGray(id, f, x, y).toLong).sum
+    assert(feats(0L).detected_format === "bmp") // image, even id
+    assert(feats(0L).n_units === 4L * 3L)
+    assert(feats(0L).unit_sum === pixSum(0L, 4, 3))
+    assert(feats(3L).detected_format === "png") // image, odd id
+    assert(feats(3L).unit_sum === pixSum(3L, 7, 6))
+    assert(feats(4L).detected_format === "wav") // audio, even id
+    assert(feats(4L).n_units === Multimodal.specSamples(4L).toLong)
+    assert(feats(4L).unit_sum === smpSum(4L))
+    assert(feats(1L).detected_format === "aiff") // audio, odd id
+    assert(feats(1L).unit_sum === smpSum(1L))
+    assert(feats(2L).detected_format === "gif") // video
+    assert(feats(2L).n_units === Multimodal.specVideoFrames(2L).toLong)
+    assert(feats(2L).unit_sum === graySum(2L))
+    assert(feats(5L).detected_format === "gif")
+    assert(feats(5L).unit_sum === graySum(5L))
+  }
+
+  test("extractRealFeatures degrades undecodable payloads to byte telemetry") {
+    import Multimodal.MediaRecord
+    val garbage = Array[Byte](1, 2, 3, 250.toByte)
+    // valid RIFF magic, lying body: must fall back, not throw
+    val lyingWav = "RIFFxxxxgarbage".getBytes("US-ASCII")
+    val rows = Seq(
+      MediaRecord(100L, 100L, "image", garbage, 0, 0, 0, 0),
+      MediaRecord(101L, 101L, "audio", lyingWav, 0, 0, 0, 0),
+      MediaRecord(102L, 102L, "video", null, 0, 0, 0, 0))
+    val feats = Multimodal.extractRealFeatures(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.values.forall(f => !f.decode_ok && f.detected_format == "opaque"))
+    assert(feats(100L).n_units === 4L)
+    assert(feats(100L).unit_sum === (1 + 2 + 3 + 250).toLong)
+    assert(feats(101L).n_units === lyingWav.length.toLong)
+    assert(feats(102L).n_units === 0L)
+    assert(feats(102L).unit_sum === 0L)
+  }
+
   test("resize truncates payload and halves dimensions only when oversized") {
     val resized = Multimodal.resize(Multimodal.synthesizeMedia(docs), maxBytes = 10)
       .collect().map(r => r.media_id -> r).toMap
