@@ -237,8 +237,13 @@ object Sampling {
     // cutoff is interpolated into SQL text — validate the shape so a
     // quote or malformed literal fails loudly here, not as expression
     // injection or a confusing parse error (the pseudonymize salt rule)
-    require(cutoff.matches("""\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2})?"""),
-      s"cutoff must be 'yyyy-MM-dd' or 'yyyy-MM-dd HH:mm:ss', got '$cutoff'")
+    // accepts the full shape Spark's timestamp'...' literal does for the
+    // common forms: date-only, space- or T-separated time, optional
+    // fractional seconds (ADVICE r15: the earlier date/space-only regex
+    // silently narrowed the contract for ISO-'T' and sub-second callers)
+    require(cutoff.matches("""\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d{1,9})?)?"""),
+      s"cutoff must be 'yyyy-MM-dd' optionally followed by ' HH:mm:ss' or " +
+        s"'THH:mm:ss' with optional fractional seconds, got '$cutoff'")
     df.where(col(tsCol).isNotNull)
       .selectExpr(tsCol,
         s"""case when $tsCol < timestamp'$cutoff' then 'train'

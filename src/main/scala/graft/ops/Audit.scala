@@ -507,10 +507,11 @@ object Audit {
     * over-flag any experiment with ≥ 3 arms (χ²₀.₀₅ at df=2 is already
     * 5.99). The default (`critCenti = 0`) looks up χ²₀.₀₅ in hundredths
     * for df 1–10 — an integer table, keeping the integer-witness
-    * discipline — and emits a NULL `crit_centi`/`srm_flag` for k > 11
-    * (loud, never a silently-wrong threshold; pass an explicit value).
-    * A positive `critCenti` overrides the lookup for non-5% levels or
-    * df > 10.
+    * discipline — and FAILS FAST (`raise_error`) for k > 11: a NULL
+    * flag would be silently dropped by a downstream `WHERE srm_flag`,
+    * which is the exact quiet-miss this check exists to prevent (ADVICE
+    * r15). A positive `critCenti` overrides the lookup for non-5%
+    * levels or df > 10.
     *
     * Shape: one map-side-combined count per variant, then a k-row
     * rollup. Units, not events: the unit key is counted DISTINCT per
@@ -544,11 +545,16 @@ object Audit {
       .agg(sum(col("dev") * col("dev")).as("w2"))
       .withColumn("crit_centi",
         if (critCenti > 0) lit(critCenti)
-        // lookup at the df=k−1 index; NULL outside the table, by design
-        // (when() guards the ANSI out-of-bounds error)
+        // lookup at the df=k−1 index; OUTSIDE the table the row fails
+        // fast (when() also guards the ANSI out-of-bounds error) — a
+        // NULL flag here would vanish under a downstream WHERE srm_flag
         else when(col("k").between(2, chi2Crit05Centi.length + 1),
           element_at(
-            array(chi2Crit05Centi.map(lit): _*), (col("k") - 1).cast("int"))))
+            array(chi2Crit05Centi.map(lit): _*), (col("k") - 1).cast("int")))
+          .otherwise(raise_error(concat(
+            lit("srmCheck: k = "), col("k").cast("string"),
+            lit(" variants is outside the built-in chi-square table"
+              + " (2 <= k <= 11); pass critCenti explicitly")))))
       .select(col("k"), col("n_total"), col("w2"), col("crit_centi"),
         (col("w2").cast("double") / (col("k") * col("n_total")).cast("double"))
           .as("chi2"),

@@ -1266,8 +1266,17 @@ object Quality {
         col(labelCol).as("y"))
     val bounds = base.agg(min(col("sc_fp")).as("mn"), max(col("sc_fp")).as("mx"))
     base.crossJoin(broadcast(bounds))
+      // the bucket multiply is lifted to decimal(38,0) like the score sum
+      // (ADVICE r15): in int64 the product (sc_fp − mn)·buckets would cap
+      // the usable score RANGE at ~2⁶³/(10⁶·buckets) ≈ 9.2e11 score units
+      // — unreachable for probabilities but not for raw logits/amounts;
+      // on decimal the envelope is gone. MUST be `div`, not
+      // floor(a / b): decimal `/` rounds HALF_UP at the result scale, so
+      // the max element's 9.999…·10⁻¹ quotient rounds to the next bucket
+      // before floor sees it; `div` divides exactly and truncates.
       .withColumn("bucket",
-        expr(s"((sc_fp - mn) * $buckets) div (mx - mn + 1)").cast("int"))
+        expr(s"(cast(sc_fp - mn as decimal(38,0)) * $buckets" +
+          s" div (mx - mn + 1)) ").cast("int"))
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n"),

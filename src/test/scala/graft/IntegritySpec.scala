@@ -183,13 +183,18 @@ class IntegritySpec extends AnyFunSuite {
     val o = graft.ops.Audit.srmCheck(arms, "variant", "unit", critCenti = 384L)
       .as[(Long, Long, Long, Long, Double, Boolean)].head()
     assert(o === ((3L, 900L, 11250L, 384L, chi2, true)))
-    // beyond the df table (k = 12): NULL crit and NULL flag, never a
-    // silently-wrong threshold
+    // beyond the df table (k = 12): FAIL FAST — a NULL flag would be
+    // silently dropped by a downstream WHERE srm_flag (ADVICE r15)
     val many = (1 to 120).map(i => (s"V${i % 12}", i.toLong)).toDF("variant", "unit")
-    val m = graft.ops.Audit.srmCheck(many, "variant", "unit")
-      .select("crit_centi", "srm_flag")
-      .as[(Option[Long], Option[Boolean])].head()
-    assert(m === ((None, None)))
+    val ex = intercept[Exception] {
+      graft.ops.Audit.srmCheck(many, "variant", "unit").collect()
+    }
+    assert(ex.getMessage.contains("pass critCenti explicitly") ||
+      Option(ex.getCause).exists(_.getMessage.contains("pass critCenti explicitly")))
+    // ... and an explicit critCenti keeps k = 12 fully usable
+    val m12 = graft.ops.Audit.srmCheck(many, "variant", "unit", critCenti = 1968L)
+      .select("k", "crit_centi").as[(Long, Long)].head()
+    assert(m12 === ((12L, 1968L)))
   }
 
   test("woeIv: exact ratios round-trip; zero-cell categories emit NULL instead of Inf") {
