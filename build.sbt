@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Measurement instruments (one-off probe mains cited by BENCH_SF1.md
+// attributions) live OUTSIDE the product tree in probes/ and compile in
+// test scope: src/main holds operators, IO, and the harness entry points
+// (SparkEntry, Tables, Verify, Bench, GenScale) only. tools/run.sh puts
+// test-classes on the classpath so `tools/run.sh graft.ForceProbe ...`
+// keeps working unchanged.
+Test / unmanagedSourceDirectories += baseDirectory.value / "probes"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

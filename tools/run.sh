@@ -4,7 +4,9 @@
 #   tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
 set -e
 cd /root/repo
-CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+# test-classes carries the probes/ source set (ForceProbe, VerifyOne,
+# Explain, ...) — build it with `sbt Test/compile`
+CP="target/scala-2.13/classes:target/scala-2.13/test-classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 exec java \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
