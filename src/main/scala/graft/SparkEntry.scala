@@ -723,8 +723,12 @@ object SparkEntry {
     "argmax_order" -> (Relational.topOrderPerStatus _),
     "outer_join_balance" -> (Relational.balanceVsBigOrders _),
     "fuzzy_name_pairs" -> (Functions.fuzzyNamePairs _),
+    // the DAILY form: anchors/keys are day-grained here, so the windowed
+    // day-grid broadcast replaces the banded join's three |orders|-scale
+    // exchanges (the r15 steepest-x10-curve fix); the banded general form
+    // stays gate-covered via auto_range_join + PlanSpec/FunctionsSpec
     "range_join_count" -> ((s, d) =>
-      graft.ops.RangeJoin.countWithinDays(
+      graft.ops.RangeJoin.countWithinDaysDaily(
         Tables.orders(s, d), col("o_orderkey"), col("o_orderdate"),
         Tables.lineitem(s, d), col("l_shipdate"), 7)
         .select(col("_k").as("o_orderkey"), col("n_in_range"))),

@@ -58,4 +58,50 @@ object RangeJoin {
       .join(counts, Seq("_k"), "left")
       .select(col("_k"), coalesce(col("_n"), lit(0L)).as("n_in_range"))
   }
+
+  /** Day-grained fast form of [[countWithinDays]]: counts probe rows whose
+    * DAY falls in [day(anchor), day(anchor)+days). Equal to the banded
+    * form whenever both columns are day-grained (DateType, or timestamps
+    * at midnight — the TPC-H shape); NOT equivalent for intra-day
+    * timestamps, which is why the banded general form stays.
+    *
+    * Why it exists (r15 verdict: steepest x10 curve in the suite): the
+    * banded form materializes ~days·|build| match rows, aggregates them
+    * by build key, and left-joins back — three |build|-scale exchanges.
+    * But with day-grained keys the answer for an anchor at day d is a
+    * pure function of d: Σ w(t) over the dense day grid [d, d+days).
+    * So: pre-aggregate the probe to per-day weights (map-side combine,
+    * O(days) rows), lay them on a DENSE day grid extended days−1 below
+    * the min (a window on a sparse grid would silently skip missing
+    * days), take a `days`-row windowed sum per grid day, and BROADCAST
+    * the O(days) result: the build side streams through one broadcast
+    * hash join with zero exchanges, zero |build|-scale aggregates, and
+    * no join-back. The unpartitioned window is deliberate — it runs on
+    * the O(days) grid (thousands of rows for decades of data), never on
+    * data rows. Measured at x10: 5.9 s banded → sub-second.
+    */
+  def countWithinDaysDaily(
+      build: DataFrame,
+      buildKey: Column,
+      anchorCol: Column,
+      probe: DataFrame,
+      tCol: Column,
+      days: Int): DataFrame = {
+    require(days >= 1, s"days must be >= 1, got $days")
+    val daily = probe.select(to_date(tCol).as("_t"))
+      .where(col("_t").isNotNull)
+      .groupBy(col("_t")).agg(count(lit(1)).as("_w"))
+    val grid = daily.agg(min(col("_t")).as("_mn"), max(col("_t")).as("_mx"))
+      .where(col("_mn").isNotNull)
+      .select(explode(sequence(
+        date_sub(col("_mn"), days - 1), col("_mx"))).as("_d"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_d")).rowsBetween(0, days - 1)
+    val ranged = grid.join(daily, col("_d") === col("_t"), "left")
+      .select(col("_d"), coalesce(col("_w"), lit(0L)).as("_w0"))
+      .select(col("_d"), sum(col("_w0")).over(win).as("_n"))
+    build.select(buildKey.as("_k"), to_date(anchorCol).as("_lo"))
+      .join(broadcast(ranged), col("_lo") === col("_d"), "left")
+      .select(col("_k"), coalesce(col("_n"), lit(0L)).as("n_in_range"))
+  }
 }

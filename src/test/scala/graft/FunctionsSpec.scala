@@ -93,6 +93,33 @@ class FunctionsSpec extends AnyFunSuite {
       .agg(count(col("l_shipdate")).as("n"))
       .as[(Long, Long)].collect().toMap
     assert(banded === brute)
+    // the day-grained fast form agrees on day-grained data (TPC-H dates
+    // are midnight-aligned timestamps) — and its plan stays broadcast
+    val dailyDf = graft.ops.RangeJoin.countWithinDaysDaily(
+      Tables.orders(spark, d), col("o_orderkey"), col("o_orderdate"),
+      Tables.lineitem(spark, d), col("l_shipdate"), 7)
+    assert(dailyDf.as[(Long, Long)].collect().toMap === brute)
+    val plan = dailyDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("countWithinDaysDaily: empty probe yields all-zero counts; window edges exact") {
+    import spark.implicits._
+    val build = Seq((1L, "2024-01-01"), (2L, "2024-01-05"), (3L, "2023-12-30"))
+      .toDF("k", "d").select(col("k"), col("d").cast("date").as("d"))
+    val probe = Seq("2024-01-01", "2024-01-01", "2024-01-03", "2024-01-07")
+      .toDF("t").select(col("t").cast("date").as("t"))
+    val got = graft.ops.RangeJoin.countWithinDaysDaily(
+      build, col("k"), col("d"), probe, col("t"), 3)
+      .as[(Long, Long)].collect().toMap
+    // k=1: [01-01, 01-04) -> 3 rows; k=2: [01-05, 01-08) -> 1; k=3:
+    // [12-30, 01-02) overlaps the grid extension below min -> 2
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+    val empty = graft.ops.RangeJoin.countWithinDaysDaily(
+      build, col("k"), col("d"), probe.where(lit(false)), col("t"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(empty === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
   test("ivf nprobe=4 results are at least as close as nprobe=1") {
