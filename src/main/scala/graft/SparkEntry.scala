@@ -1538,6 +1538,12 @@ object SparkEntry {
     // regression flips the gate.
     "media_decode" -> ((s, d) =>
       Multimodal.decodeImages(Multimodal.synthesizeImages(Tables.documents(s, d))).toDF()),
+    // REAL resize round-trip: decode → pinned nearest-neighbor half-scale
+    // → BMP re-encode → re-decode; output geometry, the encoder's exact
+    // framing (BI_RGB byte length) and the re-decoded pixel sum all
+    // recomputed closed-form by the oracle
+    "image_resize" -> ((s, d) =>
+      Multimodal.resizeImages(Multimodal.synthesizeImages(Tables.documents(s, d))).toDF()),
     // Perceptual dedup on DECODED pixels: each doc's pixels encoded twice
     // (BMP + PNG twins, zero shared payload bytes); the dHash is computed
     // from the real codec output and the oracle recomputes it from the
@@ -8329,6 +8335,35 @@ object SparkEntry {
         |       CAST(d.w AS INT) AS img_width, CAST(d.h AS INT) AS img_height,
         |       s.pixel_sum, s.weighted_sum, true AS meta_consistent
         |FROM d JOIN s USING (doc_id)""".stripMargin,
+    "image_resize" ->
+      // the pinned NN rule (sx = x·w div ow, sy = y·h div oh) and the
+      // BI_RGB framing (54-byte headers + padded bottom-up rows),
+      // recomputed independently of both codec directions
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |), g AS (
+        |  SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM d
+        |), ys AS (
+        |  SELECT doc_id, w, h, ow, oh, unnest(range(0, oh)) AS y FROM g
+        |), px AS (
+        |  SELECT doc_id, w, h, ow, oh, y, unnest(range(0, ow)) AS x FROM ys
+        |), sp AS (
+        |  SELECT doc_id, (x * w) // ow AS sx, (y * h) // oh AS sy FROM px
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((doc_id + 3*sx + 7*sy) % 256
+        |           + (2*doc_id + 5*sx + 11*sy) % 256
+        |           + (3*doc_id + 13*sx + sy) % 256) AS BIGINT) AS pixel_sum
+        |  FROM sp GROUP BY doc_id
+        |)
+        |SELECT g.doc_id AS media_id, true AS resize_ok,
+        |       CAST(g.w AS INT) AS src_width, CAST(g.h AS INT) AS src_height,
+        |       CAST(g.ow AS INT) AS out_width, CAST(g.oh AS INT) AS out_height,
+        |       CAST(54 + (3*g.ow + (4 - (3*g.ow) % 4) % 4) * g.oh AS BIGINT)
+        |         AS out_bytes,
+        |       s.pixel_sum
+        |FROM g JOIN s ON g.doc_id = s.doc_id""".stripMargin,
     "bloom_prune" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id IN (${bloomProbeKeys.mkString(", ")})

@@ -111,8 +111,10 @@ object Multimodal {
       }
     }
 
-  /** "Resize": metadata transform + payload truncation to the target byte
-    * budget (stub for a real re-encode). Shape: pure mapPartitions.
+  /** Byte-budget cap for OPAQUE payloads: metadata transform + payload
+    * truncation. This is the arm for formats the pipeline cannot open;
+    * decodable images get the REAL decode → downsample → re-encode in
+    * [[resizeImages]]. Shape: pure mapPartitions.
     */
   def resize(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] =
     media.mapPartitions { rows =>
@@ -253,6 +255,117 @@ object Multimodal {
     }
     buf.array()
   }
+
+  /** One resized image: source + output geometry, the re-encoded BMP's
+    * byte length (deterministic for uncompressed BI_RGB, so the oracle
+    * pins the ENCODER's framing too), and the exact pixel sum of the
+    * RE-DECODED artifact (both codec directions under one gate).
+    */
+  case class ResizedImage(
+      media_id: Long,
+      resize_ok: Boolean,
+      src_width: Option[Int],
+      src_height: Option[Int],
+      out_width: Option[Int],
+      out_height: Option[Int],
+      out_bytes: Option[Long],
+      pixel_sum: Option[Long])
+
+  implicit val resizedEnc: Encoder[ResizedImage] = Encoders.product[ResizedImage]
+
+  /** Hand-rolled BMP encode of an in-memory image — [[encodeBmp]]'s
+    * framing (54-byte headers, bottom-up BGR rows, 4-byte padding) from a
+    * `BufferedImage` instead of the pixel spec.
+    */
+  private def encodeBmpOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imgSize = (rowBytes + pad) * h
+    val buf = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imgSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var j = 0
+    while (j < h) {
+      val y = h - 1 - j
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        buf.put((rgb & 0xff).toByte)
+          .put(((rgb >> 8) & 0xff).toByte)
+          .put(((rgb >> 16) & 0xff).toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      j += 1
+    }
+    buf.array()
+  }
+
+  /** REAL image resize: decode → explicit nearest-neighbor half-scale →
+    * BMP re-encode → RE-DECODE the artifact and fold its exact pixel
+    * sum. The NN rule is pinned (dst (x,y) reads src (x·sw div ow,
+    * y·sh div oh), integer division) rather than delegated to
+    * `Graphics2D` — library interpolation is implementation-defined and
+    * would break the closed-form oracle; explicit NN keeps every output
+    * pixel a spec function the SQL side recomputes. Undecodable payloads
+    * surface as `resize_ok = false` rows. Scale shape: mapPartitions
+    * projection, payloads touched once, never shuffled — the thumbnail
+    * pass of a 100 TB image corpus is scan-speed.
+    */
+  def resizeImages(images: Dataset[ImageRecord]): Dataset[ResizedImage] =
+    images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { rec =>
+        val img =
+          if (rec.content == null) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(rec.content))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null)
+          ResizedImage(rec.media_id, resize_ok = false, None, None, None, None, None, None)
+        else {
+          val sw = img.getWidth
+          val sh = img.getHeight
+          val ow = math.max(1, sw / 2)
+          val oh = math.max(1, sh / 2)
+          val out = new java.awt.image.BufferedImage(
+            ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              out.setRGB(x, y, img.getRGB(x * sw / ow, y * sh / oh))
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = encodeBmpOf(out)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          var ps = 0L
+          var yy = 0
+          while (yy < back.getHeight) {
+            var xx = 0
+            while (xx < back.getWidth) {
+              val rgb = back.getRGB(xx, yy)
+              ps += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              xx += 1
+            }
+            yy += 1
+          }
+          ResizedImage(rec.media_id, resize_ok = true, Some(sw), Some(sh),
+            Some(back.getWidth), Some(back.getHeight),
+            Some(bytes.length.toLong), Some(ps))
+        }
+      }
+    }
 
   /** Deterministic real-BMP corpus from the documents table: dimensions
     * are doc_id-derived (so the oracle knows them), pixels follow

@@ -92,6 +92,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(102L).unit_sum === 0L)
   }
 
+  test("resizeImages: NN half-scale round-trips; corrupt payloads flag, never throw") {
+    import Multimodal.ImageRecord
+    // decodable corpus leg: spec-recomputed expectation for one image
+    val ids = Seq((0L, "x"), (3L, "x"))
+    val r = Multimodal.resizeImages(
+      Multimodal.synthesizeImages(ids.toDF("doc_id", "text")))
+      .collect().map(f => f.media_id -> f).toMap
+    // id 0: 4x3 -> 2x1; NN reads src (x*4/2, y*3/1) = (0,0),(2,0)
+    assert(r(0L).resize_ok && r(0L).out_width === Some(2) && r(0L).out_height === Some(1))
+    val expect0 = Seq((0, 0), (2, 0)).map { case (sx, sy) =>
+      val (a, b, c) = Multimodal.pixelChannels(0L, sx, sy); (a + b + c).toLong
+    }.sum
+    assert(r(0L).pixel_sum === Some(expect0))
+    // BI_RGB framing: 2 px/row -> 6 bytes + 2 pad, 1 row
+    assert(r(0L).out_bytes === Some(54L + 8L))
+    // PNG leg (odd id) resizes identically — the decode is codec-agnostic
+    assert(r(3L).resize_ok && r(3L).out_width === Some(3)) // 7x6 -> 3x3
+    // corrupt and null payloads surface as flagged rows
+    val bad = Seq(
+      ImageRecord(100L, Array[Byte](1, 2, 3), 4, 3),
+      ImageRecord(101L, null, 4, 3))
+    val rb = Multimodal.resizeImages(spark.createDataset(bad))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(rb.values.forall(f => !f.resize_ok && f.pixel_sum.isEmpty))
+  }
+
   test("resize truncates payload and halves dimensions only when oversized") {
     val resized = Multimodal.resize(Multimodal.synthesizeMedia(docs), maxBytes = 10)
       .collect().map(r => r.media_id -> r).toMap
