@@ -204,14 +204,30 @@ object Classify {
     val classes = documents
       .where(col("doc_id") % fold =!= 0)
       .select(col("lang")).distinct()
-    val byTrue = out.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
-    val byPred = out.groupBy(col("pred").as("lang")).agg(count(lit(1)).as("n_pred"))
-    val byTp = out.where(col("lang") === col("pred"))
-      .groupBy(col("lang")).agg(count(lit(1)).as("tp"))
+    // ONE pass over the prediction frame instead of three: each row
+    // contributes a (lang, truth-side) and a (pred, pred-side) record,
+    // and a single aggregate yields n_true / n_pred / tp per class —
+    // the three separate groupBys re-executed nbClassify's window +
+    // filter per aggregate (only its doc_id exchange was reused), three
+    // plans deep for counts one explode-aggregate computes. Same
+    // counts by construction: n_true = Σ truth-side rows with key k,
+    // n_pred = Σ pred-side rows with key k, tp = Σ truth-side rows
+    // with key k whose pred matches (lang = pred counted once, on the
+    // truth side).
+    val counts = out.select(explode(array(
+        struct(col("lang").as("k"), lit(1L).as("t"), lit(0L).as("p"),
+          when(col("lang") === col("pred"), 1L).otherwise(0L).as("tpc")),
+        struct(col("pred").as("k"), lit(0L).as("t"), lit(1L).as("p"),
+          lit(0L).as("tpc")))).as("c"))
+      .groupBy(col("c.k").as("lang"))
+      .agg(sum(col("c.t")).as("n_true_s"), sum(col("c.p")).as("n_pred_s"),
+        sum(col("c.tpc")).as("tp_s"))
+      .select(col("lang"),
+        when(col("n_true_s") > 0, col("n_true_s")).as("n_true"),
+        when(col("n_pred_s") > 0, col("n_pred_s")).as("n_pred"),
+        when(col("tp_s") > 0, col("tp_s")).as("tp"))
     classes
-      .join(byTrue, Seq("lang"), "left")
-      .join(byPred, Seq("lang"), "left")
-      .join(byTp, Seq("lang"), "left")
+      .join(counts, Seq("lang"), "left")
       .select(
         col("lang"),
         expr("coalesce(n_true, CAST(0 AS BIGINT))").as("n_true"),

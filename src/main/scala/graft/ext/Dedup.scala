@@ -1323,7 +1323,22 @@ object Dedup {
       tDen: Int = 2): DataFrame = {
     require(tNum >= 1 && tDen > tNum, s"threshold must be in (0,1): $tNum/$tDen")
     val mem = cc.where(col("doc_id") =!= col("component"))
-    val sh = shingleHashes(documents, outer = false).distinct()
+    // Prune the shingle stream to CLUSTERED docs (members ∪ reps) before
+    // the distinct/size exchanges: every downstream consumer is keyed on
+    // a member or rep id (memSh/repSh are inner joins; the two size
+    // left-joins only surface those keys), so rows for unclustered docs
+    // were shuffled through distinct() and the size aggregate just to be
+    // dropped. Clustered docs are a vanishing fraction of the corpus
+    // (the cc input is near-dup cluster members only), so the id set
+    // broadcasts and both exchanges shrink from corpus-shingle-mass to
+    // cluster-content-mass — the guide's semi-join-before-the-exchange
+    // move. Output is identical by the key argument above.
+    val ids = mem.select(col("doc_id"))
+      .unionAll(mem.select(col("component").as("doc_id")))
+      .distinct()
+    val sh = shingleHashes(documents, outer = false)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val memSh = mem.join(sh, "doc_id")
       .select(col("component"), col("doc_id"), col("shingle_hash"))

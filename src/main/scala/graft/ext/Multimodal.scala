@@ -81,6 +81,17 @@ object Multimodal {
     * formats the JVM CAN open, [[extractRealFeatures]] below dispatches
     * to the real codecs and falls back to exactly this fold.
     */
+  /** Whole-frame ARGB grab: ONE bulk `getRGB` call per frame instead of
+    * a per-pixel call. Values are bit-identical (the bulk form runs the
+    * same ColorModel.getRGB conversion per pixel) but it reuses the
+    * raster transfer buffer across pixels, where the per-pixel form
+    * allocates a fresh transfer array per call on palette (GIF/indexed)
+    * images — measured hot in every full-frame decode loop (keyframes,
+    * sampled frames, media features). Row-major: index y·w+x.
+    */
+  private def grabRgb(img: java.awt.image.BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
   private def byteStats(content: Array[Byte]): (Double, Int, Long) = {
     var sum = 0L
     var max = 0
@@ -289,12 +300,13 @@ object Multimodal {
       .putShort(0).putShort(0).putInt(54)
     buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
       .putInt(0).putInt(imgSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val rgbs = grabRgb(img)
     var j = 0
     while (j < h) {
       val y = h - 1 - j
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = rgbs(y * w + x)
         buf.put((rgb & 0xff).toByte)
           .put(((rgb >> 8) & 0xff).toByte)
           .put(((rgb >> 16) & 0xff).toByte)
@@ -337,28 +349,32 @@ object Multimodal {
           val oh = math.max(1, sh / 2)
           val out = new java.awt.image.BufferedImage(
             ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val srcRgb = grabRgb(img)
+          val dstRgb = new Array[Int](ow * oh)
           var y = 0
           while (y < oh) {
+            val sy = y * sh / oh
             var x = 0
             while (x < ow) {
-              out.setRGB(x, y, img.getRGB(x * sw / ow, y * sh / oh))
+              dstRgb(y * ow + x) = srcRgb(sy * sw + x * sw / ow)
               x += 1
             }
             y += 1
           }
+          // bulk setRGB on TYPE_INT_RGB stores the same pixels the
+          // per-pixel form would (alpha forced opaque by the encoder's
+          // 24-bit framing either way)
+          out.setRGB(0, 0, ow, oh, dstRgb, 0, ow)
           val bytes = encodeBmpOf(out)
           val back = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
+          val backRgb = grabRgb(back)
           var ps = 0L
-          var yy = 0
-          while (yy < back.getHeight) {
-            var xx = 0
-            while (xx < back.getWidth) {
-              val rgb = back.getRGB(xx, yy)
-              ps += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              xx += 1
-            }
-            yy += 1
+          var i = 0
+          while (i < backRgb.length) {
+            val rgb = backRgb(i)
+            ps += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            i += 1
           }
           ResizedImage(rec.media_id, resize_ok = true, Some(sw), Some(sh),
             Some(back.getWidth), Some(back.getHeight),
@@ -430,21 +446,18 @@ object Multimodal {
           }
           val w = img.getWidth
           val h = img.getHeight
+          val rgbs = grabRgb(img)
           var ps = 0L
           var ws = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              ps += r + g + b
-              ws += (1L + x + w.toLong * y) * (r + 2L * g + 3L * b)
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < rgbs.length) {
+            val rgb = rgbs(i)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            ps += r + g + b
+            ws += (1L + i) * (r + 2L * g + 3L * b) // 1 + x + w·y = 1 + i
+            i += 1
           }
           DecodedImage(rec.media_id, decode_ok = true, fmt, Some(w), Some(h),
             Some(ps), Some(ws),
@@ -1109,16 +1122,9 @@ object Multimodal {
               val img = reader.read(f)
               val w = img.getWidth
               val h = img.getHeight
-              val cur = new Array[Int](w * h)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  cur(y * w + x) = img.getRGB(x, y) & 0xff
-                  x += 1
-                }
-                y += 1
-              }
+              val cur = grabRgb(img) // row-major, same y·w+x layout
+              var ci = 0
+              while (ci < cur.length) { cur(ci) &= 0xff; ci += 1 }
               if (f == 0) out += KeyFrame(rec.media_id, 0, None, nf)
               else if (prev.length == cur.length) {
                 var e = 0L
@@ -1176,18 +1182,15 @@ object Multimodal {
                 val img = reader.read(f)
                 val w = img.getWidth
                 val h = img.getHeight
+                val rgbs = grabRgb(img)
                 var ps = 0L
                 var ws = 0L
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val g = img.getRGB(x, y) & 0xff
-                    ps += g
-                    ws += (1L + x + w.toLong * y) * g
-                    x += 1
-                  }
-                  y += 1
+                var i = 0
+                while (i < rgbs.length) {
+                  val g = rgbs(i) & 0xff
+                  ps += g
+                  ws += (1L + i) * g // 1 + x + w·y = 1 + i, row-major
+                  i += 1
                 }
                 (f, w, h, ps, ws)
               }
@@ -1322,16 +1325,13 @@ object Multimodal {
             else {
               val w = img.getWidth
               val h = img.getHeight
+              val rgbs = grabRgb(img)
               var ps = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  ps += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                  x += 1
-                }
-                y += 1
+              var i = 0
+              while (i < rgbs.length) {
+                val rgb = rgbs(i)
+                ps += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                i += 1
               }
               RealMediaFeatures(rec.media_id, rec.modality, decode_ok = true,
                 if (isBmp) "bmp" else "png", w.toLong * h, ps)
@@ -1371,15 +1371,9 @@ object Multimodal {
                 var gs = 0L
                 var f = 0
                 while (f < nf) {
-                  val img = reader.read(f)
-                  val w = img.getWidth
-                  val h = img.getHeight
-                  var y = 0
-                  while (y < h) {
-                    var x = 0
-                    while (x < w) { gs += img.getRGB(x, y) & 0xff; x += 1 }
-                    y += 1
-                  }
+                  val rgbs = grabRgb(reader.read(f))
+                  var i = 0
+                  while (i < rgbs.length) { gs += rgbs(i) & 0xff; i += 1 }
                   f += 1
                 }
                 RealMediaFeatures(rec.media_id, rec.modality, decode_ok = true,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+import graft.functions.LongVecFunctions.{vec_dot_long, vec_argmax_qcell, pq_argmax_code}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -1026,11 +1027,15 @@ object Similarity {
     val orderOk = (1 until kk).forall(i => eigVals(i) <= eigVals(i - 1) * (1 + 1e-12) + 1e-9)
 
     // distributed proof: project EVERY vector on every component, then
-    // match the population variance n·Σy² − (Σy)² against λ
+    // match the population variance n·Σy² − (Σy)² against λ. The
+    // projection is the codegen'd [[graft.functions.VecDot]] (long
+    // elements widen to double exactly like the HOF's x * w Multiply,
+    // left-to-right — bit-identical, FunctionsSpec-pinned); the HOF form
+    // paid 2·k·dim interpreted lambda calls per row because the `y`
+    // SQL string was spliced into BOTH sum(y) and sum(y*y)
     val projCols = (0 until kk).flatMap { c =>
-      val vArr = s"array(${eigVecs(c).mkString(", ")})"
-      val y = s"aggregate(zip_with(qvec, $vArr, (x, w) -> x * w), 0D, (acc, x) -> acc + x)"
-      Seq(expr(s"sum($y)").as(s"sy_$c"), expr(s"sum(($y) * ($y))").as(s"syy_$c"))
+      val y = vec_dot(col("qvec"), typedLit(eigVecs(c).toSeq))
+      Seq(sum(y).as(s"sy_$c"), sum(y * y).as(s"syy_$c"))
     }
     val aggRow = q.agg(count(lit(1)).as("n"), projCols: _*).head()
     val rows = (0 until kk).map { c =>
@@ -1056,9 +1061,7 @@ object Similarity {
     val (_, d, _, _, eigVecs) = pcaEigen(q)
     val kk = math.min(k, d)
     val projExprs = (0 until kk).map { c =>
-      val vArr = s"array(${eigVecs(c).mkString(", ")})"
-      expr(s"aggregate(zip_with(qvec, $vArr, (x, w) -> x * w), 0D, (acc, x) -> acc + x)")
-        .as(s"pc_$c")
+      vec_dot(col("qvec"), typedLit(eigVecs(c).toSeq)).as(s"pc_$c")
     }
     q.select(col("vec_id") +: projExprs: _*)
   }
@@ -1289,11 +1292,15 @@ object Similarity {
     (vals, vecs)
   }
 
+  // fused normalize+quantize kernel (one codegen loop; see
+  // [[graft.functions.VecQuantizeUnit]]) — bit-identical to the
+  // normalized() + transform chain it replaced (FunctionsSpec pins it),
+  // which paid two interpreted transforms and a double-evaluated norm
+  // dot per vector
   private def quantizedUnits(embeddings: DataFrame): DataFrame =
-    normalized(embeddings)
-      .withColumn("qvec",
-        expr("transform(unit, x -> cast(floor(x * 1000000.0 + 0.5) as bigint))"))
-      .select(col("vec_id"), col("qvec"))
+    embeddings.select(col("vec_id"),
+      graft.functions.LongVecFunctions.vec_quantize_unit(col("embedding"))
+        .as("qvec"))
 
   /** Nearest-centroid assignment in the integer domain: one broadcast row
     * of (cidx, qcent) structs against one scan; the argmax is an exact
@@ -1308,14 +1315,17 @@ object Similarity {
   private def assignQCells(q: DataFrame, cents: DataFrame): DataFrame = {
     val centsRow = cents
       .agg(collect_list(struct(col("cidx"), col("qcent"))).as("cents"))
+    // fused codegen argmax (k·dim primitive loop) — bit-identical to the
+    // HOF `array_max(transform(cents, c -> (dot, -cidx)))` form it
+    // replaced (FunctionsSpec pins the equivalence); the HOF form paid
+    // k·dim interpreted lambda calls plus a struct allocation per
+    // centroid per row
     q.crossJoin(broadcast(centsRow))
       .withColumn("__best",
-        when(col("qvec").isNotNull && size(col("cents")) > 0, expr(
-          """array_max(transform(cents, c -> named_struct(
-            |  'dot', aggregate(zip_with(qvec, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x),
-            |  'negidx', -c.cidx)))""".stripMargin)))
+        when(col("qvec").isNotNull && size(col("cents")) > 0,
+          vec_argmax_qcell(col("qvec"), col("cents"))))
       .select(col("vec_id"), col("qvec"),
-        (-col("__best.negidx")).as("cell"), col("__best.dot").as("qdot"))
+        col("__best.cell").as("cell"), col("__best.qdot").as("qdot"))
   }
 
   /** `iters` rounds of Lloyd's over the quantized units. Init is the k
@@ -1406,17 +1416,18 @@ object Similarity {
     val cents = kmeansCentroids(q, k, iters)
     val centsRow = cents
       .agg(collect_list(struct(col("cidx"), col("qcent"))).as("cents"))
+    // fused own-cell / nearest-other-cell distances (one codegen loop;
+    // see [[graft.functions.VecCellL2]]) — bit-identical to the
+    // transform + two-filter HOF chain it replaced (FunctionsSpec pins
+    // it), which materialized a k-struct array and two filtered copies
+    // per row through the interpreter
     assignQCells(q, cents)
       .filter(col("cell").isNotNull)
       .crossJoin(broadcast(centsRow))
-      .withColumn("dists", expr(
-        """transform(cents, c -> named_struct(
-          |  'cell2', c.cidx,
-          |  'd2', aggregate(zip_with(qvec, c.qcent, (x, y) -> (x - y) * (x - y)),
-          |                  0L, (a, x) -> a + x)))""".stripMargin))
-      .withColumn("a2", expr("element_at(filter(dists, d -> d.cell2 = cell), 1).d2"))
-      .withColumn("b2", expr(
-        "array_min(transform(filter(dists, d -> d.cell2 != cell), d -> d.d2))"))
+      .withColumn("__d", graft.functions.LongVecFunctions
+        .vec_cell_l2(col("qvec"), col("cell"), col("cents")))
+      .withColumn("a2", col("__d.a2"))
+      .withColumn("b2", col("__d.b2"))
       .where(col("b2").isNotNull)
       .withColumn("s", expr(
         """CASE WHEN greatest(a2, b2) = 0 THEN 0.0d
@@ -1486,17 +1497,19 @@ object Similarity {
   private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
     val centsRow = cents
       .agg(collect_list(struct(col("s"), col("cidx"), col("qcent"))).as("cents"))
+    // fused codegen argmax over the row's OWN subspace (one primitive
+    // loop; see [[graft.functions.PqArgmaxCode]]) — bit-identical to the
+    // HOF `array_max(transform(filter(cents, c.s = s), ...))` form it
+    // replaced (FunctionsSpec pins it), which allocated the filtered
+    // array plus a struct per codeword per subvector row
     subs.crossJoin(broadcast(centsRow))
       .withColumn("__best",
-        when(col("qsub").isNotNull && size(col("cents")) > 0, expr(
-          """array_max(transform(filter(cents, c -> c.s = s), c -> named_struct(
-            |  'obj', 2L * aggregate(zip_with(qsub, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x)
-            |         - aggregate(c.qcent, 0L, (a, x) -> a + x * x),
-            |  'negidx', -c.cidx)))""".stripMargin)))
+        when(col("qsub").isNotNull && size(col("cents")) > 0,
+          pq_argmax_code(col("qsub"), col("s"), col("cents"))))
       // withColumn + drop, not a select: extra rider columns (e.g. the
       // coarse cell id in [[ivfPqTopK]]) pass through untouched
-      .withColumn("code", -col("__best.negidx"))
-      .withColumn("qobj", col("__best.obj"))
+      .withColumn("code", col("__best.code"))
+      .withColumn("qobj", col("__best.qobj"))
       .drop("cents", "__best")
   }
 
@@ -1628,8 +1641,8 @@ object Similarity {
     val qSubs = subs.filter(col("vec_id") === queryVecId && col("qsub").isNotNull)
       .select(col("s").as("qs"), col("qsub").as("q_qsub"))
     val lut = cents.join(qSubs, col("s") === col("qs"))
-      .selectExpr("s", "cidx as code",
-        "aggregate(zip_with(q_qsub, qcent, (x, y) -> x * y), 0L, (a, x) -> a + x) as qdot")
+      .select(col("s"), col("cidx").as("code"),
+        vec_dot_long(col("q_qsub"), col("qcent")).as("qdot"))
     codes.filter(col("code").isNotNull && col("vec_id") =!= queryVecId)
       .join(broadcast(lut), Seq("s", "code"))
       .groupBy(col("vec_id"))
@@ -1682,8 +1695,8 @@ object Similarity {
       .select(col("qvec").as("q_qvec"))
     q.join(broadcast(cand), col("vec_id") === col("cand_id"))
       .crossJoin(broadcast(qv))
-      .selectExpr("vec_id",
-        "aggregate(zip_with(qvec, q_qvec, (x, y) -> x * y), 0L, (a, x) -> a + x) as exact_qdot")
+      .select(col("vec_id"),
+        vec_dot_long(col("qvec"), col("q_qvec")).as("exact_qdot"))
       .orderBy(col("exact_qdot").desc, col("vec_id"))
       .limit(kNbrs)
   }
@@ -1778,8 +1791,8 @@ object Similarity {
     // query side: probe the nprobe best cells by the exact coarse dot...
     val qv = q.filter(col("vec_id") === queryVecId && col("qvec").isNotNull)
     val probed = qv.crossJoin(broadcast(coarse))
-      .selectExpr("cidx as pcell", "qcent",
-        "aggregate(zip_with(qvec, qcent, (x, y) -> x * y), 0L, (a, x) -> a + x) as qcdot")
+      .select(col("cidx").as("pcell"), col("qcent"),
+        vec_dot_long(col("qvec"), col("qcent")).as("qcdot"))
       .orderBy(col("qcdot").desc, col("pcell")).limit(nprobe)
     // ...then build the PER-CELL residual LUT: the query's residual
     // differs per probed cell, so each (pcell, s, code) gets its own dot
@@ -1790,8 +1803,8 @@ object Similarity {
         explode(expr(s"sequence(0, ${m - 1})")).as("ls"))
       .selectExpr("pcell", "qcdot", "ls", s"slice(qres, ls * $sub + 1, $sub) as q_qsub")
       .join(pqc, col("ls") === col("s"))
-      .selectExpr("pcell", "qcdot", "ls", "cidx as lcode",
-        "aggregate(zip_with(q_qsub, qcent, (x, y) -> x * y), 0L, (a, x) -> a + x) as rdot")
+      .select(col("pcell"), col("qcdot"), col("ls"), col("cidx").as("lcode"),
+        vec_dot_long(col("q_qsub"), col("qcent")).as("rdot"))
     codes.filter(col("code").isNotNull && col("vec_id") =!= queryVecId)
       .join(broadcast(lut),
         col("cell") === col("pcell") && col("s") === col("ls") &&
@@ -2242,8 +2255,10 @@ object Similarity {
       .orderBy(col("qdot").desc, col("nbr_id"))
     val exact = q.select(col("vec_id").as("nbr_id"), col("qvec"))
       .crossJoin(broadcast(qs))
-      .withColumn("qdot",
-        expr("aggregate(zip_with(qvec, q_qvec, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      // codegen'd exact dot — the truth arm is O(n·qCount) 64-dim dots,
+      // the single hottest interpreted-HOF site in the suite before the
+      // [[graft.functions.VecDotLong]] rewrite (bit-identical, pinned)
+      .withColumn("qdot", vec_dot_long(col("qvec"), col("q_qvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNbrs)
       .select(col("query_id"), col("nbr_id"))
@@ -2317,18 +2332,17 @@ object Similarity {
       .withColumn("__one", lit(1))
     // quantizedUnits projects down to (vec_id, qvec); the stream needs
     // its event-time column to survive — quantize in place instead
-    val assigned = normalized(queries)
+    // (same fused [[graft.functions.VecQuantizeUnit]] kernel)
+    val assigned = queries
       .withColumn("qvec",
-        expr("transform(unit, x -> cast(floor(x * 1000000.0 + 0.5) as bigint))"))
+        graft.functions.LongVecFunctions.vec_quantize_unit(col("embedding")))
       .filter(col("qvec").isNotNull)
       .withColumn("__one", lit(1))
       .join(broadcast(centsRow), Seq("__one"))
       .withColumn("__best",
-        when(size(col("cents")) > 0, expr(
-          """array_max(transform(cents, c -> named_struct(
-            |  'dot', aggregate(zip_with(qvec, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x),
-            |  'negidx', -c.cidx)))""".stripMargin)))
-      .withColumn("cell", -col("__best.negidx"))
+        when(size(col("cents")) > 0,
+          vec_argmax_qcell(col("qvec"), col("cents"))))
+      .withColumn("cell", col("__best.cell"))
       .filter(col("cell").isNotNull)
       .withColumn("lut", adcLutCol(cwDense(cbRows, m, k, sub), m, k, sub))
       .select(col("vec_id").as("query_id"), col(eventTimeCol),
@@ -2439,8 +2453,8 @@ object Similarity {
     short
       .join(q.select(col("vec_id"), col("qvec")), Seq("vec_id"))
       .join(q.select(col("vec_id").as("nbr_id"), col("qvec").as("nvec")), Seq("nbr_id"))
-      .selectExpr("vec_id", "nbr_id",
-        "aggregate(zip_with(qvec, nvec, (x, y) -> x * y), 0L, (a, x) -> a + x) as exact_qdot")
+      .select(col("vec_id"), col("nbr_id"),
+        vec_dot_long(col("qvec"), col("nvec")).as("exact_qdot"))
       .withColumn("rank", row_number().over(wExact).cast("bigint"))
       .filter(col("rank") <= kNbrs)
       .select(col("vec_id"), col("nbr_id"), col("exact_qdot"), col("rank"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.GraftShim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the dot product of two numeric arrays
   * (float or double elements), accumulating in double precision,
@@ -28,41 +28,50 @@ case class VecDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) |
+           ArrayType(LongType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"vec_dot expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+        s"vec_dot expects array<float|double|bigint>, got ${left.dataType} / ${right.dataType}")
   }
 
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  // bigint elements widen to double exactly like Spark's own
+  // long*double Multiply (cast the long operand, multiply in double) —
+  // so vec_dot(qvec, <double literal>) is bit-identical to the
+  // `aggregate(zip_with(qvec, arr, (x, w) -> x * w), 0D, ...)` HOF form
+  private def getter(e: Expression): String = e.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(LongType, _) => "getLong"
+    case _ => "getDouble"
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = isFloat(left)
-    val rf = isFloat(right)
+    val lg = getter(left)
+    val rg = getter(right)
+    def elem(d: ArrayData, g: String, i: Int): Double = g match {
+      case "getFloat" => d.getFloat(i).toDouble
+      case "getLong" => d.getLong(i).toDouble
+      case _ => d.getDouble(i)
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += elem(x, lg, i) * elem(y, rg, i)
       i += 1
     }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
-    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    val lGet = getter(left)
+    val rGet = getter(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")

@@ -2354,4 +2354,174 @@ class ExtSpec extends AnyFunSuite {
     assert(first.getString(1) === "u" && first.getString(2) === "v"
       && first.getLong(3) === 2L)
   }
+
+  test("VecQuantizeUnit equals the normalized()+transform HOF chain on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val hof = emb
+      .withColumn("_norm", expr(
+        "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"))
+      .withColumn("unit",
+        when(col("_norm") > 0d, expr("transform(embedding, x -> cast(x as double) / _norm)")))
+      .withColumn("hof_qvec",
+        expr("transform(unit, x -> cast(floor(x * 1000000.0 + 0.5) as bigint))"))
+      .select(col("vec_id"), col("hof_qvec"))
+    val fused = emb.select(col("vec_id"),
+      graft.functions.LongVecFunctions.vec_quantize_unit(col("embedding")).as("qvec"))
+    val bad = fused.join(hof, Seq("vec_id"))
+      .filter(not(col("qvec") <=> col("hof_qvec"))).count()
+    assert(bad === 0L) // bit-identical per element
+    // zero vector and NULL embedding -> NULL qvec (the when-guard's else)
+    val edge = Seq(
+      (1L, Some(Seq(0f, 0f, 0f))),
+      (2L, None),
+      (3L, Some(Seq(3f, 4f, 0f)))).toDF("vec_id", "embedding")
+    val got = edge.select(col("vec_id"),
+      graft.functions.LongVecFunctions.vec_quantize_unit(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty)
+    assert(got(3L).map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq)
+      === Some(Seq(600000L, 800000L, 0L)))
+  }
+
+  test("VecDotLong equals the aggregate(zip_with(...)) HOF form, incl. null/length edges") {
+    import graft.functions.LongVecFunctions.vec_dot_long
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.select(col("vec_id"),
+      graft.functions.LongVecFunctions.vec_quantize_unit(col("embedding")).as("qvec"))
+      .filter(col("qvec").isNotNull)
+    val qs = q.limit(7).select(col("vec_id").as("qid"), col("qvec").as("q_qvec"))
+    val both = q.crossJoin(broadcast(qs))
+      .withColumn("fused", vec_dot_long(col("qvec"), col("q_qvec")))
+      .withColumn("hof",
+        expr("aggregate(zip_with(qvec, q_qvec, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+    assert(both.filter(not(col("fused") <=> col("hof"))).count() === 0L)
+    // length mismatch -> NULL (zip_with pads with NULL, poisons the agg);
+    // NULL element -> NULL; NULL array -> NULL
+    val edges = Seq(
+      (Some(Seq[java.lang.Long](1L, 2L)), Some(Seq[java.lang.Long](3L))),
+      (Some(Seq[java.lang.Long](1L, null)), Some(Seq[java.lang.Long](3L, 4L))),
+      (None, Some(Seq[java.lang.Long](3L, 4L))),
+      (Some(Seq[java.lang.Long](2L, 5L)), Some(Seq[java.lang.Long](3L, 4L))))
+      .toDF("a", "b")
+      .withColumn("fused", vec_dot_long(col("a"), col("b")))
+      .withColumn("hof",
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+    assert(edges.filter(not(col("fused") <=> col("hof"))).count() === 0L)
+    assert(edges.filter(col("a").isNotNull && col("b").isNotNull &&
+      size(col("a")) === size(col("b")) &&
+      !array_contains(transform(col("a"), x => x.isNull), true))
+      .select("fused").collect().map(_.getLong(0)).toSeq === Seq(26L))
+    // vec_dot on a bigint array widens long*double exactly like the HOF's
+    // x * w Multiply over DOUBLE-typed weights (the embed_pca projection
+    // path). NOTE: the weights must be a typed literal — a SQL-text
+    // `array(0.333...)` parses fractional literals as DECIMAL and the
+    // products round through decimal before the double sum, a ≤1-ulp
+    // different intermediate (the pre-r16 embed_pca built its weight
+    // array from SQL text and so carried exactly that decimal flavor;
+    // the output booleans sit behind a 1e-6 relative tolerance and are
+    // oracle-gated, so the intermediate change is invisible downstream).
+    val wts = (1 to 64).map(i => 1.0 / i)
+    val proj = q
+      .withColumn("fused",
+        graft.functions.VectorFunctions.vec_dot(col("qvec"), typedLit(wts)))
+      .withColumn("hof",
+        aggregate(
+          zip_with(col("qvec"), typedLit(wts), (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x))
+    assert(proj.filter(not(col("fused") <=> col("hof"))).count() === 0L)
+  }
+
+  test("VecArgmaxQCell / PqArgmaxCode equal their HOF argmax forms on real quantized units") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.select(col("vec_id"),
+      graft.functions.LongVecFunctions.vec_quantize_unit(col("embedding")).as("qvec"))
+      .filter(col("qvec").isNotNull)
+    val cents = q.filter(col("vec_id") < 16)
+      .agg(collect_list(struct(col("vec_id").as("cidx"), col("qvec").as("qcent")))
+        .as("cents"))
+    val both = q.crossJoin(broadcast(cents))
+      .withColumn("fused",
+        graft.functions.LongVecFunctions.vec_argmax_qcell(col("qvec"), col("cents")))
+      .withColumn("hof", expr(
+        """array_max(transform(cents, c -> named_struct(
+          |  'dot', aggregate(zip_with(qvec, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x),
+          |  'negidx', -c.cidx)))""".stripMargin))
+      .select(col("fused.cell"), col("fused.qdot"),
+        (-col("hof.negidx")).as("hof_cell"), col("hof.dot").as("hof_dot"))
+    assert(both.filter(
+      col("cell") =!= col("hof_cell") || col("qdot") =!= col("hof_dot")).count() === 0L)
+    // empty centroid table -> NULL, like array_max over empty
+    val empty = q.limit(1)
+      .withColumn("cents",
+        expr("cast(array() as array<struct<cidx:bigint,qcent:array<bigint>>>)"))
+      .select(graft.functions.LongVecFunctions
+        .vec_argmax_qcell(col("qvec"), col("cents")).as("b"))
+    assert(empty.filter(col("b").isNotNull).count() === 0L)
+    // PQ: subspace-filtered argmax over the L2 objective, ties to the
+    // smallest cidx — vs the filter+transform+array_max HOF
+    val m = 8; val sub = 8
+    val subs = q.select(col("vec_id"), col("qvec"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("s"))
+      .selectExpr("vec_id", "s", s"slice(qvec, s * $sub + 1, $sub) as qsub")
+    val cb = subs.filter(col("vec_id") < 8)
+      .agg(collect_list(struct(col("s"), col("vec_id").as("cidx"),
+        col("qsub").as("qcent"))).as("cents"))
+    val pq = subs.crossJoin(broadcast(cb))
+      .withColumn("fused",
+        graft.functions.LongVecFunctions.pq_argmax_code(col("qsub"), col("s"), col("cents")))
+      .withColumn("hof", expr(
+        """array_max(transform(filter(cents, c -> c.s = s), c -> named_struct(
+          |  'obj', 2L * aggregate(zip_with(qsub, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x)
+          |         - aggregate(c.qcent, 0L, (a, x) -> a + x * x),
+          |  'negidx', -c.cidx)))""".stripMargin))
+      .select(col("fused.code"), col("fused.qobj"),
+        (-col("hof.negidx")).as("hof_code"), col("hof.obj").as("hof_obj"))
+    assert(pq.filter(
+      col("code") =!= col("hof_code") || col("qobj") =!= col("hof_obj")).count() === 0L)
+    // no codeword in the row's subspace -> NULL (array_max over the
+    // empty filtered array)
+    val none = subs.limit(1)
+      .withColumn("cents", expr(
+        "array(named_struct('s', 99, 'cidx', cast(1 as bigint), 'qcent', array(cast(1 as bigint))))"))
+      .select(graft.functions.LongVecFunctions
+        .pq_argmax_code(col("qsub"), col("s"), col("cents")).as("b"))
+    assert(none.filter(col("b").isNotNull).count() === 0L)
+  }
+
+  test("VecCellL2 equals the transform+filter HOF silhouette distances") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.select(col("vec_id"),
+      graft.functions.LongVecFunctions.vec_quantize_unit(col("embedding")).as("qvec"))
+      .filter(col("qvec").isNotNull)
+    val cents = q.filter(col("vec_id") < 8)
+      .agg(collect_list(struct(col("vec_id").as("cidx"), col("qvec").as("qcent")))
+        .as("cents"))
+    // assign like silhouetteSimplified does, then compare both dist forms
+    val assigned = q.crossJoin(broadcast(cents))
+      .withColumn("cell",
+        graft.functions.LongVecFunctions
+          .vec_argmax_qcell(col("qvec"), col("cents")).getField("cell"))
+    val both = assigned
+      .withColumn("fused", graft.functions.LongVecFunctions
+        .vec_cell_l2(col("qvec"), col("cell"), col("cents")))
+      .withColumn("dists", expr(
+        """transform(cents, c -> named_struct(
+          |  'cell2', c.cidx,
+          |  'd2', aggregate(zip_with(qvec, c.qcent, (x, y) -> (x - y) * (x - y)),
+          |                  0L, (a, x) -> a + x)))""".stripMargin))
+      .withColumn("hof_a2", expr("element_at(filter(dists, d -> d.cell2 = cell), 1).d2"))
+      .withColumn("hof_b2", expr(
+        "array_min(transform(filter(dists, d -> d.cell2 != cell), d -> d.d2))"))
+    assert(both.filter(
+      not(col("fused.a2") <=> col("hof_a2")) ||
+        not(col("fused.b2") <=> col("hof_b2"))).count() === 0L)
+    // single-cell table: b2 NULL (no other cell), a2 present
+    val one = q.limit(3)
+      .withColumn("cents", expr(
+        "array(named_struct('cidx', cast(0 as bigint), 'qcent', qvec))"))
+      .withColumn("d", graft.functions.LongVecFunctions
+        .vec_cell_l2(col("qvec"), lit(0L), col("cents")))
+    assert(one.filter(col("d.b2").isNotNull).count() === 0L)
+    assert(one.filter(col("d.a2") =!= 0L).count() === 0L)
+  }
 }
