@@ -17,6 +17,23 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Wall-clock budget (round-16 verdict item 1: the driver's 32-core
+    // bench timed out at rc=124 — the suite grew to 347 queries × [warmup
+    // + 3 timed + plan probe + up to 4 forced runs] and no longer fits
+    // the driver's kill timer on a loaded box). The clock starts at JVM
+    // start so the load-gate wait counts against it, exactly like the
+    // driver's external `timeout` would. Once over budget the bench
+    // DEGRADES instead of dying: warmup + ONE timed run per remaining
+    // query, forced re-times skipped — a complete rc=0 record whose
+    // degraded entries are listed in "degraded" so round-over-round
+    // comparison can exclude them. Under budget (every quiet run so far:
+    // ~17 min wall) nothing changes, so r15 comparability holds.
+    val benchStartNs = System.nanoTime()
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(timedRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $timedRuns")
+    def overBudget(): Boolean =
+      (System.nanoTime() - benchStartNs) / 1e9 > budgetS
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -175,28 +192,33 @@ object Bench {
     val ccTel = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val forcedErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val degraded = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       try {
+        val deg = overBudget()
+        if (deg) degraded += name
+        val nRuns = if (deg) 1 else timedRuns
         val ccBefore = graft.ext.Dedup.lastCcTelemetry
         timed(fn) // warmup (JVM/codegen/parquet footers)
         val gc0 = gcMillis()
-        val runs = Seq(timed(fn), timed(fn), timed(fn)).sorted
+        val runs = Seq.fill(nRuns)(timed(fn)).sorted
         gcSecs(name) = (gcMillis() - gc0) / 1e3
         graft.ext.Dedup.lastCcTelemetry.foreach { t =>
           if (!ccBefore.contains(t)) ccTel(name) = ccJson(t)
         }
-        times(name) = runs(1)
+        times(name) = runs(nRuns / 2)
         spreads(name) =
-          if (runs(1) > 0) (runs(2) - runs(0)) / runs(1) else 0.0
+          if (nRuns >= 3 && runs(nRuns / 2) > 0) (runs.last - runs.head) / runs(nRuns / 2)
+          else 0.0
         // The forced re-time is an INSTRUMENT on top of an already-valid
         // count() measurement: a throw in it (an unhashable output type,
         // OOM on the extra executions) must not turn the primary number
         // into an ERROR — record it separately and keep rc clean.
         try {
-          if (countPruned(fn(spark, sfDir))) {
+          if (!deg && countPruned(fn(spark, sfDir))) {
             timedForced(fn) // the forced sink JIT/codegens separately
             val fgc0 = gcMillis()
-            forced(name) = Seq(timedForced(fn), timedForced(fn), timedForced(fn)).sorted.apply(1)
+            forced(name) = Seq.fill(timedRuns)(timedForced(fn)).sorted.apply(timedRuns / 2)
             forcedGcSecs(name) = (gcMillis() - fgc0) / 1e3
             graft.ext.Dedup.lastCcTelemetry.foreach { t =>
               if (!ccBefore.contains(t)) ccTel.getOrElseUpdate(name + "__forced", ccJson(t))
@@ -232,7 +254,9 @@ object Bench {
     // The honest suite total: forced time where the count() sink is
     // flagged as vacuous, the count() time everywhere else.
     val forcedTotal = times.map { case (k, v) => forced.getOrElse(k, v) }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$dj,"forced":$fj,"forced_total":$forcedTotal,"forced_errors":$fErrJson,"gc_secs":$gcJ,"forced_gc_secs":$fGcJ,"cc_telemetry":$ccJ,"load_avg_1m":$loadAvg,"load_avg_1_5_15":${jsonStr(loadTriple)},"load_contaminated":$contaminated,"errors":$errJson,"sf":"$sfDir"}"""
+    val degJson = degraded.map(jsonStr).mkString("[", ",", "]")
+    val wallS = (System.nanoTime() - benchStartNs) / 1e9
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$dj,"forced":$fj,"forced_total":$forcedTotal,"forced_errors":$fErrJson,"gc_secs":$gcJ,"forced_gc_secs":$fGcJ,"cc_telemetry":$ccJ,"load_avg_1m":$loadAvg,"load_avg_1_5_15":${jsonStr(loadTriple)},"load_contaminated":$contaminated,"errors":$errJson,"budget_s":$budgetS,"wall_s":${f"$wallS%.1f"},"degraded":$degJson,"sf":"$sfDir"}"""
     println(line)
     // also drop the line as a file: launcher prefixes (sbt's "[info] ")
     // can defeat stdout JSON parsing (observed in round 1's bench record)

@@ -1328,16 +1328,20 @@ object Dedup {
     // a member or rep id (memSh/repSh are inner joins; the two size
     // left-joins only surface those keys), so rows for unclustered docs
     // were shuffled through distinct() and the size aggregate just to be
-    // dropped. Clustered docs are a vanishing fraction of the corpus
-    // (the cc input is near-dup cluster members only), so the id set
-    // broadcasts and both exchanges shrink from corpus-shingle-mass to
+    // dropped. Both exchanges shrink from corpus-shingle-mass to
     // cluster-content-mass — the guide's semi-join-before-the-exchange
-    // move. Output is identical by the key argument above.
+    // move. Output is identical by the key argument above. No broadcast
+    // HINT on the id set (r16 ADVICE): on a duplication-heavy corpus the
+    // clustered-id set is input-dependent and unbounded, and a forced
+    // broadcast over the 8 GB relation cap would fail a query that
+    // previously only shuffled — let AQE pick broadcast when the
+    // runtime size fits (it does at every bench SF) and fall back to a
+    // shuffled semi-join when it doesn't.
     val ids = mem.select(col("doc_id"))
       .unionAll(mem.select(col("component").as("doc_id")))
       .distinct()
     val sh = shingleHashes(documents, outer = false)
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .join(ids, Seq("doc_id"), "left_semi")
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val memSh = mem.join(sh, "doc_id")

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
+import graft.functions.LongVecFunctions.vec_hamming_bands
+
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata, plus per-partition decode / feature-extract / resize /
   * frame-sample operators.
@@ -605,8 +607,12 @@ object Multimodal {
           col("x.media_id") < col("y.media_id"))
       .select(
         col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
-        expr("""aggregate(zip_with(x.bands, y.bands, (p, q) -> bit_count(p ^ q)),
-               | 0, (acc, v) -> acc + v)""".stripMargin).as("hamming"))
+        // fused codegen kernel; bit-identical (ExtSpec-pinned) to the
+        // interpreted HOF form it replaces, which paid ~4 boxed lambda
+        // calls per candidate PAIR — the hot loop of the banded verify:
+        //   aggregate(zip_with(x.bands, y.bands, (p, q) -> bit_count(p ^ q)),
+        //             0, (acc, v) -> acc + v)
+        vec_hamming_bands(col("x.bands"), col("y.bands")).as("hamming"))
       .distinct()
       .where(col("hamming") <= tau)
       .orderBy(col("media_a"), col("media_b"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.{vec_dot, vec_norm}
-import graft.functions.LongVecFunctions.{vec_dot_long, vec_argmax_qcell, pq_argmax_code}
+import graft.functions.LongVecFunctions.{vec_dot_long, vec_argmax_qcell, pq_argmax_code, vec_sub_long}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -1030,7 +1030,7 @@ object Similarity {
     // match the population variance n·Σy² − (Σy)² against λ. The
     // projection is the codegen'd [[graft.functions.VecDot]] (long
     // elements widen to double exactly like the HOF's x * w Multiply,
-    // left-to-right — bit-identical, FunctionsSpec-pinned); the HOF form
+    // left-to-right — bit-identical, ExtSpec-pinned); the HOF form
     // paid 2·k·dim interpreted lambda calls per row because the `y`
     // SQL string was spliced into BOTH sum(y) and sum(y*y)
     val projCols = (0 until kk).flatMap { c =>
@@ -1294,7 +1294,7 @@ object Similarity {
 
   // fused normalize+quantize kernel (one codegen loop; see
   // [[graft.functions.VecQuantizeUnit]]) — bit-identical to the
-  // normalized() + transform chain it replaced (FunctionsSpec pins it),
+  // normalized() + transform chain it replaced (ExtSpec pins it),
   // which paid two interpreted transforms and a double-evaluated norm
   // dot per vector
   private def quantizedUnits(embeddings: DataFrame): DataFrame =
@@ -1317,7 +1317,7 @@ object Similarity {
       .agg(collect_list(struct(col("cidx"), col("qcent"))).as("cents"))
     // fused codegen argmax (k·dim primitive loop) — bit-identical to the
     // HOF `array_max(transform(cents, c -> (dot, -cidx)))` form it
-    // replaced (FunctionsSpec pins the equivalence); the HOF form paid
+    // replaced (ExtSpec pins the equivalence); the HOF form paid
     // k·dim interpreted lambda calls plus a struct allocation per
     // centroid per row
     q.crossJoin(broadcast(centsRow))
@@ -1418,7 +1418,7 @@ object Similarity {
       .agg(collect_list(struct(col("cidx"), col("qcent"))).as("cents"))
     // fused own-cell / nearest-other-cell distances (one codegen loop;
     // see [[graft.functions.VecCellL2]]) — bit-identical to the
-    // transform + two-filter HOF chain it replaced (FunctionsSpec pins
+    // transform + two-filter HOF chain it replaced (ExtSpec pins
     // it), which materialized a k-struct array and two filtered copies
     // per row through the interpreter
     assignQCells(q, cents)
@@ -1500,7 +1500,7 @@ object Similarity {
     // fused codegen argmax over the row's OWN subspace (one primitive
     // loop; see [[graft.functions.PqArgmaxCode]]) — bit-identical to the
     // HOF `array_max(transform(filter(cents, c.s = s), ...))` form it
-    // replaced (FunctionsSpec pins it), which allocated the filtered
+    // replaced (ExtSpec pins it), which allocated the filtered
     // array plus a struct per codeword per subvector row
     subs.crossJoin(broadcast(centsRow))
       .withColumn("__best",
@@ -1744,8 +1744,11 @@ object Similarity {
     assignQCells(q, coarse)
       .filter(col("cell").isNotNull)
       .join(broadcast(coarse), col("cell") === col("cidx"))
-      .selectExpr("vec_id", "cell",
-        "zip_with(qvec, qcent, (x, y) -> x - y) as qvec")
+      // fused codegen residual (ExtSpec-pinned bit-identical to the
+      // interpreted `zip_with(qvec, qcent, (x, y) -> x - y)` it replaces
+      // — dim boxed lambda calls per corpus vector)
+      .select(col("vec_id"), col("cell"),
+        vec_sub_long(col("qvec"), col("qcent")).as("qvec"))
       .select(col("vec_id"), col("cell"), col("qvec"),
         explode(expr(s"sequence(0, ${m - 1})")).as("s"))
       .selectExpr("vec_id", "cell", "s", s"slice(qvec, s * $sub + 1, $sub) as qsub")
@@ -1797,8 +1800,9 @@ object Similarity {
     // ...then build the PER-CELL residual LUT: the query's residual
     // differs per probed cell, so each (pcell, s, code) gets its own dot
     val lut = qv.crossJoin(broadcast(probed))
-      .selectExpr("pcell", "qcdot",
-        "zip_with(qvec, qcent, (x, y) -> x - y) as qres")
+      // same fused residual kernel as ivfResidualSubs (nprobe rows here)
+      .select(col("pcell"), col("qcdot"),
+        vec_sub_long(col("qvec"), col("qcent")).as("qres"))
       .select(col("pcell"), col("qcdot"), col("qres"),
         explode(expr(s"sequence(0, ${m - 1})")).as("ls"))
       .selectExpr("pcell", "qcdot", "ls", s"slice(qres, ls * $sub + 1, $sub) as q_qsub")

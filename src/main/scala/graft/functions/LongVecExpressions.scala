@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * these kernels cost ~dim interpreted calls per candidate per row. Each
   * expression here generates one tight primitive loop inside whole-stage
   * codegen and is pinned bit-identical to the HOF form it replaces in
-  * FunctionsSpec (the [[VecDot]] / [[VecArgmaxCell]] precedent).
+  * ExtSpec (the [[VecDot]] / [[VecArgmaxCell]] FunctionsSpec precedent).
   */
 
 /** Exact int64 dot of two bigint arrays.
@@ -94,7 +94,7 @@ case class VecDotLong(left: Expression, right: Expression)
   * return (cell, qdot) — the centroid with the largest exact int64 dot,
   * ties to the smallest cidx.
   *
-  * Replaces (bit-identically, FunctionsSpec-pinned):
+  * Replaces (bit-identically, ExtSpec-pinned):
   * {{{
   *   array_max(transform(cents, c -> named_struct(
   *     'dot', aggregate(zip_with(qvec, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x),
@@ -147,16 +147,22 @@ case class VecArgmaxQCell(left: Expression, right: Expression)
       val row = cents.getStruct(c, 2)
       val id = row.getLong(0)
       val cu = row.getArray(1)
-      val n = math.min(d, cu.numElements())
-      var acc = 0L
-      var i = 0
-      while (i < n) { acc += qvec.getLong(i) * cu.getLong(i); i += 1 }
-      if (first || acc > bestDot || (acc == bestDot && id < bestId)) {
-        bestDot = acc; bestId = id; first = false
+      // a dimension-mismatched centroid is EXCLUDED, never scored on a
+      // partial dot (r16 ADVICE: the HOF form NULL-poisons its dot via
+      // zip_with padding, so it can never win — aligned with
+      // [[VecDotLong]]'s mismatch-to-NULL contract; unreachable for
+      // trained centroids, which share qvec's dimension by construction)
+      if (cu.numElements() == d) {
+        var acc = 0L
+        var i = 0
+        while (i < d) { acc += qvec.getLong(i) * cu.getLong(i); i += 1 }
+        if (first || acc > bestDot || (acc == bestDot && id < bestId)) {
+          bestDot = acc; bestId = id; first = false
+        }
       }
       c += 1
     }
-    InternalRow(bestId, bestDot)
+    if (first) null else InternalRow(bestId, bestDot)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -186,17 +192,21 @@ case class VecArgmaxQCell(left: Expression, right: Expression)
          |    org.apache.spark.sql.catalyst.InternalRow $row = $cs.getStruct($c, 2);
          |    long $id = $row.getLong(0);
          |    org.apache.spark.sql.catalyst.util.ArrayData $cu = $row.getArray(1);
-         |    int $n = java.lang.Math.min($d, $cu.numElements());
-         |    long $acc = 0L;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $acc += $v.getLong($i) * $cu.getLong($i);
-         |    }
-         |    if ($first || $acc > $bestDot || ($acc == $bestDot && $id < $bestId)) {
-         |      $bestDot = $acc; $bestId = $id; $first = false;
+         |    if ($cu.numElements() == $d) {
+         |      long $acc = 0L;
+         |      for (int $i = 0; $i < $d; $i++) {
+         |        $acc += $v.getLong($i) * $cu.getLong($i);
+         |      }
+         |      if ($first || $acc > $bestDot || ($acc == $bestDot && $id < $bestId)) {
+         |        $bestDot = $acc; $bestId = $id; $first = false;
+         |      }
          |    }
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |    new Object[] { java.lang.Long.valueOf($bestId), java.lang.Long.valueOf($bestDot) });
+         |  if ($first) { ${ev.isNull} = true; }
+         |  else {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[] { java.lang.Long.valueOf($bestId), java.lang.Long.valueOf($bestDot) });
+         |  }
          |}
        """.stripMargin
     })
@@ -219,7 +229,7 @@ object VecArgmaxQCell {
   * int64 L2 objective 2·dot(qsub, qcent) − Σ qcent², ties to the
   * smallest cidx.
   *
-  * Replaces (bit-identically, FunctionsSpec-pinned):
+  * Replaces (bit-identically, ExtSpec-pinned):
   * {{{
   *   array_max(transform(filter(cents, c -> c.s = s), c -> named_struct(
   *     'obj', 2L * aggregate(zip_with(qsub, c.qcent, (x, y) -> x * y), 0L, (a, x) -> a + x)
@@ -271,17 +281,19 @@ case class PqArgmaxCode(first: Expression, second: Expression, third: Expression
     var c = 0
     while (c < k) {
       val row = cents.getStruct(c, 3)
-      if (row.getInt(0) == s) {
+      // dimension-mismatched codewords are EXCLUDED, never scored on a
+      // partial dot — the VecArgmaxQCell/VecDotLong mismatch contract
+      // (unreachable for trained codebooks: subvector slices share qsub's
+      // width by construction)
+      if (row.getInt(0) == s && row.getArray(2).numElements() == d) {
         val id = row.getLong(1)
         val cu = row.getArray(2)
-        val m = cu.numElements()
-        val n = math.min(d, m)
         var dot = 0L
         var i = 0
-        while (i < n) { dot += qsub.getLong(i) * cu.getLong(i); i += 1 }
+        while (i < d) { dot += qsub.getLong(i) * cu.getLong(i); i += 1 }
         var ss = 0L
         i = 0
-        while (i < m) { val x = cu.getLong(i); ss += x * x; i += 1 }
+        while (i < d) { val x = cu.getLong(i); ss += x * x; i += 1 }
         val obj = 2L * dot - ss
         if (!any || obj > bestObj || (obj == bestObj && id < bestId)) {
           bestObj = obj; bestId = id; any = true
@@ -318,17 +330,15 @@ case class PqArgmaxCode(first: Expression, second: Expression, third: Expression
          |boolean $any = false;
          |for (int $c = 0; $c < $k; $c++) {
          |  org.apache.spark.sql.catalyst.InternalRow $row = $cs.getStruct($c, 3);
-         |  if ($row.getInt(0) == $sv) {
+         |  if ($row.getInt(0) == $sv && $row.getArray(2).numElements() == $d) {
          |    long $id = $row.getLong(1);
          |    org.apache.spark.sql.catalyst.util.ArrayData $cu = $row.getArray(2);
-         |    int $m = $cu.numElements();
-         |    int $n = java.lang.Math.min($d, $m);
          |    long $dot = 0L;
-         |    for (int $i = 0; $i < $n; $i++) {
+         |    for (int $i = 0; $i < $d; $i++) {
          |      $dot += $q.getLong($i) * $cu.getLong($i);
          |    }
          |    long $ss = 0L;
-         |    for (int $i = 0; $i < $m; $i++) {
+         |    for (int $i = 0; $i < $d; $i++) {
          |      long $x = $cu.getLong($i); $ss += $x * $x;
          |    }
          |    long $obj = 2L * $dot - $ss;
@@ -363,7 +373,7 @@ object PqArgmaxCode {
   * from the table) and b2 = min over OTHER cells (NULL when there is no
   * other cell — the k-effectively-1 exclusion).
   *
-  * Replaces (bit-identically, FunctionsSpec-pinned):
+  * Replaces (bit-identically, ExtSpec-pinned):
   * {{{
   *   dists = transform(cents, c -> (c.cidx, Σ(x−y)²))
   *   a2 = element_at(filter(dists, d -> d.cell2 = cell), 1).d2
@@ -415,17 +425,20 @@ case class VecCellL2(first: Expression, second: Expression, third: Expression)
       val row = cents.getStruct(c, 2)
       val id = row.getLong(0)
       val cu = row.getArray(1)
-      val n = math.min(d, cu.numElements())
-      var acc = 0L
-      var i = 0
-      while (i < n) {
-        val diff = qvec.getLong(i) - cu.getLong(i)
-        acc += diff * diff
-        i += 1
+      // mismatch contract as in [[VecArgmaxQCell]]: a wrong-dimension
+      // centroid is excluded, never scored on a truncated distance
+      if (cu.numElements() == d) {
+        var acc = 0L
+        var i = 0
+        while (i < d) {
+          val diff = qvec.getLong(i) - cu.getLong(i)
+          acc += diff * diff
+          i += 1
+        }
+        if (id == cell) {
+          if (!hasA) { a2 = acc; hasA = true }
+        } else if (!hasB || acc < b2) { b2 = acc; hasB = true }
       }
-      if (id == cell) {
-        if (!hasA) { a2 = acc; hasA = true }
-      } else if (!hasB || acc < b2) { b2 = acc; hasB = true }
       c += 1
     }
     InternalRow(
@@ -458,15 +471,16 @@ case class VecCellL2(first: Expression, second: Expression, third: Expression)
          |  org.apache.spark.sql.catalyst.InternalRow $row = $cs.getStruct($c, 2);
          |  long $id = $row.getLong(0);
          |  org.apache.spark.sql.catalyst.util.ArrayData $cu = $row.getArray(1);
-         |  int $n = java.lang.Math.min($d, $cu.numElements());
-         |  long $acc = 0L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    long $diff = $v.getLong($i) - $cu.getLong($i);
-         |    $acc += $diff * $diff;
+         |  if ($cu.numElements() == $d) {
+         |    long $acc = 0L;
+         |    for (int $i = 0; $i < $d; $i++) {
+         |      long $diff = $v.getLong($i) - $cu.getLong($i);
+         |      $acc += $diff * $diff;
+         |    }
+         |    if ($id == $cellV) {
+         |      if (!$hasA) { $a2 = $acc; $hasA = true; }
+         |    } else if (!$hasB || $acc < $b2) { $b2 = $acc; $hasB = true; }
          |  }
-         |  if ($id == $cellV) {
-         |    if (!$hasA) { $a2 = $acc; $hasA = true; }
-         |  } else if (!$hasB || $acc < $b2) { $b2 = $acc; $hasB = true; }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |  new Object[] {
@@ -490,7 +504,7 @@ object VecCellL2 {
   * integer ANN family, one codegen loop instead of three interpreted
   * passes.
   *
-  * Replaces (bit-identically, FunctionsSpec-pinned):
+  * Replaces (bit-identically, ExtSpec-pinned):
   * {{{
   *   _norm = sqrt(vec_dot(embedding, embedding))          // codegen'd
   *   unit  = when(_norm > 0D, transform(embedding, x -> cast(x as double) / _norm))
@@ -625,10 +639,164 @@ case class VecQuantizeUnit(child: Expression)
     copy(child = newChild)
 }
 
+/** Banded Hamming distance: Σ bit_count(pᵢ ^ qᵢ) over two bigint arrays
+  * (the four 16-bit dHash bands of the phash near-dup path — the per-
+  * candidate-PAIR kernel of the quadratic-ish verify loop, the hottest
+  * remaining interpreted site after the round-16 codegen campaign).
+  *
+  * Semantics mirror (ExtSpec-pinned bit-identical):
+  * {{{
+  *   aggregate(zip_with(p, q, (x, y) -> bit_count(x ^ y)),
+  *             0, (acc, v) -> acc + v)
+  * }}}
+  *   - either array NULL → NULL;
+  *   - length mismatch → NULL (zip_with pads the shorter side with NULL,
+  *     bit_count(NULL ^ y) is NULL, and acc + NULL poisons the fold);
+  *   - any NULL element → NULL (same poisoning);
+  *   - bit_count yields INT and the fold starts at literal 0, so the
+  *     result is IntegerType exactly like the HOF form.
+  */
+case class VecHammingBands(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_hamming_bands expects array<bigint>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $acc = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecHammingBands =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Element-wise int64 subtraction — the IVF-PQ residual kernel
+  * (qvec − coarse centroid), previously a per-row interpreted
+  * `zip_with(a, b, (x, y) -> x - y)`.
+  *
+  * Semantics mirror zip_with exactly (ExtSpec-pinned bit-identical):
+  *   - either array NULL → NULL;
+  *   - output length = max(|a|, |b|); positions past the shorter side
+  *     are NULL elements (zip_with's NULL padding makes x − NULL NULL);
+  *   - a NULL element on either side → NULL element;
+  *   - overflow wraps like non-ANSI LongType Subtract (Java semantics).
+  */
+case class VecSubLong(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_sub_long expects array<bigint>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val n = math.max(nx, ny)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < nx && i < ny && !x.isNullAt(i) && !y.isNullAt(i))
+        out(i) = java.lang.Long.valueOf(x.getLong(i) - y.getLong(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $n = java.lang.Math.max($nx, $ny);
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($i < $nx && $i < $ny && !$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $out[$i] = java.lang.Long.valueOf($a.getLong($i) - $b.getLong($i));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSubLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object LongVecFunctions {
   /** Column API: exact int64 dot (see [[VecDotLong]]). */
   def vec_dot_long(a: Column, b: Column): Column =
     GraftShim.column(VecDotLong(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Column API: banded Hamming distance (see [[VecHammingBands]]). */
+  def vec_hamming_bands(a: Column, b: Column): Column =
+    GraftShim.column(VecHammingBands(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Column API: element-wise int64 subtraction (see [[VecSubLong]]). */
+  def vec_sub_long(a: Column, b: Column): Column =
+    GraftShim.column(VecSubLong(GraftShim.expression(a), GraftShim.expression(b)))
 
   /** Column API: fused integer nearest-centroid argmax (see
     * [[VecArgmaxQCell]]). */

@@ -49,6 +49,21 @@ case class VecDot(left: Expression, right: Expression)
     case _ => "getDouble"
   }
 
+  // The LONG path poisons on a NULL element (result NULL) exactly like
+  // the HOF form it replaces — `x * w` with x NULL is NULL and the 0D
+  // fold propagates it (r16 ADVICE: getLong on a null slot silently
+  // reads 0, which would score a partial dot; vec_quantize_unit CAN
+  // emit per-element NULLs). The float/double path keeps its historical
+  // null-as-0.0 read: [[VecQuantizeUnit]]'s null-aware norm is pinned to
+  // exactly that semantics and the embeddings fixture never exercises it.
+  private def nullPoisons: Boolean =
+    left.dataType == ArrayType(LongType, containsNull = true) ||
+      left.dataType == ArrayType(LongType, containsNull = false) ||
+      right.dataType == ArrayType(LongType, containsNull = true) ||
+      right.dataType == ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = super.nullable || nullPoisons
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -60,9 +75,11 @@ case class VecDot(left: Expression, right: Expression)
       case "getLong" => d.getLong(i).toDouble
       case _ => d.getDouble(i)
     }
+    val poison = nullPoisons
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (poison && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += elem(x, lg, i) * elem(y, rg, i)
       i += 1
     }
@@ -72,17 +89,23 @@ case class VecDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = getter(left)
     val rGet = getter(right)
+    val poison = nullPoisons
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (poison)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) ${ev.value} = $acc;
        """.stripMargin
     })
   }

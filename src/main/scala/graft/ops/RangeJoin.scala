@@ -69,16 +69,13 @@ object RangeJoin {
     * banded form materializes ~days·|build| match rows, aggregates them
     * by build key, and left-joins back — three |build|-scale exchanges.
     * But with day-grained keys the answer for an anchor at day d is a
-    * pure function of d: Σ w(t) over the dense day grid [d, d+days).
+    * pure function of d: Σ w(t) over the day range [d, d+days).
     * So: pre-aggregate the probe to per-day weights (map-side combine,
-    * O(days) rows), lay them on a DENSE day grid extended days−1 below
-    * the min (a window on a sparse grid would silently skip missing
-    * days), take a `days`-row windowed sum per grid day, and BROADCAST
-    * the O(days) result: the build side streams through one broadcast
-    * hash join with zero exchanges, zero |build|-scale aggregates, and
-    * no join-back. The unpartitioned window is deliberate — it runs on
-    * the O(days) grid (thousands of rows for decades of data), never on
-    * data rows. Measured at x10: 5.9 s banded → sub-second.
+    * O(days) rows), explode each weighted day onto the ≤`days` anchor
+    * days it contributes to, sum per anchor day, and BROADCAST the
+    * O(days) result: the build side streams through one broadcast hash
+    * join with zero exchanges, zero |build|-scale aggregates, and no
+    * join-back. Measured at x10: 5.9 s banded → sub-second.
     */
   def countWithinDaysDaily(
       build: DataFrame,
@@ -91,15 +88,19 @@ object RangeJoin {
     val daily = probe.select(to_date(tCol).as("_t"))
       .where(col("_t").isNotNull)
       .groupBy(col("_t")).agg(count(lit(1)).as("_w"))
-    val grid = daily.agg(min(col("_t")).as("_mn"), max(col("_t")).as("_mx"))
-      .where(col("_mn").isNotNull)
+    // Each per-day weight (t, w) contributes to every anchor day in
+    // (t−days, t]: explode the O(days) daily frame onto those anchor
+    // days and sum — equivalent to the previous dense-grid windowed sum
+    // (anchor days with NO weighted day in range simply have no row, and
+    // the left join's coalesce maps absent to 0 exactly as it mapped the
+    // grid's zero rows), but with no unpartitioned Window at all. That
+    // window ran on the bounded O(days) grid — scale-safe — yet flooded
+    // every driver log with WindowExec single-partition warnings (the
+    // round-16 bench tail was ~100% this warning), burying real ones.
+    val ranged = daily
       .select(explode(sequence(
-        date_sub(col("_mn"), days - 1), col("_mx"))).as("_d"))
-    val win = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_d")).rowsBetween(0, days - 1)
-    val ranged = grid.join(daily, col("_d") === col("_t"), "left")
-      .select(col("_d"), coalesce(col("_w"), lit(0L)).as("_w0"))
-      .select(col("_d"), sum(col("_w0")).over(win).as("_n"))
+        date_sub(col("_t"), days - 1), col("_t"))).as("_d"), col("_w"))
+      .groupBy(col("_d")).agg(sum(col("_w")).as("_n"))
     build.select(buildKey.as("_k"), to_date(anchorCol).as("_lo"))
       .join(broadcast(ranged), col("_lo") === col("_d"), "left")
       .select(col("_k"), coalesce(col("_n"), lit(0L)).as("n_in_range"))

@@ -79,7 +79,7 @@ class BucketingSpec extends AnyFunSuite {
     assert(keptNone === 0 && none.count() === 0L)
   }
 
-  test("zOrderWrite clusters both dimensions; 2-D box queries prune more files than a 1-D sort") {
+  test("zOrderWrite clusters both dimensions; 2-D box queries prune more files than a 1-D sort", SlowTest) {
     import graft.io.Maintenance
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")

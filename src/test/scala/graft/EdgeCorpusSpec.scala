@@ -59,7 +59,7 @@ class EdgeCorpusSpec extends AnyFunSuite {
     dir
   }
 
-  test("every declared query survives the adversarial edge corpus (no-crash sweep)") {
+  test("every declared query survives the adversarial edge corpus (no-crash sweep)", SlowTest) {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // collect(), not count(): under a count aggregate Catalyst prunes every
       // deterministic projection, so per-row expressions would never run on

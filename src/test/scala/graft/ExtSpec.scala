@@ -61,7 +61,7 @@ class ExtSpec extends AnyFunSuite {
     assert(df("x y") === Seq())
   }
 
-  test("pair operators leave no pinned storage behind (cache-hygiene contract)") {
+  test("pair operators leave no pinned storage behind (cache-hygiene contract)", SlowTest) {
     // Every persist()/localCheckpoint an operator takes internally must be
     // released before it returns: in a long-running service leaked blocks
     // accumulate until eviction/OOM, and in a multi-query session they
@@ -176,7 +176,7 @@ class ExtSpec extends AnyFunSuite {
       ("wiki", "wiki", 2L, 1L)))  // clusters 1 (n=1, 0 pairs) and 10 (1 pair)
   }
 
-  test("connectedComponents with a checkpoint dir leaves no files after release") {
+  test("connectedComponents with a checkpoint dir leaves no files after release", SlowTest) {
     // the reliable-checkpoint branch: iteration checkpoints must be
     // deleted by the operator (Spark never reclaims checkpoint FILES on
     // its own), and release() must delete the result's files too
@@ -370,7 +370,7 @@ class ExtSpec extends AnyFunSuite {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
-  test("connectedComponents: a deep chain converges in O(log n) star rounds") {
+  test("connectedComponents: a deep chain converges in O(log n) star rounds", SlowTest) {
     // the scale property the star-contraction rewrite exists for: a
     // 257-node chain (diameter 256) would need 128 two-hop min-label
     // rounds; large-star/small-star contracts it in ~log n. The bound
@@ -525,7 +525,7 @@ class ExtSpec extends AnyFunSuite {
     assert(topk.forall(_.getLong(1) == qCell))
   }
 
-  test("knnJoin: per-vector top-k matches the brute-force within-cell ranking") {
+  test("knnJoin: per-vector top-k matches the brute-force within-cell ranking", SlowTest) {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Similarity.knnJoin(emb, kNbrs = 3, k = 16)
       .collect()
@@ -568,7 +568,7 @@ class ExtSpec extends AnyFunSuite {
     assert(b(1L) !== b(3L))
   }
 
-  test("approx_count_distinct gate: exact column is exact, accuracy booleans green") {
+  test("approx_count_distinct gate: exact column is exact, accuracy booleans green", SlowTest) {
     // (l_returnflag, exact_orders, exact_parts, orders_within_5pct, parts_within_5pct)
     val rows = graft.ops.Functions.approxDistinct(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, Boolean, Boolean)].collect()
@@ -599,7 +599,7 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 6.0) < 1e-12)
   }
 
-  test("blockDedupRewrite drops repeated spans corpus-wide, keeps first, rebuilds in order") {
+  test("blockDedupRewrite drops repeated spans corpus-wide, keeps first, rebuilds in order", SlowTest) {
     val span = (0 until 16).map(i => s"s$i").mkString(" ") // one full 16-token block
     val tailA = (0 until 16).map(i => s"a$i").mkString(" ")
     val tailB = (0 until 4).map(i => s"b$i").mkString(" ")
@@ -629,7 +629,7 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2L)._1 === 0L && r(2L)._2 == null)
   }
 
-  test("blockDedupRewrite is invariant under repartitioning") {
+  test("blockDedupRewrite is invariant under repartitioning", SlowTest) {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = TextOps.blockDedupRewrite(docs).orderBy("doc_id").collect().toSeq
     val b = TextOps.blockDedupRewrite(docs.repartition(13)).orderBy("doc_id").collect().toSeq
@@ -685,7 +685,7 @@ class ExtSpec extends AnyFunSuite {
     assert(r(3L)._1 === 10L && r(3L)._2 === 0L && r(3L)._3 == null)
   }
 
-  test("substringDedup: no duplicates -> identity rewrite; invariant under repartitioning") {
+  test("substringDedup: no duplicates -> identity rewrite; invariant under repartitioning", SlowTest) {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = TextOps.substringDedup(docs).orderBy("doc_id").collect().toSeq
     val b = TextOps.substringDedup(docs.repartition(13)).orderBy("doc_id").collect().toSeq
@@ -699,7 +699,7 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
-  test("heavyHitters equals the exact GROUP BY/HAVING form, any partitioning") {
+  test("heavyHitters equals the exact GROUP BY/HAVING form, any partitioning", SlowTest) {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def exact(k: Int): Seq[(String, Long)] = {
       val toks = docs.select(explode(split(col("text"), " ")).as("token"))
@@ -845,7 +845,7 @@ class ExtSpec extends AnyFunSuite {
     assert(ord.exceptAll(ordShift).count() === 0L)
   }
 
-  test("GenScale replicas: replica 0 unchanged, replicas never pair, structure replicates") {
+  test("GenScale replicas: replica 0 unchanged, replicas never pair, structure replicates", SlowTest) {
     // the scaling-bench construction must not change the ANSWER shape:
     // each replica reproduces the source's near-dup structure (up to LSH
     // banding noise) and replicas never pair with each other
@@ -954,7 +954,7 @@ class ExtSpec extends AnyFunSuite {
     assert(r(4L)._2 > 0.0 && r(4L)._2 < 0.2, r(4L).toString)
   }
 
-  test("pageRank: sink-heavy star concentrates rank on the hub; ranks sum to ~1") {
+  test("pageRank: sink-heavy star concentrates rank on the hub; ranks sum to ~1", SlowTest) {
     // spokes 1..4 each point to hub 0; hub points back to node 1
     val edges = (Seq((0L, 1L)) ++ (1L to 4L).map(s => (s, 0L)))
       .map { case (s, d) => (s, d, 1L) }
@@ -1043,7 +1043,7 @@ class ExtSpec extends AnyFunSuite {
     assert(hit === fresh && !built)
   }
 
-  test("IndexCache.ccClusters: cached CC is bit-identical to fresh; hit runs zero CC rounds") {
+  test("IndexCache.ccClusters: cached CC is bit-identical to fresh; hit runs zero CC rounds", SlowTest) {
     import graft.ext.IndexCache
     // docs 1≈2 near-dup (one cluster), 3 disjoint; the verified variant
     // (minEst) must produce its own independent cache entry
@@ -1145,7 +1145,7 @@ class ExtSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.bfsDistances(edges, seeds, maxHops = 0))
   }
 
-  test("ssspBounded: relaxation beats the direct edge; horizon bounds the answer; undirected min-weight") {
+  test("ssspBounded: relaxation beats the direct edge; horizon bounds the answer; undirected min-weight", SlowTest) {
     import graft.ext.Graph
     // direct 1->4 costs 10; 1->2->3->4 costs 1+1+1 = 3 — only visible
     // after 3 relaxation rounds. Parallel edges 1->2 keep the MIN
@@ -1203,7 +1203,7 @@ class ExtSpec extends AnyFunSuite {
     assert(all.forall(x => x.getDouble(2) === x.getDouble(1)))
   }
 
-  test("linkPredict: exact overlap scores on a double-star; hub cap prunes centers") {
+  test("linkPredict: exact overlap scores on a double-star; hub cap prunes centers", SlowTest) {
     // stars: 10-{1,2,3} and 11-{2,3,4}; no candidate pair is an edge
     val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 2L), (11L, 3L), (11L, 4L))
       .toDF("src", "dst")
@@ -1242,7 +1242,7 @@ class ExtSpec extends AnyFunSuite {
     assert(r(5L) === ((1L, 0L, 0L)) && r(6L) === ((1L, 0L, 0L)))
   }
 
-  test("tfidfCosinePairs: rare-term overlap outranks common-term overlap") {
+  test("tfidfCosinePairs: rare-term overlap outranks common-term overlap", SlowTest) {
     // docs 1,2 share the RARE term; docs 3,4 share only terms that appear
     // everywhere (high df -> near-zero idf weight after the cap)
     val filler = (0 until 30).map(i => s"common$i").mkString(" ")
@@ -1467,7 +1467,7 @@ class ExtSpec extends AnyFunSuite {
       s"trained ssq ${ssq(trained)} > seed ssq ${ssq(i0)}")
   }
 
-  test("pqEncode/pqTopK: codes are seed-labeled and total; ADC retrieves the query's cluster") {
+  test("pqEncode/pqTopK: codes are seed-labeled and total; ADC retrieves the query's cluster", SlowTest) {
     import spark.implicits._
     // a corpus PQ is actually good at: 10 well-separated clusters with
     // small within-cluster noise (real embedding corpora are clustered;
@@ -1552,7 +1552,7 @@ class ExtSpec extends AnyFunSuite {
       s"re-rank did not improve on raw ADC (adc $adcOnly)")
   }
 
-  test("IndexCache: cached codebooks are bit-identical to fresh training; second call runs zero training jobs") {
+  test("IndexCache: cached codebooks are bit-identical to fresh training; second call runs zero training jobs", SlowTest) {
     import graft.ext.IndexCache
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, dir)
@@ -1626,7 +1626,7 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
-  test("pqAdcTopKJoin: per-query ADC ranking equals the independently recomputed codeword sums") {
+  test("pqAdcTopKJoin: per-query ADC ranking equals the independently recomputed codeword sums", SlowTest) {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cb = Similarity.pqCodebook(emb)
@@ -1664,7 +1664,7 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
-  test("pqRecall: hits equal the locally recomputed exact∩ADC intersection") {
+  test("pqRecall: hits equal the locally recomputed exact∩ADC intersection", SlowTest) {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cb = Similarity.pqCodebook(emb)
@@ -1728,7 +1728,7 @@ class ExtSpec extends AnyFunSuite {
     assert(capBase === capScrambled)
   }
 
-  test("trainedCodebook feeds withSemanticKey/ivf machinery; degenerate corpora stay sane") {
+  test("trainedCodebook feeds withSemanticKey/ivf machinery; degenerate corpora stay sane", SlowTest) {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cb = Similarity.trainedCodebook(emb, k = 8, iters = 2)
     val keyed = Similarity.withSemanticKey(emb, cb, sigBits = 16)
@@ -2088,7 +2088,7 @@ class ExtSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1))
   }
 
-  test("publishPqIndex/latestPqIndex: parquet round-trip serves identically; torn versions invisible") {
+  test("publishPqIndex/latestPqIndex: parquet round-trip serves identically; torn versions invisible", SlowTest) {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pqpub").toString
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -2523,5 +2523,69 @@ class ExtSpec extends AnyFunSuite {
         .vec_cell_l2(col("qvec"), lit(0L), col("cents")))
     assert(one.filter(col("d.b2").isNotNull).count() === 0L)
     assert(one.filter(col("d.a2") =!= 0L).count() === 0L)
+  }
+
+  test("VecHammingBands equals the aggregate(zip_with(bit_count)) HOF form, incl. edges") {
+    import graft.functions.LongVecFunctions.vec_hamming_bands
+    // real banded dHashes from the image corpus, all pairs within a
+    // small slice (the phashPairs verify-loop shape)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(40)
+    val ph = graft.ext.Multimodal.imagePhash(
+      graft.ext.Multimodal.synthesizeImagePairs(docs)).toDF()
+      .where(col("decode_ok"))
+      .select(col("media_id"),
+        array(col("band0"), col("band1"), col("band2"), col("band3")).as("bands"))
+    val both = ph.as("x").crossJoin(broadcast(ph.limit(10).as("y")))
+      .select(
+        vec_hamming_bands(col("x.bands"), col("y.bands")).as("fused"),
+        expr("""aggregate(zip_with(x.bands, y.bands, (p, q) -> bit_count(p ^ q)),
+               | 0, (acc, v) -> acc + v)""".stripMargin).as("hof"))
+    assert(both.filter(not(col("fused") <=> col("hof"))).count() === 0L)
+    assert(both.filter(col("fused").isNotNull).count() > 0L)
+    // edges: length mismatch -> NULL, NULL element -> NULL, NULL array -> NULL
+    val edges = Seq(
+      (Some(Seq[java.lang.Long](1L, 2L)), Some(Seq[java.lang.Long](3L))),
+      (Some(Seq[java.lang.Long](1L, null)), Some(Seq[java.lang.Long](3L, 4L))),
+      (None, Some(Seq[java.lang.Long](3L, 4L))),
+      (Some(Seq[java.lang.Long](5L, 12L)), Some(Seq[java.lang.Long](3L, 10L))))
+      .toDF("a", "b")
+      .withColumn("fused", vec_hamming_bands(col("a"), col("b")))
+      .withColumn("hof",
+        expr("aggregate(zip_with(a, b, (p, q) -> bit_count(p ^ q)), 0, (acc, v) -> acc + v)"))
+    assert(edges.filter(not(col("fused") <=> col("hof"))).count() === 0L)
+    // 5^3 = 6 (two bits), 12^10 = 6 (two bits) -> 4
+    assert(edges.filter(col("fused").isNotNull)
+      .select("fused").collect().map(_.getInt(0)).toSeq === Seq(4))
+  }
+
+  test("VecSubLong equals the zip_with(x - y) HOF form, incl. null/length edges") {
+    import graft.functions.LongVecFunctions.vec_sub_long
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.select(col("vec_id"),
+      graft.functions.LongVecFunctions.vec_quantize_unit(col("embedding")).as("qvec"))
+      .filter(col("qvec").isNotNull)
+    val cents = q.limit(5).select(col("vec_id").as("cid"), col("qvec").as("qcent"))
+    val both = q.crossJoin(broadcast(cents))
+      .withColumn("fused", vec_sub_long(col("qvec"), col("qcent")))
+      .withColumn("hof", expr("zip_with(qvec, qcent, (x, y) -> x - y)"))
+    assert(both.filter(not(col("fused") <=> col("hof"))).count() === 0L)
+    // edges: zip_with pads the shorter side with NULL (output has the MAX
+    // length, padded positions NULL); NULL element -> NULL element;
+    // NULL array -> NULL
+    val edges = Seq(
+      (Some(Seq[java.lang.Long](10L, 2L, 7L)), Some(Seq[java.lang.Long](3L))),
+      (Some(Seq[java.lang.Long](1L, null)), Some(Seq[java.lang.Long](3L, 4L))),
+      (None, Some(Seq[java.lang.Long](3L, 4L))),
+      (Some(Seq[java.lang.Long](2L, 5L)), Some(Seq[java.lang.Long](3L, 4L))))
+      .toDF("a", "b")
+      .withColumn("fused", vec_sub_long(col("a"), col("b")))
+      .withColumn("hof", expr("zip_with(a, b, (x, y) -> x - y)"))
+    assert(edges.filter(not(col("fused") <=> col("hof"))).count() === 0L)
+    assert(edges.select("fused").collect().map(r =>
+      Option(r.getSeq[java.lang.Long](0)).map(_.toList)).toSeq === Seq(
+      Some(List(7L, null, null)),
+      Some(List(-2L, null)),
+      None,
+      Some(List(-1L, 1L))))
   }
 }

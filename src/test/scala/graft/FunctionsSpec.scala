@@ -198,7 +198,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum === Tables.orders(spark, d).count())
   }
 
-  test("sketch error bounds hold at sf0.01 too: HLL distinct, merged sketches, KLL quantiles") {
+  test("sketch error bounds hold at sf0.01 too: HLL distinct, merged sketches, KLL quantiles", SlowTest) {
     val d = "/root/testdata/sf0.01"
     // (l_returnflag, exact_orders, exact_parts, orders_within_5pct, parts_within_5pct)
     val ad = graft.ops.Functions.approxDistinct(spark, d)

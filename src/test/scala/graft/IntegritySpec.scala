@@ -1039,7 +1039,7 @@ class IntegritySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].head()._4 === 0.75)
   }
 
-  test("rocAuc: randomized brute-force parity — auc_num2 equals 2*wins + ties over all pos/neg pairs") {
+  test("rocAuc: randomized brute-force parity — auc_num2 equals 2*wins + ties over all pos/neg pairs", SlowTest) {
     // fixed-seed fuzz over tie-heavy fractional scores: the integer
     // witness 2*sum(R_pos) - P(P+1) must equal the pair-counting
     // definition exactly, case by case

@@ -768,7 +768,7 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Seq(expect("<NULL>", 1L), expect("x", 3L), expect("y", 1L)).sortBy(_._1))
   }
 
-  test("kCore: synchronous peeling cascades; median-k twin matches the absolute form") {
+  test("kCore: synchronous peeling cascades; median-k twin matches the absolute form", SlowTest) {
     import graft.ext.Graph
     // triangle {1,2,3} + tail 3-4-5: round 1 peels 5 (deg 1), round 2
     // peels 4 (deg fell to 1) -> the 2-core is exactly the triangle
@@ -1300,7 +1300,7 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("every declared query constructs with the nanos conf unset (whole-class audit)") {
+  test("every declared query constructs with the nanos conf unset (whole-class audit)", SlowTest) {
     // construction reads parquet footers and runs analysis — exactly where
     // a raw TIMESTAMP(NANOS) events read blows up. Unsetting the conf
     // before EACH query proves none relies on state another query left

@@ -465,7 +465,7 @@ class PlanSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllMatchIn(p).size >= 2, p)
   }
 
-  test("lsh_tuning: one signature pipeline feeds candidates, membership and truth — bounded scans") {
+  test("lsh_tuning: one signature pipeline feeds candidates, membership and truth — bounded scans", SlowTest) {
     val p = executedFinal("lsh_tuning")
     assert(p.contains("isFinalPlan=true"), p)
     // the nested-config rewrite: ONE exploded band self-join builds the
@@ -477,7 +477,7 @@ class PlanSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllMatchIn(p).size >= 10, p)
   }
 
-  test("pagerank_top: iterations reuse the edge exchanges — lineitem scans stay O(1), not O(iters)") {
+  test("pagerank_top: iterations reuse the edge exchanges — lineitem scans stay O(1), not O(iters)", SlowTest) {
     val p = executedFinal("pagerank_top")
     assert(p.contains("isFinalPlan=true"), p)
     // the 8-iteration loop references the edge/node subtrees 20+ times;
@@ -571,7 +571,7 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("kmeans_assign: codebook rounds broadcast; update shuffles only; no vec_id re-shuffle") {
+  test("kmeans_assign: codebook rounds broadcast; update shuffles only; no vec_id re-shuffle", SlowTest) {
     val p = executedFinal("kmeans_assign")
     assert(p.contains("isFinalPlan=true"), p)
     // every centroid set reaches the corpus as a one-row broadcast — the
@@ -586,7 +586,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
   }
 
-  test("date-partitioned layout: a date filter prunes partitions at plan time") {
+  test("date-partitioned layout: a date filter prunes partitions at plan time", SlowTest) {
     import org.apache.spark.sql.functions.{col, to_date}
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.events(spark, sf)
@@ -683,7 +683,7 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Scan parquet".r.findAllMatchIn(p).size === 2, p)
   }
 
-  test("pq_codes / pq_topk: vectors never shuffle — codebooks always come to the data") {
+  test("pq_codes / pq_topk: vectors never shuffle — codebooks always come to the data", SlowTest) {
     // the PQ contract at corpus scale: training rounds exchange only
     // per-(subspace, code) partials (m·k rows), every assignment is a
     // broadcast of the codebook row against a scan, and the ADC lookup
@@ -731,7 +731,7 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning\\(lang".r.findFirstIn(p).isEmpty, p)
   }
 
-  test("bucketed q21 via Maintenance.bucketWrite: zero sorts, no fact-key exchange") {
+  test("bucketed q21 via Maintenance.bucketWrite: zero sorts, no fact-key exchange", SlowTest) {
     // the library form of the BENCH_SF1 q21 result: both facts written
     // through bucketWrite (one file per bucket + per-bucket sort), the
     // legacy outputOrdering flag on, and the fact join forced off the
@@ -775,7 +775,7 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("dpp_prune: the partitioned fact scan carries a dynamicpruning subquery; pruned partition count matches the dim") {
+  test("dpp_prune: the partitioned fact scan carries a dynamicpruning subquery; pruned partition count matches the dim", SlowTest) {
     import org.apache.spark.sql.functions._
     // the dppRoundtrip entry runs eagerly (scratch deleted in its
     // finally), so re-stage its inner join here to pin the plan

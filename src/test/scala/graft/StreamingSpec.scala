@@ -112,7 +112,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.filter($"user_id" === 1).select("event_id").as[Long].head() === 2L)
   }
 
-  test("sink replay with the SAME batch id is idempotent (upsert-key contract)") {
+  test("sink replay with the SAME batch id is idempotent (upsert-key contract)", SlowTest) {
     // the reference's Cassandra history sink upserts on (ts, user_id)
     // (reference README:51), so a re-delivered micro-batch converges
     // instead of duplicating. foreachBatch re-delivers the last batch id
@@ -146,7 +146,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out/state/batch_0").count() === 2)
   }
 
-  test("checkpoint recovery: restart resumes offsets AND state, no loss, no duplication") {
+  test("checkpoint recovery: restart resumes offsets AND state, no loss, no duplication", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val b1 = Seq(ev(1, "2024-01-01 00:00:00", 5), ev(2, "2024-01-01 00:10:00", 5))
@@ -181,7 +181,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.is_new_user) === Seq(true, false, false, false, true))
   }
 
-  test("DSv2 replay source: real readStream path, batch-of-3 drain, checkpoint recovery") {
+  test("DSv2 replay source: real readStream path, batch-of-3 drain, checkpoint recovery", SlowTest) {
     // the wiring MemoryStream bypasses: format resolution from the class
     // name, option parsing at analysis, initialOffset/deserializeOffset,
     // per-trigger admission, planInputPartitions, commit — all through
@@ -266,7 +266,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(ev.head === Event(7L, ts("2024-01-01 00:00:00"), 3L, "view", 1.5, "{}"))
   }
 
-  test("streaming tumbling-window aggregation with watermark (append after close)") {
+  test("streaming tumbling-window aggregation with watermark (append after close)", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
     val agg = ms.toDS().withWatermark("ts", "10 minutes")
@@ -284,7 +284,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming session_window aggregation emits closed sessions (append mode)") {
+  test("streaming session_window aggregation emits closed sessions (append mode)", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
     val agg = ms.toDS().withWatermark("ts", "30 minutes")
@@ -304,7 +304,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming exact dedup: dropDuplicatesWithinWatermark drops cross-batch repeats") {
+  test("streaming exact dedup: dropDuplicatesWithinWatermark drops cross-batch repeats", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
     val deduped = ms.toDS()
@@ -323,7 +323,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming sessionization equals the batch window formulation on real data") {
+  test("streaming sessionization equals the batch window formulation on real data", SlowTest) {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
     // four micro-batches split on time order — same arrival order Kafka
@@ -342,7 +342,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
 
-  test("transformWithState (arbitrary-state v2, RocksDB) matches flatMapGroupsWithState") {
+  test("transformWithState (arbitrary-state v2, RocksDB) matches flatMapGroupsWithState", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val batches = Seq(
       Seq(ev(1, "2024-01-01 00:00:00", 7, "purchase", 42.5), ev(2, "2024-01-01 00:10:00", 7)),
@@ -419,7 +419,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming semantic dedup: broadcast-codebook cell + sign-sig within watermark") {
+  test("streaming semantic dedup: broadcast-codebook cell + sign-sig within watermark", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cb = graft.ext.Similarity.codebook(corpus, 16)
@@ -464,7 +464,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming semantic dedup survives a checkpoint restart: recovered state still drops the dup") {
+  test("streaming semantic dedup survives a checkpoint restart: recovered state still drops the dup", SlowTest) {
     // end-to-end through the DSv2 replay source and a parquet sink: the
     // (cell, qsig) dedup state must come back from the checkpoint, so a
     // near-duplicate arriving AFTER the restart is dropped against a
@@ -548,7 +548,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
-  test("corpusStatsSink: accumulated streaming report card equals the batch card") {
+  test("corpusStatsSink: accumulated streaming report card equals the batch card", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_cstats").toString
     // two micro-batches; 'shared' is a hapax in EACH batch but must fold
@@ -590,7 +590,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterTear === streamed)
   }
 
-  test("embeddingDriftSink: accumulated drift card equals the batch card; replay idempotent; empty store truthful") {
+  test("embeddingDriftSink: accumulated drift card equals the batch card; replay idempotent; empty store truthful", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
@@ -638,7 +638,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(empty.map(_._2).sum === 14L)
   }
 
-  test("applyChangelogSink: merged table equals batch MERGE over the union; replay idempotent") {
+  test("applyChangelogSink: merged table equals batch MERGE over the union; replay idempotent", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
@@ -821,7 +821,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(Incremental.aggStateFrom(spark, base, s"$dir/nothing")) === canon(base))
   }
 
-  test("heavyHittersSink: merged MG summary honors mergeable-summaries bounds; replay idempotent") {
+  test("heavyHittersSink: merged MG summary honors mergeable-summaries bounds; replay idempotent", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.TextOps
     val dir = java.nio.file.Files.createTempDirectory("graft_mg").toString
@@ -863,7 +863,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(TextOps.heavyHittersFrom(spark, s"$dir/none", cap).count() === 0L)
   }
 
-  test("markovSink: cross-batch transitions stitched from bounds; equals the batch matrix; replay idempotent") {
+  test("markovSink: cross-batch transitions stitched from bounds; equals the batch matrix; replay idempotent", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
     import graft.ops.Mining
@@ -897,7 +897,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(Mining.markovFrom(spark, s"$dir/none").count() === 0L)
   }
 
-  test("cusumDriftSink: CUSUM over base+stream equals the batch path; replay idempotent") {
+  test("cusumDriftSink: CUSUM over base+stream equals the batch path; replay idempotent", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
     import graft.ops.Quality
@@ -969,7 +969,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(ewmaMerged.nonEmpty)
   }
 
-  test("pcaScatterSink: merged partials re-derive the batch-path model; replay idempotent") {
+  test("pcaScatterSink: merged partials re-derive the batch-path model; replay idempotent", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
@@ -1087,7 +1087,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed === out)
   }
 
-  test("lmScoreSink: per-batch scores equal lmScore over the accumulated corpus; replay idempotent") {
+  test("lmScoreSink: per-batch scores equal lmScore over the accumulated corpus; replay idempotent", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_lms").toString
     // batch 1 establishes a predictable background ('a b' alternations);
@@ -1140,7 +1140,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(scores(spark.read.parquet(s"$dir/out/scores/batch_1")) === s2)
   }
 
-  test("incrementalFuzzyDedupSink: per-batch verdicts equal the batch operator over prior survivors; reject branch fires; replay idempotent") {
+  test("incrementalFuzzyDedupSink: per-batch verdicts equal the batch operator over prior survivors; reject branch fires; replay idempotent", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ifds").toString
     // the ExtSpec corpus: sliding half-overlapping token windows give
@@ -1254,7 +1254,7 @@ class StreamingSpec extends AnyFunSuite {
       && v.head.getAs[Int]("is_known_dup") === 1)
   }
 
-  test("codebook refresh: foreachBatch retrains + publishes; restart swaps it in with state intact") {
+  test("codebook refresh: foreachBatch retrains + publishes; restart swaps it in with state intact", SlowTest) {
     // The refresh contract (Similarity.publishCodebook scaladoc): a running
     // query pins its codebook files, so the sink's retrained publish is
     // ADDITIVE (new v=N dir) and the swap lands at the next restart from
@@ -1340,7 +1340,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.contains(21L))
   }
 
-  test("curateStream: streaming decontaminate → quality → dedup equals the batch composition") {
+  test("curateStream: streaming decontaminate → quality → dedup equals the batch composition", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_curate").toString
     // choose tokens by their ACTUAL classifier weights so every branch
@@ -1558,7 +1558,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming PQ kNN: arriving queries ADC-rank against the packed code store, equal to the batch twin") {
+  test("streaming PQ kNN: arriving queries ADC-rank against the packed code store, equal to the batch twin", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -1600,7 +1600,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming PQ kNN against a prebuilt persisted index equals the on-the-fly form") {
+  test("streaming PQ kNN against a prebuilt persisted index equals the on-the-fly form", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -2064,7 +2064,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch === got)
   }
 
-  test("stream-stream LEFT OUTER interval join: unmatched click emits NULL row on watermark") {
+  test("stream-stream LEFT OUTER interval join: unmatched click emits NULL row on watermark", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
     val mc = MemoryStream[Event]
@@ -2184,7 +2184,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("nbModelSink: streamed count partials fold to the batch model; cross-batch evidence; replay idempotent; empty store truthful") {
+  test("nbModelSink: streamed count partials fold to the batch model; cross-batch evidence; replay idempotent; empty store truthful", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_nbmodel").toString
@@ -2269,7 +2269,7 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("sessionizeTwsClosed: event-time timers close idle sessions and evict state; in-batch gaps close inline") {
+  test("sessionizeTwsClosed: event-time timers close idle sessions and evict state; in-batch gaps close inline", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -2319,7 +2319,7 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("sessionizeTwsClosed equals the batch twin on (user, n_events, last_ts); seq diverges after eviction by design") {
+  test("sessionizeTwsClosed equals the batch twin on (user, n_events, last_ts); seq diverges after eviction by design", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
