@@ -755,6 +755,23 @@ object TextOps {
     */
   private[graft] def dupWindows(documents: DataFrame, window: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens, got $window")
+    // ONE branch, ONE md5 evaluation per token position. The former
+    // join-back shape (wins ⋈ groupBy(whash) on whash) re-hashed every
+    // window on BOTH join sides, and the join's inferred
+    // isnotnull(whash) filter — pushed below the projection — duplicated
+    // the md5 expression AGAIN per branch: up to 4 md5 evaluations per
+    // position for a pass the SubstrProbe phase audit attributes ~90% of
+    // the family's cost to (BENCH_SF1.md). Collecting each hash's
+    // occurrence list in the same aggregate that counts it and exploding
+    // it back emits the identical (doc_id, start, whash, cnt, first)
+    // rows — inner-join-on-whash row multiplicity included — from a
+    // single pass. Shuffle bytes are unchanged (the old probe side
+    // shuffled every position into the join; the list buffers the same
+    // (doc_id, start) pairs, partial-merged map-side), and the per-hash
+    // list is bounded by the window's duplication count — the same
+    // cluster-skew bound the count aggregate already carries. whash is
+    // never NULL here (md5 of a non-null string; null/short texts fail
+    // the size filter), so dropping the join drops no null-key subtlety.
     val wins = documents
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= window)
@@ -762,10 +779,14 @@ object TextOps {
         explode(expr(s"sequence(0, size(toks) - $window)")).as("start"))
       .selectExpr("doc_id", "cast(start as bigint) as start",
         s"${md5Long64(s"array_join(slice(toks, start + 1, $window), ' ')")} as whash")
-    val firsts = wins.groupBy(col("whash"))
+    wins.groupBy(col("whash"))
       .agg(count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("start"))).as("first"))
-    wins.join(firsts, Seq("whash")).where(col("cnt") > 1)
+        min(struct(col("doc_id"), col("start"))).as("first"),
+        collect_list(struct(col("doc_id"), col("start"))).as("_occ"))
+      .where(col("cnt") > 1)
+      .select(col("whash"), explode(col("_occ")).as("_o"), col("cnt"), col("first"))
+      .select(col("_o.doc_id").as("doc_id"), col("_o.start").as("start"),
+        col("whash"), col("cnt"), col("first"))
   }
 
   /** Duplicated-substring spans — the telemetry half of exact substring

@@ -1412,32 +1412,37 @@ object Quality {
     * `range_changed` via null-safe compares, `null_rate_up` via
     * cross-multiplication — no float rate ever computed).
     *
-    * Scale shape: ONE aggregate pass per side produces every column's
-    * metrics as flat columns (map-side combined), then a `stack`
-    * reshapes the single row to per-column rows — the table scans once
-    * per side however many columns are profiled. Exact COUNT(DISTINCT)
-    * over many columns expands rows per aggregate (Spark's Expand);
-    * at corpus scale swap `approx_count_distinct` in — same plan shape,
-    * the sketch-gate idiom covers the accuracy contract.
+    * Scale shape: one two-level aggregation PER COLUMN per side — level
+    * 1 is `groupBy(col).count()` (hash-aggregated, map-side combined, so
+    * only the column's distinct values cross the wire), level 2 folds
+    * that value-histogram into every metric at once: n = Σ counts,
+    * null_n = the NULL group's count, distinct_n = the non-null group
+    * count (≡ COUNT(DISTINCT col)), min/max over the group keys. This
+    * replaces the former single-pass multi-COUNT(DISTINCT) aggregate,
+    * whose Expand multiplied every row ×(cols+1) and whose string
+    * min/max buffers forced full-width SortAggregates below the
+    * exchange; each per-column scan prunes to that one parquet column,
+    * so total column-bytes read are unchanged. Exactness is free here
+    * (the histogram is exact); at truly pathological cardinalities swap
+    * `approx_count_distinct` in — the sketch-gate idiom covers the
+    * accuracy contract.
     */
   def profileDiff(before: DataFrame, after: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
-    def profile(df: DataFrame, side: String): DataFrame = {
-      val aggs = Seq(count(lit(1)).as(s"_n")) ++ cols.flatMap { c =>
-        Seq(
-          count(when(col(c).isNull, 1)).as(s"_null_$c"),
-          count_distinct(col(c)).as(s"_dist_$c"),
-          min(col(c)).cast("string").as(s"_min_$c"),
-          max(col(c)).cast("string").as(s"_max_$c"))
-      }
-      val stackArgs = cols
-        .map(c => s"'$c', _null_$c, _dist_$c, _min_$c, _max_$c")
-        .mkString(", ")
-      df.agg(aggs.head, aggs.tail: _*)
-        .selectExpr(s"_n as n_$side",
-          s"stack(${cols.length}, $stackArgs) as " +
-            s"(col_name, null_n_$side, distinct_n_$side, min_$side, max_$side)")
-    }
+    def profile(df: DataFrame, side: String): DataFrame =
+      cols.map { c =>
+        df.groupBy(col(c)).agg(count(lit(1)).as("_cnt"))
+          .agg(
+            // empty side: zero groups -> sum is NULL, the old count was 0
+            coalesce(sum(col("_cnt")), lit(0L)).as(s"n_$side"),
+            coalesce(sum(when(col(c).isNull, col("_cnt"))), lit(0L))
+              .as(s"null_n_$side"),
+            count(col(c)).as(s"distinct_n_$side"),
+            min(col(c)).cast("string").as(s"min_$side"),
+            max(col(c)).cast("string").as(s"max_$side"))
+          .select(lit(c).as("col_name"), col(s"n_$side"), col(s"null_n_$side"),
+            col(s"distinct_n_$side"), col(s"min_$side"), col(s"max_$side"))
+      }.reduce(_ unionByName _)
     profile(before, "before").join(profile(after, "after"), Seq("col_name"))
       .select(col("col_name"),
         col("n_before"), col("n_after"),
