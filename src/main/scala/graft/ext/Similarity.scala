@@ -1915,17 +1915,26 @@ object Similarity {
       .filter(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("cell"), col("nbr_id"),
         round(vec_dot(col("unit"), col("nbr_unit")), 6).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cell"), col("vec_id"))
-      .orderBy(col("sim").desc, col("nbr_id"))
-    def top1(side: DataFrame, idCol: String, simCol: String): DataFrame =
-      side.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("vec_id").as("anchor_id"), col("nbr_id").as(idCol),
-          col("sim").as(simCol))
-    top1(pairs.filter(col("sim") >= minPosSim), "pos_id", "pos_sim")
-      .join(top1(pairs.filter(col("sim") < minPosSim), "neg_id", "neg_sim"),
-        Seq("anchor_id"))
-      .select("anchor_id", "pos_id", "pos_sim", "neg_id", "neg_sim")
+    // Both selections in ONE aggregate over the pair stream. The former
+    // two-window shape re-executed the Σ|cell|² pair join + scoring per
+    // side (the windows shared the cell exchange, but everything above
+    // it ran twice) and then equi-joined the two rank-1 frames; a
+    // conditional struct-max per side is the same argmax — max(sim),
+    // ties to the SMALLEST nbr_id via the negated id — computed in one
+    // pass with no final join. groupBy(cell, vec_id) is satisfied by the
+    // cell exchange (vec_id lives in exactly one cell), so no new
+    // shuffle; anchors missing either side aggregate to NULL and are
+    // filtered, exactly the inner join's semantics.
+    def best(cond: org.apache.spark.sql.Column) =
+      max(when(cond, struct(col("sim"), (-col("nbr_id")).as("nid"))))
+    pairs
+      .groupBy(col("cell"), col("vec_id"))
+      .agg(best(col("sim") >= minPosSim).as("p"),
+        best(col("sim") < minPosSim).as("n"))
+      .where(col("p").isNotNull && col("n").isNotNull)
+      .select(col("vec_id").as("anchor_id"),
+        (-col("p.nid")).as("pos_id"), col("p.sim").as("pos_sim"),
+        (-col("n.nid")).as("neg_id"), col("n.sim").as("neg_sim"))
   }
 
   /** HARD-NEGATIVE mining for contrastive training: each vector's

@@ -2305,15 +2305,23 @@ object TextOps {
         .as("words"))
       .where(size(col("words")) <= maxLen)
       .select(col("doc_id"), col("grp"), col("words"), size(col("words")).as("plen"))
-    val wordScores = phrases
-      .select(explode(col("words")).as("w"), col("plen"))
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("freq"), sum(col("plen")).cast("long").as("deg"))
-      .select(col("w"), expr("(deg * 1000000L) div freq").as("wscore"))
+    // word stats via ONE window over the exploded phrase words instead of
+    // a separate aggregate + join-back: the join's aggregate branch was
+    // column-pruned to (words, plen) only, so its subtree never
+    // canonicalized equal to the probe side and the whole
+    // tokenize→window→collect pipeline executed TWICE (AQE stage reuse
+    // cannot collapse differently-pruned branches). count/sum over
+    // partitionBy(w) are the same corpus-global freq/deg, computed in one
+    // pass; the exchange-and-sort on w replaces a full second
+    // regexp tokenization of the corpus.
+    val wW = Window.partitionBy(col("w"))
     phrases
       .select(col("doc_id"), col("grp"),
-        array_join(col("words"), " ").as("phrase"), explode(col("words")).as("w"))
-      .join(wordScores, "w")
+        array_join(col("words"), " ").as("phrase"), col("plen"),
+        explode(col("words")).as("w"))
+      .withColumn("freq", count(lit(1)).over(wW))
+      .withColumn("deg", sum(col("plen")).over(wW).cast("long"))
+      .withColumn("wscore", expr("(deg * 1000000L) div freq"))
       .groupBy(col("doc_id"), col("grp"), col("phrase"))
       .agg(sum(col("wscore")).as("inst_score"))
       // identical phrases score identically (corpus-global word scores),
