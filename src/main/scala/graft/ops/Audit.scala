@@ -697,31 +697,94 @@ object Audit {
     rows.toDF("column", "change", "old_type", "new_type", "breaking")
   }
 
-  /** One-pass column profiler — the data-catalog / data-contract
-    * bootstrap (what Deequ's profiler and every warehouse "analyze
-    * table" job compute): per column, row count, null count, EXACT
-    * distinct count, uniqueness verdict, and typed min/max (numerics as
-    * doubles; strings and day-granularity timestamps as strings). The
-    * whole profile is ONE aggregate pass whatever the column count —
-    * metrics fan out as expressions inside a single agg, then pivot to
-    * long (column, metric…) rows via an in-row explode; a per-column
-    * job loop would scan the table C times.
+  /** Column profiler — the data-catalog / data-contract bootstrap (what
+    * Deequ's profiler and every warehouse "analyze table" job compute):
+    * per column, row count, null count, EXACT distinct count, uniqueness
+    * verdict, and typed min/max (numerics as doubles; strings and
+    * day-granularity timestamps as strings).
     *
     * Notes for the gate: dtype is a engine-neutral class label
     * (numeric/string/timestamp/other), not a type NAME; timestamp
     * min/max are emitted at DATE granularity (engine-identical
     * rendering), numerics as exact doubles.
     *
-    * `exactDistinct = true` (the gate arm) costs one Expand: C distinct
-    * aggregates in one agg make Spark replicate every row C+1 ways
-    * before the exchange — measured 12.2× the approx arm at 60M rows
-    * (20.6 vs 1.7 s, TpProbe, BENCH_SF1 §round-13-continuation).
-    * Production profiling at 100 TB sets it false: HLL sketches
-    * (`approx_count_distinct`) keep the pass expand-free and the
-    * uniqueness verdict tolerant (±2σ of the sketch error), which is
-    * exactly the Deequ-profiler default for the same reason.
+    * `exactDistinct = true` (the gate arm) is a two-level aggregation
+    * PER COLUMN — the [[graft.ops.Quality.profileDiff]] shape: level 1
+    * is `groupBy(col).count()` (hash-aggregated, map-side combined, so
+    * only that column's distinct values cross the wire), level 2 folds
+    * the value-histogram into every metric at once (n = Σ counts,
+    * null count = the NULL group's count, distinct = non-null group
+    * count ≡ COUNT(DISTINCT col), typed min/max over the group keys).
+    * Each per-column scan prunes to that one parquet column, so total
+    * column-bytes read equal the former one-pass form's; what the
+    * former form paid on top was the multi-COUNT(DISTINCT) Expand —
+    * every row replicated ×(C+1) before the exchange — and full-width
+    * SortAggregates forced by the string min/max buffers (measured
+    * 12.2× the approx arm at 60M rows, TpProbe, and ~2.4× at sf0.1 vs
+    * this histogram form, AbBatch4Probe).
+    * Production profiling at 100 TB sets `exactDistinct = false`: ONE
+    * expand-free pass whatever the column count — HLL sketches
+    * (`approx_count_distinct`) with the tolerant uniqueness verdict
+    * (±2σ of the sketch error), exactly the Deequ-profiler default.
     */
-  def tableProfile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
+  def tableProfile(df: DataFrame, exactDistinct: Boolean = true): DataFrame =
+    if (exactDistinct) tableProfileExact(df) else tableProfileOnePass(df, exactDistinct = false)
+
+  private def tableProfileExact(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    def cls(dt: DataType): String = dt match {
+      case _: NumericType => "numeric"
+      case StringType => "string"
+      case TimestampType | TimestampNTZType | DateType => "timestamp"
+      case _ => "other"
+    }
+    df.schema.fields.toSeq.map { f =>
+      val k = col("_k")
+      val typed = cls(f.dataType) match {
+        case "numeric" => Seq(
+          min(k).cast("double").as("min_num"), max(k).cast("double").as("max_num"),
+          lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+        case "string" => Seq(
+          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+          min(k).as("min_str"), max(k).as("max_str"))
+        case "timestamp" => Seq(
+          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+          min(k.cast("date")).cast("string").as("min_str"),
+          max(k.cast("date")).cast("string").as("max_str"))
+        case _ => Seq(
+          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+          lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+      }
+      val aggs = Seq(
+        // empty input: zero groups -> sum is NULL, the one-pass count was 0
+        coalesce(sum(col("_cnt")), lit(0L)).as("n"),
+        coalesce(sum(when(k.isNull, col("_cnt"))), lit(0L)).as("n_null"),
+        count(k).as("n_distinct")) ++ typed
+      df.groupBy(col(f.name).as("_k")).agg(count(lit(1)).as("_cnt"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(
+          lit(f.name).as("column"),
+          lit(cls(f.dataType)).as("dtype"),
+          col("n"), col("n_null"), col("n_distinct"),
+          // uniqueness is among NON-NULL values (nulls are absence, not
+          // duplicates): distinct == non-null count, both exact here
+          (col("n_distinct") === col("n") - col("n_null")).as("is_unique"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The former single-pass form: every metric fans out as expressions
+    * inside ONE aggregate over the frame, then pivots to long
+    * (column, metric…) rows via an in-row explode. With
+    * `exactDistinct = false` (its only remaining caller) the C distinct
+    * counts are HLL sketches, so the pass is Expand-free and scans the
+    * table exactly once whatever the column count.
+    */
+  /** Probe access to the former exact arm (A/B evidence only). */
+  private[ops] def tableProfileOnePassForProbe(df: DataFrame): DataFrame =
+    tableProfileOnePass(df, exactDistinct = true)
+
+  private def tableProfileOnePass(df: DataFrame, exactDistinct: Boolean): DataFrame = {
     import org.apache.spark.sql.types._
     val fields = df.schema.fields.toSeq
     def cls(dt: DataType): String = dt match {

@@ -497,6 +497,30 @@ class IntegritySpec extends AnyFunSuite {
     assert(out === Array((2L, "changed"), (3L, "removed"), (9L, "added")))
     // equal versions → empty diff
     assert(Cdc.versionDiff(snap, chg, "id", 10L, 10L).count() === 0L)
+    // twin-form equality pin: the delta-restricted single-aggregate form
+    // equals snapshotDiff over two full applyChangelogAsOf states, on a
+    // fixture exercising every merge case on BOTH sides of v1 — multiple
+    // changes per key (latest-wins within each arm), delete-then-revive,
+    // same-data update (classifies 'unchanged' and must NOT emit),
+    // insert-then-delete inside the window (absent from both states)
+    val chg2 = Seq(
+      (1L, "a1", "U", 3L), (1L, "a2", "U", 8L),   // changes ≤ v1 only: states equal
+      (2L, "b1", "U", 4L), (2L, "b2", "U", 12L),  // changed across the window
+      (3L, "c", "U", 6L), (3L, "c", "U", 15L),    // same data both arms: unchanged
+      (9L, "i1", "I", 2L), (9L, "i2", "U", 14L),  // pre-existing insert, changed
+      (7L, "n", "I", 11L), (7L, "n", "D", 13L),   // insert+delete inside: nothing
+      (8L, "z", "D", 9L), (8L, "z2", "U", 16L))   // deleted before v1, revived after
+      .toDF("id", "v", "op", "version")
+    val snap2 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (8L, "z")).toDF("id", "v")
+    for ((a, b) <- Seq((5L, 20L), (8L, 12L), (0L, 99L), (9L, 9L))) {
+      val fast = Cdc.versionDiff(snap2, chg2, "id", a, b)
+        .as[(Long, String)].collect().sortBy(_._1)
+      val slow = Cdc.snapshotDiff(
+        Cdc.applyChangelogAsOf(snap2, chg2, "id", a),
+        Cdc.applyChangelogAsOf(snap2, chg2, "id", b), "id")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(fast === slow, s"versionDiff($a, $b) diverged from the twin form")
+    }
   }
 
   // ---- sampleAudit -------------------------------------------------------
@@ -1133,16 +1157,16 @@ class IntegritySpec extends AnyFunSuite {
     val t = out("t")
     assert(t.getString(1) === "timestamp" && t.getString(8) === "2024-03-01" &&
       t.getString(9) === "2024-03-05")
-    // the one-pass claim: a single aggregate over the input — no
-    // per-column scan loop (plan holds exactly one scan of the frame)
-    val plan = Audit.tableProfile(df).queryExecution.optimizedPlan.toString
-    assert(!plan.contains("Union"))
-    // the production arm: approx distincts skip the multi-distinct
-    // Expand entirely (the 6× row-replication the exact arm pays) and
-    // still call the unique/non-unique columns correctly here
+    // the exact arm is the per-column histogram form (the profileDiff
+    // shape): NO multi-distinct Expand anywhere — each column's metrics
+    // fold from its own groupBy(col).count() value-histogram
+    assert(!Audit.tableProfile(df).queryExecution.executedPlan.toString.contains("Expand"))
+    // the production arm: approx distincts in ONE pass — no Expand and
+    // no per-column Union loop — and still call the unique/non-unique
+    // columns correctly here
     val approx = Audit.tableProfile(df, exactDistinct = false)
     assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
-    assert(Audit.tableProfile(df).queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.optimizedPlan.toString.contains("Union"))
     val av = approx.collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
     assert(!av("id") && av("t")) // t's 2 non-null values are distinct
   }
