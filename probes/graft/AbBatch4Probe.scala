@@ -60,7 +60,40 @@ object AbBatch4Probe {
       u1.unionByName(u2).unionByName(del).unionByName(revive).unionByName(ins)
     }
 
+    // pre-change paretoFront (driver head() for the x-range)
+    def oldPareto(df: DataFrame, xCol: String, yCol: String, buckets: Int = 64): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.{Column, Row}
+      val pts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      val perX = pts.groupBy(col(xCol).as("_x")).agg(max(col(yCol)).as("_mx"))
+      val Row(minX, maxX) = perX.agg(min(col("_x")).cast("double"), max(col("_x")).cast("double")).head()
+      val bucketExpr: Column =
+        if (minX == null || minX == maxX) lit(0)
+        else least(floor((col("_x").cast("double") - lit(minX)) /
+          lit(maxX.asInstanceOf[Double] - minX.asInstanceOf[Double]) * lit(buckets)), lit(buckets - 1)).cast("int")
+      val bucketed = perX.withColumn("_bk", bucketExpr)
+      val wLocal = Window.partitionBy(col("_bk")).orderBy(col("_x").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = bucketed
+        .withColumn("_smax", max(col("_mx")).over(wLocal))
+        .where(col("_smax").isNull || col("_mx") > col("_smax"))
+      val wBuckets = Window.orderBy(col("_bk").desc).rowsBetween(Window.unboundedPreceding, -1)
+      val higherMax = bucketed.groupBy(col("_bk")).agg(max(col("_mx")).as("_bmx"))
+        .withColumn("_hmax", max(col("_bmx")).over(wBuckets))
+        .select(col("_bk"), col("_hmax"))
+      val sky = local.join(higherMax, Seq("_bk"))
+        .where(col("_hmax").isNull || col("_mx") > col("_hmax"))
+        .select(col("_x"), col("_mx"))
+      pts.join(sky, pts(xCol) === sky("_x") && pts(yCol) === sky("_mx"))
+        .select(pts.columns.map(pts(_)): _*)
+    }
+    def paretoIn: DataFrame = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+
     val variants: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("pareto_front",
+        () => oldPareto(paretoIn, "o_totalprice", "o_orderdate"),
+        () => Mining.paretoFront(paretoIn, "o_totalprice", "o_orderdate")),
       ("table_profile",
         () => Audit.tableProfileOnePassForProbe(Tables.orders(spark, sfDir)),
         () => Audit.tableProfile(Tables.orders(spark, sfDir))),

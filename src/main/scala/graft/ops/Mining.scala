@@ -328,12 +328,21 @@ object Mining {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val pts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
     val perX = pts.groupBy(col(xCol).as("_x")).agg(max(col(yCol)).as("_mx"))
-    val Row(minX, maxX) = perX.agg(min(col("_x")).cast("double"), max(col("_x")).cast("double")).head()
-    val bucketExpr: Column =
-      if (minX == null || minX == maxX) lit(0)
-      else least(floor((col("_x").cast("double") - lit(minX)) /
-        lit(maxX.asInstanceOf[Double] - minX.asInstanceOf[Double]) * lit(buckets)), lit(buckets - 1)).cast("int")
-    val bucketed = perX.withColumn("_bk", bucketExpr)
+    // x-range as a broadcast one-row frame (the scalar-join idiom), not
+    // a driver head(): the head() ran perX's full groupBy as its own
+    // job before the real one (the exchange is only reused within one
+    // job), and at scale it is a driver sync point. Same arithmetic:
+    // (mx - mn) is the identical IEEE subtraction of the same doubles
+    // the literal form computed on the driver.
+    val mm = broadcast(perX.agg(
+      min(col("_x")).cast("double").as("_mnx"),
+      max(col("_x")).cast("double").as("_mxx")))
+    val bucketed = perX.crossJoin(mm)
+      .withColumn("_bk",
+        when(col("_mnx").isNull || col("_mnx") === col("_mxx"), lit(0))
+          .otherwise(least(floor((col("_x").cast("double") - col("_mnx")) /
+            (col("_mxx") - col("_mnx")) * lit(buckets)), lit(buckets - 1)).cast("int")))
+      .drop("_mnx", "_mxx")
     val wLocal = Window.partitionBy(col("_bk")).orderBy(col("_x").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = bucketed
