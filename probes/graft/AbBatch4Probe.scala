@@ -90,7 +90,22 @@ object AbBatch4Probe {
     def paretoIn: DataFrame = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
 
+    // pre-change classifierScore (md5 inside the interpreted fold)
+    def oldClassifierScore(documents: DataFrame, dim: Int = 1024): DataFrame = {
+      val md5x = "cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)"
+      val w = s"(($md5x % $dim) * 2654435761L) % 2001L - 1000L"
+      documents
+        .selectExpr("doc_id", "filter(split(text, ' '), x -> x != '') as toks")
+        .selectExpr("doc_id", "size(toks) as n_tokens",
+          s"aggregate(toks, 0L, (a, x) -> a + ($w)) as score_milli")
+        .selectExpr("doc_id", "n_tokens", "score_milli",
+          "cast(score_milli >= 0 as int) as keep")
+    }
+
     val variants: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("classifier_score",
+        () => oldClassifierScore(Tables.documents(spark, sfDir)),
+        () => graft.ext.TextOps.classifierScore(Tables.documents(spark, sfDir))),
       ("pareto_front",
         () => oldPareto(paretoIn, "o_totalprice", "o_orderdate"),
         () => Mining.paretoFront(paretoIn, "o_totalprice", "o_orderdate")),

@@ -1781,8 +1781,14 @@ object TextOps {
     * can't join back against itself to recover them).
     */
   def classifierScoreSql(toksExpr: String, dim: Int = 1024): String = {
-    val w = s"((${md5Long64("x")} % $dim) * 2654435761L) % 2001L - 1000L"
-    s"aggregate($toksExpr, 0L, (a, x) -> a + ($w))"
+    // the per-token md5 runs in the compiled md5_long64_array loop
+    // (bit-identical to the former in-lambda conv(substring(md5)) form,
+    // HashExpressions' pinned contract); the interpreted aggregate()
+    // fold keeps only the int64 bucket/weight mixing. NULL token array
+    // (NULL text) propagates through md5_long64_array to a NULL score,
+    // exactly as the former form's aggregate(NULL, ...) did.
+    val w = s"((x % $dim) * 2654435761L) % 2001L - 1000L"
+    s"aggregate(md5_long64_array($toksExpr), 0L, (a, x) -> a + ($w))"
   }
 
   def classifierScore(documents: DataFrame, dim: Int = 1024): DataFrame =

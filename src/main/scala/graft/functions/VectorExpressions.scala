@@ -171,6 +171,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs.head, exprs(1))))
+    // the compiled per-element 60-bit md5 prefix (HashExpressions), as
+    // SQL text — so expr-string pipelines (classifierScoreSql, the
+    // streaming curation twin) can hoist their per-token md5 out of
+    // interpreted aggregate() lambdas into the compiled array loop
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("md5_long64_array"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Md5Long64Array].getName, "md5_long64_array"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Long64Array(exprs.head)))
     // non-equi range joins -> banded hash joins (see BandedRangeJoinRule)
     e.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
