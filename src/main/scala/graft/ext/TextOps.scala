@@ -2311,23 +2311,28 @@ object TextOps {
         .as("words"))
       .where(size(col("words")) <= maxLen)
       .select(col("doc_id"), col("grp"), col("words"), size(col("words")).as("plen"))
-    // word stats via ONE window over the exploded phrase words instead of
-    // a separate aggregate + join-back: the join's aggregate branch was
-    // column-pruned to (words, plen) only, so its subtree never
-    // canonicalized equal to the probe side and the whole
-    // tokenize→window→collect pipeline executed TWICE (AQE stage reuse
-    // cannot collapse differently-pruned branches). count/sum over
-    // partitionBy(w) are the same corpus-global freq/deg, computed in one
-    // pass; the exchange-and-sort on w replaces a full second
-    // regexp tokenization of the corpus.
-    val wW = Window.partitionBy(col("w"))
+    // Word stats are a separate AGGREGATE + join-back, deliberately NOT a
+    // `count/sum over (partition by w)` window, even though the window
+    // form computes the same corpus-global freq/deg in one tokenization
+    // pass and measured ~20% faster at sf0.1 (re-examined and REVERTED
+    // this round): a window partition cannot be split by AQE, so at
+    // corpus scale the hottest non-stopword word becomes ONE unsplittable
+    // buffered task — the exact trap [[freqScore]]'s doctrine names. The
+    // aggregate's map-side partials collapse the hot key inside every
+    // task before the exchange, and AQE can broadcast or skew-split the
+    // join back. The price is that column pruning narrows this branch to
+    // (words, plen), so it never canonicalizes equal to the probe side
+    // and the tokenize→window→collect pipeline executes twice — the
+    // measured cost of skew immunity at this geometry, not an oversight.
+    val wordScores = phrases
+      .select(explode(col("words")).as("w"), col("plen"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).cast("long").as("deg"))
+      .select(col("w"), expr("(deg * 1000000L) div freq").as("wscore"))
     phrases
       .select(col("doc_id"), col("grp"),
-        array_join(col("words"), " ").as("phrase"), col("plen"),
-        explode(col("words")).as("w"))
-      .withColumn("freq", count(lit(1)).over(wW))
-      .withColumn("deg", sum(col("plen")).over(wW).cast("long"))
-      .withColumn("wscore", expr("(deg * 1000000L) div freq"))
+        array_join(col("words"), " ").as("phrase"), explode(col("words")).as("w"))
+      .join(wordScores, "w")
       .groupBy(col("doc_id"), col("grp"), col("phrase"))
       .agg(sum(col("wscore")).as("inst_score"))
       // identical phrases score identically (corpus-global word scores),
